@@ -1,0 +1,149 @@
+package graft.budget
+
+/** Exact rational arithmetic for privacy accounting. Budgets are exact so that
+  * repeated composition never drifts with floating-point error (reference keeps
+  * budgets as symbolic rationals: src/tmlt/analytics/privacy_budget.py:20-44).
+  * Infinity is represented as 1/0.
+  */
+final class Rat private (val num: BigInt, val den: BigInt) extends Ordered[Rat]
+    with Serializable {
+  def isInfinite: Boolean = den == 0
+  def isZero: Boolean = num == 0 && den != 0
+
+  def +(o: Rat): Rat =
+    if (isInfinite || o.isInfinite) Rat.Inf
+    else Rat(num * o.den + o.num * den, den * o.den)
+  def -(o: Rat): Rat =
+    if (isInfinite) Rat.Inf
+    else if (o.isInfinite) throw new ArithmeticException("inf subtraction")
+    else Rat(num * o.den - o.num * den, den * o.den)
+  def *(o: Rat): Rat =
+    if (isInfinite || o.isInfinite) { if (num == 0 || o.num == 0) Rat.zero else Rat.Inf }
+    else Rat(num * o.num, den * o.den)
+  def /(o: Rat): Rat =
+    if (o.isInfinite) Rat.zero
+    else if (o.num == 0) Rat.Inf
+    else if (isInfinite) Rat.Inf
+    else Rat(num * o.den, den * o.num)
+
+  def compare(o: Rat): Int =
+    if (isInfinite && o.isInfinite) 0
+    else if (isInfinite) 1
+    else if (o.isInfinite) -1
+    else (num * o.den).compare(o.num * den)
+
+  def toDouble: Double =
+    if (isInfinite) Double.PositiveInfinity
+    else if (den.bitLength < 52 && num.bitLength < 52) num.toDouble / den.toDouble
+    else (BigDecimal(num) / BigDecimal(den)).toDouble
+
+  def min(o: Rat): Rat = if (this <= o) this else o
+  def max(o: Rat): Rat = if (this >= o) this else o
+
+  override def equals(o: Any): Boolean = o match {
+    case r: Rat => num == r.num && den == r.den
+    case _      => false
+  }
+  override def hashCode: Int = (num, den).hashCode
+  override def toString: String =
+    if (isInfinite) "inf" else if (den == 1) num.toString else s"$num/$den"
+}
+
+object Rat {
+  val zero: Rat = Rat(0, 1)
+  val one: Rat = Rat(1, 1)
+  val Inf: Rat = new Rat(1, 0)
+
+  def apply(num: BigInt, den: BigInt): Rat = {
+    if (den == 0) return Inf
+    val sign = if (den < 0) -1 else 1
+    val g = num.gcd(den)
+    if (g == 0) new Rat(0, 1)
+    else new Rat(sign * num / g, sign * den / g)
+  }
+  def apply(n: Long): Rat = apply(BigInt(n), BigInt(1))
+
+  /** Exact Double → Rat conversion (every finite double is a rational). */
+  def apply(d: Double): Rat = {
+    if (d.isPosInfinity) return Inf
+    require(!d.isNaN && !d.isNegInfinity, s"invalid budget value $d")
+    val bd = BigDecimal(new java.math.BigDecimal(d))
+    val scale = bd.underlying.scale
+    if (scale <= 0) apply(bd.underlying.unscaledValue(), BigInt(1))
+    else apply(BigInt(bd.underlying.unscaledValue()), BigInt(10).pow(scale))
+  }
+}
+
+/** Privacy budgets (reference: src/tmlt/analytics/privacy_budget.py).
+  * PureDP(ε), ApproxDP(ε, δ), RhoZCDP(ρ).
+  */
+sealed trait PrivacyBudget extends Serializable {
+  def isInfinite: Boolean
+  /** Split this budget into n equal parts (for multi-part aggregations). */
+  def split(n: Int): PrivacyBudget
+  /** Subtract a spend of the same (or coercible) type. */
+  def -(spend: PrivacyBudget): PrivacyBudget
+  def >=(o: PrivacyBudget): Boolean
+}
+
+final case class PureDPBudget(epsilon: Rat) extends PrivacyBudget {
+  require(epsilon >= Rat.zero, "epsilon must be non-negative")
+  def isInfinite: Boolean = epsilon.isInfinite
+  def split(n: Int): PrivacyBudget = PureDPBudget(epsilon / Rat(n))
+  def -(spend: PrivacyBudget): PrivacyBudget = spend match {
+    case PureDPBudget(e) => PureDPBudget(if (isInfinite) Rat.Inf else epsilon - e)
+    case _ => throw new IllegalArgumentException(s"cannot spend $spend from PureDP")
+  }
+  def >=(o: PrivacyBudget): Boolean = o match {
+    case PureDPBudget(e) => epsilon >= e
+    case _               => false
+  }
+  override def toString: String = s"PureDPBudget(epsilon=$epsilon)"
+}
+object PureDPBudget {
+  def apply(epsilon: Double): PureDPBudget = PureDPBudget(Rat(epsilon))
+}
+
+final case class ApproxDPBudget(epsilon: Rat, delta: Rat) extends PrivacyBudget {
+  require(epsilon >= Rat.zero && delta >= Rat.zero && delta <= Rat.one)
+  def isInfinite: Boolean = epsilon.isInfinite || delta == Rat.one
+  def split(n: Int): PrivacyBudget =
+    ApproxDPBudget(epsilon / Rat(n), delta / Rat(n))
+  def -(spend: PrivacyBudget): PrivacyBudget = {
+    val (e, d) = spend match {
+      case ApproxDPBudget(e0, d0) => (e0, d0)
+      case PureDPBudget(e0)       => (e0, Rat.zero)
+      case _ => throw new IllegalArgumentException(s"cannot spend $spend from ApproxDP")
+    }
+    if (isInfinite) this
+    else ApproxDPBudget(epsilon - e, delta - d)
+  }
+  def >=(o: PrivacyBudget): Boolean = o match {
+    case ApproxDPBudget(e, d) => epsilon >= e && delta >= d
+    case PureDPBudget(e)      => epsilon >= e
+    case _                    => false
+  }
+  override def toString: String = s"ApproxDPBudget(epsilon=$epsilon, delta=$delta)"
+}
+object ApproxDPBudget {
+  def apply(epsilon: Double, delta: Double): ApproxDPBudget =
+    ApproxDPBudget(Rat(epsilon), Rat(delta))
+}
+
+final case class RhoZCDPBudget(rho: Rat) extends PrivacyBudget {
+  require(rho >= Rat.zero, "rho must be non-negative")
+  def isInfinite: Boolean = rho.isInfinite
+  def split(n: Int): PrivacyBudget = RhoZCDPBudget(rho / Rat(n))
+  def -(spend: PrivacyBudget): PrivacyBudget = spend match {
+    case RhoZCDPBudget(r) => RhoZCDPBudget(if (isInfinite) Rat.Inf else rho - r)
+    case _ => throw new IllegalArgumentException(s"cannot spend $spend from RhoZCDP")
+  }
+  def >=(o: PrivacyBudget): Boolean = o match {
+    case RhoZCDPBudget(r) => rho >= r
+    case _                => false
+  }
+  override def toString: String = s"RhoZCDPBudget(rho=$rho)"
+}
+object RhoZCDPBudget {
+  def apply(rho: Double): RhoZCDPBudget = RhoZCDPBudget(Rat(rho))
+}

@@ -1,0 +1,290 @@
+package graft.keyset
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lazy, immutable set of distinct group-key rows with its own small relational
+  * algebra (reference: src/tmlt/analytics/keyset/_keyset.py:33 and
+  * keyset/_ops/). The op tree is rewritten on construction — projection
+  * pushdown through cross-joins, cross-join flattening, and driver-side
+  * evaluation of small literal cross-products (reference cutoff 2^20 rows:
+  * keyset/_ops/_rules.py:23-24) — the moves Catalyst cannot make because they
+  * encode *set* semantics. Execution is plain DataFrame ops, so Catalyst still
+  * handles pushdown/broadcast at run time.
+  */
+sealed trait KeySetOp {
+  def columns: Seq[String]
+  def schema: StructType
+}
+
+object KeySetOp {
+  /** Literal rows, already deduplicated; values are external Scala/Java types
+    * (String / java.lang.Long / java.sql.Date / java.sql.Timestamp / null).
+    */
+  final case class FromTuples(rows: Vector[Vector[Any]], override val schema: StructType)
+      extends KeySetOp {
+    def columns: Seq[String] = schema.fieldNames.toSeq
+  }
+  final case class FromDataFrame(df: DataFrame) extends KeySetOp {
+    def columns: Seq[String] = df.schema.fieldNames.toSeq
+    def schema: StructType = df.schema
+  }
+  final case class Cross(left: KeySetOp, right: KeySetOp) extends KeySetOp {
+    require(left.columns.intersect(right.columns).isEmpty,
+      "cross product factors must have disjoint columns")
+    def columns: Seq[String] = left.columns ++ right.columns
+    def schema: StructType = StructType(left.schema.fields ++ right.schema.fields)
+  }
+  final case class Join(left: KeySetOp, right: KeySetOp) extends KeySetOp {
+    val common: Seq[String] = left.columns.intersect(right.columns)
+    require(common.nonEmpty, "join requires at least one common column")
+    def columns: Seq[String] =
+      left.columns ++ right.columns.filterNot(common.contains)
+    def schema: StructType = StructType(
+      left.schema.fields ++ right.schema.fields.filterNot(f => common.contains(f.name)))
+  }
+  final case class Union(left: KeySetOp, right: KeySetOp) extends KeySetOp {
+    require(left.columns.sorted == right.columns.sorted,
+      s"union requires same columns: ${left.columns} vs ${right.columns}")
+    def columns: Seq[String] = left.columns
+    def schema: StructType = left.schema
+  }
+  /** Rows of `left` that do NOT match any row of `right` on right's columns. */
+  final case class Subtract(left: KeySetOp, right: KeySetOp) extends KeySetOp {
+    require(right.columns.forall(left.columns.contains),
+      "subtract columns must be a subset of the left keyset's columns")
+    def columns: Seq[String] = left.columns
+    def schema: StructType = left.schema
+  }
+  final case class Project(child: KeySetOp, cols: Seq[String]) extends KeySetOp {
+    require(cols.nonEmpty && cols.forall(child.columns.contains),
+      s"projection columns $cols not all present in ${child.columns}")
+    def columns: Seq[String] = cols
+    def schema: StructType =
+      StructType(cols.map(c => child.schema(child.schema.fieldIndex(c))))
+  }
+  final case class KFilter(child: KeySetOp, condition: String) extends KeySetOp {
+    def columns: Seq[String] = child.columns
+    def schema: StructType = child.schema
+  }
+}
+
+final class KeySet private (val op: KeySetOp) extends Serializable {
+  import KeySetOp._
+
+  def columns: Seq[String] = op.columns
+  def schema: StructType = op.schema
+  def isEmptyKey: Boolean = columns.isEmpty
+
+  /** Cross product (`KeySet.__mul__`, reference _keyset.py:212-244). */
+  def *(other: KeySet): KeySet =
+    if (isEmptyKey) other
+    else if (other.isEmptyKey) this
+    else KeySet(Cross(op, other.op))
+
+  /** Natural inner join, nulls equal (reference _keyset.py:321-353). */
+  def join(other: KeySet): KeySet = KeySet(Join(op, other.op))
+
+  /** Set union (reference _keyset.py:405-438). */
+  def union(other: KeySet): KeySet = KeySet(Union(op, other.op))
+
+  /** Remove keys matching `other` on other's columns (_keyset.py:246-263). */
+  def subtract(other: KeySet): KeySet = KeySet(Subtract(op, other.op))
+
+  /** Distinct projection `ks[cols]` (reference _keyset.py:265-313). */
+  def project(cols: Seq[String]): KeySet = KeySet(Project(op, cols))
+  def apply(cols: String*): KeySet = project(cols)
+
+  /** SQL WHERE filter (reference _keyset.py:355-397). */
+  def filter(condition: String): KeySet = KeySet(KFilter(op, condition))
+
+  /** Number of key rows; computed driver-side for literal sets. */
+  def size(spark: SparkSession): Long = op match {
+    case FromTuples(rows, _) => rows.size.toLong
+    case Cross(l, r)         => KeySet(l).size(spark) * KeySet(r).size(spark)
+    case _                   => dataframe(spark).count()
+  }
+
+  @transient private var cached: DataFrame = _
+  @transient private var persisted: Boolean = false
+
+  /** Materialize to a distinct DataFrame of key rows. */
+  def dataframe(spark: SparkSession): DataFrame = synchronized {
+    if (cached == null) cached = KeySet.materialize(op, spark)
+    cached
+  }
+
+  def cache(spark: SparkSession): this.type = synchronized {
+    if (!persisted) { dataframe(spark).persist(); persisted = true }
+    this
+  }
+  def uncache(): this.type = synchronized {
+    if (persisted && cached != null) { cached.unpersist(); persisted = false }
+    this
+  }
+
+  override def toString: String = s"KeySet(${columns.mkString(", ")})"
+}
+
+object KeySet {
+  import KeySetOp._
+
+  /** Driver-side literal cross-product cutoff, matching the reference
+    * (keyset/_ops/_rules.py:23-24).
+    */
+  val InMemoryCrossJoinCutoff: Long = 1L << 20
+
+  def apply(op: KeySetOp): KeySet = new KeySet(rewrite(op))
+
+  /** The empty keyset: a single empty key (ungrouped aggregation). */
+  val empty: KeySet = new KeySet(FromTuples(Vector(Vector()), StructType(Nil)))
+
+  /** Cross product of per-column value sets (reference _keyset.py:162-197). */
+  def fromDict(domains: Seq[(String, Seq[Any])]): KeySet =
+    if (domains.isEmpty) empty
+    else domains.map { case (c, vs) => fromColumn(c, vs) }.reduce(_ * _)
+
+  def fromColumn(name: String, values: Seq[Any]): KeySet = {
+    val dt = inferType(name, values)
+    val rows = values.map(v => Vector(normalize(v))).distinct.toVector
+    new KeySet(FromTuples(rows, StructType(Seq(StructField(name, dt, nullable = true)))))
+  }
+
+  /** Literal tuples with an explicit schema (reference _keyset.py:93-156). */
+  def fromTuples(rows: Seq[Seq[Any]], schema: StructType): KeySet =
+    new KeySet(FromTuples(rows.map(_.map(normalize).toVector).distinct.toVector, schema))
+
+  /** Wrap a DataFrame; rows are deduplicated (reference keyset/_ops/_from_dataframe.py). */
+  def fromDataFrame(df: DataFrame): KeySet = {
+    import graft.types.CoerceSchema
+    new KeySet(FromDataFrame(CoerceSchema(df).dropDuplicates()))
+  }
+
+  private def normalize(v: Any): Any = v match {
+    case i: Int   => i.toLong
+    case s: Short => s.toLong
+    case b: Byte  => b.toLong
+    case f: Float =>
+      throw new IllegalArgumentException("KeySet values may not be floating-point")
+    case d: Double =>
+      throw new IllegalArgumentException("KeySet values may not be floating-point")
+    case other => other
+  }
+
+  private def inferType(name: String, values: Seq[Any]): DataType =
+    values.collectFirst {
+      case _: Int | _: Long | _: Short | _: Byte => LongType
+      case _: String                             => StringType
+      case _: java.sql.Date                      => DateType
+      case _: java.sql.Timestamp                 => TimestampType
+      case _: Double | _: Float =>
+        throw new IllegalArgumentException(
+          s"KeySet column '$name' may not contain floating-point values")
+    }.getOrElse(StringType)
+
+  // ---------------------------------------------------------------- rewrites
+
+  /** Structural rewrites applied on construction (reference
+    * keyset/_ops/_rules.py): flatten + canonically order cross-joins, push
+    * projections through cross-joins, drop no-op projections, and fold small
+    * literal cross-products driver-side.
+    */
+  private[keyset] def rewrite(op: KeySetOp): KeySetOp = op match {
+    case Project(child, cols) =>
+      val c = rewrite(child)
+      c match {
+        // no-op projection
+        case _ if c.columns == cols => c
+        // collapse nested projections
+        case Project(gchild, _) => rewrite(Project(gchild, cols))
+        // push through cross-join: keep only factors contributing columns
+        case Cross(_, _) =>
+          val fs = factors(c).flatMap { f =>
+            val keep = cols.filter(f.columns.contains)
+            if (keep.isEmpty) None
+            else if (keep == f.columns) Some(f)
+            else Some(rewrite(Project(f, keep)))
+          }
+          if (fs.isEmpty) FromTuples(Vector(Vector()), StructType(Nil))
+          else {
+            val folded = fs.reduce(Cross(_, _))
+            // preserve requested column order with a final reorder if needed
+            if (folded.columns == cols) foldLiteralCross(folded)
+            else reorder(foldLiteralCross(folded), cols)
+          }
+        case FromTuples(rows, sch) =>
+          val idx = cols.map(sch.fieldIndex)
+          FromTuples(rows.map(r => idx.map(r).toVector).distinct,
+            StructType(idx.map(sch.fields)))
+        case other => Project(other, cols)
+      }
+    case Cross(l, r) => foldLiteralCross(Cross(rewrite(l), rewrite(r)))
+    case Join(l, r) => Join(rewrite(l), rewrite(r))
+    case Union(l, r) => Union(rewrite(l), rewrite(r))
+    case Subtract(l, r) => Subtract(rewrite(l), rewrite(r))
+    case KFilter(c, cond) => KFilter(rewrite(c), cond)
+    case leaf => leaf
+  }
+
+  /** Flattened cross-join factor list. */
+  private def factors(op: KeySetOp): Vector[KeySetOp] = op match {
+    case Cross(l, r) => factors(l) ++ factors(r)
+    case other       => Vector(other)
+  }
+
+  /** Evaluate literal × literal cross products driver-side when the result is
+    * below the in-memory cutoff (reference keyset/_ops/_rules.py:281).
+    */
+  private def foldLiteralCross(op: KeySetOp): KeySetOp = op match {
+    case Cross(l0, r0) =>
+      (foldLiteralCross(l0), foldLiteralCross(r0)) match {
+        case (l @ FromTuples(lr, ls), r @ FromTuples(rr, rs))
+            if lr.size.toLong * rr.size.toLong <= InMemoryCrossJoinCutoff =>
+          FromTuples(
+            for { a <- lr; b <- rr } yield a ++ b,
+            StructType(ls.fields ++ rs.fields))
+        case (l, r) => Cross(l, r)
+      }
+    case other => other
+  }
+
+  private def reorder(op: KeySetOp, cols: Seq[String]): KeySetOp = op match {
+    case FromTuples(rows, sch) =>
+      val idx = cols.map(sch.fieldIndex)
+      FromTuples(rows.map(r => idx.map(r).toVector), StructType(idx.map(sch.fields)))
+    case other => Project(other, cols)
+  }
+
+  // ------------------------------------------------------------ materialize
+
+  private[keyset] def materialize(op: KeySetOp, spark: SparkSession): DataFrame =
+    op match {
+      case FromTuples(rows, sch) =>
+        if (sch.isEmpty) spark.range(1).drop("id") // single empty key
+        else spark.createDataFrame(
+          java.util.Arrays.asList(rows.map(r => Row.fromSeq(r)): _*), sch)
+      case FromDataFrame(df) => df
+      case Cross(l, r) =>
+        materialize(l, spark).crossJoin(materialize(r, spark))
+      case j @ Join(l, r) =>
+        val (ld, rd) = (materialize(l, spark), materialize(r, spark))
+        val rd2 = rd.select(rd.columns.map(c =>
+          col(c).as(if (j.common.contains(c)) s"__ks_r_$c" else c)).toIndexedSeq: _*)
+        val cond = j.common.map(c => ld(c) <=> rd2(s"__ks_r_$c")).reduce(_ && _)
+        ld.join(rd2, cond, "inner")
+          .select(j.columns.map(col).toIndexedSeq: _*)
+      case Union(l, r) =>
+        val (ld, rd) = (materialize(l, spark), materialize(r, spark))
+        ld.unionByName(rd).distinct()
+      case Subtract(l, r) =>
+        val (ld, rd) = (materialize(l, spark), materialize(r, spark))
+        val rcols = r.columns
+        val rd2 = rd.select(rcols.map(c => col(c).as(s"__ks_r_$c")).toIndexedSeq: _*)
+        val cond = rcols.map(c => ld(c) <=> rd2(s"__ks_r_$c")).reduce(_ && _)
+        ld.join(rd2, cond, "left_anti")
+      case Project(c, cols2) =>
+        materialize(c, spark).select(cols2.map(col).toIndexedSeq: _*).distinct()
+      case KFilter(c, cond) => materialize(c, spark).filter(cond)
+    }
+}
