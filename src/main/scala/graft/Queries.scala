@@ -1,0 +1,390 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.accounting._
+import graft.budget._
+import graft.constraints._
+import graft.ir._
+import graft.keyset.KeySet
+import graft.session.Session
+import graft.types.{ColumnDescriptor, ColumnType}
+
+/** The registered correctness queries: each exercises one operator from
+  * SURVEY.md §2 through the full Session/compiler/noise path at infinite
+  * budget (noise scale 0 -> bit-deterministic), paired with a DuckDB oracle
+  * in `oracles` computing the identical result. Aggregates use
+  * integer-valued measures (l_quantity is 1..50, p_size 1..50) so double
+  * sums are exact regardless of addition order and both engines produce
+  * identical bits.
+  */
+object Queries {
+
+  private val Inf = PureDPBudget(Rat.Inf)
+  private val InfApprox = ApproxDPBudget(Rat.Inf, Rat.zero)
+
+  private def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    if (table == "events") readEvents(spark, dir) else
+      spark.read.parquet(s"$dir/$table.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot decode; an
+    * explicit schema without `ts` prunes the column at the scan. Queries
+    * needing event time should derive it upstream (see TESTDATA.md).
+    */
+  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.read.schema(schema).parquet(s"$dir/events.parquet")
+  }
+
+  private def lineitemSession(spark: SparkSession, dir: String): Session =
+    Session.fromDataFrame(spark, Inf, "lineitem", read(spark, dir, "lineitem"), AddOneRow())
+
+  private val flagKeys = KeySet.fromColumn("l_returnflag", Seq("A", "N", "R"))
+  private val statusKeys = KeySet.fromColumn("o_orderstatus", Seq("F", "O", "P"))
+  private val segmentKeys = KeySet.fromColumn("c_mktsegment",
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+  private val typeKeys = KeySet.fromColumn("event_type",
+    Seq("click", "error", "purchase", "signup", "view"))
+
+  /** Oracle helper: group-by-count against an explicit key domain, mirroring
+    * keyset semantics (absent keys -> 0).
+    */
+  private def countOracle(values: Seq[String], keyCol: String, innerSql: String): String =
+    s"""SELECT k.$keyCol AS $keyCol, CAST(coalesce(t.cnt, 0) AS BIGINT) AS count
+       |FROM (VALUES ${values.map(v => s"('$v')").mkString(", ")}) k($keyCol)
+       |LEFT JOIN ($innerSql) t USING ($keyCol)""".stripMargin
+
+  // ------------------------------------------------------------------ queries
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- counts ------------------------------------------------------------
+    "q01_count" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(QueryBuilder("lineitem").count(), Inf)),
+    "q02_groupby_count" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").filter("l_quantity > 10")
+          .groupby(flagKeys).count(), Inf)),
+    "q03_groupby_count_distinct" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").groupby(flagKeys)
+          .countDistinct(Seq("l_suppkey")), Inf)),
+    "q04_count_distinct_rows" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").select("l_orderkey").countDistinct(), Inf)),
+    // -- clamped aggregates ------------------------------------------------
+    "q05_groupby_sum" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").groupby(flagKeys)
+          .sum("l_quantity", 0.0, 50.0), Inf)),
+    "q06_sum_int" -> ((s, d) =>
+      Session.fromDataFrame(s, Inf, "part", read(s, d, "part"), AddOneRow())
+        .evaluate(QueryBuilder("part").sum("p_size", 1.0, 50.0), Inf)),
+    "q07_groupby_average" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").groupby(flagKeys)
+          .average("l_quantity", 0.0, 50.0), Inf)),
+    "q08_groupby_variance" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").groupby(flagKeys)
+          .variance("l_quantity", 0.0, 50.0), Inf)),
+    "q09_groupby_stdev" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").groupby(flagKeys)
+          .stdev("l_quantity", 0.0, 50.0), Inf)),
+    // -- row transformations ----------------------------------------------
+    "q10_filter" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem")
+          .filter("l_shipdate >= '1995-01-01' AND l_discount >= 0.02")
+          .groupby(KeySet.fromColumn("l_linestatus", Seq("F", "O"))).count(), Inf)),
+    "q11_rename_select" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").rename(Map("l_returnflag" -> "flag"))
+          .select("flag", "l_quantity")
+          .groupby(KeySet.fromColumn("flag", Seq("A", "N", "R"))).count(), Inf)),
+    "q12_map" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem")
+          .map(r => Map("qty2" -> (r("l_quantity").asInstanceOf[Double] * 2.0)),
+            Seq("qty2" -> ColumnDescriptor(ColumnType.Decimal)), augment = true)
+          .sum("qty2", 0.0, 100.0), Inf)),
+    "q13_flatmap_cap" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem")
+          // emits 3 rows but max_rows=2 enforces the cap
+          .flatMap(r => Seq(Map("tag" -> "a"), Map("tag" -> "b"), Map("tag" -> "c")),
+            Seq("tag" -> ColumnDescriptor(ColumnType.Varchar)), maxRows = 2,
+            augment = true)
+          .count(), Inf)),
+    "q14_replace_null_and_nan" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem")
+          .map(r => Map("qty_n" -> (if (r("l_quantity").asInstanceOf[Double] > 30)
+            null else r("l_quantity"))),
+            Seq("qty_n" -> ColumnDescriptor(ColumnType.Decimal, allowNull = true)),
+            augment = true)
+          .replaceNullAndNan(Map("qty_n" -> 0.0))
+          .sum("qty_n", 0.0, 50.0), Inf)),
+    "q15_replace_infinity" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem")
+          .map(r => Map("qty_i" -> (r("l_quantity").asInstanceOf[Double] match {
+            case q if q > 30 => Double.PositiveInfinity
+            case q if q < 5  => Double.NegativeInfinity
+            case q           => q
+          })), Seq("qty_i" -> ColumnDescriptor(ColumnType.Decimal, allowInf = true)),
+            augment = true)
+          .replaceInfinity(Map("qty_i" -> (0.0, 50.0)))
+          .sum("qty_i", 0.0, 50.0), Inf)),
+    "q16_drop_null_and_nan" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem")
+          .map(r => Map("qty_n" -> (if (r("l_quantity").asInstanceOf[Double] > 30)
+            null else r("l_quantity"))),
+            Seq("qty_n" -> ColumnDescriptor(ColumnType.Decimal, allowNull = true)),
+            augment = true)
+          .dropNullAndNan("qty_n")
+          .count(), Inf)),
+    "q17_drop_infinity" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem")
+          .map(r => Map("qty_i" -> (r("l_quantity").asInstanceOf[Double] match {
+            case q if q > 30 => Double.PositiveInfinity
+            case q if q < 5  => Double.NegativeInfinity
+            case q           => q
+          })), Seq("qty_i" -> ColumnDescriptor(ColumnType.Decimal, allowInf = true)),
+            augment = true)
+          .dropInfinity("qty_i")
+          .count(), Inf)),
+    // -- joins -------------------------------------------------------------
+    "q18_join_public" -> ((s, d) => {
+      val sess = new Session.Builder().withPrivacyBudget(Inf)
+        .withPrivateDataFrame("orders", read(s, d, "orders"), AddOneRow())
+        .withPublicDataFrame("customer", read(s, d, "customer"))
+        .build(s)
+      sess.evaluate(
+        QueryBuilder("orders").rename(Map("o_custkey" -> "c_custkey"))
+          .joinPublic("customer", Seq("c_custkey"))
+          .groupby(segmentKeys).count(), Inf)
+    }),
+    "q19_join_private" -> ((s, d) => {
+      val sess = new Session.Builder().withPrivacyBudget(Inf)
+        .withPrivateDataFrame("lineitem", read(s, d, "lineitem"), AddOneRow())
+        .withPrivateDataFrame("orders", read(s, d, "orders"), AddOneRow())
+        .build(s)
+      sess.evaluate(
+        QueryBuilder("lineitem").rename(Map("l_orderkey" -> "okey"))
+          .joinPrivate(
+            QueryBuilder("orders").rename(Map("o_orderkey" -> "okey")),
+            TruncationStrategy.DropExcess(20), TruncationStrategy.DropExcess(1),
+            Some(Seq("okey")))
+          .groupby(statusKeys).count(), Inf)
+    }),
+    "q20_join_private_nonunique" -> ((s, d) => {
+      val sess = new Session.Builder().withPrivacyBudget(Inf)
+        .withPrivateDataFrame("lineitem", read(s, d, "lineitem"), AddOneRow())
+        .withPrivateDataFrame("orders", read(s, d, "orders"), AddOneRow())
+        .build(s)
+      sess.evaluate(
+        QueryBuilder("lineitem").rename(Map("l_orderkey" -> "okey"))
+          .joinPrivate(
+            QueryBuilder("orders").rename(Map("o_orderkey" -> "okey")),
+            TruncationStrategy.DropNonUnique, TruncationStrategy.DropExcess(1),
+            Some(Seq("okey")))
+          .groupby(statusKeys).count(), Inf)
+    }),
+    // -- binning / suppression / partition selection ----------------------
+    "q21_histogram" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").histogram("l_quantity",
+          BinningSpec(Seq(0.0, 10.0, 20.0, 30.0, 40.0, 50.0))), Inf)),
+    "q22_suppress" -> ((s, d) =>
+      Session.fromDataFrame(s, Inf, "events", read(s, d, "events"), AddOneRow())
+        .evaluate(
+          QueryBuilder("events").groupby(typeKeys).count().suppress(2000.0), Inf)),
+    "q23_get_groups" -> ((s, d) =>
+      Session.fromDataFrame(s, InfApprox, "events", read(s, d, "events"), AddOneRow())
+        .evaluate(QueryBuilder("events").getGroups("event_type"), InfApprox)),
+    // -- IDs world ---------------------------------------------------------
+    "q24_enforce_count" -> ((s, d) =>
+      Session.fromDataFrame(s, Inf, "events", read(s, d, "events"),
+        AddRowsWithID("user_id"))
+        .evaluate(
+          QueryBuilder("events").enforce(MaxRowsPerID(1000)).count(), Inf)),
+    "q25_flatmap_by_id" -> ((s, d) =>
+      Session.fromDataFrame(s, Inf, "events", read(s, d, "events"),
+        AddRowsWithID("user_id"))
+        .evaluate(
+          QueryBuilder("events")
+            .flatMapByID(rows =>
+              Seq(Map("n_types" -> rows.map(_("event_type")).distinct.size)),
+              Seq("n_types" -> ColumnDescriptor(ColumnType.Integer)))
+            .enforce(MaxRowsPerID(1))
+            .sum("n_types", 0.0, 10.0), Inf)),
+    "q26_enforce_groups" -> ((s, d) =>
+      Session.fromDataFrame(s, Inf, "events", read(s, d, "events"),
+        AddRowsWithID("user_id"))
+        .evaluate(
+          QueryBuilder("events")
+            .enforce(MaxGroupsPerID("event_type", 5))
+            .enforce(MaxRowsPerGroupPerID("event_type", 1000))
+            .groupby(typeKeys).count(), Inf)),
+    // -- keyset algebra (materialized keysets as results) ------------------
+    "q27_keyset_cross" -> ((s, d) =>
+      (KeySet.fromDataFrame(read(s, d, "region").select("r_name")) *
+        KeySet.fromColumn("flag", Seq("A", "N", "R"))).dataframe(s)),
+    "q28_keyset_join" -> ((s, d) =>
+      KeySet.fromDataFrame(read(s, d, "nation").select("n_regionkey", "n_name"))
+        .join(KeySet.fromDataFrame(
+          read(s, d, "region").withColumnRenamed("r_regionkey", "n_regionkey")))
+        .dataframe(s)),
+    "q29_keyset_union" -> ((s, d) =>
+      KeySet.fromDataFrame(read(s, d, "region").select("r_name"))
+        .union(KeySet.fromColumn("r_name", Seq("ASIA", "ATLANTIS")))
+        .dataframe(s)),
+    "q30_keyset_subtract" -> ((s, d) =>
+      KeySet.fromDataFrame(read(s, d, "region").select("r_name"))
+        .subtract(KeySet.fromColumn("r_name", Seq("ASIA", "EUROPE")))
+        .dataframe(s)),
+    "q31_keyset_project" -> ((s, d) =>
+      KeySet.fromDataFrame(read(s, d, "nation").select("n_name", "n_regionkey"))
+        .project(Seq("n_regionkey")).dataframe(s)),
+    "q32_keyset_filter" -> ((s, d) =>
+      KeySet.fromDataFrame(read(s, d, "region").select("r_name"))
+        .filter("r_name LIKE 'A%'").dataframe(s)),
+    // -- quantile family (exponential mechanism; rows-only checks) ---------
+    "q33_median" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").groupby(flagKeys)
+          .median("l_quantity", 0.0, 50.0), Inf)),
+    "q34_quantile_p90" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").quantile("l_quantity", 0.9, 0.0, 50.0), Inf)),
+    "q35_get_bounds" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").getBounds("l_extendedprice"), Inf)))
+
+  // ------------------------------------------------------------------ oracles
+
+  private val clamp = "least(greatest(l_quantity, 0.0), 50.0)"
+  private val dev = s"($clamp - 25.0)"
+
+  val oracles: Map[String, String] = Map(
+    "q01_count" -> "SELECT CAST(count(*) AS BIGINT) AS count FROM lineitem",
+    "q02_groupby_count" -> countOracle(Seq("A", "N", "R"), "l_returnflag",
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem WHERE l_quantity > 10 GROUP BY 1"),
+    "q03_groupby_count_distinct" ->
+      """SELECT k.l_returnflag AS l_returnflag,
+        |  CAST(coalesce(t.cnt, 0) AS BIGINT) AS count_distinct
+        |FROM (VALUES ('A'), ('N'), ('R')) k(l_returnflag)
+        |LEFT JOIN (SELECT l_returnflag, count(DISTINCT l_suppkey) AS cnt
+        |           FROM lineitem GROUP BY 1) t USING (l_returnflag)""".stripMargin,
+    "q04_count_distinct_rows" ->
+      "SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS count_distinct FROM lineitem",
+    "q05_groupby_sum" ->
+      s"""SELECT k.l_returnflag AS l_returnflag, coalesce(t.s, 0.0) AS sum
+         |FROM (VALUES ('A'), ('N'), ('R')) k(l_returnflag)
+         |LEFT JOIN (SELECT l_returnflag, sum($clamp) AS s
+         |           FROM lineitem GROUP BY 1) t USING (l_returnflag)""".stripMargin,
+    "q06_sum_int" ->
+      "SELECT CAST(sum(least(greatest(p_size, 1), 50)) AS BIGINT) AS sum FROM part",
+    "q07_groupby_average" ->
+      s"""SELECT l_returnflag,
+         |  sum($dev) / greatest(CAST(count(*) AS DOUBLE), 1.0) + 25.0 AS average
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q08_groupby_variance" ->
+      s"""SELECT l_returnflag,
+         |  least(greatest((sum($dev * $dev) - sum($dev) * sum($dev) /
+         |    greatest(CAST(count(*) AS DOUBLE), 1.0)) /
+         |    greatest(CAST(count(*) AS DOUBLE) - 1.0, 1.0), 0.0), 625.0) AS variance
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q09_groupby_stdev" ->
+      s"""SELECT l_returnflag,
+         |  sqrt(least(greatest((sum($dev * $dev) - sum($dev) * sum($dev) /
+         |    greatest(CAST(count(*) AS DOUBLE), 1.0)) /
+         |    greatest(CAST(count(*) AS DOUBLE) - 1.0, 1.0), 0.0), 625.0)) AS stdev
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q10_filter" -> countOracle(Seq("F", "O"), "l_linestatus",
+      """SELECT l_linestatus, count(*) AS cnt FROM lineitem
+        |WHERE l_shipdate >= '1995-01-01' AND l_discount >= 0.02 GROUP BY 1""".stripMargin),
+    "q11_rename_select" -> countOracle(Seq("A", "N", "R"), "flag",
+      "SELECT l_returnflag AS flag, count(*) AS cnt FROM lineitem GROUP BY 1"),
+    "q12_map" ->
+      "SELECT sum(least(greatest(l_quantity * 2.0, 0.0), 100.0)) AS sum FROM lineitem",
+    "q13_flatmap_cap" ->
+      "SELECT CAST(2 * count(*) AS BIGINT) AS count FROM lineitem",
+    "q14_replace_null_and_nan" ->
+      """SELECT sum(least(greatest(
+        |  CASE WHEN l_quantity > 30 THEN 0.0 ELSE l_quantity END, 0.0), 50.0)) AS sum
+        |FROM lineitem""".stripMargin,
+    "q15_replace_infinity" ->
+      """SELECT sum(least(greatest(
+        |  CASE WHEN l_quantity > 30 THEN 50.0
+        |       WHEN l_quantity < 5 THEN 0.0
+        |       ELSE l_quantity END, 0.0), 50.0)) AS sum
+        |FROM lineitem""".stripMargin,
+    "q16_drop_null_and_nan" ->
+      "SELECT CAST(count(*) AS BIGINT) AS count FROM lineitem WHERE l_quantity <= 30",
+    "q17_drop_infinity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS count FROM lineitem
+        |WHERE l_quantity >= 5 AND l_quantity <= 30""".stripMargin,
+    "q18_join_public" -> countOracle(
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+      "c_mktsegment",
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin),
+    "q19_join_private" -> countOracle(Seq("F", "O", "P"), "o_orderstatus",
+      """SELECT o_orderstatus, count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""".stripMargin),
+    "q20_join_private_nonunique" -> countOracle(Seq("F", "O", "P"), "o_orderstatus",
+      """SELECT o_orderstatus, count(*) AS cnt
+        |FROM (SELECT * FROM lineitem
+        |      QUALIFY count(*) OVER (PARTITION BY l_orderkey) = 1) li
+        |JOIN orders ON li.l_orderkey = o_orderkey GROUP BY 1""".stripMargin),
+    "q21_histogram" ->
+      """SELECT k.l_quantity_binned AS l_quantity_binned,
+        |  CAST(coalesce(t.cnt, 0) AS BIGINT) AS count
+        |FROM (VALUES ('[0, 10]'), ('(10, 20]'), ('(20, 30]'), ('(30, 40]'),
+        |             ('(40, 50]')) k(l_quantity_binned)
+        |LEFT JOIN (SELECT CASE
+        |    WHEN l_quantity >= 0 AND l_quantity <= 10 THEN '[0, 10]'
+        |    WHEN l_quantity > 10 AND l_quantity <= 20 THEN '(10, 20]'
+        |    WHEN l_quantity > 20 AND l_quantity <= 30 THEN '(20, 30]'
+        |    WHEN l_quantity > 30 AND l_quantity <= 40 THEN '(30, 40]'
+        |    WHEN l_quantity > 40 AND l_quantity <= 50 THEN '(40, 50]'
+        |    END AS l_quantity_binned, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1) t USING (l_quantity_binned)""".stripMargin,
+    "q22_suppress" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS count
+        |FROM events GROUP BY 1 HAVING count(*) >= 2000""".stripMargin,
+    "q23_get_groups" -> "SELECT DISTINCT event_type FROM events",
+    "q24_enforce_count" -> "SELECT CAST(count(*) AS BIGINT) AS count FROM events",
+    "q25_flatmap_by_id" ->
+      """SELECT CAST(sum(least(greatest(c, 0), 10)) AS BIGINT) AS sum
+        |FROM (SELECT count(DISTINCT event_type) AS c FROM events GROUP BY user_id)""".stripMargin,
+    "q26_enforce_groups" -> countOracle(
+      Seq("click", "error", "purchase", "signup", "view"), "event_type",
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1"),
+    "q27_keyset_cross" ->
+      """SELECT r.r_name AS r_name, f.flag AS flag
+        |FROM (SELECT DISTINCT r_name FROM region) r
+        |CROSS JOIN (VALUES ('A'), ('N'), ('R')) f(flag)""".stripMargin,
+    "q28_keyset_join" ->
+      """SELECT DISTINCT CAST(n_regionkey AS BIGINT) AS n_regionkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q29_keyset_union" ->
+      """SELECT DISTINCT r_name FROM
+        |(SELECT r_name FROM region UNION ALL
+        | SELECT * FROM (VALUES ('ASIA'), ('ATLANTIS')))""".stripMargin,
+    "q30_keyset_subtract" ->
+      """SELECT DISTINCT r_name FROM region
+        |WHERE r_name NOT IN ('ASIA', 'EUROPE')""".stripMargin,
+    "q31_keyset_project" ->
+      "SELECT DISTINCT CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
+    "q32_keyset_filter" ->
+      "SELECT DISTINCT r_name FROM region WHERE r_name LIKE 'A%'")
+}

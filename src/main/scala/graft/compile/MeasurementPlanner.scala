@@ -1,0 +1,434 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.budget._
+import graft.constraints._
+import graft.exec.{DpQuantile, Noise, NoiseInfo, NoiseMechanism}
+import graft.ir.MechanismHint
+import graft.ir.QueryExpr._
+import graft.ir.MeasureExpr
+import graft.keyset.KeySet
+import graft.types.ColumnType
+
+/** Result of compiling a measurement: the answer plan, per-column noise
+  * descriptions, and the budget actually charged (noise-addition queries
+  * under ApproxDP charge delta = 0, reference
+  * _base_measurement_visitor.py:591-668).
+  */
+final case class MeasureOut(df: DataFrame, noise: Seq[NoiseInfo], spend: PrivacyBudget)
+
+/** Lowers `MeasureExpr` to: transform chain -> (truncation) -> aggregation
+  * -> keyset left-join -> noise (reference:
+  * _query_expr_compiler/_base_measurement_visitor.py).
+  *
+  * Scale notes (100 TB):
+  *  - Aggregation runs BEFORE the keyset join, so the shuffle carries only
+  *    partially-aggregated group rows (map-side combine), never raw data.
+  *  - The keyset joins against the aggregated result; either side may be
+  *    broadcast by AQE since both are small relative to the input.
+  *  - Noise is an executor-side projection over the aggregated rows — no
+  *    driver collect anywhere.
+  */
+final class MeasurementPlanner(
+    catalog: Catalog, budget: PrivacyBudget, spark: SparkSession) {
+
+  private val transformPlanner = new TransformPlanner(catalog, budget, spark)
+  private val cat = catalog.schemas
+
+  def compile(expr: MeasureExpr): MeasureOut = expr match {
+
+    case e @ GroupByCount(child, keys, out, hint) =>
+      val t = prepared(child)
+      val sens = aggSensitivity(t)
+      val mech = selectMechanism(hint, integer = true, sens, parts = 1)
+      val aggd = groupAgg(t.df, keys, Seq(count(lit(1)).as(out)))
+      val joined = keysetJoin(keys, aggd, Seq(out -> Some(lit(0L))))
+      val noisy = joined.withColumn(out, Noise.addLongNoise(col(out), mech))
+      MeasureOut(noisy, Seq(NoiseInfo(out, mech)), noiseSpend)
+
+    case e @ GroupByCountDistinct(child, keys, cols, out, hint) =>
+      val t = prepared(child)
+      val sens = aggSensitivity(t)
+      val mech = selectMechanism(hint, integer = true, sens, parts = 1)
+      val countCols = if (cols.nonEmpty) cols else t.schema.columnNames
+      val aggd = groupAgg(t.df, keys,
+        Seq(countDistinct(struct(countCols.map(col).toIndexedSeq: _*)).as(out)))
+      val joined = keysetJoin(keys, aggd, Seq(out -> Some(lit(0L))))
+      val noisy = joined.withColumn(out, Noise.addLongNoise(col(out), mech))
+      MeasureOut(noisy, Seq(NoiseInfo(out, mech)), noiseSpend)
+
+    case e @ GroupByBoundedSum(child, keys, m, lo, hi, out, hint) =>
+      val t = prepared(child, dropSpecial = Some(m))
+      val sens = aggSensitivity(t) * Rat(math.max(math.abs(lo), math.abs(hi)))
+      val integer = t.schema(m).ctype == ColumnType.Integer
+      val mech = selectMechanism(hint, integer, sens, parts = 1)
+      if (integer) {
+        val clamped = least(greatest(col(m), lit(lo.toLong)), lit(hi.toLong))
+        val aggd = groupAgg(t.df, keys, Seq(sum(clamped).as(out)))
+        val joined = keysetJoin(keys, aggd, Seq(out -> Some(lit(0L))))
+        MeasureOut(joined.withColumn(out, Noise.addLongNoise(col(out), mech)),
+          Seq(NoiseInfo(out, mech)), noiseSpend)
+      } else {
+        val clamped = least(greatest(col(m), lit(lo)), lit(hi))
+        val aggd = groupAgg(t.df, keys, Seq(sum(clamped).as(out)))
+        val joined = keysetJoin(keys, aggd, Seq(out -> Some(lit(0.0))))
+        MeasureOut(joined.withColumn(out, Noise.addDoubleNoise(col(out), mech)),
+          Seq(NoiseInfo(out, mech)), noiseSpend)
+      }
+
+    case e @ GroupByBoundedAverage(child, keys, m, lo, hi, out, hint) =>
+      // DP mean = noisy sum of deviations from the midpoint / noisy count,
+      // shifted back (reference _base_measurement_visitor.py:1249-1261);
+      // each part gets half the budget.
+      val t = prepared(child, dropSpecial = Some(m))
+      val sens = aggSensitivity(t)
+      val mid = (lo + hi) / 2.0
+      val devSens = sens * Rat((hi - lo) / 2.0)
+      val sumMech = selectMechanism(hint, integer = false, devSens, parts = 2)
+      val cntMech = selectMechanism(hint, integer = true, sens, parts = 2)
+      val clamped = least(greatest(col(m).cast("double"), lit(lo)), lit(hi))
+      val aggd = groupAgg(t.df, keys,
+        Seq(sum(clamped - lit(mid)).as("__sd"), count(lit(1)).as("__n")))
+      val joined = keysetJoin(keys, aggd,
+        Seq("__sd" -> Some(lit(0.0)), "__n" -> Some(lit(0L))))
+      val noisy = joined
+        .withColumn("__sd", Noise.addDoubleNoise(col("__sd"), sumMech))
+        .withColumn("__n", Noise.addLongNoise(col("__n"), cntMech))
+      val result = noisy
+        .withColumn(out,
+          col("__sd") / greatest(col("__n").cast("double"), lit(1.0)) + lit(mid))
+        .drop("__sd", "__n")
+      MeasureOut(result,
+        Seq(NoiseInfo(s"$out(sum)", sumMech), NoiseInfo(s"$out(count)", cntMech)),
+        noiseSpend)
+
+    case e: GroupByBoundedVariance =>
+      MeasureOut(varianceResult(e, e.outputColumn, stdev = false), varianceNoise(e),
+        noiseSpend)
+
+    case e @ GroupByBoundedStdev(child, keys, m, lo, hi, out, hint) =>
+      val v = GroupByBoundedVariance(child, keys, m, lo, hi, out, hint)
+      MeasureOut(varianceResult(v, out, stdev = true), varianceNoise(v), noiseSpend)
+
+    case e @ GroupByQuantile(child, keys, m, q, lo, hi, out) =>
+      val t = prepared(child, dropSpecial = Some(m))
+      val sens = aggSensitivity(t)
+      val eps = exponentialEpsilon(sens)
+      val mech = NoiseMechanism.Exponential(eps)
+      val binned = t.df.withColumn("__bin", DpQuantile.binColumn(col(m), lo, hi))
+      val keyCols = keys.columns
+      val counts = binned.groupBy((keyCols :+ "__bin").map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("__c"))
+      val perGroup =
+        if (keys.isEmptyKey)
+          counts.agg(collect_list(struct(col("__bin"), col("__c"))).as("__bins"))
+        else counts.groupBy(keyCols.map(col).toIndexedSeq: _*)
+          .agg(collect_list(struct(col("__bin"), col("__c"))).as("__bins"))
+      val joined = keysetJoin(keys, perGroup, Seq("__bins" -> None))
+      val result = joined
+        .withColumn(out, DpQuantile.finishUdf(q, lo, hi, eps)(col("__bins")))
+        .drop("__bins")
+      MeasureOut(result, Seq(NoiseInfo(out, mech)), noiseSpend)
+
+    case e @ GetGroups(child, columns) =>
+      // DP partition selection by noisy-count thresholding (Korolova et al. /
+      // Wilson et al.; reference create_partition_selection_measurement call
+      // at _measurement_visitor.py:141-147). ApproxDP only.
+      val (eps, delta) = budget match {
+        case ApproxDPBudget(ep, d) => (ep, d)
+        case other => throw new IllegalArgumentException(
+          s"get_groups requires an ApproxDP budget, got $other")
+      }
+      val t = prepared(child)
+      val sens = aggSensitivity(t)
+      val cols = e.schema(cat).columnNames
+      val aggd = t.df.groupBy(cols.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("__c"))
+      val (noisy, threshold) =
+        if (eps.isInfinite) (aggd, 1.0)
+        else {
+          if (delta.isZero) throw new IllegalArgumentException(
+            "get_groups requires delta > 0")
+          val b = 2.0 * sens.toDouble / eps.toDouble
+          val tau = 1.0 + b * math.log(1.0 / (2.0 * delta.toDouble))
+          (aggd.withColumn("__c",
+            Noise.addLongNoise(col("__c"), NoiseMechanism.Geometric(b))),
+            math.max(tau, 1.0))
+        }
+      val result = noisy.filter(col("__c") >= threshold)
+        .select(cols.map(col).toIndexedSeq: _*)
+      MeasureOut(result,
+        Seq(NoiseInfo("__partition_selection",
+          NoiseMechanism.Geometric(if (eps.isInfinite) 0.0 else 2.0 * sens.toDouble / eps.toDouble))),
+        budget)
+
+    case e @ GetBounds(child, keys, m, lowerName, upperName) =>
+      val t = prepared(child, dropSpecial = Some(m))
+      val sens = aggSensitivity(t)
+      val eps = exponentialEpsilon(sens)
+      val integer = t.schema(m).ctype == ColumnType.Integer
+      // magnitude bucket: smallest k with |x| <= 2^k, k in [-32, 62]
+      val absx = abs(col(m).cast("double"))
+      val mag = when(absx === 0.0, lit(-32))
+        .otherwise(greatest(least(ceil(log2(absx)).cast("int"), lit(62)), lit(-32)))
+      val binned = t.df.withColumn("__mag", mag)
+      val keyCols = keys.columns
+      val counts = binned.groupBy((keyCols :+ "__mag").map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("__c"))
+      val perGroup =
+        if (keys.isEmptyKey)
+          counts.agg(collect_list(struct(col("__mag"), col("__c"))).as("__mags"))
+        else counts.groupBy(keyCols.map(col).toIndexedSeq: _*)
+          .agg(collect_list(struct(col("__mag"), col("__c"))).as("__mags"))
+      val joined = keysetJoin(keys, perGroup, Seq("__mags" -> None))
+      val boundUdf = GetBoundsImpl.finishUdf(eps)
+      val withK = joined.withColumn("__k", boundUdf(col("__mags"))).drop("__mags")
+      val result =
+        if (integer) {
+          // powers of two are exact in doubles up to 2^62
+          val p = pow(lit(2.0), greatest(col("__k"), lit(0)).cast("double")).cast("long")
+          withK.withColumn(lowerName, -p).withColumn(upperName, p).drop("__k")
+        }
+        else
+          withK.withColumn(lowerName, -pow(lit(2.0), col("__k")))
+            .withColumn(upperName, pow(lit(2.0), col("__k")))
+            .drop("__k")
+      MeasureOut(result,
+        Seq(NoiseInfo(upperName, NoiseMechanism.Exponential(eps))), noiseSpend)
+
+    case SuppressAggregates(child, threshold) =>
+      val inner = compile(child)
+      MeasureOut(inner.df.filter(col(child.outputColumn) >= threshold),
+        inner.noise, inner.spend)
+  }
+
+  // -------------------------------------------------------------- internals
+
+  /** Compile the transform chain; for sum-like/quantile aggregations drop
+    * null/NaN rows of the measure column first (the reference auto-inserts
+    * DropNullAndNan + ReplaceInfinity around the measure column,
+    * _rewrite_rules.py:202-257 — Inf is handled by clamping).
+    */
+  private def prepared(
+      child: graft.ir.TransformExpr,
+      dropSpecial: Option[String] = None): TransformOut = {
+    val t = transformPlanner.compile(child)
+    dropSpecial match {
+      case Some(m) =>
+        val d = t.schema(m)
+        if (d.allowNull || d.allowNaN) {
+          val cond =
+            if (d.ctype == ColumnType.Decimal) col(m).isNotNull && !isnan(col(m))
+            else col(m).isNotNull
+          t.copy(df = t.df.filter(cond))
+        } else t
+      case None => t
+    }
+  }
+
+  /** Row sensitivity of an aggregation over the compiled table. IDs tables
+    * convert per-ID distance to row distance via the tightest enforced
+    * constraint combination (reference _truncate_table,
+    * _base_measurement_visitor.py:534-589).
+    */
+  private def aggSensitivity(t: TransformOut): Rat = t.metric match {
+    case RowsMetric(d) => d
+    case IDsMetric(_, _, d) =>
+      val perIdBounds: Seq[Long] =
+        t.constraints.collect { case MaxRowsPerID(n) => n.toLong } ++ {
+          val groups = t.constraints.collect { case MaxGroupsPerID(c, g) => c -> g.toLong }.toMap
+          t.constraints.collect {
+            case MaxRowsPerGroupPerID(c, r) if groups.contains(c) => groups(c) * r
+          }
+        }
+      if (perIdBounds.isEmpty)
+        throw new IllegalArgumentException(
+          "aggregations on a table with AddRowsWithID protection require an " +
+            "enforced constraint (MaxRowsPerID, or MaxGroupsPerID + " +
+            "MaxRowsPerGroupPerID); add .enforce(...) to the query")
+      d * Rat(perIdBounds.min)
+  }
+
+  /** DEFAULT -> concrete mechanism given budget kind and value type
+    * (reference _rewrite_rules.py:91-199), with the noise scale calibrated
+    * to sensitivity / (budget / parts).
+    */
+  private def selectMechanism(
+      hint: MechanismHint, integer: Boolean, sens: Rat, parts: Int): NoiseMechanism = {
+    def laplaceScale(eps: Rat): Double =
+      if (eps.isInfinite || sens.isZero) 0.0
+      else (sens / (eps / Rat(parts))).toDouble
+    budget match {
+      case PureDPBudget(eps) => lapLike(hint, integer, laplaceScale(eps))
+      case ApproxDPBudget(eps, _) => lapLike(hint, integer, laplaceScale(eps))
+      case RhoZCDPBudget(rho) =>
+        hint match {
+          case MechanismHint.Laplace =>
+            // eps-DP mechanism run under zCDP: eps = sqrt(2 rho / parts)
+            val s = if (rho.isInfinite || sens.isZero) 0.0
+              else sens.toDouble / math.sqrt(2.0 * (rho / Rat(parts)).toDouble)
+            if (integer) NoiseMechanism.Geometric(s) else NoiseMechanism.Laplace(s)
+          case _ =>
+            val s2 = if (rho.isInfinite || sens.isZero) 0.0
+              else {
+                val d = sens.toDouble
+                d * d / (2.0 * (rho / Rat(parts)).toDouble)
+              }
+            if (integer) NoiseMechanism.DiscreteGaussian(s2)
+            else NoiseMechanism.Gaussian(s2)
+        }
+    }
+  }
+
+  private def lapLike(hint: MechanismHint, integer: Boolean, b: Double): NoiseMechanism =
+    hint match {
+      case MechanismHint.Gaussian => throw new IllegalArgumentException(
+        "Gaussian noise requires a zCDP budget (reference _rewrite_rules.py:110-115)")
+      case _ =>
+        if (integer) NoiseMechanism.Geometric(b) else NoiseMechanism.Laplace(b)
+    }
+
+  /** Epsilon available to the exponential mechanism (quantile / bounds):
+    * direct under PureDP/ApproxDP; via eps = sqrt(8 rho) under zCDP (the
+    * exponential mechanism satisfies eps^2/8-zCDP).
+    */
+  private def exponentialEpsilon(sens: Rat): Double = budget match {
+    case PureDPBudget(eps) =>
+      if (eps.isInfinite) Double.PositiveInfinity else eps.toDouble / sens.toDouble
+    case ApproxDPBudget(eps, _) =>
+      if (eps.isInfinite) Double.PositiveInfinity else eps.toDouble / sens.toDouble
+    case RhoZCDPBudget(rho) =>
+      if (rho.isInfinite) Double.PositiveInfinity
+      else math.sqrt(8.0 * rho.toDouble) / sens.toDouble
+  }
+
+  /** Budget actually charged for noise-addition queries: ApproxDP charges
+    * delta = 0 (reference _base_measurement_visitor.py:591-668).
+    */
+  private def noiseSpend: PrivacyBudget = budget match {
+    case ApproxDPBudget(eps, _) => ApproxDPBudget(eps, Rat.zero)
+    case other                  => other
+  }
+
+  /** Group-by with map-side combine; ungrouped = global aggregate (one row
+    * even for empty input, matching groupby(empty keyset) semantics).
+    */
+  private def groupAgg(df: DataFrame, keys: KeySet, aggs: Seq[Column]): DataFrame =
+    if (keys.isEmptyKey) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(keys.columns.map(col).toIndexedSeq: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** One output row per keyset row: left-join the keyset onto the aggregated
+    * result, null-filling absent groups with each column's empty-group value
+    * (reference GroupBy(group_keys=keyset) semantics,
+    * _base_measurement_visitor.py:400-419). Data groups outside the keyset
+    * are dropped by the join. Null-safe on keys (nulls are valid key values).
+    */
+  private def keysetJoin(
+      keys: KeySet, aggd: DataFrame,
+      outCols: Seq[(String, Option[Column])]): DataFrame = {
+    if (keys.isEmptyKey) return aggd
+    val ks = keys.dataframe(spark)
+    val keyCols = keys.columns
+    val aggR = aggd.select(
+      keyCols.map(c => col(c).as(s"__r_$c")) ++ outCols.map { case (c, _) => col(c) }: _*)
+    val cond = keyCols.map(c => ks(c) <=> aggR(s"__r_$c")).reduce(_ && _)
+    ks.join(aggR, cond, "left")
+      .select(keyCols.map(col) ++ outCols.map {
+        case (c, Some(default)) => coalesce(col(c), default).as(c)
+        case (c, None)          => col(c)
+      }: _*)
+  }
+
+  // variance / stdev share the three-part lowering (noisy sum of deviations,
+  // sum of squared deviations, count; reference _query_expr.py:1918-2038)
+  private def varianceParts(e: GroupByBoundedVariance) = {
+    val t = prepared(e.child, dropSpecial = Some(e.measureColumn))
+    val sens = aggSensitivity(t)
+    val mid = (e.low + e.high) / 2.0
+    val half = (e.high - e.low) / 2.0
+    val sdMech = selectMechanism(e.mechanism, integer = false, sens * Rat(half), 3)
+    val sqMech = selectMechanism(e.mechanism, integer = false, sens * Rat(half * half), 3)
+    val cntMech = selectMechanism(e.mechanism, integer = true, sens, 3)
+    (t, mid, sdMech, sqMech, cntMech)
+  }
+
+  private def varianceNoise(e: GroupByBoundedVariance): Seq[NoiseInfo] = {
+    val (_, _, sd, sq, cnt) = varianceParts(e)
+    Seq(NoiseInfo(s"${e.outputColumn}(sum)", sd),
+      NoiseInfo(s"${e.outputColumn}(sumsq)", sq),
+      NoiseInfo(s"${e.outputColumn}(count)", cnt))
+  }
+
+  private def varianceResult(
+      e: GroupByBoundedVariance, out: String, stdev: Boolean): DataFrame = {
+    val (t, mid, sdMech, sqMech, cntMech) = varianceParts(e)
+    val clamped = least(greatest(col(e.measureColumn).cast("double"), lit(e.low)),
+      lit(e.high))
+    val dev = clamped - lit(mid)
+    val aggd = groupAgg(t.df, e.keys,
+      Seq(sum(dev).as("__sd"), sum(dev * dev).as("__sq"), count(lit(1)).as("__n")))
+    val joined = keysetJoin(e.keys, aggd, Seq(
+      "__sd" -> Some(lit(0.0)), "__sq" -> Some(lit(0.0)), "__n" -> Some(lit(0L))))
+    val noisy = joined
+      .withColumn("__sd", Noise.addDoubleNoise(col("__sd"), sdMech))
+      .withColumn("__sq", Noise.addDoubleNoise(col("__sq"), sqMech))
+      .withColumn("__n", Noise.addLongNoise(col("__n"), cntMech))
+    val n = greatest(col("__n").cast("double"), lit(1.0))
+    val nm1 = greatest(col("__n").cast("double") - lit(1.0), lit(1.0))
+    val half = (e.high - e.low) / 2.0
+    val varCol = least(
+      greatest((col("__sq") - col("__sd") * col("__sd") / n) / nm1, lit(0.0)),
+      lit(half * half))
+    noisy.withColumn(out, if (stdev) sqrt(varCol) else varCol)
+      .drop("__sd", "__sq", "__n")
+  }
+}
+
+/** Finisher for GetBounds: choose the magnitude exponent k such that ~95% of
+  * values satisfy |x| <= 2^k, via the exponential mechanism over candidate
+  * exponents (reference create_bounds_measurement, threshold 0.95:
+  * _base_measurement_visitor.py:1533-1544,1616).
+  */
+object GetBoundsImpl {
+  import org.apache.spark.sql.Row
+  import java.util.concurrent.ThreadLocalRandom
+
+  def finishUdf(eps: Double): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((pairs: Seq[Row]) => {
+      val counts = scala.collection.mutable.Map.empty[Int, Long]
+      if (pairs != null) pairs.foreach { r =>
+        counts(r.getInt(0)) = counts.getOrElse(r.getInt(0), 0L) + r.getLong(1)
+      }
+      val n = counts.values.sum
+      val ks = (-32 to 62).toArray
+      // cumulative count of |x| <= 2^k
+      val cum = new Array[Long](ks.length)
+      var acc = 0L
+      var i = 0
+      while (i < ks.length) {
+        acc += counts.getOrElse(ks(i), 0L)
+        cum(i) = acc
+        i += 1
+      }
+      val target = 0.95 * n
+      if (eps.isInfinity) {
+        val idx = cum.indexWhere(_ >= target)
+        ks(if (idx < 0) ks.length - 1 else idx)
+      } else {
+        val rng = ThreadLocalRandom.current()
+        var pick = 0
+        var best = Double.NegativeInfinity
+        i = 0
+        while (i < ks.length) {
+          val u = -math.abs(cum(i) - target)
+          val g = -math.log(-math.log(rng.nextDouble()))
+          val s = eps / 2.0 * u + g
+          if (s > best) { best = s; pick = i }
+          i += 1
+        }
+        ks(pick)
+      }
+    }).asNondeterministic()
+}

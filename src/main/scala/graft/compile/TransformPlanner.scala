@@ -1,0 +1,306 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.budget.{PrivacyBudget, Rat}
+import graft.constraints._
+import graft.ir.QueryExpr._
+import graft.ir.{CatalogSchemas, TransformExpr}
+import graft.types.{ColumnType, CoerceSchema, TableSchema}
+
+/** Result of compiling a transformation chain: the Spark plan, output
+  * schema, the table metric after the chain (d_in already folded in), and
+  * the propagated constraints.
+  */
+final case class TransformOut(
+    df: DataFrame,
+    schema: TableSchema,
+    metric: Metric,
+    constraints: Seq[Constraint])
+
+/** Lowers `TransformExpr` trees to DataFrame plans, tracking stability and
+  * constraint propagation (reference:
+  * _query_expr_compiler/_base_transformation_visitor.py and
+  * _constraint_propagation.py). All per-row ops stay declarative so Catalyst
+  * keeps pushdown / pruning / whole-stage codegen; only `map`/`flatMap`
+  * lambdas leave codegen, matching the reference's UDF semantics but running
+  * JVM-native instead of crossing into Python workers.
+  */
+final class TransformPlanner(
+    catalog: Catalog, budget: PrivacyBudget, spark: SparkSession) {
+
+  private val cat: CatalogSchemas = catalog.schemas
+
+  /** Deterministic row hash for order-independent truncation (reference
+    * promises order-independence: truncation_strategy.py:42-44).
+    */
+  private def rowHash(df: DataFrame): Column =
+    xxhash64(df.columns.map(col).toIndexedSeq: _*)
+
+  def compile(expr: TransformExpr): TransformOut = expr match {
+
+    case PrivateSource(id) =>
+      val t = catalog.privateTables(id)
+      val metric = Metric.fromProtectedChange(t.protectedChange, budget) match {
+        case RowsMetric(d) => RowsMetric(d * t.viewStability)
+        case m: IDsMetric  => m
+      }
+      TransformOut(t.df, expr.schema(cat), metric, t.constraints)
+
+    case e @ Rename(child, mapping) =>
+      val c = compile(child)
+      TransformOut(c.df.withColumnsRenamed(mapping), e.schema(cat), c.metric,
+        Constraint.rename(c.constraints, mapping))
+
+    case e @ Filter(child, cond) =>
+      val c = compile(child)
+      TransformOut(c.df.filter(cond), e.schema(cat), c.metric, c.constraints)
+
+    case e @ Select(child, cols) =>
+      val c = compile(child)
+      TransformOut(c.df.select(cols.map(col).toIndexedSeq: _*), e.schema(cat),
+        c.metric, Constraint.select(c.constraints, cols))
+
+    case e @ MapRows(child, f, _, augment) =>
+      val c = compile(child)
+      val inStruct = c.schema.toStructType
+      val outSchema = e.schema(cat)
+      val outStruct = outSchema.toStructType
+      val df = c.df.mapPartitions { it =>
+        it.map { row =>
+          val out = f(RowCodec.toMap(row, inStruct))
+          val merged = if (augment) RowCodec.toMap(row, inStruct) ++ out else out
+          RowCodec.fromMap(merged, outStruct)
+        }
+      }(Encoders.row(outStruct))
+      TransformOut(df, outSchema, c.metric, c.constraints)
+
+    case e @ FlatMapRows(child, f, _, augment, maxRows, _) =>
+      val c = compile(child)
+      val inStruct = c.schema.toStructType
+      val outSchema = e.schema(cat)
+      val outStruct = outSchema.toStructType
+      val df = c.df.mapPartitions { it =>
+        it.flatMap { row =>
+          val in = RowCodec.toMap(row, inStruct)
+          f(in).take(maxRows).map { out =>
+            RowCodec.fromMap(if (augment) in ++ out else out, outStruct)
+          }
+        }
+      }(Encoders.row(outStruct))
+      val metric = c.metric match {
+        case RowsMetric(d) => RowsMetric(d * Rat(maxRows))
+        case m: IDsMetric  => m // per-ID distance unchanged
+      }
+      TransformOut(df, outSchema, metric, Constraint.flatMap(c.constraints))
+
+    case e @ FlatMapByID(child, f, _) =>
+      val c = compile(child)
+      val idCol = c.schema.idColumn.getOrElse(
+        throw new IllegalArgumentException("flat_map_by_id requires an IDs table"))
+      val inStruct = c.schema.toStructType
+      val outSchema = e.schema(cat)
+      val outStruct = outSchema.toStructType
+      val idIdx = inStruct.fieldIndex(idCol)
+      val grouped = c.df.groupByKey(r => String.valueOf(r.get(idIdx)))(Encoders.STRING)
+      val df = grouped.flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val rows = it.toVector
+        val idValue = rows.head.get(idIdx)
+        f(rows.map(RowCodec.toMap(_, inStruct))).map { out =>
+          RowCodec.fromMap(out + (idCol -> idValue), outStruct)
+        }
+      }(Encoders.row(outStruct))
+      // per-ID output is arbitrary, so all row-level constraints die
+      // (reference _base_transformation_visitor.py:768-776)
+      TransformOut(df, outSchema, c.metric, Nil)
+
+    case e @ BinColumn(child, column, spec, name) =>
+      val c = compile(child)
+      TransformOut(c.df.withColumn(name, spec.toColumn(col(column))),
+        e.schema(cat), c.metric, c.constraints)
+
+    case e @ JoinPublic(child, public, joinColumns, how) =>
+      val c = compile(child)
+      val pubRaw = public match {
+        case Left(id)  => catalog.publicTables(id)
+        case Right(df) => CoerceSchema(df)
+      }
+      val rSchema = e.publicSchema(cat)
+      val joinCols = resolveJoinCols(c.schema, rSchema, joinColumns)
+      // fan-out stability = max multiplicity of the join keys in the public
+      // table, measured on the actual data
+      // (reference _constraint_propagation.py:199-210)
+      val stats = pubRaw.groupBy(joinCols.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("__n")).agg(max("__n"), sum("__n")).head()
+      val fanout = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+      val pubRows = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      val pub = if (pubRows <= 4_000_000L) broadcast(pubRaw) else pubRaw
+      val joined = joinFrames(c.df, pub, c.schema, rSchema, joinCols, how)
+      val metric = c.metric match {
+        case RowsMetric(d) => RowsMetric(d * Rat(math.max(fanout, 0L)))
+        case m: IDsMetric  => m
+      }
+      TransformOut(joined, e.schema(cat), metric,
+        Constraint.scaleByFanout(c.constraints, fanout))
+
+    case e @ JoinPrivate(left, right, truncL, truncR, joinColumns) =>
+      val l = compile(left)
+      val r = compile(right)
+      val joinCols = resolveJoinCols(l.schema, r.schema, joinColumns)
+      (l.metric, r.metric) match {
+        case (RowsMetric(dl), RowsMetric(dr)) =>
+          val (tl, tr) = (truncL.get, truncR.get)
+          val ld = truncate(l.df, joinCols, tl)
+          val rd = truncate(r.df, joinCols, tr)
+          val joined = joinFrames(ld, rd, l.schema, r.schema, joinCols, "inner")
+          // adding a row on one side changes up to stabilityFactor truncated
+          // rows, each matching up to the other side's per-key row cap
+          // (reference truncation_strategy.py:17-31)
+          val d = Rat(tl.stabilityFactor) * Rat(tr.maxRows) * dl +
+            Rat(tr.stabilityFactor) * Rat(tl.maxRows) * dr
+          TransformOut(joined, e.schema(cat), RowsMetric(d), Nil)
+        case (lm: IDsMetric, rm: IDsMetric) =>
+          require(joinCols.contains(lm.idColumn),
+            s"IDs private join must include the id column '${lm.idColumn}'")
+          val joined = joinFrames(l.df, r.df, l.schema, r.schema, joinCols, "inner")
+          val metric = IDsMetric(lm.idColumn, lm.idSpace, lm.distance.max(rm.distance))
+          // per-ID row bounds multiply across the join
+          val merged = (l.constraints.collect { case MaxRowsPerID(a) => a },
+            r.constraints.collect { case MaxRowsPerID(b) => b }) match {
+            case (Seq(a), Seq(b)) => Seq(MaxRowsPerID(a * b))
+            case _                => Nil
+          }
+          TransformOut(joined, e.schema(cat), metric, merged)
+        case _ => throw new IllegalArgumentException(
+          "private join: cannot mix IDs and non-IDs tables")
+      }
+
+    case e @ ReplaceNullAndNan(child, replaceWith) =>
+      val c = compile(child)
+      val targets: Seq[(String, Any)] =
+        if (replaceWith.nonEmpty) replaceWith.toSeq
+        else c.schema.columns.filterNot { case (n, _) => c.schema.idColumn.contains(n) }
+          .map { case (n, d) => n -> ColumnType.defaultValue(d.ctype) }
+      val df = targets.foldLeft(c.df) { case (acc, (name, v)) =>
+        val d = c.schema(name)
+        val base = col(name)
+        val noNan = if (d.ctype == ColumnType.Decimal)
+          when(isnan(base), lit(v)).otherwise(base) else base
+        acc.withColumn(name, coalesce(noNan, lit(v)))
+      }
+      TransformOut(df, e.schema(cat), c.metric, c.constraints)
+
+    case e @ ReplaceInfinity(child, replaceWith) =>
+      val c = compile(child)
+      val targets: Seq[(String, (Double, Double))] =
+        if (replaceWith.nonEmpty) replaceWith.toSeq
+        else c.schema.columns.collect {
+          case (n, d) if d.ctype == ColumnType.Decimal => n -> (0.0, 0.0)
+        }
+      val df = targets.foldLeft(c.df) { case (acc, (name, (lo, hi))) =>
+        acc.withColumn(name,
+          when(col(name) === lit(Double.NegativeInfinity), lit(lo))
+            .when(col(name) === lit(Double.PositiveInfinity), lit(hi))
+            .otherwise(col(name)))
+      }
+      TransformOut(df, e.schema(cat), c.metric, c.constraints)
+
+    case e @ DropNullAndNan(child, columns) =>
+      val c = compile(child)
+      val targets = (if (columns.isEmpty) c.schema.columnNames else columns)
+        .filterNot(c.schema.idColumn.contains(_))
+      val conds = targets.map { n =>
+        val base = col(n).isNotNull
+        if (c.schema(n).ctype == ColumnType.Decimal) base && !isnan(col(n)) else base
+      }
+      val df = if (conds.isEmpty) c.df else c.df.filter(conds.reduce(_ && _))
+      TransformOut(df, e.schema(cat), c.metric, c.constraints)
+
+    case e @ DropInfinity(child, columns) =>
+      val c = compile(child)
+      val targets = if (columns.isEmpty)
+        c.schema.columns.collect { case (n, d) if d.ctype == ColumnType.Decimal => n }
+      else columns
+      val conds = targets.map { n =>
+        col(n).isNull ||
+          (col(n) =!= lit(Double.PositiveInfinity) &&
+            col(n) =!= lit(Double.NegativeInfinity))
+      }
+      val df = if (conds.isEmpty) c.df else c.df.filter(conds.reduce(_ && _))
+      TransformOut(df, e.schema(cat), c.metric, c.constraints)
+
+    case e @ EnforceConstraint(child, constraint) =>
+      val c = compile(child)
+      val idCol = c.schema.idColumn.getOrElse(
+        throw new IllegalArgumentException("enforce requires an IDs table"))
+      val df = enforceOnIds(c.df, idCol, constraint)
+      TransformOut(df, e.schema(cat), c.metric,
+        Constraint.simplify(c.constraints :+ constraint))
+  }
+
+  /** Window-based truncation of an IDs table (reference: core ops
+    * LimitRowsPerGroup / LimitKeysPerGroup / LimitRowsPerKeyPerGroup,
+    * constraints/_truncation.py:131-339). Ordering is by a deterministic row
+    * hash, so results do not depend on Spark's partitioning order.
+    */
+  private def enforceOnIds(df: DataFrame, idCol: String, c: Constraint): DataFrame =
+    c match {
+      case MaxRowsPerID(n) =>
+        val w = Window.partitionBy(idCol).orderBy(rowHash(df))
+        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+      case MaxGroupsPerID(g, n) =>
+        val w = Window.partitionBy(idCol).orderBy(xxhash64(col(g)), col(g))
+        df.withColumn("__dr", dense_rank().over(w)).filter(col("__dr") <= n).drop("__dr")
+      case MaxRowsPerGroupPerID(g, n) =>
+        val w = Window.partitionBy(idCol, g).orderBy(rowHash(df))
+        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+    }
+
+  /** Per-join-key truncation for private joins of non-ID tables (reference
+    * truncation_strategy.py:37-119).
+    */
+  private def truncate(
+      df: DataFrame, keys: Seq[String], t: TruncationStrategy): DataFrame =
+    t match {
+      case TruncationStrategy.DropExcess(n) =>
+        val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(rowHash(df))
+        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+      case TruncationStrategy.DropNonUnique =>
+        val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+        df.withColumn("__cnt", count(lit(1)).over(w)).filter(col("__cnt") === 1)
+          .drop("__cnt")
+    }
+
+  /** Equi-join with null-safe keys and the reference's output column
+    * order/suffixing (reference _query_expr.py:909-918; join_on_nulls=True,
+    * _base_transformation_visitor.py:968).
+    */
+  private def joinFrames(
+      left: DataFrame, right: DataFrame, lSchema: TableSchema,
+      rSchema: TableSchema, joinCols: Seq[String], how: String): DataFrame = {
+    val overlap = lSchema.columnNames.intersect(rSchema.columnNames).diff(joinCols)
+    val leftOnly = lSchema.columnNames.diff(rSchema.columnNames)
+    val rightOnly = rSchema.columnNames.diff(lSchema.columnNames)
+    val l2 = left.select(
+      (joinCols ++ leftOnly).map(col) ++
+        overlap.map(c => col(c).as(s"${c}_left")): _*)
+    val r2 = right.select(
+      joinCols.map(c => col(c).as(s"__r_$c")) ++
+        rightOnly.map(col) ++ overlap.map(c => col(c).as(s"${c}_right")): _*)
+    val cond = joinCols.map(c => l2(c) <=> r2(s"__r_$c")).reduce(_ && _)
+    l2.join(r2, cond, how)
+      .select((joinCols ++ leftOnly ++ rightOnly ++
+        overlap.flatMap(c => Seq(s"${c}_left", s"${c}_right"))).map(col): _*)
+  }
+}
+
+object TransformPlanner {
+  /** Default replacement values per type (reference AnalyticsDefault,
+    * _query_expr.py:1053-1071).
+    */
+  private[graft] val Epoch = java.sql.Date.valueOf("1970-01-01")
+  private[graft] val EpochTs = java.sql.Timestamp.valueOf("1970-01-01 00:00:00")
+}

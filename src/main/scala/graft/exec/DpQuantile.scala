@@ -1,0 +1,91 @@
+package graft.exec
+
+import java.util.concurrent.ThreadLocalRandom
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** DP quantile via the exponential mechanism over a fixed binning of the
+  * clamped range (reference: GroupByQuantile at _query_expr.py:1731, lowered
+  * through core `create_quantile_measurement`,
+  * _base_measurement_visitor.py:1060-1072).
+  *
+  * The reference's mechanism scores intervals between observed values, which
+  * requires materializing each group's values. We instead discretize [low,
+  * high] into `Bins` equal intervals and run the exponential mechanism over
+  * bins, scoring each by rank error |rank(bin) - q*n|. This keeps per-group
+  * state bounded at `Bins` counters regardless of group size — at 100 TB a
+  * group can hold billions of rows, so a collect-values plan is not viable;
+  * the binned plan is two hash aggregations and never materializes raw
+  * values. Utility sensitivity is still 1 (adding/removing a row shifts each
+  * rank by at most 1), so the standard exp(eps * u / 2) weights apply.
+  *
+  * At epsilon = infinity the mechanism is deterministic: the max-utility bin
+  * (ties broken toward the q-th position) and its midpoint.
+  */
+object DpQuantile {
+  val Bins: Int = 2048
+
+  /** Clamped bin index of a value column (codegen'd projection, no UDF). */
+  def binColumn(c: Column, low: Double, high: Double): Column = {
+    val clamped = least(greatest(c.cast("double"), lit(low)), lit(high))
+    least(floor((clamped - lit(low)) / lit(high - low) * lit(Bins)).cast("int"),
+      lit(Bins - 1))
+  }
+
+  /** Finisher over per-bin counts: Seq[(bin, count)] -> quantile estimate.
+    * `eps` is the epsilon spent on this aggregate; Double.PositiveInfinity
+    * means noiseless.
+    */
+  def finishUdf(q: Double, low: Double, high: Double, eps: Double): UserDefinedFunction =
+    udf((pairs: Seq[Row]) => {
+      val counts = new Array[Long](Bins)
+      if (pairs != null) pairs.foreach { r =>
+        val b = r.getInt(0)
+        if (b >= 0 && b < Bins) counts(b) += r.getLong(1)
+      }
+      val n = counts.sum
+      val target = q * n
+      val width = (high - low) / Bins
+      // utility per bin: -(rank error at bin midpoint)
+      val u = new Array[Double](Bins)
+      var cum = 0L
+      var i = 0
+      while (i < Bins) {
+        u(i) = -math.abs(cum + counts(i) / 2.0 - target)
+        cum += counts(i)
+        i += 1
+      }
+      if (eps.isInfinity) {
+        val best = u.max
+        // among max-utility bins pick the one nearest the q-th bin position
+        val anchor = q * (Bins - 1)
+        var pick = -1
+        var dist = Double.MaxValue
+        i = 0
+        while (i < Bins) {
+          if (u(i) == best) {
+            val d = math.abs(i - anchor)
+            if (d < dist) { dist = d; pick = i }
+          }
+          i += 1
+        }
+        low + (pick + 0.5) * width
+      } else {
+        // Gumbel-max sampling of exp(eps/2 * u): equivalent to the
+        // exponential mechanism, no normalization pass needed.
+        val rng = ThreadLocalRandom.current()
+        var pick = 0
+        var best = Double.NegativeInfinity
+        i = 0
+        while (i < Bins) {
+          val g = -math.log(-math.log(rng.nextDouble()))
+          val s = eps / 2.0 * u(i) + g
+          if (s > best) { best = s; pick = i }
+          i += 1
+        }
+        low + (pick + rng.nextDouble()) * width
+      }
+    }).asNondeterministic()
+}

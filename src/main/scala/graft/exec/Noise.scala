@@ -1,0 +1,142 @@
+package graft.exec
+
+import java.util.concurrent.ThreadLocalRandom
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.budget.Rat
+
+/** Concrete noise mechanisms (reference: the five-mechanism enum at
+  * src/tmlt/analytics/_noise_info.py:49-68). `scale` semantics:
+  *  - Geometric / Laplace: b, the distribution scale (= sensitivity / epsilon)
+  *  - Gaussian / DiscreteGaussian: sigma^2 (= sensitivity^2 / (2 rho))
+  * A scale of exactly 0 (infinite budget) adds no noise and keeps results
+  * bit-deterministic — this is what the infinite-budget correctness oracles
+  * rely on (reference doctest: session.py:1037-1043 shows noise scale
+  * Delta/epsilon = 2 for a count at epsilon=0.5).
+  */
+sealed trait NoiseMechanism extends Serializable {
+  def name: String
+  def scale: Double
+  def isNoiseless: Boolean = scale == 0.0
+}
+object NoiseMechanism {
+  final case class Geometric(scale: Double) extends NoiseMechanism { val name = "Geometric" }
+  final case class Laplace(scale: Double) extends NoiseMechanism { val name = "Laplace" }
+  final case class Gaussian(scale: Double) extends NoiseMechanism { val name = "Gaussian" }
+  final case class DiscreteGaussian(scale: Double) extends NoiseMechanism { val name = "DiscreteGaussian" }
+  /** Exponential mechanism (quantile); `scale` = epsilon (inf = noiseless). */
+  final case class Exponential(scale: Double) extends NoiseMechanism {
+    val name = "Exponential"
+    override def isNoiseless: Boolean = scale.isInfinity
+  }
+}
+
+/** Per-output-column noise description, exposed by `Session.noiseInfo`
+  * (reference: _noise_info.py:23-68, session.py:1001-1048).
+  */
+final case class NoiseInfo(column: String, mechanism: NoiseMechanism)
+
+/** Executor-side noise sampling. All samplers run inside a nondeterministic
+  * UDF applied to the (small, post-aggregation) result rows — never a driver
+  * collect. Samplers use ThreadLocalRandom: independent per executor thread,
+  * no coordination, no shuffle.
+  */
+object Noise {
+
+  /** Two-sided geometric (discrete Laplace), pmf ∝ exp(-|k|/b). Sampled as
+    * the difference of two iid geometric variables on {0,1,...} — exact, no
+    * floating-point CDF inversion near the tails.
+    */
+  def sampleGeometric(b: Double): Long = {
+    if (b == 0.0) return 0L
+    val alpha = math.exp(-1.0 / b)
+    geom(alpha) - geom(alpha)
+  }
+
+  /** Geometric on {0,1,2,...} with P(X >= k) = alpha^k. */
+  private def geom(alpha: Double): Long = {
+    val u = ThreadLocalRandom.current().nextDouble()
+    // u in (0,1); floor(ln(u)/ln(alpha)) is geometric
+    math.floor(math.log1p(-u) / math.log(alpha)).toLong
+  }
+
+  /** Continuous Laplace with scale b. */
+  def sampleLaplace(b: Double): Double = {
+    if (b == 0.0) return 0.0
+    val u = ThreadLocalRandom.current().nextDouble() - 0.5
+    -b * math.signum(u) * math.log1p(-2.0 * math.abs(u))
+  }
+
+  /** Continuous Gaussian with variance sigma2. */
+  def sampleGaussian(sigma2: Double): Double =
+    if (sigma2 == 0.0) 0.0
+    else ThreadLocalRandom.current().nextGaussian() * math.sqrt(sigma2)
+
+  /** Discrete Gaussian with variance parameter sigma2, via rejection from a
+    * discrete Laplace proposal (Canonne-Kamath-Steinke, arXiv:2004.00010,
+    * Algorithm 3 — the sampler the reference uses for zCDP integer noise).
+    */
+  def sampleDiscreteGaussian(sigma2: Double): Long = {
+    if (sigma2 == 0.0) return 0L
+    val sigma = math.sqrt(sigma2)
+    val t = math.floor(sigma).toLong + 1
+    val rng = ThreadLocalRandom.current()
+    var attempts = 0
+    while (attempts < 10000) {
+      val y = sampleGeometric(t.toDouble)
+      val d = math.abs(y).toDouble - sigma2 / t
+      val pAccept = math.exp(-(d * d) / (2.0 * sigma2))
+      if (rng.nextDouble() < pAccept) return y
+      attempts += 1
+    }
+    // Statistically unreachable (acceptance prob is Θ(1)); fall back to a
+    // rounded continuous sample rather than looping forever.
+    math.round(sampleGaussian(sigma2))
+  }
+
+  /** Add integer-valued noise to a LongType column. */
+  def addLongNoise(c: Column, mech: NoiseMechanism): Column = mech match {
+    case _ if mech.isNoiseless => c
+    case NoiseMechanism.Geometric(b) =>
+      val u = udf((v: java.lang.Long) =>
+        if (v == null) null else java.lang.Long.valueOf(v + sampleGeometric(b)))
+        .asNondeterministic()
+      u(c)
+    case NoiseMechanism.DiscreteGaussian(s2) =>
+      val u = udf((v: java.lang.Long) =>
+        if (v == null) null else java.lang.Long.valueOf(v + sampleDiscreteGaussian(s2)))
+        .asNondeterministic()
+      u(c)
+    case other => throw new IllegalArgumentException(
+      s"${other.name} noise cannot be added to an integer column")
+  }
+
+  /** Add continuous noise to a DoubleType column. */
+  def addDoubleNoise(c: Column, mech: NoiseMechanism): Column = mech match {
+    case _ if mech.isNoiseless => c
+    case NoiseMechanism.Laplace(b) =>
+      val u = udf((v: java.lang.Double) =>
+        if (v == null) null else java.lang.Double.valueOf(v + sampleLaplace(b)))
+        .asNondeterministic()
+      u(c)
+    case NoiseMechanism.Gaussian(s2) =>
+      val u = udf((v: java.lang.Double) =>
+        if (v == null) null else java.lang.Double.valueOf(v + sampleGaussian(s2)))
+        .asNondeterministic()
+      u(c)
+    case NoiseMechanism.Geometric(b) =>
+      val u = udf((v: java.lang.Double) =>
+        if (v == null) null else java.lang.Double.valueOf(v + sampleGeometric(b)))
+        .asNondeterministic()
+      u(c)
+    case NoiseMechanism.DiscreteGaussian(s2) =>
+      val u = udf((v: java.lang.Double) =>
+        if (v == null) null else java.lang.Double.valueOf(v + sampleDiscreteGaussian(s2)))
+        .asNondeterministic()
+      u(c)
+    case other => throw new IllegalArgumentException(
+      s"${other.name} noise cannot be added to a decimal column")
+  }
+}

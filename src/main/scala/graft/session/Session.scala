@@ -1,0 +1,213 @@
+package graft.session
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.accounting._
+import graft.budget._
+import graft.compile._
+import graft.constraints.Constraint
+import graft.exec.NoiseInfo
+import graft.ir._
+import graft.types.{CoerceSchema, TableSchema}
+
+/** The interactive DP session: owns the catalog and the privacy-budget
+  * accountant; answers queries via evaluate (reference:
+  * src/tmlt/analytics/session.py). One Session = one sequential-composition
+  * envelope; partitionAndCreate spawns children under parallel composition.
+  */
+final class Session private (
+    val spark: SparkSession,
+    initialBudget: PrivacyBudget,
+    privateTables: mutable.Map[String, PrivateTable],
+    publicTables: mutable.Map[String, DataFrame]) {
+
+  private var remaining: PrivacyBudget = initialBudget
+  private var retired: Boolean = false
+
+  def remainingPrivacyBudget: PrivacyBudget = remaining
+  def privateSources: Seq[String] = privateTables.keys.toSeq.sorted
+  def publicSources: Seq[String] = publicTables.keys.toSeq.sorted
+  def getSchema(table: String): TableSchema = privateTables(table).schema
+
+  private def catalog: Catalog = Catalog(privateTables.toMap, publicTables.toMap)
+
+  private def checkActive(): Unit =
+    if (retired) throw new IllegalStateException(
+      "this Session is retired (a partition_and_create child has taken over)")
+
+  private def spend(b: PrivacyBudget): Unit = {
+    if (!(remaining >= b))
+      throw new IllegalArgumentException(
+        s"insufficient privacy budget: requested $b, remaining $remaining")
+    remaining = remaining - b
+  }
+
+  /** Answer a DP query, spending `budget` (reference session.py:1050-1151). */
+  def evaluate(query: Query, budget: PrivacyBudget): DataFrame = {
+    checkActive()
+    val (out, _) = compileMeasure(query, budget)
+    spend(out.spend)
+    out.df
+  }
+
+  /** Per-output-column noise description without running or spending
+    * (reference session.py:1001-1048, _noise_info.py).
+    */
+  def noiseInfo(query: Query, budget: PrivacyBudget): Seq[NoiseInfo] =
+    compileMeasure(query, budget)._1.noise
+
+  private def compileMeasure(query: Query, budget: PrivacyBudget): (MeasureOut, TableSchema) = {
+    val cat = catalog
+    val schema = query.expr.schema(cat.schemas) // analyze/validate eagerly
+    val planner = new MeasurementPlanner(cat, budget, spark)
+    (planner.compile(query.expr), schema)
+  }
+
+  /** Register a transformation as a derived private table (reference
+    * session.py:1154-1246). `cache` persists the materialized view.
+    */
+  def createView(qb: QueryBuilder, name: String, cache: Boolean = false): Unit = {
+    checkActive()
+    if (privateTables.contains(name) || publicTables.contains(name))
+      throw new IllegalArgumentException(s"table '$name' already exists")
+    val cat = catalog
+    // validate + compile with the *current* budget kind for metric math
+    val planner = new TransformPlanner(cat, remaining, spark)
+    val out = planner.compile(qb.expr)
+    val df = if (cache) out.df.persist() else out.df
+    val (pc, viewStab) = out.metric match {
+      case RowsMetric(d) => (AddMaxRows(1), d) // d already includes the chain
+      case IDsMetric(idCol, idSpace, d) =>
+        (AddRowsWithID(idCol, idSpace,
+          if (d >= Rat(Int.MaxValue.toLong)) Int.MaxValue else d.toDouble.toInt.max(1)),
+          Rat.one)
+    }
+    privateTables(name) = PrivateTable(df, out.schema, pc, out.constraints, viewStab)
+  }
+
+  def deleteView(name: String): Unit = {
+    checkActive()
+    privateTables.remove(name).foreach(t => t.df.unpersist())
+  }
+
+  def addPublicDataFrame(name: String, df: DataFrame): Unit = {
+    if (privateTables.contains(name) || publicTables.contains(name))
+      throw new IllegalArgumentException(s"table '$name' already exists")
+    publicTables(name) = CoerceSchema(df)
+  }
+
+  /** Split one private table into disjoint child Sessions by the values of
+    * `column` — parallel composition: each child gets the full `budget`
+    * while this session is charged once (reference session.py:1466-1653).
+    * Children are returned in `splits` order.
+    */
+  def partitionAndCreate(
+      sourceId: String,
+      budget: PrivacyBudget,
+      column: String,
+      splits: Seq[(String, Any)]): Map[String, Session] = {
+    checkActive()
+    val t = privateTables.getOrElse(sourceId,
+      throw new IllegalArgumentException(s"private table '$sourceId' does not exist"))
+    if (!t.schema.contains(column))
+      throw new IllegalArgumentException(s"partition column '$column' not in schema")
+    t.protectedChange match {
+      case _: AddRowsWithID if t.constraints.isEmpty =>
+        throw new IllegalArgumentException(
+          "partition_and_create on an IDs table requires an enforced constraint " +
+            "(reference session.py:1390-1418)")
+      case _ =>
+    }
+    spend(budget)
+    splits.map { case (childName, value) =>
+      val childDf = t.df.filter(col(column) === lit(value))
+      val childTables = mutable.Map(
+        childName -> t.copy(df = childDf))
+      childName -> new Session(spark, budget, childTables,
+        mutable.Map(publicTables.toSeq: _*))
+    }.toMap
+  }
+
+  /** Human-readable description of session state (reference session.py
+    * `describe`).
+    */
+  def describe(): String = {
+    val sb = new StringBuilder
+    sb.append(s"Remaining privacy budget: $remaining\n")
+    sb.append("Private tables:\n")
+    privateSources.foreach { n =>
+      val t = privateTables(n)
+      sb.append(s"  $n: ${t.schema.columnNames.mkString(", ")} " +
+        s"(protected: ${t.protectedChange}" +
+        (if (t.constraints.nonEmpty) s"; constraints: ${t.constraints.mkString(", ")}" else "") +
+        ")\n")
+    }
+    if (publicTables.nonEmpty) {
+      sb.append("Public tables:\n")
+      publicSources.foreach(n => sb.append(s"  $n\n"))
+    }
+    sb.toString
+  }
+}
+
+object Session {
+
+  /** reference session.py:336-401 */
+  def fromDataFrame(
+      spark: SparkSession,
+      budget: PrivacyBudget,
+      sourceId: String,
+      df: DataFrame,
+      protectedChange: ProtectedChange): Session =
+    new Builder().withPrivacyBudget(budget)
+      .withPrivateDataFrame(sourceId, df, protectedChange)
+      .build(spark)
+
+  /** reference session.py:258-295 / _base_builder.py:82-127 */
+  final class Builder {
+    private var budget: Option[PrivacyBudget] = None
+    private val privates = mutable.LinkedHashMap.empty[String, (DataFrame, ProtectedChange)]
+    private val publics = mutable.LinkedHashMap.empty[String, DataFrame]
+    private val idSpaces = mutable.LinkedHashSet.empty[String]
+
+    def withPrivacyBudget(b: PrivacyBudget): this.type = { budget = Some(b); this }
+    def withPrivateDataFrame(
+        name: String, df: DataFrame, pc: ProtectedChange): this.type = {
+      require(!privates.contains(name) && !publics.contains(name),
+        s"table '$name' already declared")
+      privates(name) = (df, pc)
+      this
+    }
+    def withPublicDataFrame(name: String, df: DataFrame): this.type = {
+      require(!privates.contains(name) && !publics.contains(name),
+        s"table '$name' already declared")
+      publics(name) = df
+      this
+    }
+    def withIdSpace(name: String): this.type = { idSpaces += name; this }
+
+    def build(spark: SparkSession): Session = {
+      val b = budget.getOrElse(
+        throw new IllegalStateException("privacy budget is required"))
+      require(privates.nonEmpty, "at least one private table is required")
+      val priv = privates.map { case (name, (df, pc)) =>
+        val coerced = CoerceSchema(df)
+        val schema = pc match {
+          case AddRowsWithID(idCol, idSpace, _) =>
+            require(coerced.columns.contains(idCol),
+              s"id column '$idCol' not in table '$name'")
+            // the ID column of a protected table may not be null-padded away
+            TableSchema.fromSpark(coerced.schema, idColumn = Some(idCol),
+              idSpace = Some(idSpace))
+          case _ => TableSchema.fromSpark(coerced.schema)
+        }
+        name -> PrivateTable(coerced, schema, pc)
+      }
+      new Session(spark, b, mutable.Map(priv.toSeq: _*),
+        mutable.Map(publics.toSeq.map { case (n, df) => n -> CoerceSchema(df) }: _*))
+    }
+  }
+}

@@ -36,6 +36,17 @@ object ColumnType {
     all.find(_.typeName == name.toUpperCase).getOrElse(
       throw new IllegalArgumentException(s"Unknown column type: $name"))
 
+  /** Default replacement value per type for replace_null_and_nan
+    * (reference: AnalyticsDefault, _query_expr.py:1053-1071).
+    */
+  def defaultValue(t: ColumnType): Any = t match {
+    case Integer   => 0L
+    case Decimal   => 0.0
+    case Varchar   => ""
+    case Date      => java.sql.Date.valueOf("1970-01-01")
+    case Timestamp => java.sql.Timestamp.valueOf("1970-01-01 00:00:00")
+  }
+
   /** Spark type → analytics type, after coercion (Int→Long, Float→Double). */
   def fromSpark(dt: DataType): ColumnType = dt match {
     case LongType | IntegerType | ShortType | ByteType => Integer
@@ -116,6 +127,9 @@ object CoerceSchema {
       f.dataType match {
         case IntegerType | ShortType | ByteType => col(f.name).cast(LongType).as(f.name)
         case FloatType                          => col(f.name).cast(DoubleType).as(f.name)
+        // NTZ timestamps (e.g. parquet isAdjustedToUTC=false) are stored as
+        // session-zone timestamps; the session zone is pinned to UTC.
+        case TimestampNTZType                   => col(f.name).cast(TimestampType).as(f.name)
         case LongType | DoubleType | StringType | DateType | TimestampType =>
           col(f.name)
         case other => throw new IllegalArgumentException(
