@@ -266,7 +266,89 @@ object Queries {
         QueryBuilder("lineitem").quantile("l_quantity", 0.9, 0.0, 50.0), Inf)),
     "q35_get_bounds" -> ((s, d) =>
       lineitemSession(s, d).evaluate(
-        QueryBuilder("lineitem").getBounds("l_extendedprice"), Inf)))
+        QueryBuilder("lineitem").getBounds("l_extendedprice"), Inf)),
+    // -- session ops -------------------------------------------------------
+    "q36_view" -> ((s, d) => {
+      val sess = lineitemSession(s, d)
+      sess.createView(QueryBuilder("lineitem").filter("l_quantity > 25")
+        .select("l_returnflag", "l_quantity"), "heavy", cache = false)
+      sess.evaluate(QueryBuilder("heavy").groupby(flagKeys).count(), Inf)
+    }),
+    "q37_partition_and_create" -> ((s, d) => {
+      val sess = Session.fromDataFrame(s, Inf, "orders", read(s, d, "orders"), AddOneRow())
+      val kids = sess.partitionAndCreate("orders", Inf, "o_orderstatus",
+        Seq("orders_f" -> "F", "orders_o" -> "O"))
+      kids("orders_f").evaluate(QueryBuilder("orders_f").count(), Inf)
+    }),
+    // -- LLM-pipeline: dedup ----------------------------------------------
+    "q40_dedup_exact" -> ((s, d) =>
+      graft.pipeline.Dedup.exact(read(s, d, "documents"), Seq("text"), "doc_id")
+        .select("doc_id", "text")),
+    "q41_fingerprint" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      read(s, d, "documents")
+        .agg(countDistinct(graft.pipeline.TextAnalysis.fingerprint(col("text")))
+          .as("n_fingerprints"))
+    }),
+    "q42_minhash_clusters" -> ((s, d) =>
+      graft.pipeline.Dedup.minhashClusters(
+        read(s, d, "documents"), "doc_id", "text", threshold = 0.5)),
+    "q43_simhash_pairs" -> ((s, d) =>
+      graft.pipeline.Dedup.simhashPairs(
+        read(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+    "q44_embedding_dedup" -> ((s, d) =>
+      // testdata embeddings are near-orthogonal random vectors (max pairwise
+      // cosine ~0.48), so the demo threshold sits below that
+      graft.pipeline.Dedup.embeddingCosinePairs(
+        read(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4, planes = 8)),
+    // -- LLM-pipeline: similarity search ----------------------------------
+    "q45_knn_bruteforce" -> ((s, d) => {
+      val emb = read(s, d, "embeddings")
+      graft.pipeline.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding",
+        emb.filter("vec_id < 10"), "vec_id", "embedding", k = 3)
+    }),
+    "q46_knn_lsh" -> ((s, d) => {
+      val emb = read(s, d, "embeddings")
+      graft.pipeline.Similarity.lshTopK(
+        emb, "vec_id", "embedding",
+        emb.filter("vec_id < 10"), "vec_id", "embedding", k = 3)
+    }),
+    // -- LLM-pipeline: text analysis --------------------------------------
+    "q47_token_count" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      read(s, d, "documents")
+        .agg(sum(graft.pipeline.TextAnalysis.tokenCount(col("text")))
+          .as("token_count"))
+    }),
+    "q48_quality_gate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      read(s, d, "documents")
+        .filter(graft.pipeline.TextAnalysis.qualityOk(col("text")))
+        .agg(count(lit(1)).as("n_quality"))
+    }),
+    "q49_language_id" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      read(s, d, "documents")
+        .withColumn("lang_detected", graft.pipeline.TextAnalysis.languageId(col("text")))
+        .groupBy("lang_detected").agg(count(lit(1)).as("n"))
+    }),
+    // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
+    "q50_multimodal_decode" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val withBin = read(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      graft.pipeline.Multimodal.decodeImages(withBin, "payload", featureDim = 16)
+        .agg(count(lit(1)).as("n_decoded"),
+          sum(size(col("decoded.features"))).as("n_features"))
+    }),
+    "q51_audio_windows" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val withBin = read(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      graft.pipeline.Multimodal.extractAudioFeatures(withBin, "payload", windows = 4)
+        .agg(count(lit(1)).as("n_windows"))
+    }))
 
   // ------------------------------------------------------------------ oracles
 
@@ -386,5 +468,35 @@ object Queries {
     "q31_keyset_project" ->
       "SELECT DISTINCT CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
     "q32_keyset_filter" ->
-      "SELECT DISTINCT r_name FROM region WHERE r_name LIKE 'A%'")
+      "SELECT DISTINCT r_name FROM region WHERE r_name LIKE 'A%'",
+    "q36_view" -> countOracle(Seq("A", "N", "R"), "l_returnflag",
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem WHERE l_quantity > 25 GROUP BY 1"),
+    "q37_partition_and_create" ->
+      "SELECT CAST(count(*) AS BIGINT) AS count FROM orders WHERE o_orderstatus = 'F'",
+    "q40_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "q41_fingerprint" ->
+      """SELECT CAST(count(DISTINCT
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT)
+        |  AS n_fingerprints FROM documents""".stripMargin,
+    "q47_token_count" ->
+      """SELECT CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+        |  AS token_count FROM documents""".stripMargin,
+    "q48_quality_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_quality FROM (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS t,
+        |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS chars,
+        |    length(text) AS lc,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+        |  FROM documents)
+        |WHERE t BETWEEN 5 AND 100000
+        |  AND (CAST(chars AS DOUBLE) / CAST(t AS DOUBLE)) BETWEEN 2.0 AND 12.0
+        |  AND (CAST(np AS DOUBLE) / CAST(lc AS DOUBLE)) < 0.3""".stripMargin,
+    "q50_multimodal_decode" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_decoded,
+        |  CAST(16 * count(*) AS BIGINT) AS n_features FROM documents""".stripMargin,
+    "q51_audio_windows" ->
+      "SELECT CAST(4 * count(*) AS BIGINT) AS n_windows FROM documents")
 }

@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus-scale pipelines. Design rule: never
+  * form all pairs — candidates come from banded LSH buckets (shuffle keyed
+  * on (band, bucket-hash) only), and buckets above a size cap are treated
+  * as exact-dup clusters instead of pair sources, so the plan stays
+  * near-linear in corpus size at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative row per distinct `keyCols` value, the
+    * row with the smallest `idCol` (deterministic, order-independent).
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col).toIndexedSeq: _*)
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word k-gram shingle set of a text column (distinct, order ignored). */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = split(trim(c), "\\s+")
+    array_distinct(
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum hash over the shingle set (classic Broder minwise sketch).
+    * Pure Catalyst — `numHashes` array traversals per row, no UDF.
+    */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleSet, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** Banded bucket keys of a signature: `bands` hashes, each over a
+    * contiguous signature slice of length numHashes/bands.
+    */
+  def bandHashes(signature: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    array((0 until bands).map { j =>
+      xxhash64(slice(signature, j * r + 1, r), lit(j))
+    }: _*)
+  }
+
+  /** Candidate near-dup pairs (idA < idB) from MinHash-LSH banding, with the
+    * signature-agreement estimate of Jaccard similarity; pairs below
+    * `threshold` are dropped. `maxBucket` caps pair generation per bucket —
+    * larger buckets are exact-dup floods better handled by `exact` or
+    * cluster assignment.
+    */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"),
+      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("__sig"))
+    val banded = sigs.select(col("__id"), col("__sig"),
+      posexplode(bandHashes(col("__sig"), numHashes, bands)).as(Seq("__band", "__bh")))
+    val buckets = banded.groupBy("__band", "__bh")
+      .agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("__ids")).as("__a"), col("__ids"))
+      .select(col("__a"), explode(col("__ids")).as("__b"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__a"), col("__b")).distinct()
+    val sa = sigs.select(col("__id").as("__a"), col("__sig").as("__sa"))
+    val sb = sigs.select(col("__id").as("__b"), col("__sig").as("__sb"))
+    pairs.join(sa, "__a").join(sb, "__b")
+      .withColumn("jaccard_est",
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
+          (m: Column) => m)).cast("double") / lit(numHashes.toDouble))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"), col("jaccard_est"))
+  }
+
+  /** One-pass cluster assignment from near-dup pairs: every document maps to
+    * the smallest id among itself and its direct neighbors. (A full
+    * connected-components pass would iterate this to a fixpoint; one pass is
+    * the standard first approximation and enough to pick dedup survivors.)
+    */
+  def minhashClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands, shingleSize, threshold)
+    val neighbors = pairs.select(col("id_a").as("__id"), col("id_b").as("__n"))
+      .unionAll(pairs.select(col("id_b").as("__id"), col("id_a").as("__n")))
+      .groupBy("__id").agg(min("__n").as("__minn"))
+    df.select(col(idCol).as("__id"))
+      .join(neighbors, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        least(col("__id"), coalesce(col("__minn"), col("__id"))).as("cluster_id"))
+  }
+
+  /** 64-bit SimHash of the token multiset: bit b of the result is the sign
+    * of the sum over tokens of (+-1) at bit b of the token hash.
+    */
+  def simhash64(c: Column): Column = {
+    val u = udf((toks: Seq[String]) => {
+      val acc = new Array[Int](64)
+      if (toks != null) toks.foreach { t =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          acc(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    })
+    u(split(trim(lower(c)), "\\s+"))
+  }
+
+  /** Near-dup pairs by SimHash: band the 64 bits into four 16-bit chunks
+    * (any pair within Hamming distance 3 shares at least one chunk), bucket
+    * on chunks, verify with bit_count(xor) <= maxHamming.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
+    val chunks = sh.select(col("__id"), col("__sh"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("__sh"), j * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("__chunk", "__ck")))
+    val buckets = chunks.groupBy("__chunk", "__ck")
+      .agg(collect_list(struct(col("__id"), col("__sh"))).as("__rows"))
+      .filter(size(col("__rows")).between(2, maxBucket))
+    buckets
+      .select(explode(col("__rows")).as("__x"), col("__rows"))
+      .select(col("__x"), explode(col("__rows")).as("__y"))
+      .filter(col("__x.__id") < col("__y.__id"))
+      .select(col("__x.__id").as("id_a"), col("__y.__id").as("id_b"),
+        bit_count(col("__x.__sh").bitwiseXOR(col("__y.__sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity of two text columns (for verifying LSH
+    * candidates or small cross products).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val (sa, sb) = (shingles(a, n), shingles(b, n))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
+  /** Near-dup pairs in embedding space: random-hyperplane LSH signature
+    * (deterministic pseudo-random planes), bucket on 8-bit bands, verify
+    * exact cosine >= threshold via a codegen'd dot product.
+    */
+  def embeddingCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 16, maxBucket: Int = 256): DataFrame = {
+    val sig = hyperplaneSignature(col(vecCol), planes)
+    val vecs = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"), sig.as("__sig"))
+    val bandCount = planes / 8
+    val banded = vecs.select(col("__id"), col("__v"),
+      posexplode(array((0 until bandCount).map(j =>
+        shiftright(col("__sig"), j * 8).bitwiseAND(lit(0xffL))): _*))
+        .as(Seq("__band", "__bk")))
+    val buckets = banded.groupBy("__band", "__bk")
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("__rows"))
+      .filter(size(col("__rows")).between(2, maxBucket))
+    buckets
+      .select(explode(col("__rows")).as("__x"), col("__rows"))
+      .select(col("__x"), explode(col("__rows")).as("__y"))
+      .filter(col("__x.__id") < col("__y.__id"))
+      .select(col("__x.__id").as("id_a"), col("__y.__id").as("id_b"),
+        Similarity.cosine(col("__x.__v"), col("__y.__v")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** `planes`-bit random-hyperplane signature of a vector: bit p is the sign
+    * of the dot product with a deterministic +-1 plane derived from
+    * xxhash64(p, dimension index). Pure Catalyst.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    val v = vec.cast("array<double>")
+    (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => when(xxhash64(i, lit(p)).bitwiseAND(lit(1L)) === 1L, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

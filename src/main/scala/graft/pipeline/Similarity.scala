@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two plans:
+  *  - brute force: corpus x (broadcast) queries, exact cosine, per-query
+  *    top-k — the baseline, linear scans are fine when queries are few;
+  *  - LSH-bucketed: hyperplane-signature buckets shrink the candidate set,
+  *    the scale path when both sides are large.
+  * The dot product is a codegen'd `aggregate(zip_with(...))` — no UDF in
+  * the hot loop.
+  */
+object Similarity {
+
+  /** Exact cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query row: broadcast the (small) query
+    * side across the corpus scan, score, keep k per query by window rank.
+    * Scales to any corpus size; queries must fit in a broadcast.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("corpus_id"),
+      col(corpusVec).cast("array<double>").as("__cv"))
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
+    * hyperplane-signature bands; candidates are corpus rows sharing at least
+    * one band with the query; exact cosine re-ranks candidates. Recall
+    * improves with more planes/bands. Shuffle is keyed on (band, bucket) —
+    * never a cross product.
+    */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, planes: Int = 16): DataFrame = {
+    val bandCount = planes / 8
+    def banded(df: DataFrame, id: String, vec: String, idOut: String, vecOut: String) = {
+      val sig = Dedup.hyperplaneSignature(col(vec), planes)
+      df.select(col(id).as(idOut), col(vec).cast("array<double>").as(vecOut),
+        sig.as("__sig"))
+        .select(col(idOut), col(vecOut),
+          posexplode(array((0 until bandCount).map(j =>
+            shiftright(col("__sig"), j * 8).bitwiseAND(lit(0xffL))): _*))
+            .as(Seq("__band", "__bk")))
+    }
+    val cb = banded(corpus, corpusId, corpusVec, "corpus_id", "__cv")
+    val qb = banded(queries, queryId, queryVec, "query_id", "__qv")
+    val candidates = cb.join(qb, Seq("__band", "__bk"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id", "__cv", "__qv").distinct()
+    val scored = candidates.withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines. All are
+  * pure Catalyst column expressions (codegen'd, no UDFs), so at 100 TB they
+  * run as map-side projections with zero shuffle and full predicate/column
+  * pushdown underneath.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  /** A BPE-ish subword token estimate: word-piece boundaries at whitespace,
+    * punctuation and case/digit changes; approximates tokenizer output
+    * without a vocab (useful for budget estimates at corpus scale).
+    */
+  def subwordTokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L)).otherwise(
+      size(split(trim(c),
+        "\\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\\d)|(?<=\\d)(?=[A-Za-z])|(?=[.,!?;:])")).cast("long"))
+
+  /** Mean word length (characters per token), 0 for blank text. */
+  def meanWordLength(c: Column): Column = {
+    val toks = tokenCount(c)
+    when(toks === 0, lit(0.0)).otherwise(
+      length(regexp_replace(trim(c), "\\s+", "")).cast("double") / toks.cast("double"))
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") /
+        length(c).cast("double"))
+
+  /** Fraction of tokens that are common English stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val stop = "(?i)\\b(the|and|of|to|a|in|is|it|that|for|on|with|as|was|at|by)\\b"
+    val toks = tokenCount(c)
+    when(toks === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(c, lit(stop), lit(0))).cast("double") / toks.cast("double"))
+  }
+
+  /** Heuristic quality gate in the C4/Gopher style: keep documents with a
+    * sane token count, word length and punctuation density.
+    */
+  def qualityOk(
+      c: Column,
+      minTokens: Long = 5, maxTokens: Long = 100000,
+      minWordLen: Double = 2.0, maxWordLen: Double = 12.0,
+      maxPunct: Double = 0.3): Column = {
+    val toks = tokenCount(c)
+    toks.between(minTokens, maxTokens) &&
+      meanWordLength(c).between(minWordLen, maxWordLen) &&
+      (punctRatio(c) < maxPunct)
+  }
+
+  /** Composite quality score in [0, 1] (1 = passes all gates, fractional
+    * credit per gate).
+    */
+  def qualityScore(c: Column): Column =
+    (when(tokenCount(c).between(5, 100000), 1.0).otherwise(0.0) +
+      when(meanWordLength(c).between(2.0, 12.0), 1.0).otherwise(0.0) +
+      when(punctRatio(c) < 0.3, 1.0).otherwise(0.0) +
+      when(stopwordRatio(c) > 0.0, 1.0).otherwise(0.0)) / lit(4.0)
+
+  /** Canonical document fingerprint: md5 of case-folded,
+    * whitespace-collapsed text. Stable across engines (md5 is standard), so
+    * exact-dup detection on fingerprints is portable.
+    */
+  def fingerprint(c: Column): Column =
+    md5(encode(regexp_replace(lower(trim(c)), "\\s+", " "), "UTF-8"))
+
+  /** Character n-gram based language ID over a fixed language set, as a
+    * codegen'd scoring expression: counts hits of per-language marker
+    * patterns (stopwords for latin scripts, script ranges for CJK) and takes
+    * the argmax. Returns the ISO code or 'und'.
+    */
+  def languageId(c: Column): Column = {
+    val markers: Seq[(String, String)] = Seq(
+      "en" -> "(?i)\\b(the|and|of|to|is|in|that|it|for|you|with)\\b",
+      "de" -> "(?i)\\b(der|die|das|und|ist|nicht|ein|eine|zu|den|von|mit)\\b",
+      "es" -> "(?i)\\b(el|la|los|las|de|que|y|en|un|una|es|por|para)\\b",
+      "fr" -> "(?i)\\b(le|la|les|et|est|que|des|une|dans|pour|qui|sur)\\b",
+      "zh" -> "[\\p{IsHan}]")
+    val scores = markers.map { case (lang, re) =>
+      lang -> size(regexp_extract_all(c, lit(re), lit(0)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+}
