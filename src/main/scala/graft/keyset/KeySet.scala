@@ -107,11 +107,19 @@ final class KeySet private (val op: KeySetOp) extends Serializable {
   }
 
   @transient private var cached: DataFrame = _
+  @transient private var cachedSession: SparkSession = _
   @transient private var persisted: Boolean = false
 
-  /** Materialize to a distinct DataFrame of key rows. */
+  /** Materialize to a distinct DataFrame of key rows. The cache is keyed by
+    * session: a call with a different SparkSession re-materializes instead
+    * of returning a frame bound to a possibly-stopped session.
+    */
   def dataframe(spark: SparkSession): DataFrame = synchronized {
-    if (cached == null) cached = KeySet.materialize(op, spark)
+    if (cached == null || (cachedSession ne spark)) {
+      cached = KeySet.materialize(op, spark)
+      cachedSession = spark
+      persisted = false
+    }
     cached
   }
 
@@ -151,9 +159,33 @@ object KeySet {
     new KeySet(FromTuples(rows, StructType(Seq(StructField(name, dt, nullable = true)))))
   }
 
-  /** Literal tuples with an explicit schema (reference _keyset.py:93-156). */
-  def fromTuples(rows: Seq[Seq[Any]], schema: StructType): KeySet =
-    new KeySet(FromTuples(rows.map(_.map(normalize).toVector).distinct.toVector, schema))
+  /** Literal tuples with an explicit schema; row arity and runtime value
+    * classes are validated eagerly so mistakes fail at construction, not as
+    * opaque executor errors at materialize time (reference validates the
+    * same way: _keyset.py:93-156).
+    */
+  def fromTuples(rows: Seq[Seq[Any]], schema: StructType): KeySet = {
+    val normalized = rows.map { r =>
+      require(r.size == schema.size,
+        s"keyset row has ${r.size} values but schema has ${schema.size} columns: $r")
+      r.map(normalize).toVector
+    }
+    normalized.foreach { r =>
+      r.zip(schema.fields).foreach { case (v, f) =>
+        val ok = v match {
+          case null                  => true
+          case _: java.lang.Long     => f.dataType == LongType
+          case _: String             => f.dataType == StringType
+          case _: java.sql.Date      => f.dataType == DateType
+          case _: java.sql.Timestamp => f.dataType == TimestampType
+          case _                     => false
+        }
+        require(ok, s"keyset value $v (${if (v == null) "null" else v.getClass.getSimpleName}) " +
+          s"does not match column '${f.name}' of type ${f.dataType}")
+      }
+    }
+    new KeySet(FromTuples(normalized.distinct.toVector, schema))
+  }
 
   /** Wrap a DataFrame; rows are deduplicated (reference keyset/_ops/_from_dataframe.py). */
   def fromDataFrame(df: DataFrame): KeySet = {

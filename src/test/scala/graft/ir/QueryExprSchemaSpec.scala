@@ -1,0 +1,165 @@
+package graft.ir
+
+import graft.SparkSpec
+import graft.constraints.{MaxRowsPerID, TruncationStrategy}
+import graft.keyset.KeySet
+import graft.types._
+import QueryExpr._
+
+/** IR-level schema computation + validation, mirroring the reference's
+  * expected-schema test tables (test/unit/test_query_expression_schema.py).
+  */
+class QueryExprSchemaSpec extends SparkSpec {
+  import ColumnType._
+
+  private val lineitem = TableSchema(Seq(
+    "flag" -> ColumnDescriptor(Varchar),
+    "qty" -> ColumnDescriptor(Decimal, allowNull = true, allowNaN = true, allowInf = true),
+    "key" -> ColumnDescriptor(Integer)))
+  private val events = TableSchema(Seq(
+    "user_id" -> ColumnDescriptor(Integer),
+    "etype" -> ColumnDescriptor(Varchar)),
+    idColumn = Some("user_id"), idSpace = Some("ids"))
+  private val cat = CatalogSchemas(
+    Map("lineitem" -> lineitem, "events" -> events), Map.empty)
+
+  private def src = PrivateSource("lineitem")
+
+  test("private source resolves or fails with available tables") {
+    assert(src.schema(cat) === lineitem)
+    val e = intercept[IllegalArgumentException] { PrivateSource("nope").schema(cat) }
+    assert(e.getMessage.contains("lineitem"))
+  }
+
+  test("rename remaps columns and rejects unknown/conflicting names") {
+    val r = Rename(src, Map("flag" -> "f2"))
+    assert(r.schema(cat).columnNames === Seq("f2", "qty", "key"))
+    intercept[IllegalArgumentException] { Rename(src, Map("zz" -> "x")).schema(cat) }
+    intercept[IllegalArgumentException] { Rename(src, Map("flag" -> "qty")).schema(cat) }
+  }
+
+  test("select keeps order, protects id column") {
+    assert(Select(src, Seq("key", "flag")).schema(cat).columnNames === Seq("key", "flag"))
+    intercept[IllegalArgumentException] { Select(src, Seq("nope")).schema(cat) }
+    intercept[IllegalArgumentException] {
+      Select(PrivateSource("events"), Seq("etype")).schema(cat)
+    }
+  }
+
+  test("map: augment appends nullable columns, non-augment replaces") {
+    val m = MapRows(src, identity, Seq("z" -> ColumnDescriptor(Integer)), augment = true)
+    val s = m.schema(cat)
+    assert(s.columnNames === Seq("flag", "qty", "key", "z"))
+    assert(s("z").allowNull)
+    val m2 = MapRows(src, identity, Seq("z" -> ColumnDescriptor(Integer)), augment = false)
+    assert(m2.schema(cat).columnNames === Seq("z"))
+    intercept[IllegalArgumentException] {
+      MapRows(src, identity, Seq("flag" -> ColumnDescriptor(Varchar)), augment = true)
+        .schema(cat)
+    }
+  }
+
+  test("grouping flat map must add exactly one column and sets metadata") {
+    val fm = FlatMapRows(src, _ => Nil, Seq("g" -> ColumnDescriptor(Varchar)),
+      augment = true, maxRows = 2, grouping = true)
+    assert(fm.schema(cat).groupingColumn === Some("g"))
+    intercept[IllegalArgumentException] {
+      FlatMapRows(src, _ => Nil,
+        Seq("g" -> ColumnDescriptor(Varchar), "h" -> ColumnDescriptor(Varchar)),
+        augment = true, maxRows = 2, grouping = true).schema(cat)
+    }
+  }
+
+  test("flat_map_by_id requires an IDs table and keeps the id column") {
+    val f = FlatMapByID(PrivateSource("events"), identity,
+      Seq("n" -> ColumnDescriptor(Integer)))
+    assert(f.schema(cat).columnNames === Seq("user_id", "n"))
+    intercept[IllegalArgumentException] {
+      FlatMapByID(src, identity, Seq("n" -> ColumnDescriptor(Integer))).schema(cat)
+    }
+  }
+
+  test("join schema: join cols, left-only, right-only, suffixed overlap") {
+    val right = TableSchema(Seq(
+      "key" -> ColumnDescriptor(Integer),
+      "qty" -> ColumnDescriptor(Decimal),
+      "extra" -> ColumnDescriptor(Varchar)))
+    val cat2 = CatalogSchemas(Map("lineitem" -> lineitem, "pub" -> right.copy()),
+      Map("pub" -> right))
+    val j = JoinPublic(src, Left("pub"), Some(Seq("key")))
+    assert(j.schema(cat2).columnNames ===
+      Seq("key", "flag", "extra", "qty_left", "qty_right"))
+  }
+
+  test("private join of non-ID tables needs truncation strategies") {
+    intercept[IllegalArgumentException] {
+      JoinPrivate(src, Select(src, Seq("key")), None, None, Some(Seq("key"))).schema(cat)
+    }
+    val ok = JoinPrivate(src, Select(src, Seq("key")),
+      Some(TruncationStrategy.DropExcess(1)), Some(TruncationStrategy.DropNonUnique),
+      Some(Seq("key")))
+    assert(ok.schema(cat).columnNames.head === "key")
+  }
+
+  test("groupby validation: keyset types, measure column rules") {
+    val goodKeys = KeySet.fromColumn("flag", Seq("A"))
+    assert(GroupByCount(src, goodKeys).schema(cat).columnNames === Seq("flag", "count"))
+    intercept[IllegalArgumentException] {
+      GroupByCount(src, KeySet.fromColumn("nope", Seq("A"))).schema(cat)
+    }
+    // keyset type must match table type (flag is VARCHAR, keyset is INTEGER)
+    intercept[IllegalArgumentException] {
+      GroupByCount(src, KeySet.fromColumn("flag", Seq(1, 2))).schema(cat)
+    }
+    intercept[IllegalArgumentException] {
+      GroupByBoundedSum(src, goodKeys, "flag", 0, 1).schema(cat)
+    }
+    // measure may not be the id column
+    intercept[IllegalArgumentException] {
+      GroupByBoundedSum(PrivateSource("events"), KeySet.fromColumn("etype", Seq("x")),
+        "user_id", 0, 1).schema(cat)
+    }
+    assert(GroupByBoundedSum(src, goodKeys, "qty", 0, 10).schema(cat)("sum").ctype === Decimal)
+    assert(GroupByBoundedAverage(src, goodKeys, "qty", 0, 10).schema(cat)("average").ctype === Decimal)
+    assert(GroupByBoundedSum(src, goodKeys, "key", 0, 10).schema(cat)("sum").ctype === Integer)
+  }
+
+  test("replace/drop special values validate column types") {
+    intercept[IllegalArgumentException] {
+      ReplaceInfinity(src, Map("flag" -> (0.0, 1.0))).schema(cat)
+    }
+    val r = ReplaceNullAndNan(src, Map("qty" -> 0.0)).schema(cat)
+    assert(!r("qty").allowNull && !r("qty").allowNaN && r("qty").allowInf)
+    val d = DropInfinity(src, Seq("qty")).schema(cat)
+    assert(!d("qty").allowInf && d("qty").allowNull)
+  }
+
+  test("enforce requires an IDs table; suppress only over counts") {
+    intercept[IllegalArgumentException] {
+      EnforceConstraint(src, MaxRowsPerID(2)).schema(cat)
+    }
+    assert(EnforceConstraint(PrivateSource("events"), MaxRowsPerID(2))
+      .schema(cat).idColumn === Some("user_id"))
+    intercept[IllegalArgumentException] {
+      Query(GroupByBoundedSum(src, KeySet.empty, "qty", 0, 1)).suppress(5)
+    }
+  }
+
+  test("bin column replaces or appends with VARCHAR descriptor") {
+    val spec = BinningSpec(Seq(0.0, 5.0, 10.0))
+    val b = BinColumn(src, "qty", spec, "qty_binned").schema(cat)
+    assert(b("qty_binned").ctype === Varchar)
+    intercept[IllegalArgumentException] {
+      BinColumn(src, "flag", spec, "x").schema(cat)
+    }
+  }
+
+  test("binning spec names and bins") {
+    val spec = BinningSpec(Seq(0.0, 5.0, 10.0))
+    assert(spec.binNames === Seq("[0, 5]", "(5, 10]"))
+    assert(BinningSpec(Seq(0.0, 5.0, 10.0), right = false).binNames
+      === Seq("[0, 5)", "[5, 10]"))
+    intercept[IllegalArgumentException] { BinningSpec(Seq(1.0)) }
+    intercept[IllegalArgumentException] { BinningSpec(Seq(2.0, 1.0)) }
+  }
+}

@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(longCol("id"), strCol("text")))
+
+  private def docs(rows: (Long, String)*) =
+    makeDf(docSchema, rows.map { case (i, t) => Row(i, t) })
+
+  test("exact dedup keeps the min-id representative per key") {
+    val df = docs(3L -> "aaa", 1L -> "aaa", 2L -> "bbb")
+    val out = Dedup.exact(df, Seq("text"), "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(out === Set(1L -> "aaa", 2L -> "bbb"))
+  }
+
+  test("minhash finds planted near-duplicates, not unrelated docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " other words"
+    val unrelated = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.minhashPairs(df, "id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val clusters = Dedup.minhashClusters(df, "id", "text", threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(3L) === 3L)
+  }
+
+  test("ngram jaccard: identical 1, disjoint 0") {
+    val df = docs(1L -> "a b c d e").crossJoin(
+      docs(2L -> "a b c d e").select(col("text").as("text2")))
+    val j = df.select(Dedup.ngramJaccard(col("text"), col("text2"), 2)).head().getDouble(0)
+    assert(j === 1.0)
+    val dj = docs(1L -> "a b c").crossJoin(docs(2L -> "x y z").select(col("text").as("t2")))
+      .select(Dedup.ngramJaccard(col("text"), col("t2"), 2)).head().getDouble(0)
+    assert(dj === 0.0)
+  }
+
+  test("simhash: identical texts collide, near texts are close") {
+    val df = docs(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "entirely different content about spark execution engines")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toList
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("embedding cosine dedup finds the planted duplicate vector") {
+    val schema = StructType(Seq(longCol("id"),
+      StructField("vec", ArrayType(DoubleType))))
+    val v1 = (1 to 16).map(_.toDouble)
+    val v2 = v1.map(_ * 1.001) // nearly identical direction
+    val v3 = (1 to 16).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val df = makeDf(schema, Seq(Row(1L, v1), Row(2L, v2), Row(3L, v3)))
+    val pairs = Dedup.embeddingCosinePairs(df, "id", "vec", threshold = 0.99, planes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
+  test("brute-force top-k returns exact neighbors in order") {
+    val schema = StructType(Seq(longCol("id"), StructField("vec", ArrayType(DoubleType))))
+    val df = makeDf(schema, Seq(
+      Row(1L, Seq(1.0, 0.0)), Row(2L, Seq(0.9, 0.1)),
+      Row(3L, Seq(0.0, 1.0)), Row(4L, Seq(-1.0, 0.0))))
+    val out = Similarity.bruteForceTopK(df, "id", "vec",
+      df.filter("id = 1"), "id", "vec", k = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toList === List((2L, 1), (3L, 2)))
+  }
+
+  test("token count and quality gates") {
+    val df = docs(1L -> "one two three four five six", 2L -> "", 3L -> "   ",
+      4L -> "a b")
+    val counts = df.select(col("id"), TextAnalysis.tokenCount(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 6L, 2L -> 0L, 3L -> 0L, 4L -> 2L))
+    val ok = df.filter(TextAnalysis.qualityOk(col("text"))).collect().map(_.getLong(0))
+    assert(ok.toList === List(1L))
+  }
+
+  test("language id recognizes obvious samples") {
+    val df = docs(
+      1L -> "the cat and the dog are in the house for you",
+      2L -> "der Hund und die Katze sind nicht in einem Haus",
+      3L -> "el perro y el gato es que en una casa por ahora",
+      4L -> "le chien et le chat est dans les maisons pour qui",
+      5L -> "你好世界这是中文文本")
+    val out = df.select(col("id"), TextAnalysis.languageId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("fingerprint is whitespace/case canonical") {
+    val df = docs(1L -> "Hello   World", 2L -> "hello world", 3L -> "different")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("multimodal decode stub: deterministic, null-safe, right shape") {
+    val schema = StructType(Seq(longCol("id"), StructField("payload", BinaryType)))
+    val df = makeDf(schema, Seq(
+      Row(1L, "some image bytes".getBytes), Row(2L, null),
+      Row(3L, "some image bytes".getBytes)))
+    val out = Multimodal.decodeImages(df, "payload", featureDim = 8, rebalance = false)
+      .select("id", "decoded").collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(out(2L) === null)
+    assert(out(1L) === out(3L)) // same bytes -> same decode
+    assert(out(1L).getSeq[Float](3).size === 8)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decodeImages(df.filter("id = 1"), "payload", featureDim = 4,
+        rebalance = false), "decoded", frames = 3).count()
+    assert(frames === 3L)
+    val audio = Multimodal.extractAudioFeatures(df, "payload", windows = 2).count()
+    assert(audio === 6L)
+  }
+}

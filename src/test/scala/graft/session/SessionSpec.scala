@@ -1,0 +1,178 @@
+package graft.session
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.accounting._
+import graft.budget._
+import graft.constraints._
+import graft.exec.NoiseMechanism
+import graft.ir._
+import graft.keyset.KeySet
+
+/** End-to-end Session behavior with deterministic infinite-budget results
+  * (the reference's golden-table pattern,
+  * test/system/session/rows/conftest.py:62+).
+  */
+class SessionSpec extends SparkSpec {
+
+  private val Inf = PureDPBudget(Rat.Inf)
+
+  private def df = makeDf(
+    StructType(Seq(strCol("flag"), longCol("qty"), longCol("uid"))),
+    Seq(Row("A", 1L, 1L), Row("A", 2L, 1L), Row("B", 3L, 1L),
+      Row("A", 4L, 2L), Row("B", 5L, 2L), Row("B", 100L, 3L)))
+
+  private def rowSession(b: PrivacyBudget = Inf) =
+    Session.fromDataFrame(spark, b, "t", df, AddOneRow())
+
+  test("keyset group-by: one row per key, absent keys 0, extra data dropped") {
+    val keys = KeySet.fromColumn("flag", Seq("A", "C"))
+    val out = rowSession().evaluate(
+      QueryBuilder("t").groupby(keys).count(), Inf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("A" -> 3L, "C" -> 0L)) // B dropped, C zero-filled
+  }
+
+  test("clamped sum, average, variance at infinite budget") {
+    val s = rowSession()
+    val sum = s.evaluate(QueryBuilder("t").sum("qty", 0, 10), Inf)
+      .collect().head.getLong(0)
+    assert(sum === 1 + 2 + 3 + 4 + 5 + 10) // 100 clamps to 10
+    val avg = s.evaluate(QueryBuilder("t").average("qty", 0, 10), Inf)
+      .collect().head.getDouble(0)
+    assert(math.abs(avg - 25.0 / 6.0) < 1e-12)
+  }
+
+  test("budget accounting: spend, reject overspend, infinite survives") {
+    val s = rowSession(PureDPBudget(1.0))
+    s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.7))
+    assert(s.remainingPrivacyBudget === PureDPBudget(Rat(1) - Rat(0.7)))
+    intercept[IllegalArgumentException] {
+      s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.7))
+    }
+  }
+
+  test("finite-budget count is noisy but near truth; noiseInfo reports scale 2 at eps=0.5") {
+    val s = rowSession(PureDPBudget(Rat.Inf))
+    val info = s.noiseInfo(QueryBuilder("t").count(), PureDPBudget(0.5))
+    assert(info === Seq(graft.exec.NoiseInfo("count", NoiseMechanism.Geometric(2.0))))
+    val noisy = (1 to 50).map(_ =>
+      s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.5)).collect().head.getLong(0))
+    assert(noisy.exists(_ != 6L), "noise should perturb some draws")
+    assert(math.abs(noisy.map(_.toDouble).sum / 50 - 6.0) < 2.0)
+  }
+
+  test("zCDP budget selects gaussian mechanisms") {
+    val s = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df, AddOneRow())
+    val info = s.noiseInfo(QueryBuilder("t").count(), RhoZCDPBudget(0.5))
+    info.head.mechanism match {
+      case NoiseMechanism.DiscreteGaussian(s2) => assert(s2 === 1.0) // 1/(2*0.5)
+      case other => fail(s"expected DiscreteGaussian, got $other")
+    }
+    intercept[IllegalArgumentException] {
+      rowSession().evaluate(
+        QueryBuilder("t").count(mechanism = MechanismHint.Gaussian), Inf)
+    }
+  }
+
+  test("IDs table: aggregation requires constraint; enforce truncates per ID") {
+    val s = Session.fromDataFrame(spark, Inf, "t", df, AddRowsWithID("uid"))
+    val e = intercept[IllegalArgumentException] {
+      s.evaluate(QueryBuilder("t").count(), Inf)
+    }
+    assert(e.getMessage.contains("constraint"))
+    val n = s.evaluate(
+      QueryBuilder("t").enforce(MaxRowsPerID(1)).count(), Inf)
+      .collect().head.getLong(0)
+    assert(n === 3L) // one row per distinct uid
+    val n2 = s.evaluate(
+      QueryBuilder("t").enforce(MaxRowsPerID(2)).count(), Inf)
+      .collect().head.getLong(0)
+    assert(n2 === 5L) // uids 1,2 capped at 2, uid 3 has 1
+  }
+
+  test("MaxGroupsPerID + MaxRowsPerGroupPerID bound and truncate") {
+    val s = Session.fromDataFrame(spark, Inf, "t", df, AddRowsWithID("uid"))
+    val n = s.evaluate(
+      QueryBuilder("t")
+        .enforce(MaxGroupsPerID("flag", 1))
+        .enforce(MaxRowsPerGroupPerID("flag", 1)).count(), Inf)
+      .collect().head.getLong(0)
+    assert(n === 3L) // each uid contributes exactly one (group, row)
+  }
+
+  test("views compose with queries and propagate stability") {
+    val s = rowSession()
+    s.createView(QueryBuilder("t").filter("qty <= 5"), "small", cache = false)
+    val n = s.evaluate(QueryBuilder("small").count(), Inf).collect().head.getLong(0)
+    assert(n === 5L)
+    assert(s.privateSources.contains("small"))
+    s.deleteView("small")
+    assert(!s.privateSources.contains("small"))
+  }
+
+  test("partition_and_create: disjoint children, parent charged once") {
+    val s = rowSession(PureDPBudget(1.0))
+    val kids = s.partitionAndCreate("t", PureDPBudget(0.5), "flag",
+      Seq("ta" -> "A", "tb" -> "B"))
+    assert(s.remainingPrivacyBudget === PureDPBudget(0.5))
+    // children run at finite budget (0.5 each) -> counts are noisy around 3
+    val na = kids("ta").evaluate(QueryBuilder("ta").count(), PureDPBudget(0.5))
+      .collect().head.getLong(0)
+    val nb = kids("tb").evaluate(QueryBuilder("tb").count(), PureDPBudget(0.5))
+      .collect().head.getLong(0)
+    assert(math.abs(na - 3L) <= 30L && math.abs(nb - 3L) <= 30L, s"na=$na nb=$nb")
+    intercept[IllegalArgumentException] {
+      kids("ta").evaluate(QueryBuilder("ta").count(), PureDPBudget(0.1))
+    }
+  }
+
+  test("public join stability multiplies d_in by measured fan-out") {
+    val pub = makeDf(StructType(Seq(strCol("flag"), strCol("tag"))),
+      Seq(Row("A", "x"), Row("A", "y"), Row("B", "z")))
+    val s = new Session.Builder().withPrivacyBudget(Inf)
+      .withPrivateDataFrame("t", df, AddOneRow())
+      .withPublicDataFrame("pub", pub)
+      .build(spark)
+    // fan-out of pub on flag is 2 -> count sensitivity 2 -> scale 2/0.5 = 4
+    val info = s.noiseInfo(
+      QueryBuilder("t").joinPublic("pub", Seq("flag")).count(), PureDPBudget(0.5))
+    assert(info.head.mechanism === NoiseMechanism.Geometric(4.0))
+  }
+
+  test("suppress drops below-threshold groups") {
+    val out = rowSession().evaluate(
+      QueryBuilder("t").groupby(KeySet.fromColumn("flag", Seq("A", "B", "C")))
+        .count().suppress(2), Inf)
+      .collect().map(r => r.getString(0)).toSet
+    assert(out === Set("A", "B")) // C has 0 < 2
+  }
+
+  test("count_distinct ignores duplicates") {
+    val s = rowSession()
+    val n = s.evaluate(
+      QueryBuilder("t").select("flag").countDistinct(), Inf)
+      .collect().head.getLong(0)
+    assert(n === 2L)
+  }
+
+  test("get_groups returns observed combinations at infinite budget") {
+    val s = Session.fromDataFrame(spark, ApproxDPBudget(Rat.Inf, Rat.zero), "t",
+      df, AddOneRow())
+    val out = s.evaluate(QueryBuilder("t").getGroups("flag"),
+      ApproxDPBudget(Rat.Inf, Rat.zero)).collect().map(_.getString(0)).toSet
+    assert(out === Set("A", "B"))
+    intercept[IllegalArgumentException] {
+      rowSession().evaluate(QueryBuilder("t").getGroups("flag"), Inf)
+    }
+  }
+
+  test("retired session refuses work after invalid partition column") {
+    val s = rowSession()
+    intercept[IllegalArgumentException] {
+      s.partitionAndCreate("t", Inf, "nope", Seq("x" -> "A"))
+    }
+  }
+}
