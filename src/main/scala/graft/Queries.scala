@@ -267,6 +267,17 @@ object Queries {
     "q35_get_bounds" -> ((s, d) =>
       lineitemSession(s, d).evaluate(
         QueryBuilder("lineitem").getBounds("l_extendedprice"), Inf)),
+    // -- auto partition selection / zCDP ----------------------------------
+    "q38_auto_partition" -> ((s, d) =>
+      Session.fromDataFrame(s, InfApprox, "events", read(s, d, "events"), AddOneRow())
+        .evaluate(
+          QueryBuilder("events").groupby(KeySet.detect("event_type")).count(),
+          InfApprox)),
+    "q39_zcdp_sum" -> ((s, d) =>
+      Session.fromDataFrame(s, RhoZCDPBudget(Rat.Inf), "lineitem",
+        read(s, d, "lineitem"), AddOneRow())
+        .evaluate(QueryBuilder("lineitem").groupby(flagKeys)
+          .sum("l_quantity", 0.0, 50.0), RhoZCDPBudget(Rat.Inf))),
     // -- session ops -------------------------------------------------------
     "q36_view" -> ((s, d) => {
       val sess = lineitemSession(s, d)
@@ -469,6 +480,13 @@ object Queries {
       "SELECT DISTINCT CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
     "q32_keyset_filter" ->
       "SELECT DISTINCT r_name FROM region WHERE r_name LIKE 'A%'",
+    "q38_auto_partition" ->
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS count FROM events GROUP BY 1",
+    "q39_zcdp_sum" ->
+      s"""SELECT k.l_returnflag AS l_returnflag, coalesce(t.s, 0.0) AS sum
+         |FROM (VALUES ('A'), ('N'), ('R')) k(l_returnflag)
+         |LEFT JOIN (SELECT l_returnflag, sum($clamp) AS s
+         |           FROM lineitem GROUP BY 1) t USING (l_returnflag)""".stripMargin,
     "q36_view" -> countOracle(Seq("A", "N", "R"), "l_returnflag",
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem WHERE l_quantity > 25 GROUP BY 1"),
     "q37_partition_and_create" ->

@@ -39,6 +39,26 @@ final class MeasurementPlanner(
 
   def compile(expr: MeasureExpr): MeasureOut = expr match {
 
+    // Auto partition selection: a Detect keyset spends half the epsilon plus
+    // all the delta discovering the key domain, then the aggregation runs
+    // with the remainder on the discovered keys (reference
+    // _split_auto_partition_budget, _base_measurement_visitor.py:343-364,
+    // run as an adaptive composition :421-510).
+    case agg: GroupByAgg if isDetect(agg.keys) =>
+      val cols = agg.keys.columns
+      val (selBudget, aggBudget) = budget match {
+        case ApproxDPBudget(eps, delta) =>
+          (ApproxDPBudget(eps / Rat(2), delta), ApproxDPBudget(eps / Rat(2), Rat.zero))
+        case other => throw new IllegalArgumentException(
+          s"groupby(KeySet.detect(...)) requires an ApproxDP budget, got $other")
+      }
+      val discovered = new MeasurementPlanner(catalog, selBudget, spark)
+        .compile(GetGroups(agg.child, cols)).df
+      val bound = KeySet.fromDataFrame(discovered)
+      val inner = new MeasurementPlanner(catalog, aggBudget, spark)
+        .compile(withKeys(agg, bound))
+      MeasureOut(inner.df, inner.noise, budget)
+
     case e @ GroupByCount(child, keys, out, hint) =>
       val t = prepared(child)
       val sens = aggSensitivity(t)
@@ -205,6 +225,21 @@ final class MeasurementPlanner(
   }
 
   // -------------------------------------------------------------- internals
+
+  private def isDetect(ks: KeySet): Boolean = ks.op match {
+    case graft.keyset.KeySetOp.Detect(_) => true
+    case _                               => false
+  }
+
+  private def withKeys(agg: GroupByAgg, ks: KeySet): GroupByAgg = agg match {
+    case e: GroupByCount           => e.copy(keys = ks)
+    case e: GroupByCountDistinct   => e.copy(keys = ks)
+    case e: GroupByQuantile        => e.copy(keys = ks)
+    case e: GroupByBoundedSum      => e.copy(keys = ks)
+    case e: GroupByBoundedAverage  => e.copy(keys = ks)
+    case e: GroupByBoundedVariance => e.copy(keys = ks)
+    case e: GroupByBoundedStdev    => e.copy(keys = ks)
+  }
 
   /** Compile the transform chain; for sum-like/quantile aggregations drop
     * null/NaN rows of the measure column first (the reference auto-inserts

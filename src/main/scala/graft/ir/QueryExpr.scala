@@ -403,7 +403,8 @@ object QueryExpr {
       if (!in.contains(f.name))
         err(s"groupby column '${f.name}' not in schema")
       val expect = in(f.name).ctype.sparkType
-      if (f.dataType != expect)
+      // NullType marks a plan-only Detect keyset: types bind at evaluation
+      if (f.dataType != org.apache.spark.sql.types.NullType && f.dataType != expect)
         err(s"groupby column '${f.name}': keyset type ${f.dataType} != table type $expect")
     }
     in.groupingColumn.foreach { g =>

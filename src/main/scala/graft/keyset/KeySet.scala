@@ -68,6 +68,17 @@ object KeySetOp {
     def columns: Seq[String] = child.columns
     def schema: StructType = child.schema
   }
+  /** Plan-only: the key domain is to be discovered privately from the data
+    * via DP partition selection at evaluate time (reference
+    * keyset/_ops/_detect.py:21, `KeySetPlan`). Column types are unknown
+    * until binding, hence NullType placeholders; materializing outside a
+    * Session is an error.
+    */
+  final case class Detect(override val columns: Seq[String]) extends KeySetOp {
+    require(columns.nonEmpty, "detect requires at least one column")
+    def schema: StructType =
+      StructType(columns.map(c => StructField(c, NullType, nullable = true)))
+  }
 }
 
 final class KeySet private (val op: KeySetOp) extends Serializable {
@@ -147,6 +158,13 @@ object KeySet {
 
   /** The empty keyset: a single empty key (ungrouped aggregation). */
   val empty: KeySet = new KeySet(FromTuples(Vector(Vector()), StructType(Nil)))
+
+  /** Plan-only keyset whose keys are discovered by DP partition selection
+    * when a query using it is evaluated (costs half the epsilon plus all the
+    * delta of that query's budget, reference
+    * _base_measurement_visitor.py:343-364).
+    */
+  def detect(columns: String*): KeySet = new KeySet(Detect(columns))
 
   /** Cross product of per-column value sets (reference _keyset.py:162-197). */
   def fromDict(domains: Seq[(String, Seq[Any])]): KeySet =
@@ -318,5 +336,8 @@ object KeySet {
       case Project(c, cols2) =>
         materialize(c, spark).select(cols2.map(col).toIndexedSeq: _*).distinct()
       case KFilter(c, cond) => materialize(c, spark).filter(cond)
+      case Detect(cols) => throw new IllegalStateException(
+        s"KeySet.detect(${cols.mkString(", ")}) is plan-only: evaluate a query " +
+          "that groups by it through a Session (ApproxDP budget required)")
     }
 }

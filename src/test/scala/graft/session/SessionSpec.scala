@@ -169,6 +169,21 @@ class SessionSpec extends SparkSpec {
     }
   }
 
+  test("auto partition selection discovers keys then aggregates") {
+    val inf = ApproxDPBudget(Rat.Inf, Rat.zero)
+    val s = Session.fromDataFrame(spark, inf, "t", df, AddOneRow())
+    val out = s.evaluate(
+      QueryBuilder("t").groupby(KeySet.detect("flag")).count(), inf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("A" -> 3L, "B" -> 3L))
+    // requires ApproxDP; plan-only keysets cannot materialize directly
+    intercept[IllegalArgumentException] {
+      rowSession().evaluate(
+        QueryBuilder("t").groupby(KeySet.detect("flag")).count(), Inf)
+    }
+    intercept[IllegalStateException] { KeySet.detect("flag").dataframe(spark) }
+  }
+
   test("retired session refuses work after invalid partition column") {
     val s = rowSession()
     intercept[IllegalArgumentException] {
