@@ -278,6 +278,34 @@ object Queries {
         read(s, d, "lineitem"), AddOneRow())
         .evaluate(QueryBuilder("lineitem").groupby(flagKeys)
           .sum("l_quantity", 0.0, 50.0), RhoZCDPBudget(Rat.Inf))),
+    "q52_join_public_left" -> ((s, d) => {
+      val sess = new Session.Builder().withPrivacyBudget(Inf)
+        .withPrivateDataFrame("orders", read(s, d, "orders"), AddOneRow())
+        .withPublicDataFrame("nation", read(s, d, "nation"))
+        .build(s)
+      // o_custkey mod 50 misses some nation keys -> left join keeps the row
+      // with null n_name; count by null-ness of the right side
+      sess.evaluate(
+        QueryBuilder("orders")
+          .map(r => Map("n_nationkey" -> r("o_custkey").asInstanceOf[Long] % 100),
+            Seq("n_nationkey" -> ColumnDescriptor(ColumnType.Integer)), augment = true)
+          .joinPublic("nation", Seq("n_nationkey"), how = "left")
+          .map(r => Map("matched" -> (if (r("n_name") == null) "no" else "yes")),
+            Seq("matched" -> ColumnDescriptor(ColumnType.Varchar)), augment = true)
+          .groupby(KeySet.fromColumn("matched", Seq("yes", "no"))).count(), Inf)
+    }),
+    "q53_grouping_flatmap" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem")
+          // grouping flat-map: emit one row per size class; the new column
+          // becomes a grouping column that MUST be grouped on
+          .flatMap(r => {
+            val q = r("l_quantity").asInstanceOf[Double]
+            Seq(Map("size_class" -> (if (q > 25) "big" else "small")))
+          }, Seq("size_class" -> ColumnDescriptor(ColumnType.Varchar)),
+            maxRows = 1, augment = true, grouping = true)
+          .groupby(KeySet.fromColumn("size_class", Seq("big", "small")))
+          .count(), Inf)),
     // -- session ops -------------------------------------------------------
     "q36_view" -> ((s, d) => {
       val sess = lineitemSession(s, d)
@@ -487,6 +515,14 @@ object Queries {
          |FROM (VALUES ('A'), ('N'), ('R')) k(l_returnflag)
          |LEFT JOIN (SELECT l_returnflag, sum($clamp) AS s
          |           FROM lineitem GROUP BY 1) t USING (l_returnflag)""".stripMargin,
+    "q52_join_public_left" -> countOracle(Seq("yes", "no"), "matched",
+      """SELECT CASE WHEN n.n_name IS NULL THEN 'no' ELSE 'yes' END AS matched,
+        |  count(*) AS cnt
+        |FROM orders o LEFT JOIN nation n ON o.o_custkey % 100 = n.n_nationkey
+        |GROUP BY 1""".stripMargin),
+    "q53_grouping_flatmap" -> countOracle(Seq("big", "small"), "size_class",
+      """SELECT CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END
+        |  AS size_class, count(*) AS cnt FROM lineitem GROUP BY 1""".stripMargin),
     "q36_view" -> countOracle(Seq("A", "N", "R"), "l_returnflag",
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem WHERE l_quantity > 25 GROUP BY 1"),
     "q37_partition_and_create" ->

@@ -61,7 +61,7 @@ final class MeasurementPlanner(
 
     case e @ GroupByCount(child, keys, out, hint) =>
       val t = prepared(child)
-      val sens = aggSensitivity(t)
+      val sens = aggSensitivity(t, Some(keys))
       val mech = selectMechanism(hint, integer = true, sens, parts = 1)
       val aggd = groupAgg(t.df, keys, Seq(count(lit(1)).as(out)))
       val joined = keysetJoin(keys, aggd, Seq(out -> Some(lit(0L))))
@@ -70,7 +70,7 @@ final class MeasurementPlanner(
 
     case e @ GroupByCountDistinct(child, keys, cols, out, hint) =>
       val t = prepared(child)
-      val sens = aggSensitivity(t)
+      val sens = aggSensitivity(t, Some(keys))
       val mech = selectMechanism(hint, integer = true, sens, parts = 1)
       val countCols = if (cols.nonEmpty) cols else t.schema.columnNames
       val aggd = groupAgg(t.df, keys,
@@ -81,7 +81,7 @@ final class MeasurementPlanner(
 
     case e @ GroupByBoundedSum(child, keys, m, lo, hi, out, hint) =>
       val t = prepared(child, dropSpecial = Some(m))
-      val sens = aggSensitivity(t) * Rat(math.max(math.abs(lo), math.abs(hi)))
+      val sens = aggSensitivity(t, Some(keys)) * Rat(math.max(math.abs(lo), math.abs(hi)))
       val integer = t.schema(m).ctype == ColumnType.Integer
       val mech = selectMechanism(hint, integer, sens, parts = 1)
       if (integer) {
@@ -103,7 +103,7 @@ final class MeasurementPlanner(
       // shifted back (reference _base_measurement_visitor.py:1249-1261);
       // each part gets half the budget.
       val t = prepared(child, dropSpecial = Some(m))
-      val sens = aggSensitivity(t)
+      val sens = aggSensitivity(t, Some(keys))
       val mid = (lo + hi) / 2.0
       val devSens = sens * Rat((hi - lo) / 2.0)
       val sumMech = selectMechanism(hint, integer = false, devSens, parts = 2)
@@ -134,7 +134,7 @@ final class MeasurementPlanner(
 
     case e @ GroupByQuantile(child, keys, m, q, lo, hi, out) =>
       val t = prepared(child, dropSpecial = Some(m))
-      val sens = aggSensitivity(t)
+      val sens = aggSensitivity(t, Some(keys))
       val eps = exponentialEpsilon(sens)
       val mech = NoiseMechanism.Exponential(eps)
       val binned = t.df.withColumn("__bin", DpQuantile.binColumn(col(m), lo, hi))
@@ -266,25 +266,34 @@ final class MeasurementPlanner(
   /** Row sensitivity of an aggregation over the compiled table. IDs tables
     * convert per-ID distance to row distance via the tightest enforced
     * constraint combination (reference _truncate_table,
-    * _base_measurement_visitor.py:534-589).
+    * _base_measurement_visitor.py:534-589). Under zCDP, the combination
+    * MaxGroupsPerID(c, g) x MaxRowsPerGroupPerID(c, r) earns the L2 credit
+    * r*sqrt(g) instead of r*g when c is one of the group-by keys (reference
+    * _constraint_stability, _base_measurement_visitor.py:200-207); the
+    * irrational bound is rounded up to stay a safe overestimate.
     */
-  private def aggSensitivity(t: TransformOut): Rat = t.metric match {
-    case RowsMetric(d) => d
-    case IDsMetric(_, _, d) =>
-      val perIdBounds: Seq[Long] =
-        t.constraints.collect { case MaxRowsPerID(n) => n.toLong } ++ {
-          val groups = t.constraints.collect { case MaxGroupsPerID(c, g) => c -> g.toLong }.toMap
-          t.constraints.collect {
-            case MaxRowsPerGroupPerID(c, r) if groups.contains(c) => groups(c) * r
-          }
-        }
-      if (perIdBounds.isEmpty)
-        throw new IllegalArgumentException(
-          "aggregations on a table with AddRowsWithID protection require an " +
-            "enforced constraint (MaxRowsPerID, or MaxGroupsPerID + " +
-            "MaxRowsPerGroupPerID); add .enforce(...) to the query")
-      d * Rat(perIdBounds.min)
-  }
+  private def aggSensitivity(t: TransformOut, keys: Option[KeySet] = None): Rat =
+    t.metric match {
+      case RowsMetric(d) => d
+      case IDsMetric(_, _, d) =>
+        val groups = t.constraints.collect { case MaxGroupsPerID(c, g) => c -> g.toLong }.toMap
+        val zcdp = budget.isInstanceOf[RhoZCDPBudget]
+        val perIdBounds: Seq[Long] =
+          t.constraints.collect { case MaxRowsPerID(n) => n.toLong } ++
+            t.constraints.collect {
+              case MaxRowsPerGroupPerID(c, r) if groups.contains(c) =>
+                val g = groups(c)
+                if (zcdp && keys.exists(_.columns.contains(c)))
+                  math.ceil(r * math.sqrt(g.toDouble)).toLong
+                else g * r
+            }
+        if (perIdBounds.isEmpty)
+          throw new IllegalArgumentException(
+            "aggregations on a table with AddRowsWithID protection require an " +
+              "enforced constraint (MaxRowsPerID, or MaxGroupsPerID + " +
+              "MaxRowsPerGroupPerID); add .enforce(...) to the query")
+        d * Rat(perIdBounds.min)
+    }
 
   /** DEFAULT -> concrete mechanism given budget kind and value type
     * (reference _rewrite_rules.py:91-199), with the noise scale calibrated
@@ -380,7 +389,7 @@ final class MeasurementPlanner(
   // sum of squared deviations, count; reference _query_expr.py:1918-2038)
   private def varianceParts(e: GroupByBoundedVariance) = {
     val t = prepared(e.child, dropSpecial = Some(e.measureColumn))
-    val sens = aggSensitivity(t)
+    val sens = aggSensitivity(t, Some(e.keys))
     val mid = (e.low + e.high) / 2.0
     val half = (e.high - e.low) / 2.0
     val sdMech = selectMechanism(e.mechanism, integer = false, sens * Rat(half), 3)
