@@ -381,6 +381,30 @@ object Queries {
         .agg(count(lit(1)).as("n_decoded"),
           sum(size(col("decoded.features"))).as("n_features"))
     }),
+    // -- streaming (availableNow over the same events data) ---------------
+    "q54_streaming_window_counts" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      // streaming file source needs a directory; glob-filter to the one table
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_seconds(col("event_id")))
+      val counts = stream
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("count"))
+      val name = "q54mem"
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(
+        col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("count"))
+    }),
     "q51_audio_windows" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val withBin = read(s, d, "documents")
@@ -552,5 +576,9 @@ object Queries {
       """SELECT CAST(count(*) AS BIGINT) AS n_decoded,
         |  CAST(16 * count(*) AS BIGINT) AS n_features FROM documents""".stripMargin,
     "q51_audio_windows" ->
-      "SELECT CAST(4 * count(*) AS BIGINT) AS n_windows FROM documents")
+      "SELECT CAST(4 * count(*) AS BIGINT) AS n_windows FROM documents",
+    "q54_streaming_window_counts" ->
+      """SELECT CAST((event_id // 600) * 600 AS BIGINT) AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS count
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }

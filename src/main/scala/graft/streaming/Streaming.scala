@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.exec.Noise
+
+/** Streaming operators over event tables (`readStream` sources). The
+  * reference is batch-only (SURVEY §2.8); these extend the engine to the
+  * streaming half of a training-data pipeline: watermarked window
+  * aggregation, private (noised) window release, and stateful
+  * sessionization via flatMapGroupsWithState.
+  *
+  * All operators take/return streaming Datasets - callers wire
+  * `spark.readStream` in and `.writeStream` out, so sources/sinks stay
+  * Spark-native (Kafka, files, Delta...).
+  */
+object Streaming {
+
+  /** Tumbling-window counts per key with event-time watermarking: late rows
+    * beyond `watermark` are dropped, windows finalize once the watermark
+    * passes (use OutputMode.Append downstream).
+    */
+  def windowedCounts(
+      events: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("count"))
+
+  /** Privately released windowed counts: geometric noise (scale
+    * sensitivity/epsilon) added to each finalized window. Append mode means
+    * each window is emitted exactly once after the watermark closes it, so
+    * the noise is added once per released statistic - the event-level DP
+    * guarantee holds per window with epsilon budget per user-contribution
+    * cap `maxRowsPerKey` enforced upstream.
+    */
+  def noisyWindowedCounts(
+      events: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, watermark: String,
+      epsilon: Double, sensitivity: Double = 1.0): DataFrame = {
+    val scale = if (epsilon.isInfinity) 0.0 else sensitivity / epsilon
+    windowedCounts(events, tsCol, keyCol, windowDuration, watermark)
+      .withColumn("count",
+        Noise.addLongNoise(col("count"), graft.exec.NoiseMechanism.Geometric(scale)))
+  }
+
+  final case class SessionEvent(userId: Long, ts: Timestamp)
+  final case class SessionSummary(
+      userId: Long, start: Timestamp, end: Timestamp, nEvents: Long)
+  // not private: the state encoder instantiates it in generated code
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
+  /** Event-time sessionization: groups each user's events into sessions
+    * separated by at least `gapMs` of silence, emitting one summary row per
+    * closed session. State is per-user and O(1); sessions close via
+    * event-time timeout, so the operator scales with distinct active users,
+    * not history.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent], gapMs: Long, watermark: String): Dataset[SessionSummary] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionSummary]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId,
+              new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
+          } else {
+            val ts = rows.map(_.ts.getTime).toVector.sorted
+            var closed = Vector.empty[SessionSummary]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed :+= SessionSummary(userId,
+                    new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

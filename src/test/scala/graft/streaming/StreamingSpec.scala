@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import Streaming.SessionEvent
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  test("windowed counts finalize per watermark-closed window") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = Streaming.windowedCounts(
+      in.toDF().toDF("ts", "etype"), "ts", "etype", "10 minutes", "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), "click"), (ts(2), "click"), (ts(3), "view"))
+      q.processAllAvailable()
+      // watermark still inside the first window: nothing finalized yet
+      assert(spark.table("wc").count() === 0)
+      in.addData((ts(30), "click")) // advances watermark past window [0,10)
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .selectExpr("etype", "count").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows === Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("noisy windowed counts at infinite epsilon equal exact counts") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = Streaming.noisyWindowedCounts(
+      in.toDF().toDF("ts", "etype"), "ts", "etype", "10 minutes", "5 minutes",
+      epsilon = Double.PositiveInfinity)
+    val q = counts.writeStream.format("memory").queryName("nwc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), "click"), (ts(2), "click"))
+      in.addData((ts(40), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("nwc").selectExpr("etype", "count").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows === Map("click" -> 2L))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and on timeout") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[SessionEvent]
+    val sessions = Streaming.sessionize(in.toDS(), gapMs = 5 * 60000L, "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 2min apart (one session), then 20min silence,
+      // then another event -> first session closes on the in-stream gap
+      in.addData(SessionEvent(1L, ts(1)), SessionEvent(1L, ts(3)))
+      q.processAllAvailable()
+      in.addData(SessionEvent(1L, ts(23)))
+      q.processAllAvailable()
+      in.addData(SessionEvent(2L, ts(60))) // advances watermark far ahead
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .selectExpr("userId", "nEvents").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((1L, 2L))) // the 2-event session closed
+      assert(rows.contains((1L, 1L))) // the single-event session timed out
+    } finally q.stop()
+  }
+}
