@@ -96,19 +96,15 @@ object Noise {
     math.round(sampleGaussian(sigma2))
   }
 
-  /** Add integer-valued noise to a LongType column. */
+  import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+
+  /** Add integer-valued noise to a LongType column via the native codegen'd
+    * AddNoise expression.
+    */
   def addLongNoise(c: Column, mech: NoiseMechanism): Column = mech match {
     case _ if mech.isNoiseless => c
-    case NoiseMechanism.Geometric(b) =>
-      val u = udf((v: java.lang.Long) =>
-        if (v == null) null else java.lang.Long.valueOf(v + sampleGeometric(b)))
-        .asNondeterministic()
-      u(c)
-    case NoiseMechanism.DiscreteGaussian(s2) =>
-      val u = udf((v: java.lang.Long) =>
-        if (v == null) null else java.lang.Long.valueOf(v + sampleDiscreteGaussian(s2)))
-        .asNondeterministic()
-      u(c)
+    case NoiseMechanism.Geometric(_) | NoiseMechanism.DiscreteGaussian(_) =>
+      ExpressionUtils.column(AddNoise(ExpressionUtils.expression(c), mech))
     case other => throw new IllegalArgumentException(
       s"${other.name} noise cannot be added to an integer column")
   }
@@ -116,27 +112,9 @@ object Noise {
   /** Add continuous noise to a DoubleType column. */
   def addDoubleNoise(c: Column, mech: NoiseMechanism): Column = mech match {
     case _ if mech.isNoiseless => c
-    case NoiseMechanism.Laplace(b) =>
-      val u = udf((v: java.lang.Double) =>
-        if (v == null) null else java.lang.Double.valueOf(v + sampleLaplace(b)))
-        .asNondeterministic()
-      u(c)
-    case NoiseMechanism.Gaussian(s2) =>
-      val u = udf((v: java.lang.Double) =>
-        if (v == null) null else java.lang.Double.valueOf(v + sampleGaussian(s2)))
-        .asNondeterministic()
-      u(c)
-    case NoiseMechanism.Geometric(b) =>
-      val u = udf((v: java.lang.Double) =>
-        if (v == null) null else java.lang.Double.valueOf(v + sampleGeometric(b)))
-        .asNondeterministic()
-      u(c)
-    case NoiseMechanism.DiscreteGaussian(s2) =>
-      val u = udf((v: java.lang.Double) =>
-        if (v == null) null else java.lang.Double.valueOf(v + sampleDiscreteGaussian(s2)))
-        .asNondeterministic()
-      u(c)
-    case other => throw new IllegalArgumentException(
-      s"${other.name} noise cannot be added to a decimal column")
+    case NoiseMechanism.Exponential(_) => throw new IllegalArgumentException(
+      "the exponential mechanism is not additive noise")
+    case _ =>
+      ExpressionUtils.column(AddNoise(ExpressionUtils.expression(c), mech))
   }
 }
