@@ -267,6 +267,13 @@ object Queries {
     "q35_get_bounds" -> ((s, d) =>
       lineitemSession(s, d).evaluate(
         QueryBuilder("lineitem").getBounds("l_extendedprice"), Inf)),
+    "q55_count_distinct_ids" -> ((s, d) =>
+      // distinct-ID count on an IDs table needs no enforce(): sensitivity
+      // is exactly d_in per the constrained-count-distinct optimization
+      Session.fromDataFrame(s, Inf, "events", read(s, d, "events"),
+        AddRowsWithID("user_id"))
+        .evaluate(QueryBuilder("events").select("user_id")
+          .countDistinct(Seq("user_id"), name = "n_users"), Inf)),
     // -- auto partition selection / zCDP ----------------------------------
     "q38_auto_partition" -> ((s, d) =>
       Session.fromDataFrame(s, InfApprox, "events", read(s, d, "events"), AddOneRow())
@@ -532,6 +539,8 @@ object Queries {
       "SELECT DISTINCT CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
     "q32_keyset_filter" ->
       "SELECT DISTINCT r_name FROM region WHERE r_name LIKE 'A%'",
+    "q55_count_distinct_ids" ->
+      "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
     "q38_auto_partition" ->
       "SELECT event_type, CAST(count(*) AS BIGINT) AS count FROM events GROUP BY 1",
     "q39_zcdp_sum" ->

@@ -70,9 +70,18 @@ final class MeasurementPlanner(
 
     case e @ GroupByCountDistinct(child, keys, cols, out, hint) =>
       val t = prepared(child)
-      val sens = aggSensitivity(t, Some(keys))
-      val mech = selectMechanism(hint, integer = true, sens, parts = 1)
       val countCols = if (cols.nonEmpty) cols else t.schema.columnNames
+      val idCase = t.metric match {
+        // Counting distinct privacy IDs needs no contribution constraint:
+        // adding/removing one ID changes the distinct-ID count by exactly
+        // one, so sensitivity is d_in directly (the reference's
+        // constrained-count-distinct optimization,
+        // _base_measurement_visitor.py:217-300, ungrouped form).
+        case IDsMetric(id, _, d) if countCols == Seq(id) && keys.isEmptyKey => Some(d)
+        case _ => None
+      }
+      val sens = idCase.getOrElse(aggSensitivity(t, Some(keys)))
+      val mech = selectMechanism(hint, integer = true, sens, parts = 1)
       val aggd = groupAgg(t.df, keys,
         Seq(countDistinct(struct(countCols.map(col).toIndexedSeq: _*)).as(out)))
       val joined = keysetJoin(keys, aggd, Seq(out -> Some(lit(0L))))
