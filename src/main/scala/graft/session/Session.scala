@@ -25,7 +25,14 @@ final class Session private (
     publicTables: mutable.Map[String, DataFrame]) {
 
   private var remaining: PrivacyBudget = initialBudget
-  private var retired: Boolean = false
+  private[session] var retired: Boolean = false
+  // accountant-tree bookkeeping (reference session states
+  // ACTIVE/RETIRED/WAITING_FOR_CHILDREN/WAITING_FOR_SIBLING,
+  // session.py:637-657): children must be consumed in creation order;
+  // touching the parent retires all children, touching a later child
+  // retires earlier siblings.
+  private var activeChildren: Seq[Session] = Nil
+  private var olderSiblings: Seq[Session] = Nil
 
   def remainingPrivacyBudget: PrivacyBudget = remaining
   def privateSources: Seq[String] = privateTables.keys.toSeq.sorted
@@ -34,9 +41,15 @@ final class Session private (
 
   private def catalog: Catalog = Catalog(privateTables.toMap, publicTables.toMap)
 
-  private def checkActive(): Unit =
+  private def checkActive(): Unit = {
     if (retired) throw new IllegalStateException(
-      "this Session is retired (a partition_and_create child has taken over)")
+      "this Session is retired (its parent or a later sibling has taken over)")
+    // working on this session ends its children's and older siblings' turns
+    activeChildren.foreach(_.retired = true)
+    activeChildren = Nil
+    olderSiblings.foreach(_.retired = true)
+    olderSiblings = Nil
+  }
 
   private def spend(b: PrivacyBudget): Unit = {
     if (!(remaining >= b))
@@ -122,13 +135,19 @@ final class Session private (
       case _ =>
     }
     spend(budget)
-    splits.map { case (childName, value) =>
+    val kids = splits.map { case (childName, value) =>
       val childDf = t.df.filter(col(column) === lit(value))
       val childTables = mutable.Map(
         childName -> t.copy(df = childDf))
       childName -> new Session(spark, budget, childTables,
         mutable.Map(publicTables.toSeq: _*))
-    }.toMap
+    }
+    // creation-order discipline: each child retires earlier siblings on
+    // first use; using this session again retires every child
+    val ordered = kids.map(_._2)
+    ordered.zipWithIndex.foreach { case (k, i) => k.olderSiblings = ordered.take(i) }
+    activeChildren = ordered
+    kids.toMap
   }
 
   /** Human-readable description of session state (reference session.py

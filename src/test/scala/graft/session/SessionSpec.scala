@@ -124,8 +124,9 @@ class SessionSpec extends SparkSpec {
     val nb = kids("tb").evaluate(QueryBuilder("tb").count(), PureDPBudget(0.5))
       .collect().head.getLong(0)
     assert(math.abs(na - 3L) <= 30L && math.abs(nb - 3L) <= 30L, s"na=$na nb=$nb")
+    // tb is the active child now and its budget is exhausted
     intercept[IllegalArgumentException] {
-      kids("ta").evaluate(QueryBuilder("ta").count(), PureDPBudget(0.1))
+      kids("tb").evaluate(QueryBuilder("tb").count(), PureDPBudget(0.1))
     }
   }
 
@@ -182,6 +183,43 @@ class SessionSpec extends SparkSpec {
         QueryBuilder("t").groupby(KeySet.detect("flag")).count(), Inf)
     }
     intercept[IllegalStateException] { KeySet.detect("flag").dataframe(spark) }
+  }
+
+  test("null is a valid group-by key on both sides") {
+    val dfn = makeDf(StructType(Seq(strCol("flag"), longCol("qty"))),
+      Seq(Row("A", 1L), Row(null, 2L), Row(null, 3L), Row("B", 4L)))
+    val s = Session.fromDataFrame(spark, Inf, "t", dfn, AddOneRow())
+    val keys = graft.keyset.KeySet.fromTuples(Seq(Seq("A"), Seq(null)),
+      StructType(Seq(StructField("flag", StringType, nullable = true))))
+    val out = s.evaluate(QueryBuilder("t").groupby(keys).count(), Inf)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(out === Map(Some("A") -> 1L, None -> 2L)) // B not in keyset -> dropped
+  }
+
+  test("AddMaxRowsInMaxGroups lowers to groups*rows distance (sqrt under zCDP)") {
+    val s = Session.fromDataFrame(spark, Inf, "t", df,
+      AddMaxRowsInMaxGroups("flag", maxGroups = 2, maxRowsPerGroup = 3))
+    // PureDP: d_in = 6 -> count scale 6/eps = 12 at eps 0.5
+    val info = s.noiseInfo(QueryBuilder("t").count(), PureDPBudget(0.5))
+    assert(info.head.mechanism === NoiseMechanism.Geometric(12.0))
+    val sz = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df,
+      AddMaxRowsInMaxGroups("flag", maxGroups = 2, maxRowsPerGroup = 3))
+    // zCDP: d_in = ceil(3*sqrt(2)) = 5 -> sigma^2 = 25/(2*0.5) = 25
+    val infoZ = sz.noiseInfo(QueryBuilder("t").count(), RhoZCDPBudget(0.5))
+    assert(infoZ.head.mechanism === NoiseMechanism.DiscreteGaussian(25.0))
+  }
+
+  test("accountant tree: later sibling retires earlier; parent retires children") {
+    val s = rowSession()
+    val kids = s.partitionAndCreate("t", Inf, "flag", Seq("ta" -> "A", "tb" -> "B"))
+    kids("tb").evaluate(QueryBuilder("tb").count(), Inf) // skips ta -> ta retired
+    intercept[IllegalStateException] {
+      kids("ta").evaluate(QueryBuilder("ta").count(), Inf)
+    }
+    s.evaluate(QueryBuilder("t").count(), Inf) // parent resumes -> tb retired
+    intercept[IllegalStateException] {
+      kids("tb").evaluate(QueryBuilder("tb").count(), Inf)
+    }
   }
 
   test("retired session refuses work after invalid partition column") {
