@@ -6,6 +6,7 @@ import graft.accounting._
 import graft.budget._
 import graft.constraints._
 import graft.ir._
+import graft.ir.QueryExpr.TextFeatureKind
 import graft.keyset.KeySet
 import graft.session.Session
 import graft.types.{ColumnDescriptor, ColumnType}
@@ -274,6 +275,25 @@ object Queries {
         AddRowsWithID("user_id"))
         .evaluate(QueryBuilder("events").select("user_id")
           .countDistinct(Seq("user_id"), name = "n_users"), Inf)),
+    // -- DP x pipeline composition (stability-tracked text transforms) ----
+    "q56_dp_language_histogram" -> ((s, d) =>
+      Session.fromDataFrame(s, Inf, "documents", read(s, d, "documents"), AddOneRow())
+        .evaluate(
+          QueryBuilder("documents")
+            .textFeature(TextFeatureKind.Language, "text", "lang_det")
+            .groupby(KeySet.fromColumn("lang_det",
+              Seq("en", "de", "es", "fr", "zh", "und"))).count(), Inf)),
+    "q57_dp_quality_dedup_count" -> ((s, d) =>
+      Session.fromDataFrame(s, Inf, "documents", read(s, d, "documents"), AddOneRow())
+        .evaluate(
+          QueryBuilder("documents").distinctRows("text").qualityFilter("text")
+            .count(), Inf)),
+    "q58_dp_token_sum" -> ((s, d) =>
+      Session.fromDataFrame(s, Inf, "documents", read(s, d, "documents"), AddOneRow())
+        .evaluate(
+          QueryBuilder("documents")
+            .textFeature(TextFeatureKind.TokenCount, "text", "tokens")
+            .sum("tokens", 0.0, 5000.0), Inf)),
     // -- auto partition selection / zCDP ----------------------------------
     "q38_auto_partition" -> ((s, d) =>
       Session.fromDataFrame(s, InfApprox, "events", read(s, d, "events"), AddOneRow())
@@ -353,6 +373,12 @@ object Queries {
       graft.pipeline.Similarity.bruteForceTopK(
         emb, "vec_id", "embedding",
         emb.filter("vec_id < 10"), "vec_id", "embedding", k = 3)
+    }),
+    "q59_knn_ivf" -> ((s, d) => {
+      val emb = read(s, d, "embeddings")
+      val model = graft.pipeline.Ivf.train(emb, "embedding", nlist = 8)
+      graft.pipeline.Ivf.topK(emb, "vec_id", "embedding",
+        emb.filter("vec_id < 10"), "vec_id", "embedding", k = 3, model, nprobe = 3)
     }),
     "q46_knn_lsh" -> ((s, d) => {
       val emb = read(s, d, "embeddings")
@@ -541,6 +567,42 @@ object Queries {
       "SELECT DISTINCT r_name FROM region WHERE r_name LIKE 'A%'",
     "q55_count_distinct_ids" ->
       "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
+    "q56_dp_language_histogram" ->
+      """SELECT k.lang_det AS lang_det, CAST(coalesce(t.cnt, 0) AS BIGINT) AS count
+        |FROM (VALUES ('en'), ('de'), ('es'), ('fr'), ('zh'), ('und')) k(lang_det)
+        |LEFT JOIN (
+        |  SELECT CASE
+        |      WHEN en > 0 AND en = best THEN 'en'
+        |      WHEN de > 0 AND de = best THEN 'de'
+        |      WHEN es > 0 AND es = best THEN 'es'
+        |      WHEN fr > 0 AND fr = best THEN 'fr'
+        |      WHEN zh > 0 AND zh = best THEN 'zh'
+        |      ELSE 'und' END AS lang_det, count(*) AS cnt
+        |  FROM (
+        |    SELECT *, greatest(en, de, es, fr, zh) AS best FROM (
+        |      SELECT
+        |        len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|in|that|it|for|you|with)\b')) AS en,
+        |        len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|eine|zu|den|von|mit)\b')) AS de,
+        |        len(regexp_extract_all(text, '(?i)\b(el|la|los|las|de|que|y|en|un|una|es|por|para)\b')) AS es,
+        |        len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|que|des|une|dans|pour|qui|sur)\b')) AS fr,
+        |        len(regexp_extract_all(text, '[\p{Han}]')) AS zh
+        |      FROM documents))
+        |  GROUP BY 1) t USING (lang_det)""".stripMargin,
+    "q57_dp_quality_dedup_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS count FROM (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS t,
+        |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS chars,
+        |    length(text) AS lc,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+        |  FROM (SELECT DISTINCT text FROM documents))
+        |WHERE t BETWEEN 5 AND 100000
+        |  AND (CAST(chars AS DOUBLE) / CAST(t AS DOUBLE)) BETWEEN 2.0 AND 12.0
+        |  AND (CAST(np AS DOUBLE) / CAST(lc AS DOUBLE)) < 0.3""".stripMargin,
+    "q58_dp_token_sum" ->
+      """SELECT CAST(sum(least(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(string_split_regex(trim(text), '\s+')) END, 0), 5000)) AS BIGINT)
+        |  AS sum FROM documents""".stripMargin,
     "q38_auto_partition" ->
       "SELECT event_type, CAST(count(*) AS BIGINT) AS count FROM events GROUP BY 1",
     "q39_zcdp_sum" ->

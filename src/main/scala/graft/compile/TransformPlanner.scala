@@ -232,6 +232,29 @@ final class TransformPlanner(
       val df = if (conds.isEmpty) c.df else c.df.filter(conds.reduce(_ && _))
       TransformOut(df, e.schema(cat), c.metric, c.constraints)
 
+    case e @ DistinctRows(child, cols) =>
+      val c = compile(child)
+      TransformOut(c.df.select(cols.map(col).toIndexedSeq: _*).dropDuplicates(),
+        e.schema(cat), c.metric, Constraint.select(c.constraints, cols))
+
+    case e @ TextFeature(child, kind, textCol, out) =>
+      val c = compile(child)
+      val t = graft.pipeline.TextAnalysis
+      val expr = kind match {
+        case TextFeatureKind.TokenCount     => t.tokenCount(col(textCol))
+        case TextFeatureKind.SubwordCount   => t.subwordTokenCount(col(textCol))
+        case TextFeatureKind.Language       => t.languageId(col(textCol))
+        case TextFeatureKind.QualityScore   => t.qualityScore(col(textCol))
+        case TextFeatureKind.Fingerprint    => t.fingerprint(col(textCol))
+        case TextFeatureKind.MeanWordLength => t.meanWordLength(col(textCol))
+      }
+      TransformOut(c.df.withColumn(out, expr), e.schema(cat), c.metric, c.constraints)
+
+    case e @ QualityFilter(child, textCol) =>
+      val c = compile(child)
+      TransformOut(c.df.filter(graft.pipeline.TextAnalysis.qualityOk(col(textCol))),
+        e.schema(cat), c.metric, c.constraints)
+
     case e @ EnforceConstraint(child, constraint) =>
       val c = compile(child)
       val idCol = c.schema.idColumn.getOrElse(

@@ -110,6 +110,21 @@ final class QueryBuilder private (private[graft] val expr: TransformExpr) {
   def enforce(constraint: Constraint): QueryBuilder =
     next(EnforceConstraint(expr, constraint))
 
+  // -- beyond-reference pipeline transforms (stability-tracked) ------------
+
+  /** Exact dedup: distinct rows over `columns` (stability 1). */
+  def distinctRows(columns: String*): QueryBuilder =
+    next(DistinctRows(expr, columns))
+
+  /** Append a text feature column (token count, language, quality score...). */
+  def textFeature(kind: TextFeatureKind, textColumn: String,
+      outputColumn: String): QueryBuilder =
+    next(TextFeature(expr, kind, textColumn, outputColumn))
+
+  /** Keep rows passing the heuristic quality gate. */
+  def qualityFilter(textColumn: String): QueryBuilder =
+    next(QualityFilter(expr, textColumn))
+
   /** Assign values of `column` to named bins (reference query_builder.py:1490;
     * lowers to a Map-free Catalyst projection, binning_spec.py).
     */

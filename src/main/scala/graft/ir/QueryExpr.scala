@@ -202,6 +202,66 @@ object QueryExpr {
     }
   }
 
+  /** Distinct rows over a column subset — exact dedup as a stability-1
+    * transformation (adding one input row adds at most one distinct row), so
+    * dedup composes with the DP layer (beyond-reference operator; see
+    * pipeline/Dedup.scala for the standalone variants).
+    */
+  final case class DistinctRows(child: TransformExpr, columns: Seq[String])
+      extends TransformExpr {
+    require(columns.nonEmpty, "distinct requires at least one column")
+    def schema(cat: CatalogSchemas): TableSchema = {
+      val in = child.schema(cat)
+      columns.foreach(c => if (!in.contains(c)) err(s"distinct: column '$c' not in schema"))
+      in.idColumn.foreach(id => if (!columns.contains(id))
+        err(s"distinct on an IDs table must keep the id column '$id'"))
+      in.copy(columns = columns.map(c => c -> in(c)))
+    }
+  }
+
+  /** Text-feature kinds computable as pure codegen'd projections
+    * (pipeline/TextAnalysis.scala), exposed to the DP layer as stability-1
+    * transformations.
+    */
+  sealed trait TextFeatureKind { def outType: ColumnType }
+  object TextFeatureKind {
+    case object TokenCount extends TextFeatureKind { val outType = Integer }
+    case object SubwordCount extends TextFeatureKind { val outType = Integer }
+    case object Language extends TextFeatureKind { val outType = Varchar }
+    case object QualityScore extends TextFeatureKind { val outType = Decimal }
+    case object Fingerprint extends TextFeatureKind { val outType = Varchar }
+    case object MeanWordLength extends TextFeatureKind { val outType = Decimal }
+  }
+
+  /** Append a text feature column derived from `textColumn`. */
+  final case class TextFeature(
+      child: TransformExpr, kind: TextFeatureKind, textColumn: String,
+      outputColumn: String) extends TransformExpr {
+    def schema(cat: CatalogSchemas): TableSchema = {
+      val in = child.schema(cat)
+      if (!in.contains(textColumn)) err(s"text feature: column '$textColumn' not in schema")
+      if (in(textColumn).ctype != Varchar)
+        err(s"text feature: column '$textColumn' must be VARCHAR")
+      if (in.contains(outputColumn)) err(s"text feature: column '$outputColumn' already exists")
+      in.copy(columns = in.columns :+
+        (outputColumn -> ColumnDescriptor(kind.outType, allowNull = in(textColumn).allowNull)))
+    }
+  }
+
+  /** Keep rows passing the heuristic text quality gate (stability 1, pure
+    * row filter; pipeline/TextAnalysis.qualityOk).
+    */
+  final case class QualityFilter(child: TransformExpr, textColumn: String)
+      extends TransformExpr {
+    def schema(cat: CatalogSchemas): TableSchema = {
+      val in = child.schema(cat)
+      if (!in.contains(textColumn)) err(s"quality filter: column '$textColumn' not in schema")
+      if (in(textColumn).ctype != Varchar)
+        err(s"quality filter: column '$textColumn' must be VARCHAR")
+      in
+    }
+  }
+
   // ------------------------------------------------------------------- joins
 
   /** Output schema/order rule shared by both joins (reference

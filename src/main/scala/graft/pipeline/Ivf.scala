@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a KMeans coarse
+  * quantizer assigns every corpus vector to one of `nlist` cells; a query
+  * probes its `nprobe` nearest cells and re-ranks candidates by exact
+  * cosine. The scale path for ANN when both sides are large: the corpus is
+  * scanned once for assignment (then the cell id can be persisted /
+  * partitioned on), and each query touches ~nprobe/nlist of the corpus.
+  * Centroid training uses a bounded sample; assignment is a broadcast of
+  * nlist centroids — no all-pairs anywhere.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+  }
+
+  /** Train the coarse quantizer on (a sample of) the corpus. Deterministic
+    * under a fixed seed.
+    */
+  def train(
+      corpus: DataFrame, vecCol: String, nlist: Int,
+      maxSample: Int = 100000, seed: Long = 42L): Model = {
+    val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
+    val n = corpus.count()
+    val frac = math.min(1.0, maxSample.toDouble / math.max(n, 1L))
+    val sample = corpus.sample(withReplacement = false, frac, seed)
+      .select(toVec(col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features")
+    val model = km.fit(sample)
+    Model(model.clusterCenters.map(_.toArray))
+  }
+
+  private def cellUdf(m: Model, probes: Int) =
+    udf((xs: Seq[Double]) => {
+      val v = xs.toArray
+      // nearest `probes` centroids by squared L2
+      m.centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(probes).map(_._2)
+    })
+
+  /** Approximate top-k: probe the query's `nprobe` nearest cells, exact
+    * cosine re-rank within them.
+    */
+  def topK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, model: Model, nprobe: Int = 4): DataFrame = {
+    val assignC = cellUdf(model, 1)
+    val assignQ = cellUdf(model, nprobe)
+    val c = corpus.select(col(corpusId).as("corpus_id"),
+      col(corpusVec).cast("array<double>").as("__cv"))
+      .withColumn("__cell", assignC(col("__cv"))(0))
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("__qv"))
+      .withColumn("__cell", explode(assignQ(col("__qv"))))
+    val scored = c.join(q, Seq("__cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    scored.select("query_id", "corpus_id", "cosine").distinct()
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

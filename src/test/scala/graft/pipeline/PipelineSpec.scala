@@ -76,6 +76,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.toList === List((2L, 1), (3L, 2)))
   }
 
+  test("IVF top-k recalls the exact neighbor when cells are probed") {
+    val schema = StructType(Seq(longCol("id"), StructField("vec", ArrayType(DoubleType))))
+    // two well-separated clusters; nearest neighbors live in-cluster
+    val rows = (0 until 20).map { i =>
+      val base = if (i < 10) 10.0 else -10.0
+      Row(i.toLong, Seq(base + i * 0.01, base - i * 0.01, base))
+    }
+    val df = makeDf(schema, rows)
+    val model = Ivf.train(df, "vec", nlist = 2, seed = 7L)
+    val out = Ivf.topK(df, "id", "vec", df.filter("id = 0"), "id", "vec",
+      k = 1, model, nprobe = 1).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) < 10L) // neighbor from the same cluster
+  }
+
   test("token count and quality gates") {
     val df = docs(1L -> "one two three four five six", 2L -> "", 3L -> "   ",
       4L -> "a b")
