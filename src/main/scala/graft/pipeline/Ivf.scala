@@ -26,15 +26,16 @@ object Ivf {
     */
   def train(
       corpus: DataFrame, vecCol: String, nlist: Int,
-      maxSample: Int = 100000, seed: Long = 42L): Model = {
+      maxSample: Int = 100000, maxIter: Int = 8, seed: Long = 42L): Model = {
     val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
-    val n = corpus.count()
-    val frac = math.min(1.0, maxSample.toDouble / math.max(n, 1L))
-    val sample = corpus.sample(withReplacement = false, frac, seed)
+    // limit() instead of count()+sample(): one job fewer, still bounded
+    val sample = corpus.limit(maxSample)
       .select(toVec(col(vecCol).cast("array<double>")).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .cache()
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features")
     val model = km.fit(sample)
+    sample.unpersist()
     Model(model.clusterCenters.map(_.toArray))
   }
 
