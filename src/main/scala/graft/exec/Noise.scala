@@ -45,21 +45,58 @@ final case class NoiseInfo(column: String, mechanism: NoiseMechanism)
   */
 object Noise {
 
-  /** Two-sided geometric (discrete Laplace), pmf ∝ exp(-|k|/b). Sampled as
-    * the difference of two iid geometric variables on {0,1,...} — exact, no
-    * floating-point CDF inversion near the tails.
+  /** Two-sided geometric (discrete Laplace), pmf ∝ exp(-|k| * s/t), sampled
+    * EXACTLY with integer arithmetic only (Canonne-Kamath-Steinke,
+    * arXiv:2004.00010, Algorithm 2) — no transcendental floating point in
+    * the sampling path, closing the naive-Laplace FP attack surface
+    * (SURVEY §7.4 "secure sampling"). The requested scale `b` is quantized
+    * UP to t/2^20 >= b, so the realized noise is never below the calibrated
+    * scale.
     */
   def sampleGeometric(b: Double): Long = {
     if (b == 0.0) return 0L
-    val alpha = math.exp(-1.0 / b)
-    geom(alpha) - geom(alpha)
+    if (b > (1L << 34).toDouble) {
+      // astronomically large scale (eps ~ 0): exact integer path would
+      // overflow; noise this large is unusable anyway, FP tails irrelevant
+      val u = ThreadLocalRandom.current().nextDouble() - 0.5
+      return math.round(-b * math.signum(u) * math.log1p(-2.0 * math.abs(u)))
+    }
+    val s = 1L << 20
+    val t = math.max(math.ceil(b * s).toLong, 1L)
+    sampleDiscreteLaplace(t, s)
   }
 
-  /** Geometric on {0,1,2,...} with P(X >= k) = alpha^k. */
-  private def geom(alpha: Double): Long = {
-    val u = ThreadLocalRandom.current().nextDouble()
-    // u in (0,1); floor(ln(u)/ln(alpha)) is geometric
-    math.floor(math.log1p(-u) / math.log(alpha)).toLong
+  /** Exact discrete Laplace with rational scale t/s (CKS Algorithm 2). */
+  def sampleDiscreteLaplace(t: Long, s: Long): Long = {
+    val rng = ThreadLocalRandom.current()
+    while (true) {
+      val u = rng.nextLong(t)
+      if (bernoulliExpFrac(u, t, rng)) {
+        // V ~ Geometric(1 - e^-1): count of successful Bernoulli(e^-1) draws
+        var v = 0L
+        while (bernoulliExpFrac(1, 1, rng)) v += 1
+        val x = u + t * v
+        val y = x / s
+        val negative = rng.nextBoolean()
+        if (!(negative && y == 0L)) return if (negative) -y else y
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Exact Bernoulli(exp(-num/den)) for 0 <= num/den <= 1 via the von
+    * Neumann series trick (CKS Algorithm 1): draw Bernoulli(num/(den*k))
+    * until the first failure at step k; accept iff k is odd. Only integer
+    * comparisons against uniform longs.
+    */
+  private def bernoulliExpFrac(
+      num: Long, den: Long, rng: ThreadLocalRandom): Boolean = {
+    var k = 1L
+    while (true) {
+      if (num == 0 || rng.nextLong(den * k) >= num) return k % 2 == 1
+      k += 1
+    }
+    false // unreachable
   }
 
   /** Continuous Laplace with scale b. */
