@@ -257,6 +257,16 @@ object Queries {
     "q32_keyset_filter" -> ((s, d) =>
       KeySet.fromDataFrame(read(s, d, "region").select("r_name"))
         .filter("r_name LIKE 'A%'").dataframe(s)),
+    "q60_keyset_cross_large" -> ((s, d) => {
+      // mirrors the reference's published benchmark shape (cross-product
+      // materialization, benchmark/keyset_cross_product_per_size.py): 16M
+      // keys - above the 2^20 driver-side fold cutoff, so this exercises
+      // the distributed crossJoin path
+      import org.apache.spark.sql.functions._
+      val ks = KeySet.fromColumn("a", 0L until 4000L) *
+        KeySet.fromColumn("b", 0L until 4000L)
+      ks.dataframe(s).agg(count(lit(1)).as("n_keys"))
+    }),
     // -- quantile family (exponential mechanism; rows-only checks) ---------
     "q33_median" -> ((s, d) =>
       lineitemSession(s, d).evaluate(
@@ -565,6 +575,8 @@ object Queries {
       "SELECT DISTINCT CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
     "q32_keyset_filter" ->
       "SELECT DISTINCT r_name FROM region WHERE r_name LIKE 'A%'",
+    "q60_keyset_cross_large" ->
+      "SELECT CAST(4000 * 4000 AS BIGINT) AS n_keys",
     "q55_count_distinct_ids" ->
       "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
     "q56_dp_language_histogram" ->
