@@ -52,7 +52,11 @@ final class TransformPlanner(
 
     case e @ Rename(child, mapping) =>
       val c = compile(child)
-      TransformOut(c.df.withColumnsRenamed(mapping), e.schema(cat), c.metric,
+      // a single atomic projection, not withColumnsRenamed: sequential
+      // renames corrupt swap mappings like {a->b, b->a}
+      val renamed = c.df.select(c.df.columns.map(n =>
+        col(n).as(mapping.getOrElse(n, n))).toIndexedSeq: _*)
+      TransformOut(renamed, e.schema(cat), c.metric,
         Constraint.rename(c.constraints, mapping))
 
     case e @ Filter(child, cond) =>

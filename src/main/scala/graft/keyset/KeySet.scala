@@ -127,6 +127,7 @@ final class KeySet private (val op: KeySetOp) extends Serializable {
     */
   def dataframe(spark: SparkSession): DataFrame = synchronized {
     if (cached == null || (cachedSession ne spark)) {
+      if (persisted && cached != null) cached.unpersist() // no leaked persists
       cached = KeySet.materialize(op, spark)
       cachedSession = spark
       persisted = false

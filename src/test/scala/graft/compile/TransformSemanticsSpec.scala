@@ -1,0 +1,93 @@
+package graft.compile
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.accounting.AddOneRow
+import graft.budget.{PureDPBudget, Rat}
+import graft.constraints.TruncationStrategy
+import graft.ir._
+import graft.keyset.KeySet
+import graft.session.Session
+
+/** Runtime semantics of transformations that only had schema-level tests:
+  * join column ordering/suffixing, rename swaps, grouping-column
+  * discipline, truncation caps.
+  */
+class TransformSemanticsSpec extends SparkSpec {
+  private val Inf = PureDPBudget(Rat.Inf)
+
+  test("join output: join cols, left-only, right-only, suffixed overlap") {
+    val left = makeDf(StructType(Seq(longCol("k"), strCol("a"), strCol("both"))),
+      Seq(Row(1L, "l1", "L")))
+    val right = makeDf(StructType(Seq(longCol("k"), strCol("b"), strCol("both"))),
+      Seq(Row(1L, "r1", "R")))
+    val s = new Session.Builder().withPrivacyBudget(Inf)
+      .withPrivateDataFrame("l", left, AddOneRow())
+      .withPublicDataFrame("r", right)
+      .build(spark)
+    s.createView(QueryBuilder("l").joinPublic("r", Seq("k")), "j", cache = false)
+    assert(s.getSchema("j").columnNames ===
+      Seq("k", "a", "b", "both_left", "both_right"))
+    val n = s.evaluate(
+      QueryBuilder("j").filter("both_left = 'L' AND both_right = 'R' AND a = 'l1'")
+        .count(), Inf).collect().head.getLong(0)
+    assert(n === 1L)
+  }
+
+  test("rename supports column swaps atomically") {
+    val df = makeDf(StructType(Seq(strCol("a"), strCol("b"))), Seq(Row("va", "vb")))
+    val s = Session.fromDataFrame(spark, Inf, "t", df, AddOneRow())
+    val n = s.evaluate(
+      QueryBuilder("t").rename(Map("a" -> "b", "b" -> "a"))
+        .filter("a = 'vb' AND b = 'va'").count(), Inf)
+      .collect().head.getLong(0)
+    assert(n === 1L)
+  }
+
+  test("grouping column must be included in the group-by keys") {
+    val df = makeDf(StructType(Seq(strCol("x"))), Seq(Row("v")))
+    val s = Session.fromDataFrame(spark, Inf, "t", df, AddOneRow())
+    val qb = QueryBuilder("t").flatMap(
+      r => Seq(Map("g" -> "p"), Map("g" -> "q")),
+      Seq("g" -> graft.types.ColumnDescriptor(graft.types.ColumnType.Varchar)),
+      maxRows = 2, augment = true, grouping = true)
+    // grouping on g works; grouping on nothing (ungrouped count) must fail
+    val ok = s.evaluate(qb.groupby(KeySet.fromColumn("g", Seq("p", "q"))).count(), Inf)
+    assert(ok.collect().map(_.getLong(1)).sum === 2L)
+    intercept[IllegalArgumentException] { s.evaluate(qb.count(), Inf) }
+  }
+
+  test("DropExcess truncation caps rows per join key, order-independently") {
+    val left = makeDf(StructType(Seq(longCol("k"), strCol("v"))),
+      (1 to 10).map(i => Row(1L, s"v$i")) :+ Row(2L, "w"))
+    val right = makeDf(StructType(Seq(longCol("k"), strCol("u"))),
+      Seq(Row(1L, "u1"), Row(2L, "u2")))
+    val s = new Session.Builder().withPrivacyBudget(Inf)
+      .withPrivateDataFrame("l", left, AddOneRow())
+      .withPrivateDataFrame("r", right, AddOneRow())
+      .build(spark)
+    def joined(maxRows: Int) = s.evaluate(
+      QueryBuilder("l").joinPrivate(QueryBuilder("r"),
+        TruncationStrategy.DropExcess(maxRows), TruncationStrategy.DropExcess(1),
+        Some(Seq("k"))).count(), Inf).collect().head.getLong(0)
+    assert(joined(3) === 4L) // key 1 capped at 3 + key 2's single row
+    assert(joined(3) === 4L) // deterministic across evaluations
+    assert(joined(100) === 11L)
+  }
+
+  test("flat_map_by_id output feeds constraints and aggregation") {
+    val df = makeDf(StructType(Seq(longCol("uid"), strCol("v"))),
+      Seq(Row(1L, "a"), Row(1L, "b"), Row(2L, "c")))
+    val s = Session.fromDataFrame(spark, Inf, "t", df,
+      graft.accounting.AddRowsWithID("uid"))
+    val out = s.evaluate(
+      QueryBuilder("t")
+        .flatMapByID(rows => Seq(Map("n" -> rows.size)),
+          Seq("n" -> graft.types.ColumnDescriptor(graft.types.ColumnType.Integer)))
+        .enforce(graft.constraints.MaxRowsPerID(1))
+        .sum("n", 0, 100), Inf).collect().head.getLong(0)
+    assert(out === 3L) // 2 + 1 rows across the two ids
+  }
+}
