@@ -577,6 +577,41 @@ object Queries {
       "SELECT DISTINCT r_name FROM region WHERE r_name LIKE 'A%'",
     "q60_keyset_cross_large" ->
       "SELECT CAST(4000 * 4000 AS BIGINT) AS n_keys",
+    // The infinite-budget exponential mechanism is deterministic: argmax
+    // rank-error utility over 2048 bins, ties broken toward the q-anchored
+    // bin - mirrored exactly (same FP expression shapes) in SQL.
+    "q33_median" ->
+      """WITH base AS (SELECT l_returnflag,
+        |    CAST(least(floor(((least(greatest(l_quantity, 0.0), 50.0) - 0.0)
+        |      / 50.0) * 2048), 2047) AS INT) AS bin FROM lineitem),
+        |counts AS (SELECT l_returnflag, bin, count(*) AS c FROM base GROUP BY 1, 2),
+        |grid AS (SELECT k.l_returnflag, CAST(r.range AS INT) AS bin
+        |  FROM (VALUES ('A'), ('N'), ('R')) k(l_returnflag) CROSS JOIN range(2048) r),
+        |filled AS (SELECT g.l_returnflag, g.bin, coalesce(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN counts c
+        |  ON g.l_returnflag = c.l_returnflag AND g.bin = c.bin),
+        |scored AS (SELECT l_returnflag, bin, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n FROM filled),
+        |pick AS (SELECT l_returnflag, bin FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY -abs(cum - c/2.0 - 0.5*n) DESC,
+        |             abs(bin - 0.5*2047) ASC, bin ASC) = 1)
+        |SELECT l_returnflag, 0.0 + (bin + 0.5) * (50.0/2048) AS median FROM pick""".stripMargin,
+    "q34_quantile_p90" ->
+      """WITH base AS (SELECT
+        |    CAST(least(floor(((least(greatest(l_quantity, 0.0), 50.0) - 0.0)
+        |      / 50.0) * 2048), 2047) AS INT) AS bin FROM lineitem),
+        |counts AS (SELECT bin, count(*) AS c FROM base GROUP BY 1),
+        |filled AS (SELECT CAST(r.range AS INT) AS bin, coalesce(c.c, 0) AS c
+        |  FROM range(2048) r LEFT JOIN counts c ON c.bin = r.range),
+        |scored AS (SELECT bin, c,
+        |    sum(c) OVER (ORDER BY bin) AS cum, sum(c) OVER () AS n FROM filled),
+        |pick AS (SELECT bin FROM scored
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY -abs(cum - c/2.0 - 0.9*n) DESC,
+        |             abs(bin - 0.9*2047) ASC, bin ASC) = 1)
+        |SELECT 0.0 + (bin + 0.5) * (50.0/2048) AS quantile FROM pick""".stripMargin,
     "q55_count_distinct_ids" ->
       "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
     "q56_dp_language_histogram" ->
