@@ -278,6 +278,23 @@ object Queries {
     "q35_get_bounds" -> ((s, d) =>
       lineitemSession(s, d).evaluate(
         QueryBuilder("lineitem").getBounds("l_extendedprice"), Inf)),
+    "q61_join_private_ids" -> ((s, d) => {
+      // PrivateJoinOnKey: two IDs tables in the same id space join on the id
+      // column with no truncation; per-ID row bounds multiply
+      val ev = read(s, d, "events")
+      val sess = new Session.Builder().withPrivacyBudget(Inf)
+        .withPrivateDataFrame("ev1", ev.select("user_id", "event_type"),
+          AddRowsWithID("user_id"))
+        .withPrivateDataFrame("ev2", ev.select("user_id", "value"),
+          AddRowsWithID("user_id"))
+        .build(s)
+      sess.evaluate(
+        QueryBuilder("ev1").enforce(MaxRowsPerID(1000))
+          .joinPrivate(
+            QueryBuilder("ev2").enforce(MaxRowsPerID(1000)),
+            Seq("user_id"))
+          .count(), Inf)
+    }),
     "q55_count_distinct_ids" -> ((s, d) =>
       // distinct-ID count on an IDs table needs no enforce(): sensitivity
       // is exactly d_in per the constrained-count-distinct optimization
@@ -614,6 +631,9 @@ object Queries {
         |SELECT 0.0 + (bin + 0.5) * (50.0/2048) AS quantile FROM pick""".stripMargin,
     "q55_count_distinct_ids" ->
       "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
+    "q61_join_private_ids" ->
+      """SELECT CAST(count(*) AS BIGINT) AS count
+        |FROM events a JOIN events b ON a.user_id = b.user_id""".stripMargin,
     "q56_dp_language_histogram" ->
       """SELECT k.lang_det AS lang_det, CAST(coalesce(t.cnt, 0) AS BIGINT) AS count
         |FROM (VALUES ('en'), ('de'), ('es'), ('fr'), ('zh'), ('und')) k(lang_det)
