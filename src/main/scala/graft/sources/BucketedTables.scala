@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table helpers for co-located joins. At 100 TB the dominant cost
+  * of fact-to-fact joins is the shuffle; writing both sides bucketed and
+  * sorted on the join key lets Spark plan a SortMergeJoin with NO exchange
+  * on either side (bucket pruning + per-bucket merge). The DP layer's
+  * private-join truncation windows also partition by the join key, so they
+  * ride the same bucketing.
+  *
+  * Ingestion stays plain `spark.read` (reference has no file-format layer
+  * of its own, SURVEY §2.7); these helpers add the write-side layout
+  * control a production deployment needs.
+  */
+object BucketedTables {
+
+  /** Write `df` as a bucketed, sorted parquet table registered in the
+    * session catalog. `buckets` should match the downstream join
+    * parallelism (e.g. executors x cores).
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketColumns: Seq[String],
+      buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .format("parquet")
+      .bucketBy(buckets, bucketColumns.head, bucketColumns.tail: _*)
+      .sortBy(bucketColumns.head, bucketColumns.tail: _*)
+      .saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** True iff the executed plan of `df` contains no shuffle exchange —
+    * the check that a bucketed join actually avoided the shuffle.
+    */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}
