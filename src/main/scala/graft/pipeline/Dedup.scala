@@ -81,23 +81,55 @@ object Dedup {
       .select(col("__a").as("id_a"), col("__b").as("id_b"), col("jaccard_est"))
   }
 
-  /** One-pass cluster assignment from near-dup pairs: every document maps to
-    * the smallest id among itself and its direct neighbors. (A full
-    * connected-components pass would iterate this to a fixpoint; one pass is
-    * the standard first approximation and enough to pick dedup survivors.)
+  /** Cluster assignment from near-dup pairs: every document maps to the
+    * smallest id in its connected component (label propagation iterated to
+    * a fixpoint, bounded by `maxIters`; near-dup components have tiny
+    * diameter so a handful of iterations converges). Documents with no
+    * near-dups map to themselves.
     */
   def minhashClusters(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxIters: Int = 5): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, numHashes, bands, shingleSize, threshold)
-    val neighbors = pairs.select(col("id_a").as("__id"), col("id_b").as("__n"))
-      .unionAll(pairs.select(col("id_b").as("__id"), col("id_a").as("__n")))
-      .groupBy("__id").agg(min("__n").as("__minn"))
+    val labels = connectedComponents(pairs, "id_a", "id_b", maxIters)
     df.select(col(idCol).as("__id"))
-      .join(neighbors, Seq("__id"), "left")
+      .join(labels.withColumnsRenamed(Map("id" -> "__id", "component" -> "__c")),
+        Seq("__id"), "left")
       .select(col("__id").as(idCol),
-        least(col("__id"), coalesce(col("__minn"), col("__id"))).as("cluster_id"))
+        coalesce(col("__c"), col("__id")).as("cluster_id"))
+  }
+
+  /** Min-label propagation connected components over an edge list —
+    * DataFrame-native (each iteration is one shuffle keyed on vertex id),
+    * converging in O(component diameter) rounds. Returns (id, component)
+    * where component = smallest vertex id in the component.
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String, maxIters: Int = 10): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct().cache()
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val incoming = e.join(labels.withColumnsRenamed(Map("id" -> "src")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("component").as("__in"))
+      val next = labels.join(incoming, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("__in"), col("component")))
+          .as("component"))
+        .cache()
+      val changed = next.join(labels.withColumnsRenamed(Map("component" -> "__old")),
+        Seq("id")).filter(col("component") =!= col("__old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    e.unpersist()
+    labels
   }
 
   /** 64-bit SimHash of the token multiset: bit b of the result is the sign

@@ -34,6 +34,16 @@ class PipelineSpec extends SparkSpec {
     assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(3L) === 3L)
   }
 
+  test("connected components converge across chains") {
+    val edges = makeDf(StructType(Seq(longCol("a"), longCol("b"))),
+      Seq(Row(5L, 4L), Row(4L, 3L), Row(3L, 2L), Row(2L, 1L), // chain 5-1
+        Row(10L, 11L))) // separate pair
+    val cc = Dedup.connectedComponents(edges, "a", "b", maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+  }
+
   test("ngram jaccard: identical 1, disjoint 0") {
     val df = docs(1L -> "a b c d e").crossJoin(
       docs(2L -> "a b c d e").select(col("text").as("text2")))
