@@ -59,6 +59,17 @@ object Queries {
        |FROM (VALUES ${values.map(v => s"('$v')").mkString(", ")}) k($keyCol)
        |LEFT JOIN ($innerSql) t USING ($keyCol)""".stripMargin
 
+  /** Exact cosine top-3 for queries vec_id < 10, self excluded, rank-only. */
+  private val knnOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 10),
+      |s AS (SELECT q.vec_id AS query_id, e.vec_id AS corpus_id,
+      |        list_cosine_similarity(q.v, e.v) AS c
+      |      FROM q JOIN e ON e.vec_id <> q.vec_id)
+      |SELECT query_id, corpus_id, CAST(row_number() OVER (
+      |  PARTITION BY query_id ORDER BY c DESC, corpus_id) AS INT) AS rank
+      |FROM s QUALIFY rank <= 3""".stripMargin
+
   // ------------------------------------------------------------------ queries
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -396,16 +407,31 @@ object Queries {
         read(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4, planes = 8)),
     // -- LLM-pipeline: similarity search ----------------------------------
     "q45_knn_bruteforce" -> ((s, d) => {
+      // rank-only contract: cosine stays internal (float round-off differs
+      // across engines) but the ordering it induces is oracle-checked —
+      // adjacent-rank cosine gaps in this data are >= 1.9e-5, far above
+      // double round-off, so ranks are engine-stable
       val emb = read(s, d, "embeddings")
       graft.pipeline.Similarity.bruteForceTopK(
         emb, "vec_id", "embedding",
         emb.filter("vec_id < 10"), "vec_id", "embedding", k = 3)
+        .select("query_id", "corpus_id", "rank")
     }),
     "q59_knn_ivf" -> ((s, d) => {
       val emb = read(s, d, "embeddings")
       val model = graft.pipeline.Ivf.train(emb, "embedding", nlist = 8)
       graft.pipeline.Ivf.topK(emb, "vec_id", "embedding",
         emb.filter("vec_id < 10"), "vec_id", "embedding", k = 3, model, nprobe = 3)
+    }),
+    "q62_knn_ivf_exact" -> ((s, d) => {
+      // nprobe = nlist probes every cell: the candidate set is the whole
+      // corpus, so the IVF plumbing (assignment, probe join, re-rank) must
+      // reproduce the exact brute-force top-k — oracle-checked against it
+      val emb = read(s, d, "embeddings")
+      val model = graft.pipeline.Ivf.train(emb, "embedding", nlist = 8)
+      graft.pipeline.Ivf.topK(emb, "vec_id", "embedding",
+        emb.filter("vec_id < 10"), "vec_id", "embedding", k = 3, model, nprobe = 8)
+        .select("query_id", "corpus_id", "rank")
     }),
     "q46_knn_lsh" -> ((s, d) => {
       val emb = read(s, d, "embeddings")
@@ -629,6 +655,19 @@ object Queries {
         |    ORDER BY -abs(cum - c/2.0 - 0.9*n) DESC,
         |             abs(bin - 0.9*2047) ASC, bin ASC) = 1)
         |SELECT 0.0 + (bin + 0.5) * (50.0/2048) AS quantile FROM pick""".stripMargin,
+    // GetBounds: magnitude histogram over exact powers of two (2^k is an
+    // exact double, so the <= comparison is bit-identical to Spark's), then
+    // the deterministic eps=Inf finisher: smallest k with cum >= 0.95*n.
+    "q35_get_bounds" ->
+      """WITH m AS (SELECT CASE WHEN abs(l_extendedprice) = 0.0 THEN -32
+        |    ELSE coalesce(list_min(list_filter(range(-32, 63),
+        |      k -> abs(l_extendedprice) <= power(2.0, k))), 62) END AS mag
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT mag, count(*) AS cnt FROM m GROUP BY mag),
+        |pick AS (SELECT min(t.k) AS k FROM range(-32, 63) t(k)
+        |  WHERE (SELECT coalesce(sum(cnt), 0) FROM c WHERE mag <= t.k)
+        |        >= 0.95 * (SELECT coalesce(sum(cnt), 0) FROM c))
+        |SELECT -power(2.0, k) AS lower, power(2.0, k) AS upper FROM pick""".stripMargin,
     "q55_count_distinct_ids" ->
       "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
     "q61_join_private_ids" ->
@@ -695,6 +734,11 @@ object Queries {
       """SELECT CAST(count(DISTINCT
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT)
         |  AS n_fingerprints FROM documents""".stripMargin,
+    // Exact top-k by cosine, rank-only: adjacent-rank cosine gaps in this
+    // data are >= 1.9e-5 (measured at all SFs), so engine round-off cannot
+    // reorder; ties broken by corpus_id in both engines.
+    "q45_knn_bruteforce" -> knnOracle,
+    "q62_knn_ivf_exact" -> knnOracle,
     "q47_token_count" ->
       """SELECT CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)

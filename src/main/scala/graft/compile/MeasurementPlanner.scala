@@ -198,10 +198,16 @@ final class MeasurementPlanner(
       val sens = aggSensitivity(t)
       val eps = exponentialEpsilon(sens)
       val integer = t.schema(m).ctype == ColumnType.Integer
-      // magnitude bucket: smallest k with |x| <= 2^k, k in [-32, 62]
+      // magnitude bucket: smallest k with |x| <= 2^k, k in [-32, 62].
+      // 2^k is exactly representable, so the comparison is bit-exact across
+      // engines — unlike ceil(log2(x)), whose libm rounding at power-of-2
+      // boundaries differs between JVM and C runtimes.
       val absx = abs(col(m).cast("double"))
       val mag = when(absx === 0.0, lit(-32))
-        .otherwise(greatest(least(ceil(log2(absx)).cast("int"), lit(62)), lit(-32)))
+        .otherwise(aggregate(
+          sequence(lit(62), lit(-32), lit(-1)), lit(62),
+          (acc, k) => when(absx <= pow(lit(2.0), k.cast("double")),
+            k.cast("int")).otherwise(acc)))
       val binned = t.df.withColumn("__mag", mag)
       val keyCols = keys.columns
       val counts = binned.groupBy((keyCols :+ "__mag").map(col).toIndexedSeq: _*)
