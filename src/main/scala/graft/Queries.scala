@@ -734,6 +734,53 @@ object Queries {
       """SELECT CAST(count(DISTINCT
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT)
         |  AS n_fingerprints FROM documents""".stripMargin,
+    // MinHash near-dup clusters, brute-force oracle: all-pairs exact
+    // 3-gram Jaccard >= 0.5, transitive closure, min-id component label.
+    // The engine prunes pairs via 64-band LSH then verifies with the same
+    // exact Jaccard; a threshold pair escapes all bands with p ~ 1e-8, so
+    // the verified pair sets (and hence components) agree.
+    "q42_minhash_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3
+        |        THEN [array_to_string(toks, ' ')]
+        |        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' '))) END AS sh FROM t),
+        |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |            / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
+        |u AS (SELECT ia AS a, ib AS b FROM e UNION SELECT ib, ia FROM e),
+        |reach AS (SELECT a, b FROM u
+        |          UNION SELECT r.a, u.b FROM reach r JOIN u ON r.b = u.a
+        |                WHERE r.a <> u.b),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS c FROM reach GROUP BY a)
+        |SELECT d.doc_id AS doc_id, coalesce(c.c, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
+    // SimHash near-dup pairs, brute-force oracle. The engine's banded
+    // bucketing is exact by pigeonhole (hamming <= 3 implies one of the
+    // four 16-bit chunks matches), and the md5-derived token hash
+    // reproduces bit-for-bit in DuckDB, so the all-pairs scan must agree.
+    "q43_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x'||substr(md5(t),1,8))::BIGINT AS hi,
+        |             ('0x'||substr(md5(t),9,8))::BIGINT AS lo FROM toks),
+        |bits AS (SELECT doc_id, b.range AS b,
+        |    sum(CASE WHEN (CASE WHEN b.range >= 32 THEN hi >> (b.range - 32)
+        |                   ELSE lo >> b.range END) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS acc
+        |  FROM h CROSS JOIN range(64) b GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |    CAST(string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END, ''
+        |      ORDER BY b DESC) AS BIT) AS s
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
     // Exact top-k by cosine, rank-only: adjacent-rank cosine gaps in this
     // data are >= 1.9e-5 (measured at all SFs), so engine round-off cannot
     // reorder; ties broken by corpus_id in both engines.

@@ -60,7 +60,7 @@ final class MeasurementPlanner(
       MeasureOut(inner.df, inner.noise, budget)
 
     case e @ GroupByCount(child, keys, out, hint) =>
-      val t = prepared(child)
+      val t = prepared(child, needed = Some(keys.columns))
       val sens = aggSensitivity(t, Some(keys))
       val mech = selectMechanism(hint, integer = true, sens, parts = 1)
       val aggd = groupAgg(t.df, keys, Seq(count(lit(1)).as(out)))
@@ -89,7 +89,8 @@ final class MeasurementPlanner(
       MeasureOut(noisy, Seq(NoiseInfo(out, mech)), noiseSpend)
 
     case e @ GroupByBoundedSum(child, keys, m, lo, hi, out, hint) =>
-      val t = prepared(child, dropSpecial = Some(m))
+      val t = prepared(child, dropSpecial = Some(m),
+        needed = Some(keys.columns :+ m))
       val sens = aggSensitivity(t, Some(keys)) * Rat(math.max(math.abs(lo), math.abs(hi)))
       val integer = t.schema(m).ctype == ColumnType.Integer
       val mech = selectMechanism(hint, integer, sens, parts = 1)
@@ -111,7 +112,8 @@ final class MeasurementPlanner(
       // DP mean = noisy sum of deviations from the midpoint / noisy count,
       // shifted back (reference _base_measurement_visitor.py:1249-1261);
       // each part gets half the budget.
-      val t = prepared(child, dropSpecial = Some(m))
+      val t = prepared(child, dropSpecial = Some(m),
+        needed = Some(keys.columns :+ m))
       val sens = aggSensitivity(t, Some(keys))
       val mid = (lo + hi) / 2.0
       val devSens = sens * Rat((hi - lo) / 2.0)
@@ -142,7 +144,8 @@ final class MeasurementPlanner(
       MeasureOut(varianceResult(v, out, stdev = true), varianceNoise(v), noiseSpend)
 
     case e @ GroupByQuantile(child, keys, m, q, lo, hi, out) =>
-      val t = prepared(child, dropSpecial = Some(m))
+      val t = prepared(child, dropSpecial = Some(m),
+        needed = Some(keys.columns :+ m))
       val sens = aggSensitivity(t, Some(keys))
       val eps = exponentialEpsilon(sens)
       val mech = NoiseMechanism.Exponential(eps)
@@ -263,8 +266,16 @@ final class MeasurementPlanner(
     */
   private def prepared(
       child: graft.ir.TransformExpr,
-      dropSpecial: Option[String] = None): TransformOut = {
-    val t = transformPlanner.compile(child)
+      dropSpecial: Option[String] = None,
+      needed: Option[Seq[String]] = None): TransformOut = {
+    // Opaque map/flatMap lambdas block Catalyst's column pruning; when the
+    // aggregation's needed columns are known and the chain tops out in a
+    // map-like node, narrow its encoded output struct instead.
+    val t = child match {
+      case m @ (_: MapRows | _: FlatMapRows) if needed.isDefined =>
+        transformPlanner.compileMapLike(m, needed)
+      case _ => transformPlanner.compile(child)
+    }
     dropSpecial match {
       case Some(m) =>
         val d = t.schema(m)

@@ -64,42 +64,24 @@ final class TransformPlanner(
       TransformOut(c.df.filter(cond), e.schema(cat), c.metric, c.constraints)
 
     case e @ Select(child, cols) =>
-      val c = compile(child)
-      TransformOut(c.df.select(cols.map(col).toIndexedSeq: _*), e.schema(cat),
-        c.metric, Constraint.select(c.constraints, cols))
-
-    case e @ MapRows(child, f, _, augment) =>
-      val c = compile(child)
-      val inStruct = c.schema.toStructType
-      val outSchema = e.schema(cat)
-      val outStruct = outSchema.toStructType
-      val df = c.df.mapPartitions { it =>
-        it.map { row =>
-          val out = f(RowCodec.toMap(row, inStruct))
-          val merged = if (augment) RowCodec.toMap(row, inStruct) ++ out else out
-          RowCodec.fromMap(merged, outStruct)
-        }
-      }(Encoders.row(outStruct))
-      TransformOut(df, outSchema, c.metric, c.constraints)
-
-    case e @ FlatMapRows(child, f, _, augment, maxRows, _) =>
-      val c = compile(child)
-      val inStruct = c.schema.toStructType
-      val outSchema = e.schema(cat)
-      val outStruct = outSchema.toStructType
-      val df = c.df.mapPartitions { it =>
-        it.flatMap { row =>
-          val in = RowCodec.toMap(row, inStruct)
-          f(in).take(maxRows).map { out =>
-            RowCodec.fromMap(if (augment) in ++ out else out, outStruct)
-          }
-        }
-      }(Encoders.row(outStruct))
-      val metric = c.metric match {
-        case RowsMetric(d) => RowsMetric(d * Rat(maxRows))
-        case m: IDsMetric  => m // per-ID distance unchanged
+      child match {
+        // A Select directly above a map/flatMap fuses into it: the opaque
+        // lambda blocks Catalyst's column pruning, so narrow the serialized
+        // output struct here — the lambda still sees every input column,
+        // but only the selected fields are built and encoded per row.
+        case m @ (_: MapRows | _: FlatMapRows) =>
+          val out = compileMapLike(m, keep = Some(cols))
+          TransformOut(out.df.select(cols.map(col).toIndexedSeq: _*),
+            e.schema(cat), out.metric,
+            Constraint.select(out.constraints, cols))
+        case _ =>
+          val c = compile(child)
+          TransformOut(c.df.select(cols.map(col).toIndexedSeq: _*), e.schema(cat),
+            c.metric, Constraint.select(c.constraints, cols))
       }
-      TransformOut(df, outSchema, metric, Constraint.flatMap(c.constraints))
+
+    case e: MapRows     => compileMapLike(e, keep = None)
+    case e: FlatMapRows => compileMapLike(e, keep = None)
 
     case e @ FlatMapByID(child, f, _) =>
       val c = compile(child)
@@ -108,13 +90,15 @@ final class TransformPlanner(
       val inStruct = c.schema.toStructType
       val outSchema = e.schema(cat)
       val outStruct = outSchema.toStructType
+      val inCodec = new RowCodec.StructCodec(inStruct)
+      val outCodec = new RowCodec.StructCodec(outStruct)
       val idIdx = inStruct.fieldIndex(idCol)
       val grouped = c.df.groupByKey(r => String.valueOf(r.get(idIdx)))(Encoders.STRING)
       val df = grouped.flatMapGroups { (_: String, it: Iterator[Row]) =>
         val rows = it.toVector
         val idValue = rows.head.get(idIdx)
-        f(rows.map(RowCodec.toMap(_, inStruct))).map { out =>
-          RowCodec.fromMap(out + (idCol -> idValue), outStruct)
+        f(rows.map(inCodec.view)).map { out =>
+          outCodec.buildRow(out + (idCol -> idValue), None)
         }
       }(Encoders.row(outStruct))
       // per-ID output is arbitrary, so all row-level constraints die
@@ -267,6 +251,74 @@ final class TransformPlanner(
       TransformOut(df, e.schema(cat), c.metric,
         Constraint.simplify(c.constraints :+ constraint))
   }
+
+  /** Shared lowering for MapRows/FlatMapRows. `keep` narrows the encoded
+    * output struct to a fused downstream Select's columns — the lambda
+    * still sees every input column, but only the kept fields are built and
+    * encoded per row. The returned TransformOut's schema is the full map
+    * output schema; a fusing caller replaces it with the Select's.
+    */
+  private[compile] def compileMapLike(expr: TransformExpr, keep: Option[Seq[String]]): TransformOut =
+    expr match {
+      case e @ MapRows(child, f, _, augment) =>
+        val c = compile(child)
+        val inCodec = new RowCodec.StructCodec(c.schema.toStructType)
+        val outSchema = e.schema(cat)
+        val outStruct = outSchema.toStructType
+        val kept = keptStruct(outSchema, outStruct, keep, c.constraints)
+        val outCodec = new RowCodec.StructCodec(kept)
+        val df = c.df.mapPartitions { it =>
+          it.map { row =>
+            val in = inCodec.view(row)
+            outCodec.buildRow(f(in), if (augment) Some(in) else None)
+          }
+        }(Encoders.row(kept))
+        TransformOut(df, outSchema, c.metric, c.constraints)
+
+      case e @ FlatMapRows(child, f, _, augment, maxRows, _) =>
+        val c = compile(child)
+        val inCodec = new RowCodec.StructCodec(c.schema.toStructType)
+        val outSchema = e.schema(cat)
+        val outStruct = outSchema.toStructType
+        val kept = keptStruct(outSchema, outStruct, keep,
+          Constraint.flatMap(c.constraints))
+        val outCodec = new RowCodec.StructCodec(kept)
+        val df = c.df.mapPartitions { it =>
+          it.flatMap { row =>
+            val in = inCodec.view(row)
+            f(in).take(maxRows).map(out =>
+              outCodec.buildRow(out, if (augment) Some(in) else None))
+          }
+        }(Encoders.row(kept))
+        val metric = c.metric match {
+          case RowsMetric(d) => RowsMetric(d * Rat(maxRows))
+          case m: IDsMetric  => m // per-ID distance unchanged
+        }
+        TransformOut(df, outSchema, metric, Constraint.flatMap(c.constraints))
+
+      case other =>
+        throw new IllegalStateException(s"not a map-like transform: $other")
+    }
+
+  /** The encoded struct for a narrowed map output: the kept columns plus
+    * whatever the privacy bookkeeping still references (the id column and
+    * any constraint grouping columns), never empty.
+    */
+  private def keptStruct(outSchema: TableSchema, outStruct: StructType,
+      keep: Option[Seq[String]], constraints: Seq[Constraint]): StructType =
+    keep match {
+      case None => outStruct
+      case Some(cols) =>
+        val avail = outStruct.fieldNames.toSet
+        val ccols = constraints.collect {
+          case MaxGroupsPerID(c, _)       => c
+          case MaxRowsPerGroupPerID(c, _) => c
+        }
+        val want = (cols ++ outSchema.idColumn.toSeq ++ ccols)
+          .distinct.filter(avail.contains)
+        if (want.isEmpty) StructType(Seq(outStruct.head))
+        else StructType(want.map(outStruct(_)))
+    }
 
   /** Window-based truncation of an IDs table (reference: core ops
     * LimitRowsPerGroup / LimitKeysPerGroup / LimitRowsPerKeyPerGroup,

@@ -30,14 +30,43 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
+  /** Spread compute-bound per-row work across every core when the upstream
+    * scan produced fewer partitions (small files at test SF make one task do
+    * all the hashing; a 100 TB scan already yields thousands of splits and
+    * this is a no-op).
+    */
+  private[pipeline] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum hash over the shingle set (classic Broder minwise sketch).
-    * Pure Catalyst — `numHashes` array traversals per row, no UDF.
+    * One pass over the shingles: each shingle is hashed to 64 bits once,
+    * then the i-th hash function is the affine mix a_i*h + b_i — the
+    * standard universal-family trick, numHashes multiply-adds per shingle
+    * instead of numHashes full string hashes.
     */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleSet, s => xxhash64(s, lit(i))))
-    }: _*)
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column = {
+    val u = udf((shingles: Seq[String]) => {
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      if (shingles != null) shingles.foreach { s =>
+        // 64-bit base hash: two seeded 32-bit murmurs over the string
+        val h = (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+          (scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
+        var i = 0
+        while (i < numHashes) {
+          // splitmix64-style odd multiplier per function keeps the family
+          // pairwise-independent enough for minwise sketching
+          val m = h * (0x9e3779b97f4a7c15L + 2L * i) + (0xbf58476d1ce4e5b9L * i)
+          if (m < mins(i)) mins(i) = m
+          i += 1
+        }
+      }
+      mins.toSeq
+    })
+    u(shingleSet)
+  }
 
   /** Banded bucket keys of a signature: `bands` hashes, each over a
     * contiguous signature slice of length numHashes/bands.
@@ -49,7 +78,25 @@ object Dedup {
     }: _*)
   }
 
-  /** Candidate near-dup pairs (idA < idB) from MinHash-LSH banding, with the
+  /** Candidate pairs (__a < __b) sharing at least one MinHash-LSH band
+    * bucket. The only shuffles are keyed on (band, bucket-hash) — no cross
+    * product anywhere.
+    */
+  private def minhashCandidates(
+      sigs: DataFrame, numHashes: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val banded = sigs.select(col("__id"), col("__sig"),
+      posexplode(bandHashes(col("__sig"), numHashes, bands)).as(Seq("__band", "__bh")))
+    val buckets = banded.groupBy("__band", "__bh")
+      .agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+    buckets
+      .select(explode(col("__ids")).as("__a"), col("__ids"))
+      .select(col("__a"), explode(col("__ids")).as("__b"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__a"), col("__b")).distinct()
+  }
+
+  /** Near-dup pairs (idA < idB) from MinHash-LSH banding, scored by the
     * signature-agreement estimate of Jaccard similarity; pairs below
     * `threshold` are dropped. `maxBucket` caps pair generation per bucket —
     * larger buckets are exact-dup floods better handled by `exact` or
@@ -59,18 +106,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
-    val sigs = df.select(col(idCol).as("__id"),
+    val sigs = spread(df).select(col(idCol).as("__id"),
       minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("__sig"))
-    val banded = sigs.select(col("__id"), col("__sig"),
-      posexplode(bandHashes(col("__sig"), numHashes, bands)).as(Seq("__band", "__bh")))
-    val buckets = banded.groupBy("__band", "__bh")
-      .agg(collect_list(col("__id")).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucket))
-    val pairs = buckets
-      .select(explode(col("__ids")).as("__a"), col("__ids"))
-      .select(col("__a"), explode(col("__ids")).as("__b"))
-      .filter(col("__a") < col("__b"))
-      .select(col("__a"), col("__b")).distinct()
+    val pairs = minhashCandidates(sigs, numHashes, bands, maxBucket)
     val sa = sigs.select(col("__id").as("__a"), col("__sig").as("__sa"))
     val sb = sigs.select(col("__id").as("__b"), col("__sig").as("__sb"))
     pairs.join(sa, "__a").join(sb, "__b")
@@ -81,6 +119,35 @@ object Dedup {
       .select(col("__a").as("id_a"), col("__b").as("id_b"), col("jaccard_est"))
   }
 
+  /** Candidate pairs from MinHash banding, verified by the exact n-gram
+    * Jaccard — the canonical LSH dedup pipeline: banding prunes the pair
+    * space to near-linear, the exact measure decides membership. Output is
+    * (id_a, id_b, jaccard) with jaccard = |A∩B| / |A∪B| over word
+    * shingles (an exact rational of two small ints — engine-portable).
+    * Defaults use rows-per-band r = numHashes/bands = 2, so a pair at
+    * threshold J=0.5 escapes every band with probability (1-J^2)^64 ≈ 1e-8
+    * — the verified pair set equals the brute-force one w.h.p., at
+    * near-linear cost.
+    */
+  def minhashPairsVerified(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 64, shingleSize: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
+    val sh = spread(df).select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleSize).as("__sh"))
+    val sigs = sh.select(col("__id"),
+      minhashSignature(col("__sh"), numHashes).as("__sig"))
+    val pairs = minhashCandidates(sigs, numHashes, bands, maxBucket)
+    val a = sh.select(col("__id").as("__a"), col("__sh").as("__sha"))
+    val b = sh.select(col("__id").as("__b"), col("__sh").as("__shb"))
+    pairs.join(a, "__a").join(b, "__b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"), col("jaccard"))
+  }
+
   /** Cluster assignment from near-dup pairs: every document maps to the
     * smallest id in its connected component (label propagation iterated to
     * a fixpoint, bounded by `maxIters`; near-dup components have tiny
@@ -89,9 +156,13 @@ object Dedup {
     */
   def minhashClusters(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      threshold: Double = 0.5, maxIters: Int = 5): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands, shingleSize, threshold)
+      numHashes: Int = 128, bands: Int = 64, shingleSize: Int = 3,
+      threshold: Double = 0.5, maxIters: Int = 5,
+      verify: Boolean = true): DataFrame = {
+    val pairs =
+      if (verify)
+        minhashPairsVerified(df, idCol, textCol, numHashes, bands, shingleSize, threshold)
+      else minhashPairs(df, idCol, textCol, numHashes, bands, shingleSize, threshold)
     val labels = connectedComponents(pairs, "id_a", "id_b", maxIters)
     df.select(col(idCol).as("__id"))
       .join(labels.withColumnsRenamed(Map("id" -> "__id", "component" -> "__c")),
@@ -105,9 +176,41 @@ object Dedup {
     * converging in O(component diameter) rounds. Returns (id, component)
     * where component = smallest vertex id in the component.
     */
+  /** Edge-count cutoff below which connected components run as a
+    * driver-side union-find: near-dup graphs are sparse (edges ~ number of
+    * duplicates, not corpus size), so even a 100 TB corpus usually lands
+    * under it — and the iterative join/agg job storm collapses into one
+    * collect. Mirrors the keyset in-memory cross-join fold cutoff.
+    */
+  val InMemoryEdgeCutoff: Long = 1L << 22
+
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String, maxIters: Int = 10): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val pairs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sample = pairs.limit(InMemoryEdgeCutoff.toInt + 1).collect()
+    if (sample.length <= InMemoryEdgeCutoff) {
+      val spark = edges.sparkSession
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      val verts = scala.collection.mutable.Set.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      sample.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        verts += a; verts += b
+        val (ra, rb) = (find(a), find(b))
+        // union-by-min keeps every tree rooted at its component's smallest
+        // id, so find() returns the canonical label directly
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      import spark.implicits._
+      return verts.toSeq.map(v => (v, find(v))).toDF("id", "component")
+    }
+    val e = pairs
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct().cache()
     var labels = e.select(col("src").as("id")).distinct()
@@ -133,14 +236,21 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: bit b of the result is the sign
-    * of the sum over tokens of (+-1) at bit b of the token hash.
+    * of the sum over tokens of (+-1) at bit b of the token hash. The token
+    * hash is the first 8 bytes of md5 (big-endian, = the first 16 hex chars
+    * of the digest) — md5 is engine-portable, so the signature is
+    * reproducible bit-for-bit outside the JVM.
     */
   def simhash64(c: Column): Column = {
     val u = udf((toks: Seq[String]) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
       val acc = new Array[Int](64)
       if (toks != null) toks.foreach { t =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+        val digest = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.reset()
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
         var b = 0
         while (b < 64) {
           acc(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
@@ -162,7 +272,7 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
+    val sh = spread(df).select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
     val chunks = sh.select(col("__id"), col("__sh"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("__sh"), j * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -197,7 +307,7 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 16, maxBucket: Int = 256): DataFrame = {
     val sig = hyperplaneSignature(col(vecCol), planes)
-    val vecs = df.select(col(idCol).as("__id"),
+    val vecs = spread(df).select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"), sig.as("__sig"))
     val bandCount = planes / 8
     val banded = vecs.select(col("__id"), col("__v"),

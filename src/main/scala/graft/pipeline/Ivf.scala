@@ -60,7 +60,7 @@ object Ivf {
       k: Int, model: Model, nprobe: Int = 4): DataFrame = {
     val assignC = cellUdf(model, 1)
     val assignQ = cellUdf(model, nprobe)
-    val c = corpus.select(col(corpusId).as("corpus_id"),
+    val c = Dedup.spread(corpus).select(col(corpusId).as("corpus_id"),
       col(corpusVec).cast("array<double>").as("__cv"))
       .withColumn("__cell", assignC(col("__cv"))(0))
     val q = queries.select(col(queryId).as("query_id"),

@@ -31,7 +31,7 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(corpusId).as("corpus_id"),
+    val c = Dedup.spread(corpus).select(col(corpusId).as("corpus_id"),
       col(corpusVec).cast("array<double>").as("__cv"))
     val q = queries.select(col(queryId).as("query_id"),
       col(queryVec).cast("array<double>").as("__qv"))
@@ -56,7 +56,7 @@ object Similarity {
     val bandCount = planes / 8
     def banded(df: DataFrame, id: String, vec: String, idOut: String, vecOut: String) = {
       val sig = Dedup.hyperplaneSignature(col(vec), planes)
-      df.select(col(id).as(idOut), col(vec).cast("array<double>").as(vecOut),
+      Dedup.spread(df).select(col(id).as(idOut), col(vec).cast("array<double>").as(vecOut),
         sig.as("__sig"))
         .select(col(idOut), col(vecOut),
           posexplode(array((0 until bandCount).map(j =>

@@ -34,6 +34,19 @@ class PipelineSpec extends SparkSpec {
     assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(3L) === 3L)
   }
 
+  test("verified minhash pairs carry the exact jaccard, not the estimate") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " other words"
+    val unrelated = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val rows = Dedup.minhashPairsVerified(df, "id", "text", threshold = 0.3).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    // exact 3-gram jaccard of the planted pair: both docs have 38
+    // shingles, 36 shared => 36 / (38 + 38 - 36)
+    val j = rows.head.getDouble(2)
+    assert(j === 36.0 / 40.0)
+  }
+
   test("connected components converge across chains") {
     val edges = makeDf(StructType(Seq(longCol("a"), longCol("b"))),
       Seq(Row(5L, 4L), Row(4L, 3L), Row(3L, 2L), Row(2L, 1L), // chain 5-1
