@@ -30,6 +30,28 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
+  /** JVM-side mirror of [[shingles]]: space-trim (Spark `trim` semantics),
+    * `\s+` split, k-gram join by one space, distinct in first-seen order.
+    */
+  private def shingleArr(t: String, k: Int): Array[String] = {
+    var s = 0
+    var e = t.length
+    while (s < e && t.charAt(s) == ' ') s += 1
+    while (e > s && t.charAt(e - 1) == ' ') e -= 1
+    val toks = t.substring(s, e).split("\\s+")
+    if (toks.length < k) Array(toks.mkString(" "))
+    else Array.tabulate(toks.length - k + 1) { i =>
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      sb.toString
+    }.distinct
+  }
+
   /** Spread compute-bound per-row work across every core when the upstream
     * scan produced fewer partitions (small files at test SF make one task do
     * all the hashing; a 100 TB scan already yields thousands of splits and
@@ -47,25 +69,39 @@ object Dedup {
     * standard universal-family trick, numHashes multiply-adds per shingle
     * instead of numHashes full string hashes.
     */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column = {
-    val u = udf((shingles: Seq[String]) => {
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      if (shingles != null) shingles.foreach { s =>
-        // 64-bit base hash: two seeded 32-bit murmurs over the string
-        val h = (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
-          (scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
-        var i = 0
-        while (i < numHashes) {
-          // splitmix64-style odd multiplier per function keeps the family
-          // pairwise-independent enough for minwise sketching
-          val m = h * (0x9e3779b97f4a7c15L + 2L * i) + (0xbf58476d1ce4e5b9L * i)
-          if (m < mins(i)) mins(i) = m
-          i += 1
-        }
+  private def signatureOf(shingles: Array[String], numHashes: Int): Array[Long] = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      // 64-bit base hash: two seeded 32-bit murmurs over the string
+      val h = (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+        (scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
+      var i = 0
+      while (i < numHashes) {
+        // splitmix64-style odd multiplier per function keeps the family
+        // pairwise-independent enough for minwise sketching
+        val m = h * (0x9e3779b97f4a7c15L + 2L * i) + (0xbf58476d1ce4e5b9L * i)
+        if (m < mins(i)) mins(i) = m
+        i += 1
       }
-      mins.toSeq
-    })
+    }
+    mins
+  }
+
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column = {
+    val u = udf((shingles: Seq[String]) =>
+      if (shingles == null) null
+      else signatureOf(shingles.toArray, numHashes).toSeq)
     u(shingleSet)
+  }
+
+  /** Signature straight from the text column: shingling and sketching in
+    * one kernel, skipping the intermediate string-array column.
+    */
+  def minhashSignatureText(text: Column, shingleSize: Int, numHashes: Int): Column = {
+    val u = udf((t: String) =>
+      if (t == null) null
+      else signatureOf(shingleArr(t, shingleSize), numHashes).toSeq)
+    u(text)
   }
 
   /** Banded bucket keys of a signature: `bands` hashes, each over a
@@ -107,7 +143,7 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     val sigs = spread(df).select(col(idCol).as("__id"),
-      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("__sig"))
+      minhashSignatureText(col(textCol), shingleSize, numHashes).as("__sig"))
     val pairs = minhashCandidates(sigs, numHashes, bands, maxBucket)
     val sa = sigs.select(col("__id").as("__a"), col("__sig").as("__sa"))
     val sb = sigs.select(col("__id").as("__b"), col("__sig").as("__sb"))
@@ -133,17 +169,16 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 64, shingleSize: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
-    val sh = spread(df).select(col(idCol).as("__id"),
-      shingles(col(textCol), shingleSize).as("__sh"))
-    val sigs = sh.select(col("__id"),
-      minhashSignature(col("__sh"), numHashes).as("__sig"))
+    val sigs = spread(df).select(col(idCol).as("__id"),
+      minhashSignatureText(col(textCol), shingleSize, numHashes).as("__sig"))
     val pairs = minhashCandidates(sigs, numHashes, bands, maxBucket)
-    val a = sh.select(col("__id").as("__a"), col("__sh").as("__sha"))
-    val b = sh.select(col("__id").as("__b"), col("__sh").as("__shb"))
+    // verify against the raw text: shingles are recomputed only for the
+    // (tiny) candidate set instead of materializing a second full
+    // shingle-set pass for each join side
+    val a = df.select(col(idCol).as("__a"), col(textCol).as("__ta"))
+    val b = df.select(col(idCol).as("__b"), col(textCol).as("__tb"))
     pairs.join(a, "__a").join(b, "__b")
-      .withColumn("jaccard",
-        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
-          size(array_union(col("__sha"), col("__shb"))).cast("double"))
+      .withColumn("jaccard", ngramJaccard(col("__ta"), col("__tb"), shingleSize))
       .filter(col("jaccard") >= threshold)
       .select(col("__a").as("id_a"), col("__b").as("id_b"), col("jaccard"))
   }
@@ -291,12 +326,27 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity of two text columns (for verifying LSH
-    * candidates or small cross products).
+    * candidates or small cross products). One tight JVM kernel per pair:
+    * the equivalent Catalyst tree materializes each side's shingle array
+    * twice (intersect + union) and is too large for whole-stage codegen,
+    * which made it ~100x slower per row.
     */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    val (sa, sb) = (shingles(a, n), shingles(b, n))
-    size(array_intersect(sa, sb)).cast("double") /
-      size(array_union(sa, sb)).cast("double")
+    val u = udf((ta: String, tb: String) => {
+      if (ta == null || tb == null) null
+      else {
+        val sa = shingleArr(ta, n)
+        val sb = shingleArr(tb, n)
+        val set = new java.util.HashSet[String](sa.length * 2)
+        sa.foreach(set.add)
+        var inter = 0
+        sb.foreach(s => if (set.contains(s)) inter += 1)
+        // sa/sb are distinct, so |A∪B| = |A| + |B| - |A∩B|
+        java.lang.Double.valueOf(
+          inter.toDouble / (sa.length + sb.length - inter).toDouble)
+      }
+    })
+    u(a, b)
   }
 
   /** Near-dup pairs in embedding space: random-hyperplane LSH signature

@@ -33,6 +33,10 @@ object Ivf {
       .select(toVec(col(vecCol).cast("array<double>")).as("features"))
       .cache()
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      // random init: k-means|| runs several extra Spark jobs per round to
+      // pick seeds, which dominates training time for a coarse quantizer
+      // that only needs approximate cells
+      .setInitMode("random")
       .setFeaturesCol("features")
     val model = km.fit(sample)
     sample.unpersist()
