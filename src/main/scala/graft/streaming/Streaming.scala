@@ -49,6 +49,83 @@ object Streaming {
         Noise.addLongNoise(col("count"), graft.exec.NoiseMechanism.Geometric(scale)))
   }
 
+  /** Sliding-window counts: like [[windowedCounts]] but each event lands in
+    * `windowDuration / slideDuration` overlapping windows.
+    */
+  def slidingWindowedCounts(
+      events: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, slideDuration: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration), col(keyCol))
+      .agg(count(lit(1)).as("count"))
+
+  /** Event-level composition across a windowed release stream.
+    *
+    * Tumbling windows partition events, so releases over different windows
+    * compose in PARALLEL: the event-level guarantee of the whole stream is
+    * the per-window epsilon. Sliding windows place each event in
+    * ceil(window/slide) overlapping windows, composing SEQUENTIALLY across
+    * that overlap factor.
+    */
+  def eventLevelEpsilon(
+      perWindowEpsilon: Double, windowMs: Long, slideMs: Long): Double = {
+    require(windowMs > 0 && slideMs > 0 && slideMs <= windowMs,
+      "slide must be in (0, window]")
+    val overlap = (windowMs + slideMs - 1) / slideMs
+    perWindowEpsilon * overlap
+  }
+
+  /** Driver-side privacy ledger for unbounded release streams under
+    * USER-level accounting: a user may contribute to every released window,
+    * so window releases compose sequentially and the spend grows without
+    * bound — the accountant stops the query once the cap is reached,
+    * mirroring the batch Session's budget tracking for streams.
+    *
+    * Wire-up: release DataFrames pass through [[observed]] (an `observe`
+    * metric counts released windows per micro-batch), and the accountant
+    * registers as a `StreamingQueryListener`. Listener events are
+    * asynchronous, so enforcement is per micro-batch: the batch that
+    * crosses the cap is still released, every later one is not.
+    */
+  final class DpStreamAccountant(
+      val totalEpsilon: Double, val perWindowEpsilon: Double)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+    private val spentNano = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile private var sparkRef: Option[org.apache.spark.sql.SparkSession] = None
+
+    def spent: Double = spentNano.get() * 1e-9
+    def remaining: Double = math.max(0.0, totalEpsilon - spent)
+    def exhausted: Boolean = spent >= totalEpsilon
+
+    /** Attach the release-count metric consumed by the listener. */
+    def observed(release: DataFrame): DataFrame =
+      release.observe("graft_dp_release", count(lit(1)).as("released"))
+
+    def register(spark: org.apache.spark.sql.SparkSession): this.type = {
+      sparkRef = Some(spark)
+      spark.streams.addListener(this)
+      this
+    }
+
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      val released = Option(event.progress.observedMetrics.get("graft_dp_release"))
+        .map(_.getLong(0)).getOrElse(0L)
+      if (released > 0) {
+        val addNano = math.round(released * perWindowEpsilon * 1e9)
+        val total = spentNano.addAndGet(addNano)
+        if (total * 1e-9 >= totalEpsilon)
+          sparkRef.foreach { s =>
+            Option(s.streams.get(event.progress.id)).foreach(_.stop())
+          }
+      }
+    }
+  }
+
   final case class SessionEvent(userId: Long, ts: Timestamp)
   final case class SessionSummary(
       userId: Long, start: Timestamp, end: Timestamp, nEvents: Long)

@@ -55,6 +55,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-level epsilon: tumbling composes in parallel, sliding by overlap") {
+    // tumbling: window == slide, overlap 1
+    assert(Streaming.eventLevelEpsilon(0.5, 600000L, 600000L) === 0.5)
+    // 10-minute window sliding by 5: every event is in 2 windows
+    assert(Streaming.eventLevelEpsilon(0.5, 600000L, 300000L) === 1.0)
+    // non-divisible slide rounds the overlap up
+    assert(Streaming.eventLevelEpsilon(1.0, 600000L, 400000L) === 2.0)
+  }
+
+  test("stream accountant stops the query once the user-level cap is hit") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[(Timestamp, String)]
+    val acct = new Streaming.DpStreamAccountant(
+      totalEpsilon = 2.0, perWindowEpsilon = 1.0).register(spark)
+    try {
+      val counts = acct.observed(Streaming.noisyWindowedCounts(
+        in.toDF().toDF("ts", "etype"), "ts", "etype", "10 minutes", "5 minutes",
+        epsilon = Double.PositiveInfinity))
+      val q = counts.writeStream.format("memory").queryName("acct")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // the watermark jump finalizes windows [0,10) and [10,20) in the
+        // second batch: spend 2 reaches the cap and the query stops
+        in.addData((ts(1), "click"), (ts(12), "click"), (ts(25), "click"))
+        q.processAllAvailable()
+        in.addData((ts(90), "click"))
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        while ((!acct.exhausted || q.isActive) && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(acct.exhausted)
+        assert(acct.remaining === 0.0)
+        assert(!q.isActive) // stopped by the accountant, not the test
+        assert(spark.table("acct").count() === 2)
+      } finally if (q.isActive) q.stop()
+    } finally spark.streams.removeListener(acct)
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     val sqlCtx = spark.sqlContext
     import sqlCtx.implicits._
