@@ -39,6 +39,30 @@ final class Session private (
   def publicSources: Seq[String] = publicTables.keys.toSeq.sorted
   def getSchema(table: String): TableSchema = privateTables(table).schema
 
+  /** Column name -> analytics type (reference session.py get_column_types). */
+  def getColumnTypes(table: String): Map[String, graft.types.ColumnType] =
+    getSchema(table).columns.map { case (n, d) => n -> d.ctype }.toMap
+
+  /** The grouping column a partitioned child was created on, if any
+    * (reference session.py get_grouping_column).
+    */
+  def getGroupingColumn(table: String): Option[String] =
+    getSchema(table).groupingColumn
+
+  /** The privacy-ID column of an IDs table (reference get_id_column). */
+  def getIdColumn(table: String): Option[String] = getSchema(table).idColumn
+
+  /** The identifier space of an IDs table (reference get_id_space). */
+  def getIdSpace(table: String): Option[String] = getSchema(table).idSpace
+
+  /** The registered public tables (reference public_source_dataframes). */
+  def publicSourceDataframes: Map[String, DataFrame] = publicTables.toMap
+
+  /** Retire this session: no further queries or views can be issued
+    * (reference session.py stop).
+    */
+  def stop(): Unit = { retired = true }
+
   private def catalog: Catalog = Catalog(privateTables.toMap, publicTables.toMap)
 
   private def checkActive(): Unit = {

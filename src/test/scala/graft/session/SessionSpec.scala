@@ -27,6 +27,24 @@ class SessionSpec extends SparkSpec {
   private def rowSession(b: PrivacyBudget = Inf) =
     Session.fromDataFrame(spark, b, "t", df, AddOneRow())
 
+  test("schema accessors and stop() retire semantics") {
+    val s = Session.fromDataFrame(spark, Inf, "t", df,
+      AddRowsWithID("uid", "space1"))
+    assert(s.getColumnTypes("t") === Map(
+      "flag" -> graft.types.ColumnType.Varchar,
+      "qty" -> graft.types.ColumnType.Integer,
+      "uid" -> graft.types.ColumnType.Integer))
+    assert(s.getIdColumn("t") === Some("uid"))
+    assert(s.getIdSpace("t") === Some("space1"))
+    assert(s.getGroupingColumn("t") === None)
+    s.addPublicDataFrame("pub", df.select("flag"))
+    assert(s.publicSourceDataframes.keySet === Set("pub"))
+    s.stop()
+    intercept[IllegalStateException] {
+      s.evaluate(QueryBuilder("t").count(), Inf)
+    }
+  }
+
   test("keyset group-by: one row per key, absent keys 0, extra data dropped") {
     val keys = KeySet.fromColumn("flag", Seq("A", "C"))
     val out = rowSession().evaluate(
