@@ -801,6 +801,26 @@ object Queries {
         |WHERE t BETWEEN 5 AND 100000
         |  AND (CAST(chars AS DOUBLE) / CAST(t AS DOUBLE)) BETWEEN 2.0 AND 12.0
         |  AND (CAST(np AS DOUBLE) / CAST(lc AS DOUBLE)) < 0.3""".stripMargin,
+    // same marker-count detection as q56's oracle, without the keyset
+    // zero-fill (only languages actually present appear)
+    "q49_language_id" ->
+      """SELECT CASE
+        |    WHEN en > 0 AND en = best THEN 'en'
+        |    WHEN de > 0 AND de = best THEN 'de'
+        |    WHEN es > 0 AND es = best THEN 'es'
+        |    WHEN fr > 0 AND fr = best THEN 'fr'
+        |    WHEN zh > 0 AND zh = best THEN 'zh'
+        |    ELSE 'und' END AS lang_detected, CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT *, greatest(en, de, es, fr, zh) AS best FROM (
+        |    SELECT
+        |      len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|in|that|it|for|you|with)\b')) AS en,
+        |      len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|eine|zu|den|von|mit)\b')) AS de,
+        |      len(regexp_extract_all(text, '(?i)\b(el|la|los|las|de|que|y|en|un|una|es|por|para)\b')) AS es,
+        |      len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|que|des|une|dans|pour|qui|sur)\b')) AS fr,
+        |      len(regexp_extract_all(text, '[\p{Han}]')) AS zh
+        |    FROM documents))
+        |GROUP BY 1""".stripMargin,
     "q50_multimodal_decode" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_decoded,
         |  CAST(16 * count(*) AS BIGINT) AS n_features FROM documents""".stripMargin,
