@@ -114,6 +114,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getLong(1) < 10L) // neighbor from the same cluster
   }
 
+  test("LSH top-k finds a near-identical vector (shared signature buckets)") {
+    val schema = StructType(Seq(longCol("id"), StructField("vec", ArrayType(DoubleType))))
+    val rows = Row(1L, Seq(1.0, 0.5, -0.25, 2.0)) +:
+      Row(2L, Seq(1.0, 0.5, -0.25, 2.001)) +: // near-identical to 1
+      (3 to 40).map(i => Row(i.toLong,
+        Seq(math.sin(i * 1.7), math.cos(i * 2.3), math.sin(i * 3.1), math.cos(i * 0.9))))
+    val df = makeDf(schema, rows)
+    val out = Similarity.lshTopK(df, "id", "vec",
+      df.filter("id = 1"), "id", "vec", k = 1).collect()
+    // a near-identical vector agrees with every hyperplane sign, so it
+    // shares all bands and must surface as the top candidate
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 2L)
+  }
+
   test("token count and quality gates") {
     val df = docs(1L -> "one two three four five six", 2L -> "", 3L -> "   ",
       4L -> "a b")
