@@ -24,6 +24,9 @@ object Queries {
   private val Inf = PureDPBudget(Rat.Inf)
   private val InfApprox = ApproxDPBudget(Rat.Inf, Rat.zero)
 
+  // NOTE: deliberately no DataFrame cache here — persisting materializes
+  // every column, defeating the pruned columnar scans (2-3 of 16 columns)
+  // that make repeated parquet reads cheap. Measured slower with a cache.
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     if (table == "events") readEvents(spark, dir) else
       spark.read.parquet(s"$dir/$table.parquet")
