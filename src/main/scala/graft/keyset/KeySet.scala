@@ -88,6 +88,20 @@ final class KeySet private (val op: KeySetOp) extends Serializable {
   def schema: StructType = op.schema
   def isEmptyKey: Boolean = columns.isEmpty
 
+  /** Three-valued structural equivalence that never evaluates the keyset
+    * (reference _keyset.py:506-533): Some(true) when the op trees match,
+    * Some(false) when the column->type schemas differ (nullability ignored
+    * — a nullable column need not contain nulls), None when undecidable
+    * without materializing.
+    */
+  def isEquivalent(other: KeySet): Option[Boolean] = {
+    def types(s: StructType): Map[String, DataType] =
+      s.fields.map(f => f.name -> f.dataType).toMap
+    if (op == other.op) Some(true)
+    else if (types(schema) != types(other.schema)) Some(false)
+    else None
+  }
+
   /** Cross product (`KeySet.__mul__`, reference _keyset.py:212-244). */
   def *(other: KeySet): KeySet =
     if (isEmptyKey) other

@@ -74,4 +74,14 @@ class KeySetSpec extends SparkSpec {
     assert(KeySet.empty.isEmptyKey)
     assert((KeySet.empty * KeySet.fromColumn("a", Seq(1))).columns === Seq("a"))
   }
+
+  test("isEquivalent: same tree true, different types false, else undecided") {
+    val a = KeySet.fromColumn("k", Seq("x", "y"))
+    val b = KeySet.fromColumn("k", Seq("x", "y"))
+    val c = KeySet.fromColumn("k", Seq(1, 2))
+    val d = KeySet.fromColumn("k", Seq("y", "x")) // same set, different tree
+    assert(a.isEquivalent(b) === Some(true))
+    assert(a.isEquivalent(c) === Some(false))
+    assert(a.isEquivalent(d) === None)
+  }
 }
