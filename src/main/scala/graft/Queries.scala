@@ -316,6 +316,16 @@ object Queries {
         AddRowsWithID("user_id"))
         .evaluate(QueryBuilder("events").select("user_id")
           .countDistinct(Seq("user_id"), name = "n_users"), Inf)),
+    "q63_count_distinct_ids_grouped" -> ((s, d) =>
+      // grouped constrained count-distinct: MaxGroupsPerID alone bounds
+      // sensitivity (one ID touches <= g groups' distinct counts), no
+      // per-group row cap needed; the cap of 5 never drops data since only
+      // 5 event types exist, so the Inf-budget result is deterministic
+      Session.fromDataFrame(s, Inf, "events", read(s, d, "events"),
+        AddRowsWithID("user_id"))
+        .evaluate(QueryBuilder("events")
+          .enforce(MaxGroupsPerID("event_type", 5))
+          .groupby(typeKeys).countDistinct(Seq("user_id")), Inf)),
     // -- DP x pipeline composition (stability-tracked text transforms) ----
     "q56_dp_language_histogram" -> ((s, d) =>
       Session.fromDataFrame(s, Inf, "documents", read(s, d, "documents"), AddOneRow())
@@ -401,8 +411,12 @@ object Queries {
       graft.pipeline.Dedup.minhashClusters(
         read(s, d, "documents"), "doc_id", "text", threshold = 0.5)),
     "q43_simhash_pairs" -> ((s, d) =>
+      // maxBucket far above any bucket in this data: the pigeonhole recall
+      // guarantee only holds when no bucket is dropped (sf0.1 has chunk
+      // buckets of ~300 docs; the default cap silently missed their pairs)
       graft.pipeline.Dedup.simhashPairs(
-        read(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+        read(s, d, "documents"), "doc_id", "text", maxHamming = 3,
+        maxBucket = 100000)),
     "q44_embedding_dedup" -> ((s, d) =>
       // testdata embeddings are near-orthogonal random vectors (max pairwise
       // cosine ~0.48), so the demo threshold sits below that
@@ -673,6 +687,13 @@ object Queries {
         |SELECT -power(2.0, k) AS lower, power(2.0, k) AS upper FROM pick""".stripMargin,
     "q55_count_distinct_ids" ->
       "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
+    "q63_count_distinct_ids_grouped" ->
+      """SELECT k.event_type AS event_type,
+        |  CAST(coalesce(t.c, 0) AS BIGINT) AS count_distinct
+        |FROM (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view'))
+        |  k(event_type)
+        |LEFT JOIN (SELECT event_type, count(DISTINCT user_id) AS c
+        |           FROM events GROUP BY 1) t USING (event_type)""".stripMargin,
     "q61_join_private_ids" ->
       """SELECT CAST(count(*) AS BIGINT) AS count
         |FROM events a JOIN events b ON a.user_id = b.user_id""".stripMargin,
@@ -750,11 +771,12 @@ object Queries {
         |        THEN [array_to_string(toks, ' ')]
         |        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
         |          i -> array_to_string(toks[i:i+2], ' '))) END AS sh FROM t),
-        |e AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+        |e AS MATERIALIZED (SELECT a.doc_id AS ia, b.doc_id AS ib
         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
         |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
         |            / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
-        |u AS (SELECT ia AS a, ib AS b FROM e UNION SELECT ib, ia FROM e),
+        |u AS MATERIALIZED (SELECT ia AS a, ib AS b FROM e
+        |                   UNION SELECT ib, ia FROM e),
         |reach AS (SELECT a, b FROM u
         |          UNION SELECT r.a, u.b FROM reach r JOIN u ON r.b = u.a
         |                WHERE r.a <> u.b),

@@ -78,6 +78,19 @@ final class MeasurementPlanner(
         // constrained-count-distinct optimization,
         // _base_measurement_visitor.py:217-300, ungrouped form).
         case IDsMetric(id, _, d) if countCols == Seq(id) && keys.isEmptyKey => Some(d)
+        // Grouped form: with MaxGroupsPerID(c, g) enforced and c the single
+        // group-by key, one ID changes at most g groups' distinct-ID counts
+        // by 1 each — L1 sensitivity g*d_in, or ceil(sqrt(g))*d_in under
+        // zCDP (L2 across groups; reference :252-300).
+        case IDsMetric(id, _, d) if countCols == Seq(id) && keys.columns.size == 1 =>
+          val c = keys.columns.head
+          t.constraints.collect { case MaxGroupsPerID(`c`, g) => g.toLong }
+            .minOption.map { g =>
+              val eff = if (budget.isInstanceOf[RhoZCDPBudget])
+                math.ceil(math.sqrt(g.toDouble)).toLong
+              else g
+              d * Rat(eff)
+            }
         case _ => None
       }
       val sens = idCase.getOrElse(aggSensitivity(t, Some(keys)))

@@ -306,7 +306,7 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val sh = spread(df).select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
     val chunks = sh.select(col("__id"), col("__sh"),
       posexplode(array((0 until 4).map(j =>

@@ -77,4 +77,25 @@ class MechanismSelectionSpec extends SparkSpec {
     assert(mech(eps, q) === Exponential(0.5))
     assert(mech(rho, q) === Exponential(2.0)) // sqrt(8*0.5)
   }
+
+  test("grouped constrained count-distinct: MaxGroupsPerID bounds sensitivity") {
+    import graft.accounting.AddRowsWithID
+    import graft.constraints.MaxGroupsPerID
+    import graft.keyset.KeySet
+    val idDf = makeDf(
+      StructType(Seq(longCol("uid"), strCol("grp"))), Seq(Row(1L, "a")))
+    def idSess(b: PrivacyBudget) = Session.fromDataFrame(spark, b,
+      "t", idDf, AddRowsWithID("uid"))
+    val keys = KeySet.fromColumn("grp", Seq("a", "b"))
+    val q = QueryBuilder("t").enforce(MaxGroupsPerID("grp", 2))
+      .groupby(keys).countDistinct(Seq("uid"))
+    // one ID touches at most 2 groups: sens 2 at eps 0.5 -> scale 4;
+    // no per-group ROW bound needed even though this is a grouped agg
+    assert(idSess(PureDPBudget(Rat.Inf)).noiseInfo(q, eps).head.mechanism
+      === Geometric(4.0))
+    // zCDP: L2 across the <=2 touched groups -> ceil(sqrt(2)) = 2 at
+    // rho 0.5 -> sigma^2 = sens^2/(2 rho) = 4
+    assert(idSess(RhoZCDPBudget(Rat.Inf)).noiseInfo(q, rho).head.mechanism
+      === DiscreteGaussian(4.0))
+  }
 }
