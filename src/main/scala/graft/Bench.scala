@@ -35,7 +35,15 @@ object Bench {
     val errJson = errors.map(e => "\"" +
       e.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(200) +
       "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // sbt prefixes forked stdout with "[info] ", which can defeat a strict
+    // line parser — leave an unprefixed copy on disk as well
+    try {
+      val w = new java.io.PrintWriter("bench_out.json")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
