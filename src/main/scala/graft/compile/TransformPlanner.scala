@@ -151,6 +151,12 @@ final class TransformPlanner(
             Rat(tr.stabilityFactor) * Rat(tl.maxRows) * dr
           TransformOut(joined, e.schema(cat), RowsMetric(d), Nil)
         case (lm: IDsMetric, rm: IDsMetric) =>
+          require(lm.idSpace == rm.idSpace,
+            s"private join requires both tables in the same id space, got " +
+              s"'${lm.idSpace}' and '${rm.idSpace}'")
+          require(lm.idColumn == rm.idColumn,
+            s"private join requires matching id columns, got " +
+              s"'${lm.idColumn}' and '${rm.idColumn}'")
           require(joinCols.contains(lm.idColumn),
             s"IDs private join must include the id column '${lm.idColumn}'")
           val joined = joinFrames(l.df, r.df, l.schema, r.schema, joinCols, "inner")

@@ -76,6 +76,20 @@ final class Session private (
   }
 
   private def spend(b: PrivacyBudget): Unit = {
+    // kind mismatch first: a PureDP request against a zCDP session is a
+    // type error, not an overspend (reference
+    // _validate_budget_type_matches_session, session.py)
+    val kindMatches = (remaining, b) match {
+      case (_: PureDPBudget, _: PureDPBudget)     => true
+      case (_: ApproxDPBudget, _: ApproxDPBudget) => true
+      case (_: ApproxDPBudget, _: PureDPBudget)   => true // delta = 0 special case
+      case (_: RhoZCDPBudget, _: RhoZCDPBudget)   => true
+      case _                                      => false
+    }
+    if (!kindMatches)
+      throw new IllegalArgumentException(
+        s"budget kind mismatch: session accounts ${remaining.getClass.getSimpleName}, " +
+          s"query requested ${b.getClass.getSimpleName}")
     if (!(remaining >= b))
       throw new IllegalArgumentException(
         s"insufficient privacy budget: requested $b, remaining $remaining")

@@ -27,6 +27,28 @@ class SessionSpec extends SparkSpec {
   private def rowSession(b: PrivacyBudget = Inf) =
     Session.fromDataFrame(spark, b, "t", df, AddOneRow())
 
+  test("private join across different id spaces is rejected") {
+    val s = new Session.Builder().withPrivacyBudget(Inf)
+      .withPrivateDataFrame("a", df, AddRowsWithID("uid", "space1"))
+      .withPrivateDataFrame("b", df.select("uid", "qty"), AddRowsWithID("uid", "space2"))
+      .build(spark)
+    val ex = intercept[IllegalArgumentException] {
+      s.evaluate(QueryBuilder("a")
+        .enforce(MaxRowsPerID(10))
+        .joinPrivate(QueryBuilder("b").enforce(MaxRowsPerID(10)), Seq("uid"))
+        .count(), Inf)
+    }
+    assert(ex.getMessage.contains("id space"))
+  }
+
+  test("budget kind mismatch is a type error, not an overspend") {
+    val s = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df, AddOneRow())
+    val ex = intercept[IllegalArgumentException] {
+      s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.5))
+    }
+    assert(ex.getMessage.contains("kind mismatch"))
+  }
+
   test("schema accessors and stop() retire semantics") {
     val s = Session.fromDataFrame(spark, Inf, "t", df,
       AddRowsWithID("uid", "space1"))
