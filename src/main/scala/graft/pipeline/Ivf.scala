@@ -1,7 +1,5 @@
 package graft.pipeline
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,26 +19,58 @@ object Ivf {
     def nlist: Int = centroids.length
   }
 
-  /** Train the coarse quantizer on (a sample of) the corpus. Deterministic
-    * under a fixed seed.
+  /** Train the coarse quantizer on a bounded sample of the corpus —
+    * driver-side Lloyd's, deterministic under the seed. A coarse quantizer
+    * only needs approximate cells, and the sample cap bounds driver memory
+    * (100k x 64 dims x 8B = ~50 MB), so this is the standard IVF recipe
+    * even at corpus scale; per-iteration Spark jobs (as with ML KMeans)
+    * dominate training time otherwise. Assignment stays distributed.
     */
   def train(
       corpus: DataFrame, vecCol: String, nlist: Int,
       maxSample: Int = 100000, maxIter: Int = 8, seed: Long = 42L): Model = {
-    val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
-    // limit() instead of count()+sample(): one job fewer, still bounded
-    val sample = corpus.limit(maxSample)
-      .select(toVec(col(vecCol).cast("array<double>")).as("features"))
-      .cache()
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      // random init: k-means|| runs several extra Spark jobs per round to
-      // pick seeds, which dominates training time for a coarse quantizer
-      // that only needs approximate cells
-      .setInitMode("random")
-      .setFeaturesCol("features")
-    val model = km.fit(sample)
-    sample.unpersist()
-    Model(model.clusterCenters.map(_.toArray))
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .limit(maxSample)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+    val k = math.min(nlist, sample.length)
+    val rnd = new scala.util.Random(seed)
+    val centroids = rnd.shuffle(sample.indices.toVector).take(k)
+      .map(i => sample(i).clone).toArray
+    val dim = sample.head.length
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = v(j) - centroids(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    Model(centroids)
   }
 
   private def cellUdf(m: Model, probes: Int) =
