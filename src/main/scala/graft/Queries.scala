@@ -73,6 +73,28 @@ object Queries {
       |  PARTITION BY query_id ORDER BY c DESC, corpus_id) AS INT) AS rank
       |FROM s QUALIFY rank <= 3""".stripMargin
 
+  /** Yearly date-histogram oracle mirroring BinningSpec's bin naming and
+    * edge semantics ([first, b], then (a, b]).
+    */
+  private val dateHistOracle: String = {
+    val bins = (1992 to 1999).map(y => s"$y-01-01").sliding(2).zipWithIndex.map {
+      case (Seq(a, b), i) =>
+        val nm = if (i == 0) s"[$a, $b]" else s"($a, $b]"
+        val cond =
+          if (i == 0) s"l_shipdate >= '$a' AND l_shipdate <= '$b'"
+          else s"l_shipdate > '$a' AND l_shipdate <= '$b'"
+        (nm, cond)
+    }.toSeq
+    s"""SELECT k.l_shipdate_binned AS l_shipdate_binned,
+       |  CAST(coalesce(t.cnt, 0) AS BIGINT) AS count
+       |FROM (VALUES ${bins.map(b => s"('${b._1}')").mkString(", ")})
+       |  k(l_shipdate_binned)
+       |LEFT JOIN (SELECT CASE
+       |    ${bins.map(b => s"WHEN ${b._2} THEN '${b._1}'").mkString("\n    ")}
+       |    END AS l_shipdate_binned, count(*) AS cnt
+       |  FROM lineitem GROUP BY 1) t USING (l_shipdate_binned)""".stripMargin
+  }
+
   // ------------------------------------------------------------------ queries
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -316,6 +338,15 @@ object Queries {
         AddRowsWithID("user_id"))
         .evaluate(QueryBuilder("events").select("user_id")
           .countDistinct(Seq("user_id"), name = "n_users"), Inf)),
+    "q64_histogram_date" -> ((s, d) => {
+      // typed bin edges: java.sql.Date boundaries, yearly bins over
+      // l_shipdate (reference BinningSpec supports str/num/date/datetime
+      // edges, binning_spec.py:17)
+      import graft.ir.BinningSpec._
+      val edges = (1992 to 1999).map(y => java.sql.Date.valueOf(s"$y-01-01"))
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").histogram("l_shipdate", BinningSpec(edges)), Inf)
+    }),
     "q63_count_distinct_ids_grouped" -> ((s, d) =>
       // grouped constrained count-distinct: MaxGroupsPerID alone bounds
       // sensitivity (one ID touches <= g groups' distinct counts), no
@@ -687,6 +718,7 @@ object Queries {
         |SELECT -power(2.0, k) AS lower, power(2.0, k) AS upper FROM pick""".stripMargin,
     "q55_count_distinct_ids" ->
       "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
+    "q64_histogram_date" -> dateHistOracle,
     "q63_count_distinct_ids_grouped" ->
       """SELECT k.event_type AS event_type,
         |  CAST(coalesce(t.c, 0) AS BIGINT) AS count_distinct

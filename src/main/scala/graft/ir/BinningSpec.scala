@@ -10,24 +10,39 @@ import graft.types.{ColumnDescriptor, ColumnType}
   * included (`(a, b]`) and the first bin includes its left edge. Values
   * outside the range, nulls, and NaNs map to the null bin (or `nanBin`).
   *
+  * Edges may be numbers, strings, dates, or timestamps (reference BinT,
+  * binning_spec.py:17) — anything Spark's `lit` understands, ordered by
+  * `ord`. Bin names stay strings.
+  *
   * Bin assignment compiles to a Catalyst `when` chain (no UDF) so it stays
   * inside whole-stage codegen — at 100 TB this is a pure map-side projection.
   */
-final case class BinningSpec(
-    edges: Seq[Double],
+final case class BinningSpec[T](
+    edges: Seq[T],
     names: Option[Seq[String]] = None,
     right: Boolean = true,
     includeBothEndpoints: Boolean = true,
-    nanBin: Option[String] = None) {
+    nanBin: Option[String] = None)(implicit ord: Ordering[T]) {
   require(edges.size >= 2, "binning spec needs at least two edges")
-  require(edges == edges.sorted, "bin edges must be sorted ascending")
+  require(edges == edges.sorted(ord), "bin edges must be sorted ascending")
   require(edges.distinct == edges, "bin edges must be distinct")
   names.foreach(n => require(n.size == edges.size - 1,
     s"expected ${edges.size - 1} bin names, got ${n.size}"))
 
-  private def fmt(d: Double): String =
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
-    else d.toString
+  /** Default edge rendering (reference _edges_as_str, binning_spec.py:55-90):
+    * integral doubles drop the fraction, dates/timestamps are ISO, strings
+    * are quoted.
+    */
+  private def fmt(v: T): String = v match {
+    case d: Double =>
+      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    case f: Float =>
+      if (f == f.floor && !f.isInfinite && math.abs(f) < 1e15) f.toLong.toString
+      else f.toString
+    case s: String => s"'$s'"
+    case other => String.valueOf(other) // Int/Long, java.sql.Date/Timestamp
+  }
 
   /** Default bin names like "(5, 10]" (reference binning_spec.py:93-118). */
   lazy val binNames: Seq[String] = names.getOrElse {
@@ -43,6 +58,19 @@ final case class BinningSpec(
 
   /** All possible output values, for building the keyset of a histogram. */
   def bins: Seq[String] = binNames ++ nanBin.toSeq
+
+  /** Column types these edges can bin (numeric edges bin either numeric
+    * type; temporal and string edges are exact).
+    */
+  def binnableTypes: Set[ColumnType] = edges.head match {
+    case _: Double | _: Float | _: Int | _: Long =>
+      Set(ColumnType.Integer, ColumnType.Decimal)
+    case _: String             => Set(ColumnType.Varchar)
+    case _: java.sql.Timestamp => Set(ColumnType.Timestamp)
+    case _: java.sql.Date      => Set(ColumnType.Date, ColumnType.Timestamp)
+    case other => throw new IllegalArgumentException(
+      s"unsupported bin edge type: ${other.getClass.getName}")
+  }
 
   def outputDescriptor: ColumnDescriptor =
     ColumnDescriptor(ColumnType.Varchar, allowNull = true)
@@ -64,10 +92,20 @@ final case class BinningSpec(
           }
         when(cond, lit(binNames(i))).otherwise(acc)
       }
+    val numeric = edges.head.isInstanceOf[Double] || edges.head.isInstanceOf[Float]
     nanBin match {
-      case Some(nb) =>
+      case Some(nb) if numeric =>
         when(c.isNotNull && isnan(c.cast("double")), lit(nb)).otherwise(chain)
-      case None => chain
+      case _ => chain
     }
   }
+}
+
+object BinningSpec {
+  /** java.sql temporal types have no implicit Scala Ordering; import these
+    * (or `BinningSpec._`) at the call site for date/timestamp edges.
+    */
+  implicit val dateOrdering: Ordering[java.sql.Date] = Ordering.by(_.getTime)
+  implicit val timestampOrdering: Ordering[java.sql.Timestamp] =
+    Ordering.by(_.getTime)
 }

@@ -128,7 +128,7 @@ final class QueryBuilder private (private[graft] val expr: TransformExpr) {
   /** Assign values of `column` to named bins (reference query_builder.py:1490;
     * lowers to a Map-free Catalyst projection, binning_spec.py).
     */
-  def binColumn(column: String, spec: BinningSpec, name: Option[String] = None): QueryBuilder =
+  def binColumn(column: String, spec: BinningSpec[_], name: Option[String] = None): QueryBuilder =
     next(BinColumn(expr, column, spec, name.getOrElse(s"${column}_binned")))
 
   // ------------------------------------------------------------- measurements
@@ -139,7 +139,7 @@ final class QueryBuilder private (private[graft] val expr: TransformExpr) {
   /** Histogram sugar: bin + groupby(bins) + count (reference
     * query_builder.py:1590, lowering :1655-1663).
     */
-  def histogram(column: String, spec: BinningSpec, name: Option[String] = None): Query = {
+  def histogram(column: String, spec: BinningSpec[_], name: Option[String] = None): Query = {
     val binName = name.getOrElse(s"${column}_binned")
     binColumn(column, spec, Some(binName))
       .groupby(KeySet.fromColumn(binName, spec.bins))

@@ -186,14 +186,17 @@ object QueryExpr {
     * first-class node so it compiles to a codegen'd `when` chain instead).
     */
   final case class BinColumn(
-      child: TransformExpr, column: String, spec: BinningSpec, name: String)
+      child: TransformExpr, column: String, spec: BinningSpec[_], name: String)
       extends TransformExpr {
     def schema(cat: CatalogSchemas): TableSchema = {
       val in = child.schema(cat)
       if (!in.contains(column)) err(s"bin_column: column '$column' not in schema")
+      // edges may be numeric, string, date, or datetime (reference BinT,
+      // binning_spec.py:17); the column's type must be binnable by them
       val t = in(column).ctype
-      if (t != Integer && t != Decimal)
-        err(s"bin_column: column '$column' must be numeric, got $t")
+      if (!spec.binnableTypes.contains(t))
+        err(s"bin_column: column '$column' of type $t cannot be binned by " +
+          s"edges of type ${spec.edges.head.getClass.getSimpleName}")
       if (name != column && in.contains(name))
         err(s"bin_column: output column '$name' already exists")
       if (name == column) in.copy(columns = in.columns.map { case (n, d) =>
