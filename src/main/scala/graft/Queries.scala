@@ -314,6 +314,10 @@ object Queries {
     "q35_get_bounds" -> ((s, d) =>
       lineitemSession(s, d).evaluate(
         QueryBuilder("lineitem").getBounds("l_extendedprice"), Inf)),
+    "q65_get_bounds_grouped" -> ((s, d) =>
+      lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").groupby(flagKeys)
+          .getBounds("l_extendedprice"), Inf)),
     "q61_join_private_ids" -> ((s, d) => {
       // PrivateJoinOnKey: two IDs tables in the same id space join on the id
       // column with no truncation; per-ID row bounds multiply
@@ -716,6 +720,23 @@ object Queries {
         |  WHERE (SELECT coalesce(sum(cnt), 0) FROM c WHERE mag <= t.k)
         |        >= 0.95 * (SELECT coalesce(sum(cnt), 0) FROM c))
         |SELECT -power(2.0, k) AS lower, power(2.0, k) AS upper FROM pick""".stripMargin,
+    "q65_get_bounds_grouped" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CASE WHEN abs(l_extendedprice) = 0.0 THEN -32
+        |    ELSE coalesce(list_min(list_filter(range(-32, 63),
+        |      k -> abs(l_extendedprice) <= power(2.0, k))), 62) END AS mag
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT l_returnflag, mag, count(*) AS cnt FROM m GROUP BY 1, 2),
+        |pick AS (SELECT f.l_returnflag AS l_returnflag, min(t.k) AS k
+        |  FROM (VALUES ('A'), ('N'), ('R')) f(l_returnflag)
+        |  CROSS JOIN range(-32, 63) t(k)
+        |  WHERE (SELECT coalesce(sum(cnt), 0) FROM c
+        |         WHERE c.l_returnflag = f.l_returnflag AND mag <= t.k)
+        |        >= 0.95 * (SELECT coalesce(sum(cnt), 0) FROM c
+        |                   WHERE c.l_returnflag = f.l_returnflag)
+        |  GROUP BY 1)
+        |SELECT l_returnflag, -power(2.0, k) AS lower, power(2.0, k) AS upper
+        |FROM pick""".stripMargin,
     "q55_count_distinct_ids" ->
       "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
     "q64_histogram_date" -> dateHistOracle,
