@@ -75,6 +75,33 @@ final case class BinningSpec[T](
   def outputDescriptor: ColumnDescriptor =
     ColumnDescriptor(ColumnType.Varchar, allowNull = true)
 
+  /** Scalar bin assignment, mirroring [[toColumn]] (the reference spec is
+    * callable: `spec(6)` -> `"(5, 10]"`, binning_spec.py:309-336). Nulls,
+    * NaNs (absent `nanBin`), and out-of-range values map to None.
+    */
+  def apply(v: T): Option[String] = {
+    if (v == null) return None
+    val isNan = v match {
+      case d: Double => d.isNaN
+      case f: Float  => f.isNaN
+      case _         => false
+    }
+    if (isNan) return nanBin
+    (0 until edges.size - 1).collectFirst {
+      case i if {
+        val (a, b) = (edges(i), edges(i + 1))
+        if (right) {
+          val base = ord.gt(v, a) && ord.lteq(v, b)
+          if (i == 0 && includeBothEndpoints) base || ord.equiv(v, a) else base
+        } else {
+          val base = ord.gteq(v, a) && ord.lt(v, b)
+          if (i == edges.size - 2 && includeBothEndpoints) base || ord.equiv(v, b)
+          else base
+        }
+      } => binNames(i)
+    }
+  }
+
   /** Catalyst expression assigning `c` to its bin name. Out-of-range values,
     * nulls and (absent `nanBin`) NaNs fall through the `when` chain to null.
     */

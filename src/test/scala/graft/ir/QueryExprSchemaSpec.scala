@@ -162,4 +162,22 @@ class QueryExprSchemaSpec extends SparkSpec {
     intercept[IllegalArgumentException] { BinningSpec(Seq(1.0)) }
     intercept[IllegalArgumentException] { BinningSpec(Seq(2.0, 1.0)) }
   }
+
+  test("binning spec scalar call mirrors the doctest (binning_spec.py:309)") {
+    val spec = BinningSpec(Seq(0.0, 5.0, 10.0))
+    assert(spec(0.0) === Some("[0, 5]"))
+    assert(spec(5.0) === Some("[0, 5]"))
+    assert(spec(6.0) === Some("(5, 10]"))
+    assert(spec(10.0) === Some("(5, 10]"))
+    assert(spec(11.0) === None)
+    assert(spec(Double.NaN) === None)
+    val nanSpec = BinningSpec(Seq(0.0, 1.0), nanBin = Some("nan"))
+    assert(nanSpec(Double.NaN) === Some("nan"))
+    // typed edges: dates
+    import BinningSpec._
+    val d = (1992 to 1994).map(y => java.sql.Date.valueOf(s"$y-01-01"))
+    val ds = BinningSpec(d)
+    assert(ds(java.sql.Date.valueOf("1992-06-15")) === Some("[1992-01-01, 1993-01-01]"))
+    assert(ds(java.sql.Date.valueOf("1995-01-01")) === None)
+  }
 }
