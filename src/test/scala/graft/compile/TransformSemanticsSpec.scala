@@ -36,6 +36,25 @@ class TransformSemanticsSpec extends SparkSpec {
     assert(n === 1L)
   }
 
+  test("select fused into map narrows output without changing semantics") {
+    val df = makeDf(StructType(Seq(longCol("k"), strCol("s"), dblCol("v"))),
+      Seq(Row(1L, "a", 2.0), Row(2L, "b", 3.0)))
+    val sess = Session.fromDataFrame(spark, Inf, "t", df, AddOneRow())
+    // map reads v, emits doubled; select keeps only the new column + s —
+    // the fused path must encode just (s, doubled) per row
+    sess.createView(QueryBuilder("t")
+      .map(r => Map("doubled" -> (r("v").asInstanceOf[Double] * 2.0)),
+        Seq("doubled" -> graft.types.ColumnDescriptor(graft.types.ColumnType.Decimal)),
+        augment = true)
+      .select("s", "doubled"), "m", cache = false)
+    assert(sess.getSchema("m").columnNames === Seq("s", "doubled"))
+    val out = sess.evaluate(
+      QueryBuilder("m").groupby(KeySet.fromColumn("s", Seq("a", "b", "c")))
+        .sum("doubled", 0.0, 10.0), Inf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("a" -> 4.0, "b" -> 6.0, "c" -> 0.0))
+  }
+
   test("rename supports column swaps atomically") {
     val df = makeDf(StructType(Seq(strCol("a"), strCol("b"))), Seq(Row("va", "vb")))
     val s = Session.fromDataFrame(spark, Inf, "t", df, AddOneRow())
