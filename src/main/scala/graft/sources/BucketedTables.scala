@@ -36,4 +36,23 @@ object BucketedTables {
     */
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Write `df` hive-partitioned on `partitionColumns`: a reader filtering
+    * on those columns scans only the matching directories (partition
+    * pruning — the scan's `PartitionFilters`, not a post-scan filter). The
+    * layout of choice for date- or source-partitioned 100 TB corpora.
+    */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionColumns: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionColumns: _*).parquet(path)
+
+  /** The partition-pruning evidence for a scan: the number of data files
+    * the plan will actually read (after partition pruning).
+    */
+  def filesRead(df: DataFrame): Long =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
 }

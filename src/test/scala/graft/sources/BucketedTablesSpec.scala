@@ -8,6 +8,38 @@ import graft.SparkSpec
 
 class BucketedTablesSpec extends SparkSpec {
 
+  test("partitioned writes prune to matching partition files at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = makeDf(StructType(Seq(longCol("id"), strCol("src"))),
+      (1L to 90L).map(i => Row(i, s"s${i % 3}")))
+    BucketedTables.writePartitioned(df, dir, Seq("src"))
+    val all = spark.read.parquet(dir)
+    val pruned = all.filter(col("src") === "s1")
+    assert(pruned.count() === 30L)
+    val prunedFiles = BucketedTables.filesRead(pruned)
+    val totalFiles = BucketedTables.filesRead(all)
+    assert(prunedFiles > 0 && prunedFiles < totalFiles,
+      s"expected pruning: $prunedFiles of $totalFiles files")
+  }
+
+  test("salted join equals the plain join and spreads the hot key") {
+    import graft.sources.Salting
+    // one hot key (k=1) with many rows, plus a tail
+    val skewed = makeDf(StructType(Seq(longCol("k"), longCol("v"))),
+      (1L to 300L).map(i => Row(if (i <= 250) 1L else i, i)))
+    val dim = makeDf(StructType(Seq(longCol("k"), strCol("name"))),
+      (1L to 300L).map(i => Row(i, s"n$i")))
+    val plain = skewed.join(dim, Seq("k")).select("k", "v", "name")
+    val salted = Salting.saltedJoin(skewed, dim, Seq("k"), buckets = 8)
+      .select("k", "v", "name")
+    assert(salted.collect().toSet === plain.collect().toSet)
+    // the hot key's rows land in several salt buckets
+    val spread = skewed
+      .withColumn("s", Salting.saltExpr(skewed.columns.map(col).toSeq, 8))
+      .filter(col("k") === 1L).select("s").distinct().count()
+    assert(spread > 1, s"hot key stayed in $spread salt bucket(s)")
+  }
+
   test("bucketed+sorted tables join without a shuffle exchange") {
     val left = makeDf(StructType(Seq(longCol("k"), strCol("a"))),
       (1L to 200L).map(i => Row(i, s"a$i")))
