@@ -342,6 +342,12 @@ object Queries {
         AddRowsWithID("user_id"))
         .evaluate(QueryBuilder("events").select("user_id")
           .countDistinct(Seq("user_id"), name = "n_users"), Inf)),
+    "q66_histogram_string" -> ((s, d) =>
+      // string bin edges: alphabetical ranges over part names (reference
+      // BinT includes str; string comparison is binary in both engines)
+      Session.fromDataFrame(s, Inf, "part", read(s, d, "part"), AddOneRow())
+        .evaluate(QueryBuilder("part")
+          .histogram("p_name", BinningSpec(Seq("a", "h", "p", "zz"))), Inf)),
     "q64_histogram_date" -> ((s, d) => {
       // typed bin edges: java.sql.Date boundaries, yearly bins over
       // l_shipdate (reference BinningSpec supports str/num/date/datetime
@@ -740,6 +746,17 @@ object Queries {
     "q55_count_distinct_ids" ->
       "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
     "q64_histogram_date" -> dateHistOracle,
+    "q66_histogram_string" ->
+      """SELECT k.p_name_binned AS p_name_binned,
+        |  CAST(coalesce(t.cnt, 0) AS BIGINT) AS count
+        |FROM (VALUES ('[''a'', ''h'']'), ('(''h'', ''p'']'), ('(''p'', ''zz'']'))
+        |  k(p_name_binned)
+        |LEFT JOIN (SELECT CASE
+        |    WHEN p_name >= 'a' AND p_name <= 'h' THEN '[''a'', ''h'']'
+        |    WHEN p_name > 'h' AND p_name <= 'p' THEN '(''h'', ''p'']'
+        |    WHEN p_name > 'p' AND p_name <= 'zz' THEN '(''p'', ''zz'']'
+        |    END AS p_name_binned, count(*) AS cnt
+        |  FROM part GROUP BY 1) t USING (p_name_binned)""".stripMargin,
     "q63_count_distinct_ids_grouped" ->
       """SELECT k.event_type AS event_type,
         |  CAST(coalesce(t.c, 0) AS BIGINT) AS count_distinct
