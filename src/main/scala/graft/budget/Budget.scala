@@ -40,6 +40,17 @@ final class Rat private (val num: BigInt, val den: BigInt) extends Ordered[Rat]
   def min(o: Rat): Rat = if (this <= o) this else o
   def max(o: Rat): Rat = if (this >= o) this else o
 
+  /** Exact ceiling as a Long (throws on infinity). Used where an integer
+    * stability bound is extracted from an exact rational distance — going
+    * through Double could round a value like (2^53+1)/1 down.
+    */
+  def ceilLong: Long = {
+    if (isInfinite) throw new ArithmeticException("ceil of infinite Rat")
+    val q = num /% den // BigInt division truncates toward zero
+    val c = if (q._2 != 0 && num > 0) q._1 + 1 else q._1
+    c.toLong
+  }
+
   override def equals(o: Any): Boolean = o match {
     case r: Rat => num == r.num && den == r.den
     case _      => false

@@ -19,6 +19,39 @@ import graft.types.ColumnType
   */
 final case class MeasureOut(df: DataFrame, noise: Seq[NoiseInfo], spend: PrivacyBudget)
 
+object MeasurementPlanner {
+  /** One budget charge = at most one random draw: when any mechanism in the
+    * plan is genuinely random, pin the sampled result with an eager
+    * localCheckpoint so every later action replays the same release instead
+    * of redrawing noise. The checkpoint runs executor-side over the small
+    * post-aggregation rows — no driver collect, so it holds at any keyset
+    * size. Noiseless (infinite-budget) plans are pure functions and stay
+    * lazy, keeping their scan pruning visible to `.explain` audits.
+    */
+  def releaseOnce(df: DataFrame, noise: Seq[NoiseInfo]): DataFrame =
+    if (noise.forall(_.mechanism.isNoiseless)) df
+    else df.localCheckpoint(true)
+
+  /** Noise scale and count threshold for DP partition selection at input
+    * distance `sens` (d_in-aware, mirroring the reference's pass of d_in to
+    * core create_partition_selection_measurement,
+    * _measurement_visitor.py:141-147). One protected unit can contribute up
+    * to `sens` rows to a single new group and create up to ceil(sens)
+    * distinct new groups, so the threshold clears the per-group contribution
+    * bound and the failure probability delta is split across the groups the
+    * unit could create: tau = sens + b * ln(1 / (2 * delta / maxGroups)).
+    * At sens = 1 this is the classic 1 + b * ln(1/(2*delta)).
+    */
+  def partitionSelectionParams(
+      sens: Double, eps: Double, delta: Double): (Double, Double) = {
+    val b = 2.0 * sens / eps
+    val maxGroups = math.max(1L, math.ceil(sens).toLong)
+    val deltaPer = delta / maxGroups.toDouble
+    val tau = sens + b * math.log(1.0 / (2.0 * deltaPer))
+    (b, math.max(tau, 1.0))
+  }
+}
+
 /** Lowers `MeasureExpr` to: transform chain -> (truncation) -> aggregation
   * -> keyset left-join -> noise (reference:
   * _query_expr_compiler/_base_measurement_visitor.py).
@@ -52,8 +85,13 @@ final class MeasurementPlanner(
         case other => throw new IllegalArgumentException(
           s"groupby(KeySet.detect(...)) requires an ApproxDP budget, got $other")
       }
-      val discovered = new MeasurementPlanner(catalog, selBudget, spark)
-        .compile(GetGroups(agg.child, cols)).df
+      // The discovered key domain is itself a DP release: materialize it once
+      // so re-executing the final plan cannot re-run partition selection with
+      // fresh noise (that would release the selection mechanism many times
+      // for a single eps/2 + delta charge).
+      val selOut = new MeasurementPlanner(catalog, selBudget, spark)
+        .compile(GetGroups(agg.child, cols))
+      val discovered = MeasurementPlanner.releaseOnce(selOut.df, selOut.noise)
       val bound = KeySet.fromDataFrame(discovered)
       val inner = new MeasurementPlanner(catalog, aggBudget, spark)
         .compile(withKeys(agg, bound))
@@ -61,7 +99,7 @@ final class MeasurementPlanner(
 
     case e @ GroupByCount(child, keys, out, hint) =>
       val t = prepared(child, needed = Some(keys.columns))
-      val sens = aggSensitivity(t, Some(keys))
+      val sens = aggSensitivity(t, Some(keys), l2 = isL2(hint))
       val mech = selectMechanism(hint, integer = true, sens, parts = 1)
       val aggd = groupAgg(t.df, keys, Seq(count(lit(1)).as(out)))
       val joined = keysetJoin(keys, aggd, Seq(out -> Some(lit(0L))))
@@ -80,20 +118,22 @@ final class MeasurementPlanner(
         case IDsMetric(id, _, d) if countCols == Seq(id) && keys.isEmptyKey => Some(d)
         // Grouped form: with MaxGroupsPerID(c, g) enforced and c the single
         // group-by key, one ID changes at most g groups' distinct-ID counts
-        // by 1 each — L1 sensitivity g*d_in, or ceil(sqrt(g))*d_in under
-        // zCDP (L2 across groups; reference :252-300).
+        // by 1 each — L1 sensitivity g*d_in, or ceil(sqrt(g))*d_in when the
+        // selected mechanism is Gaussian-family (L2 across groups; reference
+        // :252-300). A Laplace hint under zCDP lowers to an L1 mechanism, so
+        // it must NOT take the sqrt credit.
         case IDsMetric(id, _, d) if countCols == Seq(id) && keys.columns.size == 1 =>
           val c = keys.columns.head
           t.constraints.collect { case MaxGroupsPerID(`c`, g) => g.toLong }
             .minOption.map { g =>
-              val eff = if (budget.isInstanceOf[RhoZCDPBudget])
+              val eff = if (isL2(hint))
                 math.ceil(math.sqrt(g.toDouble)).toLong
               else g
               d * Rat(eff)
             }
         case _ => None
       }
-      val sens = idCase.getOrElse(aggSensitivity(t, Some(keys)))
+      val sens = idCase.getOrElse(aggSensitivity(t, Some(keys), l2 = isL2(hint)))
       val mech = selectMechanism(hint, integer = true, sens, parts = 1)
       val aggd = groupAgg(t.df, keys,
         Seq(countDistinct(struct(countCols.map(col).toIndexedSeq: _*)).as(out)))
@@ -104,7 +144,8 @@ final class MeasurementPlanner(
     case e @ GroupByBoundedSum(child, keys, m, lo, hi, out, hint) =>
       val t = prepared(child, dropSpecial = Some(m),
         needed = Some(keys.columns :+ m))
-      val sens = aggSensitivity(t, Some(keys)) * Rat(math.max(math.abs(lo), math.abs(hi)))
+      val sens = aggSensitivity(t, Some(keys), l2 = isL2(hint)) *
+        Rat(math.max(math.abs(lo), math.abs(hi)))
       val integer = t.schema(m).ctype == ColumnType.Integer
       val mech = selectMechanism(hint, integer, sens, parts = 1)
       if (integer) {
@@ -127,7 +168,7 @@ final class MeasurementPlanner(
       // each part gets half the budget.
       val t = prepared(child, dropSpecial = Some(m),
         needed = Some(keys.columns :+ m))
-      val sens = aggSensitivity(t, Some(keys))
+      val sens = aggSensitivity(t, Some(keys), l2 = isL2(hint))
       val mid = (lo + hi) / 2.0
       val devSens = sens * Rat((hi - lo) / 2.0)
       val sumMech = selectMechanism(hint, integer = false, devSens, parts = 2)
@@ -196,11 +237,11 @@ final class MeasurementPlanner(
         else {
           if (delta.isZero) throw new IllegalArgumentException(
             "get_groups requires delta > 0")
-          val b = 2.0 * sens.toDouble / eps.toDouble
-          val tau = 1.0 + b * math.log(1.0 / (2.0 * delta.toDouble))
+          val (b, tau) = MeasurementPlanner.partitionSelectionParams(
+            sens.toDouble, eps.toDouble, delta.toDouble)
           (aggd.withColumn("__c",
             Noise.addLongNoise(col("__c"), NoiseMechanism.Geometric(b))),
-            math.max(tau, 1.0))
+            tau)
         }
       val result = noisy.filter(col("__c") >= threshold)
         .select(cols.map(col).toIndexedSeq: _*)
@@ -305,18 +346,26 @@ final class MeasurementPlanner(
   /** Row sensitivity of an aggregation over the compiled table. IDs tables
     * convert per-ID distance to row distance via the tightest enforced
     * constraint combination (reference _truncate_table,
-    * _base_measurement_visitor.py:534-589). Under zCDP, the combination
+    * _base_measurement_visitor.py:534-589). The combination
     * MaxGroupsPerID(c, g) x MaxRowsPerGroupPerID(c, r) earns the L2 credit
     * r*sqrt(g) instead of r*g when c is one of the group-by keys (reference
     * _constraint_stability, _base_measurement_visitor.py:200-207); the
     * irrational bound is rounded up to stay a safe overestimate.
+    *
+    * `l2` must be true ONLY when the downstream mechanism is calibrated to L2
+    * sensitivity (Gaussian family under zCDP). A zCDP *budget* alone is not
+    * enough: a Laplace mechanism hint under zCDP lowers to a pure-DP
+    * mechanism via eps = sqrt(2 rho), and that mechanism needs the L1 bound
+    * r*g — granting sqrt(g) there would under-noise by ~sqrt(g). Likewise
+    * the exponential mechanism (quantile / bounds) composes in L1.
     */
-  private def aggSensitivity(t: TransformOut, keys: Option[KeySet] = None): Rat =
+  private def aggSensitivity(
+      t: TransformOut, keys: Option[KeySet] = None, l2: Boolean = false): Rat =
     t.metric match {
       case RowsMetric(d) => d
       case IDsMetric(_, _, d) =>
         val groups = t.constraints.collect { case MaxGroupsPerID(c, g) => c -> g.toLong }.toMap
-        val zcdp = budget.isInstanceOf[RhoZCDPBudget]
+        val zcdp = l2 && budget.isInstanceOf[RhoZCDPBudget]
         val perIdBounds: Seq[Long] =
           t.constraints.collect { case MaxRowsPerID(n) => n.toLong } ++
             t.constraints.collect {
@@ -333,6 +382,13 @@ final class MeasurementPlanner(
               "MaxRowsPerGroupPerID); add .enforce(...) to the query")
         d * Rat(perIdBounds.min)
     }
+
+  /** True iff `hint` will lower to a Gaussian-family mechanism under the
+    * session budget — the only case where an L2 (sqrt-of-groups) constraint
+    * credit is sound. Mirrors the RhoZCDP branch of selectMechanism.
+    */
+  private def isL2(hint: MechanismHint): Boolean =
+    budget.isInstanceOf[RhoZCDPBudget] && hint != MechanismHint.Laplace
 
   /** DEFAULT -> concrete mechanism given budget kind and value type
     * (reference _rewrite_rules.py:91-199), with the noise scale calibrated
@@ -428,7 +484,7 @@ final class MeasurementPlanner(
   // sum of squared deviations, count; reference _query_expr.py:1918-2038)
   private def varianceParts(e: GroupByBoundedVariance) = {
     val t = prepared(e.child, dropSpecial = Some(e.measureColumn))
-    val sens = aggSensitivity(t, Some(e.keys))
+    val sens = aggSensitivity(t, Some(e.keys), l2 = isL2(e.mechanism))
     val mid = (e.low + e.high) / 2.0
     val half = (e.high - e.low) / 2.0
     val sdMech = selectMechanism(e.mechanism, integer = false, sens * Rat(half), 3)
@@ -500,6 +556,10 @@ object GetBoundsImpl {
         val idx = cum.indexWhere(_ >= target)
         ks(if (idx < 0) ks.length - 1 else idx)
       } else {
+        // utility u = -|cum - 0.95*n| has sensitivity 1.95: a row moves the
+        // cumulative count by <= 1 and the 0.95*n target by 0.95, so the
+        // exponential-mechanism weights divide eps by 2 * 1.95.
+        val uSens = 1.95
         val rng = ThreadLocalRandom.current()
         var pick = 0
         var best = Double.NegativeInfinity
@@ -507,7 +567,7 @@ object GetBoundsImpl {
         while (i < ks.length) {
           val u = -math.abs(cum(i) - target)
           val g = -math.log(-math.log(rng.nextDouble()))
-          val s = eps / 2.0 * u + g
+          val s = eps / (2.0 * uSens) * u + g
           if (s > best) { best = s; pick = i }
           i += 1
         }

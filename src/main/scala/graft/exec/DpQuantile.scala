@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * state bounded at `Bins` counters regardless of group size — at 100 TB a
   * group can hold billions of rows, so a collect-values plan is not viable;
   * the binned plan is two hash aggregations and never materializes raw
-  * values. Utility sensitivity is still 1 (adding/removing a row shifts each
-  * rank by at most 1), so the standard exp(eps * u / 2) weights apply.
+  * values. The utility u = -|rank(bin) - q*n| has sensitivity 1 + q, not 1:
+  * adding/removing a row moves the bin's rank by at most 1 AND moves the
+  * target q*n by q, so the weights are exp(eps * u / (2 * (1 + q))).
   *
   * At epsilon = infinity the mechanism is deterministic: the max-utility bin
   * (ties broken toward the q-th position) and its midpoint.
@@ -73,15 +74,18 @@ object DpQuantile {
         }
         low + (pick + 0.5) * width
       } else {
-        // Gumbel-max sampling of exp(eps/2 * u): equivalent to the
-        // exponential mechanism, no normalization pass needed.
+        // Gumbel-max sampling of exp(eps * u / (2 * uSens)): equivalent to
+        // the exponential mechanism, no normalization pass needed. uSens =
+        // 1 + q is the true utility sensitivity (rank moves by <= 1, target
+        // q*n moves by q per added/removed row).
+        val uSens = 1.0 + q
         val rng = ThreadLocalRandom.current()
         var pick = 0
         var best = Double.NegativeInfinity
         i = 0
         while (i < Bins) {
           val g = -math.log(-math.log(rng.nextDouble()))
-          val s = eps / 2.0 * u(i) + g
+          val s = eps / (2.0 * uSens) * u(i) + g
           if (s > best) { best = s; pick = i }
           i += 1
         }

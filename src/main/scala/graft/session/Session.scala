@@ -96,12 +96,22 @@ final class Session private (
     remaining = remaining - b
   }
 
-  /** Answer a DP query, spending `budget` (reference session.py:1050-1151). */
+  /** Answer a DP query, spending `budget` (reference session.py:1050-1151).
+    *
+    * The returned DataFrame is a *release*: when the compiled plan contains
+    * any random mechanism, it is materialized here so that one budget charge
+    * corresponds to exactly one sampled draw. Returning the lazy plan would
+    * let a caller re-run it (show/collect/write each re-execute) and average
+    * out the noise for free, and task retries could mix draws within one
+    * result (the reference materializes measurement outputs for the same
+    * reason). The noiseless path (infinite budget) stays lazy: it is a pure
+    * deterministic function, so re-execution cannot reveal anything new.
+    */
   def evaluate(query: Query, budget: PrivacyBudget): DataFrame = {
     checkActive()
     val (out, _) = compileMeasure(query, budget)
     spend(out.spend)
-    out.df
+    MeasurementPlanner.releaseOnce(out.df, out.noise)
   }
 
   /** Per-output-column noise description without running or spending
@@ -133,7 +143,8 @@ final class Session private (
       case RowsMetric(d) => (AddMaxRows(1), d) // d already includes the chain
       case IDsMetric(idCol, idSpace, d) =>
         (AddRowsWithID(idCol, idSpace,
-          if (d >= Rat(Int.MaxValue.toLong)) Int.MaxValue else d.toDouble.toInt.max(1)),
+          if (d >= Rat(Int.MaxValue.toLong)) Int.MaxValue
+          else d.ceilLong.max(1L).toInt),
           Rat.one)
     }
     privateTables(name) = PrivateTable(df, out.schema, pc, out.constraints, viewStab)

@@ -1,0 +1,95 @@
+package graft.compile
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.accounting.{AddMaxRows, AddOneRow, AddRowsWithID}
+import graft.budget._
+import graft.constraints.{MaxGroupsPerID, MaxRowsPerGroupPerID}
+import graft.exec.NoiseMechanism._
+import graft.ir._
+import graft.keyset.KeySet
+import graft.session.Session
+
+/** Calibration regressions from the round-2 advisory review:
+  *  - the zCDP sqrt-of-groups constraint credit is an L2 credit and must not
+  *    apply when a Laplace hint forces an L1 mechanism under zCDP;
+  *  - DP partition selection must calibrate its threshold to d_in, not 1;
+  *  - evaluate() must release exactly one noise draw per budget charge.
+  */
+class PrivacyCalibrationSpec extends SparkSpec {
+
+  private val rho = RhoZCDPBudget(0.5) // Laplace-hint eps = sqrt(2*0.5) = 1
+
+  private def idDf = makeDf(
+    StructType(Seq(longCol("uid"), strCol("grp"))), Seq(Row(1L, "a")))
+
+  private def idSess = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf),
+    "t", idDf, AddRowsWithID("uid"))
+
+  test("Laplace hint under zCDP uses L1 group sensitivity, not sqrt credit") {
+    val keys = KeySet.fromColumn("grp", Seq("a", "b"))
+    val q = QueryBuilder("t").enforce(MaxGroupsPerID("grp", 4))
+      .groupby(keys).countDistinct(Seq("uid"), mechanism = MechanismHint.Laplace)
+    // L1 across <=4 touched groups: sens 4 at eps = sqrt(2 rho) = 1 -> scale 4.
+    // The (wrong) L2 credit would give ceil(sqrt(4)) = 2 -> scale 2.
+    assert(idSess.noiseInfo(q, rho).head.mechanism === Geometric(4.0))
+    // Default hint resolves to discrete Gaussian, which IS L2: sens 2,
+    // sigma^2 = 4/(2*0.5) = 4.
+    val qg = QueryBuilder("t").enforce(MaxGroupsPerID("grp", 4))
+      .groupby(keys).countDistinct(Seq("uid"))
+    assert(idSess.noiseInfo(qg, rho).head.mechanism === DiscreteGaussian(4.0))
+  }
+
+  test("Laplace hint under zCDP: constraint-pair credit is also gated") {
+    val keys = KeySet.fromColumn("grp", Seq("a", "b"))
+    def q(h: MechanismHint) = QueryBuilder("t")
+      .enforce(MaxGroupsPerID("grp", 4)).enforce(MaxRowsPerGroupPerID("grp", 1))
+      .groupby(keys).count(mechanism = h)
+    // Gaussian family: L2 credit 1*sqrt(4) = 2 -> sigma^2 = 4/(2*0.5) = 4
+    assert(idSess.noiseInfo(q(MechanismHint.Default), rho).head.mechanism
+      === DiscreteGaussian(4.0))
+    // Laplace hint: L1 bound 1*4 = 4 at eps = 1 -> scale 4 (sqrt credit would
+    // wrongly give 2)
+    assert(idSess.noiseInfo(q(MechanismHint.Laplace), rho).head.mechanism
+      === Geometric(4.0))
+  }
+
+  test("partition-selection threshold is d_in-aware") {
+    val (b1, tau1) = MeasurementPlanner.partitionSelectionParams(1.0, 1.0, 1e-6)
+    // classic sens-1 formula: b = 2/eps, tau = 1 + b*ln(1/(2 delta))
+    assert(b1 === 2.0)
+    assert(math.abs(tau1 - (1.0 + 2.0 * math.log(1.0 / 2e-6))) < 1e-9)
+    val (b3, tau3) = MeasurementPlanner.partitionSelectionParams(3.0, 1.0, 1e-6)
+    assert(b3 === 6.0)
+    // sens + b*ln(maxGroups/(2 delta)): clears one unit's per-group
+    // contribution and splits delta across the 3 groups it could create
+    assert(math.abs(tau3 - (3.0 + 6.0 * math.log(3.0 / 2e-6))) < 1e-9)
+    assert(tau3 > tau1)
+  }
+
+  test("finite-budget releases are sampled exactly once per evaluate") {
+    val rows = (1L to 50L).map(i => Row(i, if (i % 2 == 0) "e" else "o"))
+    val s = Session.fromDataFrame(spark, PureDPBudget(Rat(100)),
+      "t", makeDf(StructType(Seq(longCol("v"), strCol("p"))), rows), AddOneRow())
+    val out = s.evaluate(
+      QueryBuilder("t").groupby(KeySet.fromColumn("p", Seq("e", "o"))).count(),
+      PureDPBudget(Rat(1)))
+    val first = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val second = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first === second) // re-running the action must not redraw noise
+  }
+
+  test("detect keyset is materialized: group domain is stable across actions") {
+    val rows = (1L to 400L).map(i => Row(i, s"g${i % 4}"))
+    val s = Session.fromDataFrame(spark, ApproxDPBudget(Rat(100), Rat(1, 1000)),
+      "t", makeDf(StructType(Seq(longCol("v"), strCol("p"))), rows), AddOneRow())
+    val out = s.evaluate(
+      QueryBuilder("t").groupby(KeySet.detect("p")).count(),
+      ApproxDPBudget(Rat(2), Rat(1, 10000)))
+    val a = out.collect().map(_.getString(0)).sorted.toSeq
+    val b = out.collect().map(_.getString(0)).sorted.toSeq
+    assert(a === b) // selection must not re-run with fresh noise
+  }
+}
