@@ -221,9 +221,16 @@ object Dedup {
 
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String, maxIters: Int = 10): DataFrame = {
-    val pairs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val sample = pairs.limit(InMemoryEdgeCutoff.toInt + 1).collect()
-    if (sample.length <= InMemoryEdgeCutoff) {
+    // The edge list is typically the output of an expensive candidate+verify
+    // pipeline: persist it so the size probe, the collect (small case), and
+    // the propagation loop (large case) all run that pipeline exactly once.
+    // The probe is a count — no edge rows reach the driver unless the edge
+    // set is small enough for the union-find path.
+    val pairs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    val edgeCount = pairs.count()
+    if (edgeCount <= InMemoryEdgeCutoff) {
+      val sample = pairs.collect() // from cache
+      pairs.unpersist(false)
       val spark = edges.sparkSession
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       val verts = scala.collection.mutable.Set.empty[Long]
@@ -246,7 +253,7 @@ object Dedup {
       return verts.toSeq.map(v => (v, find(v))).toDF("id", "component")
     }
     val e = pairs
-      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).cache()
@@ -266,7 +273,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // labels is cached and already materialized by the convergence count
     e.unpersist()
+    pairs.unpersist(false)
     labels
   }
 
@@ -300,29 +309,78 @@ object Dedup {
     u(split(trim(lower(c)), "\\s+"))
   }
 
-  /** Near-dup pairs by SimHash: band the 64 bits into four 16-bit chunks
-    * (any pair within Hamming distance 3 shares at least one chunk), bucket
-    * on chunks, verify with bit_count(xor) <= maxHamming.
+  /** Near-dup pairs by SimHash with full recall at near-linear cost.
+    *
+    * Level 0 bands the 64 bits into four 16-bit chunks: any pair within
+    * Hamming distance 3 differs in at most 3 chunks, so it agrees on at
+    * least one (pigeonhole). Buckets up to `maxBucket` generate candidate
+    * pairs directly (a self-equi-join keyed on the bucket, never a cross
+    * product). An OVERSIZED bucket — only 4*65536 distinct chunk keys exist,
+    * so bucket size grows linearly with corpus size and O(bucket^2) pair
+    * generation would be quadratic at scale — is not dropped (that loses
+    * recall) and not paired (that loses the linear bound): its members are
+    * re-banded on a *different* disjoint 4-way partition of the 64 bits.
+    * Within the parent bucket the pair still has <= 3 differing bits, so by
+    * the same pigeonhole it agrees on one of the new sub-chunks; each level
+    * adds ~12 discriminating bits to the bucket key. After the last level
+    * pairs are emitted regardless of bucket size: members then agree on
+    * >= 37 of 64 bits, so any remaining large bucket is a genuine near-dup
+    * flood whose quadratic pair count is the true answer size.
+    *
+    * The Hamming filter runs BEFORE the dedup distinct, so the distinct
+    * shuffle carries only true near-dup pairs, not every candidate.
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    require(maxHamming <= 3,
+      "4-way banding guarantees full recall only for maxHamming <= 3")
     val sh = spread(df).select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
-    val chunks = sh.select(col("__id"), col("__sh"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("__sh"), j * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("__chunk", "__ck")))
-    val buckets = chunks.groupBy("__chunk", "__ck")
-      .agg(collect_list(struct(col("__id"), col("__sh"))).as("__rows"))
-      .filter(size(col("__rows")).between(2, maxBucket))
-    buckets
-      .select(explode(col("__rows")).as("__x"), col("__rows"))
-      .select(col("__x"), explode(col("__rows")).as("__y"))
-      .filter(col("__x.__id") < col("__y.__id"))
-      .select(col("__x.__id").as("id_a"), col("__y.__id").as("id_b"),
-        bit_count(col("__x.__sh").bitwiseXOR(col("__y.__sh"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+
+    // Disjoint 4-way partitions of the 64 signature bits, one per level:
+    // contiguous 16-bit chunks, then bit-stride-4, then nibble-stride-16.
+    // Successive partitions overlap any fixed chunk in at most 4 bits, so
+    // each re-banding adds >= 12 fresh bits to the bucket key.
+    val levelMasks: Seq[Seq[Long]] = Seq(
+      (0 until 4).map(j => 0xffffL << (16 * j)),
+      (0 until 4).map(r => 0x1111111111111111L << r),
+      (0 until 4).map(r => 0x000f000f000f000fL << (4 * r)))
+
+    def banded(rows: DataFrame, masks: Seq[Long], parent: Column): DataFrame =
+      rows.select(col("__id"), col("__sh"),
+        explode(array(masks.zipWithIndex.map { case (m, j) =>
+          xxhash64(parent, lit(j), col("__sh").bitwiseAND(lit(m)))
+        }: _*)).as("__key"))
+
+    def pairsOf(rows: DataFrame): DataFrame = {
+      val l = rows.select(col("__key"), col("__id").as("id_a"), col("__sh").as("__sha"))
+      val r = rows.select(col("__key"), col("__id").as("id_b"), col("__sh").as("__shb"))
+      l.join(r, Seq("__key")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("__sha").bitwiseXOR(col("__shb"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }
+
+    var frontier = banded(sh, levelMasks.head, lit(0L))
+    var out: DataFrame = null
+    levelMasks.indices.foreach { l =>
+      // bucket sizes via map-side-combinable agg (never collect_list on an
+      // unbounded bucket), joined back to route rows by size
+      val sizes = frontier.groupBy("__key").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+      val withN = frontier.join(sizes, "__key")
+      val last = l == levelMasks.length - 1
+      val ready = if (last) withN else withN.filter(col("__n") <= maxBucket)
+      val lvlPairs = pairsOf(ready.drop("__n"))
+      out = if (out == null) lvlPairs else out.unionAll(lvlPairs)
+      if (!last) {
+        val over = withN.filter(col("__n") > maxBucket)
+          .select(col("__key"), col("__id"), col("__sh"))
+        frontier = banded(over, levelMasks(l + 1), col("__key"))
+      }
+    }
+    // a qualifying pair can surface under several chunk keys and levels
+    out.distinct()
   }
 
   /** Exact n-gram Jaccard similarity of two text columns (for verifying LSH
@@ -373,8 +431,11 @@ object Dedup {
       .filter(col("__x.__id") < col("__y.__id"))
       .select(col("__x.__id").as("id_a"), col("__y.__id").as("id_b"),
         Similarity.cosine(col("__x.__v"), col("__y.__v")).as("cosine"))
-      .distinct()
+      // score first (cosine is deterministic per pair), filter second, and
+      // only then dedup band collisions: the distinct shuffle carries the
+      // few above-threshold (id, id, cosine) triples, never vector payloads
       .filter(col("cosine") >= threshold)
+      .distinct()
   }
 
   /** `planes`-bit random-hyperplane signature of a vector: bit p is the sign

@@ -65,10 +65,15 @@ object Similarity {
     }
     val cb = banded(corpus, corpusId, corpusVec, "corpus_id", "__cv")
     val qb = banded(queries, queryId, queryVec, "query_id", "__qv")
-    val candidates = cb.join(qb, Seq("__band", "__bk"))
+    // score before the dedup: cosine is deterministic per (query, corpus)
+    // pair, so distinct on the scored triple equals distinct on the id pair
+    // — and the dedup shuffle then carries 3 scalar columns instead of both
+    // full embedding vectors once per shared band
+    val scored = cb.join(qb, Seq("__band", "__bk"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .select("query_id", "corpus_id", "__cv", "__qv").distinct()
-    val scored = candidates.withColumn("cosine", cosine(col("__cv"), col("__qv")))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("__cv"), col("__qv")).as("cosine"))
+      .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))

@@ -76,6 +76,32 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("simhash oversized buckets re-band without losing recall") {
+    // many distinct docs plus planted near-dup pairs; force the multi-level
+    // path with a tiny bucket cap and check the pair set matches the exact
+    // all-pairs Hamming answer (recall 1.0 AND no spurious pairs)
+    val rows = (1L to 120L).map(i => i -> s"doc $i has words w${i} x${i % 7} y${i % 3}") ++
+      Seq(201L -> "alpha beta gamma delta epsilon zeta", // identical pair
+        202L -> "alpha beta gamma delta epsilon zeta",
+        203L -> "alpha beta gamma delta epsilon eta") // near variant
+    val df = docs(rows: _*)
+    def pairSet(cap: Int) =
+      Dedup.simhashPairs(df, "id", "text", maxHamming = 3, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+        .toSet
+    // exact answer via all-pairs on the same signatures
+    val sigs = df.select(col("id"), Dedup.simhash64(col("text")).as("sh"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+      .toSet
+    assert(pairSet(4096) === brute) // single-level path
+    assert(pairSet(2) === brute)    // every non-trivial bucket forced to re-band
+  }
+
   test("embedding cosine dedup finds the planted duplicate vector") {
     val schema = StructType(Seq(longCol("id"),
       StructField("vec", ArrayType(DoubleType))))
