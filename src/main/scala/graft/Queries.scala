@@ -323,10 +323,11 @@ object Queries {
       // column with no truncation; per-ID row bounds multiply
       val ev = read(s, d, "events")
       val sess = new Session.Builder().withPrivacyBudget(Inf)
+        .withIdSpace("users")
         .withPrivateDataFrame("ev1", ev.select("user_id", "event_type"),
-          AddRowsWithID("user_id"))
+          AddRowsWithID("user_id", "users"))
         .withPrivateDataFrame("ev2", ev.select("user_id", "value"),
-          AddRowsWithID("user_id"))
+          AddRowsWithID("user_id", "users"))
         .build(s)
       sess.evaluate(
         QueryBuilder("ev1").enforce(MaxRowsPerID(1000))
@@ -348,6 +349,24 @@ object Queries {
       Session.fromDataFrame(s, Inf, "part", read(s, d, "part"), AddOneRow())
         .evaluate(QueryBuilder("part")
           .histogram("p_name", BinningSpec(Seq("a", "h", "p", "zz"))), Inf)),
+    "q67_id_space_joint" -> ((s, d) => {
+      // joint AddRemoveKeys accounting: two tables in one declared id space
+      // form a single protected unit — the space's input distance is shared,
+      // so querying 'typed' is charged for the d_in its space-mate declared
+      // (SessionSpec asserts the doubled noise scale; at infinite budget the
+      // result is the plain per-type count)
+      val ev = read(s, d, "events")
+      val sess = new Session.Builder().withPrivacyBudget(Inf)
+        .withIdSpace("users")
+        .withPrivateDataFrame("typed", ev.select("user_id", "event_type"),
+          AddRowsWithID("user_id", "users"))
+        .withPrivateDataFrame("valued", ev.select("user_id", "value"),
+          AddRowsWithID("user_id", "users", maxIDs = 2))
+        .build(s)
+      sess.evaluate(
+        QueryBuilder("typed").enforce(MaxRowsPerID(1000))
+          .groupby(typeKeys).count(), Inf)
+    }),
     "q64_histogram_date" -> ((s, d) => {
       // typed bin edges: java.sql.Date boundaries, yearly bins over
       // l_shipdate (reference BinningSpec supports str/num/date/datetime
@@ -452,12 +471,10 @@ object Queries {
       graft.pipeline.Dedup.minhashClusters(
         read(s, d, "documents"), "doc_id", "text", threshold = 0.5)),
     "q43_simhash_pairs" -> ((s, d) =>
-      // maxBucket far above any bucket in this data: the pigeonhole recall
-      // guarantee only holds when no bucket is dropped (sf0.1 has chunk
-      // buckets of ~300 docs; the default cap silently missed their pairs)
+      // default cap: oversized buckets are re-banded, not dropped, so the
+      // pigeonhole recall guarantee holds at every scale
       graft.pipeline.Dedup.simhashPairs(
-        read(s, d, "documents"), "doc_id", "text", maxHamming = 3,
-        maxBucket = 100000)),
+        read(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
     "q44_embedding_dedup" -> ((s, d) =>
       // testdata embeddings are near-orthogonal random vectors (max pairwise
       // cosine ~0.48), so the demo threshold sits below that
@@ -745,6 +762,9 @@ object Queries {
         |FROM pick""".stripMargin,
     "q55_count_distinct_ids" ->
       "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
+    "q67_id_space_joint" -> countOracle(
+      Seq("click", "error", "purchase", "signup", "view"), "event_type",
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1"),
     "q64_histogram_date" -> dateHistOracle,
     "q66_histogram_string" ->
       """SELECT k.p_name_binned AS p_name_binned,

@@ -261,7 +261,35 @@ object Session {
       val b = budget.getOrElse(
         throw new IllegalStateException("privacy budget is required"))
       require(privates.nonEmpty, "at least one private table is required")
-      val priv = privates.map { case (name, (df, pc)) =>
+      // Joint ID-space accounting (reference AddRemoveKeys,
+      // session.py:113-143 + _neighboring_relation_visitor.py:142-157):
+      // every table whose AddRowsWithID names the same id space belongs to
+      // ONE protected unit — a neighboring dataset adds/removes one
+      // identifier's rows from ALL of them at once. The unit has a single
+      // input distance, so each member table is rewritten to carry the
+      // space-wide maximum; a per-table distance would under-count a query
+      // against a table whose space-mate declared a larger bound.
+      if (privates.size == 1) privates.head._2._2 match {
+        // reference _base_builder.py:144-156: a sole private table's id
+        // space is registered implicitly
+        case AddRowsWithID(_, space, _) => idSpaces += space
+        case _ =>
+      }
+      val jointMaxIds: Map[String, Int] = privates.values.collect {
+        case (_, AddRowsWithID(_, space, maxIds)) => space -> maxIds
+      }.toSeq.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).max }
+      val priv = privates.map { case (name, (df, pc0)) =>
+        val pc = pc0 match {
+          case a @ AddRowsWithID(_, space, _) =>
+            if (!idSpaces.contains(space))
+              throw new IllegalArgumentException(
+                "An AddRowsWithID protected change was specified without an " +
+                  s"associated identifier space for the session: '$space' " +
+                  s"(declared id spaces: ${idSpaces.mkString(", ")}); " +
+                  "declare it with withIdSpace (reference session.py:283-290)")
+            a.copy(maxIDs = jointMaxIds(space))
+          case other => other
+        }
         val coerced = CoerceSchema(df)
         val schema = pc match {
           case AddRowsWithID(idCol, idSpace, _) =>

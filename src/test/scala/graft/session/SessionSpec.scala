@@ -29,6 +29,7 @@ class SessionSpec extends SparkSpec {
 
   test("private join across different id spaces is rejected") {
     val s = new Session.Builder().withPrivacyBudget(Inf)
+      .withIdSpace("space1").withIdSpace("space2")
       .withPrivateDataFrame("a", df, AddRowsWithID("uid", "space1"))
       .withPrivateDataFrame("b", df.select("uid", "qty"), AddRowsWithID("uid", "space2"))
       .build(spark)
@@ -39,6 +40,39 @@ class SessionSpec extends SparkSpec {
         .count(), Inf)
     }
     assert(ex.getMessage.contains("id space"))
+  }
+
+  test("id space is a joint protected unit: shared d_in, declaration required") {
+    // reference AddRemoveKeys (session.py:113-143): all tables of one id
+    // space are one neighboring unit, so the space-wide max_keys applies to
+    // every member — a query on the maxIDs=1 table is charged for the
+    // d_in=2 its space-mate declared
+    val s = new Session.Builder().withPrivacyBudget(PureDPBudget(Rat.Inf))
+      .withIdSpace("space1")
+      .withPrivateDataFrame("a", df, AddRowsWithID("uid", "space1"))
+      .withPrivateDataFrame("b", df.select("uid", "qty"),
+        AddRowsWithID("uid", "space1", maxIDs = 2))
+      .build(spark)
+    val q = QueryBuilder("a").enforce(MaxRowsPerID(1)).count()
+    // joint d_in = 2, MaxRowsPerID(1) => sens 2; eps 0.5 -> scale 4
+    assert(s.noiseInfo(q, PureDPBudget(0.5)).head.mechanism
+      === NoiseMechanism.Geometric(4.0))
+
+    // multiple private tables: an undeclared id space is a builder error
+    val ex = intercept[IllegalArgumentException] {
+      new Session.Builder().withPrivacyBudget(Inf)
+        .withPrivateDataFrame("a", df, AddRowsWithID("uid", "spaceX"))
+        .withPrivateDataFrame("b", df.select("uid", "qty"), AddRowsWithID("uid", "spaceX"))
+        .build(spark)
+    }
+    assert(ex.getMessage.contains("identifier space"))
+
+    // a sole private table's id space is registered implicitly
+    // (reference _base_builder.py:144-156)
+    val solo = new Session.Builder().withPrivacyBudget(Inf)
+      .withPrivateDataFrame("a", df, AddRowsWithID("uid", "spaceY"))
+      .build(spark)
+    assert(solo.getIdSpace("a") === Some("spaceY"))
   }
 
   test("budget kind mismatch is a type error, not an overspend") {
