@@ -125,7 +125,13 @@ final class TransformPlanner(
         .agg(count(lit(1)).as("__n")).agg(max("__n"), sum("__n")).head()
       val fanout = if (stats.isNullAt(0)) 0L else stats.getLong(0)
       val pubRows = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-      val pub = if (pubRows <= 4_000_000L) broadcast(pubRaw) else pubRaw
+      // broadcast by estimated BYTES, not rows: a wide 4M-row public table
+      // can blow the driver/executor broadcast limit even when a narrow one
+      // fits. Catalyst's own size estimate (logical plan stats) accounts for
+      // column widths; above the threshold leave the choice to AQE, which
+      // sees real post-shuffle sizes.
+      val pubBytes = pubRaw.queryExecution.optimizedPlan.stats.sizeInBytes
+      val pub = if (pubBytes <= BigInt(64L << 20)) broadcast(pubRaw) else pubRaw
       val joined = joinFrames(c.df, pub, c.schema, rSchema, joinCols, how)
       val metric = c.metric match {
         case RowsMetric(d) => RowsMetric(d * Rat(math.max(fanout, 0L)))

@@ -97,7 +97,25 @@ final class KeySet private (val op: KeySetOp) extends Serializable {
   def isEquivalent(other: KeySet): Option[Boolean] = {
     def types(s: StructType): Map[String, DataType] =
       s.fields.map(f => f.name -> f.dataType).toMap
-    if (op == other.op) Some(true)
+    // a permutation-only projection changes presentation, not the key set
+    def strip(o: KeySetOp): KeySetOp = o match {
+      case Project(c, cols) if cols.toSet == c.columns.toSet => strip(c)
+      case other                                             => other
+    }
+    // literal row order is set-irrelevant; everything else must match
+    // structurally (both trees are already in rewrite-canonical form)
+    def structEq(a0: KeySetOp, b0: KeySetOp): Boolean = (strip(a0), strip(b0)) match {
+      case (FromTuples(ra, sa), FromTuples(rb, sb)) =>
+        sa == sb && ra.toSet == rb.toSet
+      case (Cross(l1, r1), Cross(l2, r2))       => structEq(l1, l2) && structEq(r1, r2)
+      case (Join(l1, r1), Join(l2, r2))         => structEq(l1, l2) && structEq(r1, r2)
+      case (Union(l1, r1), Union(l2, r2))       => structEq(l1, l2) && structEq(r1, r2)
+      case (Subtract(l1, r1), Subtract(l2, r2)) => structEq(l1, l2) && structEq(r1, r2)
+      case (Project(c1, p1), Project(c2, p2))   => p1 == p2 && structEq(c1, c2)
+      case (KFilter(c1, f1), KFilter(c2, f2))   => f1 == f2 && structEq(c1, c2)
+      case (x, y)                               => x == y
+    }
+    if (structEq(op, other.op)) Some(true)
     else if (types(schema) != types(other.schema)) Some(false)
     else None
   }
@@ -169,7 +187,13 @@ object KeySet {
     */
   val InMemoryCrossJoinCutoff: Long = 1L << 20
 
-  def apply(op: KeySetOp): KeySet = new KeySet(rewrite(op))
+  def apply(op: KeySetOp): KeySet = {
+    val r = rewrite(op)
+    // normalization may permute columns (sorted cross factors, reordered
+    // join leaves); the user-visible column order must not change, so fix it
+    // at the top with a pure reorder (no distinct needed — see materialize)
+    new KeySet(if (r.columns == op.columns) r else reorder(r, op.columns))
+  }
 
   /** The empty keyset: a single empty key (ungrouped aggregation). */
   val empty: KeySet = new KeySet(FromTuples(Vector(Vector()), StructType(Nil)))
@@ -251,9 +275,12 @@ object KeySet {
   // ---------------------------------------------------------------- rewrites
 
   /** Structural rewrites applied on construction (reference
-    * keyset/_ops/_rules.py): flatten + canonically order cross-joins, push
-    * projections through cross-joins, drop no-op projections, and fold small
-    * literal cross-products driver-side.
+    * keyset/_ops/_rules.py:140-458): projection pushdown + collapse, cross
+    * flatten/canonical-order/literal-fold, cross-factor extraction out of
+    * joins and subtracts, and join/union/subtract tree normalization. These
+    * are the moves Catalyst cannot make because they encode *set* semantics;
+    * canonical trees also let `isEquivalent` decide structural equality far
+    * more often.
     */
   private[keyset] def rewrite(op: KeySetOp): KeySetOp = op match {
     case Project(child, cols) =>
@@ -273,10 +300,10 @@ object KeySet {
           }
           if (fs.isEmpty) FromTuples(Vector(Vector()), StructType(Nil))
           else {
-            val folded = fs.reduce(Cross(_, _))
+            val folded = rebuildCross(fs)
             // preserve requested column order with a final reorder if needed
-            if (folded.columns == cols) foldLiteralCross(folded)
-            else reorder(foldLiteralCross(folded), cols)
+            if (folded.columns == cols) folded
+            else reorder(folded, cols)
           }
         case FromTuples(rows, sch) =>
           val idx = cols.map(sch.fieldIndex)
@@ -284,10 +311,10 @@ object KeySet {
             StructType(idx.map(sch.fields)))
         case other => Project(other, cols)
       }
-    case Cross(l, r) => foldLiteralCross(Cross(rewrite(l), rewrite(r)))
-    case Join(l, r) => Join(rewrite(l), rewrite(r))
-    case Union(l, r) => Union(rewrite(l), rewrite(r))
-    case Subtract(l, r) => Subtract(rewrite(l), rewrite(r))
+    case Cross(l, r) => rebuildCross(factors(Cross(rewrite(l), rewrite(r))))
+    case Join(l, r) => rewriteJoin(Join(rewrite(l), rewrite(r)))
+    case Union(l, r) => normalizeUnion(Union(rewrite(l), rewrite(r)))
+    case Subtract(l, r) => rewriteSubtract(Subtract(rewrite(l), rewrite(r)))
     case KFilter(c, cond) => KFilter(rewrite(c), cond)
     case leaf => leaf
   }
@@ -298,20 +325,89 @@ object KeySet {
     case other       => Vector(other)
   }
 
-  /** Evaluate literal × literal cross products driver-side when the result is
-    * below the in-memory cutoff (reference keyset/_ops/_rules.py:281).
+  /** Deterministic factor/leaf ordering key: sorted column names first, then
+    * a structural hash to break ties (reference order_cross_joins /
+    * normalize_joins, _rules.py:277-283,396).
     */
-  private def foldLiteralCross(op: KeySetOp): KeySetOp = op match {
-    case Cross(l0, r0) =>
-      (foldLiteralCross(l0), foldLiteralCross(r0)) match {
-        case (l @ FromTuples(lr, ls), r @ FromTuples(rr, rs))
-            if lr.size.toLong * rr.size.toLong <= InMemoryCrossJoinCutoff =>
-          FromTuples(
-            for { a <- lr; b <- rr } yield a ++ b,
-            StructType(ls.fields ++ rs.fields))
-        case (l, r) => Cross(l, r)
+  private def orderKey(op: KeySetOp): (String, Int) =
+    (op.columns.sorted.mkString(" "), op.hashCode)
+
+  /** Canonical cross of a factor list: drop empty-column (total-aggregation)
+    * factors, sort the rest, rebuild left-deep (reference merge_cross_joins
+    * + order_cross_joins, _rules.py:239-283). Literal folding is deliberately
+    * NOT done here: the reference applies in-memory cross folding as the
+    * LAST rule, at dataframe-conversion time (_rules.py:285-346) — folding
+    * eagerly would hide cross factors from the join/subtract extraction
+    * rules. materialize() folds literal factors driver-side instead.
+    */
+  private def rebuildCross(fs0: Vector[KeySetOp]): KeySetOp = {
+    val fs = fs0.filter(_.columns.nonEmpty)
+    if (fs.isEmpty) return fs0.headOption.getOrElse(FromTuples(Vector(Vector()), StructType(Nil)))
+    fs.sortBy(orderKey).reduce(Cross(_, _))
+  }
+
+  /** Pull cross-join factors that touch none of the join columns out of a
+    * join: Join(Cross(A, B), BC) -> Cross(A, Join(B, BC)) (reference
+    * extract_crossjoin_from_join, _rules.py:166-210); then normalize the
+    * remaining join chain into a sorted right-deep tree (normalize_joins,
+    * _rules.py:349-396) when that preserves join-key structure.
+    */
+  private def rewriteJoin(j: Join): KeySetOp = {
+    val joinCols = j.common.toSet
+    val (lKeep, lOut) = factors(j.left).partition(_.columns.exists(joinCols))
+    val (rKeep, rOut) = factors(j.right).partition(_.columns.exists(joinCols))
+    val extracted = lOut ++ rOut
+    if (extracted.nonEmpty && lKeep.nonEmpty && rKeep.nonEmpty) {
+      val inner = Join(rebuildCross(lKeep), rebuildCross(rKeep))
+      rebuildCross(extracted :+ normalizeJoin(inner))
+    } else normalizeJoin(j)
+  }
+
+  private def normalizeJoin(j: Join): KeySetOp = {
+    def leaves(op: KeySetOp): Vector[KeySetOp] = op match {
+      case Join(l, r) => leaves(l) ++ leaves(r)
+      case other      => Vector(other)
+    }
+    val ls = leaves(j).sortBy(orderKey)
+    // rebuild right-deep: Join(l1, Join(l2, ... Join(ln-1, ln))); only valid
+    // if every step still has join columns — otherwise keep the original
+    try ls.reduceRight[KeySetOp]((l, r) => Join(l, r))
+    catch { case _: IllegalArgumentException => j }
+  }
+
+  /** Pull cross-join factors sharing no column with the subtracted set out:
+    * Subtract(Cross(AB, CD), A) -> Cross(CD, Subtract(AB, A)) (reference
+    * extract_crossjoin_from_subtract, _rules.py:213-236); then order chained
+    * subtract right sides canonically (normalize_subtracts, _rules.py:440+).
+    */
+  private def rewriteSubtract(s: Subtract): KeySetOp = {
+    val subCols = s.right.columns.toSet
+    val (keep, out) = factors(s.left).partition(_.columns.exists(subCols))
+    if (out.nonEmpty && keep.nonEmpty &&
+        subCols.subsetOf(keep.flatMap(_.columns).toSet)) {
+      rebuildCross(out :+ normalizeSubtract(Subtract(rebuildCross(keep), s.right)))
+    } else normalizeSubtract(s)
+  }
+
+  private def normalizeSubtract(s: Subtract): KeySetOp = {
+    def chain(op: KeySetOp, acc: Vector[KeySetOp]): (KeySetOp, Vector[KeySetOp]) =
+      op match {
+        case Subtract(l, r) => chain(l, r +: acc)
+        case base           => (base, acc)
       }
-    case other => other
+    val (base, rights) = chain(s, Vector.empty)
+    rights.sortBy(orderKey).foldLeft(base)((l, r) => Subtract(l, r))
+  }
+
+  /** Flatten nested unions and order the operands canonically (reference
+    * normalize_unions, _rules.py:399-437).
+    */
+  private def normalizeUnion(u: Union): KeySetOp = {
+    def leaves(op: KeySetOp): Vector[KeySetOp] = op match {
+      case Union(l, r) => leaves(l) ++ leaves(r)
+      case other       => Vector(other)
+    }
+    leaves(u).sortBy(orderKey).reduceRight[KeySetOp]((l, r) => Union(l, r))
   }
 
   private def reorder(op: KeySetOp, cols: Seq[String]): KeySetOp = op match {
@@ -330,8 +426,26 @@ object KeySet {
         else spark.createDataFrame(
           java.util.Arrays.asList(rows.map(r => Row.fromSeq(r)): _*), sch)
       case FromDataFrame(df) => df
-      case Cross(l, r) =>
-        materialize(l, spark).crossJoin(materialize(r, spark))
+      case c: Cross =>
+        // in-memory fold of literal factors, the reference's last rewrite
+        // rule (apply_cross_joins_in_memory, _rules.py:285-346): group
+        // literal factors greedily while the running product stays under the
+        // cutoff, evaluate each group driver-side, cross-join the rest
+        // distributed; a final select restores the op's column order
+        val fs = factors(c)
+        val (lits, rest) = fs.partition(_.isInstanceOf[FromTuples])
+        val foldedLits = lits.map(_.asInstanceOf[FromTuples])
+          .foldLeft(Vector.empty[FromTuples]) {
+            case (acc :+ prev, t)
+                if prev.rows.size.toLong * t.rows.size.toLong <= InMemoryCrossJoinCutoff =>
+              acc :+ FromTuples(
+                for { a <- prev.rows; b <- t.rows } yield a ++ b,
+                StructType(prev.schema.fields ++ t.schema.fields))
+            case (acc, t) => acc :+ t
+          }
+        ((foldedLits: Vector[KeySetOp]) ++ rest)
+          .map(materialize(_, spark)).reduce(_ crossJoin _)
+          .select(c.columns.map(col).toIndexedSeq: _*)
       case j @ Join(l, r) =>
         val (ld, rd) = (materialize(l, spark), materialize(r, spark))
         val rd2 = rd.select(rd.columns.map(c =>
@@ -348,6 +462,9 @@ object KeySet {
         val rd2 = rd.select(rcols.map(c => col(c).as(s"__ks_r_$c")).toIndexedSeq: _*)
         val cond = rcols.map(c => ld(c) <=> rd2(s"__ks_r_$c")).reduce(_ && _)
         ld.join(rd2, cond, "left_anti")
+      case Project(c, cols2) if cols2.toSet == c.columns.toSet =>
+        // pure column reorder: rows are already distinct, skip the shuffle
+        materialize(c, spark).select(cols2.map(col).toIndexedSeq: _*)
       case Project(c, cols2) =>
         materialize(c, spark).select(cols2.map(col).toIndexedSeq: _*).distinct()
       case KFilter(c, cond) => materialize(c, spark).filter(cond)

@@ -15,11 +15,16 @@ class KeySetSpec extends SparkSpec {
   }
 
   test("literal cross products below the cutoff fold driver-side") {
+    // folding happens at materialize time (after the join/subtract
+    // extraction rules have seen the factors): the physical plan must be a
+    // single local relation, not a distributed cross join
     val ks = KeySet.fromColumn("a", 1 to 100) * KeySet.fromColumn("b", 1 to 100)
-    ks.op match {
-      case KeySetOp.FromTuples(rows, _) => assert(rows.size === 10000)
-      case other => fail(s"expected folded literal, got $other")
-    }
+    assert(ks.size(spark) === 10000) // driver-side, no job
+    val plan = ks.dataframe(spark).queryExecution.optimizedPlan
+    assert(plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation] ||
+      plan.children.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"expected locally folded literal cross, got:\n$plan")
+    assert(ks.dataframe(spark).count() === 10000)
   }
 
   test("projection pushes through cross joins and prunes factors") {
@@ -79,9 +84,73 @@ class KeySetSpec extends SparkSpec {
     val a = KeySet.fromColumn("k", Seq("x", "y"))
     val b = KeySet.fromColumn("k", Seq("x", "y"))
     val c = KeySet.fromColumn("k", Seq(1, 2))
-    val d = KeySet.fromColumn("k", Seq("y", "x")) // same set, different tree
+    val d = KeySet.fromColumn("k", Seq("y", "x")) // same set, different order
     assert(a.isEquivalent(b) === Some(true))
     assert(a.isEquivalent(c) === Some(false))
-    assert(a.isEquivalent(d) === None)
+    assert(a.isEquivalent(d) === Some(true)) // literal row order is irrelevant
+    // a dataframe-backed keyset with matching schema: undecidable without
+    // materializing
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = makeDf(StructType(Seq(strCol("k"))), Seq(Row("x"), Row("y")))
+    assert(a.isEquivalent(KeySet.fromDataFrame(df)) === None)
+  }
+
+  test("rewriter: canonical forms decide equivalence across construction order") {
+    val a = KeySet.fromColumn("a", Seq(1, 2))
+    val b = KeySet.fromColumn("b", Seq("u", "v"))
+    val c = KeySet.fromColumn("c", Seq(7))
+    // cross-join order is canonicalized (and literals folded driver-side)
+    assert(((a * b) * c).isEquivalent(c * (b * a)) === Some(true))
+    assert((a * b).columns === Seq("a", "b")) // user-visible order kept
+    assert((b * a).columns === Seq("b", "a"))
+    // nested unions are flattened and ordered
+    val u1 = a.union(KeySet.fromColumn("a", Seq(3))).union(KeySet.fromColumn("a", Seq(4)))
+    val u2 = KeySet.fromColumn("a", Seq(4)).union(KeySet.fromColumn("a", Seq(3)).union(a))
+    assert(u1.isEquivalent(u2) === Some(true))
+    // chained subtract order is canonicalized
+    val ab = a * b
+    val s1 = ab.subtract(KeySet.fromColumn("a", Seq(1))).subtract(KeySet.fromColumn("b", Seq("u")))
+    val s2 = ab.subtract(KeySet.fromColumn("b", Seq("u"))).subtract(KeySet.fromColumn("a", Seq(1)))
+    assert(s1.isEquivalent(s2) === Some(true))
+  }
+
+  test("rewriter: cross factors are pulled out of joins and subtracts") {
+    import graft.keyset.KeySetOp._
+    val a = KeySet.fromColumn("a", Seq(1, 2))
+    val bc = KeySet.fromTuples(
+      Seq(Seq(1L, "p"), Seq(2L, "q")),
+      StructType(Seq(StructField("b", LongType), StructField("c", StringType))))
+    val b = KeySet.fromColumn("b", Seq(1, 2))
+    // Join((A x B), BC): A contributes nothing to the join on b -> the join
+    // runs on B x BC only and A is crossed back in afterwards
+    val j = (a * b).join(bc)
+    def hasJoinUnder(op: KeySetOp): Boolean = op match {
+      case Join(l, r)  => true
+      case Cross(l, r) => hasJoinUnder(l) || hasJoinUnder(r)
+      case _           => false
+    }
+    def joinNodes(op: KeySetOp): Seq[Join] = op match {
+      case jn @ Join(l, r) => jn +: (joinNodes(l) ++ joinNodes(r))
+      case Cross(l, r)     => joinNodes(l) ++ joinNodes(r)
+      case Project(ch, _)  => joinNodes(ch)
+      case _               => Nil
+    }
+    val inner = joinNodes(j.op)
+    assert(inner.nonEmpty)
+    // the factor with column 'a' must not appear under any join node
+    assert(inner.forall(jn => !jn.columns.contains("a")))
+    assert(j.columns.toSet === Set("a", "b", "c"))
+    // results are unchanged
+    val rows = j.dataframe(spark).collect()
+      .map(r => (r.getLong(r.fieldIndex("a")), r.getLong(r.fieldIndex("b")),
+        r.getString(r.fieldIndex("c")))).toSet
+    assert(rows === Set((1L, 1L, "p"), (1L, 2L, "q"), (2L, 1L, "p"), (2L, 2L, "q")))
+
+    // Subtract(Cross(A, B), A-part): the B factor is hoisted out
+    val s = (a * b).subtract(KeySet.fromColumn("a", Seq(1)))
+    val srows = s.dataframe(spark).collect()
+      .map(r => (r.getLong(r.fieldIndex("a")), r.getLong(r.fieldIndex("b")))).toSet
+    assert(srows === Set((2L, 1L), (2L, 2L)))
   }
 }
