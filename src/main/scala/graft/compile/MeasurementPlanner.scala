@@ -251,7 +251,14 @@ final class MeasurementPlanner(
         budget)
 
     case e @ GetBounds(child, keys, m, lowerName, upperName) =>
-      val t = prepared(child, dropSpecial = Some(m))
+      val t0 = prepared(child, dropSpecial = Some(m))
+      // infinities cannot inform a finite bound: exclude them like nulls and
+      // NaNs (reference get_bounds returns finite powers of two even when
+      // the column contains infinities, test_special_values.py:581-607)
+      val t = if (t0.schema(m).ctype == ColumnType.Decimal)
+        t0.copy(df = t0.df.filter(!col(m).isin(
+          Double.PositiveInfinity, Double.NegativeInfinity)))
+      else t0
       val sens = aggSensitivity(t)
       val eps = exponentialEpsilon(sens)
       val integer = t.schema(m).ctype == ColumnType.Integer
