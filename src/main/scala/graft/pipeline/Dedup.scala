@@ -335,7 +335,13 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     require(maxHamming <= 3,
       "4-way banding guarantees full recall only for maxHamming <= 3")
+    // Persist the signatures: they are 16 bytes/doc but cost an md5 per
+    // token to compute, and the multi-level plan references them from the
+    // per-level size aggregation AND both sides of each pair self-join —
+    // uncached, the kernel would rerun O(levels * joins) times. The cached
+    // RDD is released by the context cleaner once the result is dropped.
     val sh = spread(df).select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
+      .persist()
 
     // Disjoint 4-way partitions of the 64 signature bits, one per level:
     // contiguous 16-bit chunks, then bit-stride-4, then nibble-stride-16.
@@ -361,23 +367,30 @@ object Dedup {
         .filter(col("hamming") <= maxHamming)
     }
 
-    var frontier = banded(sh, levelMasks.head, lit(0L))
+    var frontier = banded(sh, levelMasks.head, lit(0L)).persist()
     var out: DataFrame = null
-    levelMasks.indices.foreach { l =>
+    var l = 0
+    var done = false
+    while (l < levelMasks.length && !done) {
       // bucket sizes via map-side-combinable agg (never collect_list on an
       // unbounded bucket), joined back to route rows by size
       val sizes = frontier.groupBy("__key").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= 2)
+        .filter(col("__n") >= 2).persist()
       val withN = frontier.join(sizes, "__key")
       val last = l == levelMasks.length - 1
-      val ready = if (last) withN else withN.filter(col("__n") <= maxBucket)
+      // cheap driver probe on the (persisted) per-bucket counts: in the
+      // common case nothing is oversized and the deeper levels' shuffle DAG
+      // is never built at all
+      val anyOver = !last && !sizes.filter(col("__n") > maxBucket).isEmpty
+      val ready = if (anyOver) withN.filter(col("__n") <= maxBucket) else withN
       val lvlPairs = pairsOf(ready.drop("__n"))
       out = if (out == null) lvlPairs else out.unionAll(lvlPairs)
-      if (!last) {
+      if (anyOver) {
         val over = withN.filter(col("__n") > maxBucket)
           .select(col("__key"), col("__id"), col("__sh"))
-        frontier = banded(over, levelMasks(l + 1), col("__key"))
-      }
+        frontier = banded(over, levelMasks(l + 1), col("__key")).persist()
+      } else done = true
+      l += 1
     }
     // a qualifying pair can surface under several chunk keys and levels
     out.distinct()
