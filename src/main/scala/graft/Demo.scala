@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.accounting._
+import graft.budget._
+import graft.constraints._
+import graft.ir._
+import graft.keyset.KeySet
+import graft.session.Session
+
+/** Runnable first-steps tour of the library — the equivalent of the
+  * reference's intro notebooks (demos/intro_demo.ipynb): build a session,
+  * inspect it, spend privacy budget on real queries, and watch the
+  * accountant say no when it runs out.
+  *
+  * Run with:
+  *   sbt "runMain graft.Demo [/path/to/testdata/sf0.001]"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-demo")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def banner(s: String): Unit = println(s"\n=== $s " + "=" * math.max(4, 60 - s.length))
+
+    banner("1. Build a session with a privacy budget")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val session = Session.fromDataFrame(
+      spark,
+      PureDPBudget(3.0),            // total epsilon this session may spend
+      "lineitem",
+      lineitem,
+      AddOneRow())                  // unit of protection: one row
+    println(session.describe())
+
+    banner("2. A differentially private count (epsilon = 1)")
+    val countQ = QueryBuilder("lineitem").filter("l_quantity > 10").count()
+    // noiseInfo explains the mechanism before spending anything
+    println(s"mechanism: ${session.noiseInfo(countQ, PureDPBudget(1.0))}")
+    session.evaluate(countQ, PureDPBudget(1.0)).show()
+    println(s"remaining budget: ${session.remainingPrivacyBudget}")
+
+    banner("3. Group-by with an explicit key domain (epsilon = 1)")
+    val keys = KeySet.fromColumn("l_returnflag", Seq("A", "N", "R"))
+    session.evaluate(
+      QueryBuilder("lineitem").groupby(keys).sum("l_quantity", 0, 50),
+      PureDPBudget(1.0)).show()
+
+    banner("4. Histogram sugar over binned values (epsilon = 1)")
+    session.evaluate(
+      QueryBuilder("lineitem")
+        .histogram("l_quantity", BinningSpec(Seq(0.0, 10.0, 20.0, 30.0, 40.0, 50.0))),
+      PureDPBudget(1.0)).show()
+
+    banner("5. The accountant refuses to overspend")
+    try session.evaluate(QueryBuilder("lineitem").count(), PureDPBudget(1.0))
+    catch {
+      case e: IllegalArgumentException => println(s"rejected as expected: ${e.getMessage}")
+    }
+
+    banner("6. Privacy IDs: protect every row of a user at once")
+    val events = {
+      import org.apache.spark.sql.types._
+      // events.parquet carries a nanosecond timestamp Spark cannot decode;
+      // read just the columns the demo needs
+      spark.read.schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+        .parquet(s"$sfDir/events.parquet")
+    }
+    val idSession = Session.fromDataFrame(
+      spark, PureDPBudget(2.0), "events", events, AddRowsWithID("user_id"))
+    // counting distinct users needs no contribution bound...
+    idSession.evaluate(
+      QueryBuilder("events").select("user_id").countDistinct(Seq("user_id"), name = "n_users"),
+      PureDPBudget(1.0)).show()
+    // ...but row-level aggregations do: enforce() truncates each user's rows
+    idSession.evaluate(
+      QueryBuilder("events").enforce(MaxRowsPerID(20))
+        .groupby(KeySet.fromColumn("event_type",
+          Seq("click", "error", "purchase", "signup", "view")))
+        .count(),
+      PureDPBudget(1.0)).show()
+
+    println("\ndemo complete.")
+    spark.stop()
+  }
+}

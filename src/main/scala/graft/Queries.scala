@@ -109,6 +109,13 @@ object Queries {
       lineitemSession(s, d).evaluate(
         QueryBuilder("lineitem").groupby(flagKeys)
           .countDistinct(Seq("l_suppkey")), Inf)),
+    "q68_rows_across_groups" -> ((s, d) =>
+      // AddMaxRowsInMaxGroups protection: a unit may change up to 5 rows in
+      // each of up to 2 l_returnflag groups (d_in = 10 under PureDP, 5*sqrt(2)
+      // rounded up under zCDP); the noiseless result is the plain group count
+      Session.fromDataFrame(s, Inf, "lineitem", read(s, d, "lineitem"),
+        graft.accounting.AddMaxRowsInMaxGroups("l_returnflag", 2, 5))
+        .evaluate(QueryBuilder("lineitem").groupby(flagKeys).count(), Inf)),
     "q04_count_distinct_rows" -> ((s, d) =>
       lineitemSession(s, d).evaluate(
         QueryBuilder("lineitem").select("l_orderkey").countDistinct(), Inf)),
@@ -765,6 +772,8 @@ object Queries {
     "q67_id_space_joint" -> countOracle(
       Seq("click", "error", "purchase", "signup", "view"), "event_type",
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1"),
+    "q68_rows_across_groups" -> countOracle(Seq("A", "N", "R"), "l_returnflag",
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1"),
     "q64_histogram_date" -> dateHistOracle,
     "q66_histogram_string" ->
       """SELECT k.p_name_binned AS p_name_binned,
