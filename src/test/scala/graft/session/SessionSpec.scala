@@ -128,6 +128,59 @@ class SessionSpec extends SparkSpec {
     }
   }
 
+  test("ApproxDP accounting: noise queries charge delta 0, detect charges all") {
+    // reference _base_measurement_visitor.py:591-668: noise-addition queries
+    // under ApproxDP spend (eps, 0); the auto-partition-selection path is
+    // what actually consumes delta
+    val s = rowSession(ApproxDPBudget(Rat(2), Rat(1, 100)))
+    s.evaluate(QueryBuilder("t").count(), ApproxDPBudget(Rat(1), Rat(1, 200)))
+    assert(s.remainingPrivacyBudget === ApproxDPBudget(Rat(1), Rat(1, 100)))
+    s.evaluate(QueryBuilder("t")
+      .groupby(graft.keyset.KeySet.detect("flag")).count(),
+      ApproxDPBudget(Rat(1), Rat(1, 100)))
+    assert(s.remainingPrivacyBudget === ApproxDPBudget(Rat.zero, Rat.zero))
+  }
+
+  test("zCDP accounting: rho subtracts exactly") {
+    val s = Session.fromDataFrame(spark, RhoZCDPBudget(Rat(3, 4)), "t", df, AddOneRow())
+    s.evaluate(QueryBuilder("t").count(), RhoZCDPBudget(Rat(1, 4)))
+    assert(s.remainingPrivacyBudget === RhoZCDPBudget(Rat(1, 2)))
+    intercept[IllegalArgumentException] {
+      s.evaluate(QueryBuilder("t").count(), RhoZCDPBudget(Rat(3, 4)))
+    }
+  }
+
+  test("views of views compose; cached views unpersist on delete") {
+    val s = rowSession()
+    s.createView(QueryBuilder("t").filter("qty <= 5"), "small", cache = true)
+    s.createView(QueryBuilder("small").filter("flag = 'A'"), "smallA", cache = false)
+    val n = s.evaluate(QueryBuilder("smallA").count(), Inf).collect().head.getLong(0)
+    assert(n === 3L) // qty in {1,2,4} for flag A
+    // a view name cannot shadow an existing table
+    intercept[IllegalArgumentException] {
+      s.createView(QueryBuilder("t").select("qty"), "t")
+    }
+    s.deleteView("smallA")
+    s.deleteView("small")
+    assert(s.privateSources === Seq("t"))
+  }
+
+  test("partition_and_create on an IDs table needs an enforced constraint") {
+    val mk = () => Session.fromDataFrame(spark, Inf, "t", df, AddRowsWithID("uid"))
+    // bare IDs table: rejected (reference session.py:1390-1418)
+    intercept[IllegalArgumentException] {
+      mk().partitionAndCreate("t", Inf, "flag", Seq("ta" -> "A"))
+    }
+    // with a view that enforces a constraint first, the partition works
+    val s = mk()
+    s.createView(QueryBuilder("t").enforce(MaxRowsPerID(2)), "tc")
+    val kids = s.partitionAndCreate("tc", Inf, "flag", Seq("ta" -> "A", "tb" -> "B"))
+    val na = kids("ta").evaluate(
+      QueryBuilder("ta").enforce(MaxRowsPerID(2)).count(), Inf)
+      .collect().head.getLong(0)
+    assert(na >= 2L) // flag A rows survive per-ID truncation to <= 2 each
+  }
+
   test("finite-budget count is noisy but near truth; noiseInfo reports scale 2 at eps=0.5") {
     val s = rowSession(PureDPBudget(Rat.Inf))
     val info = s.noiseInfo(QueryBuilder("t").count(), PureDPBudget(0.5))
