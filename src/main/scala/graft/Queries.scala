@@ -573,6 +573,15 @@ object Queries {
         col("window.start").cast("long").as("window_start"),
         col("event_type"), col("count"))
     }),
+    "q69_sessionization_batch" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // event time in seconds derived from event_id (the parquet ts column
+      // is TIMESTAMP(NANOS), which Spark cannot decode — see readEvents);
+      // sessions split on gaps > 600 s of per-user silence
+      graft.streaming.Streaming.batchSessions(
+        read(s, d, "events").select(col("user_id"), col("event_id").as("ts_sec")),
+        "user_id", "ts_sec", gapSec = 600L)
+    }),
     "q51_audio_windows" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val withBin = read(s, d, "documents")
@@ -774,6 +783,19 @@ object Queries {
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1"),
     "q68_rows_across_groups" -> countOracle(Seq("A", "N", "R"), "l_returnflag",
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1"),
+    "q69_sessionization_batch" ->
+      """WITH e AS (SELECT user_id, event_id AS ts_sec FROM events),
+        |d AS (SELECT user_id, ts_sec,
+        |    CASE WHEN lag(ts_sec) OVER w IS NULL
+        |           OR ts_sec - lag(ts_sec) OVER w > 600 THEN 1 ELSE 0 END AS n
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
+        |s AS (SELECT user_id, ts_sec, CAST(sum(n) OVER (
+        |    PARTITION BY user_id ORDER BY ts_sec
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM d)
+        |SELECT user_id, session_idx,
+        |  min(ts_sec) AS session_start, max(ts_sec) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "q64_histogram_date" -> dateHistOracle,
     "q66_histogram_string" ->
       """SELECT k.p_name_binned AS p_name_binned,

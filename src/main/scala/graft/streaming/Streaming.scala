@@ -132,6 +132,30 @@ object Streaming {
   // not private: the state encoder instantiates it in generated code
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)
 
+  /** Batch counterpart of [[sessionize]]: gaps-and-islands over a seconds
+    * timestamp column. A session starts where the gap to the user's previous
+    * event exceeds `gapSec`; output is one row per (user, session) with
+    * start/end/count. Two stages at scale: one shuffle keyed on the user
+    * column for the ordering window, then a partial-aggregated group-by
+    * whose shuffle carries only session rows (orders of magnitude fewer
+    * than events).
+    */
+  def batchSessions(
+      df: org.apache.spark.sql.DataFrame, userCol: String, tsCol: String,
+      gapSec: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(userCol).orderBy(tsCol)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(prev.isNull || col(tsCol) - prev > gapSec, 1L).otherwise(0L)
+    df.withColumn("__new", isNew)
+      .withColumn("session_idx", sum(col("__new")).over(w))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Event-time sessionization: groups each user's events into sessions
     * separated by at least `gapMs` of silence, emitting one summary row per
     * closed session. State is per-user and O(1); sessions close via

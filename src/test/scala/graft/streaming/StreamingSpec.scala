@@ -119,4 +119,29 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((1L, 1L))) // the single-event session timed out
     } finally q.stop()
   }
+
+  test("batch sessionization: gaps-and-islands matches hand-computed sessions") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = makeDf(
+      StructType(Seq(longCol("u"), longCol("t"))),
+      Seq(
+        // user 1: [10, 20, 700] with gap 100 -> sessions {10,20} and {700}
+        Row(1L, 10L), Row(1L, 20L), Row(1L, 700L),
+        // user 2: single event
+        Row(2L, 5L),
+        // user 3: exactly-at-gap boundary stays in the same session
+        Row(3L, 0L), Row(3L, 100L), Row(3L, 201L)))
+    val out = Streaming.batchSessions(df, "u", "t", gapSec = 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out === Set(
+      (1L, 1L, 10L, 20L, 2L),
+      (1L, 2L, 700L, 700L, 1L),
+      (2L, 1L, 5L, 5L, 1L),
+      // 0 -> 100 is exactly the gap (kept), 100 -> 201 exceeds it (split)
+      (3L, 1L, 0L, 100L, 2L),
+      (3L, 2L, 201L, 201L, 1L)))
+  }
 }
