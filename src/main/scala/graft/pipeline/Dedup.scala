@@ -115,15 +115,21 @@ object Dedup {
   }
 
   /** Candidate pairs (__a < __b) sharing at least one MinHash-LSH band
-    * bucket. The only shuffles are keyed on (band, bucket-hash) — no cross
-    * product anywhere.
+    * bucket. The only shuffle is keyed on (band, bucket-hash) — no cross
+    * product anywhere. Buckets are gathered with [[graft.exec.BoundedCollect
+    * boundedCollectList]], whose buffer stops at maxBucket + 1 elements:
+    * a flood bucket (millions of ids sharing a band at corpus scale) costs
+    * O(maxBucket) memory in its aggregation task instead of materializing
+    * fully before the size filter discards it, and hitting the cap is
+    * exactly the oversized signal.
     */
   private def minhashCandidates(
       sigs: DataFrame, numHashes: Int, bands: Int, maxBucket: Int): DataFrame = {
-    val banded = sigs.select(col("__id"), col("__sig"),
+    val banded = sigs.select(col("__id"),
       posexplode(bandHashes(col("__sig"), numHashes, bands)).as(Seq("__band", "__bh")))
     val buckets = banded.groupBy("__band", "__bh")
-      .agg(collect_list(col("__id")).as("__ids"))
+      .agg(graft.exec.BoundedCollect.boundedCollectList(col("__id"), maxBucket + 1)
+        .as("__ids"))
       .filter(size(col("__ids")).between(2, maxBucket))
     buckets
       .select(explode(col("__ids")).as("__a"), col("__ids"))
@@ -142,8 +148,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    // persisted: the candidate plan references the signatures from the
+    // bucket-size count, both self-join sides, and both score-join sides —
+    // without the cache the shingle+sketch kernel would rerun five times
     val sigs = spread(df).select(col(idCol).as("__id"),
       minhashSignatureText(col(textCol), shingleSize, numHashes).as("__sig"))
+      .persist()
     val pairs = minhashCandidates(sigs, numHashes, bands, maxBucket)
     val sa = sigs.select(col("__id").as("__a"), col("__sig").as("__sa"))
     val sb = sigs.select(col("__id").as("__b"), col("__sig").as("__sb"))
@@ -171,6 +181,7 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
     val sigs = spread(df).select(col(idCol).as("__id"),
       minhashSignatureText(col(textCol), shingleSize, numHashes).as("__sig"))
+      .persist() // referenced by the size count and both self-join sides
     val pairs = minhashCandidates(sigs, numHashes, bands, maxBucket)
     // verify against the raw text: shingles are recomputed only for the
     // (tiny) candidate set instead of materializing a second full
@@ -435,8 +446,12 @@ object Dedup {
       posexplode(array((0 until bandCount).map(j =>
         shiftright(col("__sig"), j * 8).bitwiseAND(lit(0xffL))): _*))
         .as(Seq("__band", "__bk")))
+    // buckets gathered with a bounded buffer (maxBucket + 1): a flood
+    // bucket costs O(maxBucket) vectors in its aggregation task instead of
+    // materializing fully just to be dropped by the size filter
     val buckets = banded.groupBy("__band", "__bk")
-      .agg(collect_list(struct(col("__id"), col("__v"))).as("__rows"))
+      .agg(graft.exec.BoundedCollect.boundedCollectList(
+        struct(col("__id"), col("__v")), maxBucket + 1).as("__rows"))
       .filter(size(col("__rows")).between(2, maxBucket))
     buckets
       .select(explode(col("__rows")).as("__x"), col("__rows"))
