@@ -158,3 +158,36 @@ final case class RhoZCDPBudget(rho: Rat) extends PrivacyBudget {
 object RhoZCDPBudget {
   def apply(rho: Double): RhoZCDPBudget = RhoZCDPBudget(Rat(rho))
 }
+
+object PrivacyBudget {
+  /** Relative tolerance for "slightly over-requested" budgets (reference
+    * _BUDGET_RELATIVE_TOLERANCE = 10^9, privacy_budget.py:509).
+    */
+  private val RelativeTolerance = Rat(1000000000L)
+
+  private def adjustNumber(requested: Rat, remaining: Rat): Rat =
+    if (remaining.isInfinite || requested <= remaining) requested
+    else if (requested - remaining <= remaining / RelativeTolerance) remaining
+    else requested
+
+  /** Round a requested budget down to the remaining budget when it exceeds
+    * it by at most one part in 10^9 (relative) — floating-point users
+    * computing eps/3*3 should not be rejected over the last ulp; rounding
+    * DOWN errs toward a stronger guarantee (reference _get_adjusted_budget,
+    * privacy_budget.py:534-600). Kind mismatches pass through untouched and
+    * surface as type errors downstream.
+    */
+  def adjustToRemaining(
+      requested: PrivacyBudget, remaining: PrivacyBudget): PrivacyBudget =
+    (requested, remaining) match {
+      case (PureDPBudget(e), PureDPBudget(re)) =>
+        PureDPBudget(adjustNumber(e, re))
+      case (PureDPBudget(e), ApproxDPBudget(re, _)) =>
+        PureDPBudget(adjustNumber(e, re))
+      case (ApproxDPBudget(e, d), ApproxDPBudget(re, rd)) =>
+        ApproxDPBudget(adjustNumber(e, re), adjustNumber(d, rd))
+      case (RhoZCDPBudget(r), RhoZCDPBudget(rr)) =>
+        RhoZCDPBudget(adjustNumber(r, rr))
+      case _ => requested
+    }
+}

@@ -90,7 +90,9 @@ final class Session private (
       throw new IllegalArgumentException(
         s"budget kind mismatch: session accounts ${remaining.getClass.getSimpleName}, " +
           s"query requested ${b.getClass.getSimpleName}")
-    if (!(remaining >= b))
+    // a fully infinite remaining budget (inf epsilon/rho, or ApproxDP with
+    // delta = 1) accepts any same-kind request
+    if (!(remaining.isInfinite || remaining >= b))
       throw new IllegalArgumentException(
         s"insufficient privacy budget: requested $b, remaining $remaining")
     remaining = remaining - b
@@ -109,7 +111,12 @@ final class Session private (
     */
   def evaluate(query: Query, budget: PrivacyBudget): DataFrame = {
     checkActive()
-    val (out, _) = compileMeasure(query, budget)
+    // tolerate one-part-in-10^9 over-requests by rounding the request DOWN
+    // to the remaining budget BEFORE compiling, so the mechanisms are
+    // calibrated to what is actually charged (reference session.py adjusts
+    // via _get_adjusted_budget before visiting the query)
+    val adjusted = PrivacyBudget.adjustToRemaining(budget, remaining)
+    val (out, _) = compileMeasure(query, adjusted)
     spend(out.spend)
     MeasurementPlanner.releaseOnce(out.df, out.noise)
   }
@@ -183,12 +190,13 @@ final class Session private (
             "(reference session.py:1390-1418)")
       case _ =>
     }
-    spend(budget)
+    val adjusted = PrivacyBudget.adjustToRemaining(budget, remaining)
+    spend(adjusted)
     val kids = splits.map { case (childName, value) =>
       val childDf = t.df.filter(col(column) === lit(value))
       val childTables = mutable.Map(
         childName -> t.copy(df = childDf))
-      childName -> new Session(spark, budget, childTables,
+      childName -> new Session(spark, adjusted, childTables,
         mutable.Map(publicTables.toSeq: _*))
     }
     // creation-order discipline: each child retires earlier siblings on
