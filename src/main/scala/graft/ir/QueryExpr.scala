@@ -445,11 +445,18 @@ object QueryExpr {
     def schema(cat: CatalogSchemas): TableSchema = {
       val in = child.schema(cat)
       if (in.idColumn.isEmpty) err("enforce requires an IDs table")
+      // grouping-column constraints must name an existing non-ID column
+      // (reference test_invalid_constraints.py:62-90: the ID column cannot
+      // be its own grouping column — one ID is trivially one "group")
       constraint match {
         case graft.constraints.MaxGroupsPerID(c, _) if !in.contains(c) =>
           err(s"enforce: grouping column '$c' not in schema")
         case graft.constraints.MaxRowsPerGroupPerID(c, _) if !in.contains(c) =>
           err(s"enforce: grouping column '$c' not in schema")
+        case graft.constraints.MaxGroupsPerID(c, _) if in.idColumn.contains(c) =>
+          err(s"enforce: grouping column '$c' cannot be the ID column")
+        case graft.constraints.MaxRowsPerGroupPerID(c, _) if in.idColumn.contains(c) =>
+          err(s"enforce: grouping column '$c' cannot be the ID column")
         case _ =>
       }
       in

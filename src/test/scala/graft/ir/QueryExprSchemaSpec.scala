@@ -143,6 +143,20 @@ class QueryExprSchemaSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Query(GroupByBoundedSum(src, KeySet.empty, "qty", 0, 1)).suppress(5)
     }
+    // grouping-column constraints: must exist and must not be the ID column
+    // (reference test_invalid_constraints.py:62-90)
+    intercept[IllegalArgumentException] {
+      EnforceConstraint(PrivateSource("events"),
+        graft.constraints.MaxGroupsPerID("ghost", 2)).schema(cat)
+    }
+    intercept[IllegalArgumentException] {
+      EnforceConstraint(PrivateSource("events"),
+        graft.constraints.MaxGroupsPerID("user_id", 2)).schema(cat)
+    }
+    intercept[IllegalArgumentException] {
+      EnforceConstraint(PrivateSource("events"),
+        graft.constraints.MaxRowsPerGroupPerID("user_id", 2)).schema(cat)
+    }
   }
 
   test("bin column replaces or appends with VARCHAR descriptor") {
