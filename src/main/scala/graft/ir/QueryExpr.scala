@@ -367,7 +367,11 @@ object QueryExpr {
       val in = child.schema(cat)
       replaceWith.keys.foreach(c =>
         if (!in.contains(c)) err(s"replace_null_and_nan: column '$c' not in schema"))
-      in.idColumn.foreach(id => if (replaceWith.isEmpty || replaceWith.contains(id))
+      // an EXPLICIT request to rewrite the privacy ID column is an error; an
+      // empty mapping means "all columns" and silently excludes the ID
+      // column, which may therefore still contain nulls (reference raises a
+      // RuntimeWarning there, test_id_col_operations.py:85-122)
+      in.idColumn.foreach(id => if (replaceWith.contains(id))
         err(s"replace_null_and_nan may not replace the id column '$id'"))
       val target = if (replaceWith.isEmpty) in.columnNames.toSet
         else replaceWith.keySet
@@ -387,6 +391,8 @@ object QueryExpr {
       extends TransformExpr {
     def schema(cat: CatalogSchemas): TableSchema = {
       val in = child.schema(cat)
+      in.idColumn.foreach(id => if (replaceWith.contains(id))
+        err(s"replace_infinity may not target the id column '$id'"))
       replaceWith.foreach { case (c, _) =>
         if (!in.contains(c)) err(s"replace_infinity: column '$c' not in schema")
         if (in(c).ctype != Decimal)
@@ -425,6 +431,8 @@ object QueryExpr {
       child: TransformExpr, columns: Seq[String]) extends TransformExpr {
     def schema(cat: CatalogSchemas): TableSchema = {
       val in = child.schema(cat)
+      in.idColumn.foreach(id => if (columns.contains(id))
+        err(s"drop_infinity may not target the id column '$id'"))
       columns.foreach { c =>
         if (!in.contains(c)) err(s"drop_infinity: column '$c' not in schema")
         if (in(c).ctype != Decimal) err(s"drop_infinity: column '$c' is not DECIMAL")

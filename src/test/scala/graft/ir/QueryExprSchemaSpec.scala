@@ -159,6 +159,29 @@ class QueryExprSchemaSpec extends SparkSpec {
     }
   }
 
+  test("special-value ops never touch the privacy ID column") {
+    val ev = PrivateSource("events")
+    // explicit targeting of the id column is an error...
+    intercept[IllegalArgumentException] {
+      ReplaceNullAndNan(ev, Map("user_id" -> 0L)).schema(cat)
+    }
+    intercept[IllegalArgumentException] {
+      ReplaceInfinity(ev, Map("user_id" -> (0.0, 0.0))).schema(cat)
+    }
+    intercept[IllegalArgumentException] {
+      DropNullAndNan(ev, Seq("user_id")).schema(cat)
+    }
+    intercept[IllegalArgumentException] {
+      DropInfinity(ev, Seq("user_id")).schema(cat)
+    }
+    // ...but the all-columns default proceeds, leaving the id column alone
+    // (it may still contain nulls; reference warns,
+    // test_id_col_operations.py:105-122)
+    val s = ReplaceNullAndNan(ev, Map.empty).schema(cat)
+    assert(s.idColumn === Some("user_id"))
+    assert(DropNullAndNan(ev, Nil).schema(cat).idColumn === Some("user_id"))
+  }
+
   test("bin column replaces or appends with VARCHAR descriptor") {
     val spec = BinningSpec(Seq(0.0, 5.0, 10.0))
     val b = BinColumn(src, "qty", spec, "qty_binned").schema(cat)
