@@ -216,14 +216,24 @@ final class Session private (
     sb.append("Private tables:\n")
     privateSources.foreach { n =>
       val t = privateTables(n)
-      sb.append(s"  $n: ${t.schema.columnNames.mkString(", ")} " +
-        s"(protected: ${t.protectedChange}" +
-        (if (t.constraints.nonEmpty) s"; constraints: ${t.constraints.mkString(", ")}" else "") +
-        ")\n")
+      sb.append(s"  $n (protected: ${t.protectedChange}" +
+        (if (t.constraints.nonEmpty) s"; constraints: ${t.constraints.mkString(", ")}"
+         else "") + ")\n")
+      t.schema.columns.foreach { case (c, d) =>
+        val marks = Seq(
+          if (t.schema.idColumn.contains(c)) Some("id") else None,
+          if (t.schema.groupingColumn.contains(c)) Some("grouping") else None,
+          if (d.allowNull) Some("nullable") else None).flatten
+        sb.append(s"    $c: ${d.ctype}" +
+          (if (marks.nonEmpty) marks.mkString(" [", ", ", "]") else "") + "\n")
+      }
+      t.schema.idSpace.foreach(sp => sb.append(s"    (id space: $sp)\n"))
     }
     if (publicTables.nonEmpty) {
       sb.append("Public tables:\n")
-      publicSources.foreach(n => sb.append(s"  $n\n"))
+      publicSources.foreach { n =>
+        sb.append(s"  $n: ${publicTables(n).columns.mkString(", ")}\n")
+      }
     }
     sb.toString
   }

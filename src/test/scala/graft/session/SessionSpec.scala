@@ -75,6 +75,32 @@ class SessionSpec extends SparkSpec {
     assert(solo.getIdSpace("a") === Some("spaceY"))
   }
 
+  test("mixed session: rows and IDs tables coexist under one accountant") {
+    // reference test/system/session/mixed: one session may hold tables with
+    // different protected changes; each query uses its table's own metric,
+    // and all spends drain the same budget
+    val s = new Session.Builder().withPrivacyBudget(PureDPBudget(2.0))
+      .withIdSpace("u")
+      .withPrivateDataFrame("rows", df, AddOneRow())
+      .withPrivateDataFrame("ids", df, AddRowsWithID("uid", "u"))
+      .build(spark)
+    s.evaluate(QueryBuilder("rows").count(), PureDPBudget(1.0))
+    s.evaluate(QueryBuilder("ids").enforce(MaxRowsPerID(3)).count(), PureDPBudget(1.0))
+    assert(s.remainingPrivacyBudget === PureDPBudget(Rat.zero))
+    // a rows/IDs private join stays rejected
+    val s2 = new Session.Builder().withPrivacyBudget(Inf)
+      .withIdSpace("u")
+      .withPrivateDataFrame("rows", df, AddOneRow())
+      .withPrivateDataFrame("ids", df, AddRowsWithID("uid", "u"))
+      .build(spark)
+    val ex = intercept[IllegalArgumentException] {
+      s2.evaluate(QueryBuilder("rows")
+        .joinPrivate(QueryBuilder("ids").enforce(MaxRowsPerID(1)), Seq("uid"))
+        .count(), Inf)
+    }
+    assert(ex.getMessage.contains("mix"))
+  }
+
   test("budget kind mismatch is a type error, not an overspend") {
     val s = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df, AddOneRow())
     val ex = intercept[IllegalArgumentException] {
