@@ -15,22 +15,74 @@ import org.apache.spark.unsafe.types.UTF8String
   * (scale semantics as in [[NoiseMechanism]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("dp_noise"),
-      new ExpressionInfo(classOf[AddNoise].getName, "dp_noise"),
-      GraftExtensions.dpNoiseBuilder))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[AddNoise].getName, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Lift a Column->Column function into an Expression builder. */
+  private def lift1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 1, "expected exactly 1 argument")
+    ColumnBridge.resolvedExpression(f(ColumnBridge.column(exprs.head)))
+  }
+
+  private def lift2(
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 2, "expected exactly 2 arguments")
+    ColumnBridge.resolvedExpression(
+      f(ColumnBridge.column(exprs(0)), ColumnBridge.column(exprs(1))))
+  }
+
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(i: java.lang.Integer, _) => i.intValue
+    case Literal(l: java.lang.Long, _)    => l.intValue
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** The engine primitives exposed to pure SQL (name -> builder). Lazy:
+    * it references dpNoiseBuilder, which is defined further down the object.
+    */
+  private[exec] lazy val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dp_noise" -> dpNoiseBuilder,
+    "token_count" -> lift1(graft.pipeline.TextAnalysis.tokenCount),
+    "mean_word_length" -> lift1(graft.pipeline.TextAnalysis.meanWordLength),
+    "quality_score" -> lift1(graft.pipeline.TextAnalysis.qualityScore),
+    "language_id" -> lift1(graft.pipeline.TextAnalysis.languageId),
+    "doc_fingerprint" -> lift1(graft.pipeline.TextAnalysis.fingerprint),
+    "simhash64" -> lift1(graft.pipeline.Dedup.simhash64),
+    "cosine_similarity" -> lift2(graft.pipeline.Similarity.cosine),
+    "ngram_jaccard" -> { exprs =>
+      require(exprs.size == 3, "ngram_jaccard(a, b, n) takes exactly 3 arguments")
+      val n = intLiteral(exprs(2), "ngram_jaccard n")
+      ColumnBridge.resolvedExpression(graft.pipeline.Dedup.ngramJaccard(
+        ColumnBridge.column(exprs(0)), ColumnBridge.column(exprs(1)), n))
+    },
+    "bounded_collect_list" -> { exprs =>
+      require(exprs.size == 2,
+        "bounded_collect_list(value, limit) takes exactly 2 arguments")
+      BoundedCollectList(exprs.head, intLiteral(exprs(1), "bounded_collect_list limit"))
+        .toAggregateExpression()
+    })
 
   /** Register the functions into an already-running session (for sessions
     * created without `spark.sql.extensions`).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("dp_noise", dpNoiseBuilder, "built-in")
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 
   private[exec] val dpNoiseBuilder: Seq[Expression] => Expression = exprs => {
     require(exprs.size == 3,

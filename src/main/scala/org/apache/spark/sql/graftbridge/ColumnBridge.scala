@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully convert a Column's node tree to a Catalyst expression. Unlike
+    * [[expression]], which may wrap the node in an opaque lazy adapter,
+    * this runs Spark's own ColumnNode -> Expression converter so the result
+    * can be embedded in analyzer-visible positions (e.g. SQL function
+    * builders) and resolved normally.
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

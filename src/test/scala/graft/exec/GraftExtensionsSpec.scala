@@ -36,4 +36,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("bogus"))
   }
+
+  test("pipeline primitives are callable from pure SQL") {
+    val row = spark.sql("""
+      SELECT token_count('a quick brown fox') AS tc,
+             language_id('the quick brown fox jumps over the lazy dog and the end') AS lang,
+             simhash64('alpha beta') = simhash64('alpha beta') AS shEq,
+             ngram_jaccard('a b c', 'a b c', 2) AS j,
+             cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos
+    """).collect().head
+    assert(row.getAs[Number]("tc").longValue === 4L)
+    assert(row.getString(1) === "en")
+    assert(row.getBoolean(2))
+    assert(row.getDouble(3) === 1.0)
+    assert(math.abs(row.getDouble(4) - 1.0) < 1e-12)
+  }
+
+  test("bounded_collect_list works as a SQL aggregate") {
+    spark.range(100).selectExpr("id % 2 AS k", "id AS v").createOrReplaceTempView("bc")
+    val out = spark.sql(
+      "SELECT k, size(bounded_collect_list(v, 7)) AS n FROM bc GROUP BY k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(0L -> 7, 1L -> 7)) // both groups capped at the limit
+  }
 }
