@@ -167,12 +167,12 @@ final class TransformPlanner(
             s"IDs private join must include the id column '${lm.idColumn}'")
           val joined = joinFrames(l.df, r.df, l.schema, r.schema, joinCols, "inner")
           val metric = IDsMetric(lm.idColumn, lm.idSpace, lm.distance.max(rm.distance))
-          // per-ID row bounds multiply across the join
-          val merged = (l.constraints.collect { case MaxRowsPerID(a) => a },
-            r.constraints.collect { case MaxRowsPerID(b) => b }) match {
-            case (Seq(a), Seq(b)) => Seq(MaxRowsPerID(a * b))
-            case _                => Nil
-          }
+          // overlapping non-join columns are suffixed _left/_right by
+          // joinFrames; constraints follow (reference propagate_join_private)
+          val overlap = l.schema.columnNames.intersect(r.schema.columnNames)
+            .diff(joinCols).toSet
+          val merged = Constraint.propagatePrivateJoin(
+            l.constraints, r.constraints, overlap)
           TransformOut(joined, e.schema(cat), metric, merged)
         case _ => throw new IllegalArgumentException(
           "private join: cannot mix IDs and non-IDs tables")

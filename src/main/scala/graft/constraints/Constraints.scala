@@ -67,6 +67,43 @@ object Constraint {
   def flatMap(cs: Seq[Constraint]): Seq[Constraint] =
     cs.collect { case c: MaxGroupsPerID => c }
 
+  /** Propagate both sides' constraints through an IDs private join
+    * (reference propagate_join_private, _constraint_propagation.py:147-190).
+    * A side's rows are duplicated at most `otherStability` times, where the
+    * other side's stability is its MaxRowsPerID bound — the privacy ID is
+    * always a join column, so each of its values matches at most that many
+    * rows. (The reference additionally derives a stability from
+    * MaxGroupsPerID bounds on join columns; that bound limits distinct key
+    * values, not rows per key, so it is not adopted here.) Row-count bounds
+    * scale by the other side's stability (or vanish when it is unbounded);
+    * MaxGroupsPerID survives untouched — a join never adds new grouping
+    * values to an ID. Constraints naming an overlapping non-join column are
+    * re-pointed at the suffixed output column.
+    */
+  def propagatePrivateJoin(
+      left: Seq[Constraint], right: Seq[Constraint],
+      overlap: Set[String]): Seq[Constraint] = {
+    def stability(cs: Seq[Constraint]): Option[Long] =
+      cs.collect { case MaxRowsPerID(n) => n.toLong } match {
+        case Nil => None
+        case xs  => Some(xs.min)
+      }
+    def sideOut(cs: Seq[Constraint], otherStab: Option[Long], suffix: String) = {
+      def nm(c: String) = if (overlap.contains(c)) c + suffix else c
+      def scaled(m: Int): Option[Int] = otherStab.flatMap { s =>
+        val v = m.toLong * s
+        if (v <= Int.MaxValue) Some(v.toInt) else None
+      }
+      cs.flatMap {
+        case MaxRowsPerID(m)            => scaled(m).map(MaxRowsPerID(_))
+        case MaxGroupsPerID(c, g)       => Some(MaxGroupsPerID(nm(c), g))
+        case MaxRowsPerGroupPerID(c, m) => scaled(m).map(MaxRowsPerGroupPerID(nm(c), _))
+      }
+    }
+    simplify(sideOut(left, stability(right), "_left") ++
+      sideOut(right, stability(left), "_right"))
+  }
+
   /** Propagate through a join where the other side contributes `fanout` rows
     * per key (reference _constraint_propagation.py:112-217).
     */

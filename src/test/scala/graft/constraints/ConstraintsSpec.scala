@@ -50,6 +50,32 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(overflow === Nil) // unboundable bound vanishes rather than wraps
   }
 
+  test("private-join propagation follows the reference table (sound subset)") {
+    // reference test_constraint_propagation.py:166-190; cases whose expected
+    // stability derives from a MaxGroupsPerID-on-join-column bound are
+    // propagated WITHOUT that credit here (that bound limits distinct key
+    // values, not rows per key)
+    def join(l: Seq[Constraint], r: Seq[Constraint], overlap: Set[String] = Set.empty) =
+      Constraint.propagatePrivateJoin(l, r, overlap).toSet
+    assert(join(Seq(MaxRowsPerID(1)), Nil) === Set.empty)
+    assert(join(Seq(MaxRowsPerID(2)), Seq(MaxRowsPerID(3))) === Set(MaxRowsPerID(6)))
+    assert(join(Seq(MaxGroupsPerID("group", 2)), Nil)
+      === Set(MaxGroupsPerID("group", 2)))
+    assert(join(Seq(MaxGroupsPerID("group", 2)), Seq(MaxRowsPerID(3)))
+      === Set(MaxGroupsPerID("group", 2))) // no row bound: right's vanishes
+    assert(join(Seq(MaxRowsPerGroupPerID("group", 2)), Nil) === Set.empty)
+    assert(join(Seq(MaxRowsPerGroupPerID("group", 2)), Seq(MaxRowsPerID(3)))
+      === Set(MaxRowsPerGroupPerID("group", 6)))
+    // disambiguation: constraints on overlapping non-join columns re-point
+    // at the suffixed output columns
+    assert(join(Seq(MaxGroupsPerID("group", 2)), Seq(MaxRowsPerID(3)),
+      overlap = Set("group")) === Set(MaxGroupsPerID("group_left", 2)))
+    // right side has no MaxRowsPerID, so the left row bound is unprovable
+    // and vanishes; the right per-group bound scales by the left stability
+    assert(join(Seq(MaxRowsPerID(2)), Seq(MaxRowsPerGroupPerID("group", 3)),
+      overlap = Set("group")) === Set(MaxRowsPerGroupPerID("group_right", 6)))
+  }
+
   test("truncation strategies expose their stability factors") {
     assert(TruncationStrategy.DropExcess(3).stabilityFactor === 2)
     assert(TruncationStrategy.DropExcess(3).maxRows === 3)
