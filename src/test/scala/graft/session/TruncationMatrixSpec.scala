@@ -85,6 +85,49 @@ class TruncationMatrixSpec extends SparkSpec {
     }
   }
 
+  test("count-distinct optimization: applies exactly where the reference's does") {
+    // reference test_count_distinct_optimization.py:26-105. Counting
+    // distinct IDs needs no constraint (ungrouped) or a MaxGroupsPerID on
+    // the single group-by column (grouped); anything else requires an
+    // enforced row bound.
+    val groupKeys = KeySet.fromColumn("group", Seq("A", "B"))
+    val group2Keys = KeySet.fromColumn("group2", Seq("X", "Y"))
+    def eval(q: Query) = sess.evaluate(q, Inf)
+    // ungrouped: with or without constraints, 3 distinct ids
+    Seq(
+      QueryBuilder("t"),
+      QueryBuilder("t").enforce(MaxRowsPerID(1)),
+      QueryBuilder("t").enforce(MaxGroupsPerID("group", 2))
+    ).foreach { b =>
+      assert(eval(b.countDistinct(Seq("id"))).collect().head.getLong(0) === 3L)
+    }
+    // grouped with the matching MaxGroupsPerID
+    val grouped = eval(QueryBuilder("t").enforce(MaxGroupsPerID("group", 2))
+      .groupby(groupKeys).countDistinct(Seq("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped === Map("A" -> 3L, "B" -> 1L))
+    val grouped2 = eval(QueryBuilder("t").enforce(MaxGroupsPerID("group2", 2))
+      .groupby(group2Keys).countDistinct(Seq("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped2 === Map("X" -> 2L, "Y" -> 3L))
+    // insufficient-constraint cases all fail analysis
+    Seq(
+      // extra distinct columns beyond the id
+      QueryBuilder("t").countDistinct(Seq("id", "group")),
+      // grouped without any MaxGroupsPerID
+      QueryBuilder("t").groupby(groupKeys).countDistinct(Seq("id")),
+      // MaxGroupsPerID on a different column than the group-by key
+      QueryBuilder("t").enforce(MaxGroupsPerID("group2", 2))
+        .groupby(groupKeys).countDistinct(Seq("id")),
+      // multiple group-by columns
+      QueryBuilder("t").enforce(MaxGroupsPerID("group", 2))
+        .enforce(MaxGroupsPerID("group2", 2))
+        .groupby(groupKeys * group2Keys).countDistinct(Seq("id"))
+    ).foreach { q =>
+      intercept[IllegalArgumentException] { eval(q) }
+    }
+  }
+
   test("grouped aggregation after truncation respects the keyset split") {
     // g=2, r=3 keeps everything: group A holds {4,5,6,7,8}, B holds {9}
     val out = sess.evaluate(QueryBuilder("t")
