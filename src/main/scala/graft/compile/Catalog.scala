@@ -15,30 +15,35 @@ import graft.types.TableSchema
 sealed trait Metric extends Serializable {
   def distance: Rat
 }
-/** Symmetric difference on rows: neighboring tables differ by `distance` rows. */
-final case class RowsMetric(distance: Rat) extends Metric
+/** Symmetric difference on rows: neighboring tables differ by `distance`
+  * rows (the L1 bound). `l2Distance`, when present, is a tighter bound on
+  * the L2 norm of the per-group change vector (AddMaxRowsInMaxGroups:
+  * perGroup * sqrt(groups)) — valid ONLY for mechanisms calibrated to L2
+  * sensitivity (Gaussian family under zCDP); every other consumer must use
+  * `distance`.
+  */
+final case class RowsMetric(distance: Rat, l2Distance: Option[Rat] = None)
+    extends Metric
 /** AddRemoveKeys: neighboring tables differ by all rows of `distance` IDs. */
 final case class IDsMetric(idColumn: String, idSpace: String, distance: Rat)
     extends Metric
 
 object Metric {
-  /** ProtectedChange -> metric + d_in, given the budget kind (zCDP gets the
-    * L2 sqrt credit for AddMaxRowsInMaxGroups, reference
-    * _neighboring_relation_visitor.py:118-140).
+  /** ProtectedChange -> metric + d_in (reference
+    * _neighboring_relation_visitor.py:118-140). AddMaxRowsInMaxGroups
+    * carries BOTH the L1 distance groups*perGroup and the L2 credit
+    * ceil(perGroup*sqrt(groups)); the sensitivity calculation picks the L2
+    * bound only when the selected mechanism is Gaussian-family — a zCDP
+    * *budget* alone is not enough, since a Laplace hint under zCDP lowers
+    * to a pure-DP mechanism that needs the L1 bound. The irrational sqrt is
+    * rounded up to stay a safe overestimate.
     */
   def fromProtectedChange(pc: ProtectedChange, budget: PrivacyBudget): Metric =
     pc match {
       case AddMaxRows(n) => RowsMetric(Rat(n))
       case AddMaxRowsInMaxGroups(_, groups, perGroup) =>
-        budget match {
-          case _: RhoZCDPBudget =>
-            // L2 distance perGroup * sqrt(groups); rationals cannot hold the
-            // sqrt exactly, so round the *squared* budget math instead: we
-            // store ceil(perGroup * sqrt(groups)) as a safe upper bound.
-            val d = math.ceil(perGroup * math.sqrt(groups.toDouble)).toLong
-            RowsMetric(Rat(d))
-          case _ => RowsMetric(Rat(groups.toLong * perGroup))
-        }
+        RowsMetric(Rat(groups.toLong * perGroup),
+          Some(Rat(math.ceil(perGroup * math.sqrt(groups.toDouble)).toLong)))
       case AddRowsWithID(idCol, idSpace, maxIDs) =>
         IDsMetric(idCol, idSpace, Rat(maxIDs))
     }

@@ -369,7 +369,10 @@ final class MeasurementPlanner(
   private def aggSensitivity(
       t: TransformOut, keys: Option[KeySet] = None, l2: Boolean = false): Rat =
     t.metric match {
-      case RowsMetric(d) => d
+      // the L2 credit from AddMaxRowsInMaxGroups applies only when the
+      // downstream mechanism is Gaussian-family (see the l2 contract above)
+      case m: RowsMetric =>
+        if (l2) m.l2Distance.getOrElse(m.distance) else m.distance
       case IDsMetric(_, _, d) =>
         val groups = t.constraints.collect { case MaxGroupsPerID(c, g) => c -> g.toLong }.toMap
         val zcdp = l2 && budget.isInstanceOf[RhoZCDPBudget]

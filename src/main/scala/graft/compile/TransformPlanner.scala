@@ -45,8 +45,9 @@ final class TransformPlanner(
     case PrivateSource(id) =>
       val t = catalog.privateTables(id)
       val metric = Metric.fromProtectedChange(t.protectedChange, budget) match {
-        case RowsMetric(d) => RowsMetric(d * t.viewStability)
-        case m: IDsMetric  => m
+        case RowsMetric(d, l2) =>
+          RowsMetric(d * t.viewStability, l2.map(_ * t.viewStability))
+        case m: IDsMetric => m
       }
       TransformOut(t.df, expr.schema(cat), metric, t.constraints)
 
@@ -134,8 +135,10 @@ final class TransformPlanner(
       val pub = if (pubBytes <= BigInt(64L << 20)) broadcast(pubRaw) else pubRaw
       val joined = joinFrames(c.df, pub, c.schema, rSchema, joinCols, how)
       val metric = c.metric match {
-        case RowsMetric(d) => RowsMetric(d * Rat(math.max(fanout, 0L)))
-        case m: IDsMetric  => m
+        case RowsMetric(d, l2) =>
+          val f = Rat(math.max(fanout, 0L))
+          RowsMetric(d * f, l2.map(_ * f))
+        case m: IDsMetric => m
       }
       TransformOut(joined, e.schema(cat), metric,
         Constraint.scaleByFanout(c.constraints, fanout))
@@ -145,7 +148,9 @@ final class TransformPlanner(
       val r = compile(right)
       val joinCols = resolveJoinCols(l.schema, r.schema, joinColumns)
       (l.metric, r.metric) match {
-        case (RowsMetric(dl), RowsMetric(dr)) =>
+        case (RowsMetric(dl, _), RowsMetric(dr, _)) =>
+          // the joined change vector has no per-group structure: L2 credit
+          // does not survive a rows join
           val (tl, tr) = (truncL.get, truncR.get)
           val ld = truncate(l.df, joinCols, tl)
           val rd = truncate(r.df, joinCols, tr)
@@ -303,8 +308,9 @@ final class TransformPlanner(
           }
         }(Encoders.row(kept))
         val metric = c.metric match {
-          case RowsMetric(d) => RowsMetric(d * Rat(maxRows))
-          case m: IDsMetric  => m // per-ID distance unchanged
+          case RowsMetric(d, l2) =>
+            RowsMetric(d * Rat(maxRows), l2.map(_ * Rat(maxRows)))
+          case m: IDsMetric => m // per-ID distance unchanged
         }
         TransformOut(df, outSchema, metric, Constraint.flatMap(c.constraints))
 

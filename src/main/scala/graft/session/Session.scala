@@ -147,7 +147,7 @@ final class Session private (
     val out = planner.compile(qb.expr)
     val df = if (cache) out.df.persist() else out.df
     val (pc, viewStab) = out.metric match {
-      case RowsMetric(d) => (AddMaxRows(1), d) // d already includes the chain
+      case RowsMetric(d, _) => (AddMaxRows(1), d) // d already includes the chain
       case IDsMetric(idCol, idSpace, d) =>
         (AddRowsWithID(idCol, idSpace,
           if (d >= Rat(Int.MaxValue.toLong)) Int.MaxValue

@@ -56,6 +56,27 @@ class PrivacyCalibrationSpec extends SparkSpec {
       === Geometric(4.0))
   }
 
+  test("AddMaxRowsInMaxGroups: L2 credit gated on Gaussian-family mechanism") {
+    import graft.accounting.AddMaxRowsInMaxGroups
+    // protected change: up to 1 row in each of up to 4 groups -> L1 = 4,
+    // L2 = sqrt(4) = 2
+    val df = makeDf(StructType(Seq(strCol("g"), longCol("v"))), Seq(Row("a", 1L)))
+    val s = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df,
+      AddMaxRowsInMaxGroups("g", 4, 1))
+    // default -> discrete Gaussian (L2): sens 2, sigma^2 = 4/(2*0.5) = 4
+    assert(s.noiseInfo(QueryBuilder("t").count(), rho).head.mechanism
+      === DiscreteGaussian(4.0))
+    // Laplace hint under zCDP -> L1 mechanism: sens must be 4, not 2;
+    // eps = sqrt(2*0.5) = 1 -> scale 4 (the sqrt credit would give 2)
+    assert(s.noiseInfo(QueryBuilder("t")
+      .count(mechanism = MechanismHint.Laplace), rho).head.mechanism
+      === Geometric(4.0))
+    // exponential mechanism (quantile) composes in L1 too: eps/sens =
+    // sqrt(8*0.5)/4 = 0.5
+    assert(s.noiseInfo(QueryBuilder("t").median("v", 0, 10), rho).head.mechanism
+      === Exponential(0.5))
+  }
+
   test("partition-selection threshold is d_in-aware") {
     val (b1, tau1) = MeasurementPlanner.partitionSelectionParams(1.0, 1.0, 1e-6)
     // classic sens-1 formula: b = 2/eps, tau = 1 + b*ln(1/(2 delta))
