@@ -183,6 +183,14 @@ final class Session private (
       throw new IllegalArgumentException(s"private table '$sourceId' does not exist"))
     if (!t.schema.contains(column))
       throw new IllegalArgumentException(s"partition column '$column' not in schema")
+    // parallel composition requires DISJOINT children: a value appearing in
+    // two splits would put the same rows under two sessions each holding the
+    // full budget (the reference's dict input and core partition
+    // transformation make duplicates unrepresentable)
+    require(splits.map(_._1).distinct.size == splits.size,
+      "partition_and_create: split names must be distinct")
+    require(splits.map(_._2).distinct.size == splits.size,
+      "partition_and_create: split values must be distinct")
     t.protectedChange match {
       case _: AddRowsWithID if t.constraints.isEmpty =>
         throw new IllegalArgumentException(

@@ -191,6 +191,19 @@ class SessionSpec extends SparkSpec {
     assert(s.privateSources === Seq("t"))
   }
 
+  test("partition_and_create rejects overlapping splits") {
+    // duplicate values would give two full-budget children over the SAME
+    // rows — that is sequential, not parallel, composition
+    intercept[IllegalArgumentException] {
+      rowSession().partitionAndCreate("t", Inf, "flag",
+        Seq("ta" -> "A", "tb" -> "A"))
+    }
+    intercept[IllegalArgumentException] {
+      rowSession().partitionAndCreate("t", Inf, "flag",
+        Seq("ta" -> "A", "ta" -> "B"))
+    }
+  }
+
   test("partition_and_create on an IDs table needs an enforced constraint") {
     val mk = () => Session.fromDataFrame(spark, Inf, "t", df, AddRowsWithID("uid"))
     // bare IDs table: rejected (reference session.py:1390-1418)
