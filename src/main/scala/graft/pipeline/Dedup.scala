@@ -148,9 +148,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
-    // persisted: the candidate plan references the signatures from the
-    // bucket-size count, both self-join sides, and both score-join sides —
-    // without the cache the shingle+sketch kernel would rerun five times
+    // persisted: the plan references the signatures from the candidate
+    // buckets and both sides of the signature-score join — without the
+    // cache the shingle+sketch kernel would rerun three times
     val sigs = spread(df).select(col(idCol).as("__id"),
       minhashSignatureText(col(textCol), shingleSize, numHashes).as("__sig"))
       .persist()
@@ -179,9 +179,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 64, shingleSize: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
+    // NOT persisted: with bounded-collect bucket gathering the signatures
+    // are referenced exactly once (verification re-reads the raw text), so
+    // a cache would only add write overhead
     val sigs = spread(df).select(col(idCol).as("__id"),
       minhashSignatureText(col(textCol), shingleSize, numHashes).as("__sig"))
-      .persist() // referenced by the size count and both self-join sides
     val pairs = minhashCandidates(sigs, numHashes, bands, maxBucket)
     // verify against the raw text: shingles are recomputed only for the
     // (tiny) candidate set instead of materializing a second full
