@@ -16,14 +16,17 @@ sealed trait Metric extends Serializable {
   def distance: Rat
 }
 /** Symmetric difference on rows: neighboring tables differ by `distance`
-  * rows (the L1 bound). `l2Distance`, when present, is a tighter bound on
-  * the L2 norm of the per-group change vector (AddMaxRowsInMaxGroups:
-  * perGroup * sqrt(groups)) — valid ONLY for mechanisms calibrated to L2
-  * sensitivity (Gaussian family under zCDP); every other consumer must use
-  * `distance`.
+  * rows (the L1 bound). `l2Credit`, when present, is a tighter bound on the
+  * L2 norm of the change vector ACROSS GROUPS OF THE NAMED COLUMN
+  * (AddMaxRowsInMaxGroups: perGroup * sqrt(groups)) — valid ONLY when the
+  * mechanism is calibrated to L2 sensitivity (Gaussian family under zCDP)
+  * AND the aggregation groups by that column, so the per-group structure of
+  * the change aligns with the released vector. An ungrouped count, or a
+  * group-by on any other column, can concentrate all `distance` changed
+  * rows into one released value; every such consumer must use `distance`.
   */
-final case class RowsMetric(distance: Rat, l2Distance: Option[Rat] = None)
-    extends Metric
+final case class RowsMetric(
+    distance: Rat, l2Credit: Option[(String, Rat)] = None) extends Metric
 /** AddRemoveKeys: neighboring tables differ by all rows of `distance` IDs. */
 final case class IDsMetric(idColumn: String, idSpace: String, distance: Rat)
     extends Metric
@@ -41,9 +44,9 @@ object Metric {
   def fromProtectedChange(pc: ProtectedChange, budget: PrivacyBudget): Metric =
     pc match {
       case AddMaxRows(n) => RowsMetric(Rat(n))
-      case AddMaxRowsInMaxGroups(_, groups, perGroup) =>
+      case AddMaxRowsInMaxGroups(gcol, groups, perGroup) =>
         RowsMetric(Rat(groups.toLong * perGroup),
-          Some(Rat(math.ceil(perGroup * math.sqrt(groups.toDouble)).toLong)))
+          Some(gcol -> Rat(math.ceil(perGroup * math.sqrt(groups.toDouble)).toLong)))
       case AddRowsWithID(idCol, idSpace, maxIDs) =>
         IDsMetric(idCol, idSpace, Rat(maxIDs))
     }

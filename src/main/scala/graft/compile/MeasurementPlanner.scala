@@ -370,9 +370,14 @@ final class MeasurementPlanner(
       t: TransformOut, keys: Option[KeySet] = None, l2: Boolean = false): Rat =
     t.metric match {
       // the L2 credit from AddMaxRowsInMaxGroups applies only when the
-      // downstream mechanism is Gaussian-family (see the l2 contract above)
+      // downstream mechanism is Gaussian-family AND the aggregation groups
+      // by the credit's column — otherwise all `distance` changed rows can
+      // hit one released value (see the RowsMetric contract)
       case m: RowsMetric =>
-        if (l2) m.l2Distance.getOrElse(m.distance) else m.distance
+        m.l2Credit match {
+          case Some((c, v)) if l2 && keys.exists(_.columns.contains(c)) => v
+          case _ => m.distance
+        }
       case IDsMetric(_, _, d) =>
         val groups = t.constraints.collect { case MaxGroupsPerID(c, g) => c -> g.toLong }.toMap
         val zcdp = l2 && budget.isInstanceOf[RhoZCDPBudget]

@@ -46,7 +46,8 @@ final class TransformPlanner(
       val t = catalog.privateTables(id)
       val metric = Metric.fromProtectedChange(t.protectedChange, budget) match {
         case RowsMetric(d, l2) =>
-          RowsMetric(d * t.viewStability, l2.map(_ * t.viewStability))
+          RowsMetric(d * t.viewStability,
+            l2.map { case (c, v) => c -> v * t.viewStability })
         case m: IDsMetric => m
       }
       TransformOut(t.df, expr.schema(cat), metric, t.constraints)
@@ -57,7 +58,13 @@ final class TransformPlanner(
       // renames corrupt swap mappings like {a->b, b->a}
       val renamed = c.df.select(c.df.columns.map(n =>
         col(n).as(mapping.getOrElse(n, n))).toIndexedSeq: _*)
-      TransformOut(renamed, e.schema(cat), c.metric,
+      // the L2 credit follows its grouping column through the rename
+      val metric = c.metric match {
+        case RowsMetric(d, Some((gc, v))) =>
+          RowsMetric(d, Some(mapping.getOrElse(gc, gc) -> v))
+        case m => m
+      }
+      TransformOut(renamed, e.schema(cat), metric,
         Constraint.rename(c.constraints, mapping))
 
     case e @ Filter(child, cond) =>
@@ -73,12 +80,12 @@ final class TransformPlanner(
         case m @ (_: MapRows | _: FlatMapRows) =>
           val out = compileMapLike(m, keep = Some(cols))
           TransformOut(out.df.select(cols.map(col).toIndexedSeq: _*),
-            e.schema(cat), out.metric,
+            e.schema(cat), stripL2IfLost(out.metric, cols),
             Constraint.select(out.constraints, cols))
         case _ =>
           val c = compile(child)
           TransformOut(c.df.select(cols.map(col).toIndexedSeq: _*), e.schema(cat),
-            c.metric, Constraint.select(c.constraints, cols))
+            stripL2IfLost(c.metric, cols), Constraint.select(c.constraints, cols))
       }
 
     case e: MapRows     => compileMapLike(e, keep = None)
@@ -135,9 +142,10 @@ final class TransformPlanner(
       val pub = if (pubBytes <= BigInt(64L << 20)) broadcast(pubRaw) else pubRaw
       val joined = joinFrames(c.df, pub, c.schema, rSchema, joinCols, how)
       val metric = c.metric match {
-        case RowsMetric(d, l2) =>
-          val f = Rat(math.max(fanout, 0L))
-          RowsMetric(d * f, l2.map(_ * f))
+        case RowsMetric(d, _) =>
+          // a join duplicates rows per key, destroying the per-group change
+          // structure the L2 credit relies on — conservative: drop it
+          RowsMetric(d * Rat(math.max(fanout, 0L)))
         case m: IDsMetric => m
       }
       TransformOut(joined, e.schema(cat), metric,
@@ -290,7 +298,16 @@ final class TransformPlanner(
             outCodec.buildRow(f(in), if (augment) Some(in) else None)
           }
         }(Encoders.row(kept))
-        TransformOut(df, outSchema, c.metric, c.constraints)
+        // a non-augmenting map replaces every column, so the L2 credit's
+        // grouping column does not survive; augmented maps are 1:1 on rows
+        // with input columns intact, preserving the per-group structure
+        val mapMetric =
+          if (augment) c.metric
+          else c.metric match {
+            case RowsMetric(d, _) => RowsMetric(d)
+            case m                => m
+          }
+        TransformOut(df, outSchema, mapMetric, c.constraints)
 
       case e @ FlatMapRows(child, f, _, augment, maxRows, _) =>
         val c = compile(child)
@@ -309,7 +326,13 @@ final class TransformPlanner(
         }(Encoders.row(kept))
         val metric = c.metric match {
           case RowsMetric(d, l2) =>
-            RowsMetric(d * Rat(maxRows), l2.map(_ * Rat(maxRows)))
+            // with augment the grouping column survives and each changed
+            // input row yields <= maxRows outputs in ITS group, so the L2
+            // credit scales by maxRows; without augment the output need not
+            // preserve any per-group structure — drop the credit
+            RowsMetric(d * Rat(maxRows),
+              if (augment) l2.map { case (c2, v) => c2 -> v * Rat(maxRows) }
+              else None)
           case m: IDsMetric => m // per-ID distance unchanged
         }
         TransformOut(df, outSchema, metric, Constraint.flatMap(c.constraints))
@@ -317,6 +340,15 @@ final class TransformPlanner(
       case other =>
         throw new IllegalStateException(s"not a map-like transform: $other")
     }
+
+  /** Drop the rows-metric L2 credit when its grouping column is projected
+    * away (the credit is only usable by group-bys on that column).
+    */
+  private def stripL2IfLost(m: Metric, kept: Seq[String]): Metric = m match {
+    case r @ RowsMetric(_, Some((c, _))) if !kept.contains(c) =>
+      r.copy(l2Credit = None)
+    case other => other
+  }
 
   /** The encoded struct for a narrowed map output: the kept columns plus
     * whatever the privacy bookkeeping still references (the id column and

@@ -19,7 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo(classOf[AddNoise].getName, name),
+        // catalog metadata: point introspection at this registry, not at
+        // any single expression class (most functions here are composed
+        // Column trees, not one Expression)
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
 }

@@ -31,7 +31,6 @@ final class QueryBuilder private (private[graft] val expr: TransformExpr) {
 
   // ----------------------------------------------------------- transformations
 
-  /** reference query_builder.py:957 */
   /** Independent copy (reference query_builder.py:292 `clone`). Builders
     * here are immutable — every call returns a new builder — so the clone
     * is the receiver itself; the method exists for API parity and for code
@@ -39,6 +38,7 @@ final class QueryBuilder private (private[graft] val expr: TransformExpr) {
     */
   def cloneBuilder(): QueryBuilder = this
 
+  /** reference query_builder.py:957 */
   def rename(mapping: Map[String, String]): QueryBuilder = next(Rename(expr, mapping))
 
   /** Spark SQL WHERE string (reference query_builder.py:1016). */

@@ -157,12 +157,17 @@ object Dedup {
     val pairs = minhashCandidates(sigs, numHashes, bands, maxBucket)
     val sa = sigs.select(col("__id").as("__a"), col("__sig").as("__sa"))
     val sb = sigs.select(col("__id").as("__b"), col("__sig").as("__sb"))
-    pairs.join(sa, "__a").join(sb, "__b")
+    // pin the (small) scored pair set eagerly so the signature cache can be
+    // released immediately rather than by the context cleaner
+    val result = pairs.join(sa, "__a").join(sb, "__b")
       .withColumn("jaccard_est",
         size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
           (m: Column) => m)).cast("double") / lit(numHashes.toDouble))
       .filter(col("jaccard_est") >= threshold)
       .select(col("__a").as("id_a"), col("__b").as("id_b"), col("jaccard_est"))
+      .localCheckpoint(true)
+    sigs.unpersist(false)
+    result
   }
 
   /** Candidate pairs from MinHash banding, verified by the exact n-gram
@@ -380,7 +385,9 @@ object Dedup {
         .filter(col("hamming") <= maxHamming)
     }
 
+    val cached = scala.collection.mutable.Buffer[DataFrame](sh)
     var frontier = banded(sh, levelMasks.head, lit(0L)).persist()
+    cached += frontier
     var out: DataFrame = null
     var l = 0
     var done = false
@@ -389,6 +396,7 @@ object Dedup {
       // unbounded bucket), joined back to route rows by size
       val sizes = frontier.groupBy("__key").agg(count(lit(1)).as("__n"))
         .filter(col("__n") >= 2).persist()
+      cached += sizes
       val withN = frontier.join(sizes, "__key")
       val last = l == levelMasks.length - 1
       // cheap driver probe on the (persisted) per-bucket counts: in the
@@ -402,11 +410,18 @@ object Dedup {
         val over = withN.filter(col("__n") > maxBucket)
           .select(col("__key"), col("__id"), col("__sh"))
         frontier = banded(over, levelMasks(l + 1), col("__key")).persist()
+        cached += frontier
       } else done = true
       l += 1
     }
-    // a qualifying pair can surface under several chunk keys and levels
-    out.distinct()
+    // a qualifying pair can surface under several chunk keys and levels.
+    // Pin the (small) result eagerly so every intermediate cache can be
+    // released NOW instead of waiting for the context cleaner — repeated
+    // pipeline runs in a long-lived session must not accumulate stale
+    // blocks in executor storage.
+    val result = out.distinct().localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    result
   }
 
   /** Exact n-gram Jaccard similarity of two text columns (for verifying LSH

@@ -56,25 +56,41 @@ class PrivacyCalibrationSpec extends SparkSpec {
       === Geometric(4.0))
   }
 
-  test("AddMaxRowsInMaxGroups: L2 credit gated on Gaussian-family mechanism") {
+  test("AddMaxRowsInMaxGroups: L2 credit needs Gaussian family AND matching group-by") {
     import graft.accounting.AddMaxRowsInMaxGroups
-    // protected change: up to 1 row in each of up to 4 groups -> L1 = 4,
-    // L2 = sqrt(4) = 2
+    // protected change: up to 1 row in each of up to 4 groups of g ->
+    // L1 = 4, L2-across-g-groups = sqrt(4) = 2
     val df = makeDf(StructType(Seq(strCol("g"), longCol("v"))), Seq(Row("a", 1L)))
     val s = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df,
       AddMaxRowsInMaxGroups("g", 4, 1))
-    // default -> discrete Gaussian (L2): sens 2, sigma^2 = 4/(2*0.5) = 4
+    val gKeys = KeySet.fromColumn("g", Seq("a", "b"))
+    // grouped by g, default hint -> discrete Gaussian with the L2 credit:
+    // sens 2, sigma^2 = 4/(2*0.5) = 4
+    assert(s.noiseInfo(QueryBuilder("t").groupby(gKeys).count(), rho)
+      .head.mechanism === DiscreteGaussian(4.0))
+    // UNGROUPED count: the 4 changed rows all hit one value -> L1 = 4,
+    // sigma^2 = 16/(2*0.5) = 16 (the credit would wrongly give 4)
     assert(s.noiseInfo(QueryBuilder("t").count(), rho).head.mechanism
-      === DiscreteGaussian(4.0))
-    // Laplace hint under zCDP -> L1 mechanism: sens must be 4, not 2;
+      === DiscreteGaussian(16.0))
+    // grouped by a DIFFERENT column: same, no credit
+    val vKeys = KeySet.fromColumn("v", Seq(1, 2))
+    assert(s.noiseInfo(QueryBuilder("t").groupby(vKeys).count(), rho)
+      .head.mechanism === DiscreteGaussian(16.0))
+    // Laplace hint under zCDP -> L1 mechanism even when grouped by g:
     // eps = sqrt(2*0.5) = 1 -> scale 4 (the sqrt credit would give 2)
-    assert(s.noiseInfo(QueryBuilder("t")
+    assert(s.noiseInfo(QueryBuilder("t").groupby(gKeys)
       .count(mechanism = MechanismHint.Laplace), rho).head.mechanism
       === Geometric(4.0))
     // exponential mechanism (quantile) composes in L1 too: eps/sens =
     // sqrt(8*0.5)/4 = 0.5
-    assert(s.noiseInfo(QueryBuilder("t").median("v", 0, 10), rho).head.mechanism
-      === Exponential(0.5))
+    assert(s.noiseInfo(QueryBuilder("t").groupby(gKeys).median("v", 0, 10), rho)
+      .head.mechanism === Exponential(0.5))
+    // the credit follows renames and dies with projection of g
+    assert(s.noiseInfo(QueryBuilder("t").rename(Map("g" -> "h"))
+      .groupby(KeySet.fromColumn("h", Seq("a", "b"))).count(), rho)
+      .head.mechanism === DiscreteGaussian(4.0))
+    assert(s.noiseInfo(QueryBuilder("t").select("v")
+      .groupby(vKeys).count(), rho).head.mechanism === DiscreteGaussian(16.0))
   }
 
   test("partition-selection threshold is d_in-aware") {

@@ -362,7 +362,7 @@ class SessionSpec extends SparkSpec {
     assert(out === Map(Some("A") -> 1L, None -> 2L)) // B not in keyset -> dropped
   }
 
-  test("AddMaxRowsInMaxGroups lowers to groups*rows distance (sqrt under zCDP)") {
+  test("AddMaxRowsInMaxGroups lowers to groups*rows distance (sqrt when grouped)") {
     val s = Session.fromDataFrame(spark, Inf, "t", df,
       AddMaxRowsInMaxGroups("flag", maxGroups = 2, maxRowsPerGroup = 3))
     // PureDP: d_in = 6 -> count scale 6/eps = 12 at eps 0.5
@@ -370,9 +370,16 @@ class SessionSpec extends SparkSpec {
     assert(info.head.mechanism === NoiseMechanism.Geometric(12.0))
     val sz = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df,
       AddMaxRowsInMaxGroups("flag", maxGroups = 2, maxRowsPerGroup = 3))
-    // zCDP: d_in = ceil(3*sqrt(2)) = 5 -> sigma^2 = 25/(2*0.5) = 25
+    // zCDP UNGROUPED count: all 6 changed rows can hit the single released
+    // value, so the sqrt credit must NOT apply — sigma^2 = 36/(2*0.5) = 36
     val infoZ = sz.noiseInfo(QueryBuilder("t").count(), RhoZCDPBudget(0.5))
-    assert(infoZ.head.mechanism === NoiseMechanism.DiscreteGaussian(25.0))
+    assert(infoZ.head.mechanism === NoiseMechanism.DiscreteGaussian(36.0))
+    // zCDP grouped BY the protected change's column: per-group structure
+    // aligns, L2 = ceil(3*sqrt(2)) = 5 -> sigma^2 = 25/(2*0.5) = 25
+    val keys = KeySet.fromColumn("flag", Seq("A", "B"))
+    val infoG = sz.noiseInfo(QueryBuilder("t").groupby(keys).count(),
+      RhoZCDPBudget(0.5))
+    assert(infoG.head.mechanism === NoiseMechanism.DiscreteGaussian(25.0))
   }
 
   test("accountant tree: later sibling retires earlier; parent retires children") {
