@@ -201,7 +201,9 @@ final class Session private (
     val adjusted = PrivacyBudget.adjustToRemaining(budget, remaining)
     spend(adjusted)
     val kids = splits.map { case (childName, value) =>
-      val childDf = t.df.filter(col(column) === lit(value))
+      // null-safe match: null is a legal partition value (plain === would
+      // silently produce an empty child for it)
+      val childDf = t.df.filter(col(column) <=> lit(value))
       val childTables = mutable.Map(
         childName -> t.copy(df = childDf))
       childName -> new Session(spark, adjusted, childTables,

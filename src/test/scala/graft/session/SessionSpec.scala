@@ -191,6 +191,18 @@ class SessionSpec extends SparkSpec {
     assert(s.privateSources === Seq("t"))
   }
 
+  test("partition_and_create: null is a legal split value") {
+    val d2 = makeDf(
+      StructType(Seq(StructField("flag", StringType, nullable = true), longCol("qty"))),
+      Seq(Row("A", 1L), Row(null, 2L), Row(null, 3L)))
+    val s = Session.fromDataFrame(spark, Inf, "t", d2, AddOneRow())
+    val kids = s.partitionAndCreate("t", Inf, "flag",
+      Seq("ta" -> "A", "tnull" -> null))
+    val nNull = kids("tnull").evaluate(QueryBuilder("tnull").count(), Inf)
+      .collect().head.getLong(0)
+    assert(nNull === 2L)
+  }
+
   test("partition_and_create rejects overlapping splits") {
     // duplicate values would give two full-budget children over the SAME
     // rows — that is sequential, not parallel, composition
