@@ -582,6 +582,15 @@ object Queries {
         read(s, d, "events").select(col("user_id"), col("event_id").as("ts_sec")),
         "user_id", "ts_sec", gapSec = 600L)
     }),
+    "q70_winnowing_fingerprints" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // winnowing (MOSS) fingerprint count per document: token 4-gram
+      // rolling hashes, window-of-5 minima, distinct — a shift-robust
+      // fingerprint the canonical md5 (q41) is not
+      read(s, d, "documents").select(col("doc_id"),
+        size(graft.pipeline.TextAnalysis.winnowingFingerprints(col("text")))
+          .as("n_fingerprints"))
+    }),
     "q51_audio_windows" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val withBin = read(s, d, "documents")
@@ -783,6 +792,30 @@ object Queries {
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1"),
     "q68_rows_across_groups" -> countOracle(Seq("A", "N", "R"), "l_returnflag",
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1"),
+    "q70_winnowing_fingerprints" ->
+      // mirrors the Spark expression exactly: md5-derived token hashes mod
+      // 2^31-1, base-131 rolling 4-gram fold, window-of-5 minima, distinct
+      """WITH toks AS (SELECT doc_id,
+        |    list_transform(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> ('0x'||substr(md5(t),1,8))::BIGINT % 2147483647) AS th
+        |  FROM documents),
+        |g AS (SELECT doc_id, th, len(th) AS n FROM toks),
+        |grams AS (SELECT doc_id,
+        |    CASE WHEN n >= 4 THEN list_transform(range(1, n - 2), j ->
+        |      ((((((th[j]*131 + th[j+1]) % 2147483647)*131
+        |        + th[j+2]) % 2147483647)*131 + th[j+3]) % 2147483647))
+        |    ELSE [] END AS gh
+        |  FROM g),
+        |m AS (SELECT doc_id, gh, len(gh) AS ng FROM grams),
+        |mins AS (SELECT doc_id,
+        |    CASE WHEN ng >= 5 THEN list_transform(range(1, ng - 3), j ->
+        |        list_min(gh[j:j+4]))
+        |      WHEN ng >= 1 THEN [list_min(gh)]
+        |      ELSE [] END AS fps
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(fps)) AS INTEGER) AS n_fingerprints
+        |FROM mins""".stripMargin,
     "q69_sessionization_batch" ->
       """WITH e AS (SELECT user_id, event_id AS ts_sec FROM events),
         |d AS (SELECT user_id, ts_sec,

@@ -75,6 +75,41 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(encode(regexp_replace(lower(trim(c)), "\\s+", " "), "UTF-8"))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every `k`-gram of tokens with a polynomial rolling
+    * hash, slide a window of `w` consecutive gram hashes, and keep each
+    * window's minimum — the distinct minima are the document's fingerprint
+    * set, robust to insertions/reorderings in a way a whole-document hash
+    * is not. Entirely codegen'd Catalyst (zero shuffle, zero UDF): token
+    * hashes are the first 8 hex chars of md5 (portable bit-for-bit to any
+    * engine), combined mod 2^31-1 with base 131, so intermediate values
+    * stay far under 2^63 and the arithmetic reproduces exactly in SQL.
+    */
+  def winnowingFingerprints(c: Column, k: Int = 4, w: Int = 5): Column = {
+    require(k >= 1 && w >= 1)
+    val M = 2147483647L // 2^31 - 1
+    val B = 131L
+    val toks = split(trim(lower(c)), "\\s+")
+    val tokHash = transform(toks,
+      t => conv(substring(md5(encode(t, "UTF-8")), 1, 8), 16, 10).cast("long") % M)
+    val n = size(toks)
+    // gram hash at 1-based position j: fold the k token hashes
+    def gram(j: Column): Column =
+      (1 until k).foldLeft(element_at(tokHash, j)) { (acc, i) =>
+        (acc * B + element_at(tokHash, j + i)) % M
+      }
+    val grams = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), j => gram(j)))
+      .otherwise(array().cast("array<bigint>"))
+    val g = size(grams)
+    val mins = when(g >= w,
+      transform(sequence(lit(1), g - (w - 1)),
+        j => array_min(slice(grams, j, lit(w)))))
+      .otherwise(when(g >= 1, array(array_min(grams)))
+        .otherwise(array().cast("array<bigint>")))
+    array_distinct(mins)
+  }
+
   /** Character n-gram based language ID over a fixed language set, as a
     * codegen'd scoring expression: counts hits of per-language marker
     * patterns (stopwords for latin scripts, script ranges for CJK) and takes

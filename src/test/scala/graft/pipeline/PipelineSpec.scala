@@ -102,6 +102,29 @@ class PipelineSpec extends SparkSpec {
     assert(pairSet(2) === brute)    // every non-trivial bucket forced to re-band
   }
 
+  test("winnowing fingerprints: shift-robust overlap, exact for identical docs") {
+    import graft.pipeline.TextAnalysis.winnowingFingerprints
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val shifted = "inserted words here " + base // same content, shifted
+    val unrelated = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> base, 3L -> shifted, 4L -> unrelated,
+      5L -> "five tokens but few grams", // n=5 >= k=4, grams=2 < w=5
+      6L -> "too short", 7L -> "")       // fewer tokens than k: no grams
+    val fp = df.select(col("id"),
+      winnowingFingerprints(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(1L) === fp(2L)) // identical docs, identical fingerprint sets
+    assert(fp(1L).nonEmpty)
+    // a prefix insertion preserves most interior fingerprints (the property
+    // a whole-document hash lacks)
+    val overlap = fp(1L).intersect(fp(3L)).size.toDouble / fp(1L).size
+    assert(overlap > 0.8, s"overlap $overlap")
+    assert(fp(1L).intersect(fp(4L)).isEmpty) // disjoint content
+    assert(fp(5L).size === 1) // fewer grams than the window: single minimum
+    assert(fp(6L).isEmpty)    // fewer tokens than k: nothing to fingerprint
+    assert(fp(7L).isEmpty)
+  }
+
   test("embedding cosine dedup finds the planted duplicate vector") {
     val schema = StructType(Seq(longCol("id"),
       StructField("vec", ArrayType(DoubleType))))
