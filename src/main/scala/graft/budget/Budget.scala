@@ -90,6 +90,15 @@ object Rat {
   */
 sealed trait PrivacyBudget extends Serializable {
   def isInfinite: Boolean
+  /** True when the budget permits no release at all (reference rejects
+    * zero-budget evaluate calls, session.py "You need a non-zero privacy
+    * budget to evaluate a query").
+    */
+  def isZero: Boolean = this match {
+    case PureDPBudget(e)      => e.isZero
+    case ApproxDPBudget(e, d) => e.isZero && d.isZero
+    case RhoZCDPBudget(r)     => r.isZero
+  }
   /** Split this budget into n equal parts (for multi-part aggregations). */
   def split(n: Int): PrivacyBudget
   /** Subtract a spend of the same (or coercible) type. */

@@ -111,6 +111,10 @@ final class Session private (
     */
   def evaluate(query: Query, budget: PrivacyBudget): DataFrame = {
     checkActive()
+    // a zero budget cannot calibrate any mechanism (scale = sens/0); the
+    // reference rejects it up front with the same message
+    if (budget.isZero) throw new IllegalArgumentException(
+      "You need a non-zero privacy budget to evaluate a query.")
     // tolerate one-part-in-10^9 over-requests by rounding the request DOWN
     // to the remaining budget BEFORE compiling, so the mechanisms are
     // calibrated to what is actually charged (reference session.py adjusts

@@ -59,6 +59,17 @@ class BudgetAdjustSpec extends SparkSpec {
     intercept[IllegalArgumentException] { s.evaluate(count, PureDPBudget(1e-12)) }
   }
 
+  test("zero budgets are rejected up front") {
+    Seq[(PrivacyBudget, PrivacyBudget)](
+      PureDPBudget(1.0) -> PureDPBudget(Rat.zero),
+      ApproxDPBudget(1.0, 0.1) -> ApproxDPBudget(Rat.zero, Rat.zero),
+      RhoZCDPBudget(1.0) -> RhoZCDPBudget(Rat.zero)
+    ).foreach { case (session, zero) =>
+      val ex = intercept[IllegalArgumentException] { sess(session).evaluate(count, zero) }
+      assert(ex.getMessage.contains("non-zero"))
+    }
+  }
+
   test("ApproxDP with delta = 1 is fully infinite") {
     val s = sess(ApproxDPBudget(Rat(1), Rat.one))
     s.evaluate(count, ApproxDPBudget(Rat.Inf, Rat(1, 10)))
