@@ -191,6 +191,18 @@ class SessionSpec extends SparkSpec {
     assert(s.privateSources === Seq("t"))
   }
 
+  test("ApproxDP session can partition with a PureDP budget") {
+    // reference test_partition_and_create_approxDP_session_pureDP_partition:
+    // PureDP is the delta = 0 corner of ApproxDP, so the charge coerces
+    val s = rowSession(ApproxDPBudget(Rat(2), Rat(1, 100)))
+    val kids = s.partitionAndCreate("t", PureDPBudget(1.0), "flag",
+      Seq("ta" -> "A", "tb" -> "B"))
+    assert(s.remainingPrivacyBudget === ApproxDPBudget(Rat(1), Rat(1, 100)))
+    val n = kids("ta").evaluate(QueryBuilder("ta").count(), PureDPBudget(1.0))
+      .collect().head.getLong(0)
+    assert(math.abs(n - 3L) <= 30L)
+  }
+
   test("partition_and_create: null is a legal split value") {
     val d2 = makeDf(
       StructType(Seq(StructField("flag", StringType, nullable = true), longCol("qty"))),
