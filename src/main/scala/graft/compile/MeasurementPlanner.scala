@@ -237,6 +237,8 @@ final class MeasurementPlanner(
         else {
           if (delta.isZero) throw new IllegalArgumentException(
             "get_groups requires delta > 0")
+          if (eps.isZero) throw new IllegalArgumentException(
+            "get_groups requires epsilon > 0")
           val (b, tau) = MeasurementPlanner.partitionSelectionParams(
             sens.toDouble, eps.toDouble, delta.toDouble)
           (aggd.withColumn("__c",
@@ -411,13 +413,26 @@ final class MeasurementPlanner(
     */
   private def selectMechanism(
       hint: MechanismHint, integer: Boolean, sens: Rat, parts: Int): NoiseMechanism = {
-    def laplaceScale(eps: Rat): Double =
+    // an epsilon/rho of exactly zero cannot calibrate additive noise (the
+    // scale would be sens/0); the fully-zero budget is rejected at evaluate,
+    // and this catches the ApproxDP(0, delta > 0) corner, where delta alone
+    // can only drive partition selection, never noise addition
+    def requireNonZero(v: Rat): Rat = {
+      if (v.isZero && !sens.isZero) throw new IllegalArgumentException(
+        "noise-addition queries require a non-zero epsilon/rho " +
+          "(a delta-only budget can only drive partition selection)")
+      v
+    }
+    def laplaceScale(eps0: Rat): Double = {
+      val eps = requireNonZero(eps0)
       if (eps.isInfinite || sens.isZero) 0.0
       else (sens / (eps / Rat(parts))).toDouble
+    }
     budget match {
       case PureDPBudget(eps) => lapLike(hint, integer, laplaceScale(eps))
       case ApproxDPBudget(eps, _) => lapLike(hint, integer, laplaceScale(eps))
-      case RhoZCDPBudget(rho) =>
+      case RhoZCDPBudget(rho0) =>
+        val rho = requireNonZero(rho0)
         hint match {
           case MechanismHint.Laplace =>
             // eps-DP mechanism run under zCDP: eps = sqrt(2 rho / parts)

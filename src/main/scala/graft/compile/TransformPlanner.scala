@@ -115,8 +115,9 @@ final class TransformPlanner(
 
     case e @ BinColumn(child, column, spec, name) =>
       val c = compile(child)
+      // binning onto the credit's own column coarsens its groups in place
       TransformOut(c.df.withColumn(name, spec.toColumn(col(column))),
-        e.schema(cat), c.metric, c.constraints)
+        e.schema(cat), stripL2IfRewritten(c.metric, Seq(name)), c.constraints)
 
     case e @ JoinPublic(child, public, joinColumns, how) =>
       val c = compile(child)
@@ -204,7 +205,8 @@ final class TransformPlanner(
           when(isnan(base), lit(v)).otherwise(base) else base
         acc.withColumn(name, coalesce(noNan, lit(v)))
       }
-      TransformOut(df, e.schema(cat), c.metric, c.constraints)
+      TransformOut(df, e.schema(cat),
+        stripL2IfRewritten(c.metric, targets.map(_._1)), c.constraints)
 
     case e @ ReplaceInfinity(child, replaceWith) =>
       val c = compile(child)
@@ -219,7 +221,8 @@ final class TransformPlanner(
             .when(col(name) === lit(Double.PositiveInfinity), lit(hi))
             .otherwise(col(name)))
       }
-      TransformOut(df, e.schema(cat), c.metric, c.constraints)
+      TransformOut(df, e.schema(cat),
+        stripL2IfRewritten(c.metric, targets.map(_._1)), c.constraints)
 
     case e @ DropNullAndNan(child, columns) =>
       val c = compile(child)
@@ -248,7 +251,8 @@ final class TransformPlanner(
     case e @ DistinctRows(child, cols) =>
       val c = compile(child)
       TransformOut(c.df.select(cols.map(col).toIndexedSeq: _*).dropDuplicates(),
-        e.schema(cat), c.metric, Constraint.select(c.constraints, cols))
+        e.schema(cat), stripL2IfLost(c.metric, cols),
+        Constraint.select(c.constraints, cols))
 
     case e @ TextFeature(child, kind, textCol, out) =>
       val c = compile(child)
@@ -261,7 +265,8 @@ final class TransformPlanner(
         case TextFeatureKind.Fingerprint    => t.fingerprint(col(textCol))
         case TextFeatureKind.MeanWordLength => t.meanWordLength(col(textCol))
       }
-      TransformOut(c.df.withColumn(out, expr), e.schema(cat), c.metric, c.constraints)
+      TransformOut(c.df.withColumn(out, expr), e.schema(cat),
+        stripL2IfRewritten(c.metric, Seq(out)), c.constraints)
 
     case e @ QualityFilter(child, textCol) =>
       val c = compile(child)
@@ -349,6 +354,20 @@ final class TransformPlanner(
       r.copy(l2Credit = None)
     case other => other
   }
+
+  /** Drop the L2 credit when a transform REWRITES the credit column's
+    * values in place: value rewrites (null replacement, infinity
+    * replacement, in-place rebinning) can merge protected groups, making
+    * the change vector denser than the per-group structure the sqrt bound
+    * assumes. Row-dropping transforms are fine — they only shrink the
+    * vector.
+    */
+  private def stripL2IfRewritten(m: Metric, rewritten: Iterable[String]): Metric =
+    m match {
+      case r @ RowsMetric(_, Some((c, _))) if rewritten.exists(_ == c) =>
+        r.copy(l2Credit = None)
+      case other => other
+    }
 
   /** The encoded struct for a narrowed map output: the kept columns plus
     * whatever the privacy bookkeeping still references (the id column and

@@ -356,8 +356,8 @@ object Dedup {
     // Persist the signatures: they are 16 bytes/doc but cost an md5 per
     // token to compute, and the multi-level plan references them from the
     // per-level size aggregation AND both sides of each pair self-join —
-    // uncached, the kernel would rerun O(levels * joins) times. The cached
-    // RDD is released by the context cleaner once the result is dropped.
+    // uncached, the kernel would rerun O(levels * joins) times. Every cache
+    // taken here is unpersisted explicitly once the result is pinned below.
     val sh = spread(df).select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
       .persist()
 

@@ -80,34 +80,59 @@ object TextAnalysis {
     * hash, slide a window of `w` consecutive gram hashes, and keep each
     * window's minimum — the distinct minima are the document's fingerprint
     * set, robust to insertions/reorderings in a way a whole-document hash
-    * is not. Entirely codegen'd Catalyst (zero shuffle, zero UDF): token
-    * hashes are the first 8 hex chars of md5 (portable bit-for-bit to any
-    * engine), combined mod 2^31-1 with base 131, so intermediate values
-    * stay far under 2^63 and the arithmetic reproduces exactly in SQL.
+    * is not. Tokenization (trim/lower/split) stays in Catalyst so its
+    * semantics match SQL engines; the hashing runs in one tight JVM kernel
+    * per row (a nested Catalyst higher-order-function formulation would
+    * re-evaluate the token-hash array per lambda element — O(n^3) md5
+    * calls per document). Token hashes are the first 4 md5 bytes (= the
+    * first 8 hex chars, portable bit-for-bit to any engine) combined mod
+    * 2^31-1 with base 131, so every intermediate stays far under 2^63 and
+    * the arithmetic reproduces exactly in SQL.
     */
   def winnowingFingerprints(c: Column, k: Int = 4, w: Int = 5): Column = {
     require(k >= 1 && w >= 1)
-    val M = 2147483647L // 2^31 - 1
-    val B = 131L
-    val toks = split(trim(lower(c)), "\\s+")
-    val tokHash = transform(toks,
-      t => conv(substring(md5(encode(t, "UTF-8")), 1, 8), 16, 10).cast("long") % M)
-    val n = size(toks)
-    // gram hash at 1-based position j: fold the k token hashes
-    def gram(j: Column): Column =
-      (1 until k).foldLeft(element_at(tokHash, j)) { (acc, i) =>
-        (acc * B + element_at(tokHash, j + i)) % M
+    val u = udf((toks: Seq[String]) => {
+      if (toks == null) null
+      else {
+        val M = 2147483647L // 2^31 - 1
+        val B = 131L
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val th = new Array[Long](toks.length)
+        var i = 0
+        while (i < th.length) {
+          val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.reset()
+          var h = 0L
+          var b = 0
+          while (b < 4) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+          th(i) = h % M
+          i += 1
+        }
+        val n = th.length
+        if (n < k) Seq.empty[Long]
+        else {
+          val grams = new Array[Long](n - k + 1)
+          var j = 0
+          while (j < grams.length) {
+            var acc = th(j)
+            var x = 1
+            while (x < k) { acc = (acc * B + th(j + x)) % M; x += 1 }
+            grams(j) = acc
+            j += 1
+          }
+          val mins =
+            if (grams.length >= w) Array.tabulate(grams.length - w + 1) { p =>
+              var m = Long.MaxValue
+              var q = 0
+              while (q < w) { m = math.min(m, grams(p + q)); q += 1 }
+              m
+            }
+            else Array(grams.min)
+          mins.distinct.toSeq
+        }
       }
-    val grams = when(n >= k,
-      transform(sequence(lit(1), n - (k - 1)), j => gram(j)))
-      .otherwise(array().cast("array<bigint>"))
-    val g = size(grams)
-    val mins = when(g >= w,
-      transform(sequence(lit(1), g - (w - 1)),
-        j => array_min(slice(grams, j, lit(w)))))
-      .otherwise(when(g >= 1, array(array_min(grams)))
-        .otherwise(array().cast("array<bigint>")))
-    array_distinct(mins)
+    })
+    u(split(trim(lower(c)), "\\s+"))
   }
 
   /** Character n-gram based language ID over a fixed language set, as a

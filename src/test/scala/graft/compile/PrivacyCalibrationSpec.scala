@@ -93,6 +93,45 @@ class PrivacyCalibrationSpec extends SparkSpec {
       .groupby(vKeys).count(), rho).head.mechanism === DiscreteGaussian(16.0))
   }
 
+  test("L2 credit dies when the grouping column's values are rewritten") {
+    import graft.accounting.AddMaxRowsInMaxGroups
+    import graft.ir.BinningSpec
+    val df = makeDf(
+      StructType(Seq(StructField("g", StringType, nullable = true), longCol("v"))),
+      Seq(Row("a", 1L)))
+    val s = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df,
+      AddMaxRowsInMaxGroups("g", 4, 1))
+    val gKeys = KeySet.fromColumn("g", Seq("a", "b"))
+    // baseline: credit applies (sens 2 -> sigma^2 4 at rho 0.5)
+    assert(s.noiseInfo(QueryBuilder("t").groupby(gKeys).count(), rho)
+      .head.mechanism === DiscreteGaussian(4.0))
+    // replacing nulls in g can merge protected groups -> L1 (sens 4 -> 16)
+    assert(s.noiseInfo(QueryBuilder("t").replaceNullAndNan(Map("g" -> "z"))
+      .groupby(gKeys).count(), rho).head.mechanism === DiscreteGaussian(16.0))
+    // the no-argument form rewrites every non-id column, g included
+    assert(s.noiseInfo(QueryBuilder("t").replaceNullAndNan()
+      .groupby(gKeys).count(), rho).head.mechanism === DiscreteGaussian(16.0))
+    // in-place rebinning coarsens the groups -> credit dies
+    assert(s.noiseInfo(QueryBuilder("t")
+      .binColumn("g", BinningSpec(Seq("a", "zz")), name = Some("g"))
+      .groupby(KeySet.fromColumn("g", Seq("['a', 'zz']"))).count(), rho)
+      .head.mechanism === DiscreteGaussian(16.0))
+    // binning to a NEW column leaves the credit intact for group-bys on g
+    assert(s.noiseInfo(QueryBuilder("t")
+      .binColumn("v", BinningSpec(Seq(0.0, 10.0)))
+      .groupby(gKeys).count(), rho).head.mechanism === DiscreteGaussian(4.0))
+  }
+
+  test("delta-only budgets cannot drive noise addition") {
+    val rows = Seq(Row(1L))
+    val s = Session.fromDataFrame(spark, ApproxDPBudget(Rat(1), Rat(1, 10)),
+      "t", makeDf(StructType(Seq(longCol("v"))), rows), graft.accounting.AddOneRow())
+    val ex = intercept[IllegalArgumentException] {
+      s.evaluate(QueryBuilder("t").count(), ApproxDPBudget(Rat.zero, Rat(1, 100)))
+    }
+    assert(ex.getMessage.contains("non-zero epsilon"))
+  }
+
   test("partition-selection threshold is d_in-aware") {
     val (b1, tau1) = MeasurementPlanner.partitionSelectionParams(1.0, 1.0, 1e-6)
     // classic sens-1 formula: b = 2/eps, tau = 1 + b*ln(1/(2 delta))
