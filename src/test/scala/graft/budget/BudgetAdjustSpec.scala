@@ -59,6 +59,21 @@ class BudgetAdjustSpec extends SparkSpec {
     intercept[IllegalArgumentException] { s.evaluate(count, PureDPBudget(1e-12)) }
   }
 
+  test("the eps/3 x 3 float workflow spends to exactly zero") {
+    // the motivating scenario: a user divides a float budget into thirds;
+    // 1.0/3 is not exact in binary, so the last request slightly over- or
+    // under-shoots — the tolerance must absorb it either way
+    val third = 1.0 / 3.0
+    val s = sess(PureDPBudget(1.0))
+    s.evaluate(count, PureDPBudget(third))
+    s.evaluate(count, PureDPBudget(third))
+    s.evaluate(count, PureDPBudget(third))
+    // whatever is left is at most a few ulps; a full-third request is
+    // still absorbed by the relative tolerance only if within 1e-9 of the
+    // remainder — which it is not, so the session correctly refuses more
+    intercept[IllegalArgumentException] { s.evaluate(count, PureDPBudget(third)) }
+  }
+
   test("zero budgets are rejected up front") {
     Seq[(PrivacyBudget, PrivacyBudget)](
       PureDPBudget(1.0) -> PureDPBudget(Rat.zero),
