@@ -24,12 +24,18 @@ object Queries {
   private val Inf = PureDPBudget(Rat.Inf)
   private val InfApprox = ApproxDPBudget(Rat.Inf, Rat.zero)
 
-  // NOTE: deliberately no DataFrame cache here — persisting materializes
+  // NOTE: deliberately no DataFrame PERSIST here — persisting materializes
   // every column, defeating the pruned columnar scans (2-3 of 16 columns)
   // that make repeated parquet reads cheap. Measured slower with a cache.
+  // The LAZY plan object is memoized instead: reusing it skips the
+  // per-query file listing and parquet footer schema read while each query
+  // still gets its own Catalyst optimization (and thus its own pruning).
+  private val readMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
-    if (table == "events") readEvents(spark, dir) else
-      spark.read.parquet(s"$dir/$table.parquet")
+    readMemo.getOrElseUpdate((spark, dir, table),
+      if (table == "events") readEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$table.parquet"))
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot decode; an
     * explicit schema without `ts` prunes the column at the scan. Queries
