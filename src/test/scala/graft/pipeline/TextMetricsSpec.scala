@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.pipeline.TextAnalysis._
+
+/** Exact expectations for the scalar text metrics (the composite gates built
+  * from them are covered by the oracled q48/q56-q58).
+  */
+class TextMetricsSpec extends SparkSpec {
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    makeDf(StructType(Seq(strCol("t"))), Seq(Row(text)))
+      .select(c).collect().head.get(0)
+
+  test("subword token count splits on case, digit, and punctuation edges") {
+    import org.apache.spark.sql.functions.col
+    // "helloWorld2x" -> hello | World | 2 | x ; "a.b" -> a | .b (lookahead
+    // boundary before punctuation only)
+    assert(one("helloWorld2x", subwordTokenCount(col("t"))) === 4L)
+    assert(one("a.b", subwordTokenCount(col("t"))) === 2L)
+    assert(one("plain words here", subwordTokenCount(col("t"))) === 3L)
+    assert(one("", subwordTokenCount(col("t"))) === 0L)
+    // subword count is always >= whitespace token count
+    val df = makeDf(StructType(Seq(strCol("t"))),
+      Seq(Row("someCamelCase and punctuation, with digits123 mixed")))
+    val r = df.select(subwordTokenCount(col("t")).as("s"),
+      tokenCount(col("t")).as("w")).collect().head
+    assert(r.getLong(0) >= r.getLong(1))
+  }
+
+  test("punctuation ratio counts punct characters over all characters") {
+    import org.apache.spark.sql.functions.col
+    assert(one("a,b!", punctRatio(col("t"))) === 0.5)
+    assert(one("abcd", punctRatio(col("t"))) === 0.0)
+    assert(one("", punctRatio(col("t"))) === 0.0)
+  }
+
+  test("stopword ratio is stopword tokens over all tokens") {
+    import org.apache.spark.sql.functions.col
+    assert(one("the cat sat on the mat", stopwordRatio(col("t"))) === 3.0 / 6.0)
+    assert(one("zebra quokka axolotl", stopwordRatio(col("t"))) === 0.0)
+    assert(one("", stopwordRatio(col("t"))) === 0.0)
+  }
+
+  test("minhash signature length and band hashes are stable") {
+    import org.apache.spark.sql.functions.{col, split}
+    val df = makeDf(StructType(Seq(strCol("t"))),
+      Seq(Row("alpha beta gamma delta epsilon zeta eta theta")))
+    val sig = df.select(
+      Dedup.minhashSignatureText(col("t"), 3, 16).as("s1"),
+      Dedup.minhashSignature(Dedup.shingles(col("t"), 3), 16).as("s2"))
+      .collect().head
+    // the text kernel and the shingle-column path agree exactly
+    assert(sig.getSeq[Long](0) === sig.getSeq[Long](1))
+    assert(sig.getSeq[Long](0).length === 16)
+    val bands = df.select(Dedup.bandHashes(
+      Dedup.minhashSignatureText(col("t"), 3, 16), 16, 4)).collect().head.getSeq[Long](0)
+    assert(bands.length === 4)
+  }
+
+  test("hyperplane signatures are deterministic and discriminative") {
+    import org.apache.spark.sql.functions.col
+    // powers of two: no +-1 combination of them sums to zero, so every
+    // plane has a strict sign and negation flips every bit
+    val schema = StructType(Seq(StructField("v", ArrayType(DoubleType))))
+    val df = makeDf(schema, Seq(Row(Seq(1.0, 2.0, 4.0, 8.0))))
+    val s1 = df.select(Dedup.hyperplaneSignature(col("v"), 16)).collect().head.getLong(0)
+    val s2 = df.select(Dedup.hyperplaneSignature(col("v"), 16)).collect().head.getLong(0)
+    assert(s1 === s2) // deterministic pseudo-random planes
+    assert(s1 >= 0L && s1 < (1L << 16))
+    val neg = makeDf(schema, Seq(Row(Seq(-1.0, -2.0, -4.0, -8.0))))
+      .select(Dedup.hyperplaneSignature(col("v"), 16)).collect().head.getLong(0)
+    assert((s1 ^ neg) === (1L << 16) - 1)
+  }
+}

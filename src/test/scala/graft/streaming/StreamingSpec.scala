@@ -120,6 +120,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows place events in window/slide overlapping frames") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = Streaming.slidingWindowedCounts(
+      in.toDF().toDF("ts", "k"), "ts", "k",
+      windowDuration = "10 minutes", slideDuration = "5 minutes",
+      watermark = "1 minute")
+    val q = counts.writeStream.format("memory").queryName("slide")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      def ts(min: Int) = new Timestamp(min * 60000L)
+      in.addData((ts(7), "a")) // lands in windows [0,10) and [5,15)
+      q.processAllAvailable()
+      val rows = spark.table("slide")
+        .selectExpr("cast(window.start as long)/60", "k", "count").collect()
+        .map(r => (r.getDouble(0).toLong, r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set((0L, "a", 1L), (5L, "a", 1L)))
+      // the event-level epsilon composition doubles for overlap factor 2
+      assert(Streaming.eventLevelEpsilon(perWindowEpsilon = 0.5,
+        windowMs = 600000L, slideMs = 300000L) === 1.0)
+      assert(Streaming.eventLevelEpsilon(perWindowEpsilon = 0.5,
+        windowMs = 600000L, slideMs = 600000L) === 0.5)
+    } finally q.stop()
+  }
+
   test("batch sessionization: gaps-and-islands matches hand-computed sessions") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
