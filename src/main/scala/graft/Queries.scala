@@ -488,6 +488,11 @@ object Queries {
       // pigeonhole recall guarantee holds at every scale
       graft.pipeline.Dedup.simhashPairs(
         read(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+    "q71_ngram_jaccard_pairs" -> ((s, d) =>
+      // exact set-similarity self-join: prefix filtering gives recall 1 by
+      // construction, so a brute-force oracle must agree at every SF
+      graft.pipeline.Dedup.ngramJaccardPairs(
+        read(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
     "q44_embedding_dedup" -> ((s, d) =>
       // testdata embeddings are near-orthogonal random vectors (max pairwise
       // cosine ~0.48), so the demo threshold sits below that
@@ -545,6 +550,19 @@ object Queries {
       read(s, d, "documents")
         .withColumn("lang_detected", graft.pipeline.TextAnalysis.languageId(col("text")))
         .groupBy("lang_detected").agg(count(lit(1)).as("n"))
+    }),
+    "q72_repetition_signals" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // Gopher-style repetition census: how many documents trip the
+      // duplicate-line and repeated-2-gram filters (both pure projections;
+      // the aggregation is a single partial-then-final count)
+      val t = graft.pipeline.TextAnalysis
+      read(s, d, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(t.duplicateLineFraction(col("text")) > 0.3, 1L).otherwise(0L))
+          .as("n_dup_lines"),
+        sum(when(t.repeatedNgramFraction(col("text"), 2) > 0.15, 1L).otherwise(0L))
+          .as("n_repetitive"))
     }),
     // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
     "q50_multimodal_decode" -> ((s, d) => {
@@ -966,6 +984,27 @@ object Queries {
         |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+    // Exact n-gram Jaccard pairs, brute-force oracle pruned to pairs that
+    // share a shingle (sharing is implied by jaccard > 0, so no pair is
+    // lost). The engine's prefix filter is exact-recall by construction;
+    // the jaccard value mirrors the kernel's |A∩B| / (|A|+|B|-|A∩B|) shape.
+    "q71_ngram_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3
+        |        THEN [array_to_string(toks, ' ')]
+        |        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' '))) END AS sh FROM t),
+        |tok AS (SELECT doc_id, unnest(sh) AS w FROM s),
+        |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |         FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id)
+        |SELECT * FROM (
+        |  SELECT c.ia AS id_a, c.ib AS id_b,
+        |    len(list_intersect(x.sh, y.sh))::DOUBLE
+        |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE
+        |      AS jaccard
+        |  FROM cand c JOIN s x ON c.ia = x.doc_id JOIN s y ON c.ib = y.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
     // Exact top-k by cosine, rank-only: adjacent-rank cosine gaps in this
     // data are >= 1.9e-5 (measured at all SFs), so engine round-off cannot
     // reorder; ties broken by corpus_id in both engines.
@@ -986,6 +1025,23 @@ object Queries {
         |WHERE t BETWEEN 5 AND 100000
         |  AND (CAST(chars AS DOUBLE) / CAST(t AS DOUBLE)) BETWEEN 2.0 AND 12.0
         |  AND (CAST(np AS DOUBLE) / CAST(lc AS DOUBLE)) < 0.3""".stripMargin,
+    // Gopher repetition flags: both fractions are ratios of small ints, so
+    // the doubles (and the > threshold comparisons) reproduce bit-for-bit
+    "q72_repetition_signals" ->
+      """WITH f AS (SELECT string_split(text, chr(10)) AS l,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT l, CASE WHEN len(toks) < 2 THEN []
+        |    ELSE list_transform(range(1, len(toks)),
+        |      i -> array_to_string(toks[i:i+1], ' ')) END AS gr FROM f)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN len(l) > 0 AND
+        |    (len(l) - len(list_distinct(l)))::DOUBLE / len(l)::DOUBLE > 0.3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |  CAST(sum(CASE WHEN len(gr) > 0 AND
+        |    (len(gr) - len(list_distinct(gr)))::DOUBLE / len(gr)::DOUBLE > 0.15
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+        |FROM g""".stripMargin,
     // same marker-count detection as q56's oracle, without the keyset
     // zero-fill (only languages actually present appear)
     "q49_language_id" ->

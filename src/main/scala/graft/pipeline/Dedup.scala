@@ -448,6 +448,53 @@ object Dedup {
     u(a, b)
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via prefix filtering (the
+    * AllPairs/PPJoin family): every pair with Jaccard >= `threshold` is
+    * returned — no LSH approximation — yet the plan never forms all pairs.
+    *
+    * Candidates come from a self-join on *prefix* tokens under a global
+    * rarest-first ordering: with prefix length |X| - ceil(t*|X|) + 1, any
+    * pair at threshold t shares its globally-smallest common shingle inside
+    * both prefixes (if all shared shingles sat outside X's prefix, the
+    * overlap would be <= ceil(t*|X|) - 1 < t*|X| <= |X ∩ Y| — contradiction),
+    * so recall is exactly 1. Ordering by ascending document frequency makes
+    * prefix tokens the *rare* ones, which bounds join-bucket sizes: a stop
+    * shingle shared by millions of documents is indexed by (almost) none of
+    * their prefixes. Candidates are verified with the exact Jaccard kernel
+    * before release.
+    *
+    * Shuffles: token-frequency agg, freq join + per-doc window (keyed on
+    * doc), prefix self-join (keyed on rare tokens), pair distinct — each
+    * keyed on a different natural key, all near-linear in corpus size.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = spread(df).select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .select(col("__id"), col("__t"), shingles(col("__t"), n).as("__sh"))
+    val toks = docs.select(col("__id"), size(col("__sh")).as("__len"),
+      explode(col("__sh")).as("__tok"))
+    val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // rank tokens per document under the global (rarity, token) order and
+    // keep only the prefix that the threshold cannot skip past
+    val w = Window.partitionBy("__id").orderBy(col("__df"), col("__tok"))
+    val prefix = toks.join(freq, "__tok")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        col("__len") - ceil(lit(threshold) * col("__len")) + lit(1))
+      .select(col("__tok"), col("__id"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("__a"), col("b.__id").as("__b"))
+      .distinct()
+    val ta = docs.select(col("__id").as("__a"), col("__t").as("__ta"))
+    val tb = docs.select(col("__id").as("__b"), col("__t").as("__tb"))
+    cand.join(ta, "__a").join(tb, "__b")
+      .withColumn("jaccard", ngramJaccard(col("__ta"), col("__tb"), n))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"), col("jaccard"))
+  }
+
   /** Near-dup pairs in embedding space: random-hyperplane LSH signature
     * (deterministic pseudo-random planes), bucket on 8-bit bands, verify
     * exact cosine >= threshold via a codegen'd dot product.

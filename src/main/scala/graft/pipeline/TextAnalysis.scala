@@ -68,6 +68,32 @@ object TextAnalysis {
       when(punctRatio(c) < 0.3, 1.0).otherwise(0.0) +
       when(stopwordRatio(c) > 0.0, 1.0).otherwise(0.0)) / lit(4.0)
 
+  /** Fraction of a document's lines that are duplicates of another line
+    * (the Gopher repetition filter's line-level signal). Pure projection:
+    * split + array_distinct, no shuffle at any scale.
+    */
+  def duplicateLineFraction(c: Column): Column = {
+    val lines = split(c, "\n")
+    when(size(lines) <= 0, lit(0.0)).otherwise(
+      (size(lines) - size(array_distinct(lines))).cast("double") /
+        size(lines).cast("double"))
+  }
+
+  /** Fraction of word `n`-gram occurrences that repeat an earlier
+    * occurrence (the Gopher repetition filter's n-gram signal — boilerplate
+    * and looped generations score high). Ratio of two small ints, so the
+    * double reproduces bit-for-bit in any engine.
+    */
+  def repeatedNgramFraction(c: Column, n: Int = 2): Column = {
+    val toks = split(trim(lower(c)), "\\s+")
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(size(grams) <= 0, lit(0.0)).otherwise(
+      (size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams).cast("double"))
+  }
+
   /** Canonical document fingerprint: md5 of case-folded,
     * whitespace-collapsed text. Stable across engines (md5 is standard), so
     * exact-dup detection on fingerprints is portable.

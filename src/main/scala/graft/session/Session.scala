@@ -26,6 +26,9 @@ final class Session private (
 
   private var remaining: PrivacyBudget = initialBudget
   private[session] var retired: Boolean = false
+  // names registered via createView — deleteView may only remove these,
+  // never a base private table (reference session.py delete_view contract)
+  private val viewNames = mutable.Set.empty[String]
   // accountant-tree bookkeeping (reference session states
   // ACTIVE/RETIRED/WAITING_FOR_CHILDREN/WAITING_FOR_SIBLING,
   // session.py:637-657): children must be consumed in creation order;
@@ -159,10 +162,15 @@ final class Session private (
           Rat.one)
     }
     privateTables(name) = PrivateTable(df, out.schema, pc, out.constraints, viewStab)
+    viewNames += name
   }
 
   def deleteView(name: String): Unit = {
     checkActive()
+    if (!viewNames.contains(name))
+      throw new IllegalArgumentException(
+        s"'$name' is not a view (views: ${viewNames.toSeq.sorted.mkString(", ")})")
+    viewNames -= name
     privateTables.remove(name).foreach(t => t.df.unpersist())
   }
 

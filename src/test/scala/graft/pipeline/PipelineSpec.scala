@@ -67,6 +67,39 @@ class PipelineSpec extends SparkSpec {
     assert(dj === 0.0)
   }
 
+  test("ngram jaccard pairs match brute force exactly") {
+    // mixed corpus: planted near-dups, a shared-vocabulary cluster, and
+    // deterministic pseudo-random documents over a small vocabulary so that
+    // borderline jaccards (just above/below 0.5) actually occur
+    val rnd = new scala.util.Random(7)
+    val planted = Seq(
+      1L -> (1 to 30).map(i => s"w$i").mkString(" "),
+      2L -> ((1 to 28).map(i => s"w$i").mkString(" ") + " x y"),
+      3L -> (1 to 30).map(i => s"w${i + 2}").mkString(" "))
+    val random = (10L to 60L).map(i =>
+      i -> Seq.fill(12)(s"v${rnd.nextInt(20)}").mkString(" "))
+    val df = docs(planted ++ random: _*)
+    val got = Dedup.ngramJaccardPairs(df, "id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over the same shingle definition
+    val texts = (planted ++ random).toMap
+    def sh(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val ids = texts.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      sa = sh(texts(a)); sb = sh(texts(b))
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter).toDouble
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    assert(got === want)
+    assert(want.exists { case (a, b, _) => a == 1L && b == 2L })
+  }
+
   test("simhash: identical texts collide, near texts are close") {
     val df = docs(1L -> "the quick brown fox jumps over the lazy dog",
       2L -> "the quick brown fox jumps over the lazy dog",

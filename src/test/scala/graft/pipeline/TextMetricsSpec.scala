@@ -61,6 +61,32 @@ class TextMetricsSpec extends SparkSpec {
     assert(bands.length === 4)
   }
 
+  test("duplicate line fraction counts repeated lines") {
+    import org.apache.spark.sql.functions.col
+    // 4 lines, "spam" appears 3 times -> 2 of 4 lines are repeats
+    assert(one("spam\nham\nspam\nspam",
+      duplicateLineFraction(col("t"))) === 0.5)
+    assert(one("a\nb\nc", duplicateLineFraction(col("t"))) === 0.0)
+    assert(one("single line", duplicateLineFraction(col("t"))) === 0.0)
+    assert(one("", duplicateLineFraction(col("t"))) === 0.0)
+  }
+
+  test("repeated ngram fraction flags looped text") {
+    import org.apache.spark.sql.functions.col
+    // "buy now buy now buy now": 2-grams = [buy now, now buy, buy now,
+    // now buy, buy now] -> 5 occurrences, 2 distinct -> 3/5 repeats
+    assert(one("buy now buy now buy now",
+      repeatedNgramFraction(col("t"), 2)) === 0.6)
+    assert(one("all words here are fresh",
+      repeatedNgramFraction(col("t"), 2)) === 0.0)
+    // below n tokens there are no n-grams, so nothing can repeat
+    assert(one("one", repeatedNgramFraction(col("t"), 2)) === 0.0)
+    assert(one("", repeatedNgramFraction(col("t"), 2)) === 0.0)
+    // case-folded: "Spam spam SPAM spam" repeats
+    assert(one("Spam spam SPAM spam",
+      repeatedNgramFraction(col("t"), 2)).asInstanceOf[Double] > 0.6)
+  }
+
   test("hyperplane signatures are deterministic and discriminative") {
     import org.apache.spark.sql.functions.col
     // powers of two: no +-1 combination of them sums to zero, so every
