@@ -472,8 +472,12 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val docs = spread(df).select(col(idCol).as("__id"), col(textCol).as("__t"))
       .select(col("__id"), col("__t"), shingles(col("__t"), n).as("__sh"))
+    // persisted: the token index feeds both the global-frequency aggregate
+    // and the prefix projection — and the prefix self-joins with itself —
+    // so without caching the shingle pipeline would run four times
     val toks = docs.select(col("__id"), size(col("__sh")).as("__len"),
       explode(col("__sh")).as("__tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // rank tokens per document under the global (rarity, token) order and
     // keep only the prefix that the threshold cannot skip past
@@ -483,16 +487,23 @@ object Dedup {
       .filter(col("__rn") <=
         col("__len") - ceil(lit(threshold) * col("__len")) + lit(1))
       .select(col("__tok"), col("__id"))
+      .persist()
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("__a"), col("b.__id").as("__b"))
       .distinct()
     val ta = docs.select(col("__id").as("__a"), col("__t").as("__ta"))
     val tb = docs.select(col("__id").as("__b"), col("__t").as("__tb"))
-    cand.join(ta, "__a").join(tb, "__b")
+    // pin the (near-dup-sized) verified pair set eagerly so both caches can
+    // be released immediately rather than by the context cleaner
+    val result = cand.join(ta, "__a").join(tb, "__b")
       .withColumn("jaccard", ngramJaccard(col("__ta"), col("__tb"), n))
       .filter(col("jaccard") >= threshold)
       .select(col("__a").as("id_a"), col("__b").as("id_b"), col("jaccard"))
+      .localCheckpoint(true)
+    prefix.unpersist(false)
+    toks.unpersist(false)
+    result
   }
 
   /** Near-dup pairs in embedding space: random-hyperplane LSH signature

@@ -108,8 +108,13 @@ object TableSchema {
     val cols = st.fields.toSeq.map { f =>
       val ct = ColumnType.fromSpark(f.dataType)
       val isDec = ct == ColumnType.Decimal
+      // NaN/Inf presence is orthogonal to Spark nullability: a non-nullable
+      // DoubleType column can still hold NaN, and treating it as NaN-free
+      // would let NaN slip past the drop rewrite into the clamp (where
+      // least/greatest resolve NaN to a bound). Always pessimistic for
+      // decimals, like the reference.
       f.name -> ColumnDescriptor(ct, allowNull = f.nullable,
-        allowNaN = isDec && f.nullable, allowInf = isDec && f.nullable)
+        allowNaN = isDec, allowInf = isDec)
     }
     TableSchema(cols, groupingColumn, idColumn, idSpace)
   }

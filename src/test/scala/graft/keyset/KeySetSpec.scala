@@ -115,6 +115,78 @@ class KeySetSpec extends SparkSpec {
     assert(s1.isEquivalent(s2) === Some(true))
   }
 
+  test("rewriter preserves semantics on randomized op trees") {
+    // model-based check: every randomly built tree must materialize to the
+    // set a naive interpreter computes, regardless of what the rewriter
+    // (factor pull-out, canonical ordering, projection pushdown) did to it
+    val rnd = new scala.util.Random(20260812)
+    val domains: Map[String, Seq[Any]] = Map(
+      "a" -> Seq(0L, 1L, 2L, 3L), "b" -> Seq("x", "y", "z"), "c" -> Seq(0L, 1L))
+    type Model = Set[Map[String, Any]]
+
+    def leaf(c: String): (KeySet, Model) = {
+      val dom = rnd.shuffle(domains(c)).take(1 + rnd.nextInt(domains(c).size))
+      (KeySet.fromColumn(c, dom), dom.map(v => Map(c -> v)).toSet)
+    }
+
+    def gen(cols: List[String], depth: Int): (KeySet, Model) = cols match {
+      case c :: Nil if depth <= 0 => leaf(c)
+      case c :: Nil =>
+        rnd.nextInt(3) match {
+          case 0 => leaf(c)
+          case 1 => // union of two subtrees on the same column
+            val (k1, m1) = gen(cols, depth - 1); val (k2, m2) = gen(cols, depth - 1)
+            (k1.union(k2), m1 ++ m2)
+          case 2 => // subtract
+            val (k1, m1) = gen(cols, depth - 1); val (k2, m2) = gen(cols, depth - 1)
+            (k1.subtract(k2), m1 -- m2)
+        }
+      case _ if depth <= 0 =>
+        // floor: cross of single-column leaves
+        val parts = cols.map(c => leaf(c))
+        parts.reduceLeft { (acc, p) =>
+          (acc._1 * p._1, for (x <- acc._2; y <- p._2) yield x ++ y)
+        }
+      case _ =>
+        rnd.nextInt(4) match {
+          case 0 => // cross of a disjoint split
+            val i = 1 + rnd.nextInt(cols.size - 1)
+            val (l, r) = cols.splitAt(i)
+            val (kl, ml) = gen(l, depth - 1); val (kr, mr) = gen(r, depth - 1)
+            (kl * kr, for (x <- ml; y <- mr) yield x ++ y)
+          case 1 => // join with overlap: left gets a prefix, right a suffix
+            val i = 1 + rnd.nextInt(cols.size - 1)
+            val l = cols.take(i + (if (i < cols.size) 1 else 0)).distinct
+            val r = cols.drop(math.max(0, i - 1)).distinct
+            val (kl, ml) = gen(l, depth - 1); val (kr, mr) = gen(r, depth - 1)
+            val shared = l.intersect(r)
+            (kl.join(kr),
+              for {
+                x <- ml; y <- mr
+                if shared.forall(s => x(s) == y(s))
+              } yield x ++ y)
+          case 2 => // union on identical columns
+            val (k1, m1) = gen(cols, depth - 1); val (k2, m2) = gen(cols, depth - 1)
+            (k1.union(k2), m1 ++ m2)
+          case 3 => // project from one extra column
+            val extra = domains.keys.toSeq.diff(cols)
+            if (extra.isEmpty) gen(cols, depth - 1)
+            else {
+              val (k, m) = gen(rnd.shuffle(cols :+ extra.head), depth - 1)
+              (k.project(cols), m.map(row => row.view.filterKeys(cols.contains).toMap))
+            }
+        }
+    }
+
+    for (trial <- 1 to 15) {
+      val cols = rnd.shuffle(domains.keys.toList).take(1 + rnd.nextInt(3))
+      val (ks, model) = gen(cols, 2 + rnd.nextInt(2))
+      val got: Model = ks.dataframe(spark).collect()
+        .map(r => ks.columns.map(c => c -> r.get(r.fieldIndex(c))).toMap).toSet
+      assert(got === model, s"trial $trial over $cols: tree ${ks.op}")
+    }
+  }
+
   test("rewriter: cross factors are pulled out of joins and subtracts") {
     import graft.keyset.KeySetOp._
     val a = KeySet.fromColumn("a", Seq(1, 2))

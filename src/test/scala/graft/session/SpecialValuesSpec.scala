@@ -257,6 +257,96 @@ class SpecialValuesSpec extends SparkSpec {
     assert(sum === 26.0 + 100.0 + 100.0)
   }
 
+  // ------------------------- full auto-rewrite matrix, hand-derived values
+
+  test("auto-rewrite: sum over every float column with clamp [0,2]") {
+    // float_nulls: 29 ones, null dropped
+    assert(oneDouble(QueryBuilder("t").sum("float_nulls", 0.0, 2.0)) === 29.0)
+    // float_nans: 29 ones, NaN dropped
+    assert(oneDouble(QueryBuilder("t").sum("float_nans", 0.0, 2.0)) === 29.0)
+    // float_infs: 26 ones, two +Inf -> 2, two -Inf -> 0
+    assert(oneDouble(QueryBuilder("t").sum("float_infs", 0.0, 2.0)) === 30.0)
+    // float_all_special: 26 ones, null+NaN dropped, +Inf -> 2, -Inf -> 0
+    assert(oneDouble(QueryBuilder("t").sum("float_all_special", 0.0, 2.0)) === 28.0)
+  }
+
+  test("auto-rewrite: average over special-value columns") {
+    // float_infs: (26 + 2 + 2 + 0 + 0) / 30
+    assert(oneDouble(QueryBuilder("t").average("float_infs", 0.0, 2.0)) === 1.0)
+    // float_all_special: 28 surviving rows summing to 28
+    assert(oneDouble(QueryBuilder("t").average("float_all_special", 0.0, 2.0)) === 1.0)
+    // int_nulls: 29 surviving ones
+    assert(oneDouble(QueryBuilder("t").average("int_nulls", 0.0, 2.0)) === 1.0)
+  }
+
+  test("auto-rewrite: variance sees clamped infinities as real deviations") {
+    // float_infs clamped [0,2]: deviations from mid 1 are 26 zeros, +1,
+    // +1, -1, -1 -> sumdev 0, sumdev^2 4, n 30 -> 4/29
+    assert(math.abs(oneDouble(
+      QueryBuilder("t").variance("float_infs", 0.0, 2.0)) - 4.0 / 29.0) < 1e-12)
+    // float_all_special: 26 zeros, +1, -1 among n=28 -> 2/27
+    assert(math.abs(oneDouble(
+      QueryBuilder("t").variance("float_all_special", 0.0, 2.0)) - 2.0 / 27.0) < 1e-12)
+    // a constant column has zero variance
+    assert(oneDouble(QueryBuilder("t").variance("float_no_special", 0.0, 2.0)) === 0.0)
+  }
+
+  test("auto-rewrite: median lands on the data mode despite special values") {
+    val m = oneDouble(QueryBuilder("t").median("float_all_special", 0.0, 2.0))
+    assert(m >= 0.5 && m <= 1.5, s"median $m should be near the 26 ones")
+    val m2 = oneDouble(QueryBuilder("t").median("int_nulls", 0.0, 2.0))
+    assert(m2 >= 0.5 && m2 <= 1.5)
+  }
+
+  test("count_distinct over column pairs keeps special combinations distinct") {
+    // (float_infs, float_nans) pairs: (1,1) x25, (1,NaN), (+Inf,1) x2,
+    // (-Inf,1) x2 -> 4 distinct pairs
+    assert(oneLong(QueryBuilder("t")
+      .countDistinct(Seq("float_infs", "float_nans"))) === 4L)
+  }
+
+  test("grouped sum with a null group key aggregates the null group") {
+    val keys = KeySet.fromColumn("date_nulls", Seq(date, null))
+    val out = sess.evaluate(
+      QueryBuilder("t").groupby(keys).sum("int_no_null", 0.0, 1.0), Inf)
+      .collect().map(r => Option(r.getDate(0)).map(_.toString) -> r.getAs[Number](1).doubleValue).toMap
+    assert(out === Map(Some("2000-01-01") -> 29.0, None -> 1.0))
+  }
+
+  test("explicit drops compose and are idempotent") {
+    val q = QueryBuilder("t")
+      .dropNullAndNan("float_all_special")
+      .dropNullAndNan("float_all_special")
+      .dropInfinity("float_all_special")
+      .dropInfinity("float_all_special")
+      .count()
+    assert(oneLong(q) === 26L)
+    // order does not matter
+    val q2 = QueryBuilder("t")
+      .dropInfinity("float_all_special")
+      .dropNullAndNan("float_all_special")
+      .count()
+    assert(oneLong(q2) === 26L)
+  }
+
+  test("replace then aggregate: infinities replaced before clamping") {
+    // replace +-Inf with (0, 10), then clamp [0,2]: 26 ones + 10->2 + 0
+    assert(oneDouble(QueryBuilder("t")
+      .replaceInfinity(Map("float_infs" -> (0.0, 10.0)))
+      .sum("float_infs", 0.0, 2.0)) === 26.0 + 2.0 + 2.0 + 0.0 + 0.0)
+  }
+
+  test("ids world: special measure values survive per-id truncation") {
+    val n = idSess.evaluate(QueryBuilder("t")
+      .enforce(MaxRowsPerID(1))
+      .sum("float_all_special", 0.0, 2.0), Inf)
+      .collect().head.getDouble(0)
+    // every id keeps one row; specials clamp/drop as usual: ids are the 20
+    // normal ids + null + u2..u5 + a6 + i7..i10 = 30 distinct ids, but
+    // null/NaN measures drop 2 rows and +-Inf clamp to 2/0
+    assert(n === 26.0 + 2.0 + 0.0)
+  }
+
   // ------------------------------------------------------------- error paths
 
   test("invalid queries fail at analysis, not execution") {
