@@ -498,6 +498,12 @@ object Queries {
       // cosine ~0.48), so the demo threshold sits below that
       graft.pipeline.Dedup.embeddingCosinePairs(
         read(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4, planes = 8)),
+    "q73_embedding_pairs_exact" -> ((s, d) =>
+      // the exact twin of q44: brute-force all-pairs cosine at the same
+      // threshold, ids only (the pair set is engine-stable; the raw cosine
+      // doubles are not) — the LSH variant's recall story is anchored here
+      graft.pipeline.Similarity.bruteForcePairs(
+        read(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4)),
     // -- LLM-pipeline: similarity search ----------------------------------
     "q45_knn_bruteforce" -> ((s, d) => {
       // rank-only contract: cosine stays internal (float round-off differs
@@ -1010,6 +1016,14 @@ object Queries {
     // reorder; ties broken by corpus_id in both engines.
     "q45_knn_bruteforce" -> knnOracle,
     "q62_knn_ivf_exact" -> knnOracle,
+    // ids-only contract: membership at threshold 0.4 is macroscopically
+    // separated in this data (nearest non-pair cosine ~0.48 vs planted
+    // pairs >= 0.9), so engine round-off cannot flip the set
+    "q73_embedding_pairs_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
     "q47_token_count" ->
       """SELECT CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)

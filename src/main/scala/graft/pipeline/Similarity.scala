@@ -43,6 +43,25 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** Exact above-threshold cosine pairs by brute force: the quadratic
+    * baseline that anchors the LSH dedup's oracle story (ids only — the
+    * membership test is far from the threshold on real data, while raw
+    * cosine doubles are not engine-portable). At corpus scale use
+    * [[Dedup.embeddingCosinePairs]]; this is the small-side/verification
+    * plan, kept single-shuffle-free: one broadcast-free cross join that
+    * Spark executes as a nested-loop over co-partitioned blocks.
+    */
+  def bruteForcePairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val v = Dedup.spread(df).select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val a = v.select(col("__id").as("id_a"), col("__v").as("__va"))
+    val b = v.select(col("__id").as("id_b"), col("__v").as("__vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
     * hyperplane-signature bands; candidates are corpus rows sharing at least
     * one band with the query; exact cosine re-ranks candidates. Recall

@@ -170,6 +170,27 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("LSH cosine pairs are a subset of the brute-force baseline") {
+    val schema = StructType(Seq(longCol("id"),
+      StructField("vec", ArrayType(DoubleType))))
+    val rnd = new scala.util.Random(11)
+    // random unit-ish vectors plus two planted near-dup pairs
+    val rows = (1L to 40L).map(i => Row(i, Seq.fill(16)(rnd.nextGaussian()))) ++ Seq(
+      Row(100L, (1 to 16).map(_.toDouble)),
+      Row(101L, (1 to 16).map(_ * 1.0005)),
+      Row(102L, (1 to 16).map(i => math.sin(i.toDouble))),
+      Row(103L, (1 to 16).map(i => math.sin(i.toDouble) * 0.999)))
+    val df = makeDf(schema, rows)
+    val brute = Similarity.bruteForcePairs(df, "id", "vec", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingCosinePairs(df, "id", "vec", threshold = 0.9, planes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((100L, 101L)) && brute.contains((102L, 103L)))
+    assert(lsh.subsetOf(brute), "LSH may miss but never invent pairs")
+    // near-identical directions collide in every hyperplane band
+    assert(lsh.contains((100L, 101L)))
+  }
+
   test("brute-force top-k returns exact neighbors in order") {
     val schema = StructType(Seq(longCol("id"), StructField("vec", ArrayType(DoubleType))))
     val df = makeDf(schema, Seq(
