@@ -101,6 +101,42 @@ class SessionSpec extends SparkSpec {
     assert(ex.getMessage.contains("mix"))
   }
 
+  test("views over IDs tables keep the id metric, constraints, and protection") {
+    val s = new Session.Builder().withPrivacyBudget(Inf)
+      .withIdSpace("u")
+      .withPrivateDataFrame("ids", df, AddRowsWithID("uid", "u"))
+      .build(spark)
+    s.createView(QueryBuilder("ids").filter("qty <= 5"), "small")
+    // the view is still an IDs table: aggregation requires a constraint...
+    intercept[IllegalArgumentException] {
+      s.evaluate(QueryBuilder("small").count(), Inf)
+    }
+    // ...and enforcement works downstream of the view: qty<=5 keeps 5 rows
+    // (uids 1,2 have 2+3... uid1 rows qty 1,2,3; uid2 qty 4,5; uid3 none),
+    // MaxRowsPerID(2) then caps uid1 at 2
+    val n = s.evaluate(
+      QueryBuilder("small").enforce(MaxRowsPerID(2)).count(), Inf)
+      .collect().head.getLong(0)
+    assert(n === 4L)
+    // a view of the view composes
+    s.createView(QueryBuilder("small").filter("qty >= 2"), "tiny")
+    val n2 = s.evaluate(
+      QueryBuilder("tiny").enforce(MaxRowsPerID(1)).count(), Inf)
+      .collect().head.getLong(0)
+    assert(n2 === 2L) // uids 1 and 2 each keep one row; uid 3 has none
+  }
+
+  test("partition children expose only their child table") {
+    val s = rowSession()
+    val kids = s.partitionAndCreate("t", Inf, "flag",
+      Seq("ta" -> "A", "tb" -> "B"))
+    assert(kids("ta").privateSources === Seq("ta"))
+    assert(kids("tb").privateSources === Seq("tb"))
+    intercept[Exception] {
+      kids("ta").evaluate(QueryBuilder("t").count(), Inf)
+    }
+  }
+
   test("budget kind mismatch is a type error, not an overspend") {
     val s = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df, AddOneRow())
     val ex = intercept[IllegalArgumentException] {
