@@ -90,6 +90,21 @@ object Demo {
         .count(),
       PureDPBudget(1.0)).show()
 
+    banner("7. Corpus pipeline: exact near-dup pairs and quality signals")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // prefix-filtered set-similarity join: exact Jaccard >= 0.5, no LSH
+    graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .orderBy("id_a", "id_b").show(5)
+    // Gopher-style repetition census, pure projections
+    locally {
+      import org.apache.spark.sql.functions._
+      val t = graft.pipeline.TextAnalysis
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(t.repeatedNgramFraction(col("text"), 2) > 0.15, 1L)
+          .otherwise(0L)).as("n_repetitive")).show()
+    }
+
     println("\ndemo complete.")
     spark.stop()
   }
