@@ -470,8 +470,15 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // single JVM kernel per row for the shingle set: the Catalyst
+    // `shingles` tree re-evaluates its captured split per lambda element
+    // (interpreted higher-order functions have no subexpression
+    // elimination), which is O(tokens^2) string work per document —
+    // measured 5x slower than the kernel on the documents table. The
+    // kernel mirrors `shingles` exactly (agreement is spec-asserted).
+    val shUdf = udf((t: String) => if (t == null) null else shingleArr(t, n))
     val docs = spread(df).select(col(idCol).as("__id"), col(textCol).as("__t"))
-      .select(col("__id"), col("__t"), shingles(col("__t"), n).as("__sh"))
+      .select(col("__id"), col("__t"), shUdf(col("__t")).as("__sh"))
     // persisted: the token index feeds both the global-frequency aggregate
     // and the prefix projection — and the prefix self-joins with itself —
     // so without caching the shingle pipeline would run four times
@@ -486,10 +493,25 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <=
         col("__len") - ceil(lit(threshold) * col("__len")) + lit(1))
-      .select(col("__tok"), col("__id"))
+      .select(col("__tok"), col("__id"), col("__len"), col("__rn"))
       .persist()
+    // PPJoin-style pruning, both exact:
+    //  - length filter: J >= t forces t*|b| <= |a| (and symmetrically);
+    //  - positional filter: a qualifying pair's globally-smallest shared
+    //    token w lies in both prefixes, and every other shared token sorts
+    //    after w in BOTH lists, so the true overlap is at most
+    //    1 + min(|a|-rn_a, |b|-rn_b) — which must reach the Jaccard
+    //    overlap bound ceil(t/(1+t) * (|a|+|b|)). Vocabulary-collision
+    //    pairs (one common shingle deep in both prefixes) die here
+    //    instead of flooding the verify stage.
+    val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("a.__len") + col("b.__len")))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
+        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id") &&
+          col("a.__len") >= lit(threshold) * col("b.__len") &&
+          col("b.__len") >= lit(threshold) * col("a.__len") &&
+          lit(1) + least(col("a.__len") - col("a.__rn"),
+            col("b.__len") - col("b.__rn")) >= minOverlap)
       .select(col("a.__id").as("__a"), col("b.__id").as("__b"))
       .distinct()
     val ta = docs.select(col("__id").as("__a"), col("__t").as("__ta"))

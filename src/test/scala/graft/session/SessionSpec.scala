@@ -137,6 +137,25 @@ class SessionSpec extends SparkSpec {
     }
   }
 
+  test("describe reports tables, schemas, markers, and the live budget") {
+    val s = new Session.Builder().withPrivacyBudget(PureDPBudget(2.0))
+      .withIdSpace("u")
+      .withPrivateDataFrame("ids", df, AddRowsWithID("uid", "u"))
+      .withPublicDataFrame("pub", df.select("flag"))
+      .build(spark)
+    val d1 = s.describe()
+    assert(d1.contains("ids") && d1.contains("pub"))
+    assert(d1.contains("uid") && d1.contains("[id"))
+    assert(d1.contains("id space: u"))
+    s.evaluate(QueryBuilder("ids").enforce(MaxRowsPerID(1)).count(),
+      PureDPBudget(1.0))
+    val d2 = s.describe()
+    assert(d2 !== d1) // the remaining budget moved
+    assert(d2.contains("1"))
+    s.createView(QueryBuilder("ids").filter("qty > 1"), "v")
+    assert(s.describe().contains("v"))
+  }
+
   test("budget kind mismatch is a type error, not an overspend") {
     val s = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df, AddOneRow())
     val ex = intercept[IllegalArgumentException] {
