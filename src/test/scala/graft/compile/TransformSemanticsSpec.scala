@@ -55,6 +55,56 @@ class TransformSemanticsSpec extends SparkSpec {
     assert(out === Map("a" -> 4.0, "b" -> 6.0, "c" -> 0.0))
   }
 
+  test("flat_map caps each input row's output at max_rows, keeping the first") {
+    import graft.types.{ColumnDescriptor, ColumnType}
+    val df = makeDf(StructType(Seq(longCol("n"))), Seq(Row(5L), Row(2L)))
+    val s = Session.fromDataFrame(spark, Inf, "t", df, AddOneRow())
+    // each row n emits n copies (0..n-1); cap 3 keeps the first three
+    val out = s.evaluate(
+      QueryBuilder("t")
+        .flatMap(r => (0L until r("n").asInstanceOf[Long]).map(i => Map("i" -> i)),
+          Seq("i" -> ColumnDescriptor(ColumnType.Integer)), maxRows = 3)
+        .groupby(graft.keyset.KeySet.fromColumn("i", Seq(0L, 1L, 2L, 3L, 4L)))
+        .count(), Inf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n=5 contributes i=0,1,2 (capped); n=2 contributes i=0,1
+    assert(out === Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("flat_map budget stability scales with max_rows") {
+    import graft.types.{ColumnDescriptor, ColumnType}
+    val df = makeDf(StructType(Seq(longCol("n"))), Seq(Row(1L)))
+    val s = Session.fromDataFrame(spark, Inf, "t", df, AddOneRow())
+    def scaleFor(maxRows: Int) = s.noiseInfo(
+      QueryBuilder("t")
+        .flatMap(r => Seq(Map("i" -> 0L)),
+          Seq("i" -> ColumnDescriptor(ColumnType.Integer)), maxRows = maxRows)
+        .count(),
+      graft.budget.PureDPBudget(1)).head.mechanism
+    // one input row can become maxRows output rows: sens 2 -> scale 2, 5 -> 5
+    assert(scaleFor(2) === graft.exec.NoiseMechanism.Geometric(2.0))
+    assert(scaleFor(5) === graft.exec.NoiseMechanism.Geometric(5.0))
+  }
+
+  test("map replace narrows to the declared columns; augment keeps inputs") {
+    import graft.types.{ColumnDescriptor, ColumnType}
+    val df = makeDf(StructType(Seq(longCol("k"), strCol("s"))), Seq(Row(7L, "x")))
+    val s = Session.fromDataFrame(spark, Inf, "t", df, AddOneRow())
+    s.createView(QueryBuilder("t")
+      .map(r => Map("twice" -> r("k").asInstanceOf[Long] * 2),
+        Seq("twice" -> ColumnDescriptor(ColumnType.Integer)), augment = false),
+      "replaced")
+    assert(s.getSchema("replaced").columnNames === Seq("twice"))
+    s.createView(QueryBuilder("t")
+      .map(r => Map("twice" -> r("k").asInstanceOf[Long] * 2),
+        Seq("twice" -> ColumnDescriptor(ColumnType.Integer)), augment = true),
+      "augmented")
+    assert(s.getSchema("augmented").columnNames === Seq("k", "s", "twice"))
+    val v = s.evaluate(QueryBuilder("augmented").sum("twice", 0, 100), Inf)
+      .collect().head.getLong(0)
+    assert(v === 14L)
+  }
+
   test("rename supports column swaps atomically") {
     val df = makeDf(StructType(Seq(strCol("a"), strCol("b"))), Seq(Row("va", "vb")))
     val s = Session.fromDataFrame(spark, Inf, "t", df, AddOneRow())
