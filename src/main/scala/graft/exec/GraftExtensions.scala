@@ -65,6 +65,16 @@ object GraftExtensions {
     "doc_fingerprint" -> lift1(graft.pipeline.TextAnalysis.fingerprint),
     "simhash64" -> lift1(graft.pipeline.Dedup.simhash64),
     "cosine_similarity" -> lift2(graft.pipeline.Similarity.cosine),
+    "duplicate_line_fraction" ->
+      lift1(graft.pipeline.TextAnalysis.duplicateLineFraction),
+    "repeated_ngram_fraction" -> { exprs =>
+      require(exprs.size == 2,
+        "repeated_ngram_fraction(text, n) takes exactly 2 arguments")
+      val n = intLiteral(exprs(1), "repeated_ngram_fraction n")
+      ColumnBridge.resolvedExpression(
+        graft.pipeline.TextAnalysis.repeatedNgramFraction(
+          ColumnBridge.column(exprs(0)), n))
+    },
     "ngram_jaccard" -> { exprs =>
       require(exprs.size == 3, "ngram_jaccard(a, b, n) takes exactly 3 arguments")
       val n = intLiteral(exprs(2), "ngram_jaccard n")

@@ -50,6 +50,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getBoolean(2))
     assert(row.getDouble(3) === 1.0)
     assert(math.abs(row.getDouble(4) - 1.0) < 1e-12)
+    val rep = spark.sql("""
+      SELECT duplicate_line_fraction('a\nb\na\na') AS dl,
+             repeated_ngram_fraction('go go go go', 2) AS rn
+    """).collect().head
+    assert(rep.getDouble(0) === 0.5)
+    assert(rep.getDouble(1) === 2.0 / 3.0)
   }
 
   test("bounded_collect_list works as a SQL aggregate") {
