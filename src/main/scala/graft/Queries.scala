@@ -570,6 +570,15 @@ object Queries {
         sum(when(t.repeatedNgramFraction(col("text"), 2) > 0.15, 1L).otherwise(0L))
           .as("n_repetitive"))
     }),
+    "q74_hash_split" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // deterministic train/val/test assignment by id-hash range — the
+      // same doc lands in the same split on any engine and cluster size
+      graft.pipeline.Sampling.hashSplit(
+        read(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+    }),
     // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
     "q50_multimodal_decode" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1039,6 +1048,20 @@ object Queries {
         |WHERE t BETWEEN 5 AND 100000
         |  AND (CAST(chars AS DOUBLE) / CAST(t AS DOUBLE)) BETWEEN 2.0 AND 12.0
         |  AND (CAST(np AS DOUBLE) / CAST(lc AS DOUBLE)) < 0.3""".stripMargin,
+    // The split cutoffs are computed by the same Scala arithmetic the
+    // engine uses (cumulative double sums, floor to Long), then inlined as
+    // integer literals — assignment is pure md5 arithmetic in both engines
+    "q74_hash_split" -> {
+      val cuts = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        .scanLeft(0.0)(_ + _._2).tail.map(graft.pipeline.Sampling.threshold)
+      s"""WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    AS hv FROM documents)
+         |SELECT CASE WHEN hv < ${cuts(0)} THEN 'train'
+         |            WHEN hv < ${cuts(1)} THEN 'val'
+         |            WHEN hv < ${cuts(2)} THEN 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM h GROUP BY 1""".stripMargin
+    },
     // Gopher repetition flags: both fractions are ratios of small ints, so
     // the doubles (and the > threshold comparisons) reproduce bit-for-bit
     "q72_repetition_signals" ->

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and split assignment for
+  * training-data pipelines. Both operators key on an md5-derived 32-bit
+  * hash of the id column, so:
+  *  - results are reproducible run-to-run and cluster-size-independent
+  *    (no RNG state, no partition sensitivity — Spark's `sample` is
+  *    neither);
+  *  - the same rows land in the same split in ANY engine that has md5 —
+  *    the assignment reproduces bit-for-bit in SQL, so eval-set membership
+  *    can be audited downstream;
+  *  - at 100 TB both are pure map-side projections/filters with full
+  *    pushdown below them, zero shuffle.
+  */
+object Sampling {
+
+  /** Uniform 32-bit hash of a column: the first 8 hex chars of
+    * md5(value as string). Engine-portable: DuckDB spells it
+    * `('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 8))::BIGINT`.
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(encode(c.cast("string"), "UTF-8")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Keep ~`fraction` of rows, chosen deterministically by id hash. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    df.filter(hash32(col(idCol)) < threshold(fraction))
+  }
+
+  /** The hash cutoff for a cumulative fraction: floor(f * 2^32), exact. */
+  def threshold(fraction: Double): Long = (fraction * 4294967296.0).toLong
+
+  /** Assign each row a split label ("train" -> 0.8, ...) by consecutive
+    * hash ranges. Fractions must sum to at most 1; rows hashing past the
+    * last cutoff get null (callers can add a catch-all split).
+    */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      labelCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 > 0.0), "split fractions must be positive")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(threshold)
+    val h = hash32(col(idCol))
+    val label = splits.zip(cuts).foldRight(lit(null).cast("string")) {
+      case (((name, _), cut), acc) => when(h < lit(cut), lit(name)).otherwise(acc)
+    }
+    // the when-chain tests cumulative cutoffs ascending, so the FIRST
+    // matching cutoff wins — foldRight builds exactly that order
+    df.withColumn(labelCol, label)
+  }
+}
