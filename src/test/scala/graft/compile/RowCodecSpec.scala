@@ -43,4 +43,35 @@ class RowCodecSpec extends AnyFunSuite {
     val bare = codec.buildRow(Map("b" -> "y"), None)
     assert(bare === Row(null, "y", null))
   }
+
+  test("every analytics column type round-trips through view + buildRow") {
+    val date = java.sql.Date.valueOf("2021-06-15")
+    val ts = java.sql.Timestamp.valueOf("2021-06-15 12:34:56")
+    val full = StructType(Seq(
+      StructField("i", LongType), StructField("d", DoubleType),
+      StructField("s", StringType), StructField("dt", DateType),
+      StructField("t", TimestampType)))
+    val c = new RowCodec.StructCodec(full)
+    val r = Row(42L, 2.75, "str", date, ts)
+    val round = c.buildRow(c.view(r).toMap, None)
+    assert(round === r)
+    // nulls in any slot survive the round trip
+    val withNulls = Row(null, null, null, null, null)
+    assert(c.buildRow(c.view(withNulls).toMap, None) === withNulls)
+    // special doubles are preserved, not normalized away
+    val special = Row(1L, Double.NaN, "x", date, ts)
+    val back = c.buildRow(c.view(special).toMap, None)
+    assert(back.getDouble(1).isNaN)
+    val inf = c.buildRow(Map("d" -> Double.PositiveInfinity), None)
+    assert(inf.getDouble(1).isPosInfinity)
+  }
+
+  test("view of a row with null slots reads None-like nulls") {
+    val r = Row(null, "x", null)
+    val v = codec.view(r)
+    assert(v("a") === null)
+    assert(v.get("c") === Some(null))
+    assert(v.contains("a"))
+    assert(v.toMap === Map("a" -> null, "b" -> "x", "c" -> null))
+  }
 }
