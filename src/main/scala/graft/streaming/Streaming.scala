@@ -32,6 +32,20 @@ object Streaming {
       .groupBy(window(col(tsCol), windowDuration), col(keyCol))
       .agg(count(lit(1)).as("count"))
 
+  /** Streaming dedup at ingest: drop rows whose `keyCols` were already seen
+    * within the watermark horizon. State is bounded — Spark evicts seen-keys
+    * state older than the watermark — so this runs indefinitely on an
+    * unbounded corpus feed, where a batch `dropDuplicates` would need the
+    * full history. Exactly the ingest-side companion of the batch
+    * [[graft.pipeline.Dedup.exact]]: the first arrival wins.
+    */
+  def streamingDedup(
+      events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Privately released windowed counts: geometric noise (scale
     * sensitivity/epsilon) added to each finalized window. Append mode means
     * each window is emitted exactly once after the watermark closes it, so

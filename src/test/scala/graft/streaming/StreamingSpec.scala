@@ -35,6 +35,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrivals, evicting state by watermark") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[(Timestamp, String)]
+    val deduped = Streaming.streamingDedup(
+      in.toDF().toDF("ts", "doc"), "ts", Seq("doc"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+      q.processAllAvailable()
+      // duplicates within the horizon are dropped
+      assert(spark.table("sdd").select("doc").collect().map(_.getString(0)).sorted
+        === Array("a", "b"))
+      in.addData((ts(4), "a"))
+      q.processAllAvailable()
+      assert(spark.table("sdd").count() === 2) // still deduped
+    } finally q.stop()
+  }
+
   test("noisy windowed counts at infinite epsilon equal exact counts") {
     val sqlCtx = spark.sqlContext
     import sqlCtx.implicits._
