@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Plan-shape regressions for the corpus operators' scale contracts: the
+  * properties that make them viable at 100 TB (no cartesian pair space, no
+  * needless shuffles) are asserted on the executed plan, so a future edit
+  * that silently reintroduces an all-pairs join or a shuffle fails here,
+  * not in production.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): String = {
+    df.count() // force AQE to finalize the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def docs(n: Int) = makeDf(
+    StructType(Seq(longCol("id"), strCol("text"))),
+    (1 to n).map(i => Row(i.toLong, s"alpha bravo charlie delta echo doc$i tail$i")))
+
+  test("prefix-filtered jaccard join never goes cartesian") {
+    val plan = executed(Dedup.ngramJaccardPairs(docs(60), "id", "text"))
+    assert(!plan.contains("CartesianProduct"),
+      s"prefix join must stay key-equi:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must stay key-equi:\n$plan")
+  }
+
+  test("minhash and simhash pair generation never goes cartesian") {
+    val mh = executed(Dedup.minhashPairsVerified(docs(60), "id", "text"))
+    assert(!mh.contains("CartesianProduct") && !mh.contains("BroadcastNestedLoopJoin"))
+    val sh = executed(Dedup.simhashPairs(docs(60), "id", "text", maxHamming = 3))
+    assert(!sh.contains("CartesianProduct") && !sh.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("hash split and repetition signals are shuffle-free projections") {
+    val split = Sampling.hashSplit(docs(50), "id", Seq("a" -> 0.5, "b" -> 0.5))
+    assert(!executed(split).contains("Exchange"),
+      "split assignment must be a pure projection")
+    val sig = docs(50).select(
+      TextAnalysis.duplicateLineFraction(col("text")),
+      TextAnalysis.repeatedNgramFraction(col("text"), 2))
+    assert(!executed(sig).contains("Exchange"))
+  }
+
+  test("repetition census aggregates with exactly one exchange") {
+    val agg = docs(50).agg(
+      sum(when(TextAnalysis.repeatedNgramFraction(col("text"), 2) > 0.15, 1L)
+        .otherwise(0L)).as("n"))
+    val plan = executed(agg)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected a single partial->final agg:\n$plan")
+  }
+
+  test("exact dedup plans as a single window, no cartesian, one shuffle") {
+    val plan = executed(Dedup.exact(docs(50), Seq("text"), "id"))
+    assert(!plan.contains("CartesianProduct"))
+    val exchanges = "Exchange(?!Coordinator)".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"one partition-by-key shuffle expected:\n$plan")
+  }
+
+  test("brute-force pairs IS the deliberate quadratic baseline") {
+    // the contrast case: q73's plan is allowed to be a nested-loop cross
+    val plan = executed(
+      Similarity.bruteForcePairs(docs(30).withColumn("v",
+        array(lit(1.0), lit(2.0))), "id", "v", threshold = -1.0))
+    assert(plan.contains("CartesianProduct") || plan.contains("NestedLoopJoin"),
+      s"brute force should cross-join by construction:\n$plan")
+  }
+}
