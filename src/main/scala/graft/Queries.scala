@@ -570,6 +570,12 @@ object Queries {
         sum(when(t.repeatedNgramFraction(col("text"), 2) > 0.15, 1L).otherwise(0L))
           .as("n_repetitive"))
     }),
+    "q75_corpus_profile" -> ((s, d) =>
+      // exact per-column profile (the HLL estimate is dropped so the
+      // release is oracle-checkable; q75's value is the single-pass shape)
+      graft.pipeline.CorpusStats.profile(
+        read(s, d, "documents"), Seq("text", "lang", "source"))
+        .select("column", "n_rows", "n_nulls", "total_len")),
     "q74_hash_split" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // deterministic train/val/test assignment by id-hash range — the
@@ -1048,6 +1054,25 @@ object Queries {
         |WHERE t BETWEEN 5 AND 100000
         |  AND (CAST(chars AS DOUBLE) / CAST(t AS DOUBLE)) BETWEEN 2.0 AND 12.0
         |  AND (CAST(np AS DOUBLE) / CAST(lc AS DOUBLE)) < 0.3""".stripMargin,
+    "q75_corpus_profile" ->
+      """SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(total_len AS BIGINT) AS total_len
+        |FROM (
+        |  SELECT 'text' AS "column", count(*) AS n_rows,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |    sum(CASE WHEN text IS NULL THEN 0 ELSE length(text) END) AS total_len
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*),
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN lang IS NULL THEN 0 ELSE length(lang) END)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN source IS NULL THEN 0 ELSE length(source) END)
+        |  FROM documents)""".stripMargin,
     // The split cutoffs are computed by the same Scala arithmetic the
     // engine uses (cumulative double sums, floor to Long), then inlined as
     // integer literals — assignment is pure md5 arithmetic in both engines

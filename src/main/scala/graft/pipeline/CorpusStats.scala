@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass corpus profiling: the summary a pipeline owner wants BEFORE
+  * launching a 100 TB job — row/null counts, value-length mass, and
+  * distinct-cardinality estimates per column. Everything folds into a
+  * single aggregation (one partial->final exchange over ~32 rows total);
+  * the scan reads only the profiled columns.
+  *
+  * Exact stats (counts, null counts, length sums) are engine-portable and
+  * oracle-checkable; the HyperLogLog++ distinct estimate is Spark-specific
+  * and kept in a separate column so exact consumers can ignore it.
+  */
+object CorpusStats {
+
+  /** Per-column profile: one output row per profiled column with exact
+    * counts plus an approximate distinct cardinality (HLL++, `rsd`
+    * relative error). Column values are measured as their string rendering
+    * for length purposes (numeric columns profile their decimal width).
+    */
+  def profile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        sum(when(col(c).isNull, 0L)
+          .otherwise(length(col(c).cast("string")).cast("long"))).as("total_len"),
+        approx_count_distinct(col(c), rsd).as("approx_distinct"))
+    }
+    df.agg(array(perCol: _*).as("__p"))
+      .select(explode(col("__p")).as("__r"))
+      .select(col("__r.column"), col("__r.n_rows"), col("__r.n_nulls"),
+        col("__r.total_len"), col("__r.approx_distinct"))
+  }
+}

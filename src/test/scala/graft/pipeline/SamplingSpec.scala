@@ -55,6 +55,29 @@ class SamplingSpec extends SparkSpec {
     assert(sampled === trained)
   }
 
+  test("corpus profile: exact counts per column, single aggregation") {
+    val df = makeDf(
+      StructType(Seq(longCol("id"), strCol("a"), strCol("b"))),
+      Seq(Row(1L, "xy", null), Row(2L, null, "zzz"), Row(3L, "q", "w")))
+    val out = CorpusStats.profile(df, Seq("a", "b", "id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") === ((3L, 1L, 3L)))  // "xy" + "q"
+    assert(out("b") === ((3L, 1L, 4L)))  // "zzz" + "w"
+    assert(out("id") === ((3L, 0L, 3L))) // "1","2","3"
+    // distinct estimate is sane on tiny data
+    val approx = CorpusStats.profile(df, Seq("a"))
+      .collect().head.getLong(4)
+    assert(approx === 2L)
+    intercept[IllegalArgumentException] {
+      CorpusStats.profile(df, Seq("ghost"))
+    }
+    // the whole profile is one partial->final aggregate
+    val plan = { val p = CorpusStats.profile(df, Seq("a", "b")); p.count(); p }
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("hash split validates its fractions") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(ids(1), "id", Seq("a" -> 0.9, "b" -> 0.2))
