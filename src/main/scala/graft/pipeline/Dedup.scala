@@ -488,11 +488,17 @@ object Dedup {
     val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // rank tokens per document under the global (rarity, token) order and
     // keep only the prefix that the threshold cannot skip past
+    // All three pruning bounds subtract a 1e-9 guard before ceil/compare:
+    // the exact bounds are rationals, and a double product that rounds just
+    // ABOVE an exact integer would shorten a prefix or drop a boundary
+    // candidate — a recall hole. The guard errs toward keeping candidates
+    // (values in play are small integers, so 1e-9 cannot cross between
+    // non-equal integers), and the exact verify stage discards the extras.
     val w = Window.partitionBy("__id").orderBy(col("__df"), col("__tok"))
     val prefix = toks.join(freq, "__tok")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <=
-        col("__len") - ceil(lit(threshold) * col("__len")) + lit(1))
+        col("__len") - ceil(lit(threshold) * col("__len") - lit(1e-9)) + lit(1))
       .select(col("__tok"), col("__id"), col("__len"), col("__rn"))
       .persist()
     // PPJoin-style pruning, both exact:
@@ -505,11 +511,11 @@ object Dedup {
     //    pairs (one common shingle deep in both prefixes) die here
     //    instead of flooding the verify stage.
     val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
-      (col("a.__len") + col("b.__len")))
+      (col("a.__len") + col("b.__len")) - lit(1e-9))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id") &&
-          col("a.__len") >= lit(threshold) * col("b.__len") &&
-          col("b.__len") >= lit(threshold) * col("a.__len") &&
+          col("a.__len") >= lit(threshold) * col("b.__len") - lit(1e-9) &&
+          col("b.__len") >= lit(threshold) * col("a.__len") - lit(1e-9) &&
           lit(1) + least(col("a.__len") - col("a.__rn"),
             col("b.__len") - col("b.__rn")) >= minOverlap)
       .select(col("a.__id").as("__a"), col("b.__id").as("__b"))

@@ -170,6 +170,32 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("ngram jaccard pairs: non-dyadic thresholds stay exact vs brute force") {
+    // 0.1 * 10 rounds to 1.0000000000000002 in doubles — without the
+    // epsilon guard the ceil would shorten 10-shingle prefixes by one and
+    // could silently lose boundary pairs
+    val rnd = new scala.util.Random(99)
+    val texts = (1L to 40L).map(i =>
+      i -> Seq.fill(12)(s"w${rnd.nextInt(15)}").mkString(" "))
+    val df = docs(texts: _*)
+    def sh(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (t <- Seq(0.1, 0.3, 0.7)) {
+      val got = Dedup.ngramJaccardPairs(df, "id", "text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        a <- texts.map(_._1); b <- texts.map(_._1) if a < b
+        sa = sh(texts.toMap.apply(a)); sb = sh(texts.toMap.apply(b))
+        inter = (sa & sb).size
+        if inter.toDouble / (sa.size + sb.size - inter).toDouble >= t
+      } yield (a, b)).toSet
+      assert(got === want, s"threshold $t")
+    }
+  }
+
   test("LSH cosine pairs are a subset of the brute-force baseline") {
     val schema = StructType(Seq(longCol("id"),
       StructField("vec", ArrayType(DoubleType))))
