@@ -570,6 +570,16 @@ object Queries {
         sum(when(t.repeatedNgramFraction(col("text"), 2) > 0.15, 1L).otherwise(0L))
           .as("n_repetitive"))
     }),
+    "q76_pii_mask" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // masking census: documents whose text changes under PII masking,
+      // plus the fingerprint count of the masked corpus — proves the
+      // regex semantics match the oracle engine byte-for-byte
+      val masked = graft.pipeline.TextAnalysis.maskPii(col("text"))
+      read(s, d, "documents").agg(
+        sum(when(masked =!= col("text"), 1L).otherwise(0L)).as("n_masked"),
+        countDistinct(md5(encode(masked, "UTF-8"))).as("n_distinct_masked"))
+    }),
     "q75_corpus_profile" -> ((s, d) =>
       // exact per-column profile (the HLL estimate is dropped so the
       // release is oracle-checkable; q75's value is the single-pass shape)
@@ -1054,6 +1064,20 @@ object Queries {
         |WHERE t BETWEEN 5 AND 100000
         |  AND (CAST(chars AS DOUBLE) / CAST(t AS DOUBLE)) BETWEEN 2.0 AND 12.0
         |  AND (CAST(np AS DOUBLE) / CAST(lc AS DOUBLE)) < 0.3""".stripMargin,
+    // same RE2-safe patterns, same longest-first order, 'g' for global
+    "q76_pii_mask" ->
+      """WITH m AS (SELECT text,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS masked
+        |  FROM documents)
+        |SELECT CAST(sum(CASE WHEN masked <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_masked,
+        |  CAST(count(DISTINCT md5(masked)) AS BIGINT) AS n_distinct_masked
+        |FROM m""".stripMargin,
     "q75_corpus_profile" ->
       """SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(n_nulls AS BIGINT) AS n_nulls,

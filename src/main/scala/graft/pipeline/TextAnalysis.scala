@@ -94,6 +94,24 @@ object TextAnalysis {
         size(grams).cast("double"))
   }
 
+  /** Mask personally-identifying / non-content spans with placeholder
+    * tokens (the C4-style cleaning step): emails, URLs, and IPv4 literals.
+    * Patterns stay RE2-compatible (no backreferences or lookaround), so
+    * the same regexes run identically in Spark, DuckDB, and most engines;
+    * applied longest-context-first so an email's host is not first eaten
+    * by the URL or IP pass.
+    */
+  def maskPii(c: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, email, "<EMAIL>"),
+        url, "<URL>"),
+      ipv4, "<IP>")
+  }
+
   /** Canonical document fingerprint: md5 of case-folded,
     * whitespace-collapsed text. Stable across engines (md5 is standard), so
     * exact-dup detection on fingerprints is portable.

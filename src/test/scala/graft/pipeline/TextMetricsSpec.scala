@@ -87,6 +87,19 @@ class TextMetricsSpec extends SparkSpec {
       repeatedNgramFraction(col("t"), 2)).asInstanceOf[Double] > 0.6)
   }
 
+  test("pii masking replaces emails, urls, and ipv4 literals") {
+    import org.apache.spark.sql.functions.col
+    assert(one("contact bob@example.com via https://x.co/p?q=1 from 10.0.0.1 ok",
+      maskPii(col("t")))
+      === "contact <EMAIL> via <URL> from <IP> ok")
+    // multiple occurrences all masked; non-matching text untouched
+    assert(one("a@b.co and c@d.org", maskPii(col("t"))) === "<EMAIL> and <EMAIL>")
+    assert(one("no pii here 1.2 or v1.2.3", maskPii(col("t")))
+      === "no pii here 1.2 or v1.2.3")
+    // the email pass wins over the bare-host passes
+    assert(one("http://10.0.0.1/x", maskPii(col("t"))) === "<URL>")
+  }
+
   test("hyperplane signatures are deterministic and discriminative") {
     import org.apache.spark.sql.functions.col
     // powers of two: no +-1 combination of them sums to zero, so every
