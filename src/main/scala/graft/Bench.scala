@@ -37,15 +37,19 @@ object Bench {
         catch { case e: Throwable => errors += s"$name: ${e.getMessage}"; false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the single JSON line compact enough to
+    // survive log-tail capture windows (full doubles pushed it past 4 KB)
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val good = results.collect { case (_, v) if v >= 0 => v }
     val total = if (good.nonEmpty) good.sum else 0.0
     val errJson = errors.map(e => "\"" +
-      e.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(200) +
+      e.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(120) +
       "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes forked stdout with "[info] ", which can defeat a strict
     // line parser — leave an unprefixed copy on disk as well

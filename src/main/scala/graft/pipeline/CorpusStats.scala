@@ -37,4 +37,21 @@ object CorpusStats {
       .select(col("__r.column"), col("__r.n_rows"), col("__r.n_nulls"),
         col("__r.total_len"), col("__r.approx_distinct"))
   }
+
+  /** Exact corpus-wide top-`k` tokens by occurrence count, ties broken by
+    * token string so the released set is deterministic on any engine. The
+    * plan at scale: explode is a map-side projection, the count aggregates
+    * partially before its one shuffle (65k-ish distinct tokens, tiny), and
+    * Spark lowers orderBy+limit to TakeOrderedAndProject — per-partition
+    * top-k heaps merged on the driver, never a global sort of the
+    * vocabulary.
+    */
+  def topKTokens(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be positive")
+    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
 }

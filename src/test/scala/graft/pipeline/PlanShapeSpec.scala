@@ -64,12 +64,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"one partition-by-key shuffle expected:\n$plan")
   }
 
-  test("brute-force pairs IS the deliberate quadratic baseline") {
-    // the contrast case: q73's plan is allowed to be a nested-loop cross
-    val plan = executed(
-      Similarity.bruteForcePairs(docs(30).withColumn("v",
-        array(lit(1.0), lit(2.0))), "id", "v", threshold = -1.0))
-    assert(plan.contains("CartesianProduct") || plan.contains("NestedLoopJoin"),
-      s"brute force should cross-join by construction:\n$plan")
+  test("brute-force pairs streams against a resident matrix, zero shuffle") {
+    // q73 is quadratic in ARITHMETIC by construction, but its plan must
+    // stay a single distributed pass: normalized vectors broadcast once,
+    // each partition merge-scanned against them — no pair-space join, no
+    // exchange of the n^2 pair stream
+    val df = Similarity.bruteForcePairs(docs(30).withColumn("v",
+      array(lit(1.0), lit(2.0))), "id", "v", threshold = -1.0)
+    assert(df.count() === 30L * 29 / 2) // every unordered pair, exactly once
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"pair space must never materialize as a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"single-pass, shuffle-free:\n$plan")
+    assert(plan.contains("MapPartitions"), s"kernel scan expected:\n$plan")
   }
 }
