@@ -580,6 +580,21 @@ object Queries {
         sum(when(masked =!= col("text"), 1L).otherwise(0L)).as("n_masked"),
         countDistinct(md5(encode(masked, "UTF-8"))).as("n_distinct_masked"))
     }),
+    "q77_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // benchmark decontamination: every 100th document stands in for an
+      // eval suite; training docs sharing any case-folded 8-gram with it
+      // are flagged. Blocklist broadcast, corpus never shuffles its text.
+      val docs = read(s, d, "documents")
+      graft.pipeline.Dedup.contaminatedIds(
+        docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 100 === 0), "text", n = 8)
+    }),
+    "q78_top_tokens" -> ((s, d) =>
+      // exact corpus heavy hitters: top-20 tokens by occurrence count,
+      // ties broken by token string — TakeOrderedAndProject, never a
+      // global sort of the vocabulary
+      graft.pipeline.CorpusStats.topKTokens(read(s, d, "documents"), "text", k = 20)),
     "q75_corpus_profile" -> ((s, d) =>
       // exact per-column profile (the HLL estimate is dropped so the
       // release is oracle-checkable; q75's value is the single-pass shape)
@@ -1078,6 +1093,28 @@ object Queries {
         |    AS n_masked,
         |  CAST(count(DISTINCT md5(masked)) AS BIGINT) AS n_distinct_masked
         |FROM m""".stripMargin,
+    // same shingle definition as q71's oracle, at n=8 over case-folded
+    // text; contamination = semi-join of training grams with blocklist
+    // grams (every 100th doc)
+    "q77_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 8
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' '))) END) AS g FROM t),
+        |b AS (SELECT DISTINCT g FROM s WHERE doc_id % 100 = 0)
+        |SELECT DISTINCT s.doc_id AS doc_id
+        |FROM s JOIN b USING (g) WHERE s.doc_id % 100 <> 0""".stripMargin,
+    // ties at the k-boundary break on the token string in both engines,
+    // so the released 20-row set is deterministic
+    "q78_top_tokens" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "q75_corpus_profile" ->
       """SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(n_nulls AS BIGINT) AS n_nulls,

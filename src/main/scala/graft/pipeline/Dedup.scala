@@ -573,6 +573,30 @@ object Dedup {
     result
   }
 
+  /** Benchmark decontamination: the ids of `docs` rows sharing at least one
+    * word `n`-gram (case-folded) with any document in `blocklist` — the
+    * standard "remove eval-set contamination from training data" pass,
+    * n=8..13 in published pipelines. The blocklist (benchmark suites: a few
+    * MB) broadcasts; each scan task probes its documents' shingles against
+    * the resident set, so the 100-TB side never shuffles its text — the
+    * only exchange is the distinct over matched ids. Spark additionally
+    * turns the broadcast semi-join into a runtime bloom/IN filter under
+    * AQE, which is exactly the classic bloom-decontamination design.
+    */
+  def contaminatedIds(
+      docs: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, blockTextCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, "shingle size must be positive")
+    val sh = udf((t: String) =>
+      if (t == null) null else shingleArr(t.toLowerCase(java.util.Locale.ROOT), n))
+    val docGrams = spread(docs).select(col(idCol),
+      explode(sh(col(textCol))).as("__g"))
+    val blockGrams = blocklist.select(explode(sh(col(blockTextCol))).as("__g"))
+      .distinct()
+    docGrams.join(broadcast(blockGrams), Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** Near-dup pairs in embedding space: random-hyperplane LSH signature
     * (deterministic pseudo-random planes), bucket on 8-bit bands, verify
     * exact cosine >= threshold via a codegen'd dot product.

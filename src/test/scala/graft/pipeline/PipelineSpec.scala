@@ -304,4 +304,32 @@ class PipelineSpec extends SparkSpec {
     val audio = Multimodal.extractAudioFeatures(df, "payload", windows = 2).count()
     assert(audio === 6L)
   }
+
+  test("decontamination flags overlap with the blocklist, case-folded") {
+    val train = docs(
+      1L -> "one two three four five six seven eight tail",  // shares the 8-gram
+      2L -> "ONE TWO THREE FOUR FIVE SIX SEVEN EIGHT prefix case differs",
+      3L -> "totally unrelated words that never appear in any benchmark doc x y",
+      4L -> "one two three four five SPLIT six seven eight")  // broken 8-gram
+    val block = docs(100L -> "header one two three four five six seven eight trailer")
+    val flagged = Dedup.contaminatedIds(train, "id", "text", block, "text", n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(1L, 2L))
+    // short blocklist docs fall back to whole-text grams
+    val shortBlock = docs(200L -> "tiny doc")
+    val flaggedShort = Dedup.contaminatedIds(
+      docs(1L -> "tiny doc", 2L -> "tiny doc plus more"), "id", "text",
+      shortBlock, "text", n = 8).collect().map(_.getLong(0)).toSet
+    assert(flaggedShort === Set(1L)) // doc 2's whole-text gram differs
+  }
+
+  test("top-k tokens: exact counts, deterministic tie-break, blank-safe") {
+    val df = docs(
+      1L -> "apple apple banana", 2L -> "apple banana cherry",
+      3L -> "  ", 4L -> "Banana CHERRY date")
+    val out = CorpusStats.topKTokens(df, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // apple 3, banana 3 (case-folded), cherry 2 — ties break on the token
+    assert(out.toSeq === Seq(("apple", 3L), ("banana", 3L), ("cherry", 2L)))
+  }
 }
