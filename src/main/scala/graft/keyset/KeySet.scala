@@ -97,11 +97,6 @@ final class KeySet private (val op: KeySetOp) extends Serializable {
   def isEquivalent(other: KeySet): Option[Boolean] = {
     def types(s: StructType): Map[String, DataType] =
       s.fields.map(f => f.name -> f.dataType).toMap
-    // a permutation-only projection changes presentation, not the key set
-    def strip(o: KeySetOp): KeySetOp = o match {
-      case Project(c, cols) if cols.toSet == c.columns.toSet => strip(c)
-      case other                                             => other
-    }
     // literal row order is set-irrelevant; everything else must match
     // structurally (both trees are already in rewrite-canonical form)
     def structEq(a0: KeySetOp, b0: KeySetOp): Boolean = (strip(a0), strip(b0)) match {
@@ -117,7 +112,19 @@ final class KeySet private (val op: KeySetOp) extends Serializable {
     }
     if (structEq(op, other.op)) Some(true)
     else if (types(schema) != types(other.schema)) Some(false)
-    else None
+    else (strip(op), strip(other.op)) match {
+      // two literal sets with one schema are directly comparable — the
+      // sets themselves decide (reference decides these via hashing)
+      case (FromTuples(ra, sa), FromTuples(rb, sb)) if sa == sb =>
+        Some(ra.toSet == rb.toSet)
+      case _ => None
+    }
+  }
+
+  // a permutation-only projection changes presentation, not the key set
+  private def strip(o: KeySetOp): KeySetOp = o match {
+    case Project(c, cols) if cols.toSet == c.columns.toSet => strip(c)
+    case other                                             => other
   }
 
   /** Cross product (`KeySet.__mul__`, reference _keyset.py:212-244). */
@@ -222,6 +229,9 @@ object KeySet {
     * same way: _keyset.py:93-156).
     */
   def fromTuples(rows: Seq[Seq[Any]], schema: StructType): KeySet = {
+    schema.fields.foreach(f => require(keyableType(f.dataType),
+      s"KeySet column '${f.name}' has type ${f.dataType.simpleString}, " +
+        "which cannot be a group-by key (INTEGER, VARCHAR, DATE only)"))
     val normalized = rows.map { r =>
       require(r.size == schema.size,
         s"keyset row has ${r.size} values but schema has ${schema.size} columns: $r")
@@ -230,12 +240,11 @@ object KeySet {
     normalized.foreach { r =>
       r.zip(schema.fields).foreach { case (v, f) =>
         val ok = v match {
-          case null                  => true
-          case _: java.lang.Long     => f.dataType == LongType
-          case _: String             => f.dataType == StringType
-          case _: java.sql.Date      => f.dataType == DateType
-          case _: java.sql.Timestamp => f.dataType == TimestampType
-          case _                     => false
+          case null              => true
+          case _: java.lang.Long => f.dataType == LongType
+          case _: String         => f.dataType == StringType
+          case _: java.sql.Date  => f.dataType == DateType
+          case _                 => false
         }
         require(ok, s"keyset value $v (${if (v == null) "null" else v.getClass.getSimpleName}) " +
           s"does not match column '${f.name}' of type ${f.dataType}")
@@ -244,10 +253,23 @@ object KeySet {
     new KeySet(FromTuples(normalized.distinct.toVector, schema))
   }
 
+  /** Key-able column types (the reference's KeySet restriction,
+    * test_keyset.py:313-390: INTEGER, VARCHAR, DATE — never floating-point
+    * or timestamps, whose inexact matching makes them privacy footguns).
+    */
+  private def keyableType(dt: DataType): Boolean = dt match {
+    case LongType | StringType | DateType => true
+    case _                                => false
+  }
+
   /** Wrap a DataFrame; rows are deduplicated (reference keyset/_ops/_from_dataframe.py). */
   def fromDataFrame(df: DataFrame): KeySet = {
     import graft.types.CoerceSchema
-    new KeySet(FromDataFrame(CoerceSchema(df).dropDuplicates()))
+    val coerced = CoerceSchema(df)
+    coerced.schema.fields.foreach(f => require(keyableType(f.dataType),
+      s"KeySet column '${f.name}' has type ${f.dataType.simpleString}, " +
+        "which cannot be a group-by key (INTEGER, VARCHAR, DATE only)"))
+    new KeySet(FromDataFrame(coerced.dropDuplicates()))
   }
 
   private def normalize(v: Any): Any = v match {
@@ -261,16 +283,27 @@ object KeySet {
     case other => other
   }
 
-  private def inferType(name: String, values: Seq[Any]): DataType =
+  private def inferType(name: String, values: Seq[Any]): DataType = {
+    // mirror the reference's construction errors (_keyset.py /
+    // test_keyset.py): an empty domain has no inferable type, and
+    // floating-point or timestamp group keys are rejected outright
+    // (inexact key matching makes them privacy footguns)
+    require(values.nonEmpty,
+      s"unable to infer column type for an empty collection of values " +
+        s"(column '$name')")
     values.collectFirst {
       case _: Int | _: Long | _: Short | _: Byte => LongType
       case _: String                             => StringType
       case _: java.sql.Date                      => DateType
-      case _: java.sql.Timestamp                 => TimestampType
       case _: Double | _: Float =>
         throw new IllegalArgumentException(
           s"KeySet column '$name' may not contain floating-point values")
+      case _: java.sql.Timestamp =>
+        throw new IllegalArgumentException(
+          s"KeySet column '$name' has type TIMESTAMP, which cannot be a " +
+            "group-by key (reference restriction: use dates or binned strings)")
     }.getOrElse(StringType)
+  }
 
   // ---------------------------------------------------------------- rewrites
 
