@@ -749,14 +749,14 @@ object Queries {
     "q21_histogram" ->
       """SELECT k.l_quantity_binned AS l_quantity_binned,
         |  CAST(coalesce(t.cnt, 0) AS BIGINT) AS count
-        |FROM (VALUES ('[0, 10]'), ('(10, 20]'), ('(20, 30]'), ('(30, 40]'),
-        |             ('(40, 50]')) k(l_quantity_binned)
+        |FROM (VALUES ('[0.00, 10.00]'), ('(10.00, 20.00]'), ('(20.00, 30.00]'),
+        |             ('(30.00, 40.00]'), ('(40.00, 50.00]')) k(l_quantity_binned)
         |LEFT JOIN (SELECT CASE
-        |    WHEN l_quantity >= 0 AND l_quantity <= 10 THEN '[0, 10]'
-        |    WHEN l_quantity > 10 AND l_quantity <= 20 THEN '(10, 20]'
-        |    WHEN l_quantity > 20 AND l_quantity <= 30 THEN '(20, 30]'
-        |    WHEN l_quantity > 30 AND l_quantity <= 40 THEN '(30, 40]'
-        |    WHEN l_quantity > 40 AND l_quantity <= 50 THEN '(40, 50]'
+        |    WHEN l_quantity >= 0 AND l_quantity <= 10 THEN '[0.00, 10.00]'
+        |    WHEN l_quantity > 10 AND l_quantity <= 20 THEN '(10.00, 20.00]'
+        |    WHEN l_quantity > 20 AND l_quantity <= 30 THEN '(20.00, 30.00]'
+        |    WHEN l_quantity > 30 AND l_quantity <= 40 THEN '(30.00, 40.00]'
+        |    WHEN l_quantity > 40 AND l_quantity <= 50 THEN '(40.00, 50.00]'
         |    END AS l_quantity_binned, count(*) AS cnt
         |  FROM lineitem GROUP BY 1) t USING (l_quantity_binned)""".stripMargin,
     "q22_suppress" ->

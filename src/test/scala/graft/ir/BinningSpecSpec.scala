@@ -22,28 +22,28 @@ class BinningSpecSpec extends SparkSpec {
 
   test("right-closed default: (a,b] with the first left edge included") {
     val s = BinningSpec(Seq(0.0, 5.0, 10.0))
-    assert(s(0.0) === Some("[0, 5]"))  // includeBothEndpoints pulls 0 in
-    assert(s(5.0) === Some("[0, 5]"))
-    assert(s(5.1) === Some("(5, 10]"))
-    assert(s(10.0) === Some("(5, 10]"))
+    assert(s(0.0) === Some("[0.00, 5.00]"))  // includeBothEndpoints pulls 0 in
+    assert(s(5.0) === Some("[0.00, 5.00]"))
+    assert(s(5.1) === Some("(5.00, 10.00]"))
+    assert(s(10.0) === Some("(5.00, 10.00]"))
     assert(s(10.5) === None)
     assert(s(-0.1) === None)
   }
 
   test("left-closed: [a,b) with the last right edge included") {
     val s = BinningSpec(Seq(0.0, 5.0, 10.0), right = false)
-    assert(s(0.0) === Some("[0, 5)"))
-    assert(s(5.0) === Some("[5, 10]"))
-    assert(s(10.0) === Some("[5, 10]")) // includeBothEndpoints pulls 10 in
+    assert(s(0.0) === Some("[0.00, 5.00)"))
+    assert(s(5.0) === Some("[5.00, 10.00]"))
+    assert(s(10.0) === Some("[5.00, 10.00]")) // includeBothEndpoints pulls 10 in
     assert(s(10.1) === None)
   }
 
   test("endpoint exclusion drops the outermost values") {
     val r = BinningSpec(Seq(0.0, 5.0), includeBothEndpoints = false)
     assert(r(0.0) === None)
-    assert(r(5.0) === Some("(0, 5]"))
+    assert(r(5.0) === Some("(0.00, 5.00]"))
     val l = BinningSpec(Seq(0.0, 5.0), right = false, includeBothEndpoints = false)
-    assert(l(0.0) === Some("[0, 5)"))
+    assert(l(0.0) === Some("[0.00, 5.00)"))
     assert(l(5.0) === None)
   }
 
@@ -84,8 +84,8 @@ class BinningSpecSpec extends SparkSpec {
     val d1 = Date.valueOf("2020-01-01"); val d2 = Date.valueOf("2020-06-01")
     val d3 = Date.valueOf("2021-01-01")
     val dates = BinningSpec(Seq(d1, d2, d3))
-    assert(dates(Date.valueOf("2020-03-01")).get.startsWith("[2020-01-01"))
-    assert(dates(Date.valueOf("2020-12-31")).get.startsWith("(2020-06-01"))
+    assert(dates(Date.valueOf("2020-03-01")).get.asInstanceOf[String].startsWith("[2020-01-01"))
+    assert(dates(Date.valueOf("2020-12-31")).get.asInstanceOf[String].startsWith("(2020-06-01"))
     assert(dates(Date.valueOf("2022-01-01")) === None)
     assert(binned(dates, Seq(Date.valueOf("2020-03-01"), null), DateType)
       === Seq(dates(Date.valueOf("2020-03-01")), None))
@@ -106,10 +106,78 @@ class BinningSpecSpec extends SparkSpec {
     }
   }
 
-  test("integral formatting in default names") {
-    val s = BinningSpec(Seq(0.0, 2.5, 5.0))
-    assert(s.binNames === Seq("[0, 2.5]", "(2.5, 5]"))
-    val i = BinningSpec(Seq(0, 10, 20))
-    assert(i.binNames === Seq("[0, 10]", "(10, 20]"))
+  test("default-name rendering mirrors the reference edge formats") {
+    // ints plain, floats at >= 2 decimals
+    assert(BinningSpec(Seq(0, 10, 20)).binNames === Seq("[0, 10]", "(10, 20]"))
+    assert(BinningSpec(Seq(0.0, 2.5, 5.0)).binNames ===
+      Seq("[0.00, 2.50]", "(2.50, 5.00]"))
+    // decimals escalate only until edges stay distinct (reference
+    // _edges_as_str): 0.999 rounds into 1.00 when that stays unambiguous
+    assert(BinningSpec(Seq(0.0, 0.999, 2.0)).binNames ===
+      Seq("[0.00, 1.00]", "(1.00, 2.00]"))
+    assert(BinningSpec(Seq(0.0, 0.999, 1.0)).binNames ===
+      Seq("[0.000, 0.999]", "(0.999, 1.000]"))
+    assert(BinningSpec(Seq(0.0, 0.000001, 0.000002)).binNames ===
+      Seq("[0.000000, 0.000001]", "(0.000001, 0.000002]"))
+    // timestamps render at the coarsest lossless precision
+    import BinningSpec._
+    val minutes = BinningSpec(Seq(
+      Timestamp.valueOf("2022-01-01 00:00:00"), Timestamp.valueOf("2022-02-01 05:00:00")))
+    assert(minutes.binNames === Seq("[2022-01-01 00:00, 2022-02-01 05:00]"))
+    val millis = BinningSpec(Seq(
+      Timestamp.valueOf("2022-01-01 00:00:00"),
+      { val t = Timestamp.valueOf("2022-02-01 05:30:15"); t.setNanos(20000000); t }))
+    assert(millis.binNames ===
+      Seq("[2022-01-01 00:00:00.000, 2022-02-01 05:30:15.020]"))
+  }
+
+  test("repeated names and a matching nan bin deduplicate in bins") {
+    val s = BinningSpec(Seq(-15.0, -5.0, 5.0, 15.0),
+      names = Some(Seq("high", "low", "high")))
+    assert(s.bins === Seq("high", "low"))
+    assert(s(-10.0) === Some("high"))
+    assert(s(0.0) === Some("low"))
+    assert(s(10.0) === Some("high"))
+    val nanMatch = BinningSpec(Seq(-1.0, 0.0, 1.0),
+      names = Some(Seq("neg", "nonneg")), nanBin = Some("nonneg"))
+    assert(nanMatch.bins === Seq("neg", "nonneg"))
+    assert(nanMatch(Double.NaN) === Some("nonneg"))
+  }
+
+  test("typed bin names drive the output column type") {
+    // integer names -> INTEGER binned column (reference test_column_type)
+    val intNames = BinningSpec(Seq(0.0, 1.0, 2.0), names = Some(Seq(0L, 1L)))
+    assert(intNames.outputDescriptor.ctype === graft.types.ColumnType.Integer)
+    assert(intNames(0.5) === Some(0L))
+    val df = makeDf(StructType(Seq(dblCol("v"))), Seq(Row(0.5), Row(1.5), Row(9.0)))
+    val out = df.select(intNames.toColumn(col("v"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(out === Seq(Some(0L), Some(1L), None))
+    // date names -> DATE
+    val d1 = Date.valueOf("2022-01-01"); val d2 = Date.valueOf("2022-01-02")
+    val dateNames = BinningSpec(Seq(0L, 10L, 20L), names = Some(Seq(d1, d2)))
+    assert(dateNames.outputDescriptor.ctype === graft.types.ColumnType.Date)
+    assert(dateNames(15L) === Some(d2))
+    // float names with a NaN name mark the column NaN-able
+    val nanName = BinningSpec(Seq(0.0, 1.0, 2.0),
+      names = Some(Seq(0.1, Double.NaN)), nanBin = Some(Double.NaN))
+    assert(nanName.outputDescriptor.allowNaN)
+    // mixed-type names are rejected
+    intercept[IllegalArgumentException] {
+      BinningSpec(Seq(0.0, 1.0, 2.0), names = Some(Seq("a", 1L)))
+    }
+  }
+
+  test("infinite edges bin every finite and infinite value") {
+    val s = BinningSpec(Seq(Double.NegativeInfinity, 0.0, Double.PositiveInfinity),
+      right = false, names = Some(Seq("negative", "nonnegative")))
+    assert(s(-1.0) === Some("negative"))
+    assert(s(0.0) === Some("nonnegative"))
+    assert(s(Double.NegativeInfinity) === Some("negative"))
+    assert(s(Double.PositiveInfinity) === Some("nonnegative"))
+    assert(s(Double.NaN) === None)
+    // and the Catalyst path agrees
+    assert(binned(s, Seq(-1.0, 0.0, Double.PositiveInfinity, Double.NaN), DoubleType)
+      === Seq(Some("negative"), Some("nonnegative"), Some("nonnegative"), None))
   }
 }

@@ -193,19 +193,19 @@ class QueryExprSchemaSpec extends SparkSpec {
 
   test("binning spec names and bins") {
     val spec = BinningSpec(Seq(0.0, 5.0, 10.0))
-    assert(spec.binNames === Seq("[0, 5]", "(5, 10]"))
+    assert(spec.binNames === Seq("[0.00, 5.00]", "(5.00, 10.00]"))
     assert(BinningSpec(Seq(0.0, 5.0, 10.0), right = false).binNames
-      === Seq("[0, 5)", "[5, 10]"))
+      === Seq("[0.00, 5.00)", "[5.00, 10.00]"))
     intercept[IllegalArgumentException] { BinningSpec(Seq(1.0)) }
     intercept[IllegalArgumentException] { BinningSpec(Seq(2.0, 1.0)) }
   }
 
   test("binning spec scalar call mirrors the doctest (binning_spec.py:309)") {
     val spec = BinningSpec(Seq(0.0, 5.0, 10.0))
-    assert(spec(0.0) === Some("[0, 5]"))
-    assert(spec(5.0) === Some("[0, 5]"))
-    assert(spec(6.0) === Some("(5, 10]"))
-    assert(spec(10.0) === Some("(5, 10]"))
+    assert(spec(0.0) === Some("[0.00, 5.00]"))
+    assert(spec(5.0) === Some("[0.00, 5.00]"))
+    assert(spec(6.0) === Some("(5.00, 10.00]"))
+    assert(spec(10.0) === Some("(5.00, 10.00]"))
     assert(spec(11.0) === None)
     assert(spec(Double.NaN) === None)
     val nanSpec = BinningSpec(Seq(0.0, 1.0), nanBin = Some("nan"))
