@@ -837,7 +837,8 @@ object Queries {
         |pick AS (SELECT min(t.k) AS k FROM range(-32, 63) t(k)
         |  WHERE (SELECT coalesce(sum(cnt), 0) FROM c WHERE mag <= t.k)
         |        >= 0.95 * (SELECT coalesce(sum(cnt), 0) FROM c))
-        |SELECT -power(2.0, k) AS lower, power(2.0, k) AS upper FROM pick""".stripMargin,
+        |SELECT -power(2.0, k) AS l_extendedprice_lower_bound,
+        |  power(2.0, k) AS l_extendedprice_upper_bound FROM pick""".stripMargin,
     "q65_get_bounds_grouped" ->
       """WITH m AS (SELECT l_returnflag,
         |    CASE WHEN abs(l_extendedprice) = 0.0 THEN -32
@@ -853,7 +854,8 @@ object Queries {
         |        >= 0.95 * (SELECT coalesce(sum(cnt), 0) FROM c
         |                   WHERE c.l_returnflag = f.l_returnflag)
         |  GROUP BY 1)
-        |SELECT l_returnflag, -power(2.0, k) AS lower, power(2.0, k) AS upper
+        |SELECT l_returnflag, -power(2.0, k) AS l_extendedprice_lower_bound,
+        |  power(2.0, k) AS l_extendedprice_upper_bound
         |FROM pick""".stripMargin,
     "q55_count_distinct_ids" ->
       "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",

@@ -157,9 +157,11 @@ final class QueryBuilder private (private[graft] val expr: TransformExpr) {
   def getGroups(columns: String*): Query = Query(GetGroups(expr, columns))
 
   /** DP bounds of a column (reference query_builder.py:1788). */
-  def getBounds(column: String, lowerName: String = "lower",
-      upperName: String = "upper"): Query =
-    Query(GetBounds(expr, KeySet.empty, column, lowerName, upperName))
+  def getBounds(column: String, lowerName: String = null,
+      upperName: String = null): Query =
+    Query(GetBounds(expr, KeySet.empty, column,
+      Option(lowerName).getOrElse(s"${column}_lower_bound"),
+      Option(upperName).getOrElse(s"${column}_upper_bound")))
 
   // Ungrouped aggregation shorthands = groupby(empty keyset)
   // (reference query_builder.py:2006-2709, e.g. :2280-2305).
@@ -231,7 +233,9 @@ final class GroupedQueryBuilder private[ir] (
   def stdev(column: String, low: Double, high: Double, name: String = "stdev",
       mechanism: MechanismHint = Default): Query =
     Query(GroupByBoundedStdev(expr, keys, column, low, high, name, mechanism))
-  def getBounds(column: String, lowerName: String = "lower",
-      upperName: String = "upper"): Query =
-    Query(GetBounds(expr, keys, column, lowerName, upperName))
+  def getBounds(column: String, lowerName: String = null,
+      upperName: String = null): Query =
+    Query(GetBounds(expr, keys, column,
+      Option(lowerName).getOrElse(s"${column}_lower_bound"),
+      Option(upperName).getOrElse(s"${column}_upper_bound")))
 }
