@@ -680,34 +680,34 @@ object Queries {
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem WHERE l_quantity > 10 GROUP BY 1"),
     "q03_groupby_count_distinct" ->
       """SELECT k.l_returnflag AS l_returnflag,
-        |  CAST(coalesce(t.cnt, 0) AS BIGINT) AS count_distinct
+        |  CAST(coalesce(t.cnt, 0) AS BIGINT) AS "count_distinct(l_suppkey)"
         |FROM (VALUES ('A'), ('N'), ('R')) k(l_returnflag)
         |LEFT JOIN (SELECT l_returnflag, count(DISTINCT l_suppkey) AS cnt
         |           FROM lineitem GROUP BY 1) t USING (l_returnflag)""".stripMargin,
     "q04_count_distinct_rows" ->
       "SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS count_distinct FROM lineitem",
     "q05_groupby_sum" ->
-      s"""SELECT k.l_returnflag AS l_returnflag, coalesce(t.s, 0.0) AS sum
+      s"""SELECT k.l_returnflag AS l_returnflag, coalesce(t.s, 0.0) AS l_quantity_sum
          |FROM (VALUES ('A'), ('N'), ('R')) k(l_returnflag)
          |LEFT JOIN (SELECT l_returnflag, sum($clamp) AS s
          |           FROM lineitem GROUP BY 1) t USING (l_returnflag)""".stripMargin,
     "q06_sum_int" ->
-      "SELECT CAST(sum(least(greatest(p_size, 1), 50)) AS BIGINT) AS sum FROM part",
+      "SELECT CAST(sum(least(greatest(p_size, 1), 50)) AS BIGINT) AS p_size_sum FROM part",
     "q07_groupby_average" ->
       s"""SELECT l_returnflag,
-         |  sum($dev) / greatest(CAST(count(*) AS DOUBLE), 1.0) + 25.0 AS average
+         |  sum($dev) / greatest(CAST(count(*) AS DOUBLE), 1.0) + 25.0 AS l_quantity_average
          |FROM lineitem GROUP BY 1""".stripMargin,
     "q08_groupby_variance" ->
       s"""SELECT l_returnflag,
          |  least(greatest((sum($dev * $dev) - sum($dev) * sum($dev) /
          |    greatest(CAST(count(*) AS DOUBLE), 1.0)) /
-         |    greatest(CAST(count(*) AS DOUBLE) - 1.0, 1.0), 0.0), 625.0) AS variance
+         |    greatest(CAST(count(*) AS DOUBLE) - 1.0, 1.0), 0.0), 625.0) AS l_quantity_variance
          |FROM lineitem GROUP BY 1""".stripMargin,
     "q09_groupby_stdev" ->
       s"""SELECT l_returnflag,
          |  sqrt(least(greatest((sum($dev * $dev) - sum($dev) * sum($dev) /
          |    greatest(CAST(count(*) AS DOUBLE), 1.0)) /
-         |    greatest(CAST(count(*) AS DOUBLE) - 1.0, 1.0), 0.0), 625.0)) AS stdev
+         |    greatest(CAST(count(*) AS DOUBLE) - 1.0, 1.0), 0.0), 625.0)) AS l_quantity_stdev
          |FROM lineitem GROUP BY 1""".stripMargin,
     "q10_filter" -> countOracle(Seq("F", "O"), "l_linestatus",
       """SELECT l_linestatus, count(*) AS cnt FROM lineitem
@@ -715,18 +715,18 @@ object Queries {
     "q11_rename_select" -> countOracle(Seq("A", "N", "R"), "flag",
       "SELECT l_returnflag AS flag, count(*) AS cnt FROM lineitem GROUP BY 1"),
     "q12_map" ->
-      "SELECT sum(least(greatest(l_quantity * 2.0, 0.0), 100.0)) AS sum FROM lineitem",
+      "SELECT sum(least(greatest(l_quantity * 2.0, 0.0), 100.0)) AS qty2_sum FROM lineitem",
     "q13_flatmap_cap" ->
       "SELECT CAST(2 * count(*) AS BIGINT) AS count FROM lineitem",
     "q14_replace_null_and_nan" ->
       """SELECT sum(least(greatest(
-        |  CASE WHEN l_quantity > 30 THEN 0.0 ELSE l_quantity END, 0.0), 50.0)) AS sum
+        |  CASE WHEN l_quantity > 30 THEN 0.0 ELSE l_quantity END, 0.0), 50.0)) AS qty_n_sum
         |FROM lineitem""".stripMargin,
     "q15_replace_infinity" ->
       """SELECT sum(least(greatest(
         |  CASE WHEN l_quantity > 30 THEN 50.0
         |       WHEN l_quantity < 5 THEN 0.0
-        |       ELSE l_quantity END, 0.0), 50.0)) AS sum
+        |       ELSE l_quantity END, 0.0), 50.0)) AS qty_i_sum
         |FROM lineitem""".stripMargin,
     "q16_drop_null_and_nan" ->
       "SELECT CAST(count(*) AS BIGINT) AS count FROM lineitem WHERE l_quantity <= 30",
@@ -765,7 +765,7 @@ object Queries {
     "q23_get_groups" -> "SELECT DISTINCT event_type FROM events",
     "q24_enforce_count" -> "SELECT CAST(count(*) AS BIGINT) AS count FROM events",
     "q25_flatmap_by_id" ->
-      """SELECT CAST(sum(least(greatest(c, 0), 10)) AS BIGINT) AS sum
+      """SELECT CAST(sum(least(greatest(c, 0), 10)) AS BIGINT) AS n_types_sum
         |FROM (SELECT count(DISTINCT event_type) AS c FROM events GROUP BY user_id)""".stripMargin,
     "q26_enforce_groups" -> countOracle(
       Seq("click", "error", "purchase", "signup", "view"), "event_type",
@@ -810,7 +810,7 @@ object Queries {
         |  QUALIFY row_number() OVER (PARTITION BY l_returnflag
         |    ORDER BY -abs(cum - c/2.0 - 0.5*n) DESC,
         |             abs(bin - 0.5*2047) ASC, bin ASC) = 1)
-        |SELECT l_returnflag, 0.0 + (bin + 0.5) * (50.0/2048) AS median FROM pick""".stripMargin,
+        |SELECT l_returnflag, 0.0 + (bin + 0.5) * (50.0/2048) AS l_quantity_median FROM pick""".stripMargin,
     "q34_quantile_p90" ->
       """WITH base AS (SELECT
         |    CAST(least(floor(((least(greatest(l_quantity, 0.0), 50.0) - 0.0)
@@ -824,7 +824,7 @@ object Queries {
         |  QUALIFY row_number() OVER (
         |    ORDER BY -abs(cum - c/2.0 - 0.9*n) DESC,
         |             abs(bin - 0.9*2047) ASC, bin ASC) = 1)
-        |SELECT 0.0 + (bin + 0.5) * (50.0/2048) AS quantile FROM pick""".stripMargin,
+        |SELECT 0.0 + (bin + 0.5) * (50.0/2048) AS "l_quantity_quantile(0.9)" FROM pick""".stripMargin,
     // GetBounds: magnitude histogram over exact powers of two (2^k is an
     // exact double, so the <= comparison is bit-identical to Spark's), then
     // the deterministic eps=Inf finisher: smallest k with cum >= 0.95*n.
@@ -915,7 +915,7 @@ object Queries {
         |  FROM part GROUP BY 1) t USING (p_name_binned)""".stripMargin,
     "q63_count_distinct_ids_grouped" ->
       """SELECT k.event_type AS event_type,
-        |  CAST(coalesce(t.c, 0) AS BIGINT) AS count_distinct
+        |  CAST(coalesce(t.c, 0) AS BIGINT) AS "count_distinct(user_id)"
         |FROM (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view'))
         |  k(event_type)
         |LEFT JOIN (SELECT event_type, count(DISTINCT user_id) AS c
@@ -958,11 +958,11 @@ object Queries {
     "q58_dp_token_sum" ->
       """SELECT CAST(sum(least(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE len(string_split_regex(trim(text), '\s+')) END, 0), 5000)) AS BIGINT)
-        |  AS sum FROM documents""".stripMargin,
+        |  AS tokens_sum FROM documents""".stripMargin,
     "q38_auto_partition" ->
       "SELECT event_type, CAST(count(*) AS BIGINT) AS count FROM events GROUP BY 1",
     "q39_zcdp_sum" ->
-      s"""SELECT k.l_returnflag AS l_returnflag, coalesce(t.s, 0.0) AS sum
+      s"""SELECT k.l_returnflag AS l_returnflag, coalesce(t.s, 0.0) AS l_quantity_sum
          |FROM (VALUES ('A'), ('N'), ('R')) k(l_returnflag)
          |LEFT JOIN (SELECT l_returnflag, sum($clamp) AS s
          |           FROM lineitem GROUP BY 1) t USING (l_returnflag)""".stripMargin,

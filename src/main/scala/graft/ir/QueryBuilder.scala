@@ -167,28 +167,28 @@ final class QueryBuilder private (private[graft] val expr: TransformExpr) {
   // (reference query_builder.py:2006-2709, e.g. :2280-2305).
   def count(name: String = "count", mechanism: MechanismHint = Default): Query =
     groupby(KeySet.empty).count(name, mechanism)
-  def countDistinct(columns: Seq[String] = Nil, name: String = "count_distinct",
+  def countDistinct(columns: Seq[String] = Nil, name: String = null,
       mechanism: MechanismHint = Default): Query =
     groupby(KeySet.empty).countDistinct(columns, name, mechanism)
   def quantile(column: String, q: Double, low: Double, high: Double,
-      name: String = "quantile"): Query =
+      name: String = null): Query =
     groupby(KeySet.empty).quantile(column, q, low, high, name)
-  def min(column: String, low: Double, high: Double, name: String = "min"): Query =
+  def min(column: String, low: Double, high: Double, name: String = null): Query =
     groupby(KeySet.empty).min(column, low, high, name)
-  def max(column: String, low: Double, high: Double, name: String = "max"): Query =
+  def max(column: String, low: Double, high: Double, name: String = null): Query =
     groupby(KeySet.empty).max(column, low, high, name)
-  def median(column: String, low: Double, high: Double, name: String = "median"): Query =
+  def median(column: String, low: Double, high: Double, name: String = null): Query =
     groupby(KeySet.empty).median(column, low, high, name)
-  def sum(column: String, low: Double, high: Double, name: String = "sum",
+  def sum(column: String, low: Double, high: Double, name: String = null,
       mechanism: MechanismHint = Default): Query =
     groupby(KeySet.empty).sum(column, low, high, name, mechanism)
-  def average(column: String, low: Double, high: Double, name: String = "average",
+  def average(column: String, low: Double, high: Double, name: String = null,
       mechanism: MechanismHint = Default): Query =
     groupby(KeySet.empty).average(column, low, high, name, mechanism)
-  def variance(column: String, low: Double, high: Double, name: String = "variance",
+  def variance(column: String, low: Double, high: Double, name: String = null,
       mechanism: MechanismHint = Default): Query =
     groupby(KeySet.empty).variance(column, low, high, name, mechanism)
-  def stdev(column: String, low: Double, high: Double, name: String = "stdev",
+  def stdev(column: String, low: Double, high: Double, name: String = null,
       mechanism: MechanismHint = Default): Query =
     groupby(KeySet.empty).stdev(column, low, high, name, mechanism)
 }
@@ -207,32 +207,51 @@ final class GroupedQueryBuilder private[ir] (
     expr: TransformExpr, keys: KeySet) {
   import MechanismHint.Default
 
+  // Default output names mirror the reference exactly (query_builder.py:
+  // 2878-3702): "count", "count_distinct(a, b)" when columns are given,
+  // and "<column>_<agg>" for the bounded aggregates.
   def count(name: String = "count", mechanism: MechanismHint = Default): Query =
     Query(GroupByCount(expr, keys, name, mechanism))
-  def countDistinct(columns: Seq[String] = Nil, name: String = "count_distinct",
+  def countDistinct(columns: Seq[String] = Nil, name: String = null,
       mechanism: MechanismHint = Default): Query =
-    Query(GroupByCountDistinct(expr, keys, columns, name, mechanism))
+    Query(GroupByCountDistinct(expr, keys, columns, Option(name).getOrElse(
+      if (columns.isEmpty) "count_distinct"
+      else s"count_distinct(${columns.mkString(", ")})"), mechanism))
   def quantile(column: String, q: Double, low: Double, high: Double,
-      name: String = "quantile"): Query =
-    Query(GroupByQuantile(expr, keys, column, q, low, high, name))
-  def min(column: String, low: Double, high: Double, name: String = "min"): Query =
-    Query(GroupByQuantile(expr, keys, column, 0.0, low, high, name))
-  def max(column: String, low: Double, high: Double, name: String = "max"): Query =
-    Query(GroupByQuantile(expr, keys, column, 1.0, low, high, name))
-  def median(column: String, low: Double, high: Double, name: String = "median"): Query =
-    Query(GroupByQuantile(expr, keys, column, 0.5, low, high, name))
-  def sum(column: String, low: Double, high: Double, name: String = "sum",
+      name: String = null): Query =
+    Query(GroupByQuantile(expr, keys, column, q, low, high,
+      Option(name).getOrElse(s"${column}_quantile(${fmtQ(q)})")))
+  def min(column: String, low: Double, high: Double, name: String = null): Query =
+    Query(GroupByQuantile(expr, keys, column, 0.0, low, high,
+      Option(name).getOrElse(s"${column}_min")))
+  def max(column: String, low: Double, high: Double, name: String = null): Query =
+    Query(GroupByQuantile(expr, keys, column, 1.0, low, high,
+      Option(name).getOrElse(s"${column}_max")))
+  def median(column: String, low: Double, high: Double, name: String = null): Query =
+    Query(GroupByQuantile(expr, keys, column, 0.5, low, high,
+      Option(name).getOrElse(s"${column}_median")))
+  def sum(column: String, low: Double, high: Double, name: String = null,
       mechanism: MechanismHint = Default): Query =
-    Query(GroupByBoundedSum(expr, keys, column, low, high, name, mechanism))
-  def average(column: String, low: Double, high: Double, name: String = "average",
+    Query(GroupByBoundedSum(expr, keys, column, low, high,
+      Option(name).getOrElse(s"${column}_sum"), mechanism))
+  def average(column: String, low: Double, high: Double, name: String = null,
       mechanism: MechanismHint = Default): Query =
-    Query(GroupByBoundedAverage(expr, keys, column, low, high, name, mechanism))
-  def variance(column: String, low: Double, high: Double, name: String = "variance",
+    Query(GroupByBoundedAverage(expr, keys, column, low, high,
+      Option(name).getOrElse(s"${column}_average"), mechanism))
+  def variance(column: String, low: Double, high: Double, name: String = null,
       mechanism: MechanismHint = Default): Query =
-    Query(GroupByBoundedVariance(expr, keys, column, low, high, name, mechanism))
-  def stdev(column: String, low: Double, high: Double, name: String = "stdev",
+    Query(GroupByBoundedVariance(expr, keys, column, low, high,
+      Option(name).getOrElse(s"${column}_variance"), mechanism))
+  def stdev(column: String, low: Double, high: Double, name: String = null,
       mechanism: MechanismHint = Default): Query =
-    Query(GroupByBoundedStdev(expr, keys, column, low, high, name, mechanism))
+    Query(GroupByBoundedStdev(expr, keys, column, low, high,
+      Option(name).getOrElse(s"${column}_stdev"), mechanism))
+
+  /** Render the quantile like Python's repr: 0.5 -> "0.5" (reference
+    * default name f"{column}_quantile({quantile})").
+    */
+  private def fmtQ(q: Double): String =
+    if (q == q.floor && math.abs(q) < 1e15) s"${q.toLong}.0" else q.toString
   def getBounds(column: String, lowerName: String = null,
       upperName: String = null): Query =
     Query(GetBounds(expr, keys, column,
