@@ -1,8 +1,12 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
 
-import graft.keyset.KeySet
+import graft.accounting._
+import graft.budget._
+import graft.ir._
+import graft.session.Session
 
 /** Throwaway API probe (not part of the library surface). */
 object Probe {
@@ -11,23 +15,30 @@ object Probe {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val Inf = PureDPBudget(Rat.Inf)
     def p(name: String)(f: => Any): Unit =
       try println(s"$name: " + f)
-      catch { case e: Throwable => println(s"$name threw: ${e.getClass.getSimpleName}: ${e.getMessage}") }
-    p("empty values")(KeySet.fromColumn("A", Nil).size(spark))
-    p("double keys")(KeySet.fromColumn("A", Seq(3.1)).size(spark))
-    p("timestamp keys")(KeySet.fromColumn("A", Seq(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))).size(spark))
-    p("int coercion")(KeySet.fromColumn("A", Seq(1, 2)).schema)
-    p("null in dict")(KeySet.fromColumn("A", Seq("x", null)).size(spark))
-    p("fromTuples nulls")(KeySet.fromTuples(Seq(Seq(null, null), Seq(42L, "foo")),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("A", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("B", org.apache.spark.sql.types.StringType)))).size(spark))
-    p("filter to empty")(KeySet.fromColumn("A", Seq(-1L, -2L)).filter("A > 0").size(spark))
-    p("subtract mismatched")(KeySet.fromColumn("A", Seq("x"))
-      .subtract(KeySet.fromColumn("B", Seq("y"))).size(spark))
-    p("cross shared col")(KeySet.fromColumn("A", Seq("x"))
-      .*(KeySet.fromColumn("A", Seq("y"))).size(spark))
+      catch { case e: Throwable => println(s"$name threw: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
+
+    // unsupported column types
+    val arrDf = spark.createDataFrame(java.util.Arrays.asList(Row(Seq(1, 2))),
+      StructType(Seq(StructField("a", ArrayType(IntegerType)))))
+    p("array column")(Session.fromDataFrame(spark, Inf, "t", arrDf, AddOneRow()).describe())
+    val boolDf = spark.createDataFrame(java.util.Arrays.asList(Row(true)),
+      StructType(Seq(StructField("b", BooleanType))))
+    p("boolean column")(Session.fromDataFrame(spark, Inf, "t", boolDf, AddOneRow())
+      .evaluate(QueryBuilder("t").count(), Inf).collect().head.getLong(0))
+    // weird source ids
+    val okDf = spark.createDataFrame(java.util.Arrays.asList(Row(1L)),
+      StructType(Seq(StructField("x", LongType))))
+    p("source id with space")(Session.fromDataFrame(spark, Inf, "my table", okDf, AddOneRow())
+      .evaluate(QueryBuilder("my table").count(), Inf).collect().head.getLong(0))
+    p("empty source id")(Session.fromDataFrame(spark, Inf, "", okDf, AddOneRow()))
+    // nullable preservation
+    val nn = spark.createDataFrame(java.util.Arrays.asList(Row(1L)),
+      StructType(Seq(StructField("x", LongType, nullable = false))))
+    val s2 = Session.fromDataFrame(spark, Inf, "t", nn, AddOneRow())
+    p("nullable status")(s2.getColumnTypes("t").toString)
     spark.stop()
   }
 }

@@ -146,6 +146,7 @@ final class Session private (
     */
   def createView(qb: QueryBuilder, name: String, cache: Boolean = false): Unit = {
     checkActive()
+    Session.assertIdentifier(name)
     if (privateTables.contains(name) || publicTables.contains(name))
       throw new IllegalArgumentException(s"table '$name' already exists")
     val cat = catalog
@@ -175,6 +176,7 @@ final class Session private (
   }
 
   def addPublicDataFrame(name: String, df: DataFrame): Unit = {
+    Session.assertIdentifier(name)
     if (privateTables.contains(name) || publicTables.contains(name))
       throw new IllegalArgumentException(s"table '$name' already exists")
     publicTables(name) = CoerceSchema(df)
@@ -199,6 +201,7 @@ final class Session private (
     // two splits would put the same rows under two sessions each holding the
     // full budget (the reference's dict input and core partition
     // transformation make duplicates unrepresentable)
+    splits.foreach { case (n, _) => Session.assertIdentifier(n) }
     require(splits.map(_._1).distinct.size == splits.size,
       "partition_and_create: split names must be distinct")
     require(splits.map(_._2).distinct.size == splits.size,
@@ -263,6 +266,16 @@ final class Session private (
 
 object Session {
 
+  /** Table/view/id-space names must be identifiers, as in the reference
+    * (_utils.py assert_is_identifier): alphanumerics and underscores only,
+    * no leading digit, non-empty.
+    */
+  private[session] def assertIdentifier(name: String): Unit =
+    require(name.nonEmpty && !name.head.isDigit &&
+      name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"'$name' is not a valid name: names can only contain alphanumeric " +
+        "characters and underscores, and cannot begin with a number")
+
   /** reference session.py:336-401 */
   def fromDataFrame(
       spark: SparkSession,
@@ -284,12 +297,14 @@ object Session {
     def withPrivacyBudget(b: PrivacyBudget): this.type = { budget = Some(b); this }
     def withPrivateDataFrame(
         name: String, df: DataFrame, pc: ProtectedChange): this.type = {
+      Session.assertIdentifier(name)
       require(!privates.contains(name) && !publics.contains(name),
         s"table '$name' already declared")
       privates(name) = (df, pc)
       this
     }
     def withPublicDataFrame(name: String, df: DataFrame): this.type = {
+      Session.assertIdentifier(name)
       require(!privates.contains(name) && !publics.contains(name),
         s"table '$name' already declared")
       publics(name) = df

@@ -227,4 +227,37 @@ class QueryValidationSpec extends SparkSpec {
       s.partitionAndCreate("t", Inf, "ghost", Seq("k" -> "A"))
     }
   }
+
+  test("table, view, and split names must be identifiers (reference rule)") {
+    for (bad <- Seq("", "my table", "1starts_with_digit", "has-dash", "a.b")) {
+      intercept[IllegalArgumentException] {
+        Session.fromDataFrame(spark, Inf, bad, df, AddOneRow())
+      }
+      val s = rows()
+      intercept[IllegalArgumentException] { s.addPublicDataFrame(bad, df) }
+      intercept[IllegalArgumentException] {
+        s.createView(QueryBuilder("t").filter("qty > 0"), bad)
+      }
+      intercept[IllegalArgumentException] {
+        s.partitionAndCreate("t", Inf, "flag", Seq(bad -> "A"))
+      }
+    }
+    // underscores and digits after the first character are fine
+    Session.fromDataFrame(spark, Inf, "table_2", df, AddOneRow())
+      .evaluate(QueryBuilder("table_2").count(), Inf)
+  }
+
+  test("unsupported column types are rejected with the column named") {
+    import org.apache.spark.sql.types._
+    val arrDf = makeDf(StructType(Seq(
+      StructField("a", ArrayType(IntegerType)))), Seq(Row(Seq(1, 2))))
+    val e = intercept[IllegalArgumentException] {
+      Session.fromDataFrame(spark, Inf, "t", arrDf, AddOneRow())
+    }
+    assert(e.getMessage.contains("a") && e.getMessage.toLowerCase.contains("unsupported"))
+    val boolDf = makeDf(StructType(Seq(StructField("b", BooleanType))), Seq(Row(true)))
+    intercept[IllegalArgumentException] {
+      Session.fromDataFrame(spark, Inf, "t", boolDf, AddOneRow())
+    }
+  }
 }
