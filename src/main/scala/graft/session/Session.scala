@@ -262,6 +262,23 @@ final class Session private (
     }
     sb.toString
   }
+
+  /** Describe a query's output schema without evaluating (and without
+    * spending budget) — the reference's `Session.describe(query)` overload
+    * (session.py:550): one line per output column with type and
+    * nullability.
+    */
+  def describe(q: Query): String = describeSchema(q.expr.schema(catalog.schemas))
+  def describe(qb: QueryBuilder): String =
+    describeSchema(qb.expr.schema(catalog.schemas))
+
+  private def describeSchema(schema: TableSchema): String = {
+    val header = f"${"Column Name"}%-24s ${"Column Type"}%-12s Nullable"
+    val rows = schema.columns.map { case (c, d) =>
+      f"$c%-24s ${d.ctype.toString}%-12s ${d.allowNull}"
+    }
+    (header +: rows).mkString("\n")
+  }
 }
 
 object Session {

@@ -156,6 +156,20 @@ class SessionSpec extends SparkSpec {
     assert(s.describe().contains("v"))
   }
 
+  test("describe(query) reports the output schema without spending budget") {
+    val df = makeDf(StructType(Seq(strCol("A"), longCol("B"))),
+      Seq(Row("x", 1L), Row("y", 2L)))
+    val s = Session.fromDataFrame(spark, PureDPBudget(Rat(1, 1)), "t", df, AddOneRow())
+    val out = s.describe(QueryBuilder("t")
+      .groupby(KeySet.fromColumn("A", Seq("x", "y"))).count("Count"))
+    // one line per column: the group key (nullable) and the count
+    assert(out.contains("A") && out.contains("VARCHAR"))
+    assert(out.contains("Count") && out.contains("INTEGER"))
+    // builders describe too, and nothing was charged
+    assert(s.describe(QueryBuilder("t").filter("B > 1")).contains("B"))
+    assert(s.remainingPrivacyBudget === PureDPBudget(Rat(1, 1)))
+  }
+
   test("budget kind mismatch is a type error, not an overspend") {
     val s = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df, AddOneRow())
     val ex = intercept[IllegalArgumentException] {
