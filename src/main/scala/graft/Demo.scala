@@ -105,6 +105,19 @@ object Demo {
           .otherwise(0L)).as("n_repetitive")).show()
     }
 
+    banner("8. Decontamination and corpus heavy hitters")
+    locally {
+      import org.apache.spark.sql.functions._
+      // flag training docs sharing any 8-gram with a (broadcast) eval set
+      val blocklist = docs.filter(col("doc_id") % 100 === 0)
+      val training = docs.filter(col("doc_id") % 100 =!= 0)
+      val flagged = graft.pipeline.Dedup.contaminatedIds(
+        training, "doc_id", "text", blocklist, "text", n = 8)
+      println(s"contaminated documents: ${flagged.count()}")
+      // exact top tokens, per-partition heaps -> driver merge, no global sort
+      graft.pipeline.CorpusStats.topKTokens(docs, "text", k = 5).show()
+    }
+
     println("\ndemo complete.")
     spark.stop()
   }

@@ -64,6 +64,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"one partition-by-key shuffle expected:\n$plan")
   }
 
+  test("decontamination broadcasts the blocklist; corpus text never shuffles") {
+    val train = docs(200)
+    val block = docs(5)
+    val df = Dedup.contaminatedIds(train, "id", "text", block, "text", n = 4)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"blocklist must broadcast:\n$plan")
+    // the only non-broadcast exchange is the distinct over matched ids —
+    // a shuffle whose rows carry the id column alone, never document text
+    val shuffles = plan.split('\n').filter(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(shuffles.nonEmpty && shuffles.forall(!_.contains("text")),
+      s"only id-typed shuffles expected:\n$plan")
+  }
+
   test("brute-force pairs streams against a resident matrix, zero shuffle") {
     // q73 is quadratic in ARITHMETIC by construction, but its plan must
     // stay a single distributed pass: normalized vectors broadcast once,
