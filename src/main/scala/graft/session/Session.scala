@@ -61,6 +61,13 @@ final class Session private (
   /** The registered public tables (reference public_source_dataframes). */
   def publicSourceDataframes: Map[String, DataFrame] = publicTables.toMap
 
+  /** The constraints established on a private table or view (the
+    * reference's per-table constraint registry, surfaced by describe).
+    */
+  def getConstraints(table: String): Seq[Constraint] =
+    privateTables.getOrElse(table, throw new IllegalArgumentException(
+      s"private table '$table' does not exist")).constraints
+
   /** Retire this session: no further queries or views can be issued
     * (reference session.py stop).
     */
