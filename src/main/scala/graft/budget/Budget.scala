@@ -144,8 +144,23 @@ final case class ApproxDPBudget(epsilon: Rat, delta: Rat) extends PrivacyBudget 
     case _                    => false
   }
   override def toString: String = s"ApproxDPBudget(epsilon=$epsilon, delta=$delta)"
+
+  /** All infinite ApproxDP budgets are one budget (the reference's
+    * equality: (inf, 1), (1, 1), and (inf, 0) all compare equal —
+    * test_privacy_budget.py:345+): past the point where the guarantee is
+    * vacuous, the parameters stop mattering.
+    */
+  override def equals(o: Any): Boolean = o match {
+    case a: ApproxDPBudget =>
+      (isInfinite && a.isInfinite) ||
+        (epsilon == a.epsilon && delta == a.delta)
+    case _ => false
+  }
+  override def hashCode: Int =
+    if (isInfinite) ApproxDPBudget.InfHash else (epsilon, delta).hashCode
 }
 object ApproxDPBudget {
+  private[budget] val InfHash = "ApproxDPBudget(inf)".hashCode
   def apply(epsilon: Double, delta: Double): ApproxDPBudget =
     ApproxDPBudget(Rat(epsilon), Rat(delta))
 }
