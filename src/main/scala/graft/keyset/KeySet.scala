@@ -184,6 +184,37 @@ final class KeySet private (val op: KeySetOp) extends Serializable {
   }
 
   override def toString: String = s"KeySet(${columns.mkString(", ")})"
+
+  /** Value equality (reference `KeySet.__eq__`, _keyset.py:535-571): two
+    * keysets are equal when they hold the same values for the same columns,
+    * in any row/column order. Structural equivalence decides cheaply when it
+    * can; otherwise the materialized frames are compared both ways with
+    * `exceptAll` (requires an active SparkSession — without one, undecidable
+    * trees compare unequal rather than evaluating).
+    */
+  override def equals(that: Any): Boolean = that match {
+    case other: KeySet =>
+      (this eq other) || (isEquivalent(other) match {
+        case Some(b) => b
+        case None =>
+          SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+            case Some(spark) =>
+              val cols = columns.map(org.apache.spark.sql.functions.col)
+              val a = dataframe(spark).select(cols: _*)
+              val b = other.dataframe(spark).select(cols: _*)
+              a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+            case None => false
+          }
+      })
+    case _ => false
+  }
+
+  /** Hash by column->type schema only (reference `__hash__`, _keyset.py:572
+    * -574): equal keysets may differ structurally, so the schema is the
+    * finest hash that stays consistent with [[equals]].
+    */
+  override def hashCode: Int =
+    columns.sorted.map(c => (c, schema(schema.fieldIndex(c)).dataType)).hashCode
 }
 
 object KeySet {

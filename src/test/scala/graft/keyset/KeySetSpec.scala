@@ -96,6 +96,26 @@ class KeySetSpec extends SparkSpec {
     assert(a.isEquivalent(KeySet.fromDataFrame(df)) === None)
   }
 
+  test("value equality mirrors the reference __eq__ doctest (_keyset.py:535)") {
+    val ks1 = KeySet.fromDict(Seq("A" -> Seq(1, 2), "B" -> Seq(3, 4)))
+    val ks2 = KeySet.fromDict(Seq("B" -> Seq(3, 4), "A" -> Seq(1, 2)))
+    val ks3 = KeySet.fromDict(Seq("B" -> Seq(4, 3), "A" -> Seq(2, 1)))
+    val ks4 = KeySet.fromDict(Seq("B" -> Seq(4, 5), "A" -> Seq(1, 2)))
+    assert(ks1 === ks2) // column order irrelevant
+    assert(ks1 === ks3) // row order irrelevant
+    assert(ks1 !== ks4)
+    assert(ks1 !== KeySet.fromColumn("A", Seq(1, 2))) // different columns
+    // equal keysets hash equal (hash is schema-based, reference __hash__)
+    assert(ks1.hashCode === ks2.hashCode)
+    assert(ks1.hashCode === ks3.hashCode)
+    // undecidable structurally -> falls back to a dataframe compare
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = makeDf(StructType(Seq(strCol("k"))), Seq(Row("x"), Row("y")))
+    assert(KeySet.fromDataFrame(df) === KeySet.fromColumn("k", Seq("y", "x")))
+    assert(KeySet.fromDataFrame(df) !== KeySet.fromColumn("k", Seq("x", "z")))
+  }
+
   test("rewriter: canonical forms decide equivalence across construction order") {
     val a = KeySet.fromColumn("a", Seq(1, 2))
     val b = KeySet.fromColumn("b", Seq("u", "v"))
