@@ -104,12 +104,56 @@ sealed trait PrivacyBudget extends Serializable {
   /** Subtract a spend of the same (or coercible) type. */
   def -(spend: PrivacyBudget): PrivacyBudget
   def >=(o: PrivacyBudget): Boolean
+
+  /** Divide by a finite scalar > 0 (reference `__truediv__`,
+    * privacy_budget.py:166-176): every parameter — including ApproxDP's
+    * delta — is divided.
+    */
+  def /(k: Double): PrivacyBudget = {
+    if (k <= 0 || k.isNaN || k.isInfinite) throw new IllegalArgumentException(
+      s"Tried to divide a privacy budget by $k, but can only divide by " +
+        "non-infinite numbers >0.")
+    scaled(Rat.one / Rat(k))
+  }
+
+  /** Multiply by a finite scalar >= 0 (reference `__mul__`,
+    * privacy_budget.py:177-187); ApproxDP's delta is capped at 1.
+    */
+  def *(k: Double): PrivacyBudget = {
+    if (k < 0 || k.isNaN || k.isInfinite) throw new IllegalArgumentException(
+      s"Tried to multiply a privacy budget by $k, but can only multiply by " +
+        "non-infinite numbers >=0.")
+    scaled(Rat(k))
+  }
+
+  protected def scaled(factor: Rat): PrivacyBudget
+
+  /** Basic composition (reference `__add__`, privacy_budget.py:188-203):
+    * PureDP + PureDP = PureDP; mixing PureDP and ApproxDP promotes to
+    * ApproxDP (delta sums, capped at 1); zCDP only adds to zCDP. An
+    * infinite operand absorbs the sum.
+    */
+  def +(other: PrivacyBudget): PrivacyBudget = (this, other) match {
+    case (PureDPBudget(a), PureDPBudget(b)) => PureDPBudget(a + b)
+    case (p: PureDPBudget, a: ApproxDPBudget) =>
+      ApproxDPBudget(p.epsilon, Rat.zero) + a
+    case (a: ApproxDPBudget, PureDPBudget(e)) =>
+      a + ApproxDPBudget(e, Rat.zero)
+    case (a: ApproxDPBudget, b: ApproxDPBudget) =>
+      if (a.isInfinite) a
+      else if (b.isInfinite) b
+      else ApproxDPBudget(a.epsilon + b.epsilon, (a.delta + b.delta).min(Rat.one))
+    case (RhoZCDPBudget(a), RhoZCDPBudget(b)) => RhoZCDPBudget(a + b)
+    case _ => throw new IllegalArgumentException(
+      s"Cannot add a ${getClass.getSimpleName} to a ${other.getClass.getSimpleName}.")
+  }
 }
 
 final case class PureDPBudget(epsilon: Rat) extends PrivacyBudget {
   require(epsilon >= Rat.zero, "epsilon must be non-negative")
   def isInfinite: Boolean = epsilon.isInfinite
   def split(n: Int): PrivacyBudget = PureDPBudget(epsilon / Rat(n))
+  protected def scaled(factor: Rat): PrivacyBudget = PureDPBudget(epsilon * factor)
   def -(spend: PrivacyBudget): PrivacyBudget = spend match {
     case PureDPBudget(e) => PureDPBudget(if (isInfinite) Rat.Inf else epsilon - e)
     case _ => throw new IllegalArgumentException(s"cannot spend $spend from PureDP")
@@ -129,6 +173,8 @@ final case class ApproxDPBudget(epsilon: Rat, delta: Rat) extends PrivacyBudget 
   def isInfinite: Boolean = epsilon.isInfinite || delta == Rat.one
   def split(n: Int): PrivacyBudget =
     ApproxDPBudget(epsilon / Rat(n), delta / Rat(n))
+  protected def scaled(factor: Rat): PrivacyBudget =
+    ApproxDPBudget(epsilon * factor, (delta * factor).min(Rat.one))
   def -(spend: PrivacyBudget): PrivacyBudget = {
     val (e, d) = spend match {
       case ApproxDPBudget(e0, d0) => (e0, d0)
@@ -169,6 +215,7 @@ final case class RhoZCDPBudget(rho: Rat) extends PrivacyBudget {
   require(rho >= Rat.zero, "rho must be non-negative")
   def isInfinite: Boolean = rho.isInfinite
   def split(n: Int): PrivacyBudget = RhoZCDPBudget(rho / Rat(n))
+  protected def scaled(factor: Rat): PrivacyBudget = RhoZCDPBudget(rho * factor)
   def -(spend: PrivacyBudget): PrivacyBudget = spend match {
     case RhoZCDPBudget(r) => RhoZCDPBudget(if (isInfinite) Rat.Inf else rho - r)
     case _ => throw new IllegalArgumentException(s"cannot spend $spend from RhoZCDP")
