@@ -226,8 +226,18 @@ final class Session private (
       // null-safe match: null is a legal partition value (plain === would
       // silently produce an empty child for it)
       val childDf = t.df.filter(col(column) <=> lit(value))
+      // partitioning ON the grouping column discharges the grouping
+      // obligation: each child holds exactly one group, so its metric is the
+      // plain rows metric and a child query needs no group-by on it
+      // (reference: core PartitionByKeys on an IfGroupedBy metric keyed by
+      // the same column; test_add_max_rows.py test_partition_on_flatmap_
+      // grouping_column evaluates a plain count on the children)
+      val childSchema =
+        if (t.schema.groupingColumn.contains(column))
+          t.schema.copy(groupingColumn = None)
+        else t.schema
       val childTables = mutable.Map(
-        childName -> t.copy(df = childDf))
+        childName -> t.copy(df = childDf, schema = childSchema))
       childName -> new Session(spark, adjusted, childTables,
         mutable.Map(publicTables.toSeq: _*))
     }

@@ -339,4 +339,70 @@ class RowsSystemSpec extends SparkSpec {
     val out = rows(q, s).map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out === Map("0" -> 3L, "1" -> 1L))
   }
+
+  test("get_groups after an augmenting flat map keeps only common groups " +
+      "(test_get_groups_with_flat_map)") {
+    // 10k rows of (0,0), 10k of (0,1), one of (1,3): the flat map appends
+    // C in {"0","1"} to every row, and partition selection at eps=1 must
+    // surface the four heavy (A,B,C) cells while the singleton (1,3,*)
+    // stays below the threshold
+    val big = makeDf(StructType(Seq(longCol("A"), longCol("B"))),
+      (1 to 10000).map(_ => Row(0L, 0L)) ++
+        (1 to 10000).map(_ => Row(0L, 1L)) :+ Row(1L, 3L))
+    val s = Session.fromDataFrame(spark,
+      graft.budget.ApproxDPBudget(Rat(1), Rat(1, 100000)), "private", big, AddOneRow())
+    val q = QueryBuilder("private")
+      .flatMap(_ => Seq(Map("C" -> "0"), Map("C" -> "1")),
+        Seq("C" -> ColumnDescriptor(ColumnType.Varchar)),
+        maxRows = 2, augment = true)
+      .getGroups("A", "B", "C")
+    val got = s.evaluate(q, s.remainingPrivacyBudget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((0L, 0L, "0"), (0L, 0L, "1"), (0L, 1L, "0"), (0L, 1L, "1")))
+  }
+
+  test("partition on a grouping flat-map column, and on other columns " +
+      "(test_partition_on_flatmap/nongrouping_column)") {
+    for (budget <- Seq[graft.budget.PrivacyBudget](PureDPBudget(20.0),
+        graft.budget.ApproxDPBudget(Rat(20), Rat(1, 2)), RhoZCDPBudget(20.0))) {
+      val s = Session.fromDataFrame(spark, budget, "private", sdf, AddOneRow())
+      s.createView(QueryBuilder("private").flatMap(
+          _ => Seq(Map("new" -> 1L), Map("new" -> 2L)),
+          Seq("new" -> ColumnDescriptor(ColumnType.Integer)),
+          maxRows = 2, augment = true, grouping = true),
+        "duplicated", cache = false)
+      // partition on the grouping column: children are plain rows tables
+      val part = s.partitionAndCreate("duplicated", budget.split(2), "new",
+        Seq("new1" -> 1L, "new2" -> 2L))
+      part("new1").evaluate(QueryBuilder("new1").count(), budget.split(4))
+      part("new2").evaluate(QueryBuilder("new2").count(), budget.split(4))
+      // partition on a NON-grouping column: children keep the grouping
+      // obligation, so their group-bys must include "new"
+      val s2 = Session.fromDataFrame(spark, budget, "private", sdf, AddOneRow())
+      s2.createView(QueryBuilder("private").flatMap(
+          _ => Seq(Map("new" -> 1L), Map("new" -> 2L)),
+          Seq("new" -> ColumnDescriptor(ColumnType.Integer)),
+          maxRows = 2, augment = true, grouping = true),
+        "duplicated", cache = false)
+      val byA = s2.partitionAndCreate("duplicated", budget.split(2), "A",
+        Seq("zero" -> "0", "one" -> "1"))
+      val keys = KeySet.fromColumn("new", Seq(1L, 2L))
+      byA("zero").evaluate(QueryBuilder("zero").groupby(keys).count(), budget.split(4))
+      byA("one").evaluate(QueryBuilder("one").groupby(keys).count(), budget.split(4))
+    }
+  }
+
+  test("zCDP grouping column with non-integer stability evaluates " +
+      "(test_grouping_noninteger_stability)") {
+    // AddMaxRowsInMaxGroups(group, 2, 1) under zCDP gives the grouped count
+    // a sqrt(2) L2 stability — a non-integer distance the accountant must
+    // carry exactly
+    val grouped = makeDf(StructType(Seq(longCol("id"), longCol("group"))),
+      Seq(Row(7L, 0L), Row(7L, 1L), Row(8L, 0L), Row(9L, 1L)))
+    val s = Session.fromDataFrame(spark, InfZ, "id", grouped,
+      graft.accounting.AddMaxRowsInMaxGroups("group", maxGroups = 2, maxRowsPerGroup = 1))
+    val q = QueryBuilder("id").groupby(KeySet.fromColumn("group", Seq(0L, 1L))).count()
+    val out = s.evaluate(q, RhoZCDPBudget(1.0)).collect()
+    assert(out.length === 2)
+  }
 }
