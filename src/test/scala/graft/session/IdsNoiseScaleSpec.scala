@@ -1,0 +1,88 @@
+package graft.session
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.accounting.AddRowsWithID
+import graft.budget.{PureDPBudget, Rat, RhoZCDPBudget}
+import graft.constraints.MaxRowsPerID
+import graft.ir.QueryBuilder
+import graft.keyset.KeySet
+
+/** The L1-truncation noise-scale matrix, mirroring the reference's
+  * test/system/session/ids/test_l1_truncation.py:291-341 value-for-value:
+  * under MaxRowsPerID(k), a count at PureDP(1) uses geometric scale k; an
+  * average splits the budget between a deviation-sum and a count; under
+  * zCDP(1) the discrete Gaussian variance is sens^2/(2 rho).
+  */
+class IdsNoiseScaleSpec extends SparkSpec {
+
+  private def df = makeDf(
+    StructType(Seq(longCol("id"), longCol("n"), dblCol("float_n"))),
+    Seq(Row(1L, 2L, 2.0), Row(1L, 3L, 3.0), Row(2L, 5L, 5.0)))
+
+  private def sess(zcdp: Boolean) = Session.fromDataFrame(spark,
+    if (zcdp) RhoZCDPBudget(Rat.Inf) else PureDPBudget(Rat.Inf),
+    "id_a1", df, AddRowsWithID("id"))
+
+  private def scales(zcdp: Boolean, q: graft.ir.Query,
+      b: graft.budget.PrivacyBudget): Seq[Double] =
+    sess(zcdp).noiseInfo(q, b).map(_.mechanism.scale)
+
+  test("PureDP(1): count under MaxRowsPerID(k) has geometric scale k " +
+      "(test_noise_scale_puredp)") {
+    for (k <- Seq(1, 2, 5)) {
+      val q = QueryBuilder("id_a1").enforce(MaxRowsPerID(k)).count()
+      assert(scales(zcdp = false, q, PureDPBudget(1.0)) === Seq(k.toDouble))
+    }
+  }
+
+  test("PureDP(1): average splits eps between deviation-sum and count " +
+      "(test_noise_scale_puredp)") {
+    // [sum scale, count scale]: sum sensitivity k*(high-low)/2 at eps/2,
+    // count sensitivity k at eps/2
+    val cases = Seq(
+      (1, 10.0, Seq(10.0, 2.0)),
+      (5, 10.0, Seq(50.0, 10.0)),
+      (1, 20.0, Seq(20.0, 2.0)),
+      (5, 20.0, Seq(100.0, 10.0)))
+    for ((k, high, expect) <- cases) {
+      val q = QueryBuilder("id_a1").enforce(MaxRowsPerID(k)).average("n", 0, high)
+      assert(scales(zcdp = false, q, PureDPBudget(1.0)) === expect,
+        s"k=$k high=$high")
+    }
+  }
+
+  test("zCDP(1): count variance is k^2/(2 rho) (test_noise_scale_zcdp)") {
+    val expect = Map(1 -> 0.5, 2 -> 2.0, 5 -> 12.5)
+    for ((k, s) <- expect) {
+      val q = QueryBuilder("id_a1").enforce(MaxRowsPerID(k)).count()
+      assert(scales(zcdp = true, q, RhoZCDPBudget(1.0)) === Seq(s))
+    }
+  }
+
+  test("zCDP(1): average variances for integer and float measures " +
+      "(test_noise_scale_zcdp)") {
+    val cases = Seq(
+      ("n", 1, 10.0, Seq(25.0, 1.0)),
+      ("n", 5, 10.0, Seq(625.0, 25.0)),
+      ("n", 1, 20.0, Seq(100.0, 1.0)),
+      ("n", 5, 20.0, Seq(2500.0, 25.0)),
+      ("float_n", 1, 20.0, Seq(100.0, 1.0)),
+      ("float_n", 5, 20.0, Seq(2500.0, 25.0)))
+    for ((col, k, high, expect) <- cases) {
+      val q = QueryBuilder("id_a1").enforce(MaxRowsPerID(k)).average(col, 0, high)
+      assert(scales(zcdp = true, q, RhoZCDPBudget(1.0)) === expect,
+        s"col=$col k=$k high=$high")
+    }
+  }
+
+  test("grouped count after truncation keeps the same scale (keyset join " +
+      "does not change sensitivity)") {
+    val keys = KeySet.fromColumn("n", Seq(2L, 3L, 5L))
+    val q = QueryBuilder("id_a1").enforce(MaxRowsPerID(2)).groupby(keys).count()
+    assert(scales(zcdp = false, q, PureDPBudget(1.0)) === Seq(2.0))
+    assert(scales(zcdp = true, q, RhoZCDPBudget(1.0)) === Seq(2.0))
+  }
+}
