@@ -165,25 +165,44 @@ final class MeasurementPlanner(
     case e @ GroupByBoundedAverage(child, keys, m, lo, hi, out, hint) =>
       // DP mean = noisy sum of deviations from the midpoint / noisy count,
       // shifted back (reference _base_measurement_visitor.py:1249-1261);
-      // each part gets half the budget.
+      // each part gets half the budget. For an INTEGER measure with whole
+      // clamp bounds the midpoint is floored to an integer so the deviation
+      // sum stays integer-valued and the discrete mechanism family applies
+      // (reference core get_midpoint(integer_midpoint=True); rewrite-rules
+      // matrix maps int_col -> GEOMETRIC/DISCRETE_GAUSSIAN). The midpoint
+      // shift cancels exactly in the result, so only the calibration — not
+      // the noiseless answer — depends on this choice; the asymmetric span
+      // side max(hi-mid, mid-lo) is the per-row sensitivity.
       val t = prepared(child, dropSpecial = Some(m),
         needed = Some(keys.columns :+ m))
       val sens = aggSensitivity(t, Some(keys), l2 = isL2(hint))
-      val mid = (lo + hi) / 2.0
-      val devSens = sens * Rat((hi - lo) / 2.0)
-      val sumMech = selectMechanism(hint, integer = false, devSens, parts = 2)
+      val intPath = isIntegerMeasure(t.schema, m, lo, hi)
+      val mid = if (intPath) math.floor((lo + hi) / 2.0) else (lo + hi) / 2.0
+      val devSens =
+        if (intPath) sens * Rat(math.max(hi - mid, mid - lo))
+        else sens * Rat((hi - lo) / 2.0)
+      val sumMech = selectMechanism(hint, integer = intPath, devSens, parts = 2)
       val cntMech = selectMechanism(hint, integer = true, sens, parts = 2)
-      val clamped = least(greatest(col(m).cast("double"), lit(lo)), lit(hi))
-      val aggd = groupAgg(t.df, keys,
-        Seq(sum(clamped - lit(mid)).as("__sd"), count(lit(1)).as("__n")))
+      val (sdAgg, sdFill) =
+        if (intPath) {
+          val c = least(greatest(col(m), lit(lo.toLong)), lit(hi.toLong))
+          (sum(c - lit(mid.toLong)).as("__sd"), Some(lit(0L)))
+        } else {
+          val c = least(greatest(col(m).cast("double"), lit(lo)), lit(hi))
+          (sum(c - lit(mid)).as("__sd"), Some(lit(0.0)))
+        }
+      val aggd = groupAgg(t.df, keys, Seq(sdAgg, count(lit(1)).as("__n")))
       val joined = keysetJoin(keys, aggd,
-        Seq("__sd" -> Some(lit(0.0)), "__n" -> Some(lit(0L))))
+        Seq("__sd" -> sdFill, "__n" -> Some(lit(0L))))
       val noisy = joined
-        .withColumn("__sd", Noise.addDoubleNoise(col("__sd"), sumMech))
+        .withColumn("__sd",
+          if (intPath) Noise.addLongNoise(col("__sd"), sumMech)
+          else Noise.addDoubleNoise(col("__sd"), sumMech))
         .withColumn("__n", Noise.addLongNoise(col("__n"), cntMech))
       val result = noisy
         .withColumn(out,
-          col("__sd") / greatest(col("__n").cast("double"), lit(1.0)) + lit(mid))
+          col("__sd").cast("double") / greatest(col("__n").cast("double"), lit(1.0)) +
+            lit(mid))
         .drop("__sd", "__n")
       MeasureOut(result,
         Seq(NoiseInfo(s"$out(sum)", sumMech), NoiseInfo(s"$out(count)", cntMech)),
@@ -510,21 +529,36 @@ final class MeasurementPlanner(
       }: _*)
   }
 
+  /** Integer-arithmetic lowering applies when the measure column is INTEGER
+    * and the clamp bounds are whole: deviations from a floored midpoint (and
+    * their squares) are integers, so the discrete mechanism family applies
+    * (reference rewrite-rules matrix: int_col -> GEOMETRIC/DISCRETE_GAUSSIAN).
+    */
+  private def isIntegerMeasure(
+      schema: graft.types.TableSchema, m: String, lo: Double, hi: Double): Boolean =
+    schema(m).ctype == graft.types.ColumnType.Integer &&
+      lo == math.floor(lo) && hi == math.floor(hi) &&
+      !lo.isInfinite && !hi.isInfinite
+
   // variance / stdev share the three-part lowering (noisy sum of deviations,
   // sum of squared deviations, count; reference _query_expr.py:1918-2038)
   private def varianceParts(e: GroupByBoundedVariance) = {
     val t = prepared(e.child, dropSpecial = Some(e.measureColumn))
     val sens = aggSensitivity(t, Some(e.keys), l2 = isL2(e.mechanism))
-    val mid = (e.low + e.high) / 2.0
-    val half = (e.high - e.low) / 2.0
-    val sdMech = selectMechanism(e.mechanism, integer = false, sens * Rat(half), 3)
-    val sqMech = selectMechanism(e.mechanism, integer = false, sens * Rat(half * half), 3)
+    val intPath = isIntegerMeasure(t.schema, e.measureColumn, e.low, e.high)
+    val mid =
+      if (intPath) math.floor((e.low + e.high) / 2.0) else (e.low + e.high) / 2.0
+    val half =
+      if (intPath) math.max(e.high - mid, mid - e.low) else (e.high - e.low) / 2.0
+    val sdMech = selectMechanism(e.mechanism, integer = intPath, sens * Rat(half), 3)
+    val sqMech = selectMechanism(e.mechanism, integer = intPath,
+      sens * Rat(half * half), 3)
     val cntMech = selectMechanism(e.mechanism, integer = true, sens, 3)
-    (t, mid, sdMech, sqMech, cntMech)
+    (t, mid, intPath, sdMech, sqMech, cntMech)
   }
 
   private def varianceNoise(e: GroupByBoundedVariance): Seq[NoiseInfo] = {
-    val (_, _, sd, sq, cnt) = varianceParts(e)
+    val (_, _, _, sd, sq, cnt) = varianceParts(e)
     Seq(NoiseInfo(s"${e.outputColumn}(sum)", sd),
       NoiseInfo(s"${e.outputColumn}(sumsq)", sq),
       NoiseInfo(s"${e.outputColumn}(count)", cnt))
@@ -532,23 +566,37 @@ final class MeasurementPlanner(
 
   private def varianceResult(
       e: GroupByBoundedVariance, out: String, stdev: Boolean): DataFrame = {
-    val (t, mid, sdMech, sqMech, cntMech) = varianceParts(e)
-    val clamped = least(greatest(col(e.measureColumn).cast("double"), lit(e.low)),
-      lit(e.high))
-    val dev = clamped - lit(mid)
+    val (t, mid, intPath, sdMech, sqMech, cntMech) = varianceParts(e)
+    val (sdAgg, sqAgg, zeroFill) =
+      if (intPath) {
+        val c = least(greatest(col(e.measureColumn), lit(e.low.toLong)),
+          lit(e.high.toLong))
+        val dev = c - lit(mid.toLong)
+        (sum(dev).as("__sd"), sum(dev * dev).as("__sq"),
+          Some(lit(0L)): Option[org.apache.spark.sql.Column])
+      } else {
+        val c = least(greatest(col(e.measureColumn).cast("double"), lit(e.low)),
+          lit(e.high))
+        val dev = c - lit(mid)
+        (sum(dev).as("__sd"), sum(dev * dev).as("__sq"),
+          Some(lit(0.0)): Option[org.apache.spark.sql.Column])
+      }
     val aggd = groupAgg(t.df, e.keys,
-      Seq(sum(dev).as("__sd"), sum(dev * dev).as("__sq"), count(lit(1)).as("__n")))
+      Seq(sdAgg, sqAgg, count(lit(1)).as("__n")))
     val joined = keysetJoin(e.keys, aggd, Seq(
-      "__sd" -> Some(lit(0.0)), "__sq" -> Some(lit(0.0)), "__n" -> Some(lit(0L))))
+      "__sd" -> zeroFill, "__sq" -> zeroFill, "__n" -> Some(lit(0L))))
+    def addNoise(c: org.apache.spark.sql.Column, m: graft.exec.NoiseMechanism) =
+      if (intPath) Noise.addLongNoise(c, m) else Noise.addDoubleNoise(c, m)
     val noisy = joined
-      .withColumn("__sd", Noise.addDoubleNoise(col("__sd"), sdMech))
-      .withColumn("__sq", Noise.addDoubleNoise(col("__sq"), sqMech))
+      .withColumn("__sd", addNoise(col("__sd"), sdMech))
+      .withColumn("__sq", addNoise(col("__sq"), sqMech))
       .withColumn("__n", Noise.addLongNoise(col("__n"), cntMech))
     val n = greatest(col("__n").cast("double"), lit(1.0))
     val nm1 = greatest(col("__n").cast("double") - lit(1.0), lit(1.0))
     val half = (e.high - e.low) / 2.0
     val varCol = least(
-      greatest((col("__sq") - col("__sd") * col("__sd") / n) / nm1, lit(0.0)),
+      greatest((col("__sq").cast("double") -
+        col("__sd").cast("double") * col("__sd").cast("double") / n) / nm1, lit(0.0)),
       lit(half * half))
     noisy.withColumn(out, if (stdev) sqrt(varCol) else varCol)
       .drop("__sd", "__sq", "__n")

@@ -17,6 +17,43 @@ class ConstraintsSpec extends AnyFunSuite {
       MaxGroupsPerID("h", 7), MaxRowsPerGroupPerID("g", 6)))
   }
 
+  test("simplify: the reference's full parameterized table " +
+      "(test_constraints.py test_simplify_constraints)") {
+    val cases: Seq[(Seq[Constraint], Seq[Constraint])] = Seq(
+      (Nil, Nil),
+      (Seq(MaxRowsPerID(1)), Seq(MaxRowsPerID(1))),
+      (Seq(MaxRowsPerID(1), MaxRowsPerID(1)), Seq(MaxRowsPerID(1))),
+      (Seq(MaxRowsPerID(1), MaxRowsPerID(5)), Seq(MaxRowsPerID(1))),
+      (Seq(MaxRowsPerID(3), MaxRowsPerID(2), MaxRowsPerID(6)), Seq(MaxRowsPerID(2))),
+      (Seq(MaxGroupsPerID("gc", 1), MaxGroupsPerID("gc", 5)),
+        Seq(MaxGroupsPerID("gc", 1))),
+      (Seq(MaxGroupsPerID("gc", 1), MaxGroupsPerID("other", 5), MaxGroupsPerID("gc", 3)),
+        Seq(MaxGroupsPerID("gc", 1), MaxGroupsPerID("other", 5))),
+      (Seq(MaxRowsPerID(1), MaxGroupsPerID("gc", 1)),
+        Seq(MaxRowsPerID(1), MaxGroupsPerID("gc", 1))),
+      (Seq(MaxRowsPerID(1), MaxGroupsPerID("gc", 1), MaxRowsPerID(5)),
+        Seq(MaxRowsPerID(1), MaxGroupsPerID("gc", 1))),
+      (Seq(MaxRowsPerID(1), MaxGroupsPerID("gc", 1), MaxGroupsPerID("gc", 5),
+        MaxGroupsPerID("other", 1)),
+        Seq(MaxRowsPerID(1), MaxGroupsPerID("gc", 1), MaxGroupsPerID("other", 1))),
+      (Seq(MaxRowsPerGroupPerID("g", 1)), Seq(MaxRowsPerGroupPerID("g", 1))),
+      (Seq(MaxRowsPerGroupPerID("g", 1), MaxRowsPerGroupPerID("g", 1)),
+        Seq(MaxRowsPerGroupPerID("g", 1))),
+      (Seq(MaxRowsPerGroupPerID("g", 3), MaxRowsPerGroupPerID("g", 6)),
+        Seq(MaxRowsPerGroupPerID("g", 3))),
+      (Seq(MaxRowsPerGroupPerID("g1", 1), MaxRowsPerGroupPerID("g2", 1),
+        MaxRowsPerGroupPerID("g2", 5)),
+        Seq(MaxRowsPerGroupPerID("g1", 1), MaxRowsPerGroupPerID("g2", 1))),
+      (Seq(MaxRowsPerGroupPerID("g1", 1), MaxGroupsPerID("g1", 1), MaxRowsPerID(1)),
+        Seq(MaxRowsPerGroupPerID("g1", 1), MaxGroupsPerID("g1", 1), MaxRowsPerID(1))),
+      (Seq(MaxRowsPerID(1), MaxRowsPerID(2), MaxRowsPerGroupPerID("g1", 1),
+        MaxRowsPerGroupPerID("g2", 2), MaxGroupsPerID("g1", 1), MaxGroupsPerID("g1", 5)),
+        Seq(MaxRowsPerID(1), MaxRowsPerGroupPerID("g1", 1),
+          MaxRowsPerGroupPerID("g2", 2), MaxGroupsPerID("g1", 1))))
+    for (((in, expect), i) <- cases.zipWithIndex)
+      assert(Constraint.simplify(in).toSet === expect.toSet, s"case $i")
+  }
+
   test("rename remaps grouping columns only") {
     val out = Constraint.rename(
       Seq(MaxRowsPerID(2), MaxGroupsPerID("a", 3), MaxRowsPerGroupPerID("b", 4)),
