@@ -213,19 +213,44 @@ final class Session private (
       "partition_and_create: split names must be distinct")
     require(splits.map(_._2).distinct.size == splits.size,
       "partition_and_create: split values must be distinct")
-    t.protectedChange match {
-      case _: AddRowsWithID if t.constraints.isEmpty =>
-        throw new IllegalArgumentException(
-          "partition_and_create on an IDs table requires an enforced constraint " +
-            "(reference session.py:1390-1418)")
-      case _ =>
+    // IDs tables: the constraint set decides the children's metric
+    // (reference _create_partition_transformation, session.py:1380-1423, and
+    // test/system/session/ids/test_partition.py):
+    //  - MaxGroupsPerID on the PARTITION column -> children stay IDs tables
+    //    (the bound caps how many children one ID reaches);
+    //  - otherwise MaxRowsPerID(k) -> children become plain rows tables
+    //    protected by AddMaxRows(k * maxIDs) (one ID's <= k rows land among
+    //    the children), id metadata dropped;
+    //  - anything else (including MaxRowsPerGroupPerID alone) is an error.
+    val template: graft.compile.PrivateTable = t.protectedChange match {
+      case AddRowsWithID(_, _, maxIDs) =>
+        val groupsBound = t.constraints.collectFirst {
+          case g @ graft.constraints.MaxGroupsPerID(c, _) if c == column => g }
+        val rowsBound = t.constraints.collectFirst {
+          case r: graft.constraints.MaxRowsPerID => r }
+        (groupsBound, rowsBound) match {
+          case (Some(_), _) =>
+            // consumed: within a child every ID holds one group value
+            t.copy(constraints = t.constraints.filterNot(_ == groupsBound.get))
+          case (None, Some(graft.constraints.MaxRowsPerID(k))) =>
+            t.copy(
+              schema = t.schema.copy(idColumn = None, idSpace = None),
+              protectedChange = AddMaxRows(k * maxIDs),
+              constraints = Nil)
+          case _ =>
+            throw new IllegalArgumentException(
+              "You must create a MaxGroupsPerID or MaxRowsPerID constraint " +
+                "before using partition_and_create on tables with the " +
+                "AddRowsWithID protected change (reference session.py:1390-1418)")
+        }
+      case _ => t
     }
     val adjusted = PrivacyBudget.adjustToRemaining(budget, remaining)
     spend(adjusted)
     val kids = splits.map { case (childName, value) =>
       // null-safe match: null is a legal partition value (plain === would
       // silently produce an empty child for it)
-      val childDf = t.df.filter(col(column) <=> lit(value))
+      val childDf = template.df.filter(col(column) <=> lit(value))
       // partitioning ON the grouping column discharges the grouping
       // obligation: each child holds exactly one group, so its metric is the
       // plain rows metric and a child query needs no group-by on it
@@ -233,11 +258,11 @@ final class Session private (
       // the same column; test_add_max_rows.py test_partition_on_flatmap_
       // grouping_column evaluates a plain count on the children)
       val childSchema =
-        if (t.schema.groupingColumn.contains(column))
-          t.schema.copy(groupingColumn = None)
-        else t.schema
+        if (template.schema.groupingColumn.contains(column))
+          template.schema.copy(groupingColumn = None)
+        else template.schema
       val childTables = mutable.Map(
-        childName -> t.copy(df = childDf, schema = childSchema))
+        childName -> template.copy(df = childDf, schema = childSchema))
       childName -> new Session(spark, adjusted, childTables,
         mutable.Map(publicTables.toSeq: _*))
     }

@@ -1,0 +1,96 @@
+package graft.session
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.accounting.AddRowsWithID
+import graft.budget.{PureDPBudget, Rat}
+import graft.constraints.{MaxGroupsPerID, MaxRowsPerGroupPerID, MaxRowsPerID}
+import graft.ir.QueryBuilder
+
+/** partition_and_create on IDs tables, mirroring
+  * test/system/session/ids/test_partition.py: a MaxGroupsPerID constraint on
+  * the partition column keeps children as IDs tables; a bare MaxRowsPerID
+  * converts them to plain rows tables; anything else is rejected.
+  */
+class IdsPartitionSpec extends SparkSpec {
+  private val Inf = PureDPBudget(Rat.Inf)
+
+  // the reference's id_a1 fixture (ids/conftest.py)
+  private def df = makeDf(
+    StructType(Seq(longCol("id"), strCol("group"), strCol("group2"),
+      longCol("n"), dblCol("float_n"))),
+    Seq(Row(1L, "A", "X", 4L, 4.0), Row(1L, "A", "Y", 5L, 5.0),
+      Row(1L, "A", "X", 6L, 6.0), Row(2L, "A", "Y", 7L, 7.0),
+      Row(3L, "A", "X", 8L, 8.0), Row(3L, "B", "Y", 9L, 9.0)))
+
+  private def sess() =
+    Session.fromDataFrame(spark, Inf, "id_a1", df, AddRowsWithID("id"))
+
+  test("MaxRowsPerID partition turns children into rows tables " +
+      "(test_partition_and_create_with_MaxRowsPerID)") {
+    val s = sess()
+    s.createView(QueryBuilder("id_a1").enforce(MaxRowsPerID(2)),
+      "truncated_ids1", cache = true)
+    val kids = s.partitionAndCreate("truncated_ids1", Inf, "group",
+      Seq("part0" -> "A", "part1" -> "B"))
+    assert(kids.keySet === Set("part0", "part1"))
+    assert(kids("part0").privateSources === Seq("part0"))
+    assert(kids("part0").getIdColumn("part0") === None)
+    assert(kids("part1").getIdColumn("part1") === None)
+    // the child is a plain rows table now: IDs-only constraints are illegal
+    intercept[IllegalArgumentException] {
+      kids("part0").evaluate(
+        QueryBuilder("part0").enforce(MaxRowsPerID(2)).count(), Inf)
+    }
+  }
+
+  test("MaxGroupsPerID on the partition column keeps children as IDs tables " +
+      "(test_partition_and_create_with_MaxGroupsPerID)") {
+    val s = sess()
+    s.createView(QueryBuilder("id_a1").enforce(MaxRowsPerID(5))
+      .enforce(MaxGroupsPerID("group", 2)), "truncated_ids3", cache = true)
+    val kids = s.partitionAndCreate("truncated_ids3", Inf, "group",
+      Seq("part0" -> "A", "part1" -> "B"))
+    assert(kids("part0").getIdColumn("part0") === Some("id"))
+    assert(kids("part1").getIdColumn("part1") === Some("id"))
+    // children still need (and accept) their own truncation constraints:
+    // part0 holds ids {1: 3 rows, 2: 1, 3: 1}; MaxRowsPerID(2) -> 4 rows
+    val c0 = kids("part0").evaluate(
+      QueryBuilder("part0").enforce(MaxRowsPerID(2)).count(), Inf)
+      .collect().head.getLong(0)
+    assert(c0 === 4L)
+    val c1 = kids("part1").evaluate(
+      QueryBuilder("part1").enforce(MaxRowsPerID(2)).count(), Inf)
+      .collect().head.getLong(0)
+    assert(c1 === 1L)
+  }
+
+  test("partition without a usable constraint is rejected " +
+      "(test_invalid_constraint_partition_and_create)") {
+    val s = sess()
+    s.createView(QueryBuilder("id_a1"), "truncated_ids", cache = false)
+    val e = intercept[IllegalArgumentException] {
+      s.partitionAndCreate("truncated_ids", Inf, "group",
+        Seq("part0" -> "A", "part1" -> "B"))
+    }
+    assert(e.getMessage.contains("MaxGroupsPerID or MaxRowsPerID"))
+    // MaxRowsPerGroupPerID alone does not bound the partition stability
+    val s2 = sess()
+    s2.createView(QueryBuilder("id_a1").enforce(MaxRowsPerGroupPerID("group", 5)),
+      "truncated_ids2", cache = false)
+    intercept[IllegalArgumentException] {
+      s2.partitionAndCreate("truncated_ids2", Inf, "group",
+        Seq("part0" -> "A", "part1" -> "B"))
+    }
+    // MaxGroupsPerID on a DIFFERENT column does not help either
+    val s3 = sess()
+    s3.createView(QueryBuilder("id_a1").enforce(MaxGroupsPerID("group2", 2)),
+      "truncated_ids4", cache = false)
+    intercept[IllegalArgumentException] {
+      s3.partitionAndCreate("truncated_ids4", Inf, "group",
+        Seq("part0" -> "A", "part1" -> "B"))
+    }
+  }
+}

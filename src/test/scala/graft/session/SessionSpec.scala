@@ -303,12 +303,15 @@ class SessionSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       mk().partitionAndCreate("t", Inf, "flag", Seq("ta" -> "A"))
     }
-    // with a view that enforces a constraint first, the partition works
+    // with a view that enforces a constraint first, the partition works;
+    // a bare MaxRowsPerID turns the children into plain rows tables
+    // (reference test_partition.py test_partition_and_create_with_
+    // MaxRowsPerID), so the child count needs no further enforcement
     val s = mk()
     s.createView(QueryBuilder("t").enforce(MaxRowsPerID(2)), "tc")
     val kids = s.partitionAndCreate("tc", Inf, "flag", Seq("ta" -> "A", "tb" -> "B"))
-    val na = kids("ta").evaluate(
-      QueryBuilder("ta").enforce(MaxRowsPerID(2)).count(), Inf)
+    assert(kids("ta").getIdColumn("ta") === None)
+    val na = kids("ta").evaluate(QueryBuilder("ta").count(), Inf)
       .collect().head.getLong(0)
     assert(na >= 2L) // flag A rows survive per-ID truncation to <= 2 each
   }
