@@ -16,14 +16,17 @@ sealed trait Metric extends Serializable {
   def distance: Rat
 }
 /** Symmetric difference on rows: neighboring tables differ by `distance`
-  * rows (the L1 bound). `l2Credit`, when present, is a tighter bound on the
-  * L2 norm of the change vector ACROSS GROUPS OF THE NAMED COLUMN
-  * (AddMaxRowsInMaxGroups: perGroup * sqrt(groups)) — valid ONLY when the
-  * mechanism is calibrated to L2 sensitivity (Gaussian family under zCDP)
-  * AND the aggregation groups by that column, so the per-group structure of
-  * the change aligns with the released vector. An ungrouped count, or a
-  * group-by on any other column, can concentrate all `distance` changed
-  * rows into one released value; every such consumer must use `distance`.
+  * rows (the L1 bound). `l2Credit`, when present, is the SQUARE of a
+  * tighter bound on the L2 norm of the change vector ACROSS GROUPS OF THE
+  * NAMED COLUMN (AddMaxRowsInMaxGroups: (perGroup * sqrt(groups))^2 =
+  * perGroup^2 * groups — the square is an exact rational even though the
+  * bound itself is irrational, and a Gaussian calibration only ever
+  * consumes the square). Valid ONLY when the mechanism is calibrated to L2
+  * sensitivity (Gaussian family under zCDP) AND the aggregation groups by
+  * that column, so the per-group structure of the change aligns with the
+  * released vector. An ungrouped count, or a group-by on any other column,
+  * can concentrate all `distance` changed rows into one released value;
+  * every such consumer must use `distance`.
   */
 final case class RowsMetric(
     distance: Rat, l2Credit: Option[(String, Rat)] = None) extends Metric
@@ -34,19 +37,19 @@ final case class IDsMetric(idColumn: String, idSpace: String, distance: Rat)
 object Metric {
   /** ProtectedChange -> metric + d_in (reference
     * _neighboring_relation_visitor.py:118-140). AddMaxRowsInMaxGroups
-    * carries BOTH the L1 distance groups*perGroup and the L2 credit
-    * ceil(perGroup*sqrt(groups)); the sensitivity calculation picks the L2
-    * bound only when the selected mechanism is Gaussian-family — a zCDP
-    * *budget* alone is not enough, since a Laplace hint under zCDP lowers
-    * to a pure-DP mechanism that needs the L1 bound. The irrational sqrt is
-    * rounded up to stay a safe overestimate.
+    * carries BOTH the L1 distance groups*perGroup and the SQUARED L2
+    * credit perGroup^2*groups (exact; the irrational bound itself never
+    * materializes); the sensitivity calculation picks the L2 bound only
+    * when the selected mechanism is Gaussian-family — a zCDP *budget*
+    * alone is not enough, since a Laplace hint under zCDP lowers to a
+    * pure-DP mechanism that needs the L1 bound.
     */
   def fromProtectedChange(pc: ProtectedChange, budget: PrivacyBudget): Metric =
     pc match {
       case AddMaxRows(n) => RowsMetric(Rat(n))
       case AddMaxRowsInMaxGroups(gcol, groups, perGroup) =>
         RowsMetric(Rat(groups.toLong * perGroup),
-          Some(gcol -> Rat(math.ceil(perGroup * math.sqrt(groups.toDouble)).toLong)))
+          Some(gcol -> Rat(perGroup.toLong * perGroup * groups)))
       case AddRowsWithID(idCol, idSpace, maxIDs) =>
         IDsMetric(idCol, idSpace, Rat(maxIDs))
     }

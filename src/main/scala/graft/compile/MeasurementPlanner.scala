@@ -115,21 +115,21 @@ final class MeasurementPlanner(
         // one, so sensitivity is d_in directly (the reference's
         // constrained-count-distinct optimization,
         // _base_measurement_visitor.py:217-300, ungrouped form).
-        case IDsMetric(id, _, d) if countCols == Seq(id) && keys.isEmptyKey => Some(d)
+        case IDsMetric(id, _, d) if countCols == Seq(id) && keys.isEmptyKey =>
+          Some(Sens(d))
         // Grouped form: with MaxGroupsPerID(c, g) enforced and c the single
         // group-by key, one ID changes at most g groups' distinct-ID counts
-        // by 1 each — L1 sensitivity g*d_in, or ceil(sqrt(g))*d_in when the
+        // by 1 each — L1 sensitivity g*d_in, or L2 sqrt(g)*d_in when the
         // selected mechanism is Gaussian-family (L2 across groups; reference
-        // :252-300). A Laplace hint under zCDP lowers to an L1 mechanism, so
-        // it must NOT take the sqrt credit.
+        // :252-300), carried as the exact square g*d_in^2. A Laplace hint
+        // under zCDP lowers to an L1 mechanism, so it must NOT take the
+        // sqrt credit.
         case IDsMetric(id, _, d) if countCols == Seq(id) && keys.columns.size == 1 =>
           val c = keys.columns.head
           t.constraints.collect { case MaxGroupsPerID(`c`, g) => g.toLong }
             .minOption.map { g =>
-              val eff = if (isL2(hint))
-                math.ceil(math.sqrt(g.toDouble)).toLong
-              else g
-              d * Rat(eff)
+              Sens(d * Rat(g),
+                if (isL2(hint)) Some(d * d * Rat(g)) else None)
             }
         case _ => None
       }
@@ -387,36 +387,56 @@ final class MeasurementPlanner(
     * r*g — granting sqrt(g) there would under-noise by ~sqrt(g). Likewise
     * the exponential mechanism (quantile / bounds) composes in L1.
     */
+  /** Aggregation sensitivity: the L1 bound, plus — when the constraint
+    * structure grants it — the EXACT squared L2 bound. Scaling by a per-row
+    * factor f scales the square by f^2.
+    */
+  private[compile] final case class Sens(l1: Rat, l2Sq: Option[Rat] = None) {
+    def *(f: Rat): Sens = Sens(l1 * f, l2Sq.map(_ * f * f))
+    def isZero: Boolean = l1.isZero
+    def toDouble: Double = l1.toDouble
+    /** Squared sensitivity for Gaussian-family calibration. */
+    def sq: Rat = l2Sq.getOrElse(l1 * l1)
+  }
+
   private def aggSensitivity(
-      t: TransformOut, keys: Option[KeySet] = None, l2: Boolean = false): Rat =
+      t: TransformOut, keys: Option[KeySet] = None, l2: Boolean = false): Sens =
     t.metric match {
       // the L2 credit from AddMaxRowsInMaxGroups applies only when the
       // downstream mechanism is Gaussian-family AND the aggregation groups
       // by the credit's column — otherwise all `distance` changed rows can
       // hit one released value (see the RowsMetric contract)
       case m: RowsMetric =>
-        m.l2Credit match {
-          case Some((c, v)) if l2 && keys.exists(_.columns.contains(c)) => v
-          case _ => m.distance
-        }
+        Sens(m.distance, m.l2Credit.collect {
+          case (c, vSq) if l2 && keys.exists(_.columns.contains(c)) => vSq
+        })
       case IDsMetric(_, _, d) =>
         val groups = t.constraints.collect { case MaxGroupsPerID(c, g) => c -> g.toLong }.toMap
         val zcdp = l2 && budget.isInstanceOf[RhoZCDPBudget]
-        val perIdBounds: Seq[Long] =
+        // per-ID L1 bounds and, for Gaussian consumers grouped on the
+        // constraint column, exact SQUARED L2 bounds (r * sqrt(g) squared
+        // is the rational r^2 * g — the reference carries the symbolic
+        // sqrt; only the square ever reaches a Gaussian calibration)
+        val l1Bounds: Seq[Long] =
           t.constraints.collect { case MaxRowsPerID(n) => n.toLong } ++
             t.constraints.collect {
-              case MaxRowsPerGroupPerID(c, r) if groups.contains(c) =>
-                val g = groups(c)
-                if (zcdp && keys.exists(_.columns.contains(c)))
-                  math.ceil(r * math.sqrt(g.toDouble)).toLong
-                else g * r
+              case MaxRowsPerGroupPerID(c, r) if groups.contains(c) => groups(c) * r
             }
-        if (perIdBounds.isEmpty)
+        val l2SqBounds: Seq[Long] =
+          if (!zcdp) Nil
+          else t.constraints.collect { case MaxRowsPerID(n) => n.toLong * n } ++
+            t.constraints.collect {
+              case MaxRowsPerGroupPerID(c, r) if groups.contains(c) =>
+                if (keys.exists(_.columns.contains(c))) r.toLong * r * groups(c)
+                else { val b = groups(c) * r; b * b }
+            }
+        if (l1Bounds.isEmpty)
           throw new IllegalArgumentException(
             "aggregations on a table with AddRowsWithID protection require an " +
               "enforced constraint (MaxRowsPerID, or MaxGroupsPerID + " +
               "MaxRowsPerGroupPerID); add .enforce(...) to the query")
-        d * Rat(perIdBounds.min)
+        Sens(d * Rat(l1Bounds.min),
+          if (l2SqBounds.isEmpty) None else Some(d * d * Rat(l2SqBounds.min)))
     }
 
   /** True iff `hint` will lower to a Gaussian-family mechanism under the
@@ -431,7 +451,7 @@ final class MeasurementPlanner(
     * to sensitivity / (budget / parts).
     */
   private def selectMechanism(
-      hint: MechanismHint, integer: Boolean, sens: Rat, parts: Int): NoiseMechanism = {
+      hint: MechanismHint, integer: Boolean, sens: Sens, parts: Int): NoiseMechanism = {
     // an epsilon/rho of exactly zero cannot calibrate additive noise (the
     // scale would be sens/0); the fully-zero budget is rejected at evaluate,
     // and this catches the ApproxDP(0, delta > 0) corner, where delta alone
@@ -445,7 +465,7 @@ final class MeasurementPlanner(
     def laplaceScale(eps0: Rat): Double = {
       val eps = requireNonZero(eps0)
       if (eps.isInfinite || sens.isZero) 0.0
-      else (sens / (eps / Rat(parts))).toDouble
+      else (sens.l1 / (eps / Rat(parts))).toDouble
     }
     budget match {
       case PureDPBudget(eps) => lapLike(hint, integer, laplaceScale(eps))
@@ -454,16 +474,18 @@ final class MeasurementPlanner(
         val rho = requireNonZero(rho0)
         hint match {
           case MechanismHint.Laplace =>
-            // eps-DP mechanism run under zCDP: eps = sqrt(2 rho / parts)
+            // eps-DP mechanism run under zCDP: eps = sqrt(2 rho / parts).
+            // An L1 mechanism can never take the L2 credit.
             val s = if (rho.isInfinite || sens.isZero) 0.0
-              else sens.toDouble / math.sqrt(2.0 * (rho / Rat(parts)).toDouble)
+              else sens.l1.toDouble / math.sqrt(2.0 * (rho / Rat(parts)).toDouble)
             if (integer) NoiseMechanism.Geometric(s) else NoiseMechanism.Laplace(s)
           case _ =>
+            // sigma^2 = Delta_2^2 / (2 rho); the SQUARED sensitivity is an
+            // exact rational even when the bound itself is irrational
+            // (r * sqrt(g)), so no ceil is needed and the scale matches the
+            // reference's symbolic calibration exactly
             val s2 = if (rho.isInfinite || sens.isZero) 0.0
-              else {
-                val d = sens.toDouble
-                d * d / (2.0 * (rho / Rat(parts)).toDouble)
-              }
+              else (sens.sq / (Rat(2) * (rho / Rat(parts)))).toDouble
             if (integer) NoiseMechanism.DiscreteGaussian(s2)
             else NoiseMechanism.Gaussian(s2)
         }
@@ -482,14 +504,15 @@ final class MeasurementPlanner(
     * direct under PureDP/ApproxDP; via eps = sqrt(8 rho) under zCDP (the
     * exponential mechanism satisfies eps^2/8-zCDP).
     */
-  private def exponentialEpsilon(sens: Rat): Double = budget match {
+  private def exponentialEpsilon(sens: Sens): Double = budget match {
+    // the exponential mechanism is an eps-DP primitive — always L1
     case PureDPBudget(eps) =>
-      if (eps.isInfinite) Double.PositiveInfinity else eps.toDouble / sens.toDouble
+      if (eps.isInfinite) Double.PositiveInfinity else eps.toDouble / sens.l1.toDouble
     case ApproxDPBudget(eps, _) =>
-      if (eps.isInfinite) Double.PositiveInfinity else eps.toDouble / sens.toDouble
+      if (eps.isInfinite) Double.PositiveInfinity else eps.toDouble / sens.l1.toDouble
     case RhoZCDPBudget(rho) =>
       if (rho.isInfinite) Double.PositiveInfinity
-      else math.sqrt(8.0 * rho.toDouble) / sens.toDouble
+      else math.sqrt(8.0 * rho.toDouble) / sens.l1.toDouble
   }
 
   /** Budget actually charged for noise-addition queries: ApproxDP charges

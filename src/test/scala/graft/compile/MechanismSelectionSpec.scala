@@ -93,9 +93,10 @@ class MechanismSelectionSpec extends SparkSpec {
     // no per-group ROW bound needed even though this is a grouped agg
     assert(idSess(PureDPBudget(Rat.Inf)).noiseInfo(q, eps).head.mechanism
       === Geometric(4.0))
-    // zCDP: L2 across the <=2 touched groups -> ceil(sqrt(2)) = 2 at
-    // rho 0.5 -> sigma^2 = sens^2/(2 rho) = 4
+    // zCDP: L2 across the <=2 touched groups -> Delta_2 = sqrt(2), carried
+    // as the exact square 2 (no ceil) -> sigma^2 = Delta_2^2/(2 rho) = 2,
+    // matching the reference's symbolic calibration
     assert(idSess(RhoZCDPBudget(Rat.Inf)).noiseInfo(q, rho).head.mechanism
-      === DiscreteGaussian(4.0))
+      === DiscreteGaussian(2.0))
   }
 }

@@ -78,6 +78,45 @@ class IdsNoiseScaleSpec extends SparkSpec {
     }
   }
 
+  test("L0 x L-inf: PureDP scales multiply groups and rows-per-group " +
+      "(test_l0_linf_truncation.py test_noise_scale_puredp)") {
+    val keys = KeySet.fromColumn("n", Seq(2L, 3L, 5L))
+    def q(g: Int, r: Int) = QueryBuilder("id_a1")
+      .enforce(graft.constraints.MaxGroupsPerID("n", g))
+      .enforce(graft.constraints.MaxRowsPerGroupPerID("n", r))
+    assert(scales(zcdp = false, q(1, 1).count(), PureDPBudget(1.0)) === Seq(1.0))
+    assert(scales(zcdp = false, q(1, 1).groupby(keys).count(), PureDPBudget(1.0))
+      === Seq(1.0))
+    assert(scales(zcdp = false, q(2, 1).count(), PureDPBudget(1.0)) === Seq(2.0))
+    assert(scales(zcdp = false, q(2, 1).groupby(keys).count(), PureDPBudget(1.0))
+      === Seq(2.0))
+    // average (0,10): dev-sum sens 5*g*r at eps/2, count sens g*r at eps/2
+    assert(scales(zcdp = false, q(2, 3).average("float_n", 0, 10), PureDPBudget(1.0))
+      === Seq(60.0, 12.0))
+  }
+
+  test("L0 x L-inf: zCDP grouped on the constraint column earns the sqrt(g) " +
+      "L2 credit (test_l0_linf_truncation.py test_noise_scale_zcdp)") {
+    val keys = KeySet.fromColumn("n", Seq(2L, 3L, 5L))
+    def q(g: Int, r: Int) = QueryBuilder("id_a1")
+      .enforce(graft.constraints.MaxGroupsPerID("n", g))
+      .enforce(graft.constraints.MaxRowsPerGroupPerID("n", r))
+    assert(scales(zcdp = true, q(1, 1).count(), RhoZCDPBudget(1.0)) === Seq(0.5))
+    assert(scales(zcdp = true, q(1, 1).groupby(keys).count(), RhoZCDPBudget(1.0))
+      === Seq(0.5))
+    // ungrouped: L1 distance g*r = 2 -> sigma^2 = 4/2 = 2
+    assert(scales(zcdp = true, q(2, 1).count(), RhoZCDPBudget(1.0)) === Seq(2.0))
+    // grouped on the constraint column: L2 distance r*sqrt(g) -> sigma^2 = 1
+    assert(scales(zcdp = true, q(2, 1).groupby(keys).count(), RhoZCDPBudget(1.0))
+      === Seq(1.0))
+    // average (0,10) g=2 r=3, parts at rho/2: ungrouped [900, 36],
+    // grouped with the credit [450, 18]
+    assert(scales(zcdp = true, q(2, 3).average("float_n", 0, 10), RhoZCDPBudget(1.0))
+      === Seq(900.0, 36.0))
+    assert(scales(zcdp = true, q(2, 3).groupby(keys).average("float_n", 0, 10),
+      RhoZCDPBudget(1.0)) === Seq(450.0, 18.0))
+  }
+
   test("grouped count after truncation keeps the same scale (keyset join " +
       "does not change sensitivity)") {
     val keys = KeySet.fromColumn("n", Seq(2L, 3L, 5L))

@@ -471,11 +471,12 @@ class SessionSpec extends SparkSpec {
     val infoZ = sz.noiseInfo(QueryBuilder("t").count(), RhoZCDPBudget(0.5))
     assert(infoZ.head.mechanism === NoiseMechanism.DiscreteGaussian(36.0))
     // zCDP grouped BY the protected change's column: per-group structure
-    // aligns, L2 = ceil(3*sqrt(2)) = 5 -> sigma^2 = 25/(2*0.5) = 25
+    // aligns, Delta_2 = 3*sqrt(2) carried as the exact square 18 (no ceil)
+    // -> sigma^2 = 18/(2*0.5) = 18, the reference's symbolic calibration
     val keys = KeySet.fromColumn("flag", Seq("A", "B"))
     val infoG = sz.noiseInfo(QueryBuilder("t").groupby(keys).count(),
       RhoZCDPBudget(0.5))
-    assert(infoG.head.mechanism === NoiseMechanism.DiscreteGaussian(25.0))
+    assert(infoG.head.mechanism === NoiseMechanism.DiscreteGaussian(18.0))
   }
 
   test("accountant tree: later sibling retires earlier; parent retires children") {
