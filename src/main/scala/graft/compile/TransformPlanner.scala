@@ -46,8 +46,10 @@ final class TransformPlanner(
       val t = catalog.privateTables(id)
       val metric = Metric.fromProtectedChange(t.protectedChange, budget) match {
         case RowsMetric(d, l2) =>
+          // the credit is a SQUARED L2 bound: a linear row-stability factor
+          // scales it quadratically
           RowsMetric(d * t.viewStability,
-            l2.map { case (c, v) => c -> v * t.viewStability })
+            l2.map { case (c, v) => c -> v * t.viewStability * t.viewStability })
         case m: IDsMetric => m
       }
       TransformOut(t.df, expr.schema(cat), metric, t.constraints)
@@ -333,10 +335,12 @@ final class TransformPlanner(
           case RowsMetric(d, l2) =>
             // with augment the grouping column survives and each changed
             // input row yields <= maxRows outputs in ITS group, so the L2
-            // credit scales by maxRows; without augment the output need not
-            // preserve any per-group structure — drop the credit
+            // bound scales by maxRows — and its carried SQUARE by maxRows^2;
+            // without augment the output need not preserve any per-group
+            // structure — drop the credit
             RowsMetric(d * Rat(maxRows),
-              if (augment) l2.map { case (c2, v) => c2 -> v * Rat(maxRows) }
+              if (augment)
+                l2.map { case (c2, v) => c2 -> v * Rat(maxRows) * Rat(maxRows) }
               else None)
           case m: IDsMetric => m // per-ID distance unchanged
         }

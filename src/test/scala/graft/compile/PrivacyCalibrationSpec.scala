@@ -56,6 +56,30 @@ class PrivacyCalibrationSpec extends SparkSpec {
       === Geometric(4.0))
   }
 
+  test("squared L2 credits scale QUADRATICALLY through row-stability factors") {
+    import graft.accounting.AddMaxRowsInMaxGroups
+    import graft.types.ColumnDescriptor
+    // base: AddMaxRowsInMaxGroups(g=2, r=1) -> Delta_2^2 = 2; an augmenting
+    // flatMap(maxRows = 2) doubles the L2 bound, so the square quadruples:
+    // Delta_2^2 = 8 -> sigma^2 = 8/(2*0.5) = 8. A linear (buggy) credit
+    // scale would give 4.
+    val df = makeDf(StructType(Seq(strCol("grp"), longCol("v"))), Seq(Row("a", 1L)))
+    val s = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df,
+      AddMaxRowsInMaxGroups("grp", maxGroups = 2, maxRowsPerGroup = 1))
+    val keys = KeySet.fromColumn("grp", Seq("a", "b"))
+    val q = QueryBuilder("t")
+      .flatMap(r => Seq(r, r), Seq("x" -> ColumnDescriptor(graft.types.ColumnType.Integer)),
+        maxRows = 2, augment = true)
+      .groupby(keys).count()
+    assert(s.noiseInfo(q, rho).head.mechanism === DiscreteGaussian(8.0))
+    // and the L1 path sees distance 2*2 = 4: Laplace hint at eps=1 -> scale 4
+    val qL = QueryBuilder("t")
+      .flatMap(r => Seq(r, r), Seq("x" -> ColumnDescriptor(graft.types.ColumnType.Integer)),
+        maxRows = 2, augment = true)
+      .groupby(keys).count(mechanism = MechanismHint.Laplace)
+    assert(s.noiseInfo(qL, rho).head.mechanism === Geometric(4.0))
+  }
+
   test("AddMaxRowsInMaxGroups: L2 credit needs Gaussian family AND matching group-by") {
     import graft.accounting.AddMaxRowsInMaxGroups
     // protected change: up to 1 row in each of up to 4 groups of g ->
