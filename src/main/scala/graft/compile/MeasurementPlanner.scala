@@ -77,8 +77,11 @@ final class MeasurementPlanner(
     // with the remainder on the discovered keys (reference
     // _split_auto_partition_budget, _base_measurement_visitor.py:343-364,
     // run as an adaptive composition :421-510).
-    case agg: GroupByAgg if isDetect(agg.keys) =>
-      val cols = agg.keys.columns
+    case agg: GroupByAgg if detectLeaves(agg.keys.op).nonEmpty =>
+      val leaves = detectLeaves(agg.keys.op)
+      require(leaves.size == 1,
+        "a group-by keyset may contain at most one detect(...) leaf")
+      val cols = leaves.head.columns
       val (selBudget, aggBudget) = budget match {
         case ApproxDPBudget(eps, delta) =>
           (ApproxDPBudget(eps / Rat(2), delta), ApproxDPBudget(eps / Rat(2), Rat.zero))
@@ -92,7 +95,12 @@ final class MeasurementPlanner(
       val selOut = new MeasurementPlanner(catalog, selBudget, spark)
         .compile(GetGroups(agg.child, cols))
       val discovered = MeasurementPlanner.releaseOnce(selOut.df, selOut.noise)
-      val bound = KeySet.fromDataFrame(discovered)
+      // substitute the discovered keys for the detect leaf and evaluate the
+      // REST of the keyset plan as ordinary post-processing of the release
+      // (reference KeySetPlan: cross/join/filter/... compose around the
+      // detect, _keyset.py:622-837)
+      val bound = KeySet(substituteDetect(agg.keys.op,
+        KeySet.fromDataFrame(discovered).op))
       val inner = new MeasurementPlanner(catalog, aggBudget, spark)
         .compile(withKeys(agg, bound))
       MeasureOut(inner.df, inner.noise, budget)
@@ -326,9 +334,39 @@ final class MeasurementPlanner(
 
   // -------------------------------------------------------------- internals
 
-  private def isDetect(ks: KeySet): Boolean = ks.op match {
-    case graft.keyset.KeySetOp.Detect(_) => true
-    case _                               => false
+  private def detectLeaves(
+      op: graft.keyset.KeySetOp): Seq[graft.keyset.KeySetOp.Detect] = {
+    import graft.keyset.KeySetOp._
+    op match {
+      case d: Detect         => Seq(d)
+      case Cross(l, r)       => detectLeaves(l) ++ detectLeaves(r)
+      case Join(l, r)        => detectLeaves(l) ++ detectLeaves(r)
+      case Union(l, r)       => detectLeaves(l) ++ detectLeaves(r)
+      case Subtract(l, r)    => detectLeaves(l) ++ detectLeaves(r)
+      case Project(c, _)     => detectLeaves(c)
+      case KFilter(c, _)     => detectLeaves(c)
+      case _                 => Nil
+    }
+  }
+
+  private def substituteDetect(
+      op: graft.keyset.KeySetOp,
+      replacement: graft.keyset.KeySetOp): graft.keyset.KeySetOp = {
+    import graft.keyset.KeySetOp._
+    op match {
+      case _: Detect      => replacement
+      case Cross(l, r)    => Cross(substituteDetect(l, replacement),
+        substituteDetect(r, replacement))
+      case Join(l, r)     => Join(substituteDetect(l, replacement),
+        substituteDetect(r, replacement))
+      case Union(l, r)    => Union(substituteDetect(l, replacement),
+        substituteDetect(r, replacement))
+      case Subtract(l, r) => Subtract(substituteDetect(l, replacement),
+        substituteDetect(r, replacement))
+      case Project(c, p)  => Project(substituteDetect(c, replacement), p)
+      case KFilter(c, f)  => KFilter(substituteDetect(c, replacement), f)
+      case other          => other
+    }
   }
 
   private def withKeys(agg: GroupByAgg, ks: KeySet): GroupByAgg = agg match {

@@ -447,6 +447,43 @@ class SessionSpec extends SparkSpec {
     intercept[IllegalStateException] { KeySet.detect("flag").dataframe(spark) }
   }
 
+  test("detect composes with the keyset algebra like a KeySetPlan " +
+      "(reference _keyset.py:622-837)") {
+    val inf = ApproxDPBudget(Rat.Inf, Rat.zero)
+    // detect("flag") crossed with a literal domain: the detected {A, B}
+    // cross {1, 2} gives four groups; counts follow the flag totals
+    val s = Session.fromDataFrame(spark, inf, "t", df, AddOneRow())
+    val keys = KeySet.detect("flag") * KeySet.fromColumn("bucket", Seq(1L, 2L))
+    val q = QueryBuilder("t")
+      .map(r => Map("bucket" -> (if (r("qty").asInstanceOf[Long] <= 2L) 1L else 2L)),
+        Seq("bucket" -> graft.types.ColumnDescriptor(graft.types.ColumnType.Integer)),
+        augment = true)
+      .groupby(keys).count()
+    val out = s.evaluate(q, inf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("A", 1L) -> 2L, ("A", 2L) -> 1L,
+      ("B", 1L) -> 0L, ("B", 2L) -> 3L))
+    // detect then filter: the released domain is post-processed
+    val s2 = Session.fromDataFrame(spark, inf, "t", df, AddOneRow())
+    val filtered = s2.evaluate(
+      QueryBuilder("t").groupby(KeySet.detect("flag").filter("flag = 'A'")).count(),
+      inf).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(filtered === Map("A" -> 3L))
+    // detect then subtract a literal keyset
+    val s3 = Session.fromDataFrame(spark, inf, "t", df, AddOneRow())
+    val subtracted = s3.evaluate(
+      QueryBuilder("t").groupby(
+        KeySet.detect("flag").subtract(KeySet.fromColumn("flag", Seq("B")))).count(),
+      inf).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(subtracted === Map("A" -> 3L))
+    // at most one detect leaf per keyset plan
+    intercept[IllegalArgumentException] {
+      Session.fromDataFrame(spark, inf, "t", df, AddOneRow()).evaluate(
+        QueryBuilder("t").groupby(KeySet.detect("flag") * KeySet.detect("qty"))
+          .count(), inf)
+    }
+  }
+
   test("null is a valid group-by key on both sides") {
     val dfn = makeDf(StructType(Seq(strCol("flag"), longCol("qty"))),
       Seq(Row("A", 1L), Row(null, 2L), Row(null, 3L), Row("B", 4L)))
