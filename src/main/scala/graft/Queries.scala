@@ -429,6 +429,22 @@ object Queries {
         read(s, d, "lineitem"), AddOneRow())
         .evaluate(QueryBuilder("lineitem").groupby(flagKeys)
           .sum("l_quantity", 0.0, 50.0), RhoZCDPBudget(Rat.Inf))),
+    "q79_detect_composed" -> ((s, d) =>
+      // KeySetPlan composition: the detected event-type domain, minus one
+      // literal key, crossed with a public bucket domain — detection runs
+      // once (plan-only leaf), the algebra post-processes the release
+      Session.fromDataFrame(s, InfApprox, "events", read(s, d, "events"), AddOneRow())
+        .evaluate(
+          QueryBuilder("events")
+            .map(r => Map("bucket" -> r("event_id").asInstanceOf[Long] % 2),
+              Seq("bucket" -> ColumnDescriptor(ColumnType.Integer)),
+              augment = true)
+            .groupby(
+              KeySet.detect("event_type")
+                .subtract(KeySet.fromColumn("event_type", Seq("purchase")))
+                * KeySet.fromColumn("bucket", Seq(0L, 1L)))
+            .count(),
+          InfApprox)),
     "q52_join_public_left" -> ((s, d) => {
       val sess = new Session.Builder().withPrivacyBudget(Inf)
         .withPrivateDataFrame("orders", read(s, d, "orders"), AddOneRow())
@@ -961,6 +977,20 @@ object Queries {
         |  AS tokens_sum FROM documents""".stripMargin,
     "q38_auto_partition" ->
       "SELECT event_type, CAST(count(*) AS BIGINT) AS count FROM events GROUP BY 1",
+    // composed detect: detected event types (all observed, noiseless
+    // threshold) minus 'purchase', crossed with bucket {0,1}; absent cells
+    // zero-fill
+    "q79_detect_composed" ->
+      """WITH det AS (SELECT DISTINCT event_type FROM events
+        |             WHERE event_type <> 'purchase'),
+        |keys AS (SELECT event_type, b.bucket FROM det
+        |         CROSS JOIN (VALUES (0), (1)) b(bucket)),
+        |c AS (SELECT event_type, event_id % 2 AS bucket, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT k.event_type AS event_type, CAST(k.bucket AS BIGINT) AS bucket,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS count
+        |FROM keys k LEFT JOIN c
+        |  ON k.event_type = c.event_type AND k.bucket = c.bucket""".stripMargin,
     "q39_zcdp_sum" ->
       s"""SELECT k.l_returnflag AS l_returnflag, coalesce(t.s, 0.0) AS l_quantity_sum
          |FROM (VALUES ('A'), ('N'), ('R')) k(l_returnflag)
