@@ -117,6 +117,48 @@ class IdsNoiseScaleSpec extends SparkSpec {
       RhoZCDPBudget(1.0)) === Seq(450.0, 18.0))
   }
 
+  private def gdf = makeDf(
+    StructType(Seq(longCol("id"), strCol("group"), strCol("group2"))),
+    Seq(Row(1L, "A", "X"), Row(1L, "A", "Y"), Row(2L, "B", "X")))
+
+  private def gsess(zcdp: Boolean) = Session.fromDataFrame(spark,
+    if (zcdp) RhoZCDPBudget(Rat.Inf) else PureDPBudget(Rat.Inf),
+    "id_a1", gdf, AddRowsWithID("id"))
+
+  test("constraint selection picks the lowest-noise truncation " +
+      "(test_constraint_selection_puredp)") {
+    val keys = KeySet.fromColumn("group", Seq("A", "B"))
+    val keys2 = KeySet.fromColumn("group2", Seq("X", "Y"))
+    def base(r: Int) = QueryBuilder("id_a1").enforce(MaxRowsPerID(5))
+      .enforce(graft.constraints.MaxGroupsPerID("group", 2))
+      .enforce(graft.constraints.MaxRowsPerGroupPerID("group", r))
+    def sc(q: graft.ir.Query): Seq[Double] =
+      gsess(zcdp = false).noiseInfo(q, PureDPBudget(1.0)).map(_.mechanism.scale)
+    // {5, 2x3}: min(5, 6) = 5 everywhere
+    assert(sc(base(3).count()) === Seq(5.0))
+    assert(sc(base(3).groupby(keys).count()) === Seq(5.0))
+    // {5, 2x2}: min(5, 4) = 4, grouped or not
+    assert(sc(base(2).groupby(keys).count()) === Seq(4.0))
+    assert(sc(base(2).groupby(keys2).count()) === Seq(4.0))
+  }
+
+  test("constraint selection under zCDP compares SQUARED L2 bounds " +
+      "(test_constraint_selection_zcdp)") {
+    val keys = KeySet.fromColumn("group", Seq("A", "B"))
+    val keys2 = KeySet.fromColumn("group2", Seq("X", "Y"))
+    def base = QueryBuilder("id_a1").enforce(MaxRowsPerID(5))
+      .enforce(graft.constraints.MaxGroupsPerID("group", 2))
+      .enforce(graft.constraints.MaxRowsPerGroupPerID("group", 3))
+    def sc(q: graft.ir.Query): Seq[Double] =
+      gsess(zcdp = true).noiseInfo(q, RhoZCDPBudget(1.0)).map(_.mechanism.scale)
+    // ungrouped: min(5^2, 6^2) = 25 -> sigma^2 = 25/2
+    assert(sc(base.count()) === Seq(12.5))
+    // grouped on the pair's column: min(25, 3^2*2 = 18) = 18 -> sigma^2 = 9
+    assert(sc(base.groupby(keys).count()) === Seq(9.0))
+    // grouped on an unrelated column: no credit -> min(25, 36) -> 12.5
+    assert(sc(base.groupby(keys2).count()) === Seq(12.5))
+  }
+
   test("grouped count after truncation keeps the same scale (keyset join " +
       "does not change sensitivity)") {
     val keys = KeySet.fromColumn("n", Seq(2L, 3L, 5L))
