@@ -86,4 +86,33 @@ class FlatMapByIdSpec extends SparkSpec {
     assert(out.columns.toMap.apply("v").allowNull)
     assert(out.columns.map(_._1).contains("id"))
   }
+
+  test("emitted nulls, NaNs, and infinities flow through declared-special " +
+      "columns (test_nulls_nans_infs_allowed)") {
+    // one user's lambda emits a special value per row; the declared schema
+    // admits them, so counts see every row and a replace+sum can use them
+    def q(v: Long => Any) = QueryBuilder("t")
+      .flatMapByID(rs => rs.map(r =>
+          Map("v" -> v(r("id").asInstanceOf[Long]))),
+        Seq("v" -> ColumnDescriptor(ColumnType.Decimal,
+          allowNull = true, allowNaN = true, allowInf = true)))
+      .enforce(MaxRowsPerID(10))
+    def count(f: Long => Any): Long =
+      sess.evaluate(q(f).count(), Inf).collect().head.getLong(0)
+    assert(count(id => if (id == 1L) null else 1.0) === 4L)
+    assert(count(id => if (id == 1L) Double.NaN else 1.0) === 4L)
+    assert(count(id => if (id == 1L) Double.PositiveInfinity else 1.0) === 4L)
+    // replace handles each special kind before a clamped sum: user 1's two
+    // rows become 0, the other two rows contribute 1 each
+    val replaced = sess.evaluate(
+      q(id => if (id == 1L) Double.NaN else 1.0)
+        .replaceNullAndNan(Map("v" -> 0.0)).sum("v", 0.0, 1.0, "s"), Inf)
+      .collect().head.getDouble(0)
+    assert(replaced === 2.0)
+    val infReplaced = sess.evaluate(
+      q(id => if (id == 1L) Double.PositiveInfinity else 1.0)
+        .replaceInfinity(Map("v" -> (0.0, 0.0))).sum("v", 0.0, 1.0, "s"), Inf)
+      .collect().head.getDouble(0)
+    assert(infReplaced === 2.0)
+  }
 }
