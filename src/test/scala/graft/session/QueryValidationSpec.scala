@@ -247,6 +247,49 @@ class QueryValidationSpec extends SparkSpec {
       .evaluate(QueryBuilder("table_2").count(), Inf)
   }
 
+  test("a renamed grouping column is still mandatory in the group-by " +
+      "(test_invalid_grouping_with_view)") {
+    import graft.types.{ColumnDescriptor, ColumnType}
+    val s = rows()
+    s.createView(
+      QueryBuilder("t").flatMap(
+        r => Seq(Map("Repeat" -> (if (r("flag") == "A") 1L else 2L))),
+        Seq("Repeat" -> ColumnDescriptor(ColumnType.Integer)),
+        maxRows = 1, augment = true, grouping = true)
+        .rename(Map("Repeat" -> "repeated")),
+      "grouping_flatmap_renamed", cache = false)
+    // grouping column follows the rename: a groupby on flag alone fails...
+    val e = intercept[IllegalArgumentException] {
+      s.evaluate(QueryBuilder("grouping_flatmap_renamed")
+        .groupby(KeySet.fromColumn("flag", Seq("A", "B")))
+        .sum("qty", 0, 3), Inf)
+    }
+    assert(e.getMessage.contains("repeated"))
+    // ...and including the renamed column succeeds
+    s.evaluate(QueryBuilder("grouping_flatmap_renamed")
+      .groupby(KeySet.fromColumn("repeated", Seq(1L, 2L)))
+      .sum("qty", 0, 3), Inf)
+  }
+
+  test("stacking two grouping transformations is rejected " +
+      "(test_invalid_double_grouping_with_view)") {
+    import graft.types.{ColumnDescriptor, ColumnType}
+    val s = rows()
+    val first = QueryBuilder("t").flatMap(
+      _ => Seq(Map("g1" -> 1L)),
+      Seq("g1" -> ColumnDescriptor(ColumnType.Integer)),
+      maxRows = 1, augment = true, grouping = true)
+    s.createView(first, "grouped_once", cache = false)
+    val e = intercept[IllegalArgumentException] {
+      s.evaluate(QueryBuilder("grouped_once").flatMap(
+        _ => Seq(Map("g2" -> 1L)),
+        Seq("g2" -> ColumnDescriptor(ColumnType.Integer)),
+        maxRows = 1, augment = true, grouping = true)
+        .groupby(KeySet.fromColumn("g2", Seq(1L))).count(), Inf)
+    }
+    assert(e.getMessage.contains("grouping"))
+  }
+
   test("unsupported column types are rejected with the column named") {
     import org.apache.spark.sql.types._
     val arrDf = makeDf(StructType(Seq(
