@@ -197,6 +197,31 @@ class IdsSystemSpec extends SparkSpec {
       assert(math.abs(sd(k) - math.sqrt(v(k))) < 1e-9)
   }
 
+  test("filter and map can read the id column (test_filter_on_id_col / " +
+      "test_map_on_id_col)") {
+    // filter on the id column composes with enforcement
+    def count(cond: String): Long = ids().evaluate(
+      QueryBuilder("t").enforce(MaxRowsPerID(100)).filter(cond).count(), Inf)
+      .collect().head.getLong(0)
+    assert(count("uid = 1") === 3L)
+    assert(count("uid > 2") === 5L)
+    assert(count("uid = 99") === 0L)
+    // map derives a new column FROM the id column (reference expected sums
+    // over ids {1,1,1,2,2,3,4,4,4,4}): sum(id) per row, sum(id*2), and
+    // conditional projections
+    def mapSum(f: Long => Long): Double = ids().evaluate(
+      QueryBuilder("t").enforce(MaxRowsPerID(100))
+        .map(r => Map("new" -> f(r("uid").asInstanceOf[Long])),
+          Seq("new" -> graft.types.ColumnDescriptor(graft.types.ColumnType.Integer)),
+          augment = true)
+        .sum("new", 0, 1000, "s"), Inf)
+      .collect().head.getLong(0).toDouble
+    assert(mapSum(identity) === 26.0) // 1*3 + 2*2 + 3 + 4*4
+    assert(mapSum(_ * 2) === 52.0)
+    assert(mapSum(id => if (id == 9L) id else 0L) === 0.0)
+    assert(mapSum(id => if (id == 1L) id else 0L) === 3.0)
+  }
+
   test("clamping applies before summation on IDs tables too") {
     // clamp [0, 30]: north 10+20+30+5+15+25+30 = 135? no — clamp caps each
     // row at 30: north rows 10,20,40->30,5,15,25,35->30 = 135; south
