@@ -60,6 +60,47 @@ class BudgetEqualitySpec extends AnyFunSuite {
     assert(m(RhoZCDPBudget(Rat(1, 1))) === "z")
   }
 
+  test("the reference's full cross-kind equality table " +
+      "(test_privacy_budget.py:290-345)") {
+    val inf = Double.PositiveInfinity
+    val cases: Seq[(PrivacyBudget, PrivacyBudget, Boolean)] = Seq(
+      (PureDPBudget(1.0), PureDPBudget(1.0), true),
+      (PureDPBudget(1.0), PureDPBudget(2.0), false),
+      (PureDPBudget(1.0), ApproxDPBudget(1.0, 1e-10), false),
+      (PureDPBudget(1.0), RhoZCDPBudget(1.0), false),
+      // even delta = 0 does not identify ApproxDP with PureDP
+      (PureDPBudget(1.0), ApproxDPBudget(1.0, 0.0), false),
+      (ApproxDPBudget(1.0, 1e-10), ApproxDPBudget(1.0, 1e-10), true),
+      (ApproxDPBudget(1.0, 1e-10), ApproxDPBudget(2.0, 1e-10), false),
+      (ApproxDPBudget(1.0, 1e-10), ApproxDPBudget(1.0, 1e-11), false),
+      (ApproxDPBudget(1.0, 0.0), PureDPBudget(1.0), false),
+      (RhoZCDPBudget(1.0), RhoZCDPBudget(1.0), true),
+      (RhoZCDPBudget(1.0), RhoZCDPBudget(2.0), false),
+      (RhoZCDPBudget(1.0), PureDPBudget(1.0), false),
+      (RhoZCDPBudget(1.0), ApproxDPBudget(1.0, 1e-10), false),
+      (PureDPBudget(inf), PureDPBudget(inf), true),
+      (PureDPBudget(1.0), PureDPBudget(inf), false),
+      // every infinite ApproxDP budget is one budget
+      (ApproxDPBudget(inf, 1.0), ApproxDPBudget(inf, 1.0), true),
+      (ApproxDPBudget(1.0, 1.0), ApproxDPBudget(inf, 1.0), true),
+      (ApproxDPBudget(0.0, 1.0), ApproxDPBudget(inf, 1.0), true),
+      (RhoZCDPBudget(inf), RhoZCDPBudget(inf), true),
+      (RhoZCDPBudget(1.0), RhoZCDPBudget(inf), false),
+      // int-vs-float construction paths compare equal
+      (PureDPBudget(1.0), PureDPBudget(Rat(1)), true),
+      (PureDPBudget(1.0), PureDPBudget(1.1), false),
+      // 0.25 is exact in binary, so the Rat and Double paths coincide
+      // (0.01 would NOT: Rat(0.01) is the binary double's exact value,
+      // deliberately different from 1/100 — see BudgetSpec)
+      (ApproxDPBudget(Rat.one, Rat(1, 4)), ApproxDPBudget(1.0, 0.25), true),
+      (RhoZCDPBudget(1.0), RhoZCDPBudget(Rat(1)), true))
+    for (((a, b, expect), i) <- cases.zipWithIndex) {
+      assert((a == b) === expect, s"case $i: $a == $b")
+      assert((b == a) === expect, s"case $i sym: $b == $a")
+      if (expect) assert(a.hashCode === b.hashCode, s"case $i hash")
+    }
+  }
+
   test("construction rejects negatives, NaN, and delta outside [0, 1]") {
     intercept[IllegalArgumentException] { PureDPBudget(-1.0) }
     intercept[IllegalArgumentException] { PureDPBudget(Double.NaN) }
