@@ -39,6 +39,17 @@ object KeySetOp {
   final case class Join(left: KeySetOp, right: KeySetOp) extends KeySetOp {
     val common: Seq[String] = left.columns.intersect(right.columns)
     require(common.nonEmpty, "join requires at least one common column")
+    // mismatched join-column types fail eagerly with the column named, not
+    // as an executor-side analysis error (reference _ops/_join.py: "join
+    // column A does not have the same type")
+    common.foreach { c =>
+      val (lt, rt) = (left.schema(left.schema.fieldIndex(c)).dataType,
+        right.schema(right.schema.fieldIndex(c)).dataType)
+      require(lt == rt || lt == org.apache.spark.sql.types.NullType ||
+        rt == org.apache.spark.sql.types.NullType,
+        s"join column '$c' does not have the same type on both sides " +
+          s"($lt vs $rt)")
+    }
     def columns: Seq[String] =
       left.columns ++ right.columns.filterNot(common.contains)
     def schema: StructType = StructType(
@@ -60,6 +71,8 @@ object KeySetOp {
   final case class Project(child: KeySetOp, cols: Seq[String]) extends KeySetOp {
     require(cols.nonEmpty && cols.forall(child.columns.contains),
       s"projection columns $cols not all present in ${child.columns}")
+    require(cols.distinct == cols,
+      s"duplicate columns in projection: $cols (reference _ops/_project.py)")
     def columns: Seq[String] = cols
     def schema: StructType =
       StructType(cols.map(c => child.schema(child.schema.fieldIndex(c))))

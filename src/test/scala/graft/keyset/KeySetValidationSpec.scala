@@ -104,6 +104,18 @@ class KeySetValidationSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- projection
 
+  test("join-column type mismatches and duplicate projections fail eagerly " +
+      "(reference test_join.py / test_project.py invalid cases)") {
+    val longs = KeySet.fromColumn("A", Seq(1L, 2L))
+    val strs = KeySet.fromDict(Seq("A" -> Seq("x"), "B" -> Seq("y")))
+    val e = intercept[IllegalArgumentException] { longs.join(strs) }
+    assert(e.getMessage.contains("A") && e.getMessage.contains("type"))
+    val dup = intercept[IllegalArgumentException] { strs.project(Seq("A", "A")) }
+    assert(dup.getMessage.toLowerCase.contains("duplicate"))
+    // a detect leaf (NullType placeholder) still joins against anything
+    KeySet.detect("A").join(longs)
+  }
+
   test("projection selects columns, deduplicates, and validates names") {
     val ks = KeySet.fromDict(Seq("A" -> Seq("x", "y"), "B" -> Seq(0L, 1L)))
     assert(ks("A").columns === Seq("A"))
