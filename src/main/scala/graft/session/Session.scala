@@ -162,6 +162,21 @@ final class Session private (
     val out = planner.compile(qb.expr)
     val df = if (cache) out.df.persist() else out.df
     val (pc, viewStab) = out.metric match {
+      // a surviving L2 credit factors exactly back into an
+      // AddMaxRowsInMaxGroups declaration: with d = g*r and the squared
+      // credit vSq = r^2*g, g = d^2/vSq and r = vSq/d are integers for
+      // every credit this engine produces (stability factors scale d and
+      // sqrt(vSq) by the same integer), so the view's grouped queries keep
+      // the sqrt(g) credit instead of silently over-noising
+      case RowsMetric(d, Some((c, vSq))) if {
+        val g = d * d / vSq
+        val r = vSq / d
+        !d.isInfinite && g.den == BigInt(1) && r.den == BigInt(1) &&
+          g.num > 0 && r.num > 0 && g.num <= Int.MaxValue && r.num <= Int.MaxValue
+      } =>
+        val g = (d * d / vSq).num.toInt
+        val r = (vSq / d).num.toInt
+        (AddMaxRowsInMaxGroups(c, g, r), Rat.one)
       case RowsMetric(d, _) => (AddMaxRows(1), d) // d already includes the chain
       case IDsMetric(idCol, idSpace, d) =>
         (AddRowsWithID(idCol, idSpace,

@@ -80,6 +80,26 @@ class PrivacyCalibrationSpec extends SparkSpec {
     assert(s.noiseInfo(qL, rho).head.mechanism === Geometric(4.0))
   }
 
+  test("views over credited tables keep the L2 credit " +
+      "(createView reconstructs AddMaxRowsInMaxGroups)") {
+    import graft.accounting.AddMaxRowsInMaxGroups
+    import graft.types.ColumnDescriptor
+    val df = makeDf(StructType(Seq(strCol("grp"), longCol("v"))), Seq(Row("a", 1L)))
+    val s = Session.fromDataFrame(spark, RhoZCDPBudget(Rat.Inf), "t", df,
+      AddMaxRowsInMaxGroups("grp", maxGroups = 2, maxRowsPerGroup = 1))
+    s.createView(QueryBuilder("t")
+      .flatMap(r => Seq(r, r), Seq("x" -> ColumnDescriptor(graft.types.ColumnType.Integer)),
+        maxRows = 2, augment = true),
+      "doubled", cache = false)
+    val keys = KeySet.fromColumn("grp", Seq("a", "b"))
+    // same variance as the inline chain: Delta_2^2 = (1*2)^2 * 2 = 8
+    assert(s.noiseInfo(QueryBuilder("doubled").groupby(keys).count(), rho)
+      .head.mechanism === DiscreteGaussian(8.0))
+    // ungrouped still uses the L1 distance 4 -> sigma^2 = 16
+    assert(s.noiseInfo(QueryBuilder("doubled").count(), rho)
+      .head.mechanism === DiscreteGaussian(16.0))
+  }
+
   test("AddMaxRowsInMaxGroups: L2 credit needs Gaussian family AND matching group-by") {
     import graft.accounting.AddMaxRowsInMaxGroups
     // protected change: up to 1 row in each of up to 4 groups of g ->
