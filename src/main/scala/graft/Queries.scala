@@ -429,6 +429,22 @@ object Queries {
         read(s, d, "lineitem"), AddOneRow())
         .evaluate(QueryBuilder("lineitem").groupby(flagKeys)
           .sum("l_quantity", 0.0, 50.0), RhoZCDPBudget(Rat.Inf))),
+    "q80_ids_partition" -> ((s, d) => {
+      // IDs-table partition_and_create: a loose MaxGroupsPerID on the
+      // partition column (5 = the full type domain, so no rows drop and the
+      // release is deterministic) keeps the children as IDs tables; the
+      // child then counts distinct users via the constrained-ID
+      // optimization (no row constraint needed)
+      val sess = Session.fromDataFrame(s, Inf, "events", read(s, d, "events"),
+        graft.accounting.AddRowsWithID("user_id"))
+      sess.createView(QueryBuilder("events")
+        .enforce(graft.constraints.MaxGroupsPerID("event_type", 5)), "ev",
+        cache = false)
+      val kids = sess.partitionAndCreate("ev", Inf, "event_type",
+        Seq("clicks" -> "click", "views" -> "view"))
+      kids("clicks").evaluate(
+        QueryBuilder("clicks").countDistinct(Seq("user_id"), "users"), Inf)
+    }),
     "q79_detect_composed" -> ((s, d) =>
       // KeySetPlan composition: the detected event-type domain, minus one
       // literal key, crossed with a public bucket domain — detection runs
@@ -977,6 +993,12 @@ object Queries {
         |  AS tokens_sum FROM documents""".stripMargin,
     "q38_auto_partition" ->
       "SELECT event_type, CAST(count(*) AS BIGINT) AS count FROM events GROUP BY 1",
+    // IDs partition: the loose MaxGroupsPerID(5) keeps every row (five
+    // event types exist), so the click child's distinct-user count is the
+    // plain relational answer
+    "q80_ids_partition" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events WHERE event_type = 'click'""".stripMargin,
     // composed detect: detected event types (all observed, noiseless
     // threshold) minus 'purchase', crossed with bucket {0,1}; absent cells
     // zero-fill
