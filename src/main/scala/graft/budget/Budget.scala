@@ -74,6 +74,23 @@ object Rat {
   }
   def apply(n: Long): Rat = apply(BigInt(n), BigInt(1))
 
+  /** A rational UPPER bound on sqrt(r), tight to one part in 2^40. Used
+    * where an irrational stability factor (sqrt(maxGroups) under zCDP
+    * partitioning) must reach an L1-calibrated mechanism: rounding UP errs
+    * toward more noise, never less. Gaussian-family consumers never touch
+    * this — they take the exact square instead.
+    */
+  def sqrtUpper(r: Rat): Rat = {
+    if (r.isInfinite) return Inf
+    require(r >= zero, s"sqrt of negative rational $r")
+    val s = BigInt(1) << 40
+    // sqrt(num/den) = sqrt(num*den)/den <= (floorSqrt(num*den*s^2) + 1)/(den*s)
+    val x = r.num * r.den * s * s
+    val root = BigInt(x.bigInteger.sqrt())
+    val exact = root * root == x
+    Rat(if (exact) root else root + 1, r.den * s)
+  }
+
   /** Exact Double → Rat conversion (every finite double is a rational). */
   def apply(d: Double): Rat = {
     if (d.isPosInfinity) return Inf

@@ -30,9 +30,19 @@ sealed trait Metric extends Serializable {
   */
 final case class RowsMetric(
     distance: Rat, l2Credit: Option[(String, Rat)] = None) extends Metric
-/** AddRemoveKeys: neighboring tables differ by all rows of `distance` IDs. */
-final case class IDsMetric(idColumn: String, idSpace: String, distance: Rat)
-    extends Metric
+/** AddRemoveKeys: neighboring tables differ by all rows of `distance` IDs.
+  * `sqDistance`, when present, is the EXACT square of the true distance —
+  * needed when the distance itself is irrational (a zCDP partition on a
+  * MaxGroupsPerID column scales it by sqrt(g)): `distance` is then a safe
+  * rational OVER-estimate for L1 consumers (Laplace / exponential), while
+  * Gaussian-family calibrations consume the exact square.
+  */
+final case class IDsMetric(
+    idColumn: String, idSpace: String, distance: Rat,
+    sqDistance: Option[Rat] = None) extends Metric {
+  /** Exact squared distance for Gaussian-family calibration. */
+  def sq: Rat = sqDistance.getOrElse(distance * distance)
+}
 
 object Metric {
   /** ProtectedChange -> metric + d_in (reference
@@ -62,13 +72,25 @@ object Metric {
   * `viewStability` is the accumulated row-stability of the transformation
   * that produced a view (1 for base tables): d_in(view) = d_in(base) *
   * viewStability under a rows metric.
+  *
+  * `idDistance`, when present, REPLACES the AddRowsWithID-derived IDs
+  * distance with an exact (L1 bound, exact square) pair. Set by
+  * partition_and_create on a MaxGroupsPerID column — one ID reaches up to g
+  * children that each hold the full budget, so each child's distance is
+  * g*maxIDs (PureDP/ApproxDP) or sqrt(g)*maxIDs (zCDP; the square g*maxIDs^2
+  * is exact, the L1 bound is rounded up) — and by views over IDs tables,
+  * where it preserves the exact pair instead of a ceil-rounded maxIDs
+  * (reference: core AddRemoveKeys output metrics of the partition
+  * transformation; test/system/session/ids/test_partition.py asserts
+  * table_stability 2 and sqrt(2) for g = 2).
   */
 final case class PrivateTable(
     df: DataFrame,
     schema: TableSchema,
     protectedChange: ProtectedChange,
     constraints: Seq[Constraint] = Nil,
-    viewStability: Rat = Rat.one)
+    viewStability: Rat = Rat.one,
+    idDistance: Option[(Rat, Rat)] = None)
 
 final case class Catalog(
     privateTables: Map[String, PrivateTable],

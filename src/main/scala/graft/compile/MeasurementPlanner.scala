@@ -123,8 +123,11 @@ final class MeasurementPlanner(
         // one, so sensitivity is d_in directly (the reference's
         // constrained-count-distinct optimization,
         // _base_measurement_visitor.py:217-300, ungrouped form).
-        case IDsMetric(id, _, d) if countCols == Seq(id) && keys.isEmptyKey =>
-          Some(Sens(d))
+        case m @ IDsMetric(id, _, d, _) if countCols == Seq(id) && keys.isEmptyKey =>
+          // the exact square matters when the distance is irrational
+          // (sqrt(g)*maxIDs from a zCDP partition) — Gaussian consumers take
+          // m.sq, L1 consumers the rounded-up d
+          Some(Sens(d, Some(m.sq)))
         // Grouped form: with MaxGroupsPerID(c, g) enforced and c the single
         // group-by key, one ID changes at most g groups' distinct-ID counts
         // by 1 each — L1 sensitivity g*d_in, or L2 sqrt(g)*d_in when the
@@ -132,12 +135,12 @@ final class MeasurementPlanner(
         // :252-300), carried as the exact square g*d_in^2. A Laplace hint
         // under zCDP lowers to an L1 mechanism, so it must NOT take the
         // sqrt credit.
-        case IDsMetric(id, _, d) if countCols == Seq(id) && keys.columns.size == 1 =>
+        case m @ IDsMetric(id, _, d, _) if countCols == Seq(id) && keys.columns.size == 1 =>
           val c = keys.columns.head
           t.constraints.collect { case MaxGroupsPerID(`c`, g) => g.toLong }
             .minOption.map { g =>
               Sens(d * Rat(g),
-                if (isL2(hint)) Some(d * d * Rat(g)) else None)
+                if (isL2(hint)) Some(m.sq * Rat(g)) else None)
             }
         case _ => None
       }
@@ -448,7 +451,7 @@ final class MeasurementPlanner(
         Sens(m.distance, m.l2Credit.collect {
           case (c, vSq) if l2 && keys.exists(_.columns.contains(c)) => vSq
         })
-      case IDsMetric(_, _, d) =>
+      case m @ IDsMetric(_, _, d, _) =>
         val groups = t.constraints.collect { case MaxGroupsPerID(c, g) => c -> g.toLong }.toMap
         val zcdp = l2 && budget.isInstanceOf[RhoZCDPBudget]
         // per-ID L1 bounds and, for Gaussian consumers grouped on the
@@ -474,7 +477,7 @@ final class MeasurementPlanner(
               "enforced constraint (MaxRowsPerID, or MaxGroupsPerID + " +
               "MaxRowsPerGroupPerID); add .enforce(...) to the query")
         Sens(d * Rat(l1Bounds.min),
-          if (l2SqBounds.isEmpty) None else Some(d * d * Rat(l2SqBounds.min)))
+          if (l2SqBounds.isEmpty) None else Some(m.sq * Rat(l2SqBounds.min)))
     }
 
   /** True iff `hint` will lower to a Gaussian-family mechanism under the

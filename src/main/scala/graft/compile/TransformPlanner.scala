@@ -50,7 +50,11 @@ final class TransformPlanner(
           // scales it quadratically
           RowsMetric(d * t.viewStability,
             l2.map { case (c, v) => c -> v * t.viewStability * t.viewStability })
-        case m: IDsMetric => m
+        case m: IDsMetric => t.idDistance match {
+          // exact override (partitioned child / view): L1 bound + exact square
+          case Some((d, sq)) => m.copy(distance = d, sqDistance = Some(sq))
+          case None          => m
+        }
       }
       TransformOut(t.df, expr.schema(cat), metric, t.constraints)
 
@@ -182,7 +186,9 @@ final class TransformPlanner(
           require(joinCols.contains(lm.idColumn),
             s"IDs private join must include the id column '${lm.idColumn}'")
           val joined = joinFrames(l.df, r.df, l.schema, r.schema, joinCols, "inner")
-          val metric = IDsMetric(lm.idColumn, lm.idSpace, lm.distance.max(rm.distance))
+          // take the farther side's full metric so its exact square (if any)
+          // travels with its L1 bound
+          val metric = if (lm.distance >= rm.distance) lm else rm
           // overlapping non-join columns are suffixed _left/_right by
           // joinFrames; constraints follow (reference propagate_join_private)
           val overlap = l.schema.columnNames.intersect(r.schema.columnNames)

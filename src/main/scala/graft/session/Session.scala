@@ -178,13 +178,20 @@ final class Session private (
         val r = (vSq / d).num.toInt
         (AddMaxRowsInMaxGroups(c, g, r), Rat.one)
       case RowsMetric(d, _) => (AddMaxRows(1), d) // d already includes the chain
-      case IDsMetric(idCol, idSpace, d) =>
+      case IDsMetric(idCol, idSpace, d, _) =>
         (AddRowsWithID(idCol, idSpace,
           if (d >= Rat(Int.MaxValue.toLong)) Int.MaxValue
           else d.ceilLong.max(1L).toInt),
           Rat.one)
     }
-    privateTables(name) = PrivateTable(df, out.schema, pc, out.constraints, viewStab)
+    // IDs views carry the exact (L1, squared) distance pair so a partitioned
+    // parent's sqrt(g) factor survives the view instead of being ceil-rounded
+    val idDist = out.metric match {
+      case m: IDsMetric => Some((m.distance, m.sq))
+      case _            => None
+    }
+    privateTables(name) =
+      PrivateTable(df, out.schema, pc, out.constraints, viewStab, idDist)
     viewNames += name
   }
 
@@ -244,14 +251,35 @@ final class Session private (
         val rowsBound = t.constraints.collectFirst {
           case r: graft.constraints.MaxRowsPerID => r }
         (groupsBound, rowsBound) match {
-          case (Some(_), _) =>
-            // consumed: within a child every ID holds one group value
-            t.copy(constraints = t.constraints.filterNot(_ == groupsBound.get))
+          case (Some(gb), _) =>
+            // consumed: within a child every ID holds one group value. But
+            // one ID reaches up to g = gb.max children, each holding the
+            // full child budget, so each child's IDs distance scales by g
+            // under PureDP/ApproxDP and by sqrt(g) under zCDP (the square
+            // g*maxIDs^2 is exact; the L1 bound is rounded up) — reference
+            // test/system/session/ids/test_partition.py asserts
+            // table_stability 2 and sqrt(2) for g = 2. Leaving the distance
+            // unscaled would under-noise every child query by g (sqrt(g)).
+            val g = Rat(gb.max.toLong)
+            val (d0, sq0) = t.idDistance.getOrElse(
+              (Rat(maxIDs.toLong), Rat(maxIDs.toLong * maxIDs)))
+            val scaled = remaining match {
+              case _: RhoZCDPBudget => (d0 * Rat.sqrtUpper(g), sq0 * g)
+              case _                => (d0 * g, sq0 * g * g)
+            }
+            t.copy(constraints = t.constraints.filterNot(_ == gb),
+              idDistance = Some(scaled))
           case (None, Some(graft.constraints.MaxRowsPerID(k))) =>
+            // rows distance = k * (IDs distance); the distance rides in
+            // viewStability so an already-scaled idDistance (nested
+            // partitioning) is honored exactly
+            val d0 = t.idDistance.map(_._1).getOrElse(Rat(maxIDs.toLong))
             t.copy(
               schema = t.schema.copy(idColumn = None, idSpace = None),
-              protectedChange = AddMaxRows(k * maxIDs),
-              constraints = Nil)
+              protectedChange = AddMaxRows(k),
+              constraints = Nil,
+              viewStability = d0,
+              idDistance = None)
           case _ =>
             throw new IllegalArgumentException(
               "You must create a MaxGroupsPerID or MaxRowsPerID constraint " +

@@ -67,6 +67,45 @@ class IdsPartitionSpec extends SparkSpec {
     assert(c1 === 1L)
   }
 
+  test("children calibrate noise to the scaled IDs distance: g*maxIDs under " +
+      "PureDP, sqrt(g)*maxIDs under zCDP (test_partition.py table_stability)") {
+    // PureDP: one ID reaches up to g = 2 children, each holding the full
+    // budget, so a child count with MaxRowsPerID(1) has sensitivity
+    // g * maxIDs * 1 = 2 -> geometric scale 2 at eps = 1
+    val s = sess()
+    s.createView(QueryBuilder("id_a1").enforce(MaxGroupsPerID("group", 2)),
+      "v", cache = false)
+    val kids = s.partitionAndCreate("v", Inf, "group",
+      Seq("part0" -> "A", "part1" -> "B"))
+    val q = QueryBuilder("part0").enforce(MaxRowsPerID(1)).count()
+    assert(kids("part0").noiseInfo(q, PureDPBudget(1)).head.mechanism
+      === graft.exec.NoiseMechanism.Geometric(2.0))
+
+    // zCDP: the child stability is sqrt(2); the discrete Gaussian consumes
+    // the exact square -> sigma^2 = 2 * 1^2 / (2 * 0.5) = 2
+    val zInf = graft.budget.RhoZCDPBudget(Rat.Inf)
+    val sz = Session.fromDataFrame(spark, zInf, "id_a1", df, AddRowsWithID("id"))
+    sz.createView(QueryBuilder("id_a1").enforce(MaxGroupsPerID("group", 2)),
+      "v", cache = false)
+    val kz = sz.partitionAndCreate("v", zInf, "group",
+      Seq("part0" -> "A", "part1" -> "B"))
+    kz("part0").noiseInfo(QueryBuilder("part0").enforce(MaxRowsPerID(1)).count(),
+      graft.budget.RhoZCDPBudget(Rat(1, 2))).head.mechanism match {
+      case graft.exec.NoiseMechanism.DiscreteGaussian(s2) => assert(s2 === 2.0)
+      case other => fail(s"expected DiscreteGaussian, got $other")
+    }
+    // an L1 mechanism under zCDP takes the rounded-UP sqrt(2) L1 bound:
+    // scale = sqrt(2) * 1 / sqrt(2 * rho) = 2 at rho = 1/4 (up to 2^-40)
+    kz("part0").noiseInfo(
+      QueryBuilder("part0").enforce(MaxRowsPerID(1))
+        .count(mechanism = graft.ir.MechanismHint.Laplace),
+      graft.budget.RhoZCDPBudget(Rat(1, 4))).head.mechanism match {
+      case graft.exec.NoiseMechanism.Geometric(b) =>
+        assert(b >= 2.0 && b < 2.0 + 1e-9)
+      case other => fail(s"expected Geometric, got $other")
+    }
+  }
+
   test("partition without a usable constraint is rejected " +
       "(test_invalid_constraint_partition_and_create)") {
     val s = sess()
