@@ -29,13 +29,21 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir0).count() catch { case _: Throwable => () }
       }
+    // median of 3 timed runs per query: a single run is at the mercy of
+    // machine contention during the harness window (round 4's official bench
+    // read ~8x over a quiet-machine run); the median of three is robust to
+    // one arbitrarily slow outlier while keeping total bench time bounded
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => errors += s"$name: ${e.getMessage}"; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to repeats).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable => errors += s"$name: ${e.getMessage}"; None
+        }
+      }
+      name -> (if (times.size == repeats) times.sorted.apply(repeats / 2) else -1.0)
     }
     // millisecond precision keeps the single JSON line compact enough to
     // survive log-tail capture windows (full doubles pushed it past 4 KB)
@@ -45,11 +53,11 @@ object Bench {
       .mkString("{", ",", "}")
     val good = results.collect { case (_, v) if v >= 0 => v }
     val total = if (good.nonEmpty) good.sum else 0.0
-    val errJson = errors.map(e => "\"" +
+    val errJson = errors.distinct.map(e => "\"" +
       e.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(120) +
       "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes forked stdout with "[info] ", which can defeat a strict
     // line parser — leave an unprefixed copy on disk as well
