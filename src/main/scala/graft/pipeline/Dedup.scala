@@ -58,8 +58,27 @@ object Dedup {
     * this is a no-op).
     */
   private[pipeline] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Estimate the scan's split count from optimizer stats instead of
+    // df.rdd.getNumPartitions: touching .rdd materializes the whole physical
+    // lineage per call just to read a number. Only file scans can arrive
+    // under-partitioned (one split per small file) — in-memory relations and
+    // post-shuffle inputs are already spread across the cluster, so they are
+    // left untouched. bytes / maxPartitionBytes mirrors how FilePartition
+    // packs non-bucketed scans: small files are rebalanced, a 100 TB scan
+    // (more estimated splits than cores) is a no-op.
+    val plan = df.queryExecution.optimizedPlan
+    val readsFiles = plan.collectLeaves().exists {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+      case _ => false
+    }
+    if (!readsFiles) return df
+    val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estSplits = plan.stats.sizeInBytes / splitBytes + 1
+    if (estSplits < target) df.repartition(target) else df
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the

@@ -29,9 +29,16 @@ object Ivf {
   def train(
       corpus: DataFrame, vecCol: String, nlist: Int,
       maxSample: Int = 100000, maxIter: Int = 8, seed: Long = 42L): Model = {
+    // Deterministic hash-sample, not limit(): limit takes the first rows the
+    // scan happens to produce — one file/shard of a 100 TB corpus — biasing
+    // centroids to that shard. Sorting on xxhash64 of the vector lowers to
+    // TakeOrderedAndProject (per-partition top-k heap + driver merge of k),
+    // one bounded pass that picks a uniform pseudo-random subset independent
+    // of partition order and file layout.
     val sample: Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
+      .sort(xxhash64(col("v")))
       .limit(maxSample)
       .collect()
       .map(_.getSeq[Double](0).toArray)

@@ -74,9 +74,25 @@ object Similarity {
     * the sub-quadratic scale path.
     */
   def bruteForcePairs(
-      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      maxResidentRows: Long = 1L << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // ids are compared and binary-searched as longs; a non-integral column
+    // would cast to null and silently corrupt every pair — reject it
+    val idType = df.schema(idCol).dataType
+    require(idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType,
+      s"bruteForcePairs requires an integral id column; '$idCol' is " +
+        s"${idType.simpleString}. Map ids to long first, or use " +
+        "Dedup.embeddingCosinePairs, which keeps ids generic.")
+    // this is the disclosed quadratic baseline: it collects the normalized
+    // corpus to the driver, so enforce the bound instead of documenting it
+    val cnt = df.count()
+    require(cnt <= maxResidentRows,
+      s"bruteForcePairs collects all $cnt vectors to the driver (bound " +
+        s"$maxResidentRows rows); use Dedup.embeddingCosinePairs — the " +
+        "sub-quadratic LSH path — for corpora past the bound")
     val normed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
@@ -95,9 +111,12 @@ object Similarity {
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val corpus = bc.value
+        // hoisted once per task: building this O(n) array inside the row
+        // loop would add O(n^2) allocation on top of the O(n^2 d) arithmetic
+        val ids = corpus.map(_._1)
         it.flatMap { case (ida, va) =>
           // ids ascending: start past ida so each unordered pair scores once
-          var lo = java.util.Arrays.binarySearch(corpus.map(_._1), ida)
+          var lo = java.util.Arrays.binarySearch(ids, ida)
           if (lo < 0) lo = -lo - 1 else lo += 1
           Iterator.range(lo, corpus.length).flatMap { j =>
             val (idb, vb) = corpus(j)

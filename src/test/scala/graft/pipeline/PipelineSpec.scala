@@ -217,6 +217,44 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.contains((100L, 101L)))
   }
 
+  test("bruteForcePairs rejects non-integral ids instead of casting to null") {
+    val schema = StructType(Seq(strCol("id"), StructField("vec", ArrayType(DoubleType))))
+    val df = makeDf(schema, Seq(Row("a", Seq(1.0, 0.0)), Row("b", Seq(1.0, 0.0))))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForcePairs(df, "id", "vec", threshold = 0.9)
+    }
+    assert(e.getMessage.contains("integral id column"))
+    assert(e.getMessage.contains("embeddingCosinePairs"))
+  }
+
+  test("bruteForcePairs enforces its driver-resident corpus bound") {
+    val schema = StructType(Seq(longCol("id"), StructField("vec", ArrayType(DoubleType))))
+    val df = makeDf(schema,
+      (1L to 10L).map(i => Row(i, Seq(i.toDouble, 1.0))))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForcePairs(df, "id", "vec", threshold = 0.9,
+        maxResidentRows = 5L)
+    }
+    assert(e.getMessage.contains("collects all 10 vectors"))
+    assert(e.getMessage.contains("embeddingCosinePairs"))
+  }
+
+  test("IVF centroids are stable under input-partition reordering") {
+    val schema = StructType(Seq(longCol("id"), StructField("vec", ArrayType(DoubleType))))
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map { i =>
+      val base = if (i % 3 == 0) 5.0 else if (i % 3 == 1) -5.0 else 0.0
+      Row(i.toLong, Seq.fill(8)(base + rnd.nextGaussian() * 0.1))
+    }
+    val df = makeDf(schema, rows)
+    // a biased limit() sample would shift with the physical row order; the
+    // hash-ordered sample must not
+    val a = Ivf.train(df, "vec", nlist = 3, maxSample = 120, seed = 7L)
+    val b = Ivf.train(df.repartition(7).sortWithinPartitions(col("id").desc),
+      "vec", nlist = 3, maxSample = 120, seed = 7L)
+    assert(a.centroids.map(_.toSeq).toSeq === b.centroids.map(_.toSeq).toSeq)
+  }
+
   test("brute-force top-k returns exact neighbors in order") {
     val schema = StructType(Seq(longCol("id"), StructField("vec", ArrayType(DoubleType))))
     val df = makeDf(schema, Seq(
