@@ -58,9 +58,15 @@ final case class BinningSpec[T](
   private lazy val edgeStrs: Seq[String] = edges.head match {
     case _: Double | _: Float =>
       val ds = edges.map(_.asInstanceOf[Number].doubleValue)
-      val prec = (2 to 12).find(k =>
+      // the reference searches up to 16 digits and raises rather than emit
+      // duplicate default bin names (_edges_as_str, binning_spec.py:55-90)
+      val prec = (2 to 16).find(k =>
         ds.map(v => s"%.${k}f".formatLocal(java.util.Locale.ROOT, v))
-          .distinct.size == ds.size).getOrElse(12)
+          .distinct.size == ds.size).getOrElse(
+        throw new IllegalArgumentException(
+          "Unable to generate distinct default bin names for edges " +
+            s"${edges.mkString("[", ", ", "]")} at up to 16 decimal digits; " +
+            "pass explicit names"))
       ds.map(v => s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v))
     case _: java.sql.Timestamp =>
       val ts = edges.map(_.asInstanceOf[java.sql.Timestamp])

@@ -131,6 +131,18 @@ class BinningSpecSpec extends SparkSpec {
       Seq("[2022-01-01 00:00:00.000, 2022-02-01 05:30:15.020]"))
   }
 
+  test("default names escalate to 16 digits, then fail rather than collide") {
+    // distinct only at 14 decimals: the search must pass 12
+    val fine = BinningSpec(Seq(0.0, 1e-14, 2e-14))
+    assert(fine.binNames.distinct.size === 2)
+    // edges that differ only past 16 decimals raise instead of emitting
+    // duplicate default bin names (reference _edges_as_str failure mode)
+    val e = intercept[IllegalArgumentException] {
+      BinningSpec(Seq(0.0, 1e-18, 2e-18)).binNames
+    }
+    assert(e.getMessage.contains("distinct default bin names"))
+  }
+
   test("repeated names and a matching nan bin deduplicate in bins") {
     val s = BinningSpec(Seq(-15.0, -5.0, 5.0, 15.0),
       names = Some(Seq("high", "low", "high")))
