@@ -46,50 +46,61 @@ object DpQuantile {
         val b = r.getInt(0)
         if (b >= 0 && b < Bins) counts(b) += r.getLong(1)
       }
-      val n = counts.sum
-      val target = q * n
-      val width = (high - low) / Bins
-      // utility per bin: -(rank error at bin midpoint)
-      val u = new Array[Double](Bins)
-      var cum = 0L
-      var i = 0
+      val rng = ThreadLocalRandom.current()
+      finish(counts, q, low, high, eps, () => rng.nextDouble())
+    }).asNondeterministic()
+
+  /** The mechanism itself, over materialized per-bin counts. `nextDouble`
+    * injects the randomness source so the statistical acceptance tests
+    * (QuantileFidelitySpec) can drive it with a seeded generator; the UDF
+    * passes ThreadLocalRandom.
+    */
+  private[graft] def finish(
+      counts: Array[Long], q: Double, low: Double, high: Double, eps: Double,
+      nextDouble: () => Double): Double = {
+    val n = counts.sum
+    val target = q * n
+    val width = (high - low) / Bins
+    // utility per bin: -(rank error at bin midpoint)
+    val u = new Array[Double](Bins)
+    var cum = 0L
+    var i = 0
+    while (i < Bins) {
+      u(i) = -math.abs(cum + counts(i) / 2.0 - target)
+      cum += counts(i)
+      i += 1
+    }
+    if (eps.isInfinity) {
+      val best = u.max
+      // among max-utility bins pick the one nearest the q-th bin position
+      val anchor = q * (Bins - 1)
+      var pick = -1
+      var dist = Double.MaxValue
+      i = 0
       while (i < Bins) {
-        u(i) = -math.abs(cum + counts(i) / 2.0 - target)
-        cum += counts(i)
+        if (u(i) == best) {
+          val d = math.abs(i - anchor)
+          if (d < dist) { dist = d; pick = i }
+        }
         i += 1
       }
-      if (eps.isInfinity) {
-        val best = u.max
-        // among max-utility bins pick the one nearest the q-th bin position
-        val anchor = q * (Bins - 1)
-        var pick = -1
-        var dist = Double.MaxValue
-        i = 0
-        while (i < Bins) {
-          if (u(i) == best) {
-            val d = math.abs(i - anchor)
-            if (d < dist) { dist = d; pick = i }
-          }
-          i += 1
-        }
-        low + (pick + 0.5) * width
-      } else {
-        // Gumbel-max sampling of exp(eps * u / (2 * uSens)): equivalent to
-        // the exponential mechanism, no normalization pass needed. uSens =
-        // 1 + q is the true utility sensitivity (rank moves by <= 1, target
-        // q*n moves by q per added/removed row).
-        val uSens = 1.0 + q
-        val rng = ThreadLocalRandom.current()
-        var pick = 0
-        var best = Double.NegativeInfinity
-        i = 0
-        while (i < Bins) {
-          val g = -math.log(-math.log(rng.nextDouble()))
-          val s = eps / (2.0 * uSens) * u(i) + g
-          if (s > best) { best = s; pick = i }
-          i += 1
-        }
-        low + (pick + rng.nextDouble()) * width
+      low + (pick + 0.5) * width
+    } else {
+      // Gumbel-max sampling of exp(eps * u / (2 * uSens)): equivalent to
+      // the exponential mechanism, no normalization pass needed. uSens =
+      // 1 + q is the true utility sensitivity (rank moves by <= 1, target
+      // q*n moves by q per added/removed row).
+      val uSens = 1.0 + q
+      var pick = 0
+      var best = Double.NegativeInfinity
+      i = 0
+      while (i < Bins) {
+        val g = -math.log(-math.log(nextDouble()))
+        val s = eps / (2.0 * uSens) * u(i) + g
+        if (s > best) { best = s; pick = i }
+        i += 1
       }
-    }).asNondeterministic()
+      low + (pick + nextDouble()) * width
+    }
+  }
 }
