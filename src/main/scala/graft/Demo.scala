@@ -11,8 +11,9 @@ import graft.session.Session
 
 /** Runnable first-steps tour of the library — the equivalent of the
   * reference's intro notebooks (demos/intro_demo.ipynb): build a session,
-  * inspect it, spend privacy budget on real queries, and watch the
-  * accountant say no when it runs out.
+  * inspect it, spend privacy budget on real queries, derive views, split
+  * the budget across partitions, and watch the accountant say no when it
+  * runs out. `DemoSpec` runs the same walkthrough and asserts its output.
   *
   * Run with:
   *   sbt "runMain graft.Demo [/path/to/testdata/sf0.001]"
@@ -28,14 +29,21 @@ object Demo {
       .appName("graft-demo")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    run(spark, sfDir)
+    spark.stop()
+  }
 
+  /** The walkthrough body, separated from session ownership so the spec can
+    * drive it on the shared test SparkSession.
+    */
+  def run(spark: SparkSession, sfDir: String): Unit = {
     def banner(s: String): Unit = println(s"\n=== $s " + "=" * math.max(4, 60 - s.length))
 
     banner("1. Build a session with a privacy budget")
     val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val session = Session.fromDataFrame(
       spark,
-      PureDPBudget(3.0),            // total epsilon this session may spend
+      PureDPBudget(4.0),            // total epsilon this session may spend
       "lineitem",
       lineitem,
       AddOneRow())                  // unit of protection: one row
@@ -60,13 +68,28 @@ object Demo {
         .histogram("l_quantity", BinningSpec(Seq(0.0, 10.0, 20.0, 30.0, 40.0, 50.0))),
       PureDPBudget(1.0)).show()
 
-    banner("5. The accountant refuses to overspend")
+    banner("5. Views: name a transformation, query it like a table")
+    // creating a view spends nothing — budget is charged only at evaluate
+    session.createView(
+      QueryBuilder("lineitem").filter("l_quantity >= 25")
+        .select("l_returnflag", "l_quantity"),
+      "bulky", cache = true)
+    println(s"private sources now: ${session.privateSources.mkString(", ")}")
+    session.evaluate(QueryBuilder("bulky").groupby(keys).count(),
+      PureDPBudget(1.0)).show()
+    session.deleteView("bulky")
+
+    banner("6. describe(query): output schema without spending")
+    println(session.describe(
+      QueryBuilder("lineitem").groupby(keys).average("l_quantity", 0, 50)))
+
+    banner("7. The accountant refuses to overspend")
     try session.evaluate(QueryBuilder("lineitem").count(), PureDPBudget(1.0))
     catch {
       case e: IllegalArgumentException => println(s"rejected as expected: ${e.getMessage}")
     }
 
-    banner("6. Privacy IDs: protect every row of a user at once")
+    banner("8. Privacy IDs: protect every row of a user at once")
     val events = {
       import org.apache.spark.sql.types._
       // events.parquet carries a nanosecond timestamp Spark cannot decode;
@@ -77,7 +100,7 @@ object Demo {
         .parquet(s"$sfDir/events.parquet")
     }
     val idSession = Session.fromDataFrame(
-      spark, PureDPBudget(2.0), "events", events, AddRowsWithID("user_id"))
+      spark, PureDPBudget(3.0), "events", events, AddRowsWithID("user_id"))
     // counting distinct users needs no contribution bound...
     idSession.evaluate(
       QueryBuilder("events").select("user_id").countDistinct(Seq("user_id"), name = "n_users"),
@@ -90,7 +113,20 @@ object Demo {
         .count(),
       PureDPBudget(1.0)).show()
 
-    banner("7. Corpus pipeline: exact near-dup pairs and quality signals")
+    banner("9. Partitions: disjoint child sessions, one parallel charge")
+    // a truncation view makes the IDs table partitionable; each child then
+    // holds the FULL partition budget over its slice (parallel composition)
+    idSession.createView(
+      QueryBuilder("events").enforce(MaxRowsPerID(5)), "truncated", cache = false)
+    val kids = idSession.partitionAndCreate("truncated", PureDPBudget(1.0),
+      "event_type", Seq("clicks" -> "click", "purchases" -> "purchase"))
+    for ((name, kid) <- kids.toSeq.sortBy(_._1)) {
+      val n = kid.evaluate(QueryBuilder(name).count(), PureDPBudget(1.0))
+        .collect().head.getLong(0)
+      println(s"partition $name: noisy count $n (child budget spent independently)")
+    }
+
+    banner("10. Corpus pipeline: exact near-dup pairs and quality signals")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // prefix-filtered set-similarity join: exact Jaccard >= 0.5, no LSH
     graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
@@ -105,7 +141,7 @@ object Demo {
           .otherwise(0L)).as("n_repetitive")).show()
     }
 
-    banner("8. Decontamination and corpus heavy hitters")
+    banner("11. Decontamination and corpus heavy hitters")
     locally {
       import org.apache.spark.sql.functions._
       // flag training docs sharing any 8-gram with a (broadcast) eval set
@@ -119,6 +155,5 @@ object Demo {
     }
 
     println("\ndemo complete.")
-    spark.stop()
   }
 }

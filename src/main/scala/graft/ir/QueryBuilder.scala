@@ -51,8 +51,9 @@ final class QueryBuilder private (private[graft] val expr: TransformExpr) {
   def map(
       f: DataRow.T => DataRow.T,
       newColumnTypes: Seq[(String, ColumnDescriptor)],
-      augment: Boolean = false): QueryBuilder =
-    next(MapRows(expr, f, newColumnTypes, augment))
+      augment: Boolean = false,
+      name: String = null): QueryBuilder =
+    next(MapRows(expr, named(f, name), newColumnTypes, augment))
 
   /** Row->rows lambda with a per-row output cap (reference query_builder.py:1241). */
   def flatMap(
@@ -60,14 +61,22 @@ final class QueryBuilder private (private[graft] val expr: TransformExpr) {
       newColumnTypes: Seq[(String, ColumnDescriptor)],
       maxRows: Int,
       augment: Boolean = false,
-      grouping: Boolean = false): QueryBuilder =
-    next(FlatMapRows(expr, f, newColumnTypes, augment, maxRows, grouping))
+      grouping: Boolean = false,
+      name: String = null): QueryBuilder =
+    next(FlatMapRows(expr, named(f, name), newColumnTypes, augment, maxRows, grouping))
 
   /** Per-ID rows->rows lambda (reference query_builder.py:1379). */
   def flatMapByID(
       f: Seq[DataRow.T] => Seq[DataRow.T],
-      newColumnTypes: Seq[(String, ColumnDescriptor)]): QueryBuilder =
-    next(FlatMapByID(expr, f, newColumnTypes))
+      newColumnTypes: Seq[(String, ColumnDescriptor)],
+      name: String = null): QueryBuilder =
+    next(FlatMapByID(expr, named(f, name), newColumnTypes))
+
+  /** Wrap a lambda with a user-supplied stable identity (see [[NamedFn]]);
+    * a null name keeps the bare lambda and its reference equality.
+    */
+  private def named[A, B](f: A => B, name: String): A => B =
+    if (name == null) f else new NamedFn(f, name)
 
   /** reference query_builder.py:299 */
   def joinPublic(publicId: String): QueryBuilder =

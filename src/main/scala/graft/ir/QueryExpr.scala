@@ -10,6 +10,27 @@ import graft.types.{ColumnDescriptor, ColumnType, TableSchema}
   */
 object DataRow { type T = Map[String, Any] }
 
+/** A user lambda with an optional stable name. JVM lambdas have no portable
+  * bytecode identity (the reference compares lambda bytecode for query
+  * equality, _query_expr.py:545-559), so two separately-written but
+  * identical lambdas can never compare equal on their own. Naming one gives
+  * it a user-asserted identity: two named lambdas are equal iff their names
+  * are equal; unnamed lambdas keep reference equality. Because the wrapper
+  * IS the function, map/flatMap IR nodes built from named lambdas compare
+  * equal structurally — which is what view caching and `describe` diffing
+  * key on.
+  */
+final class NamedFn[-A, +B](val fn: A => B, val name: String)
+    extends (A => B) with Serializable {
+  def apply(a: A): B = fn(a)
+  override def equals(o: Any): Boolean = o match {
+    case other: NamedFn[_, _] => name == other.name
+    case _                    => false
+  }
+  override def hashCode: Int = name.hashCode
+  override def toString: String = s"<$name>"
+}
+
 /** User-facing noise-mechanism hints (reference: `CountMechanism` /
   * `SumMechanism` enums in _query_expr.py; DEFAULT is resolved to a concrete
   * mechanism by the compiler's rewrite, _rewrite_rules.py:91-199).

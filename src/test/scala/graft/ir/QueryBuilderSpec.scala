@@ -262,4 +262,36 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(root.count(mechanism = MechanismHint.Laplace) !==
       root.count(mechanism = MechanismHint.Gaussian))
   }
+
+  test("named lambdas give map/flatMap queries a stable identity " +
+      "(SURVEY 7.4; reference compares lambda bytecode)") {
+    val cols = Seq("n" -> ColumnDescriptor(Integer))
+    // separately-written but identical lambdas: unnamed, never equal...
+    assert(root.map(r => Map("n" -> 1L), cols).expr !==
+      root.map(r => Map("n" -> 1L), cols).expr)
+    // ...named with the same name, equal
+    assert(root.map(r => Map("n" -> 1L), cols, name = "one").expr ===
+      root.map(r => Map("n" -> 1L), cols, name = "one").expr)
+    assert(root.map(r => Map("n" -> 1L), cols, name = "one").expr.hashCode ===
+      root.map(r => Map("n" -> 1L), cols, name = "one").expr.hashCode)
+    // different names or different non-lambda arguments: not equal
+    assert(root.map(r => Map("n" -> 1L), cols, name = "one").expr !==
+      root.map(r => Map("n" -> 1L), cols, name = "two").expr)
+    assert(root.map(r => Map("n" -> 1L), cols, augment = true, name = "one").expr !==
+      root.map(r => Map("n" -> 1L), cols, name = "one").expr)
+    // flatMap and flatMapByID get the same treatment
+    assert(root.flatMap(r => Seq(Map("n" -> 1L)), cols, maxRows = 2,
+        name = "fan").expr ===
+      root.flatMap(r => Seq(Map("n" -> 1L)), cols, maxRows = 2,
+        name = "fan").expr)
+    assert(root.flatMap(r => Seq(Map("n" -> 1L)), cols, maxRows = 2,
+        name = "fan").expr !==
+      root.flatMap(r => Seq(Map("n" -> 1L)), cols, maxRows = 3,
+        name = "fan").expr)
+    assert(root.flatMapByID(rs => rs, cols, name = "per_id").expr ===
+      root.flatMapByID(rs => rs, cols, name = "per_id").expr)
+    // a named lambda still executes like the bare one
+    val named = new NamedFn[DataRow.T, DataRow.T](_ => Map("n" -> 7L), "c7")
+    assert(named(Map.empty) === Map("n" -> 7L))
+  }
 }
