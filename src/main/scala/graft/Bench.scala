@@ -31,19 +31,24 @@ object Bench {
       }
     // median of 3 timed runs per query: a single run is at the mercy of
     // machine contention during the harness window (round 4's official bench
-    // read ~8x over a quiet-machine run); the median of three is robust to
-    // one arbitrarily slow outlier while keeping total bench time bounded
+    // read ~8x over a quiet-machine run). The repeats run as FULL PASSES over
+    // the query list, not back-to-back per query: a disturbance lasting a few
+    // minutes then inflates one run of many queries — which each median
+    // discards — instead of all three runs of a few queries, which no
+    // statistic could repair.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeats).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable => errors += s"$name: ${e.getMessage}"; None
-        }
-      }
-      name -> (if (times.size == repeats) times.sorted.apply(repeats / 2) else -1.0)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to repeats; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); times(name) ::= (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable => errors += s"$name: ${e.getMessage}" }
+    }
+    val results = names.map { case (name, _) =>
+      val ts = times(name)
+      name -> (if (ts.size == repeats) ts.sorted.apply(repeats / 2) else -1.0)
     }
     // millisecond precision keeps the single JSON line compact enough to
     // survive log-tail capture windows (full doubles pushed it past 4 KB)
