@@ -326,7 +326,15 @@ final class Session private (
     sb.append("Private tables:\n")
     privateSources.foreach { n =>
       val t = privateTables(n)
-      sb.append(s"  $n (protected: ${t.protectedChange}" +
+      // a partitioned child's distance outgrows its AddRowsWithID
+      // declaration (x groups bound, or its root under zCDP) — show the
+      // distance actually driving noise calibration when they differ
+      val idDistNote = (t.protectedChange, t.idDistance) match {
+        case (AddRowsWithID(_, _, m), Some((d, _))) if d != Rat(m.toLong) =>
+          s"; effective id distance: $d"
+        case _ => ""
+      }
+      sb.append(s"  $n (protected: ${t.protectedChange}" + idDistNote +
         (if (t.constraints.nonEmpty) s"; constraints: ${t.constraints.mkString(", ")}"
          else "") + ")\n")
       t.schema.columns.foreach { case (c, d) =>

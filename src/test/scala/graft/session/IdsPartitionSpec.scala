@@ -44,6 +44,11 @@ class IdsPartitionSpec extends SparkSpec {
       kids("part0").evaluate(
         QueryBuilder("part0").enforce(MaxRowsPerID(2)).count(), Inf)
     }
+    // and its rows distance is k * maxIDs = 2 under BOTH budget kinds
+    // (reference table_stability rows: (INF_BUDGET, 2), (INF_BUDGET_ZCDP, 2))
+    assert(kids("part0").noiseInfo(QueryBuilder("part0").count(),
+      PureDPBudget(1)).head.mechanism
+      === graft.exec.NoiseMechanism.Geometric(2.0))
   }
 
   test("MaxGroupsPerID on the partition column keeps children as IDs tables " +
@@ -80,6 +85,8 @@ class IdsPartitionSpec extends SparkSpec {
     val q = QueryBuilder("part0").enforce(MaxRowsPerID(1)).count()
     assert(kids("part0").noiseInfo(q, PureDPBudget(1)).head.mechanism
       === graft.exec.NoiseMechanism.Geometric(2.0))
+    // describe surfaces the distance actually driving calibration
+    assert(kids("part0").describe().contains("effective id distance: 2"))
 
     // zCDP: the child stability is sqrt(2); the discrete Gaussian consumes
     // the exact square -> sigma^2 = 2 * 1^2 / (2 * 0.5) = 2
