@@ -80,6 +80,19 @@ class PlanShapeSpec extends SparkSpec {
       s"only id-typed shuffles expected:\n$plan")
   }
 
+  test("spread rebalances under-split file scans and nothing else") {
+    // file scans at test SF arrive as one split: spread must fan them out
+    // to every core so per-row kernels parallelize
+    val files = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val spreadPlan = Dedup.spread(files).queryExecution.optimizedPlan.toString
+    assert(spreadPlan.contains("Repartition"),
+      s"small file scan should rebalance:\n$spreadPlan")
+    // in-memory relations are already parallelized: the exact same
+    // DataFrame instance must come back, no Exchange added
+    val local = docs(30)
+    assert(Dedup.spread(local) eq local)
+  }
+
   test("brute-force pairs streams against a resident matrix, zero shuffle") {
     // q73 is quadratic in ARITHMETIC by construction, but its plan must
     // stay a single distributed pass: normalized vectors broadcast once,

@@ -101,6 +101,11 @@ class IdsPartitionSpec extends SparkSpec {
       case graft.exec.NoiseMechanism.DiscreteGaussian(s2) => assert(s2 === 2.0)
       case other => fail(s"expected DiscreteGaussian, got $other")
     }
+    // the zCDP child still answers exactly at infinite budget: part0 holds
+    // ids {1: 3 rows, 2: 1, 3: 1} and MaxRowsPerID(2) truncates to 4
+    assert(kz("part0").evaluate(
+      QueryBuilder("part0").enforce(MaxRowsPerID(2)).count(), zInf)
+      .collect().head.getLong(0) === 4L)
     // an L1 mechanism under zCDP takes the rounded-UP sqrt(2) L1 bound:
     // scale = sqrt(2) * 1 / sqrt(2 * rho) = 2 at rho = 1/4 (up to 2^-40)
     kz("part0").noiseInfo(
