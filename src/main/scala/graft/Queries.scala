@@ -642,6 +642,13 @@ object Queries {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split").agg(count(lit(1)).as("n"))
     }),
+    "q81_stratified_quota" -> ((s, d) => {
+      // per-group caps for training-mix balancing: each o_orderstatus
+      // keeps its 100 smallest id-hashes — membership reproduces in SQL
+      graft.pipeline.Sampling.stratifiedQuota(
+        read(s, d, "orders"), "o_orderstatus", "o_orderkey", quota = 100)
+        .select("o_orderstatus", "o_orderkey")
+    }),
     // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
     "q50_multimodal_decode" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1202,6 +1209,14 @@ object Queries {
          |  CAST(count(*) AS BIGINT) AS n
          |FROM h GROUP BY 1""".stripMargin
     },
+    "q81_stratified_quota" ->
+      """SELECT o_orderstatus, o_orderkey FROM (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT,
+        |        o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 100""".stripMargin,
     // Gopher repetition flags: both fractions are ratios of small ints, so
     // the doubles (and the > threshold comparisons) reproduce bit-for-bit
     "q72_repetition_signals" ->

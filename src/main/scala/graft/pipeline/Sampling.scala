@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling and split assignment for
@@ -52,5 +53,25 @@ object Sampling {
     // the when-chain tests cumulative cutoffs ascending, so the FIRST
     // matching cutoff wins — foldRight builds exactly that order
     df.withColumn(labelCol, label)
+  }
+
+  /** Keep at most `quota` rows per value of `groupCol` — per-language /
+    * per-domain caps when balancing a training mix. The survivors are the
+    * group's `quota` smallest id-hashes (id tie-break), so membership is
+    * deterministic across reruns, cluster sizes, and engines: the same
+    * row_number reproduces in SQL. One shuffle on `groupCol` (window) is
+    * the unavoidable cost of an EXACT quota; for approximate per-group
+    * rates compose [[deterministicSample]] with a per-group fraction and
+    * stay map-side. Skewed group sizes cost sort time, not memory:
+    * row_number is a streaming window (WindowGroupLimit pre-filters
+    * map-side on Spark 3.5+).
+    */
+  def stratifiedQuota(
+      df: DataFrame, groupCol: String, idCol: String, quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hash32(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota).drop("__rk")
   }
 }

@@ -78,6 +78,34 @@ class SamplingSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("stratified quota: exact per-group caps, deterministic membership") {
+    val df = makeDf(
+      StructType(Seq(strCol("grp"), longCol("id"))),
+      (1 to 90).map(i => Row(if (i <= 60) "big" else "small", i.toLong)))
+    val out = Sampling.stratifiedQuota(df, "grp", "id", quota = 20)
+    val byGroup = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // groups above the quota are capped; groups below keep everything
+    assert(byGroup === Map("big" -> 20L, "small" -> 20L))
+    val small = Sampling.stratifiedQuota(df, "grp", "id", quota = 40)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(small === Map("big" -> 40L, "small" -> 30L))
+    // membership is stable across reruns and partitionings
+    def members() = Sampling.stratifiedQuota(
+      df.repartition(7), "grp", "id", quota = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(members() === members())
+    assert(members() === out.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // quotas nest: quota-20 survivors are a subset of quota-40 survivors
+    val m40 = Sampling.stratifiedQuota(df, "grp", "id", quota = 40)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(members().subsetOf(m40))
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedQuota(df, "grp", "id", quota = 0)
+    }
+  }
+
   test("hash split validates its fractions") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(ids(1), "id", Seq("a" -> 0.9, "b" -> 0.2))
