@@ -445,6 +445,25 @@ object Queries {
       kids("clicks").evaluate(
         QueryBuilder("clicks").countDistinct(Seq("user_id"), "users"), Inf)
     }),
+    "q82_zcdp_ids_partition" -> ((s, d) => {
+      // the zCDP twin of q80: the child's IDs distance scales by sqrt(g)
+      // (exact square g carried to the Gaussian family), and at rho = inf
+      // the release stays noiseless — the driver gate proves the scaled
+      // accounting does not disturb the answer. The loose MaxRowsPerID cap
+      // exceeds any user's rows, so truncation drops nothing.
+      val zInf = graft.budget.RhoZCDPBudget(graft.budget.Rat.Inf)
+      val sess = Session.fromDataFrame(s, zInf, "events", read(s, d, "events"),
+        graft.accounting.AddRowsWithID("user_id"))
+      sess.createView(QueryBuilder("events")
+        .enforce(graft.constraints.MaxGroupsPerID("event_type", 5)), "ev",
+        cache = false)
+      val kids = sess.partitionAndCreate("ev", zInf, "event_type",
+        Seq("clicks" -> "click", "views" -> "view"))
+      kids("views").evaluate(
+        QueryBuilder("views")
+          .enforce(graft.constraints.MaxRowsPerID(100000))
+          .count("n_view_events"), zInf)
+    }),
     "q79_detect_composed" -> ((s, d) =>
       // KeySetPlan composition: the detected event-type domain, minus one
       // literal key, crossed with a public bucket domain — detection runs
@@ -1006,6 +1025,11 @@ object Queries {
     "q80_ids_partition" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS users
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    // zCDP partition twin: nothing truncates (cap above any user's rows),
+    // so the noiseless child count is the plain relational answer
+    "q82_zcdp_ids_partition" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_view_events
+        |FROM events WHERE event_type = 'view'""".stripMargin,
     // composed detect: detected event types (all observed, noiseless
     // threshold) minus 'purchase', crossed with bucket {0,1}; absent cells
     // zero-fill
