@@ -661,6 +661,20 @@ object Queries {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split").agg(count(lit(1)).as("n"))
     }),
+    "q83_top_tokens_by_lang" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // per-language vocabulary summary: grouped heavy hitters via a
+      // streaming per-group rank, not a global sort
+      graft.pipeline.CorpusStats.topKTokensByGroup(
+        read(s, d, "documents"), "lang", "text", k = 5)
+        .select(col("lang"), col("token"), col("n"),
+          col("rank").cast("long").as("rank"))
+    }),
+    "q84_boilerplate_ngrams" -> ((s, d) =>
+      // boilerplate census: word bigrams appearing in >= 20 distinct docs
+      // (each doc votes each gram once)
+      graft.pipeline.CorpusStats.ngramDocFrequency(
+        read(s, d, "documents"), "doc_id", "text", n = 2, minDocs = 20)),
     "q81_stratified_quota" -> ((s, d) => {
       // per-group caps for training-mix balancing: each o_orderstatus
       // keeps its 100 smallest id-hashes — membership reproduces in SQL
@@ -1233,6 +1247,29 @@ object Queries {
          |  CAST(count(*) AS BIGINT) AS n
          |FROM h GROUP BY 1""".stripMargin
     },
+    // per-group rank ties break on the token string in both engines
+    "q83_top_tokens_by_lang" ->
+      """SELECT lang, token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT lang, token, count(*) AS n,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, token) AS rank
+        |  FROM (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |          AS token FROM documents)
+        |  WHERE length(token) > 0 GROUP BY lang, token) t
+        |WHERE rank <= 5""".stripMargin,
+    // same shingling convention as q77: distinct grams per doc, short docs
+    // contribute their whole text as one gram
+    "q84_boilerplate_ngrams" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(toks)),
+        |      i -> array_to_string(toks[i:i+1], ' '))) END) AS gram FROM t)
+        |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 20""".stripMargin,
     "q81_stratified_quota" ->
       """SELECT o_orderstatus, o_orderkey FROM (
         |  SELECT o_orderstatus, o_orderkey,

@@ -54,4 +54,53 @@ object CorpusStats {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
   }
+
+  /** Per-group top-k token heavy hitters — per-language / per-source
+    * vocabulary summaries for corpus mix reports. Unlike the global top-k
+    * (TakeOrderedAndProject), a per-group limit needs a rank over each
+    * group: count by (group, token) with map-side combine, then a
+    * streaming row_number window per group keeps k rows. Ties at the
+    * boundary break on the token string, so the released set is
+    * deterministic on any engine. Two shuffles total, both keyed; state is
+    * O(distinct tokens per group) in the agg and O(1) in the window.
+    */
+  def topKTokensByGroup(
+      df: DataFrame, groupCol: String, textCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val counts = df
+      .select(col(groupCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("n").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** N-gram document frequency: the distinct word n-grams appearing in at
+    * least `minDocs` distinct documents — the census that finds boilerplate
+    * (headers, disclaimers, navigation) worth stripping before training.
+    * Each document contributes each of its n-grams once (distinct within
+    * doc), so a single spammy document cannot promote its own repetition
+    * to "boilerplate". Shuffles are keyed on the gram; the ≥ minDocs
+    * filter runs after a map-side-combinable count, so only true heavy
+    * grams reach the driver-facing result.
+    */
+  def ngramDocFrequency(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      minDocs: Long): DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(minDocs >= 1, "minDocs must be positive")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    // documents shorter than n words contribute their whole text as the
+    // single gram (mirrors Dedup's shingling convention)
+    val grams = df.select(col(idCol),
+      explode(when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))).as("gram"))
+    grams.groupBy("gram").agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

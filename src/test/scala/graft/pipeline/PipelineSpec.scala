@@ -370,4 +370,38 @@ class PipelineSpec extends SparkSpec {
     // apple 3, banana 3 (case-folded), cherry 2 — ties break on the token
     assert(out.toSeq === Seq(("apple", 3L), ("banana", 3L), ("cherry", 2L)))
   }
+
+  test("per-group top-k tokens rank within each group independently") {
+    val schema = StructType(Seq(longCol("id"), strCol("lang"), strCol("text")))
+    val df = makeDf(schema, Seq(
+      Row(1L, "en", "cat cat dog"), Row(2L, "en", "cat bird"),
+      Row(3L, "fr", "chat chat chat chien"), Row(4L, "fr", "chien loup")))
+    val out = CorpusStats.topKTokensByGroup(df, "lang", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(out === Set(
+      ("en", "cat", 3L, 1), ("en", "bird", 1L, 2), // bird beats dog on the tie
+      ("fr", "chat", 3L, 1), ("fr", "chien", 2L, 2)))
+  }
+
+  test("ngram doc frequency: per-doc distinct votes, short-doc whole gram") {
+    val df = docs(
+      1L -> "click here to subscribe now",
+      2L -> "click here to unsubscribe today",
+      3L -> "click here to win",
+      // gram repeated inside ONE doc must count once
+      4L -> "click here click here click here",
+      5L -> "solo")
+    val freqs = CorpusStats.ngramDocFrequency(df, "id", "text", n = 2, minDocs = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // "click here" in docs 1,2,3,4; "here to" only in 1,2,3; "solo" in 1 doc
+    assert(freqs === Map("click here" -> 4L))
+    val lower = CorpusStats.ngramDocFrequency(df, "id", "text", n = 2, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(lower === Map("click here" -> 4L, "here to" -> 3L))
+    // a one-word document contributes its whole text as the single gram
+    val short = CorpusStats.ngramDocFrequency(df, "id", "text", n = 2, minDocs = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(short.contains("solo"))
+  }
 }
