@@ -100,7 +100,10 @@ object CorpusStats {
         .otherwise(array_distinct(transform(
           sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + 1, lit(n)), " "))))).as("gram"))
-    grams.groupBy("gram").agg(countDistinct(col(idCol)).as("n_docs"))
+    // per-doc distinctness above makes each (gram, doc) pair unique, so a
+    // plain count IS the distinct-doc count — one map-side-combinable
+    // aggregation instead of countDistinct's two-shuffle Expand plan
+    grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
   }
 }

@@ -118,6 +118,47 @@ class IdsPartitionSpec extends SparkSpec {
     }
   }
 
+  test("nested IDs partitions compound the distance scaling " +
+      "(reference test_partitions_composed, IDs form)") {
+    // first split on `group` under MaxGroupsPerID(2), then the child splits
+    // on `group2` under MaxGroupsPerID(2): one ID reaches up to 2 x 2
+    // grandchildren, so the grandchild distance is 4 under PureDP and
+    // sqrt(4) = 2 (exact square 4) under zCDP
+    val s = sess()
+    s.createView(QueryBuilder("id_a1").enforce(MaxGroupsPerID("group", 2)),
+      "v1", cache = false)
+    val kids = s.partitionAndCreate("v1", Inf, "group",
+      Seq("part0" -> "A", "part1" -> "B"))
+    kids("part0").createView(
+      QueryBuilder("part0").enforce(MaxGroupsPerID("group2", 2)),
+      "v2", cache = false)
+    val grand = kids("part0").partitionAndCreate("v2", Inf, "group2",
+      Seq("gx" -> "X", "gy" -> "Y"))
+    assert(grand("gx").noiseInfo(
+      QueryBuilder("gx").enforce(MaxRowsPerID(1)).count(),
+      PureDPBudget(1)).head.mechanism
+      === graft.exec.NoiseMechanism.Geometric(4.0))
+
+    val zInf = graft.budget.RhoZCDPBudget(Rat.Inf)
+    val sz = Session.fromDataFrame(spark, zInf, "id_a1", df, AddRowsWithID("id"))
+    sz.createView(QueryBuilder("id_a1").enforce(MaxGroupsPerID("group", 2)),
+      "v1", cache = false)
+    val kz = sz.partitionAndCreate("v1", zInf, "group",
+      Seq("part0" -> "A", "part1" -> "B"))
+    kz("part0").createView(
+      QueryBuilder("part0").enforce(MaxGroupsPerID("group2", 2)),
+      "v2", cache = false)
+    val gz = kz("part0").partitionAndCreate("v2", zInf, "group2",
+      Seq("gx" -> "X", "gy" -> "Y"))
+    // exact square 2 * 2 = 4 -> sigma^2 = 4 / (2 * 0.5) = 4
+    gz("gx").noiseInfo(
+      QueryBuilder("gx").enforce(MaxRowsPerID(1)).count(),
+      graft.budget.RhoZCDPBudget(Rat(1, 2))).head.mechanism match {
+      case graft.exec.NoiseMechanism.DiscreteGaussian(s2) => assert(s2 === 4.0)
+      case other => fail(s"expected DiscreteGaussian, got $other")
+    }
+  }
+
   test("partition without a usable constraint is rejected " +
       "(test_invalid_constraint_partition_and_create)") {
     val s = sess()

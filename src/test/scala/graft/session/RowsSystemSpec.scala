@@ -392,6 +392,32 @@ class RowsSystemSpec extends SparkSpec {
     }
   }
 
+  test("composed rows partitions: each level splits its own budget " +
+      "(reference test_partitions_composed)") {
+    val s = Session.fromDataFrame(spark, PureDPBudget(2.0), "t",
+      makeDf(StructType(Seq(strCol("a"), strCol("b"), longCol("n"))),
+        Seq(Row("x", "p", 1L), Row("x", "q", 2L),
+          Row("y", "p", 3L), Row("y", "q", 4L))),
+      AddOneRow())
+    val kids = s.partitionAndCreate("t", PureDPBudget(2.0), "a",
+      Seq("tx" -> "x", "ty" -> "y"))
+    val grand = kids("tx").partitionAndCreate("tx", PureDPBudget(2.0), "b",
+      Seq("txp" -> "p", "txq" -> "q"))
+    // grandchildren are disjoint slices: rows stability is still 1, so at
+    // eps = 1 the scale is 1 and the infinite-parallel tree answers exactly
+    // under its infinite leaf budgets... here finite: noiseInfo pins scale 1
+    assert(grand("txp").noiseInfo(QueryBuilder("txp").count(),
+      PureDPBudget(1.0)).head.mechanism
+      === graft.exec.NoiseMechanism.Geometric(1.0))
+    // and each grandchild's budget is the full partition budget
+    assert(grand("txp").remainingPrivacyBudget === PureDPBudget(2.0))
+    grand("txp").evaluate(QueryBuilder("txp").count(), PureDPBudget(2.0))
+    assert(grand("txp").remainingPrivacyBudget === PureDPBudget(0.0))
+    // a sibling grandchild still holds its own full budget afterwards
+    assert(grand("txq").remainingPrivacyBudget === PureDPBudget(2.0))
+    grand("txq").evaluate(QueryBuilder("txq").count(), PureDPBudget(1.0))
+  }
+
   test("zCDP grouping column with non-integer stability evaluates " +
       "(test_grouping_noninteger_stability)") {
     // AddMaxRowsInMaxGroups(group, 2, 1) under zCDP gives the grouped count
