@@ -92,16 +92,16 @@ object CorpusStats {
       minDocs: Long): DataFrame = {
     require(n >= 1, "n must be positive")
     require(minDocs >= 1, "minDocs must be positive")
-    val toks = split(trim(lower(col(textCol))), "\\s+")
-    // documents shorter than n words contribute their whole text as the
-    // single gram (mirrors Dedup's shingling convention)
-    val grams = df.select(col(idCol),
-      explode(when(size(toks) < n, array(array_join(toks, " ")))
-        .otherwise(array_distinct(transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))))).as("gram"))
-    // per-doc distinctness above makes each (gram, doc) pair unique, so a
-    // plain count IS the distinct-doc count — one map-side-combinable
+    // shingling runs in the shared tight JVM kernel (documents shorter than
+    // n words contribute their whole text as the single gram): the
+    // declarative transform/slice/array_join chain is a higher-order
+    // function — interpreted, no codegen — and measured ~2x slower on the
+    // bench; `spread` fans the per-row work out of a small scan's few splits
+    val gramsUdf = udf((t: String) => Dedup.lowerShingles(t, n))
+    val grams = Dedup.spread(df)
+      .select(explode(gramsUdf(col(textCol))).as("gram"))
+    // kernel-side per-doc distinctness makes each (gram, doc) pair unique,
+    // so a plain count IS the distinct-doc count — one map-side-combinable
     // aggregation instead of countDistinct's two-shuffle Expand plan
     grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

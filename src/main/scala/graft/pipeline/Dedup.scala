@@ -52,6 +52,12 @@ object Dedup {
     }.distinct
   }
 
+  /** [[shingleArr]] over lowercased text, null-safe — the shingling kernel
+    * shared with CorpusStats.ngramDocFrequency.
+    */
+  private[pipeline] def lowerShingles(t: String, k: Int): Array[String] =
+    shingleArr(if (t == null) "" else t.toLowerCase(java.util.Locale.ROOT), k)
+
   /** Spread compute-bound per-row work across every core when the upstream
     * scan produced fewer partitions (small files at test SF make one task do
     * all the hashing; a 100 TB scan already yields thousands of splits and
