@@ -20,6 +20,11 @@ sealed trait NoiseMechanism extends Serializable {
   def name: String
   def scale: Double
   def isNoiseless: Boolean = scale == 0.0
+  /** The p-quantile of this mechanism's noise distribution (reference
+    * _noise_info.py `_inverse_cdf`): the error bar a release carries at
+    * confidence p — e.g. `inverseCdf(0.975)` is the 95% two-sided bound.
+    */
+  def inverseCdf(p: Double): Double = NoiseMechanism.inverseCdf(this, p)
 }
 object NoiseMechanism {
   final case class Geometric(scale: Double) extends NoiseMechanism { val name = "Geometric" }
@@ -30,6 +35,88 @@ object NoiseMechanism {
   final case class Exponential(scale: Double) extends NoiseMechanism {
     val name = "Exponential"
     override def isNoiseless: Boolean = scale.isInfinity
+  }
+
+  private[exec] def inverseCdf(m: NoiseMechanism, p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1): $p")
+    m match {
+      case Laplace(b) =>
+        if (b == 0.0) 0.0
+        else if (p < 0.5) b * math.log(2.0 * p)
+        else -b * math.log(2.0 * (1.0 - p))
+      case Geometric(b) =>
+        // two-sided geometric (discrete Laplace) with pmf ∝ alpha^|k|,
+        // alpha = exp(-1/b): the smallest k >= 0 with
+        // 1 - alpha^(k+1)/(1+alpha) >= p; p < 1/2 by symmetry
+        if (b == 0.0) 0.0
+        else if (p < 0.5) -inverseCdf(m, 1.0 - p)
+        else {
+          val alpha = math.exp(-1.0 / b)
+          val k = math.ceil(
+            math.log((1.0 - p) * (1.0 + alpha)) / math.log(alpha)) - 1.0
+          math.max(0.0, k)
+        }
+      case Gaussian(s2) => math.sqrt(s2) * probit(p)
+      case DiscreteGaussian(s2) =>
+        if (s2 == 0.0) 0.0
+        else if (p < 0.5) -inverseCdf(m, 1.0 - p)
+        else {
+          val sigma = math.sqrt(s2)
+          // wide sigmas are indistinguishable from the rounded continuous
+          // Gaussian; narrow ones walk the exact pmf
+          if (sigma > 200.0) math.rint(sigma * probit(p))
+          else {
+            val cut = (10.0 * sigma).toInt + 10
+            var z = 0.0
+            var k = -cut
+            while (k <= cut) { z += math.exp(-k * k / (2.0 * s2)); k += 1 }
+            var cum = 0.0
+            var ans = cut.toDouble
+            var found = false
+            k = -cut
+            while (k <= cut && !found) {
+              cum += math.exp(-k * k / (2.0 * s2))
+              if (cum / z >= p) { ans = k.toDouble; found = true }
+              k += 1
+            }
+            ans
+          }
+        }
+      case Exponential(_) => throw new UnsupportedOperationException(
+        "the exponential mechanism releases an index, not additive noise; " +
+          "it has no noise CDF")
+    }
+  }
+
+  /** Standard-normal quantile (Acklam's rational approximation, ~1.15e-9
+    * relative error — far below any error-bar use).
+    */
+  private def probit(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pLow = 0.02425
+    if (p < pLow) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    } else if (p <= 1.0 - pLow) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1.0 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    }
   }
 }
 
