@@ -37,6 +37,7 @@ object Bench {
     // discards — instead of all three runs of a few queries, which no
     // statistic could repair.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    require(repeats >= 1, s"SPARK_GRAFT_REPEATS must be >= 1, got $repeats")
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]

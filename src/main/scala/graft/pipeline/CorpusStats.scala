@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass corpus profiling: the summary a pipeline owner wants BEFORE
@@ -46,10 +46,19 @@ object CorpusStats {
     * top-k heaps merged on the driver, never a global sort of the
     * vocabulary.
     */
+  /** One row per non-empty lowercased whitespace token, keeping `extra`
+    * columns — THE tokenization convention every token oracle mirrors as
+    * DuckDB's `string_split_regex(trim(lower(text)), '\s+')`; q78/q83 both
+    * hash against it, so it lives in exactly one place.
+    */
+  private def tokens(df: DataFrame, textCol: String, extra: Column*): DataFrame =
+    df.select(extra :+
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"): _*)
+      .filter(length(col("token")) > 0)
+
   def topKTokens(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
     require(k >= 1, "k must be positive")
-    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
+    tokens(df, textCol)
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
@@ -67,10 +76,7 @@ object CorpusStats {
   def topKTokensByGroup(
       df: DataFrame, groupCol: String, textCol: String, k: Int = 20): DataFrame = {
     require(k >= 1, "k must be positive")
-    val counts = df
-      .select(col(groupCol),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
+    val counts = tokens(df, textCol, col(groupCol))
       .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("n").desc, col("token"))
@@ -99,10 +105,14 @@ object CorpusStats {
     // bench; `spread` fans the per-row work out of a small scan's few splits
     val gramsUdf = udf((t: String) => Dedup.lowerShingles(t, n))
     val grams = Dedup.spread(df)
-      .select(explode(gramsUdf(col(textCol))).as("gram"))
-    // kernel-side per-doc distinctness makes each (gram, doc) pair unique,
-    // so a plain count IS the distinct-doc count — one map-side-combinable
-    // aggregation instead of countDistinct's two-shuffle Expand plan
+      .select(col(idCol), explode(gramsUdf(col(textCol))).as("gram"))
+      // the kernel dedupes grams within a row; a document ingested twice
+      // (same id, two rows) must still vote once, so dedupe (id, gram)
+      // pairs — a partial/final hash aggregate, cheap because the kernel
+      // already collapsed within-row repeats — before the gram count.
+      // Plain count then IS the distinct-doc count, avoiding
+      // countDistinct's Expand plan.
+      .dropDuplicates(idCol, "gram")
     grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
   }

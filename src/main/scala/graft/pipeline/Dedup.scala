@@ -75,16 +75,25 @@ object Dedup {
     // packs non-bucketed scans: small files are rebalanced, a 100 TB scan
     // (more estimated splits than cores) is a no-op.
     val plan = df.queryExecution.optimizedPlan
-    val readsFiles = plan.collectLeaves().exists {
+    val leaves = plan.collectLeaves()
+    val readsFiles = leaves.exists {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
       case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
       case _ => false
     }
-    if (!readsFiles) return df
-    val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    val estSplits = plan.stats.sizeInBytes / splitBytes + 1
-    if (estSplits < target) df.repartition(target) else df
+    if (readsFiles) {
+      val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+      val estSplits = plan.stats.sizeInBytes / splitBytes + 1
+      if (estSplits < target) df.repartition(target) else df
+    } else if (leaves.forall(l =>
+        l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation] ||
+        l.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])) {
+      // purely in-memory inputs are usually parallelized already, but a
+      // coalesce(1) / single-slice frame is not — probing .rdd here is fine
+      // because these plans are small by construction
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    } else df // downstream of a shuffle: spark.sql.shuffle.partitions governs
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the

@@ -80,9 +80,11 @@ object Similarity {
     import spark.implicits._
     // ids are compared and binary-searched as longs; a non-integral column
     // would cast to null and silently corrupt every pair — reject it
+    // (any integral width casts losslessly)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val idType = df.schema(idCol).dataType
-    require(idType == org.apache.spark.sql.types.LongType ||
-        idType == org.apache.spark.sql.types.IntegerType,
+    require(idType == LongType || idType == IntegerType ||
+        idType == ShortType || idType == ByteType,
       s"bruteForcePairs requires an integral id column; '$idCol' is " +
         s"${idType.simpleString}. Map ids to long first, or use " +
         "Dedup.embeddingCosinePairs, which keeps ids generic.")

@@ -240,9 +240,10 @@ final class Session private (
     // test/system/session/ids/test_partition.py):
     //  - MaxGroupsPerID on the PARTITION column -> children stay IDs tables
     //    (the bound caps how many children one ID reaches);
-    //  - otherwise MaxRowsPerID(k) -> children become plain rows tables
-    //    protected by AddMaxRows(k * maxIDs) (one ID's <= k rows land among
-    //    the children), id metadata dropped;
+    //  - otherwise MaxRowsPerID(k) -> children become plain rows tables at
+    //    rows distance k * maxIDs (one ID's <= k rows land among the
+    //    children; the IDs distance rides in viewStability), id metadata
+    //    dropped;
     //  - anything else (including MaxRowsPerGroupPerID alone) is an error.
     val template: graft.compile.PrivateTable = t.protectedChange match {
       case AddRowsWithID(_, _, maxIDs) =>
@@ -332,6 +333,10 @@ final class Session private (
       val idDistNote = (t.protectedChange, t.idDistance) match {
         case (AddRowsWithID(_, _, m), Some((d, _))) if d != Rat(m.toLong) =>
           s"; effective id distance: $d"
+        // a MaxRowsPerID-partitioned child carries its parent's IDs distance
+        // in viewStability: surface k * maxIDs, not the bare AddMaxRows(k)
+        case (AddMaxRows(k), _) if t.viewStability != Rat.one =>
+          s"; effective rows distance: ${Rat(k.toLong) * t.viewStability}"
         case _ => ""
       }
       sb.append(s"  $n (protected: ${t.protectedChange}" + idDistNote +

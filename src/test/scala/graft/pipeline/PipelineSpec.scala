@@ -403,5 +403,17 @@ class PipelineSpec extends SparkSpec {
     val short = CorpusStats.ngramDocFrequency(df, "id", "text", n = 2, minDocs = 1)
       .collect().map(_.getString(0)).toSet
     assert(short.contains("solo"))
+    // a document ingested twice (same id, two rows) still votes once
+    val dup = docs(1L -> "click here", 2L -> "click here")
+      .union(docs(1L -> "click here"))
+    val votes = CorpusStats.ngramDocFrequency(dup, "id", "text", n = 2, minDocs = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(votes === Map("click here" -> 2L))
+  }
+
+  test("spread rebalances a coalesced single-slice in-memory frame") {
+    val one = docs((1L to 40L).map(i => i -> s"text body $i"): _*).coalesce(1)
+    assert(Dedup.spread(one).rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
   }
 }

@@ -49,6 +49,17 @@ class IdsPartitionSpec extends SparkSpec {
     assert(kids("part0").noiseInfo(QueryBuilder("part0").count(),
       PureDPBudget(1)).head.mechanism
       === graft.exec.NoiseMechanism.Geometric(2.0))
+    // with maxIDs > 1 the IDs factor rides in viewStability; describe must
+    // surface the full k * maxIDs distance, not the bare AddMaxRows cap
+    val s3 = Session.fromDataFrame(spark, Inf, "id_a1", df,
+      AddRowsWithID("id", maxIDs = 3))
+    s3.createView(QueryBuilder("id_a1").enforce(MaxRowsPerID(2)), "v3",
+      cache = false)
+    val k3 = s3.partitionAndCreate("v3", Inf, "group", Seq("pa" -> "A"))
+    assert(k3("pa").describe().contains("effective rows distance: 6"))
+    assert(k3("pa").noiseInfo(QueryBuilder("pa").count(),
+      PureDPBudget(1)).head.mechanism
+      === graft.exec.NoiseMechanism.Geometric(6.0))
   }
 
   test("MaxGroupsPerID on the partition column keeps children as IDs tables " +
