@@ -233,19 +233,37 @@ final class MeasurementPlanner(
       val sens = aggSensitivity(t, Some(keys))
       val eps = exponentialEpsilon(sens)
       val mech = NoiseMechanism.Exponential(eps)
-      val binned = t.df.withColumn("__bin", DpQuantile.binColumn(col(m), lo, hi))
       val keyCols = keys.columns
-      val counts = binned.groupBy((keyCols :+ "__bin").map(col).toIndexedSeq: _*)
-        .agg(count(lit(1)).as("__c"))
-      val perGroup =
-        if (keys.isEmptyKey)
-          counts.agg(collect_list(struct(col("__bin"), col("__c"))).as("__bins"))
-        else counts.groupBy(keyCols.map(col).toIndexedSeq: _*)
-          .agg(collect_list(struct(col("__bin"), col("__c"))).as("__bins"))
-      val joined = keysetJoin(keys, perGroup, Seq("__bins" -> None))
-      val result = joined
-        .withColumn(out, DpQuantile.finishUdf(q, lo, hi, eps)(col("__bins")))
-        .drop("__bins")
+      // default: bounded-state binned mechanism (DpQuantile header). Opt-in
+      // `spark.graft.quantile.method = intervals` runs the reference's
+      // interval-scoring mechanism, which materializes each group's values.
+      val method = t.df.sparkSession.conf
+        .getOption("spark.graft.quantile.method").getOrElse("binned")
+      val result = method match {
+        case "intervals" =>
+          val vals = t.df.withColumn("__v", col(m).cast("double"))
+          val perGroup =
+            if (keys.isEmptyKey) vals.agg(collect_list(col("__v")).as("__vs"))
+            else vals.groupBy(keyCols.map(col).toIndexedSeq: _*)
+              .agg(collect_list(col("__v")).as("__vs"))
+          keysetJoin(keys, perGroup, Seq("__vs" -> None))
+            .withColumn(out, DpQuantile.finishIntervalsUdf(q, lo, hi, eps)(col("__vs")))
+            .drop("__vs")
+        case "binned" =>
+          val binned = t.df.withColumn("__bin", DpQuantile.binColumn(col(m), lo, hi))
+          val counts = binned.groupBy((keyCols :+ "__bin").map(col).toIndexedSeq: _*)
+            .agg(count(lit(1)).as("__c"))
+          val perGroup =
+            if (keys.isEmptyKey)
+              counts.agg(collect_list(struct(col("__bin"), col("__c"))).as("__bins"))
+            else counts.groupBy(keyCols.map(col).toIndexedSeq: _*)
+              .agg(collect_list(struct(col("__bin"), col("__c"))).as("__bins"))
+          keysetJoin(keys, perGroup, Seq("__bins" -> None))
+            .withColumn(out, DpQuantile.finishUdf(q, lo, hi, eps)(col("__bins")))
+            .drop("__bins")
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.quantile.method must be 'binned' or 'intervals', got '$other'")
+      }
       MeasureOut(result, Seq(NoiseInfo(out, mech)), noiseSpend)
 
     case e @ GetGroups(child, columns) =>

@@ -50,6 +50,79 @@ object DpQuantile {
       finish(counts, q, low, high, eps, () => rng.nextDouble())
     }).asNondeterministic()
 
+  /** Finisher over a group's raw values: the interval-scoring exponential
+    * mechanism (see [[finishIntervals]]).
+    */
+  def finishIntervalsUdf(q: Double, low: Double, high: Double, eps: Double): UserDefinedFunction =
+    udf((vs: Seq[Double]) => {
+      val arr = if (vs == null) Array.empty[Double] else vs.toArray
+      val rng = ThreadLocalRandom.current()
+      finishIntervals(arr, q, low, high, eps, () => rng.nextDouble())
+    }).asNondeterministic()
+
+  /** The reference's mechanism shape (core `create_quantile_measurement`,
+    * called at _base_measurement_visitor.py:1060-1072): the exponential
+    * mechanism over the n + 1 intervals BETWEEN the group's sorted clamped
+    * values (Smith 2011). Interval i in 0..n spans [v_i, v_i+1] with
+    * v_0 = low, v_n+1 = high; utility u(i) = -|i - q*n|; an interval is
+    * chosen with probability proportional to width * exp(eps * u /
+    * (2 * (1 + q))) and the release is uniform within it. Zero-width
+    * intervals carry zero probability, exactly as in the continuous
+    * mechanism. At eps = infinity: deterministic midpoint of the
+    * max-utility positive-width interval nearest the q-th position.
+    *
+    * Opt-in via spark conf `spark.graft.quantile.method = intervals`: it
+    * materializes each group's values, so per-group memory is O(group
+    * size) — fine at the reference's scale, not at billion-row groups,
+    * which is why the binned mechanism stays the default (header above).
+    */
+  private[graft] def finishIntervals(
+      values: Array[Double], q: Double, low: Double, high: Double, eps: Double,
+      nextDouble: () => Double): Double = {
+    val v = values.map(x => math.min(math.max(x, low), high)).sorted
+    val n = v.length
+    if (high == low) return low
+    val target = q * n
+    @inline def lo(i: Int): Double = if (i == 0) low else v(i - 1)
+    @inline def hi(i: Int): Double = if (i == n) high else v(i)
+    if (eps.isInfinity) {
+      // max-utility positive-width interval nearest the target index
+      var pick = -1
+      var bestU = Double.NegativeInfinity
+      var dist = Double.MaxValue
+      var i = 0
+      while (i <= n) {
+        if (hi(i) > lo(i)) {
+          val u = -math.abs(i - target)
+          val d = math.abs(i - target)
+          if (u > bestU || (u == bestU && d < dist)) {
+            bestU = u; dist = d; pick = i
+          }
+        }
+        i += 1
+      }
+      (lo(pick) + hi(pick)) / 2.0
+    } else {
+      // Gumbel-max over log(width) + eps * u / (2 * uSens): one added or
+      // removed row shifts a fixed interval's index by <= 1 and the target
+      // q*n by q, so uSens = 1 + q, as in the binned mechanism.
+      val uSens = 1.0 + q
+      var pick = -1
+      var best = Double.NegativeInfinity
+      var i = 0
+      while (i <= n) {
+        val w = hi(i) - lo(i)
+        if (w > 0) {
+          val g = -math.log(-math.log(nextDouble()))
+          val s = math.log(w) - eps / (2.0 * uSens) * math.abs(i - target) + g
+          if (s > best) { best = s; pick = i }
+        }
+        i += 1
+      }
+      lo(pick) + nextDouble() * (hi(pick) - lo(pick))
+    }
+  }
+
   /** The mechanism itself, over materialized per-bin counts. `nextDouble`
     * injects the randomness source so the statistical acceptance tests
     * (QuantileFidelitySpec) can drive it with a seeded generator; the UDF
