@@ -675,6 +675,16 @@ object Queries {
       // (each doc votes each gram once)
       graft.pipeline.CorpusStats.ngramDocFrequency(
         read(s, d, "documents"), "doc_id", "text", n = 2, minDocs = 20)),
+    "q85_pack_chunks" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // concat-and-chunk training layout: 2048-token chunks over the
+      // id-ordered token stream; census per chunk
+      val docs = read(s, d, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("ntok"))
+      graft.pipeline.Packing.chunkProfile(docs, "doc_id", "ntok", chunkTokens = 2048)
+        .orderBy("chunk_id")
+    }),
     "q81_stratified_quota" -> ((s, d) => {
       // per-group caps for training-mix balancing: each o_orderstatus
       // keeps its 100 smallest id-hashes — membership reproduces in SQL
@@ -1270,6 +1280,17 @@ object Queries {
         |      i -> array_to_string(toks[i:i+1], ' '))) END) AS gram FROM t)
         |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 20""".stripMargin,
+    "q85_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+        |  FROM documents),
+        |c AS (SELECT doc_id, ntok,
+        |    sum(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok
+        |      AS start FROM t)
+        |SELECT CAST(floor(start / 2048) AS BIGINT) AS chunk_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1""".stripMargin,
     "q81_stratified_quota" ->
       """SELECT o_orderstatus, o_orderkey FROM (
         |  SELECT o_orderstatus, o_orderkey,
