@@ -544,6 +544,15 @@ object Queries {
       // construction, so a brute-force oracle must agree at every SF
       graft.pipeline.Dedup.ngramJaccardPairs(
         read(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+    "q86_dedup_against" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // scrub a training corpus against a held-out reference split: docs
+      // with doc_id % 7 == 0 act as the eval set; exact-Jaccard matches
+      val all = read(s, d, "documents")
+      graft.pipeline.Dedup.crossCorpusMatches(
+        all.filter(col("doc_id") % 7 =!= 0), all.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", threshold = 0.5)
+    }),
     "q44_embedding_dedup" -> ((s, d) =>
       // testdata embeddings are near-orthogonal random vectors (max pairwise
       // cosine ~0.48), so the demo threshold sits below that
@@ -1159,6 +1168,24 @@ object Queries {
         |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE
         |      AS jaccard
         |  FROM cand c JOIN s x ON c.ia = x.doc_id JOIN s y ON c.ib = y.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
+    // brute-force cross-join oracle for the banded cross-corpus scrub;
+    // same shingling as q71
+    "q86_dedup_against" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3
+        |        THEN [array_to_string(toks, ' ')]
+        |        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' '))) END AS sh FROM t),
+        |ref AS (SELECT * FROM s WHERE doc_id % 7 = 0),
+        |corp AS (SELECT * FROM s WHERE doc_id % 7 <> 0)
+        |SELECT * FROM (
+        |  SELECT c.doc_id AS id, r.doc_id AS ref_id,
+        |    len(list_intersect(c.sh, r.sh))::DOUBLE
+        |      / (len(c.sh) + len(r.sh) - len(list_intersect(c.sh, r.sh)))::DOUBLE
+        |      AS jaccard
+        |  FROM corp c JOIN ref r ON len(list_intersect(c.sh, r.sh)) > 0)
         |WHERE jaccard >= 0.5""".stripMargin,
     // Exact top-k by cosine, rank-only: adjacent-rank cosine gaps in this
     // data are >= 1.9e-5 (measured at all SFs), so engine round-off cannot

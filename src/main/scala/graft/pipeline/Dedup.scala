@@ -631,6 +631,63 @@ object Dedup {
       .select(col(idCol)).distinct()
   }
 
+  /** Cross-corpus near-dup matches: for each `corpus` document, the
+    * `reference` documents (eval/benchmark sets, an earlier crawl, a held
+    * -out split) whose exact word-shingle Jaccard reaches `threshold` —
+    * the "scrub training data against the eval set" pass at similarity
+    * level, complementing [[contaminatedIds]]'s exact-n-gram containment.
+    * Output is (id, ref_id, jaccard), exact Jaccard as in
+    * [[minhashPairsVerified]].
+    *
+    * Shape at scale: both sides are MinHash-banded; candidates come from
+    * an equi-join on (band, bucket), keyed so the 100-TB corpus shuffles
+    * 8-byte band hashes, never text — and when the reference side is
+    * small (the common case) AQE turns that join into a broadcast, so
+    * corpus text is only re-read for the tiny verified candidate set.
+    * Recall follows the r = 2 banding bound (a J >= 0.5 pair escapes all
+    * 64 bands with probability (1 - J^2)^64 ~ 1e-8). Reference buckets
+    * are gathered with a bounded buffer and dropped past `maxBucket`
+    * rids, as in [[minhashPairsVerified]]: a band shared by thousands of
+    * reference docs is an exact-dup clique in the REFERENCE — dedup the
+    * reference first ([[exact]] / [[minhashClusters]]) rather than pay a
+    * quadratic candidate flood per corpus hit.
+    */
+  def crossCorpusMatches(
+      corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 64, shingleSize: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
+    def banded(df: DataFrame, id: String) = spread(df)
+      .select(col(idCol).as(id),
+        posexplode(bandHashes(
+          minhashSignatureText(col(textCol), shingleSize, numHashes),
+          numHashes, bands)).as(Seq("__band", "__bh")))
+    val refBuckets = banded(reference, "__rid").groupBy("__band", "__bh")
+      .agg(graft.exec.BoundedCollect.boundedCollectList(col("__rid"), maxBucket + 1)
+        .as("__rids"))
+      .filter(size(col("__rids")) <= maxBucket)
+    val cand = banded(corpus, "__id").join(refBuckets, Seq("__band", "__bh"))
+      .select(col("__id"), explode(col("__rids")).as("__rid")).distinct()
+    val a = corpus.select(col(idCol).as("__id"), col(textCol).as("__ta"))
+    val b = reference.select(col(idCol).as("__rid"), col(textCol).as("__tb"))
+    cand.join(a, "__id").join(b, "__rid")
+      .withColumn("jaccard", ngramJaccard(col("__ta"), col("__tb"), shingleSize))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__id").as("id"), col("__rid").as("ref_id"), col("jaccard"))
+  }
+
+  /** `corpus` minus every document near-duplicate to the `reference` set:
+    * an anti-join against [[crossCorpusMatches]]'s matched ids.
+    */
+  def dedupAgainst(
+      corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 64, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val matched = crossCorpusMatches(corpus, reference, idCol, textCol,
+      numHashes, bands, shingleSize, threshold)
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup pairs in embedding space: random-hyperplane LSH signature
     * (deterministic pseudo-random planes), bucket on 8-bit bands, verify
     * exact cosine >= threshold via a codegen'd dot product.

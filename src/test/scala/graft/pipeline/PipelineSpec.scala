@@ -411,6 +411,38 @@ class PipelineSpec extends SparkSpec {
     assert(votes === Map("click here" -> 2L))
   }
 
+  test("crossCorpusMatches finds planted near-dups across corpora only") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " other words"
+    val unrelated = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    // 1 and 2 are near-dups but both in the corpus: no cross match for them
+    val corpus = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val ref = docs(10L -> base, 11L -> "completely different text entirely")
+    val m = Dedup.crossCorpusMatches(corpus, ref, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m === Set(1L -> 10L, 2L -> 10L))
+    val kept = Dedup.dedupAgainst(corpus, ref, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L))
+  }
+
+  test("crossCorpusMatches reports the exact jaccard, not the estimate") {
+    val a = "w1 w2 w3 w4 w5 w6"
+    val b = "w1 w2 w3 w4 w5 other"
+    // 3-shingles: a has 4, b has 4, intersection 3 -> j = 3/5
+    val m = Dedup.crossCorpusMatches(docs(1L -> a), docs(2L -> b), "id", "text",
+      threshold = 0.5).collect()
+    assert(m.length === 1)
+    assert(m.head.getDouble(2) === 0.6)
+  }
+
+  test("dedupAgainst keeps everything when the reference is empty") {
+    val corpus = docs(1L -> "alpha beta gamma delta", 2L -> "epsilon zeta eta")
+    val kept = Dedup.dedupAgainst(corpus, docs(), "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
+
   test("spread rebalances a coalesced single-slice in-memory frame") {
     val one = docs((1L to 40L).map(i => i -> s"text body $i"): _*).coalesce(1)
     assert(Dedup.spread(one).rdd.getNumPartitions ===
