@@ -152,6 +152,13 @@ final class QueryBuilder private (private[graft] val expr: TransformExpr) {
   /** reference query_builder.py:1863 */
   def groupby(keys: KeySet): GroupedQueryBuilder = new GroupedQueryBuilder(expr, keys)
 
+  /** Grouping by bare column names runs DP partition selection to find the
+    * keys, as the reference's `groupby(Union[KeySet, List[str], str])`
+    * overload does — sugar for `groupby(KeySet.detect(columns))`.
+    */
+  def groupby(first: String, rest: String*): GroupedQueryBuilder =
+    groupby(KeySet.detect(first +: rest: _*))
+
   /** Histogram sugar: bin + groupby(bins) + count (reference
     * query_builder.py:1590, lowering :1655-1663).
     */

@@ -159,6 +159,40 @@ class QueryExprSchemaSpec extends SparkSpec {
     }
   }
 
+  test("descriptor triple propagation follows the reference's per-op table " +
+      "(test_query_expression_schema.py; _query_expr.py:1159-1440)") {
+    val d0 = lineitem("qty")
+    assert((d0.allowNull, d0.allowNaN, d0.allowInf) === (true, true, true))
+    // replace_null_and_nan: named column clears null+nan, keeps inf
+    val r1 = ReplaceNullAndNan(src, Map("qty" -> 0.0)).schema(cat)("qty")
+    assert((r1.allowNull, r1.allowNaN, r1.allowInf) === (false, false, true))
+    // empty mapping = every column
+    val r2 = ReplaceNullAndNan(src, Map.empty).schema(cat)
+    assert(r2.columns.forall { case (_, d) => !d.allowNull && !d.allowNaN })
+    assert(r2("qty").allowInf)
+    // replace_infinity: clears inf only
+    val r3 = ReplaceInfinity(src, Map("qty" -> (0.0, 0.0))).schema(cat)("qty")
+    assert((r3.allowNull, r3.allowNaN, r3.allowInf) === (true, true, false))
+    // drop_null_and_nan mirrors replace; drop_infinity mirrors replace_infinity
+    val r4 = DropNullAndNan(src, Seq("qty")).schema(cat)("qty")
+    assert((r4.allowNull, r4.allowNaN, r4.allowInf) === (false, false, true))
+    val r5 = DropInfinity(src, Seq("qty")).schema(cat)("qty")
+    assert((r5.allowNull, r5.allowNaN, r5.allowInf) === (true, true, false))
+    // untargeted columns ride through untouched
+    val r6 = ReplaceNullAndNan(src, Map("qty" -> 0.0)).schema(cat)("flag")
+    assert(r6 === lineitem("flag"))
+    // filter / rename / select preserve descriptors exactly
+    assert(Filter(src, "key > 0").schema(cat)("qty") === d0)
+    assert(Rename(src, Map("qty" -> "q2")).schema(cat)("q2") === d0)
+    assert(Select(src, Seq("qty")).schema(cat)("qty") === d0)
+    // aggregate outputs are non-null (reference _query_expr.py:1630-1638)
+    val ks = KeySet.fromColumn("flag", Seq("A"))
+    val agg = GroupByCount(src, ks, "n").schema(cat)("n")
+    assert((agg.ctype, agg.allowNull) === (ColumnType.Integer, false))
+    val s2 = GroupByBoundedSum(src, ks, "qty", 0, 1, "s").schema(cat)("s")
+    assert((s2.ctype, s2.allowNull) === (ColumnType.Decimal, false))
+  }
+
   test("special-value ops never touch the privacy ID column") {
     val ev = PrivateSource("events")
     // explicit targeting of the id column is an error...

@@ -445,6 +445,11 @@ class SessionSpec extends SparkSpec {
         QueryBuilder("t").groupby(KeySet.detect("flag")).count(), Inf)
     }
     intercept[IllegalStateException] { KeySet.detect("flag").dataframe(spark) }
+    // bare-column groupby sugar is the same query (reference
+    // query_builder.py:1863 accepts KeySet | List[str] | str)
+    val sugared = s.evaluate(QueryBuilder("t").groupby("flag").count(), inf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sugared === Map("A" -> 3L, "B" -> 3L))
   }
 
   test("detect composes with the keyset algebra like a KeySetPlan " +
