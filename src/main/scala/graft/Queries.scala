@@ -684,6 +684,12 @@ object Queries {
       // (each doc votes each gram once)
       graft.pipeline.CorpusStats.ngramDocFrequency(
         read(s, d, "documents"), "doc_id", "text", n = 2, minDocs = 20)),
+    "q87_tfidf_terms" -> ((s, d) =>
+      // per-document characteristic terms: rank-only contract (the
+      // ln-based score stays internal; released columns are integers and
+      // strings — see CorpusStats.topTfidfTerms scaladoc)
+      graft.pipeline.CorpusStats.topTfidfTerms(
+        read(s, d, "documents"), "doc_id", "text", k = 3)),
     "q85_pack_chunks" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // concat-and-chunk training layout: 2048-token chunks over the
@@ -1307,6 +1313,27 @@ object Queries {
         |      i -> array_to_string(toks[i:i+1], ' '))) END) AS gram FROM t)
         |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 20""".stripMargin,
+    // rank-only: ln() differs across libms in the last ulp, so the score
+    // is never released; adjacent-score gaps at the k boundary are
+    // measured >= 1.5e-4 relative at all SFs (see FIXTURES.md), far above
+    // the ~1e-15 cross-engine float divergence
+    "q87_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE length(token) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nn FROM documents),
+        |scored AS (SELECT doc_id, token, tf, df,
+        |    tf * ln(nn::DOUBLE / df::DOUBLE) AS s
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN n)
+        |SELECT doc_id, rank, token, tf, df FROM (
+        |  SELECT doc_id, token, tf, df,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY s DESC, token) AS BIGINT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3""".stripMargin,
     "q85_pack_chunks" ->
       """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
         |    ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok

@@ -84,6 +84,45 @@ object CorpusStats {
       .filter(col("rank") <= k)
   }
 
+  /** Per-document top-k TF-IDF terms: the k tokens most characteristic of
+    * each document, scored tf * ln(N / df) over the corpus's own document
+    * frequencies — the classic relevance/quality signal for keyword
+    * extraction and topic drift checks.
+    *
+    * Scale shape: (id, token) term frequencies aggregate with map-side
+    * combine (one keyed shuffle); document frequencies reduce THOSE
+    * already-distinct pairs by token (second keyed shuffle, vocabulary
+    * sized); the scalar N arrives via a broadcast one-row cross join; the
+    * per-document limit is a streaming row_number window, which Spark
+    * runs as a partial WindowGroupLimit BEFORE the window exchange. No
+    * global sort, no driver state.
+    *
+    * Output is (id, rank, token, tf, df) — integers and strings only.
+    * The ln-based score stays internal: engine libm implementations may
+    * differ in the last ulp, so released doubles would not be
+    * bit-portable, but the RANKING they induce is stable (same rationale
+    * as the kNN rank-only contract; ties break on the token string).
+    */
+  def topTfidfTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val tf = tokens(df, textCol, col(idCol))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.agg(count_distinct(col(idCol)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("token"))
+    tf.join(docFreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("__score",
+        col("tf") * log(col("__n").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"), col("token"),
+        col("tf"), col("df"))
+  }
+
   /** N-gram document frequency: the distinct word n-grams appearing in at
     * least `minDocs` distinct documents — the census that finds boilerplate
     * (headers, disclaimers, navigation) worth stripping before training.

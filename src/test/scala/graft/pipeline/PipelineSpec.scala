@@ -411,6 +411,29 @@ class PipelineSpec extends SparkSpec {
     assert(votes === Map("click here" -> 2L))
   }
 
+  test("topTfidfTerms surfaces document-specific terms over shared ones") {
+    // "common" appears in all docs (idf 0 -> never characteristic);
+    // each doc's unique tokens rank first
+    val df = docs(
+      1L -> "common alpha alpha beta",
+      2L -> "common gamma",
+      3L -> "common delta epsilon")
+    val out = CorpusStats.topTfidfTerms(df, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: alpha (tf 2) outranks beta (tf 1); common never appears
+    assert(byDoc(1L).sortBy(_._2).map(_._3).toSeq === Seq("alpha", "beta"))
+    assert(byDoc(2L).map(_._3).toSet === Set("gamma", "common"))
+    // ranked common in doc 2: only two tokens exist, score 0 fills rank 2
+    assert(byDoc(3L).sortBy(_._2).map(_._3).toSeq === Seq("delta", "epsilon"))
+    // tf/df columns are the exact integers
+    val alpha = out.find(t => t._3 == "alpha").get
+    assert((alpha._4, alpha._5) === (2L, 1L))
+    val common = out.find(t => t._3 == "common").get
+    assert(common._5 === 3L)
+  }
+
   test("crossCorpusMatches finds planted near-dups across corpora only") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " other words"
