@@ -93,6 +93,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(Dedup.spread(local) eq local)
   }
 
+  test("packing never plans a global single-partition window") {
+    val df = makeDf(StructType(Seq(longCol("id"), longCol("ntok"))),
+      (1 to 200).map(i => Row(i.toLong, (i % 7 + 1).toLong)))
+    val packed = Packing.packChunks(df, "id", "ntok", 50)
+    packed.count()
+    val plan = packed.queryExecution.executedPlan.toString
+    // the prefix sum must ride a range exchange + mapPartitions, not a
+    // Window over an empty partitionBy (which funnels every row into one
+    // task at 100 TB)
+    assert(!plan.contains("Window"), s"no global window allowed:\n$plan")
+    assert(plan.contains("rangepartitioning"), s"range exchange expected:\n$plan")
+    assert(plan.contains("MapPartitions"), s"offset scan expected:\n$plan")
+  }
+
+  test("cross-corpus scrub: corpus band hashes never hash-shuffle; " +
+      "reference side broadcasts") {
+    val corpus = docs(200)
+    val ref = makeDf(StructType(Seq(longCol("id"), strCol("text"))),
+      (1 to 8).map(i => Row((1000 + i).toLong, s"uniq$i ref$i zz$i yy$i xx$i")))
+    val m = Dedup.crossCorpusMatches(corpus, ref, "id", "text")
+    m.count()
+    val plan = m.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small reference must broadcast into the candidate join:\n$plan")
+    // shuffles may carry band hashes and ids, never document text
+    val shuffles = plan.split('\n').filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffles.forall(!_.contains("text")),
+      s"no text through any exchange:\n$plan")
+  }
+
+  test("tfidf ranks with a partial WindowGroupLimit before the exchange") {
+    val plan = executed(CorpusStats.topTfidfTerms(docs(80), "id", "text", k = 3))
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc limit must push a partial group limit:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the corpus-size scalar joins as a broadcast, not a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"one-row N frame must broadcast:\n$plan")
+  }
+
   test("brute-force pairs streams against a resident matrix, zero shuffle") {
     // q73 is quadratic in ARITHMETIC by construction, but its plan must
     // stay a single distributed pass: normalized vectors broadcast once,
