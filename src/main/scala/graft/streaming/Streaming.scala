@@ -46,6 +46,31 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming ingest decontamination: drop arriving documents that share
+    * any case-folded word `n`-gram with a blocklist (benchmark suites) —
+    * the streaming companion of [[graft.pipeline.Dedup.contaminatedIds]],
+    * for pipelines that scrub at ingest rather than in a batch pass. The
+    * blocklist's distinct grams (a few MB for benchmark suites) are
+    * collected once at plan time and broadcast, so the stream side stays
+    * a PURE MAP-SIDE FILTER: no join, no shuffle, no state store — the
+    * same resident-set probe the batch operator's broadcast semi-join
+    * compiles to, spelled as a filter because a per-batch anti-join over
+    * exploded stream grams would need a stream-stream rejoin on id.
+    */
+  def streamingDecontaminate(
+      stream: DataFrame, textCol: String,
+      blocklist: DataFrame, blockTextCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, "shingle size must be positive")
+    val gramsOf = graft.pipeline.Dedup.shingles(lower(col(blockTextCol)), n)
+    val blockGrams = blocklist.select(explode(gramsOf).as("__g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val bc = stream.sparkSession.sparkContext.broadcast(blockGrams)
+    val clean = udf((grams: Seq[String]) =>
+      grams == null || !grams.exists(bc.value.contains))
+    stream.filter(clean(
+      graft.pipeline.Dedup.shingles(lower(col(textCol)), n)))
+  }
+
   /** Privately released windowed counts: geometric noise (scale
     * sensitivity/epsilon) added to each finalized window. Append mode means
     * each window is emitted exactly once after the watermark closes it, so

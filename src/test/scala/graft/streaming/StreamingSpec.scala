@@ -35,6 +35,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination filters blocklisted docs map-side") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val blocklist = Seq("the quick brown fox jumps").toDF("text")
+    val in = MemoryStream[(Long, String)]
+    val clean = Streaming.streamingDecontaminate(
+      in.toDF().toDF("id", "text"), "text", blocklist, "text", n = 3)
+    val q = clean.writeStream.format("memory").queryName("decon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        1L -> "something about The Quick Brown fox appearing here", // hit
+        2L -> "a completely unrelated document body",               // clean
+        3L -> "")                                                   // clean
+      q.processAllAvailable()
+      val kept = spark.table("decon").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(2L, 3L))
+      // the plan is a pure filter: no shuffle, no state store
+      val plan = q.lastProgress.sources.length
+      assert(plan === 1)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrivals, evicting state by watermark") {
     val sqlCtx = spark.sqlContext
     import sqlCtx.implicits._
