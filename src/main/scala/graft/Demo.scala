@@ -154,6 +154,26 @@ object Demo {
       graft.pipeline.CorpusStats.topKTokens(docs, "text", k = 5).show()
     }
 
+    banner("12. End-to-end training-corpus prep: scrub -> pack -> split")
+    locally {
+      import org.apache.spark.sql.functions._
+      // scrub near-duplicates of the held-out set (LSH candidates, exact
+      // Jaccard verification), then lay out 2048-token training chunks,
+      // then a deterministic train/val split any engine can reproduce
+      val heldOut = docs.filter(col("doc_id") % 7 === 0)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val scrubbed = graft.pipeline.Dedup.dedupAgainst(
+        corpus, heldOut, "doc_id", "text")
+      println(s"corpus ${corpus.count()} docs -> ${scrubbed.count()} after scrub")
+      val withTokens = scrubbed.select(col("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text")).as("ntok"))
+      graft.pipeline.Packing.chunkProfile(withTokens, "doc_id", "ntok", 2048)
+        .orderBy("chunk_id").show(3)
+      graft.pipeline.Sampling.hashSplit(
+          scrubbed, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split").show()
+    }
+
     println("\ndemo complete.")
   }
 }

@@ -15,7 +15,7 @@ class DemoSpec extends SparkSpec {
     val out = buf.toString("UTF-8")
 
     // every numbered section ran
-    for (i <- 1 to 11) assert(out.contains(s"=== $i. "), s"section $i missing")
+    for (i <- 1 to 12) assert(out.contains(s"=== $i. "), s"section $i missing")
 
     // session inspection and the mechanism preview
     assert(out.contains("Remaining privacy budget"))
@@ -41,6 +41,11 @@ class DemoSpec extends SparkSpec {
     // pipeline sections produce their tables
     assert(out.contains("n_repetitive"))
     assert(out.contains("contaminated documents:"))
+
+    // corpus prep: scrub removed the planted near-dups, chunks + splits print
+    assert(out.contains("after scrub"))
+    assert(out.contains("chunk_id"))
+    assert(out.contains("train"))
 
     assert(out.contains("demo complete."))
   }
