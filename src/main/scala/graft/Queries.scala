@@ -684,6 +684,18 @@ object Queries {
       // (each doc votes each gram once)
       graft.pipeline.CorpusStats.ngramDocFrequency(
         read(s, d, "documents"), "doc_id", "text", n = 2, minDocs = 20)),
+    "q88_quantize_int8" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // int8 embedding storage layout; the per-vector integer census
+      // (sum/min/max of quantized elements) pins every element exactly
+      val qv = graft.pipeline.Similarity.quantizeInt8(col("embedding"))
+      read(s, d, "embeddings")
+        .select(col("vec_id"), qv.as("__q"))
+        .select(col("vec_id"),
+          aggregate(col("__q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(col("__q")).as("q_min"),
+          array_max(col("__q")).as("q_max"))
+    }),
     "q87_tfidf_terms" -> ((s, d) =>
       // per-document characteristic terms: rank-only contract (the
       // ln-based score stays internal; released columns are integers and
@@ -1317,6 +1329,20 @@ object Queries {
     // is never released; adjacent-score gaps at the k boundary are
     // measured >= 1.5e-4 relative at all SFs (see FIXTURES.md), far above
     // the ~1e-15 cross-engine float divergence
+    // mult/div/floor are exactly-rounded IEEE ops, so the quantized
+    // integers are bit-identical across engines (unlike ln-based scores)
+    "q88_quantize_int8" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m,
+        |    embedding FROM embeddings),
+        |qq AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
+        |      ELSE CAST(floor(x::DOUBLE * 127.0 / m + 0.5) AS BIGINT) END) AS qv
+        |  FROM q)
+        |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM qq""".stripMargin,
     "q87_tfidf_terms" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

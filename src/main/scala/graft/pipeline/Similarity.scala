@@ -42,6 +42,45 @@ object Similarity {
     }
   })
 
+  /** Symmetric per-vector int8 scalar quantization: each element maps to
+    * floor(x * 127 / max|x| + 0.5) in [-127, 127], the storage layout that
+    * cuts an embedding corpus 4x against float32 with bounded relative
+    * error. A pure codegen'd projection — zero shuffle at any scale.
+    *
+    * Engine-portable by construction: multiply, divide, and floor are
+    * exactly-rounded IEEE-754 ops (unlike ln/exp), so the same formula
+    * yields bit-identical integers in any engine — the DuckDB oracle
+    * mirrors `floor(x * 127.0 / m + 0.5)` verbatim. Zero vectors
+    * quantize to zeros. Runs as a fused JVM kernel (file header: Spark's
+    * higher-order functions are interpreted).
+    */
+  def quantizeInt8(vec: Column): Column = quantizeKernel(vec.cast("array<double>"))
+
+  private val quantizeKernel = udf((a: Array[Double]) => {
+    if (a == null) null
+    else {
+      var m = 0.0
+      var i = 0
+      while (i < a.length) {
+        val ab = math.abs(a(i)); if (ab > m) m = ab; i += 1
+      }
+      val out = new Array[Long](a.length)
+      if (m != 0.0) {
+        i = 0
+        while (i < a.length) {
+          out(i) = math.floor(a(i) * 127.0 / m + 0.5).toLong; i += 1
+        }
+      }
+      out
+    }
+  })
+
+  /** Dequantize [[quantizeInt8]] output back to doubles given the original
+    * max|x| (store it alongside): x ~ q * m / 127.
+    */
+  def dequantizeInt8(qvec: Column, maxAbs: Column): Column =
+    transform(qvec, q => q.cast("double") * maxAbs / lit(127.0))
+
   /** Exact top-k neighbors for each query row: broadcast the (small) query
     * side across the corpus scan, score, keep k per query by window rank.
     * Scales to any corpus size; queries must fit in a broadcast.

@@ -411,6 +411,32 @@ class PipelineSpec extends SparkSpec {
     assert(votes === Map("click here" -> 2L))
   }
 
+  test("int8 quantization maps extremes to +-127 and roundtrips boundedly") {
+    val df = makeDf(
+      StructType(Seq(longCol("id"), StructField("v", ArrayType(DoubleType)))),
+      Seq(Row(1L, Seq(1.0, -0.5, 0.25, 0.0)),
+        Row(2L, Seq(-2.0, 2.0)),
+        Row(3L, Seq(0.0, 0.0)),
+        Row(4L, null)))
+    val out = df.select(col("id"),
+        Similarity.quantizeInt8(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Long](1)).map(_.toSeq)).toMap
+    assert(out(1L) === Some(Seq(127L, -63L, 32L, 0L)))
+    assert(out(2L) === Some(Seq(-127L, 127L)))
+    assert(out(3L) === Some(Seq(0L, 0L))) // zero vector stays zeros
+    assert(out(4L) === None)
+    // dequantized values land within one quantization step of the source
+    val step = 1.0 / 127.0
+    val back = df.filter(col("id") === 1L)
+      .select(Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(col("v")), lit(1.0)).as("d"))
+      .collect().head.getSeq[Double](0)
+    val orig = Seq(1.0, -0.5, 0.25, 0.0)
+    back.zip(orig).foreach { case (d, o) =>
+      assert(math.abs(d - o) <= step / 2 + 1e-12, s"$d vs $o") }
+  }
+
   test("topTfidfTerms surfaces document-specific terms over shared ones") {
     // "common" appears in all docs (idf 0 -> never characteristic);
     // each doc's unique tokens rank first
