@@ -1339,7 +1339,7 @@ object Queries {
         |    list_transform(embedding, x -> CASE WHEN m = 0 THEN 0
         |      ELSE CAST(floor(x::DOUBLE * 127.0 / m + 0.5) AS BIGINT) END) AS qv
         |  FROM q)
-        |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |SELECT vec_id, CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
         |  CAST(list_min(qv) AS BIGINT) AS q_min,
         |  CAST(list_max(qv) AS BIGINT) AS q_max
         |FROM qq""".stripMargin,

@@ -86,18 +86,15 @@ object DpQuantile {
     @inline def lo(i: Int): Double = if (i == 0) low else v(i - 1)
     @inline def hi(i: Int): Double = if (i == n) high else v(i)
     if (eps.isInfinity) {
-      // max-utility positive-width interval nearest the target index
+      // positive-width interval nearest the target index (equivalently:
+      // max utility, lowest index winning exact distance ties)
       var pick = -1
-      var bestU = Double.NegativeInfinity
-      var dist = Double.MaxValue
+      var bestD = Double.MaxValue
       var i = 0
       while (i <= n) {
         if (hi(i) > lo(i)) {
-          val u = -math.abs(i - target)
           val d = math.abs(i - target)
-          if (u > bestU || (u == bestU && d < dist)) {
-            bestU = u; dist = d; pick = i
-          }
+          if (d < bestD) { bestD = d; pick = i }
         }
         i += 1
       }

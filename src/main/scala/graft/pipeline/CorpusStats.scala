@@ -38,6 +38,16 @@ object CorpusStats {
         col("__r.total_len"), col("__r.approx_distinct"))
   }
 
+  /** One row per non-empty lowercased whitespace token, keeping `extra`
+    * columns — THE tokenization convention every token oracle mirrors as
+    * DuckDB's `string_split_regex(trim(lower(text)), '\s+')`; q78/q83/q87
+    * all hash against it, so it lives in exactly one place.
+    */
+  private def tokens(df: DataFrame, textCol: String, extra: Column*): DataFrame =
+    df.select(extra :+
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"): _*)
+      .filter(length(col("token")) > 0)
+
   /** Exact corpus-wide top-`k` tokens by occurrence count, ties broken by
     * token string so the released set is deterministic on any engine. The
     * plan at scale: explode is a map-side projection, the count aggregates
@@ -46,16 +56,6 @@ object CorpusStats {
     * top-k heaps merged on the driver, never a global sort of the
     * vocabulary.
     */
-  /** One row per non-empty lowercased whitespace token, keeping `extra`
-    * columns — THE tokenization convention every token oracle mirrors as
-    * DuckDB's `string_split_regex(trim(lower(text)), '\s+')`; q78/q83 both
-    * hash against it, so it lives in exactly one place.
-    */
-  private def tokens(df: DataFrame, textCol: String, extra: Column*): DataFrame =
-    df.select(extra :+
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"): _*)
-      .filter(length(col("token")) > 0)
-
   def topKTokens(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
     require(k >= 1, "k must be positive")
     tokens(df, textCol)

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Concat-and-chunk sequence packing: lay the corpus's token streams
@@ -10,23 +10,27 @@ import org.apache.spark.sql.functions._
   * pretraining layout, made reproducible by keying the order on the id
   * column rather than on arrival order.
   *
-  * Scale shape: a global running sum ordered by id is a range shuffle of
-  * (id, tokens) pairs — never the text — plus a driver-side fold over
-  * numPartitions partial sums (a few KB at any corpus size):
-  *   1. range-partition by id and sort within partitions (ascending
-  *      ranges land on ascending partition indexes, so partition-major
-  *      order IS global order);
-  *   2. one job collects per-partition token totals; the driver
-  *      prefix-sums them into per-partition start offsets;
-  *   3. a per-partition scan adds the local running sum to the
-  *      broadcast offset — no global window, which would funnel the
-  *      whole corpus through one task.
-  * Pass 3 re-executes the range exchange rather than pinning it in
-  * memory: the pairs are 16 bytes/row, the exchange is deterministic
-  * (fixed-seed boundary sampling over a deterministic scan), and an
-  * extra (long, long) shuffle costs far less at 100 TB than caching
-  * ~10^10 rows. Callers with a nondeterministic upstream (e.g. a
-  * fresh `sample`) must persist it first — true of any two-pass op.
+  * Scale shape: a global running sum ordered by id, WITHOUT a global
+  * window (which would funnel the whole corpus through one task) and
+  * WITHOUT trusting any physical partition boundary. Documents map to
+  * value-derived buckets — fixed equal id-intervals between the corpus's
+  * min and max id — so every step is keyed on bucket VALUES:
+  *   1. one cheap aggregate reads (min, max) of the id column;
+  *   2. per-bucket token totals reduce map-side (groupBy bucket, a few
+  *      thousand rows to the driver), prefix-summed into per-bucket
+  *      start offsets and broadcast;
+  *   3. rows hash-shuffle by bucket, sort (bucket, id) within partitions,
+  *      and a per-partition scan adds the local running sum — resetting
+  *      at each bucket change — to the bucket's offset.
+  * Nothing depends on which physical partition a row lands in, so the
+  * result is deterministic on any cluster size and under Spark's
+  * rdd.id-seeded range-boundary sampling (which CAN differ between
+  * separately planned jobs — the reason this operator does not use
+  * repartitionByRange). Only (id, tokens) pairs ever shuffle — never
+  * text. Buckets are equal id-INTERVALS, so they are even when ids are
+  * roughly uniform (sequential doc ids, hash-derived ids); a pathological
+  * id distribution concentrates buckets but still computes correctly,
+  * bounded by the per-bucket row count.
   */
 object Packing {
 
@@ -47,37 +51,53 @@ object Packing {
       s"packChunks orders by an integral id column; '$idCol' is ${idType.simpleString}")
     val spark = df.sparkSession
     import spark.implicits._
-    // explicit partition count: AQE never coalesces a user-specified
-    // repartition, so pass-2 partition indexes line up with pass-3's
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    def ranged: Dataset[(Long, Long)] = df
+    val pairs = df
       .select(col(idCol).cast("long").as("_1"), col(tokenCol).cast("long").as("_2"))
-      .as[(Long, Long)]
-      .repartitionByRange(parts, col("_1"))
-      .sortWithinPartitions("_1")
-    // pass 2: numPartitions (pid, total) rows to the driver
-    val totals = ranged.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var s = 0L
-      while (it.hasNext) s += it.next()._2
-      Iterator.single(pid -> s)
-    }.collect().toMap
-    val offsets = new Array[Long](parts)
+    // pass 1: id range (null when the frame is empty)
+    val Array(minMax) = pairs.agg(min("_1"), max("_1")).collect()
+    if (minMax.isNullAt(0))
+      return spark.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0L).as("tokens"),
+          lit(0L).as("token_start"), lit(0L).as("chunk_id"))
+        .limit(0)
+    val (lo, hi) = (minMax.getLong(0), minMax.getLong(1))
+    // value-derived buckets: equal id-intervals, ~16 per shuffle partition
+    // so hash placement stays balanced. The double rounding inside the
+    // bucket formula is irrelevant to correctness — it only has to be the
+    // SAME function of the id in every pass, and it is monotone in id.
+    val buckets = math.max(16 * spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    val span = math.max(hi.toDouble - lo.toDouble + 1.0, 1.0)
+    def bucketOf(id: org.apache.spark.sql.Column) =
+      least(floor((id.cast("double") - lit(lo.toDouble)) / lit(span) * lit(buckets))
+        .cast("long"), lit(buckets - 1L))
+    // pass 2: per-bucket totals (map-side combinable), driver prefix sum
+    val totals = pairs.groupBy(bucketOf(col("_1")).as("__b"))
+      .agg(sum("_2").as("__t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](buckets)
     var acc = 0L
-    (0 until parts).foreach { p =>
-      offsets(p) = acc
-      acc += totals.getOrElse(p, 0L)
+    (0 until buckets).foreach { b =>
+      offsets(b) = acc
+      acc += totals.getOrElse(b.toLong, 0L)
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    // pass 3: local running sums on top of the broadcast offsets
-    ranged.mapPartitions { it =>
-      var running = bc.value(org.apache.spark.TaskContext.getPartitionId())
-      it.map { case (id, ntok) =>
-        val start = running
-        running += ntok
-        (id, ntok, start, start / chunkTokens)
-      }
-    }.toDF(idCol, "tokens", "token_start", "chunk_id")
+    // pass 3: shuffle by bucket value, scan each partition in (bucket, id)
+    // order with a running sum that resets at bucket changes
+    pairs
+      .withColumn("__b", bucketOf(col("_1")))
+      .repartition(col("__b"))
+      .sortWithinPartitions("__b", "_1")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var bucket = -1L
+        var running = 0L
+        it.map { case (id, ntok, b) =>
+          if (b != bucket) { bucket = b; running = bc.value(b.toInt) }
+          val start = running
+          running += ntok
+          (id, ntok, start, start / chunkTokens)
+        }
+      }.toDF(idCol, "tokens", "token_start", "chunk_id")
   }
 
   /** Chunk-level census over [[packChunks]]: how many documents start in

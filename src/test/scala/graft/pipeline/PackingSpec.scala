@@ -39,6 +39,16 @@ class PackingSpec extends SparkSpec {
     assert(a === c)
   }
 
+  test("sparse, negative, and clustered ids pack in global id order") {
+    // exercises the value-derived bucket math: huge gaps, a negative
+    // cluster, and ids far beyond double's contiguous-integer range edge
+    val ids = Seq(-1000000L, -999999L, -5L, 0L, 3L, 999999999L, 1000000000L)
+    val out = packed(frame(ids.map(_ -> 10L): _*), 25L)
+    assert(out.map(_._1) === ids.sorted)
+    assert(out.map(_._3) === ids.indices.map(_ * 10L))
+    assert(out.map(_._4) === Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L))
+  }
+
   test("zero-token documents keep their place without advancing the stream") {
     val df = frame(1L -> 3L, 2L -> 0L, 3L -> 4L)
     assert(packed(df, 5L) === Seq(

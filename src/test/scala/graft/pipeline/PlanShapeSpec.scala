@@ -99,11 +99,14 @@ class PlanShapeSpec extends SparkSpec {
     val packed = Packing.packChunks(df, "id", "ntok", 50)
     packed.count()
     val plan = packed.queryExecution.executedPlan.toString
-    // the prefix sum must ride a range exchange + mapPartitions, not a
-    // Window over an empty partitionBy (which funnels every row into one
-    // task at 100 TB)
+    // the prefix sum must ride a value-keyed exchange + mapPartitions, not
+    // a Window over an empty partitionBy (which funnels every row into one
+    // task at 100 TB) and not a physical-boundary-dependent range exchange
+    // (rdd.id-seeded boundary sampling differs between jobs)
     assert(!plan.contains("Window"), s"no global window allowed:\n$plan")
-    assert(plan.contains("rangepartitioning"), s"range exchange expected:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"bucket-keyed hash exchange expected, not sampled ranges:\n$plan")
+    assert(plan.contains("hashpartitioning"), s"bucket exchange expected:\n$plan")
     assert(plan.contains("MapPartitions"), s"offset scan expected:\n$plan")
   }
 
