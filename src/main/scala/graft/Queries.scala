@@ -684,6 +684,31 @@ object Queries {
       // (each doc votes each gram once)
       graft.pipeline.CorpusStats.ngramDocFrequency(
         read(s, d, "documents"), "doc_id", "text", n = 2, minDocs = 20)),
+    "q89_strip_boilerplate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // line-level boilerplate removal. The synthetic corpus is single-line,
+      // so the query injects per-source header and per-lang footer lines
+      // (mirrored exactly in the oracle); those reach >= 5 distinct docs and
+      // are struck from every text, the body lines survive. The census
+      // shuffles 8-byte line hashes only; the rewrite is map-side.
+      val docs = read(s, d, "documents").withColumn("text",
+        concat_ws("\n",
+          concat(lit("== "), col("source"), lit(" header ==")),
+          col("text"),
+          concat(lit("-- "), col("lang"), lit(" footer --"))))
+      graft.pipeline.CorpusStats
+        .stripBoilerplateLines(docs, "doc_id", "text", minDocs = 5)
+        .select(col("doc_id"), col("text").as("clean_text"), col("n_removed"))
+    }),
+    "q90_mixture_upsample" -> ((s, d) =>
+      // target-mix upsampling: de x2.5, zh x3, es x0.5, fr dropped, rest x1.
+      // Pure map-side explode; the fractional copy's membership is id-hash
+      // arithmetic reproducible in any engine.
+      graft.pipeline.Sampling.mixtureUpsample(
+        read(s, d, "documents").select("doc_id", "lang"),
+        "lang", "doc_id",
+        Seq("de" -> 2.5, "es" -> 0.5, "fr" -> 0.0, "zh" -> 3.0),
+        defaultWeight = 1.0)),
     "q88_quantize_int8" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // int8 embedding storage layout; the per-vector integer census
@@ -1325,6 +1350,45 @@ object Queries {
         |      i -> array_to_string(toks[i:i+1], ' '))) END) AS gram FROM t)
         |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 20""".stripMargin,
+    // the oracle finds boilerplate by line STRING census (the engine's
+    // 64-bit line hash stays internal), then filters each doc's line list —
+    // identical semantics absent a 64-bit collision in the test corpus
+    "q89_strip_boilerplate" ->
+      """WITH docs2 AS (SELECT doc_id,
+        |    concat_ws(chr(10), '== ' || source || ' header ==', text,
+        |      '-- ' || lang || ' footer --') AS text
+        |  FROM documents),
+        |l AS (SELECT DISTINCT doc_id, trim(u.l) AS line
+        |  FROM docs2, unnest(string_split(text, chr(10))) AS u(l)
+        |  WHERE trim(u.l) <> ''),
+        |bad AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 5),
+        |badl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS bl
+        |  FROM bad),
+        |f AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> trim(x) = '' OR NOT list_contains(bl, trim(x))) AS kept
+        |  FROM docs2, badl)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(len(ls) - len(kept) AS BIGINT) AS n_removed
+        |FROM f""".stripMargin,
+    // whole-copy counts and fractional-copy cutoffs are computed by the
+    // same Scala arithmetic the engine uses, then inlined as literals —
+    // assignment is pure md5 arithmetic in both engines (q74's pattern)
+    "q90_mixture_upsample" -> {
+      def cut(w: Double): Long = graft.pipeline.Sampling.threshold(w - math.floor(w))
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |    CASE lang
+         |      WHEN 'de' THEN 2 + CASE WHEN hv < ${cut(2.5)} THEN 1 ELSE 0 END
+         |      WHEN 'es' THEN 0 + CASE WHEN hv < ${cut(0.5)} THEN 1 ELSE 0 END
+         |      WHEN 'fr' THEN 0
+         |      WHEN 'zh' THEN 3 + CASE WHEN hv < ${cut(3.0)} THEN 1 ELSE 0 END
+         |      ELSE 1 END AS n FROM h)
+         |SELECT doc_id, lang, CAST(u.copy AS BIGINT) AS copy
+         |FROM c, unnest(range(1, n + 1)) AS u(copy)""".stripMargin
+    },
     // rank-only: ln() differs across libms in the last ulp, so the score
     // is never released; adjacent-score gaps at the k boundary are
     // measured >= 1.5e-4 relative at all SFs (see FIXTURES.md), far above

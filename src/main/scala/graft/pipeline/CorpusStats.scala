@@ -155,4 +155,109 @@ object CorpusStats {
     grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Space-only trim, matching Spark's `trim` and DuckDB's `trim` (both
+    * strip U+0020 only — Java's `String.trim` strips every char <= 0x20
+    * and would diverge from the SQL oracle on tabs and carriage returns).
+    */
+  private def spaceTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  /** FNV-1a 64-bit over UTF-16 code units — the internal line key for
+    * [[stripBoilerplateLines]]. Never released, so it needs no SQL mirror;
+    * it only has to be one fixed function of the line in both passes.
+    */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** CCNet/RefinedWeb-style line-level boilerplate removal: a line (split
+    * on `\n`, space-trimmed) that appears in at least `minDocs` DISTINCT
+    * documents is boilerplate — headers, cookie banners, navigation — and
+    * is struck from every document. Blank lines are never counted and
+    * never removed. Returns the input rows with `textCol` rewritten and an
+    * added `n_removed` count per row.
+    *
+    * Scale shape: the census shuffles only 8-byte line hashes — one
+    * (id, hash) dedupe so a re-ingested duplicate row still votes once,
+    * then a map-side-combinable count. The qualifying set is collected
+    * under an enforced bound (boilerplate is frequent-by-definition, so
+    * the set is small; `maxBoilerplateLines` longs ~ 32 MB broadcast at
+    * the default) and the rewrite is a pure map-side projection — corpus
+    * text NEVER shuffles, exactly like benchmark decontamination.
+    *
+    * Collision caveat: two distinct lines colliding under the 64-bit hash
+    * would be struck together (P ~ n^2 / 2^64 — at 10^9 distinct frequent
+    * lines, ~3%; at the realistic 10^6, ~1e-7). The release itself is
+    * hash-free.
+    */
+  def stripBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String, minDocs: Long,
+      maxBoilerplateLines: Int = 1 << 22): DataFrame = {
+    require(minDocs >= 2,
+      "minDocs must be at least 2: every non-blank line appears in its own document")
+    val spark = df.sparkSession
+    val lineHashes = udf((t: String) =>
+      if (t == null) Array.empty[Long]
+      else {
+        val seen = new java.util.HashSet[Long]
+        t.split("\n", -1).foreach { raw =>
+          val l = spaceTrim(raw)
+          if (l.nonEmpty) seen.add(fnv1a64(l))
+        }
+        val out = new Array[Long](seen.size)
+        val it = seen.iterator()
+        var i = 0
+        while (it.hasNext) { out(i) = it.next(); i += 1 }
+        out
+      })
+    val census = Dedup.spread(df)
+      .select(col(idCol).as("__id"), explode(lineHashes(col(textCol))).as("__h"))
+      // the kernel dedupes within a row; this extends the one-vote rule to
+      // duplicate rows of the same document (same pattern as
+      // ngramDocFrequency)
+      .dropDuplicates("__id", "__h")
+      .groupBy("__h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minDocs)
+    // bounded collect: one row past the bound proves overflow without
+    // materializing an unbounded set on the driver
+    val bad = census.select("__h").limit(maxBoilerplateLines + 1)
+      .collect().map(_.getLong(0))
+    require(bad.length <= maxBoilerplateLines,
+      s"more than $maxBoilerplateLines boilerplate lines at minDocs=$minDocs; " +
+        "raise minDocs or maxBoilerplateLines")
+    val badSet = new java.util.HashSet[java.lang.Long](bad.length * 2)
+    bad.foreach(badSet.add(_))
+    val bc = spark.sparkContext.broadcast(badSet)
+    val rewrite = udf((t: String) =>
+      if (t == null) null
+      else {
+        val set = bc.value
+        val lines = t.split("\n", -1)
+        val kept = new scala.collection.mutable.ArrayBuffer[String](lines.length)
+        var removed = 0L
+        lines.foreach { raw =>
+          val l = spaceTrim(raw)
+          if (l.nonEmpty && set.contains(fnv1a64(l))) removed += 1
+          else kept += raw
+        }
+        (kept.mkString("\n"), removed)
+      })
+    df.withColumn("__rw", rewrite(col(textCol)))
+      .withColumn(textCol, col("__rw._1"))
+      .withColumn("n_removed", col("__rw._2"))
+      .drop("__rw")
+  }
 }

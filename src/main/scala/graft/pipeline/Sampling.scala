@@ -74,4 +74,42 @@ object Sampling {
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= quota).drop("__rk")
   }
+
+  /** Deterministic mixture upsampling: emit each row `weight(group)` times,
+    * the standard way to hit a target domain mix (e.g. books x3, web x1)
+    * without materializing copies upstream. Fractional weights are honored
+    * per-row by id-hash — weight 2.3 emits every row twice and a fixed,
+    * reproducible 30% of rows (those with `hash32(id) < floor(0.3 * 2^32)`)
+    * a third time, so the realized mix is exact in expectation and
+    * membership of the extra copy is auditable in any engine. Weight 0
+    * drops the group. Copies are numbered 1..n in `copyCol` so downstream
+    * shuffling/packing can key on (id, copy).
+    *
+    * At 100 TB this is a pure map-side projection + explode — no shuffle,
+    * no RNG state, invariant to partitioning and cluster size. Downstream
+    * volume grows by the mix factor; nothing else does.
+    */
+  def mixtureUpsample(
+      df: DataFrame, groupCol: String, idCol: String,
+      weights: Seq[(String, Double)], defaultWeight: Double = 1.0,
+      copyCol: String = "copy"): DataFrame = {
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate group in weights")
+    (weights.map(_._2) :+ defaultWeight).foreach(w =>
+      require(w >= 0.0 && !w.isNaN && !w.isInfinite,
+        s"weights must be finite and non-negative: $w"))
+    def copiesFor(w: Double): Column = {
+      val whole = math.floor(w).toLong
+      val frac = w - whole
+      lit(whole) +
+        when(hash32(col(idCol)) < lit(threshold(frac)), 1L).otherwise(0L)
+    }
+    val copies = weights.foldRight(copiesFor(defaultWeight)) {
+      case ((g, w), acc) => when(col(groupCol) === g, copiesFor(w)).otherwise(acc)
+    }
+    // sequence(1, 0) would generate DESCENDING [1, 0] — guard the empty case
+    df.withColumn(copyCol,
+        explode(when(copies >= 1L, sequence(lit(1L), copies))
+          .otherwise(array().cast("array<long>"))))
+  }
 }

@@ -411,6 +411,57 @@ class PipelineSpec extends SparkSpec {
     assert(votes === Map("click here" -> 2L))
   }
 
+  test("strip boilerplate lines: shared lines struck, body and blanks kept") {
+    // "SHARED HEADER" (with stray spaces on some rows) appears in 3 docs;
+    // each body line is unique; blank lines never count and never go
+    val df = docs(
+      1L -> "SHARED HEADER\nbody one\n\nend one",
+      2L -> "  SHARED HEADER  \nbody two",
+      3L -> "SHARED HEADER\nbody three",
+      4L -> "unrelated\nbody four")
+    val out = CorpusStats.stripBoilerplateLines(df, "id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === (("body one\n\nend one", 1L)))
+    assert(out(2L) === (("body two", 1L))) // trimmed match; raw line dropped
+    assert(out(3L) === (("body three", 1L)))
+    assert(out(4L) === (("unrelated\nbody four", 0L)))
+    // below the threshold nothing is struck
+    val keep = CorpusStats.stripBoilerplateLines(df, "id", "text", minDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(keep.values.forall(_ === 0L))
+    // a document ingested twice still votes once per line
+    val dup = docs(1L -> "maybe common\nx", 2L -> "maybe common\ny")
+      .union(docs(1L -> "maybe common\nx"))
+    val votes = CorpusStats.stripBoilerplateLines(dup, "id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(2)).sum
+    assert(votes === 0L) // 2 distinct docs < minDocs=3, despite 3 rows
+    intercept[IllegalArgumentException] {
+      CorpusStats.stripBoilerplateLines(df, "id", "text", minDocs = 1)
+    }
+    // the bounded collect rejects an oversized boilerplate set (the id
+    // shift makes every line shared by two DISTINCT docs, so more than one
+    // line qualifies at minDocs=2)
+    intercept[IllegalArgumentException] {
+      CorpusStats.stripBoilerplateLines(
+        df.union(df.withColumn("id", col("id") + 10L)),
+        "id", "text", minDocs = 2, maxBoilerplateLines = 1)
+    }
+  }
+
+  test("strip boilerplate is invariant to input partitioning") {
+    val base = (1L to 30L).map(i =>
+      i -> s"COMMON BANNER\nunique body $i\nfooter ${i % 3}")
+    val df = docs(base: _*)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.stripBoilerplateLines(d, "id", "text", minDocs = 10)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val a = run(df)
+    assert(a === run(df.repartition(13)))
+    assert(a === run(df.coalesce(1)))
+    // footers 0/1/2 appear in 10 docs each -> struck along with the banner
+    assert(a.forall(_._3 === 2L))
+  }
+
   test("int8 quantization maps extremes to +-127 and roundtrips boundedly") {
     val df = makeDf(
       StructType(Seq(longCol("id"), StructField("v", ArrayType(DoubleType)))),

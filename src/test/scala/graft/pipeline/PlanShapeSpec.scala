@@ -80,6 +80,29 @@ class PlanShapeSpec extends SparkSpec {
       s"only id-typed shuffles expected:\n$plan")
   }
 
+  test("boilerplate strip: census shuffles hashes only; rewrite is map-side") {
+    val df = docs(60).withColumn("text",
+      concat(lit("BANNER\n"), col("text")))
+    val out = CorpusStats.stripBoilerplateLines(df, "id", "text", minDocs = 30)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    // the rewrite pass itself carries no exchange at all — the census runs
+    // as separate bounded jobs inside the operator, and the output plan is
+    // scan -> project (broadcast set lives in the UDF closure)
+    assert(!plan.contains("Exchange"),
+      s"rewrite must be a pure map-side projection:\n$plan")
+  }
+
+  test("mixture upsample is a shuffle-free projection") {
+    val df = makeDf(StructType(Seq(strCol("grp"), longCol("id"))),
+      (1 to 50).map(i => Row(if (i % 2 == 0) "a" else "b", i.toLong)))
+    val out = Sampling.mixtureUpsample(df, "grp", "id", Seq("a" -> 2.5))
+    val plan = executed(out)
+    assert(!plan.contains("Exchange"),
+      s"upsampling must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"no window needed:\n$plan")
+  }
+
   test("spread rebalances under-split file scans and nothing else") {
     // file scans at test SF arrive as one split: spread must fan them out
     // to every core so per-row kernels parallelize

@@ -106,6 +106,46 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixture upsample: whole copies exact, fractional copies hash-gated") {
+    val df = makeDf(
+      StructType(Seq(strCol("grp"), longCol("id"))),
+      (1 to 300).map(i => Row(if (i <= 100) "up" else if (i <= 200) "down"
+        else "drop", i.toLong)))
+    val out = Sampling.mixtureUpsample(df, "grp", "id",
+      Seq("up" -> 2.5, "down" -> 0.5, "drop" -> 0.0))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byGroup = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // "up": every row twice plus ~50% a third time; "down": ~50% once
+    assert(byGroup("up") >= 200 && byGroup("up") <= 300)
+    assert(byGroup.getOrElse("down", 0) > 20 && byGroup("down") < 80)
+    assert(!byGroup.contains("drop"))
+    // copies are numbered 1..n with no gaps
+    val copies = out.filter(_._1 == "up").groupBy(_._2).values
+    assert(copies.forall(c => c.map(_._3).sorted.toSeq == (1L to c.length)))
+    // the fractional third copy is exactly the id-hash sample at 0.5
+    val sampled = Sampling.deterministicSample(
+      df.filter(col("grp") === "up"), "id", 0.5)
+      .collect().map(_.getLong(1)).toSet
+    val third = out.filter(t => t._1 == "up" && t._3 == 3L).map(_._2).toSet
+    assert(third === sampled)
+    // unlisted groups get the default weight
+    val dflt = Sampling.mixtureUpsample(df, "grp", "id", Seq("up" -> 2.0))
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dflt === Map("up" -> 200L, "down" -> 100L, "drop" -> 100L))
+    // deterministic under repartitioning
+    val again = Sampling.mixtureUpsample(df.repartition(7), "grp", "id",
+      Seq("up" -> 2.5, "down" -> 0.5, "drop" -> 0.0))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === out.toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureUpsample(df, "grp", "id", Seq("up" -> -1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureUpsample(df, "grp", "id", Seq("up" -> 1.0, "up" -> 2.0))
+    }
+  }
+
   test("hash split validates its fractions") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(ids(1), "id", Seq("a" -> 0.9, "b" -> 0.2))
