@@ -709,6 +709,19 @@ object Queries {
         "lang", "doc_id",
         Seq("de" -> 2.5, "es" -> 0.5, "fr" -> 0.0, "zh" -> 3.0),
         defaultWeight = 1.0)),
+    "q91_json_props" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // semi-structured sidecar metadata: JSON path extraction is a
+      // codegen'd map-side projection (no UDF, no shuffle before the one
+      // keyed aggregation) — the metadata-parsing step of every
+      // event/web-crawl pipeline
+      read(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"))
+    }),
     "q88_quantize_int8" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // int8 embedding storage layout; the per-vector integer census
@@ -1389,6 +1402,17 @@ object Queries {
          |SELECT doc_id, lang, CAST(u.copy AS BIGINT) AS copy
          |FROM c, unnest(range(1, n + 1)) AS u(copy)""".stripMargin
     },
+    // integer-valued k keeps the sum order-independent; both engines parse
+    // the same JSON path
+    "q91_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS k_sum,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS k_min,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS k_max
+        |FROM events GROUP BY 1""".stripMargin,
     // rank-only: ln() differs across libms in the last ulp, so the score
     // is never released; adjacent-score gaps at the k boundary are
     // measured >= 1.5e-4 relative at all SFs (see FIXTURES.md), far above
