@@ -656,11 +656,19 @@ object Dedup {
       corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 64, shingleSize: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
+    // the signature must land behind its own projection boundary before
+    // bandHashes references it `bands` times: CollapseProject refuses to
+    // inline a non-cheap expression (the ScalaUDF) into multiple consumers,
+    // so the kernel runs once per row. Inlining the UDF call directly into
+    // bandHashes instead duplicates the whole shingle+sketch kernel into
+    // every band slice — measured 64x per-row work (8 s vs 0.2 s banding
+    // the sf0.1 corpus).
     def banded(df: DataFrame, id: String) = spread(df)
       .select(col(idCol).as(id),
-        posexplode(bandHashes(
-          minhashSignatureText(col(textCol), shingleSize, numHashes),
-          numHashes, bands)).as(Seq("__band", "__bh")))
+        minhashSignatureText(col(textCol), shingleSize, numHashes).as("__sig"))
+      .select(col(id),
+        posexplode(bandHashes(col("__sig"), numHashes, bands))
+          .as(Seq("__band", "__bh")))
     val refBuckets = banded(reference, "__rid").groupBy("__band", "__bh")
       .agg(graft.exec.BoundedCollect.boundedCollectList(col("__rid"), maxBucket + 1)
         .as("__rids"))
@@ -682,10 +690,14 @@ object Dedup {
       corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 64, shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // the matched id set is tiny (it bounds the scrub's removals); pin it
+    // eagerly so the anti-join broadcasts a materialized list instead of
+    // re-planning the whole match pipeline inside the join
     val matched = crossCorpusMatches(corpus, reference, idCol, textCol,
       numHashes, bands, shingleSize, threshold)
       .select(col("id").as(idCol)).distinct()
-    corpus.join(matched, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    corpus.join(broadcast(matched), Seq(idCol), "left_anti")
   }
 
   /** Near-dup pairs in embedding space: random-hyperplane LSH signature
