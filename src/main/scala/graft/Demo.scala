@@ -174,6 +174,33 @@ object Demo {
         .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split").show()
     }
 
+    banner("13. Clean, rebalance, export: strip boilerplate -> mix -> shards")
+    locally {
+      import org.apache.spark.sql.functions._
+      // inject a synthetic banner so the corpus has line-level boilerplate
+      // to find (real crawls arrive with it built in), strike every line
+      // shared by >= 50 distinct docs, rebalance the language mix, and
+      // write hash-sharded parquet in a reproducible pseudo-random order
+      val noisy = docs.withColumn("text",
+        concat(lit("SUBSCRIBE TO OUR NEWSLETTER\n"), col("text")))
+      val cleaned = graft.pipeline.CorpusStats.stripBoilerplateLines(
+        noisy, "doc_id", "text", minDocs = 50)
+      println(s"lines struck: ${cleaned.agg(sum("n_removed")).head.getLong(0)}")
+      val mixed = graft.pipeline.Sampling.mixtureUpsample(
+        cleaned, "lang", "doc_id", Seq("zh" -> 2.0, "fr" -> 0.5))
+      mixed.groupBy("lang").agg(count(lit(1)).as("n_after_mix"))
+        .orderBy("lang").show()
+      val outDir = java.nio.file.Files.createTempDirectory("graft_shards")
+        .toString
+      graft.sources.ShardedWriter.writeShards(
+        mixed.withColumn("row_id",
+          concat_ws("#", col("doc_id"), col("copy"))),
+        "row_id", numShards = 4, outDir)
+      val back = spark.read.parquet(outDir)
+      println(s"exported ${back.count()} rows across " +
+        s"${back.select("shard").distinct().count()} shards -> $outDir")
+    }
+
     println("\ndemo complete.")
   }
 }

@@ -15,7 +15,7 @@ class DemoSpec extends SparkSpec {
     val out = buf.toString("UTF-8")
 
     // every numbered section ran
-    for (i <- 1 to 12) assert(out.contains(s"=== $i. "), s"section $i missing")
+    for (i <- 1 to 13) assert(out.contains(s"=== $i. "), s"section $i missing")
 
     // session inspection and the mechanism preview
     assert(out.contains("Remaining privacy budget"))
@@ -46,6 +46,12 @@ class DemoSpec extends SparkSpec {
     assert(out.contains("after scrub"))
     assert(out.contains("chunk_id"))
     assert(out.contains("train"))
+
+    // clean/mix/export: the injected banner is struck from every doc (500
+    // docs at sf0.001), the mix table prints, the export round-trips
+    assert(out.contains("lines struck: 500"))
+    assert(out.contains("n_after_mix"))
+    assert(out.contains("across 4 shards"))
 
     assert(out.contains("demo complete."))
   }
