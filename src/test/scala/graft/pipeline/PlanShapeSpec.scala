@@ -148,6 +148,14 @@ class PlanShapeSpec extends SparkSpec {
     val shuffles = plan.split('\n').filter(_.contains("Exchange hashpartitioning"))
     assert(shuffles.forall(!_.contains("text")),
       s"no text through any exchange:\n$plan")
+    // the signature kernel must evaluate ONCE per row per side: inlining
+    // the UDF into bandHashes' 64 slices once duplicated the whole
+    // shingle+sketch kernel per band (64x per-row work). Each Project line
+    // may carry at most a couple of UDF calls.
+    plan.split('\n').filter(_.trim.startsWith("Project")).foreach { l =>
+      val udfs = "UDF".r.findAllIn(l).size
+      assert(udfs <= 2, s"signature kernel duplicated across band slices:\n$l")
+    }
   }
 
   test("tfidf ranks with a partial WindowGroupLimit before the exchange") {
