@@ -757,6 +757,15 @@ object Queries {
         read(s, d, "orders"), "o_orderstatus", "o_orderkey", quota = 100)
         .select("o_orderstatus", "o_orderkey")
     }),
+    "q92_chunk_slices" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // the loader-side packing view: each document's slice per 256-token
+      // chunk it touches (boundary-spanning docs emit several slices)
+      val docs = read(s, d, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("ntok"))
+      graft.pipeline.Packing.chunkSlices(docs, "doc_id", "ntok", chunkTokens = 256)
+    }),
     // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
     "q50_multimodal_decode" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1459,6 +1468,23 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(ntok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1""".stripMargin,
+    // same cumsum base as q85; slices come from integer chunk-range
+    // arithmetic, exact in both engines
+    "q92_chunk_slices" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+        |  FROM documents),
+        |c AS (SELECT doc_id, ntok,
+        |    sum(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok
+        |      AS start FROM t),
+        |s AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+        |    CAST(start + ntok AS BIGINT) AS endt FROM c WHERE ntok > 0)
+        |SELECT doc_id, CAST(u.chunk AS BIGINT) AS chunk,
+        |  CAST(greatest(start, u.chunk * 256) - u.chunk * 256 AS BIGINT)
+        |    AS chunk_offset,
+        |  CAST(least(endt, (u.chunk + 1) * 256)
+        |    - greatest(start, u.chunk * 256) AS BIGINT) AS slice_len
+        |FROM s, unnest(range(start // 256, (endt - 1) // 256 + 1)) AS u(chunk)""".stripMargin,
     "q81_stratified_quota" ->
       """SELECT o_orderstatus, o_orderkey FROM (
         |  SELECT o_orderstatus, o_orderkey,

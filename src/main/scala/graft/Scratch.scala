@@ -6,23 +6,19 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq
+    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, d).coalesce(1).write.mode("overwrite")
+        .parquet(s"/tmp/scratch_out/$n")
+      println(s"dumped $n")
     }
-    import org.apache.spark.sql.functions._
-    val docs = spark.read.parquet(s"$d/documents.parquet")
-    docs.count()
-    def run() = graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).count()
-    run()
-    println("pairs: " + time("q71 warm")(run()))
     spark.stop()
   }
 }

@@ -109,4 +109,35 @@ object Packing {
     packChunks(df, idCol, tokenCol, chunkTokens)
       .groupBy("chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))
+
+  /** The loader-side view of [[packChunks]]: one row per (document, chunk)
+    * slice. A document spanning a chunk boundary contributes one slice per
+    * chunk it touches, with the slice's offset inside the chunk and its
+    * length — exactly what a training data loader reads to assemble a
+    * chunk's token stream (and where its attention-reset boundaries fall).
+    * Zero-token documents emit no slices.
+    *
+    * Pure map-side explode on top of the packed frame (a document touches
+    * ceil(tokens / chunkTokens) + 1 chunks at most, so the fan-out is
+    * bounded by the mix of document and chunk sizes, not by corpus size).
+    */
+  def chunkSlices(
+      df: DataFrame, idCol: String, tokenCol: String, chunkTokens: Long): DataFrame = {
+    val packed = packChunks(df, idCol, tokenCol, chunkTokens)
+    val C = lit(chunkTokens)
+    val endTok = col("token_start") + col("tokens") // exclusive
+    // integral div, not floor(/): Spark's `/` on longs is DOUBLE division,
+    // and offsets at the 100-T-token scale sit near double's exact-integer
+    // edge — `div` stays in long arithmetic like the packing kernel itself
+    val lastChunk = expr(s"(token_start + tokens - 1) div $chunkTokens")
+    packed
+      .filter(col("tokens") > 0)
+      .withColumn("chunk", explode(sequence(col("chunk_id"), lastChunk)))
+      .withColumn("chunk_offset",
+        greatest(col("token_start"), col("chunk") * C) - col("chunk") * C)
+      .withColumn("slice_len",
+        least(endTok, (col("chunk") + 1) * C) -
+          greatest(col("token_start"), col("chunk") * C))
+      .select(col(idCol), col("chunk"), col("chunk_offset"), col("slice_len"))
+  }
 }

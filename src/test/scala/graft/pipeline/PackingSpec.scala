@@ -67,6 +67,39 @@ class PackingSpec extends SparkSpec {
     assert(prof === Seq((0L, 2L, 6L), (1L, 2L, 6L), (2L, 2L, 6L)))
   }
 
+  test("chunkSlices: boundary-spanning docs emit one slice per chunk touched") {
+    // budget 10: doc1 [0,4), doc2 [4,25) spans chunks 0..2, doc3 [25,25)
+    // zero tokens emits nothing, doc4 [25,30)
+    val df = frame(1L -> 4L, 2L -> 21L, 3L -> 0L, 4L -> 5L)
+    val out = Packing.chunkSlices(df, "id", "ntok", 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out === Seq(
+      (1L, 0L, 0L, 4L),
+      (2L, 0L, 4L, 6L), (2L, 1L, 0L, 10L), (2L, 2L, 0L, 5L),
+      (4L, 2L, 5L, 5L)))
+    // conservation: slice lengths per doc sum to the doc's tokens, and
+    // per chunk they tile the chunk exactly (full chunks) or its prefix
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(perDoc === Map(1L -> 4L, 2L -> 21L, 4L -> 5L))
+    val chunk1 = out.filter(_._2 === 1L)
+    assert(chunk1.map(_._4).sum === 10L)
+  }
+
+  test("strip/pack properties: boilerplate strip is idempotent") {
+    // stripping twice equals stripping once: struck lines are gone, kept
+    // lines kept their (sub-threshold) doc counts
+    val docs = makeDf(
+      StructType(Seq(longCol("id"), strCol("text"))),
+      (1L to 20L).map(i => Row(i, s"SHARED BANNER\nbody $i\nfooter ${i % 2}")))
+    def strip(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.stripBoilerplateLines(df, "id", "text", minDocs = 8)
+    val once = strip(docs).select("id", "text")
+    val twice = strip(once).select("id", "text")
+    assert(once.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      twice.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("non-integral id column is rejected") {
     val df = makeDf(StructType(Seq(strCol("id"), longCol("ntok"))),
       Seq(Row("a", 1L)))
