@@ -766,6 +766,40 @@ object Queries {
           graft.pipeline.TextAnalysis.tokenCount(col("text")).as("ntok"))
       graft.pipeline.Packing.chunkSlices(docs, "doc_id", "ntok", chunkTokens = 256)
     }),
+    "q93_dedup_lines" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // intra-document line dedup. The synthetic corpus is single-line, so
+      // the query assembles a repeating 4-line document (body, footer, body,
+      // footer — mirrored exactly in the oracle); the repeats are struck,
+      // first occurrences stay in order. Pure map-side projection.
+      read(s, d, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.dedupLines(concat_ws("\n",
+            col("text"), lit("-- footer --"), col("text"), lit("-- footer --")))
+            .as("text"))
+    }),
+    "q94_sliding_windows" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // overlapping token windows for embedding/retrieval indexing:
+      // 32-token windows every 16 tokens. The windowing is a pure Catalyst
+      // array expression; the explode is map-side — zero shuffle.
+      read(s, d, "documents")
+        .select(col("doc_id"), posexplode(
+          graft.pipeline.TextAnalysis.slidingWindows(col("text"), 32, 16))
+          .as(Seq("win_idx", "wtext")))
+        .withColumn("win_idx", col("win_idx").cast("long"))
+    }),
+    "q95_contamination_scores" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // q77's remove-list as a triage view: per-document matched-8-gram
+      // counts against the same every-100th-doc stand-in eval suite.
+      // Blocklist broadcast; corpus text never shuffles; counts combine
+      // map-side on doc_id.
+      val docs = read(s, d, "documents")
+      graft.pipeline.Dedup.contaminationScores(
+        docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 100 === 0), "text", n = 8)
+    }),
     // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
     "q50_multimodal_decode" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1485,6 +1519,43 @@ object Queries {
         |  CAST(least(endt, (u.chunk + 1) * 256)
         |    - greatest(start, u.chunk * 256) AS BIGINT) AS slice_len
         |FROM s, unnest(range(start // 256, (endt - 1) // 256 + 1)) AS u(chunk)""".stripMargin,
+    // keep-first line dedup: DuckDB's list_distinct does not pin order, so
+    // the oracle keeps each line's first ordinal explicitly
+    "q93_dedup_lines" ->
+      """WITH t AS (SELECT doc_id, string_split(
+        |    concat_ws(chr(10), text, '-- footer --', text, '-- footer --'),
+        |    chr(10)) AS ls FROM documents),
+        |l AS (SELECT doc_id, ls[u.ord] AS line, u.ord AS ord,
+        |    row_number() OVER (PARTITION BY doc_id, ls[u.ord]
+        |      ORDER BY u.ord) AS rn
+        |  FROM t, unnest(range(1, len(ls) + 1)) AS u(ord))
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
+        |FROM l WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    // window starts at 0, 16, ... up to the last start < n; slices clamp at
+    // the tail in both engines (list[a:b] / slice both 1-based)
+    "q94_sliding_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS win_idx,
+        |  array_to_string(toks[u.i * 16 + 1 : u.i * 16 + 32], ' ') AS wtext
+        |FROM t, unnest(range(0, (len(toks) - 1) // 16 + 1)) AS u(i)""".stripMargin,
+    // q77's shingle base with per-document matched counts; the overlap is a
+    // ratio of two small ints, identical in both engines
+    "q95_contamination_scores" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 8
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' '))) END) AS g FROM t),
+        |b AS (SELECT DISTINCT g AS bg FROM s WHERE doc_id % 100 = 0)
+        |SELECT s.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(b.bg) AS BIGINT) AS n_matched,
+        |  CAST(count(b.bg) AS DOUBLE) / count(*) AS overlap
+        |FROM s LEFT JOIN b ON s.g = b.bg
+        |WHERE s.doc_id % 100 <> 0 GROUP BY 1""".stripMargin,
     "q81_stratified_quota" ->
       """SELECT o_orderstatus, o_orderkey FROM (
         |  SELECT o_orderstatus, o_orderkey,

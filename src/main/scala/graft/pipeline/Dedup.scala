@@ -631,6 +631,35 @@ object Dedup {
       .select(col(idCol)).distinct()
   }
 
+  /** Per-document contamination score: for each `docs` row, how many of its
+    * distinct case-folded word `n`-grams appear anywhere in `blocklist`
+    * (and the matched fraction). [[contaminatedIds]]'s binary flag is the
+    * remove-list; this is the triage view — published pipelines drop on
+    * overlap above a threshold rather than on any single shared n-gram.
+    * Same plan shape as the flag: the blocklist broadcasts, the corpus
+    * never shuffles its text, and the per-document counts aggregate with
+    * map-side partial combine on the natural `idCol` key. The fraction is
+    * a ratio of two small ints, so the double is engine-portable.
+    */
+  def contaminationScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, blockTextCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, "shingle size must be positive")
+    val sh = udf((t: String) =>
+      if (t == null) null else shingleArr(t.toLowerCase(java.util.Locale.ROOT), n))
+    val docGrams = spread(docs).select(col(idCol),
+      explode(sh(col(textCol))).as("__g"))
+    val blockGrams = blocklist.select(explode(sh(col(blockTextCol))).as("__g"))
+      .distinct()
+    docGrams
+      .join(broadcast(blockGrams.withColumn("__hit", lit(1L))), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("__hit"), lit(0L)).as("n_matched"))
+      .withColumn("overlap",
+        col("n_matched").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Cross-corpus near-dup matches: for each `corpus` document, the
     * `reference` documents (eval/benchmark sets, an earlier crawl, a held
     * -out split) whose exact word-shingle Jaccard reaches `threshold` —

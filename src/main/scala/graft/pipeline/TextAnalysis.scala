@@ -94,6 +94,39 @@ object TextAnalysis {
         size(grams).cast("double"))
   }
 
+  /** Remove repeated lines within a document, keeping each line's first
+    * occurrence in order (the intra-document half of line dedup —
+    * [[CorpusStats.stripBoilerplateLines]] is the cross-document half).
+    * Chat logs, scraped navigation, and looped generations repeat lines
+    * inside one document; cross-corpus dedup never sees those. Spark's
+    * `array_distinct` preserves first-occurrence order, so this is a pure
+    * codegen'd projection — zero shuffle at any scale.
+    */
+  def dedupLines(c: Column): Column =
+    array_join(array_distinct(split(c, "\n")), "\n")
+
+  /** Overlapping token windows for embedding / retrieval indexing: the
+    * document's tokens sliced into windows of `window` tokens starting
+    * every `stride` tokens (stride < window ⇒ overlap). Windows start at
+    * 0, stride, 2·stride, … up to the last start < n, so every token is
+    * covered and tail windows may be shorter. Blank text yields no
+    * windows. Pure Catalyst array expression: the explode that usually
+    * follows is map-side — no shuffle from this operator at any scale.
+    */
+  def slidingWindows(c: Column, window: Int, stride: Int): Column = {
+    require(window >= 1, "window must be positive")
+    require(stride >= 1, "stride must be positive")
+    val toks = split(trim(c), "\\s+")
+    val n = size(toks)
+    // int division: Column./ is double division; token counts stay far
+    // below 2^53 so floor(double)/cast is exact, and sequence needs ints
+    val lastIdx = floor((n - 1).cast("double") / lit(stride.toDouble)).cast("int")
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), lastIdx),
+        i => concat_ws(" ", slice(toks, i * stride + 1, lit(window)))))
+  }
+
   /** Mask personally-identifying / non-content spans with placeholder
     * tokens (the C4-style cleaning step): emails, URLs, and IPv4 literals.
     * Patterns stay RE2-compatible (no backreferences or lookaround), so

@@ -103,6 +103,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window needed:\n$plan")
   }
 
+  test("line dedup and sliding windows are shuffle-free projections") {
+    val dl = docs(50).select(col("id"),
+      TextAnalysis.dedupLines(col("text")).as("text"))
+    assert(!executed(dl).contains("Exchange"),
+      "intra-doc line dedup must be a pure projection")
+    val sw = docs(50).select(col("id"), posexplode(
+      TextAnalysis.slidingWindows(col("text"), 4, 2)).as(Seq("i", "w")))
+    val plan = executed(sw)
+    assert(!plan.contains("Exchange"),
+      s"windowing + explode must stay map-side:\n$plan")
+  }
+
+  test("contamination scoring broadcasts the blocklist; one id-keyed agg") {
+    val df = Dedup.contaminationScores(docs(200), "id", "text",
+      docs(5), "text", n = 4)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"blocklist must broadcast:\n$plan")
+    // the only hash shuffle is the per-document count agg keyed on the id —
+    // partial map-side combine upstream, and no text column ever shuffles
+    val shuffles = plan.split('\n').filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffles.forall(l => l.contains("id") && !l.contains("text")),
+      s"only the id-keyed agg may shuffle:\n$plan")
+  }
+
   test("spread rebalances under-split file scans and nothing else") {
     // file scans at test SF arrive as one split: spread must fan them out
     // to every core so per-row kernels parallelize

@@ -100,6 +100,55 @@ class TextMetricsSpec extends SparkSpec {
     assert(one("http://10.0.0.1/x", maskPii(col("t"))) === "<URL>")
   }
 
+  test("dedupLines keeps each line's first occurrence in order") {
+    import org.apache.spark.sql.functions.col
+    assert(one("a\nb\na\nc\nb", dedupLines(col("t"))) === "a\nb\nc")
+    // single line, no separator: unchanged; blank lines dedup like any line
+    assert(one("only", dedupLines(col("t"))) === "only")
+    assert(one("a\n\nb\n\na", dedupLines(col("t"))) === "a\n\nb")
+    // idempotent: deduping a deduped text changes nothing
+    assert(one("x\ny\nx", dedupLines(dedupLines(col("t")))) === "x\ny")
+  }
+
+  test("slidingWindows covers every token; tail windows shorten") {
+    import org.apache.spark.sql.functions.col
+    // 7 tokens, window 4 stride 2: starts 0, 2, 4, 6
+    assert(one("t0 t1 t2 t3 t4 t5 t6", slidingWindows(col("t"), 4, 2))
+      === Seq("t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6", "t6"))
+    // shorter than one window: a single clipped window
+    assert(one("a b", slidingWindows(col("t"), 5, 5)) === Seq("a b"))
+    // blank text yields no windows
+    assert(one("", slidingWindows(col("t"), 4, 2)) === Seq.empty)
+    assert(one("   ", slidingWindows(col("t"), 4, 2)) === Seq.empty)
+    // stride == window: disjoint exact cover
+    assert(one("a b c d", slidingWindows(col("t"), 2, 2))
+      === Seq("a b", "c d"))
+    // every token appears in at least one window (coverage invariant)
+    val wins = one("w1 w2 w3 w4 w5", slidingWindows(col("t"), 3, 2))
+      .asInstanceOf[scala.collection.Seq[String]]
+    val covered = wins.flatMap(_.split(" ")).toSet
+    assert(covered === Set("w1", "w2", "w3", "w4", "w5"))
+    intercept[IllegalArgumentException] { slidingWindows(col("t"), 0, 1) }
+    intercept[IllegalArgumentException] { slidingWindows(col("t"), 1, 0) }
+  }
+
+  test("contaminationScores counts matched distinct shingles per document") {
+    import org.apache.spark.sql.functions.col
+    val schema = StructType(Seq(longCol("id"), strCol("text")))
+    val docs = makeDf(schema, Seq(
+      Row(1L, "a b c d"),   // grams (n=2): "a b","b c","c d" -> 2 match
+      Row(2L, "x y"),       // gram "x y" -> 0 match
+      Row(3L, "a b")))      // gram "a b" -> 1 match
+    val block = makeDf(schema, Seq(Row(10L, "a b c"))) // grams "a b","b c"
+    val out = Dedup.contaminationScores(docs, "id", "text", block, "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out === Seq(
+      (1L, 3L, 2L, 2.0 / 3.0),
+      (2L, 1L, 0L, 0.0),
+      (3L, 1L, 1L, 1.0)))
+  }
+
   test("hyperplane signatures are deterministic and discriminative") {
     import org.apache.spark.sql.functions.col
     // powers of two: no +-1 combination of them sums to zero, so every
