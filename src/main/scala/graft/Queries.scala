@@ -800,6 +800,21 @@ object Queries {
         docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 100 === 0), "text", n = 8)
     }),
+    "q96_cdc_chunks" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // content-defined chunking: rolling-hash boundaries (expected ~64
+      // tokens) make chunk identity insertion-tolerant, so chunk-hash
+      // dedup finds shared passages anywhere in a document. Kernel + map-
+      // side explode — zero shuffle.
+      read(s, d, "documents")
+        .select(col("doc_id"), posexplode(
+          graft.pipeline.Dedup.contentDefinedChunks(col("text")))
+          .as(Seq("chunk_idx", "ch")))
+        .select(col("doc_id"), col("chunk_idx").cast("long"),
+          col("ch.start").cast("long").as("chunk_start"),
+          col("ch.len").cast("long").as("chunk_len"),
+          col("ch.hash").as("chunk_hash"))
+    }),
     // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
     "q50_multimodal_decode" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1540,6 +1555,37 @@ object Queries {
         |SELECT doc_id, CAST(u.i AS BIGINT) AS win_idx,
         |  array_to_string(toks[u.i * 16 + 1 : u.i * 16 + 32], ' ') AS wtext
         |FROM t, unnest(range(0, (len(toks) - 1) // 16 + 1)) AS u(i)""".stripMargin,
+    // q70's portable rolling-hash arithmetic; boundaries where the 4-gram
+    // hash ≡ 0 mod 64, final partial chunk always closes at n
+    "q96_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |h AS (SELECT doc_id, tk, len(tk) AS n,
+        |    list_transform(tk,
+        |      t -> ('0x'||substr(md5(t),1,8))::BIGINT % 2147483647) AS th
+        |  FROM toks),
+        |g AS (SELECT doc_id, tk, n, CASE WHEN n >= 4
+        |    THEN list_transform(range(1, n - 2), j ->
+        |      ((((((th[j]*131 + th[j+1]) % 2147483647)*131
+        |        + th[j+2]) % 2147483647)*131 + th[j+3]) % 2147483647))
+        |    ELSE [] END AS gh FROM h),
+        |b AS (SELECT doc_id, tk, n,
+        |    list_transform(list_filter(range(1, len(gh) + 1),
+        |      j -> gh[j] % 64 = 0), j -> j + 3) AS ends0 FROM g),
+        |e AS (SELECT doc_id, tk, CASE
+        |    WHEN len(ends0) = 0 OR ends0[len(ends0)] < n
+        |    THEN list_append(ends0, n) ELSE ends0 END AS ends FROM b)
+        |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS chunk_idx,
+        |  CAST(CASE WHEN u.i = 1 THEN 1 ELSE ends[u.i - 1] + 1 END
+        |    AS BIGINT) AS chunk_start,
+        |  CAST(ends[u.i]
+        |    - (CASE WHEN u.i = 1 THEN 1 ELSE ends[u.i - 1] + 1 END) + 1
+        |    AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(
+        |    tk[(CASE WHEN u.i = 1 THEN 1 ELSE ends[u.i - 1] + 1 END)
+        |      : ends[u.i]], ' ')) AS chunk_hash
+        |FROM e, unnest(range(1, len(ends) + 1)) AS u(i)""".stripMargin,
     // q77's shingle base with per-document matched counts; the overlap is a
     // ratio of two small ints, identical in both engines
     "q95_contamination_scores" ->

@@ -631,6 +631,83 @@ object Dedup {
       .select(col(idCol)).distinct()
   }
 
+  /** One content-defined chunk: 1-based token start, token count, and the
+    * md5 of the space-joined chunk tokens.
+    */
+  final case class CdcChunk(start: Int, len: Int, hash: String)
+
+  /** Content-defined chunking over whitespace tokens (the FastCDC/rsync
+    * idea applied to text): a chunk boundary falls after every token
+    * position whose k-gram rolling hash is ≡ 0 mod `divisor`, so boundaries
+    * — and therefore chunk identity — depend only on local content.
+    * Inserting or deleting a sentence shifts every fixed-window chunk after
+    * it, but re-synchronizes CDC chunks within one gram: chunk-hash dedup
+    * across a 100 TB corpus then finds shared passages regardless of where
+    * they sit in the document. Expected chunk length ≈ `divisor` tokens;
+    * documents shorter than one gram form a single chunk; blank text yields
+    * none. The hash arithmetic is the winnowing kernel's (md5-derived token
+    * hashes mod 2^31-1, base-131 fold — reproduces bit-for-bit in SQL
+    * engines), and runs in one JVM pass per row (file header: higher-order
+    * Catalyst functions are interpreted). Returns array<struct<start, len,
+    * hash>>; the posexplode that follows is map-side — zero shuffle.
+    */
+  def contentDefinedChunks(
+      c: Column, k: Int = 4, divisor: Long = 64L): Column = {
+    require(k >= 1, "gram size must be positive")
+    require(divisor >= 1L, "divisor must be positive")
+    val u = udf((toks: Seq[String]) => {
+      if (toks == null || toks.isEmpty || (toks.length == 1 && toks.head.isEmpty))
+        Seq.empty[CdcChunk]
+      else {
+        val n = toks.length
+        val M = 2147483647L // 2^31 - 1
+        val B = 131L
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(d: Array[Byte]): String = {
+          val sb = new java.lang.StringBuilder(d.length * 2)
+          var i = 0
+          while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
+          sb.toString
+        }
+        val th = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.reset()
+          var h = 0L
+          var b = 0
+          while (b < 4) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+          th(i) = h % M
+          i += 1
+        }
+        // 1-based token index of each boundary (a gram's last token)
+        val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+        if (n >= k) {
+          var j = 0
+          while (j <= n - k) {
+            var acc = th(j)
+            var x = 1
+            while (x < k) { acc = (acc * B + th(j + x)) % M; x += 1 }
+            if (acc % divisor == 0L) ends += (j + k)
+            j += 1
+          }
+        }
+        if (ends.isEmpty || ends.last < n) ends += n
+        var prev = 0 // last token (1-based) of the previous chunk
+        ends.map { e =>
+          val chunkToks = toks.slice(prev, e)
+          val h = hex(md.digest(
+            chunkToks.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          md.reset()
+          val out = CdcChunk(prev + 1, e - prev, h)
+          prev = e
+          out
+        }.toSeq
+      }
+    })
+    u(split(trim(c), "\\s+"))
+  }
+
   /** Per-document contamination score: for each `docs` row, how many of its
     * distinct case-folded word `n`-grams appear anywhere in `blocklist`
     * (and the matched fraction). [[contaminatedIds]]'s binary flag is the

@@ -115,6 +115,14 @@ class PlanShapeSpec extends SparkSpec {
       s"windowing + explode must stay map-side:\n$plan")
   }
 
+  test("content-defined chunking is a shuffle-free kernel + explode") {
+    val cdc = docs(50).select(col("id"), posexplode(
+      Dedup.contentDefinedChunks(col("text"))).as(Seq("i", "ch")))
+    val plan = executed(cdc)
+    assert(!plan.contains("Exchange"),
+      s"CDC must stay map-side:\n$plan")
+  }
+
   test("contamination scoring broadcasts the blocklist; one id-keyed agg") {
     val df = Dedup.contaminationScores(docs(200), "id", "text",
       docs(5), "text", n = 4)

@@ -149,6 +149,39 @@ class TextMetricsSpec extends SparkSpec {
       (3L, 1L, 1L, 1.0)))
   }
 
+  test("content-defined chunks tile the document and re-synchronize " +
+      "after an insertion") {
+    import org.apache.spark.sql.functions.col
+    val text = (1 to 400).map(i => s"tok$i").mkString(" ")
+    def chunks(t: String) =
+      one(t, Dedup.contentDefinedChunks(col("t")))
+        .asInstanceOf[scala.collection.Seq[Row]]
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    val base = chunks(text)
+    // tiling: starts/lens cover 1..400 exactly, in order, no overlap
+    assert(base.head._1 === 1)
+    assert(base.map(_._2).sum === 400)
+    base.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._1 === a._1 + a._2); case _ => }
+    // with divisor 64 over 400 tokens, content boundaries exist
+    assert(base.length > 1)
+    // determinism
+    assert(chunks(text) === base)
+    // insertion tolerance: prepending tokens leaves the trailing chunks'
+    // hashes intact (fixed windows would shift every one of them)
+    val shifted = chunks("intruder alpha " + text)
+    val baseH = base.map(_._3).toSet
+    val shiftedH = shifted.map(_._3).toSet
+    assert((baseH intersect shiftedH).nonEmpty,
+      "chunking must re-synchronize after an insertion")
+    assert(base.takeRight(2).map(_._3).forall(shiftedH.contains),
+      "trailing chunks must survive a prefix insertion")
+    // short documents: fewer tokens than one gram -> one whole-doc chunk
+    assert(chunks("a b c").map(t => (t._1, t._2)) === Seq((1, 3)))
+    // blank text -> no chunks
+    assert(chunks("").isEmpty && chunks("   ").isEmpty)
+  }
+
   test("hyperplane signatures are deterministic and discriminative") {
     import org.apache.spark.sql.functions.col
     // powers of two: no +-1 combination of them sums to zero, so every
