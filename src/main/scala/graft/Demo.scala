@@ -201,6 +201,35 @@ object Demo {
         s"${back.select("shard").distinct().count()} shards -> $outDir")
     }
 
+    banner("14. Passage-level tooling: in-doc dedup, CDC chunks, windows")
+    locally {
+      import org.apache.spark.sql.functions._
+      val t = graft.pipeline.TextAnalysis
+      // repeated lines inside one document are struck map-side (keep-first);
+      // then content-defined chunking cuts insertion-tolerant passages whose
+      // hashes dedup across the corpus; sliding windows cut overlapping
+      // retrieval-index spans. All three are shuffle-free projections.
+      val looped = docs.withColumn("text",
+        concat_ws("\n", col("text"), lit("-- sig --"), col("text"), lit("-- sig --")))
+      val deduped = looped.select(col("doc_id"), t.dedupLines(col("text")).as("text"))
+      val chunks = deduped.select(col("doc_id"), posexplode(
+        graft.pipeline.Dedup.contentDefinedChunks(col("text")))
+        .as(Seq("chunk_idx", "ch")))
+      println(s"CDC chunks over the deduped corpus: ${chunks.count()} " +
+        s"(${chunks.select("ch.hash").distinct().count()} distinct passages)")
+      deduped.select(col("doc_id"), posexplode(
+          t.slidingWindows(col("text"), 32, 16)).as(Seq("win_idx", "wtext")))
+        .groupBy().agg(count(lit(1)).as("n_windows")).show()
+      // contamination triage: per-doc matched-8-gram share vs an eval set,
+      // for threshold-based dropping instead of q77-style any-hit removal
+      val blocklist = docs.filter(col("doc_id") % 100 === 0)
+      graft.pipeline.Dedup.contaminationScores(
+          docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text",
+          blocklist, "text", n = 8)
+        .filter(col("overlap") > 0.05).orderBy(col("overlap").desc, col("doc_id"))
+        .show(3)
+    }
+
     println("\ndemo complete.")
   }
 }

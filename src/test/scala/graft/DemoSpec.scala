@@ -15,7 +15,7 @@ class DemoSpec extends SparkSpec {
     val out = buf.toString("UTF-8")
 
     // every numbered section ran
-    for (i <- 1 to 13) assert(out.contains(s"=== $i. "), s"section $i missing")
+    for (i <- 1 to 14) assert(out.contains(s"=== $i. "), s"section $i missing")
 
     // session inspection and the mechanism preview
     assert(out.contains("Remaining privacy budget"))
@@ -52,6 +52,10 @@ class DemoSpec extends SparkSpec {
     assert(out.contains("lines struck: 500"))
     assert(out.contains("n_after_mix"))
     assert(out.contains("across 4 shards"))
+
+    // passage tooling: CDC chunks counted, window census printed
+    assert(out.contains("CDC chunks over the deduped corpus:"))
+    assert(out.contains("n_windows"))
 
     assert(out.contains("demo complete."))
   }
