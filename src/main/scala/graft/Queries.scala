@@ -815,6 +815,24 @@ object Queries {
           col("ch.len").cast("long").as("chunk_len"),
           col("ch.hash").as("chunk_hash"))
     }),
+    "q97_oov_rate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // rare-token quality signal: per-doc fraction of token occurrences
+      // outside the corpus's own top-500 vocabulary. Vocab broadcast;
+      // only the id-keyed count agg shuffles.
+      graft.pipeline.CorpusStats.oovRate(
+        read(s, d, "documents"), "doc_id", "text", vocabSize = 500)
+    }),
+    "q98_padding_profile" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // inference-batching cost report: bucket edges in tokens, per-bucket
+      // padded cost / waste / fill rate. One tiny keyed aggregation.
+      val docs = read(s, d, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")).as("ntok"))
+      graft.pipeline.Packing.paddingProfile(docs, "ntok",
+        Seq(16L, 64L, 256L, 1024L))
+    }),
     // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
     "q50_multimodal_decode" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1586,6 +1604,42 @@ object Queries {
         |    tk[(CASE WHEN u.i = 1 THEN 1 ELSE ends[u.i - 1] + 1 END)
         |      : ends[u.i]], ' ')) AS chunk_hash
         |FROM e, unnest(range(1, len(ends) + 1)) AS u(i)""".stripMargin,
+    // vocab ties at the k boundary break on the token string in both
+    // engines (q78's rule); the rate is a ratio of small ints
+    "q97_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(
+        |    string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |t AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |v AS (SELECT token AS vtok FROM t GROUP BY token
+        |  ORDER BY count(*) DESC, token LIMIT 500)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) - count(v.vtok) AS BIGINT) AS n_oov,
+        |  CAST(count(*) - count(v.vtok) AS DOUBLE) / count(*) AS oov_rate
+        |FROM t LEFT JOIN v ON t.token = v.vtok
+        |GROUP BY 1""".stripMargin,
+    // bucket = smallest edge holding the doc; overflow docs report under
+    // -1 with zero waste (they are chunk-packed, not padded)
+    "q98_padding_profile" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+        |  FROM documents),
+        |b AS (SELECT CAST(CASE WHEN ntok <= 16 THEN 16 WHEN ntok <= 64
+        |    THEN 64 WHEN ntok <= 256 THEN 256 WHEN ntok <= 1024 THEN 1024
+        |    ELSE -1 END AS BIGINT) AS bucket, ntok
+        |  FROM t WHERE ntok > 0),
+        |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |  FROM b GROUP BY 1)
+        |SELECT bucket, n_docs, n_tokens,
+        |  CAST(CASE WHEN bucket > 0 THEN bucket * n_docs
+        |    ELSE n_tokens END AS BIGINT) AS padded,
+        |  CAST(CASE WHEN bucket > 0 THEN bucket * n_docs - n_tokens
+        |    ELSE 0 END AS BIGINT) AS waste,
+        |  CAST(n_tokens AS DOUBLE)
+        |    / (CASE WHEN bucket > 0 THEN bucket * n_docs ELSE n_tokens END)
+        |    AS fill_rate
+        |FROM a""".stripMargin,
     // q77's shingle base with per-document matched counts; the overlap is a
     // ratio of two small ints, identical in both engines
     "q95_contamination_scores" ->

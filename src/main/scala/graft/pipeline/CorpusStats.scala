@@ -64,6 +64,31 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top
+    * `vocabSize` tokens — the rare-token quality signal (gibberish, OCR
+    * noise, and wrong-language text score high) used alongside the
+    * C4/Gopher gates. Occurrences count, not distinct tokens, and documents
+    * with no tokens emit no row. Scale shape: the vocabulary reduces to
+    * `vocabSize` rows (TakeOrderedAndProject, ties on the token string so
+    * the set is deterministic) and broadcasts; each scan task probes its
+    * token stream against the resident set; the only shuffle is the
+    * id-keyed count agg, partially combined map-side. The rate is a ratio
+    * of two small ints — engine-portable.
+    */
+  def oovRate(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    val vocab = topKTokens(df, textCol, vocabSize)
+      .select(col("token"), lit(1L).as("__inv"))
+    tokens(df, textCol, col(idCol))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - coalesce(sum("__inv"), lit(0L))).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Per-group top-k token heavy hitters — per-language / per-source
     * vocabulary summaries for corpus mix reports. Unlike the global top-k
     * (TakeOrderedAndProject), a per-group limit needs a rank over each

@@ -110,6 +110,39 @@ object Packing {
       .groupBy("chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum("tokens").as("n_tokens"))
 
+  /** Length-bucketed padding profile: each document lands in the smallest
+    * bucket (from the sorted `edges`, in tokens) that holds it, and the
+    * report shows per-bucket document/token mass, the padded token cost
+    * (`bucket * n_docs`), the waste, and the fill rate — the numbers that
+    * drive bucket-edge tuning for inference batching, where every sequence
+    * in a batch pads to the bucket length. Documents longer than the last
+    * edge report under bucket -1 with zero waste (they are chunk-packed by
+    * [[packChunks]] instead, not padded); zero-token documents emit
+    * nothing. One partially-combined aggregation over a codegen'd CASE
+    * chain — a single tiny shuffle at any scale. The fill rate is a ratio
+    * of two small ints, so the double reproduces in any engine.
+    */
+  def paddingProfile(
+      df: DataFrame, tokenCol: String, edges: Seq[Long]): DataFrame = {
+    require(edges.nonEmpty, "at least one bucket edge is required")
+    require(edges == edges.sorted && edges.distinct == edges,
+      "bucket edges must be strictly ascending")
+    require(edges.head > 0, "bucket edges must be positive")
+    val bucket = edges.foldRight(lit(-1L)) { (e, acc) =>
+      when(col(tokenCol) <= e, lit(e)).otherwise(acc)
+    }
+    df.filter(col(tokenCol) > 0)
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCol).as("n_tokens"))
+      .withColumn("padded",
+        when(col("bucket") > 0, col("bucket") * col("n_docs"))
+          .otherwise(col("n_tokens")))
+      .withColumn("waste", col("padded") - col("n_tokens"))
+      .withColumn("fill_rate",
+        col("n_tokens").cast("double") / col("padded").cast("double"))
+  }
+
   /** The loader-side view of [[packChunks]]: one row per (document, chunk)
     * slice. A document spanning a chunk boundary contributes one slice per
     * chunk it touches, with the slice's offset inside the chunk and its

@@ -371,6 +371,43 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq === Seq(("apple", 3L), ("banana", 3L), ("cherry", 2L)))
   }
 
+  test("oovRate counts occurrences outside the corpus top-k vocabulary") {
+    val df = docs(
+      1L -> "the the the cat",  // vocab(2) = {the, cat}: the x3, cat x2...
+      2L -> "the cat zebra",    // ...ties broken by token string
+      3L -> "qux zap zap",
+      4L -> "")
+    val out = CorpusStats.oovRate(df, "id", "text", vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // vocab: the(4), cat(2) — zap(2) loses the tie to cat on the string
+    assert(out === Seq(
+      (1L, 4L, 0L, 0.0),
+      (2L, 3L, 1L, 1.0 / 3.0),
+      (3L, 3L, 3L, 1.0)))  // blank doc 4 emits no row
+  }
+
+  test("paddingProfile: bucket mass, waste, and the overflow bucket") {
+    val schema = StructType(Seq(longCol("id"), longCol("ntok")))
+    val df = makeDf(schema, Seq(
+      Row(1L, 3L), Row(2L, 4L), Row(3L, 7L),   // bucket 4? no: edges 4,8
+      Row(4L, 8L), Row(5L, 20L), Row(6L, 0L)))
+    val out = Packing.paddingProfile(df, "ntok", Seq(4L, 8L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(out === Seq(
+      (-1L, 1L, 20L, 20L, 0L, 1.0),         // overflow: no padding cost
+      (4L, 2L, 7L, 8L, 1L, 7.0 / 8.0),      // docs 1,2
+      (8L, 2L, 15L, 16L, 1L, 15.0 / 16.0))) // docs 3,4; doc 6 emits nothing
+    intercept[IllegalArgumentException] {
+      Packing.paddingProfile(df, "ntok", Seq(8L, 4L))
+    }
+    intercept[IllegalArgumentException] {
+      Packing.paddingProfile(df, "ntok", Seq.empty)
+    }
+  }
+
   test("per-group top-k tokens rank within each group independently") {
     val schema = StructType(Seq(longCol("id"), strCol("lang"), strCol("text")))
     val df = makeDf(schema, Seq(
