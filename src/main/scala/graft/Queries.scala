@@ -833,6 +833,21 @@ object Queries {
       graft.pipeline.Packing.paddingProfile(docs, "ntok",
         Seq(16L, 64L, 256L, 1024L))
     }),
+    "q99_corpus_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // snapshot diff: the "old" crawl lacks doc_id % 10 == 0, the "new"
+      // lacks % 10 == 1 and reformats % 7 == 0 (whitespace only — reads as
+      // kept) while rewriting % 13 == 0 (reads as changed). Both sides
+      // reduce to (id, fingerprint) before the one id-keyed full join.
+      val docs = read(s, d, "documents")
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      val neu = docs.filter(col("doc_id") % 10 =!= 1)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(lit("REWRITTEN "), col("text")))
+            .when(col("doc_id") % 7 === 0, concat(col("text"), lit("   ")))
+            .otherwise(col("text")))
+      graft.pipeline.CorpusStats.corpusDiff(old, neu, "doc_id", "text")
+    }),
     // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
     "q50_multimodal_decode" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1640,6 +1655,24 @@ object Queries {
         |    / (CASE WHEN bucket > 0 THEN bucket * n_docs ELSE n_tokens END)
         |    AS fill_rate
         |FROM a""".stripMargin,
+    // same canonical fingerprint rule as q41: md5 over case-folded,
+    // whitespace-collapsed text, so formatting-only edits read as kept
+    "q99_corpus_diff" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |old AS (SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+        |  FROM base WHERE doc_id % 10 <> 0),
+        |neu AS (SELECT doc_id, md5(regexp_replace(trim(lower(
+        |      CASE WHEN doc_id % 13 = 0 THEN 'REWRITTEN ' || text
+        |        WHEN doc_id % 7 = 0 THEN text || '   '
+        |        ELSE text END)), '\s+', ' ', 'g')) AS f
+        |  FROM base WHERE doc_id % 10 <> 1)
+        |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+        |  CASE WHEN old.doc_id IS NULL THEN 'added'
+        |    WHEN neu.doc_id IS NULL THEN 'removed'
+        |    WHEN old.f = neu.f THEN 'kept'
+        |    ELSE 'changed' END AS status
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id""".stripMargin,
     // q77's shingle base with per-document matched counts; the overlap is a
     // ratio of two small ints, identical in both engines
     "q95_contamination_scores" ->

@@ -64,6 +64,31 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Snapshot diff between two corpus versions: one row per document id
+    * present in either side, with its status — `added` (new only),
+    * `removed` (old only), `changed` (both, canonical fingerprints
+    * differ), `kept` (both, fingerprints equal). The corpus-versioning
+    * primitive behind incremental reprocessing: downstream stages rerun on
+    * `added` + `changed` only instead of the full 100 TB. Comparison uses
+    * [[TextAnalysis.fingerprint]] (case-folded, whitespace-collapsed md5),
+    * so formatting-only edits read as `kept`. Plan shape: both sides
+    * reduce to (id, 16-byte fingerprint) projections BEFORE the one
+    * full-outer join keyed on the id — document text never shuffles.
+    */
+  def corpusDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame, name: String) = df.select(
+      col(idCol), TextAnalysis.fingerprint(col(textCol)).as(name))
+    fp(oldDf, "__old").join(fp(newDf, "__new"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(col("__old") === col("__new"), lit("kept"))
+          .otherwise(lit("changed")))
+      .select(col(idCol), col("status"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own top
     * `vocabSize` tokens — the rare-token quality signal (gibberish, OCR
     * noise, and wrong-language text score high) used alongside the

@@ -371,6 +371,17 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq === Seq(("apple", 3L), ("banana", 3L), ("cherry", 2L)))
   }
 
+  test("corpusDiff classifies added/removed/changed/kept by fingerprint") {
+    val old = docs(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon")
+    val neu = docs(2L -> "  GAMMA   delta ", // formatting only -> kept
+      3L -> "epsilon rewritten",             // content change  -> changed
+      4L -> "brand new")                     // new id          -> added
+    val out = CorpusStats.corpusDiff(old, neu, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out === Seq(
+      (1L, "removed"), (2L, "kept"), (3L, "changed"), (4L, "added")))
+  }
+
   test("oovRate counts occurrences outside the corpus top-k vocabulary") {
     val df = docs(
       1L -> "the the the cat",  // vocab(2) = {the, cat}: the x3, cat x2...
