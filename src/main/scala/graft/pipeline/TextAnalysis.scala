@@ -116,6 +116,9 @@ object TextAnalysis {
   def slidingWindows(c: Column, window: Int, stride: Int): Column = {
     require(window >= 1, "window must be positive")
     require(stride >= 1, "stride must be positive")
+    require(stride <= window,
+      s"stride ($stride) must not exceed window ($window): a larger stride " +
+        "would skip tokens, breaking the every-token-covered contract")
     val toks = split(trim(c), "\\s+")
     val n = size(toks)
     // int division: Column./ is double division; token counts stay far

@@ -130,6 +130,8 @@ class TextMetricsSpec extends SparkSpec {
     assert(covered === Set("w1", "w2", "w3", "w4", "w5"))
     intercept[IllegalArgumentException] { slidingWindows(col("t"), 0, 1) }
     intercept[IllegalArgumentException] { slidingWindows(col("t"), 1, 0) }
+    // stride past the window would skip tokens — rejected by contract
+    intercept[IllegalArgumentException] { slidingWindows(col("t"), 4, 5) }
   }
 
   test("contaminationScores counts matched distinct shingles per document") {
