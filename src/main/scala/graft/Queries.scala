@@ -848,6 +848,21 @@ object Queries {
             .otherwise(col("text")))
       graft.pipeline.CorpusStats.corpusDiff(old, neu, "doc_id", "text")
     }),
+    "q100_dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // ingest-time dedup: the batch (doc_id % 5 == 0, half rewritten) keeps
+      // only documents whose canonical text the history (doc_id % 4 != 0)
+      // has never accepted. History reduces to distinct fingerprints before
+      // its one exchange; batch text never joins history text.
+      val docs = read(s, d, "documents")
+      val history = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 5, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")))
+      graft.pipeline.Dedup.exactAgainst(batch, history, "doc_id", "text")
+        .select("doc_id")
+    }),
     // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
     "q50_multimodal_decode" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1655,6 +1670,17 @@ object Queries {
         |    / (CASE WHEN bucket > 0 THEN bucket * n_docs ELSE n_tokens END)
         |    AS fill_rate
         |FROM a""".stripMargin,
+    // survivors: rewritten batch docs always, unmodified ones only when
+    // their id is absent from history (%4 == 0); fingerprint rule as q41
+    "q100_dedup_incremental" ->
+      """WITH h AS (SELECT DISTINCT
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |b AS (SELECT doc_id, md5(regexp_replace(trim(lower(
+        |      CASE WHEN doc_id % 10 = 5 THEN 'v2 ' || text ELSE text END)),
+        |    '\s+', ' ', 'g')) AS f
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id FROM b WHERE f NOT IN (SELECT f FROM h)""".stripMargin,
     // same canonical fingerprint rule as q41: md5 over case-folded,
     // whitespace-collapsed text, so formatting-only edits read as kept
     "q99_corpus_diff" ->

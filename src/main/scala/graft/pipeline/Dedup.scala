@@ -631,6 +631,52 @@ object Dedup {
       .select(col(idCol)).distinct()
   }
 
+  /** Exact incremental dedup: the rows of `batch` whose canonical
+    * fingerprint ([[TextAnalysis.fingerprint]]: case-folded,
+    * whitespace-collapsed md5) appears nowhere in `history` — the
+    * ingest-time companion of [[exact]]: dedup the new increment against
+    * everything already accepted. Plan shape: history reduces map-side to
+    * DISTINCT 16-byte fingerprints before its one keyed exchange (its text
+    * never shuffles), and the left-anti join keys on the fingerprint. For
+    * a history probed once per small batch, prefer building a
+    * [[fingerprintBloom]] once and filtering batches with
+    * [[bloomAgainst]] — one history pass amortized across every batch.
+    */
+  def exactAgainst(
+      batch: DataFrame, history: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    batch.withColumn("__fp", fp)
+      .join(history.select(fp.as("__fp")).distinct(), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** One-pass Bloom sketch of a corpus's canonical text fingerprints —
+    * build once over the full history (distributed partial sketches,
+    * driver merge; ~1.2 GB at fpp 1e-3 for 10^9 documents), then filter
+    * any number of ingest batches against it with [[bloomAgainst]] without
+    * touching history again. False positives drop at most ~fpp of genuinely
+    * fresh documents (tested); false negatives cannot occur, so no
+    * duplicate ever survives.
+    */
+  def fingerprintBloom(
+      df: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 1e-3): org.apache.spark.util.sketch.BloomFilter =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .stat.bloomFilter("__fp", expectedItems, fpp)
+
+  /** The probe side of [[fingerprintBloom]]: `batch` rows whose fingerprint
+    * the sketch has definitely never seen. A broadcast-closure filter —
+    * pure map-side, zero shuffle, no read of the history corpus.
+    */
+  def bloomAgainst(
+      batch: DataFrame, bloom: org.apache.spark.util.sketch.BloomFilter,
+      textCol: String): DataFrame = {
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val fresh = udf((fp: String) => fp != null && !bc.value.mightContainString(fp))
+    batch.filter(fresh(TextAnalysis.fingerprint(col(textCol))))
+  }
+
   /** One content-defined chunk: 1-based token start, token count, and the
     * md5 of the space-joined chunk tokens.
     */

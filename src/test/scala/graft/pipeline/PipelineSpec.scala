@@ -371,6 +371,37 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq === Seq(("apple", 3L), ("banana", 3L), ("cherry", 2L)))
   }
 
+  test("exactAgainst drops batch rows whose canonical text history holds") {
+    val history = docs(1L -> "alpha beta", 2L -> "gamma delta")
+    val batch = docs(
+      10L -> "  ALPHA   beta ",  // canonical dup of history 1 -> dropped
+      11L -> "gamma delta v2",   // fresh -> kept
+      12L -> "epsilon")          // fresh -> kept
+    val out = Dedup.exactAgainst(batch, history, "id", "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(out === Seq(11L, 12L))
+  }
+
+  test("bloom incremental dedup: no false negatives, bounded false drops") {
+    val history = docs((1L to 400L).map(i => i -> s"hist doc number $i"): _*)
+    val dups = (1L to 50L).map(i => (1000L + i) -> s"hist doc number $i")
+    val fresh = (1L to 400L).map(i => (2000L + i) -> s"fresh doc number $i")
+    val batch = docs((dups ++ fresh): _*)
+    val bloom = Dedup.fingerprintBloom(history, "text",
+      expectedItems = 400L, fpp = 1e-3)
+    val kept = Dedup.bloomAgainst(batch, bloom, "text")
+      .collect().map(_.getLong(0)).toSet
+    // every true duplicate is dropped (bloom filters cannot false-negative)
+    assert(dups.map(_._1).forall(id => !kept.contains(id)))
+    // false positives drop at most a small fraction of the fresh docs
+    val dropped = fresh.map(_._1).count(id => !kept.contains(id))
+    assert(dropped <= 4, s"$dropped false drops of 400 at fpp 1e-3")
+    // and the bloom survivors are a subset of the exact survivors' ids
+    val exact = Dedup.exactAgainst(batch, history, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(exact))
+  }
+
   test("corpusDiff classifies added/removed/changed/kept by fingerprint") {
     val old = docs(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon")
     val neu = docs(2L -> "  GAMMA   delta ", // formatting only -> kept
