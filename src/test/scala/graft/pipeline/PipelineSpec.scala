@@ -371,6 +371,35 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq === Seq(("apple", 3L), ("banana", 3L), ("cherry", 2L)))
   }
 
+  test("new corpus operators are invariant to input partitioning") {
+    // a cluster re-shards inputs freely: every released value must be a
+    // pure function of the data, never of the partition layout
+    val base = docs((1L to 80L).map(i =>
+      i -> s"alpha bravo tok$i charlie ${if (i % 3 == 0) "shared phrase here" else s"tail$i"}"): _*)
+    val shuffled = makeDf(base.schema,
+      new scala.util.Random(7).shuffle((1 to 80).toList)
+        .map(i => base.collect()(i - 1))).repartition(7)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val pairs = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      d => d.select(col("id"), TextAnalysis.dedupLines(col("text"))),
+      d => d.select(col("id"), posexplode(
+        TextAnalysis.slidingWindows(col("text"), 4, 2)).as(Seq("i", "w"))),
+      d => d.select(col("id"), posexplode(
+        Dedup.contentDefinedChunks(col("text"), k = 2, divisor = 4L))
+        .as(Seq("i", "ch"))),
+      d => CorpusStats.oovRate(d, "id", "text", vocabSize = 5),
+      d => Dedup.contaminationScores(d.filter(col("id") % 10 =!= 0), "id",
+        "text", d.filter(col("id") % 10 === 0), "text", n = 3),
+      d => CorpusStats.corpusDiff(d.filter(col("id") <= 60),
+        d.filter(col("id") >= 20), "id", "text"),
+      d => Packing.paddingProfile(d.select(col("id"),
+        TextAnalysis.tokenCount(col("text")).as("ntok")), "ntok", Seq(4L, 8L)))
+    pairs.zipWithIndex.foreach { case (f, i) =>
+      assert(canon(f(base)) === canon(f(shuffled)), s"operator $i varies with layout")
+    }
+  }
+
   test("exactAgainst drops batch rows whose canonical text history holds") {
     val history = docs(1L -> "alpha beta", 2L -> "gamma delta")
     val batch = docs(
