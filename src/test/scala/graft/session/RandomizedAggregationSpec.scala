@@ -82,6 +82,29 @@ class RandomizedAggregationSpec extends SparkSpec {
       for ((k, v) <- cds)
         assert(v === byKey.get(k).map(_.map(_.getLong(1)).distinct.size).getOrElse(0),
           s"trial $trial count_distinct($k)")
+
+      // variance/stdev: the released value is the clamped sample variance
+      // in midpoint-shifted form (the q08/q09 oracle formula); stdev is its
+      // square root, so pinning both checks the shared dev-sum lowering
+      val mid = math.floor((lo + hi) / 2.0)
+      val maxVar = (hi - lo) * (hi - lo) / 4.0
+      def directVar(k: String): Double = {
+        val vs = byKey.get(k).map(_.map(r => clamp(r.getLong(1)) - mid)).getOrElse(Nil)
+        val n0 = math.max(vs.size.toDouble, 1.0)
+        val raw = (vs.map(d => d * d).sum - vs.sum * vs.sum / n0) /
+          math.max(n0 - 1.0, 1.0)
+        math.min(math.max(raw, 0.0), maxVar)
+      }
+      val vars = s.evaluate(
+        QueryBuilder("t").groupby(keys).variance("v", lo, hi, "vv"), Inf)
+        .collect().map(r => Option(r.getString(0)).orNull -> r.getDouble(1)).toMap
+      for ((k, v) <- vars)
+        assert(math.abs(v - directVar(k)) < 1e-9, s"trial $trial var($k)")
+      val sds = s.evaluate(
+        QueryBuilder("t").groupby(keys).stdev("v", lo, hi, "sd"), Inf)
+        .collect().map(r => Option(r.getString(0)).orNull -> r.getDouble(1)).toMap
+      for ((k, v) <- sds)
+        assert(math.abs(v - math.sqrt(directVar(k))) < 1e-9, s"trial $trial sd($k)")
     }
   }
 
