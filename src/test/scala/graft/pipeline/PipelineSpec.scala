@@ -371,6 +371,27 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq === Seq(("apple", 3L), ("banana", 3L), ("cherry", 2L)))
   }
 
+  test("pipeline operator misuse fails fast with named arguments") {
+    val d = docs(1L -> "a b c")
+    intercept[IllegalArgumentException] {
+      Dedup.contentDefinedChunks(col("text"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.contentDefinedChunks(col("text"), divisor = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.contaminationScores(d, "id", "text", d, "text", n = 0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStats.oovRate(d, "id", "text", vocabSize = 0)
+    }
+    // unknown columns surface as analysis errors naming the column
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      CorpusStats.corpusDiff(d, d, "id", "ghost").collect()
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
+
   test("new corpus operators are invariant to input partitioning") {
     // a cluster re-shards inputs freely: every released value must be a
     // pure function of the data, never of the partition layout
