@@ -185,7 +185,7 @@ object Demo {
         concat(lit("SUBSCRIBE TO OUR NEWSLETTER\n"), col("text")))
       val cleaned = graft.pipeline.CorpusStats.stripBoilerplateLines(
         noisy, "doc_id", "text", minDocs = 50)
-      println(s"lines struck: ${cleaned.agg(sum("n_removed")).head.getLong(0)}")
+      println(s"lines struck: ${cleaned.agg(sum("n_removed")).head().getLong(0)}")
       val mixed = graft.pipeline.Sampling.mixtureUpsample(
         cleaned, "lang", "doc_id", Seq("zh" -> 2.0, "fr" -> 0.5))
       mixed.groupBy("lang").agg(count(lit(1)).as("n_after_mix"))

@@ -19,6 +19,8 @@ import graft.types.ColumnType
   */
 final case class MeasureOut(df: DataFrame, noise: Seq[NoiseInfo], spend: PrivacyBudget)
 
+import MeasurementPlanner.Sens
+
 object MeasurementPlanner {
   /** One budget charge = at most one random draw: when any mechanism in the
     * plan is genuinely random, pin the sampled result with an eager
@@ -49,6 +51,19 @@ object MeasurementPlanner {
     val deltaPer = delta / maxGroups.toDouble
     val tau = sens + b * math.log(1.0 / (2.0 * deltaPer))
     (b, math.max(tau, 1.0))
+  }
+
+  /** Aggregation sensitivity: the L1 bound, plus — when the constraint
+    * structure grants it — the EXACT squared L2 bound. Scaling by a per-row
+    * factor f scales the square by f^2. (Companion-level so pattern matches
+    * need no outer-instance check.)
+    */
+  private[compile] final case class Sens(l1: Rat, l2Sq: Option[Rat] = None) {
+    def *(f: Rat): Sens = Sens(l1 * f, l2Sq.map(_ * f * f))
+    def isZero: Boolean = l1.isZero
+    def toDouble: Double = l1.toDouble
+    /** Squared sensitivity for Gaussian-family calibration. */
+    def sq: Rat = l2Sq.getOrElse(l1 * l1)
   }
 }
 
@@ -446,18 +461,6 @@ final class MeasurementPlanner(
     * r*g — granting sqrt(g) there would under-noise by ~sqrt(g). Likewise
     * the exponential mechanism (quantile / bounds) composes in L1.
     */
-  /** Aggregation sensitivity: the L1 bound, plus — when the constraint
-    * structure grants it — the EXACT squared L2 bound. Scaling by a per-row
-    * factor f scales the square by f^2.
-    */
-  private[compile] final case class Sens(l1: Rat, l2Sq: Option[Rat] = None) {
-    def *(f: Rat): Sens = Sens(l1 * f, l2Sq.map(_ * f * f))
-    def isZero: Boolean = l1.isZero
-    def toDouble: Double = l1.toDouble
-    /** Squared sensitivity for Gaussian-family calibration. */
-    def sq: Rat = l2Sq.getOrElse(l1 * l1)
-  }
-
   private def aggSensitivity(
       t: TransformOut, keys: Option[KeySet] = None, l2: Boolean = false): Sens =
     t.metric match {
