@@ -863,6 +863,31 @@ object Queries {
       graft.pipeline.Dedup.exactAgainst(batch, history, "doc_id", "text")
         .select("doc_id")
     }),
+    "q101_streaming_quality_gate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // streaming corpus ingest: the documents table replayed as a file
+      // stream, quality-gated and counted per language — the stateless
+      // map-side gate composes with Structured Streaming untouched, and
+      // availableNow makes the run a deterministic batch equivalent
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val gated = stream
+        .filter(graft.pipeline.TextAnalysis.qualityOk(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pass"),
+          sum(graft.pipeline.TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+      val name = "q101mem"
+      val q = gated.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }),
     // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
     "q50_multimodal_decode" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1366,6 +1391,21 @@ object Queries {
       """SELECT CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
         |  AS token_count FROM documents""".stripMargin,
+    // q48's gate formulas, grouped by language over the streamed table —
+    // availableNow is batch-equivalent, so the batch SQL is the oracle
+    "q101_streaming_quality_gate" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_pass,
+        |  CAST(sum(t) AS BIGINT) AS n_tokens FROM (
+        |  SELECT lang, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS t,
+        |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS chars,
+        |    length(text) AS lc,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+        |  FROM documents)
+        |WHERE t BETWEEN 5 AND 100000
+        |  AND (CAST(chars AS DOUBLE) / CAST(t AS DOUBLE)) BETWEEN 2.0 AND 12.0
+        |  AND (CAST(np AS DOUBLE) / CAST(lc AS DOUBLE)) < 0.3
+        |GROUP BY 1""".stripMargin,
     "q48_quality_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_quality FROM (
         |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
