@@ -12,12 +12,20 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val mode = sys.env.getOrElse("SCRATCH_MODE", "dump")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
     names.foreach { n =>
-      SparkEntry.queries(n)(spark, d).coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/scratch_out/$n")
-      println(s"dumped $n")
+      val df = SparkEntry.queries(n)(spark, d)
+      if (mode == "plan") {
+        df.count()
+        println(s"========== $n ==========")
+        println(df.queryExecution.executedPlan.toString.linesIterator
+          .map(_.take(140)).mkString("\n"))
+      } else {
+        df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/scratch_out/$n")
+        println(s"dumped $n")
+      }
     }
     spark.stop()
   }
