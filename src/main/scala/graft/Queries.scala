@@ -888,6 +888,27 @@ object Queries {
       q.awaitTermination()
       s.table(name)
     }),
+    "q102_source_quality" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // per-source corpus health: document counts, quality-gate pass rate,
+      // and token mass by ingest source — the dashboard that decides which
+      // feeds to keep. One keyed agg; the gate is a codegen'd projection.
+      val t = graft.pipeline.TextAnalysis
+      read(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(t.qualityOk(col("text")), 1L).otherwise(0L)).as("n_pass"),
+          sum(t.tokenCount(col("text"))).as("n_tokens"))
+        .withColumn("pass_rate",
+          col("n_pass").cast("double") / col("n_docs").cast("double"))
+    }),
+    "q103_token_spectrum" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // frequency-of-frequencies: how many distinct tokens occur exactly k
+      // times — the Zipf spectrum that sizes vocabularies and detects
+      // synthetic repetition. Two keyed aggs, no global sort anywhere.
+      graft.pipeline.CorpusStats.tokenSpectrum(read(s, d, "documents"), "text")
+    }),
     // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
     "q50_multimodal_decode" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1391,6 +1412,38 @@ object Queries {
       """SELECT CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
         |  AS token_count FROM documents""".stripMargin,
+    // q48's gate formulas rolled up by ingest source; rate is a ratio of
+    // small ints
+    "q102_source_quality" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN t BETWEEN 5 AND 100000
+        |    AND (CAST(chars AS DOUBLE) / CAST(t AS DOUBLE))
+        |      BETWEEN 2.0 AND 12.0
+        |    AND (CAST(np AS DOUBLE) / CAST(lc AS DOUBLE)) < 0.3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(t) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN t BETWEEN 5 AND 100000
+        |    AND (CAST(chars AS DOUBLE) / CAST(t AS DOUBLE))
+        |      BETWEEN 2.0 AND 12.0
+        |    AND (CAST(np AS DOUBLE) / CAST(lc AS DOUBLE)) < 0.3
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pass_rate
+        |FROM (
+        |  SELECT source, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS t,
+        |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS chars,
+        |    length(text) AS lc,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
+    // q78's tokenization; the spectrum is pure integer counts
+    "q103_token_spectrum" ->
+      """WITH tok AS (SELECT unnest(
+        |    string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS occurrences
+        |  FROM tok WHERE length(token) > 0 GROUP BY 1)
+        |SELECT occurrences, CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1""".stripMargin,
     // q48's gate formulas, grouped by language over the streamed table —
     // availableNow is batch-equivalent, so the batch SQL is the oracle
     "q101_streaming_quality_gate" ->

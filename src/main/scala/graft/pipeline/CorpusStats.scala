@@ -114,6 +114,19 @@ object CorpusStats {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Token frequency spectrum (frequency of frequencies): how many
+    * distinct tokens occur exactly k times — the Zipf profile that sizes
+    * vocabularies, tunes min-count cutoffs, and flags synthetic repetition
+    * (a natural corpus is near-linear in log-log; generated loops spike).
+    * Two keyed aggregations, both map-side combinable; the second runs
+    * over one row per distinct occurrence count (a few hundred at any
+    * corpus size), and no ordering is imposed anywhere.
+    */
+  def tokenSpectrum(df: DataFrame, textCol: String): DataFrame =
+    tokens(df, textCol)
+      .groupBy("token").agg(count(lit(1)).as("occurrences"))
+      .groupBy("occurrences").agg(count(lit(1)).as("n_tokens"))
+
   /** Per-group top-k token heavy hitters — per-language / per-source
     * vocabulary summaries for corpus mix reports. Unlike the global top-k
     * (TakeOrderedAndProject), a per-group limit needs a rank over each

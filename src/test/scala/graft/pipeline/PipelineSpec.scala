@@ -500,6 +500,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("tokenSpectrum counts distinct tokens per occurrence count") {
+    val df = docs(
+      1L -> "a a a b b c", 2L -> "b c d", 3L -> "  ")
+    // a x3, b x3, c x2, d x1 -> spectrum {3: 2 tokens, 2: 1, 1: 1}
+    val out = CorpusStats.tokenSpectrum(df, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+    // mass conservation: sum(k * n_tokens(k)) = total token occurrences
+    assert(out.map { case (k, n) => k * n }.sum === 9L)
+  }
+
   test("per-group top-k tokens rank within each group independently") {
     val schema = StructType(Seq(longCol("id"), strCol("lang"), strCol("text")))
     val df = makeDf(schema, Seq(
