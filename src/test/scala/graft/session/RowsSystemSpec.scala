@@ -244,6 +244,31 @@ class RowsSystemSpec extends SparkSpec {
       .countDistinct(Seq("DATE"), name = "n")) === 2L)
   }
 
+  test("count_distinct after map and after join_public " +
+      "(GroupByCountDistinct Map/JoinPublic rows)") {
+    import graft.types.{ColumnDescriptor, ColumnType}
+    // map collapses X to X mod 2 -> distinct (A, B, parity) triples: the
+    // two ("0",0,·) rows map to parities {0,1}, so all 4 rows stay distinct;
+    // dropping A via select then leaves {(0,0),(0,1),(1,0)} -> 3
+    val mapped = QueryBuilder("private").map(
+      r => Map("A" -> r("A"), "B" -> r("B"),
+        "P" -> (r("X").asInstanceOf[Long] % 2)),
+      Seq("A" -> ColumnDescriptor(ColumnType.Varchar),
+        "B" -> ColumnDescriptor(ColumnType.Integer),
+        "P" -> ColumnDescriptor(ColumnType.Integer)),
+      augment = false)
+    assert(scalarLong(mapped.cloneBuilder().countDistinct(name = "n")) === 4L)
+    assert(scalarLong(mapped.cloneBuilder().select("B", "P")
+      .countDistinct(name = "n")) === 3L)
+    // join_public fans "0"-rows out to 2 copies; count_distinct grouped on
+    // the join column sees distinct (B, X, A+B) combos per A
+    val keys = KeySet.fromColumn("A", Seq("0", "1"))
+    val out = rows(QueryBuilder("private").joinPublic("public")
+      .groupby(keys).countDistinct(Seq("A+B"), name = "n"))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("0" -> 2L, "1" -> 2L))
+  }
+
   test("repeated public self-joins disambiguate overlap as _left/_right") {
     // the reference's public_join_disambiguation case: three joins of the
     // same public table; the second join suffixes the colliding A+B, the
