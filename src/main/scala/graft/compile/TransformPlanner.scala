@@ -204,7 +204,8 @@ final class TransformPlanner(
       val c = compile(child)
       val targets: Seq[(String, Any)] =
         if (replaceWith.nonEmpty) replaceWith.toSeq
-        else c.schema.columns.filterNot { case (n, _) => c.schema.idColumn.contains(n) }
+        else c.schema.columns.filterNot { case (n, _) =>
+            c.schema.idColumn.contains(n) || c.schema.groupingColumn.contains(n) }
           .map { case (n, d) => n -> ColumnType.defaultValue(d.ctype) }
       val df = targets.foldLeft(c.df) { case (acc, (name, v)) =>
         val d = c.schema(name)
@@ -235,7 +236,8 @@ final class TransformPlanner(
     case e @ DropNullAndNan(child, columns) =>
       val c = compile(child)
       val targets = (if (columns.isEmpty) c.schema.columnNames else columns)
-        .filterNot(c.schema.idColumn.contains(_))
+        .filterNot(n => c.schema.idColumn.contains(n) ||
+          (columns.isEmpty && c.schema.groupingColumn.contains(n)))
       val conds = targets.map { n =>
         val base = col(n).isNotNull
         if (c.schema(n).ctype == ColumnType.Decimal) base && !isnan(col(n)) else base

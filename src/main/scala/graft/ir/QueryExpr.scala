@@ -394,8 +394,16 @@ object QueryExpr {
       // RuntimeWarning there, test_id_col_operations.py:85-122)
       in.idColumn.foreach(id => if (replaceWith.contains(id))
         err(s"replace_null_and_nan may not replace the id column '$id'"))
-      val target = if (replaceWith.isEmpty) in.columnNames.toSet
-        else replaceWith.keySet
+      // a grouping column's values ARE the group identity the stability
+      // calculus tracks — rewriting them is an error when explicit and
+      // silently skipped by the all-columns default (reference
+      // _base_transformation_visitor.py:1085-1091)
+      in.groupingColumn.foreach(g => if (replaceWith.contains(g))
+        err(s"Cannot replace null values in column $g, because it is " +
+          "being used as a grouping column"))
+      val target = if (replaceWith.isEmpty)
+        in.columnNames.toSet -- in.groupingColumn
+      else replaceWith.keySet
       in.copy(columns = in.columns.map { case (n, d) =>
         if (target.contains(n) && !in.idColumn.contains(n))
           n -> d.copy(allowNull = false, allowNaN = false)
@@ -438,7 +446,14 @@ object QueryExpr {
         if (!in.contains(c)) err(s"drop_null_and_nan: column '$c' not in schema"))
       in.idColumn.foreach(id => if (columns.contains(id))
         err(s"drop_null_and_nan may not target the id column '$id'"))
-      val target = if (columns.isEmpty) in.columnNames.toSet else columns.toSet
+      // mirror of the replace rule (reference
+      // _base_transformation_visitor.py:1380-1392): explicit -> error,
+      // all-columns default -> grouping column excluded
+      in.groupingColumn.foreach(g => if (columns.contains(g))
+        err(s"Cannot drop null values in column $g, because it is " +
+          "being used as a grouping column"))
+      val target = if (columns.isEmpty) in.columnNames.toSet -- in.groupingColumn
+        else columns.toSet
       in.copy(columns = in.columns.map { case (n, d) =>
         if (target.contains(n) && !in.idColumn.contains(n))
           n -> d.copy(allowNull = false, allowNaN = false)

@@ -128,6 +128,45 @@ class TransformSemanticsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { s.evaluate(qb.count(), Inf) }
   }
 
+  test("replace/drop null may not target a grouping column; the all-columns " +
+      "default skips it (reference visit_replace_null_and_nan " +
+      "with_grouping_column)") {
+    import graft.types.{ColumnDescriptor, ColumnType}
+    val df = makeDf(StructType(Seq(strCol("x"), longCol("v"))),
+      Seq(Row("a", 1L), Row(null, 2L)))
+    val s = Session.fromDataFrame(spark, Inf, "t", df, AddOneRow())
+    def grouped = QueryBuilder("t").flatMap(
+      r => Seq(Map("g" -> (if (r("v").asInstanceOf[Long] < 2) "lo" else "hi"))),
+      Seq("g" -> ColumnDescriptor(ColumnType.Varchar, allowNull = true)),
+      maxRows = 1, augment = true, grouping = true)
+    val keys = KeySet.fromColumn("g", Seq("lo", "hi"))
+    // explicit grouping-column target: the reference's exact error
+    val e1 = intercept[IllegalArgumentException] {
+      s.evaluate(grouped.replaceNullAndNan(Map("g" -> "fixed"))
+        .groupby(keys).count(), Inf)
+    }
+    assert(e1.getMessage.contains(
+      "Cannot replace null values in column g, because it is being used " +
+        "as a grouping column"))
+    val e2 = intercept[IllegalArgumentException] {
+      s.evaluate(grouped.dropNullAndNan("g").groupby(keys).count(), Inf)
+    }
+    assert(e2.getMessage.contains(
+      "Cannot drop null values in column g, because it is being used " +
+        "as a grouping column"))
+    // the all-columns default passes and leaves the grouping column alone:
+    // the null x-row survives (its x replaced) and still counts under its
+    // group, so per-group totals are unchanged
+    val out = s.evaluate(grouped.replaceNullAndNan()
+      .groupby(keys).count(), Inf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("lo" -> 1L, "hi" -> 1L))
+    val dropped = s.evaluate(grouped.dropNullAndNan()
+      .groupby(keys).count(), Inf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dropped === Map("lo" -> 1L, "hi" -> 0L)) // null-x row dropped
+  }
+
   test("DropExcess truncation caps rows per join key, order-independently") {
     val left = makeDf(StructType(Seq(longCol("k"), strCol("v"))),
       (1 to 10).map(i => Row(1L, s"v$i")) :+ Row(2L, "w"))
