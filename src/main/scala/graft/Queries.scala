@@ -909,13 +909,25 @@ object Queries {
       // synthetic repetition. Two keyed aggs, no global sort anywhere.
       graft.pipeline.CorpusStats.tokenSpectrum(read(s, d, "documents"), "text")
     }),
-    // -- LLM-pipeline: multimodal plumbing (decode stubbed) ----------------
+    // -- LLM-pipeline: multimodal decode (REAL javax.imageio kernels) ------
     "q50_multimodal_decode" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val withBin = read(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      // deterministic solid-fill PNGs synthesized executor-side with
+      // dimensions derived from doc_id, then decoded by the REAL
+      // javax.imageio kernel — the oracle recomputes the roundtripped
+      // width/height sums arithmetically, so a fake decode cannot pass
+      val withBin = read(s, d, "documents").select(col("doc_id"),
+        graft.pipeline.Multimodal.synthPng(
+          (lit(1) + pmod(col("doc_id"), lit(16))).cast("int"),
+          (lit(1) + pmod(col("doc_id"), lit(13))).cast("int"),
+          pmod(col("doc_id") * 2654435761L, lit(1 << 24)).cast("int"))
+          .as("payload"))
       graft.pipeline.Multimodal.decodeImages(withBin, "payload", featureDim = 16)
         .agg(count(lit(1)).as("n_decoded"),
+          sum(col("decoded.width")).as("width_sum"),
+          sum(col("decoded.height")).as("height_sum"),
+          sum(col("decoded.channels")).as("channels_sum"),
+          sum(when(col("decoded.format") === "png", 1L).otherwise(0L)).as("n_png"),
           sum(size(col("decoded.features"))).as("n_features"))
     }),
     // -- streaming (availableNow over the same events data) ---------------
@@ -962,10 +974,18 @@ object Queries {
     }),
     "q51_audio_windows" -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      // REAL PCM parse: payload bytes decode to 16-bit LE samples, windows
+      // split the sample span evenly, so summed per-window counts must equal
+      // floor(byte_length/2) per doc — the oracle recomputes that from the
+      // text's UTF-8 length; the DFT feature values are pinned in
+      // MultimodalSpec (float spectra aren't engine-portable)
       val withBin = read(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      graft.pipeline.Multimodal.extractAudioFeatures(withBin, "payload", windows = 4)
-        .agg(count(lit(1)).as("n_windows"))
+      graft.pipeline.Multimodal.extractAudioFeatures(
+        withBin, "payload", windows = 4, featureDim = 8)
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("n_samples")).as("total_samples"),
+          sum(size(col("features"))).as("n_features"))
     }))
 
   // ------------------------------------------------------------------ oracles
@@ -1855,9 +1875,15 @@ object Queries {
         |GROUP BY 1""".stripMargin,
     "q50_multimodal_decode" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_decoded,
+        |  CAST(sum(1 + doc_id % 16) AS BIGINT) AS width_sum,
+        |  CAST(sum(1 + doc_id % 13) AS BIGINT) AS height_sum,
+        |  CAST(3 * count(*) AS BIGINT) AS channels_sum,
+        |  CAST(count(*) AS BIGINT) AS n_png,
         |  CAST(16 * count(*) AS BIGINT) AS n_features FROM documents""".stripMargin,
     "q51_audio_windows" ->
-      "SELECT CAST(4 * count(*) AS BIGINT) AS n_windows FROM documents",
+      """SELECT CAST(4 * count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(octet_length(encode(text)) // 2) AS BIGINT) AS total_samples,
+        |  CAST(8 * 4 * count(*) AS BIGINT) AS n_features FROM documents""".stripMargin,
     "q54_streaming_window_counts" ->
       """SELECT CAST((event_id // 600) * 600 AS BIGINT) AS window_start,
         |  event_type, CAST(count(*) AS BIGINT) AS count

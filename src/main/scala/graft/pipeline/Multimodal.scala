@@ -1,38 +1,99 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import scala.util.control.NonFatal
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata; decode / feature-extract / resize /
   * frame-sample run as batched per-partition transforms (the JVM analogue of
-  * `mapInPandas` — one buffer of rows at a time, vectorizable by the codec).
+  * `mapInPandas` — one buffer of rows at a time).
   *
-  * The actual codecs are NOT available in this environment, so the decode
-  * kernels below are STUBS: `fakeDecode*` derive deterministic pseudo
-  * features from the bytes. The Spark-side contract — schemas, partitioning,
-  * batch shape, null handling — is real and tested; swapping in a real codec
-  * is a one-function change inside the mapPartitions body.
+  * Decode kernels are REAL where the JDK ships a codec:
+  *  - images: `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP out of the box) —
+  *    [[decodeImages]] returns actual decoded dimensions, channel count,
+  *    container format, and a banded mean-luminance feature vector;
+  *    [[resizeImages]] re-decodes and bilinearly rescales the pixels.
+  *  - audio: payloads are parsed as 16-bit little-endian PCM and
+  *    [[extractAudioFeatures]] computes a real DFT magnitude spectrum per
+  *    window.
+  * Payloads no JDK codec can read (e.g. video containers) fall back to
+  * [[pseudoDecode]], a clearly-marked deterministic stand-in tagged with
+  * `format = "opaque"` so downstream filters can separate real decodes from
+  * fallbacks. [[sampleFrames]] stays a stub for the same reason: the JDK has
+  * no video demuxer, so frame sampling replicates metadata rather than
+  * seeking a container.
   */
 object Multimodal {
 
-  val imageMetaSchema: StructType = StructType(Seq(
-    StructField("width", IntegerType), StructField("height", IntegerType),
-    StructField("channels", IntegerType), StructField("format", StringType)))
-
   val decodedSchema: StructType = StructType(Seq(
     StructField("width", IntegerType), StructField("height", IntegerType),
-    StructField("channels", IntegerType),
+    StructField("channels", IntegerType), StructField("format", StringType),
     StructField("features", ArrayType(FloatType))))
 
-  /** STUB decode kernel: derives (width, height, channels, feature vector)
-    * deterministically from the payload bytes. Replace the body with a real
-    * image codec (e.g. javax.imageio / ffmpeg JNI) in production.
+  // ------------------------------------------------------------------ images
+
+  /** Container format sniffed from the payload via the registered ImageIO
+    * readers, or null when no JDK codec claims the bytes.
     */
-  private[pipeline] def fakeDecodeImage(bytes: Array[Byte], featureDim: Int): Row = {
-    if (bytes == null) return null
-    var h = 1125899906842597L // deterministic FNV-ish fold of the payload
+  private[pipeline] def detectFormat(bytes: Array[Byte]): String = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    if (iis == null) return null
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (readers.hasNext) readers.next().getFormatName.toLowerCase else null
+    } catch { case NonFatal(_) => null } finally iis.close()
+  }
+
+  /** Mean Rec.601 luminance (in [0,1]) over `featureDim` horizontal bands —
+    * band j covers pixel rows [j*h/D, (j+1)*h/D), widened to at least one
+    * row, so every band is a real pixel statistic at any aspect ratio.
+    */
+  private[pipeline] def bandLuminance(img: BufferedImage, featureDim: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](featureDim)
+    val rowBuf = new Array[Int](w)
+    var j = 0
+    while (j < featureDim) {
+      val r0 = j * h / featureDim
+      val r1 = math.min(math.max((j + 1) * h / featureDim, r0 + 1), h)
+      var sum = 0.0
+      var cnt = 0L
+      var r = r0
+      while (r < r1) {
+        img.getRGB(0, r, w, 1, rowBuf, 0, w)
+        var c = 0
+        while (c < w) {
+          val rgb = rowBuf(c)
+          sum += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)) / 255.0
+          cnt += 1
+          c += 1
+        }
+        r += 1
+      }
+      out(j) = if (cnt == 0) 0f else (sum / cnt).toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** Deterministic FALLBACK for payloads no JDK codec can decode (tagged
+    * `format = "opaque"`): pseudo width/height/features derived from a hash
+    * fold of the bytes, so undecodable media still flows through the typed
+    * pipeline with stable, testable values instead of nulls.
+    */
+  private[pipeline] def pseudoDecode(bytes: Array[Byte], featureDim: Int): Row = {
+    var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
     val width = 16 + math.floorMod(h, 1024).toInt
@@ -45,7 +106,24 @@ object Multimodal {
       features(j) = (s >>> 40).toFloat / (1 << 24).toFloat
       j += 1
     }
-    Row(width, height, 3, features.toSeq)
+    Row(width, height, 3, "opaque", features.toSeq)
+  }
+
+  /** REAL decode kernel: `javax.imageio` parses the payload; on success the
+    * row carries the actual decoded (width, height, channels, format) plus
+    * [[bandLuminance]] features. Unreadable payloads fall back to
+    * [[pseudoDecode]]; null payloads stay null.
+    */
+  private[pipeline] def decodeImage(bytes: Array[Byte], featureDim: Int): Row = {
+    if (bytes == null) return null
+    val fmt = detectFormat(bytes)
+    val img =
+      if (fmt == null) null
+      else try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case NonFatal(_) => null }
+    if (img == null) pseudoDecode(bytes, featureDim)
+    else Row(img.getWidth, img.getHeight, img.getColorModel.getNumComponents,
+      fmt, bandLuminance(img, featureDim).toSeq)
   }
 
   /** Decode a binary image column into a typed struct, batched per
@@ -60,17 +138,74 @@ object Multimodal {
     val inSchema = base.schema
     val outSchema = StructType(inSchema.fields :+ StructField(outCol, decodedSchema))
     base.mapPartitions { it =>
-      // batch shape: the iterator itself is the batch; the stub is per-row,
-      // a real codec would drain `it` in fixed-size buffers
+      // the iterator is the batch; ImageIO readers are instantiated per call
+      // (thread-safe), the row buffer amortizes across the partition
       it.map { row =>
-        Row.fromSeq(row.toSeq :+ fakeDecodeImage(
+        Row.fromSeq(row.toSeq :+ decodeImage(
           row.getAs[Array[Byte]](inSchema.fieldIndex(binCol)), featureDim))
       }
     }(Encoders.row(outSchema))
   }
 
-  /** STUB resize: recomputes metadata for a target box, keeping features.
-    * Real implementation re-decodes at target resolution.
+  /** Synthesize a solid-fill PNG payload (used by specs and the CORRECTNESS
+    * registry to exercise the real decode path with payloads whose decoded
+    * dimensions are predictable arithmetic over the generating row).
+    */
+  def synthesizePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Column form of [[synthesizePng]] — runs executor-side. */
+  val synthPng = udf((w: Int, h: Int, rgb: Int) => synthesizePng(w, h, rgb))
+
+  /** REAL image resize: re-decode the payload, bilinearly rescale so the
+    * longest side is `maxSide` (no-op for smaller images), re-encode as PNG.
+    * Payloads no codec can read pass through unchanged — resizing is a
+    * best-effort normalization, not a gate.
+    */
+  private[pipeline] def resizePayload(bytes: Array[Byte], maxSide: Int): Array[Byte] = {
+    if (bytes == null) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case NonFatal(_) => null }
+    if (img == null) return bytes
+    val w = img.getWidth
+    val h = img.getHeight
+    if (math.max(w, h) <= maxSide) return bytes
+    val scale = maxSide.toDouble / math.max(w, h)
+    val nw = math.max(1, math.round(w * scale).toInt)
+    val nh = math.max(1, math.round(h * scale).toInt)
+    val out = new BufferedImage(nw, nh, BufferedImage.TYPE_3BYTE_BGR)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, nw, nh, null)
+    } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Resize a binary image column in place (see [[resizePayload]]). */
+  def resizeImages(df: DataFrame, binCol: String, maxSide: Int): DataFrame = {
+    val kernel = udf((bytes: Array[Byte]) => resizePayload(bytes, maxSide))
+    df.withColumn(binCol, kernel(col(binCol)))
+  }
+
+  /** Metadata-level resize of an already-decoded struct: rescales the
+    * recorded dimensions for a target box without touching pixels — the
+    * cheap path when only the metadata must reflect the target resolution.
+    * Use [[resizeImages]] to actually rescale payload pixels.
     */
   def resize(df: DataFrame, decodedCol: String, maxSide: Int): DataFrame = {
     val d = col(decodedCol)
@@ -81,34 +216,89 @@ object Multimodal {
       (d.getField("width") * scale).cast("int").as("width"),
       (d.getField("height") * scale).cast("int").as("height"),
       d.getField("channels").as("channels"),
+      d.getField("format").as("format"),
       d.getField("features").as("features")))
   }
 
   /** STUB frame sampling for video payloads: emits `frames` copies of the
-    * decoded struct with a frame index (a real implementation decodes the
-    * container and seeks). Output is exploded — one row per sampled frame.
+    * decoded struct with a frame index. The JDK ships no video demuxer, so a
+    * real implementation (container seek + per-frame decode) needs an
+    * external codec; the Spark-side shape — explode to one row per sampled
+    * frame — is the real contract.
     */
   def sampleFrames(df: DataFrame, decodedCol: String, frames: Int): DataFrame =
     df.withColumn("frame_index", explode(sequence(lit(0), lit(frames - 1))))
 
-  /** Audio STUB: fixed-rate windowed feature extraction from a binary
-    * payload — emits (windowIndex, features) rows. Real implementation runs
-    * an FFT per window.
+  // ------------------------------------------------------------------- audio
+
+  /** Parse a payload as 16-bit little-endian PCM, normalized to [-1, 1). */
+  private[pipeline] def pcm16(bytes: Array[Byte]): Array[Double] = {
+    val n = bytes.length / 2
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
+      i += 1
+    }
+    out
+  }
+
+  /** Magnitude spectrum |X_k|/n of x[lo, hi) at k = 0..bins-1 (direct DFT —
+    * windows are short and bins few, so O(n*bins) beats FFT bookkeeping).
+    * bins(0) is |mean|; an empty span yields zeros.
+    */
+  private[pipeline] def dftMagnitudes(
+      x: Array[Double], lo: Int, hi: Int, bins: Int): Array[Float] = {
+    val n = hi - lo
+    val out = new Array[Float](bins)
+    if (n <= 0) return out
+    var k = 0
+    while (k < bins) {
+      var re = 0.0
+      var im = 0.0
+      var t = 0
+      while (t < n) {
+        val ang = -2.0 * math.Pi * k * t / n
+        re += x(lo + t) * math.cos(ang)
+        im += x(lo + t) * math.sin(ang)
+        t += 1
+      }
+      out(k) = (math.sqrt(re * re + im * im) / n).toFloat
+      k += 1
+    }
+    out
+  }
+
+  /** REAL windowed audio feature extraction: the payload is parsed as 16-bit
+    * little-endian PCM ([[pcm16]]) and split into `windows` equal spans
+    * (window w covers samples [w*n/W, (w+1)*n/W), so per-window counts sum
+    * exactly to floor(bytes/2)); each span gets a `featureDim`-point DFT
+    * magnitude spectrum ([[dftMagnitudes]]). Output adds
+    * (window_index, n_samples, features) — one row per window.
     */
   def extractAudioFeatures(
       df: DataFrame, binCol: String, windows: Int = 4, featureDim: Int = 16): DataFrame = {
+    require(windows >= 1, "window count must be positive")
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ Seq(
       StructField("window_index", IntegerType),
+      StructField("n_samples", IntegerType),
       StructField("features", ArrayType(FloatType))))
     df.mapPartitions { it =>
       it.flatMap { row =>
         val bytes = row.getAs[Array[Byte]](inSchema.fieldIndex(binCol))
-        (0 until windows).iterator.map { w =>
-          val fake = fakeDecodeImage(
-            if (bytes == null) null else bytes ++ Array(w.toByte), featureDim)
-          Row.fromSeq(row.toSeq ++ Seq(w,
-            if (fake == null) null else fake.getSeq[Float](3)))
+        if (bytes == null) {
+          (0 until windows).iterator.map(w =>
+            Row.fromSeq(row.toSeq ++ Seq(w, 0, null)))
+        } else {
+          val samples = pcm16(bytes)
+          val n = samples.length
+          (0 until windows).iterator.map { w =>
+            val lo = w * n / windows
+            val hi = (w + 1) * n / windows
+            Row.fromSeq(row.toSeq ++ Seq(w, hi - lo,
+              dftMagnitudes(samples, lo, hi, featureDim).toSeq))
+          }
         }
       }
     }(Encoders.row(outSchema))

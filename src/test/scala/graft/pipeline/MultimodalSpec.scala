@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Pins the REAL multimodal kernels: javax.imageio image decode (dimensions,
+  * channels, container format, banded luminance features), real bilinear
+  * resize, and real 16-bit PCM parsing + DFT windowed audio features.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private val binSchema = StructType(Seq(longCol("id"), StructField("payload", BinaryType)))
+
+  private def lum(rgb: Int): Double = {
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+  }
+
+  test("PNG roundtrip decodes REAL dimensions, channels, format") {
+    val rgb = 0x1a2b3c
+    val df = makeDf(binSchema, Seq(Row(1L, Multimodal.synthesizePng(7, 5, rgb))))
+    val d = Multimodal.decodeImages(df, "payload", featureDim = 6, rebalance = false)
+      .select("decoded").collect().head.getStruct(0)
+    assert(d.getInt(0) === 7)   // width — actual decoded pixels, not a hash
+    assert(d.getInt(1) === 5)   // height
+    assert(d.getInt(2) === 3)   // RGB channels
+    assert(d.getString(3) === "png")
+    // solid fill: every band's mean luminance is exactly the fill color's
+    val expected = lum(rgb).toFloat
+    d.getSeq[Float](4).foreach(f => assert(math.abs(f - expected) < 1e-6f))
+  }
+
+  test("JPEG payloads decode with the jpeg container format") {
+    val img = new BufferedImage(12, 9, BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpeg", bos)
+    val df = makeDf(binSchema, Seq(Row(1L, bos.toByteArray)))
+    val d = Multimodal.decodeImages(df, "payload", featureDim = 4, rebalance = false)
+      .select("decoded").collect().head.getStruct(0)
+    assert((d.getInt(0), d.getInt(1)) === ((12, 9)))
+    assert(d.getString(3) === "jpeg")
+  }
+
+  test("banded luminance features track pixel content per band") {
+    // top half black, bottom half white: 4 bands -> [0, 0, 1, 1]
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 4 until 8; x <- 0 until 8) img.setRGB(x, y, 0xffffff)
+    val feats = Multimodal.bandLuminance(img, 4)
+    assert(feats(0) === 0f && feats(1) === 0f)
+    assert(math.abs(feats(2) - 1f) < 1e-6f && math.abs(feats(3) - 1f) < 1e-6f)
+    // more bands than rows: every band still a real pixel statistic
+    val tall = Multimodal.bandLuminance(img, 16)
+    assert(tall.length === 16)
+    assert(tall.take(8).forall(_ === 0f) && tall.drop(8).forall(f => math.abs(f - 1f) < 1e-6f))
+  }
+
+  test("resizeImages rescales pixels; small payloads pass through untouched") {
+    val big = Multimodal.synthesizePng(100, 40, 0x808080)
+    val small = Multimodal.synthesizePng(4, 3, 0x808080)
+    val df = makeDf(binSchema, Seq(Row(1L, big), Row(2L, small)))
+    val out = Multimodal.resizeImages(df, "payload", maxSide = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val resized = ImageIO.read(new ByteArrayInputStream(out(1L)))
+    assert((resized.getWidth, resized.getHeight) === ((10, 4)))
+    assert(out(2L).toSeq === small.toSeq) // under the box: no-op, bit-identical
+  }
+
+  test("pcm16 parses 16-bit little-endian samples exactly") {
+    // 0x4000 = 16384 -> 0.5 ; 0xC000 = -16384 -> -0.5 ; 0x0000 -> 0
+    val bytes = Array[Byte](0x00, 0x40, 0x00, 0xC0.toByte, 0x00, 0x00, 0x01)
+    val s = Multimodal.pcm16(bytes) // trailing odd byte dropped
+    assert(s.toSeq === Seq(0.5, -0.5, 0.0))
+  }
+
+  test("DFT magnitudes: pure tone concentrates in its bin") {
+    val n = 16
+    val tone = Array.tabulate(n)(t => math.sin(2.0 * math.Pi * t / n))
+    val mags = Multimodal.dftMagnitudes(tone, 0, n, 4)
+    assert(math.abs(mags(0)) < 1e-6f)          // zero mean
+    assert(math.abs(mags(1) - 0.5f) < 1e-6f)   // |X_1|/n of a unit sine = 1/2
+    assert(math.abs(mags(2)) < 1e-6f && math.abs(mags(3)) < 1e-6f)
+    val const = Multimodal.dftMagnitudes(Array.fill(8)(0.25), 0, 8, 3)
+    assert(math.abs(const(0) - 0.25f) < 1e-6f) // bin 0 = |mean|
+    assert(math.abs(const(1)) < 1e-6f)
+  }
+
+  test("audio windows: exact sample-count split and real per-window spectra") {
+    // 10 samples of constant 0.5 -> 20 bytes of 0x00 0x40
+    val bytes = Array.tabulate[Byte](20)(i => if (i % 2 == 0) 0x00 else 0x40)
+    val df = makeDf(binSchema, Seq(Row(1L, bytes), Row(2L, null)))
+    val rows = Multimodal.extractAudioFeatures(df, "payload", windows = 4, featureDim = 3)
+      .select("id", "window_index", "n_samples", "features").collect()
+    val byId = rows.groupBy(_.getLong(0))
+    // [w*n/W, (w+1)*n/W) split of 10 samples: counts 2,3,2,3 summing to 10
+    val counts = byId(1L).sortBy(_.getInt(1)).map(_.getInt(2)).toSeq
+    assert(counts === Seq(2, 3, 2, 3))
+    byId(1L).foreach { r =>
+      val f = r.getSeq[Float](3)
+      assert(f.size === 3)
+      assert(math.abs(f.head - 0.5f) < 1e-6f) // constant signal: |mean| = 0.5
+      assert(math.abs(f(1)) < 1e-6f)
+    }
+    // null payload: one row per window, zero samples, null features
+    assert(byId(2L).length === 4)
+    byId(2L).foreach(r => assert(r.getInt(2) === 0 && r.isNullAt(3)))
+  }
+
+  test("undecodable payloads fall back deterministically, tagged opaque") {
+    val junk = "definitely not an image".getBytes
+    val df = makeDf(binSchema, Seq(Row(1L, junk)))
+    val d = Multimodal.decodeImages(df, "payload", featureDim = 4, rebalance = false)
+      .select("decoded").collect().head.getStruct(0)
+    assert(d.getString(3) === "opaque")
+    assert(d.getSeq[Float](4).size === 4)
+  }
+}

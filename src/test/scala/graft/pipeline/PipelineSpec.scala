@@ -325,7 +325,7 @@ class PipelineSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
-  test("multimodal decode stub: deterministic, null-safe, right shape") {
+  test("multimodal decode fallback: deterministic, null-safe, right shape") {
     val schema = StructType(Seq(longCol("id"), StructField("payload", BinaryType)))
     val df = makeDf(schema, Seq(
       Row(1L, "some image bytes".getBytes), Row(2L, null),
@@ -334,7 +334,9 @@ class PipelineSpec extends SparkSpec {
       .select("id", "decoded").collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
     assert(out(2L) === null)
     assert(out(1L) === out(3L)) // same bytes -> same decode
-    assert(out(1L).getSeq[Float](3).size === 8)
+    // no JDK codec claims these bytes: the pseudo-decode fallback is tagged
+    assert(out(1L).getString(3) === "opaque")
+    assert(out(1L).getSeq[Float](4).size === 8)
     val frames = Multimodal.sampleFrames(
       Multimodal.decodeImages(df.filter("id = 1"), "payload", featureDim = 4,
         rebalance = false), "decoded", frames = 3).count()
