@@ -20,6 +20,9 @@ import graft.exec.Noise
   */
 object Streaming {
 
+  private def toIntBound(n: Long): Int =
+    math.min(n, (Int.MaxValue - 1).toLong).toInt
+
   /** Tumbling-window counts per key with event-time watermarking: late rows
     * beyond `watermark` are dropped, windows finalize once the watermark
     * passes (use OutputMode.Append downstream).
@@ -59,11 +62,22 @@ object Streaming {
     */
   def streamingDecontaminate(
       stream: DataFrame, textCol: String,
-      blocklist: DataFrame, blockTextCol: String, n: Int = 8): DataFrame = {
+      blocklist: DataFrame, blockTextCol: String, n: Int = 8,
+      maxBlocklistGrams: Long = 1L << 22): DataFrame = {
     require(n >= 1, "shingle size must be positive")
     val gramsOf = graft.pipeline.Dedup.shingles(lower(col(blockTextCol)), n)
-    val blockGrams = blocklist.select(explode(gramsOf).as("__g"))
-      .distinct().collect().map(_.getString(0)).toSet
+    // the collect is the point (resident-set probe, zero stream-side state),
+    // but it must be BOUNDED: fetch cap+1 rows in one job and refuse past
+    // the cap instead of OOMing the driver on an unbounded blocklist —
+    // mirroring bruteForcePairs' enforced resident bound
+    val fetched = blocklist.select(explode(gramsOf).as("__g"))
+      .distinct().limit(toIntBound(maxBlocklistGrams) + 1).collect()
+    require(fetched.length <= maxBlocklistGrams,
+      s"streamingDecontaminate broadcasts the blocklist's distinct $n-grams " +
+        s"to every executor (bound $maxBlocklistGrams grams exceeded); for " +
+        "large blocklists scrub in batch with Dedup.contaminatedIds, whose " +
+        "anti-join keeps the blocklist distributed")
+    val blockGrams = fetched.map(_.getString(0)).toSet
     val bc = stream.sparkSession.sparkContext.broadcast(blockGrams)
     val clean = udf((grams: Seq[String]) =>
       grams == null || !grams.exists(bc.value.contains))
@@ -131,13 +145,30 @@ object Streaming {
       val totalEpsilon: Double, val perWindowEpsilon: Double)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
+    import graft.budget.Rat
 
-    private val spentNano = new java.util.concurrent.atomic.AtomicLong(0L)
+    // EXACT arithmetic, same discipline as the batch Session: every finite
+    // double is a rational, so spend is tracked as released x perWindow in
+    // Rat — no quantization, no drift, the exhaustion compare is exact.
+    // Listener events arrive per micro-batch (rare), so a lock suffices.
+    private val totalRat = Rat(totalEpsilon)
+    private val perWindowRat = Rat(perWindowEpsilon)
+    private var spentRat: Rat = Rat.zero
+    private val lock = new Object
     @volatile private var sparkRef: Option[org.apache.spark.sql.SparkSession] = None
 
-    def spent: Double = spentNano.get() * 1e-9
-    def remaining: Double = math.max(0.0, totalEpsilon - spent)
-    def exhausted: Boolean = spent >= totalEpsilon
+    def spentExact: Rat = lock.synchronized(spentRat)
+    def spent: Double = spentExact.toDouble
+    def remaining: Double = (totalRat - spentExact).max(Rat.zero).toDouble
+    def exhausted: Boolean = spentExact >= totalRat
+
+    /** Record `released` window releases; returns true when the cap is now
+      * reached. Exposed for property tests — the listener path calls it.
+      */
+    private[streaming] def charge(released: Long): Boolean = lock.synchronized {
+      spentRat = spentRat + perWindowRat * Rat(released)
+      spentRat >= totalRat
+    }
 
     /** Attach the release-count metric consumed by the listener. */
     def observed(release: DataFrame): DataFrame =
@@ -154,14 +185,10 @@ object Streaming {
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
       val released = Option(event.progress.observedMetrics.get("graft_dp_release"))
         .map(_.getLong(0)).getOrElse(0L)
-      if (released > 0) {
-        val addNano = math.round(released * perWindowEpsilon * 1e9)
-        val total = spentNano.addAndGet(addNano)
-        if (total * 1e-9 >= totalEpsilon)
-          sparkRef.foreach { s =>
-            Option(s.streams.get(event.progress.id)).foreach(_.stop())
-          }
-      }
+      if (released > 0 && charge(released))
+        sparkRef.foreach { s =>
+          Option(s.streams.get(event.progress.id)).foreach(_.stop())
+        }
     }
   }
 

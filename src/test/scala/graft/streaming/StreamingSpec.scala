@@ -141,6 +141,51 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(acct)
   }
 
+  test("stream accountant tracks spend in EXACT rationals, like the batch session") {
+    import graft.budget.Rat
+    // 0.1 is not exactly representable: double accumulation of 10 x 0.1
+    // lands at 0.9999999999999999 and would NOT trip a 1.0 cap; the exact
+    // ledger computes released x Rat(0.1) with no drift
+    val acct = new Streaming.DpStreamAccountant(
+      totalEpsilon = 1.0, perWindowEpsilon = 0.1)
+    (1 to 9).foreach(_ => acct.charge(1))
+    assert(!acct.exhausted)
+    acct.charge(1)
+    assert(acct.spentExact === Rat(0.1) * Rat(10)) // exactly, not within eps
+    assert(acct.exhausted) // Rat(0.1) * 10 > 1 since Rat(0.1) > 1/10 exactly
+    // arbitrary spends: the ledger is exactly released x perWindow, and the
+    // comparison against the cap is exact rational ordering
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val eps = rnd.nextDouble() * 0.37
+      val a = new Streaming.DpStreamAccountant(10.0, eps)
+      var released = 0L
+      (1 to 20).foreach { _ =>
+        val r = rnd.nextInt(5).toLong
+        a.charge(r)
+        released += r
+      }
+      assert(a.spentExact === Rat(eps) * Rat(released))
+      assert(a.exhausted === (Rat(eps) * Rat(released) >= Rat(10.0)))
+    }
+  }
+
+  test("streaming decontamination refuses an unbounded blocklist collect") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val blocklist = Seq(
+      "alpha beta gamma delta epsilon", "one two three four five").toDF("text")
+    val in = MemoryStream[(Long, String)]
+    val err = intercept[IllegalArgumentException] {
+      Streaming.streamingDecontaminate(
+        in.toDF().toDF("id", "text"), "text", blocklist, "text", n = 3,
+        maxBlocklistGrams = 2)
+    }
+    // the error routes users to the distributed batch path by name
+    assert(err.getMessage.contains("Dedup.contaminatedIds"))
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     val sqlCtx = spark.sqlContext
     import sqlCtx.implicits._
