@@ -80,17 +80,60 @@ object Ivf {
     Model(centroids)
   }
 
+  /** Indices of the `probes` nearest centroids by squared L2, nearest first.
+    * Partial selection, not a sort: O(nlist * probes) with probes << nlist,
+    * vs O(nlist log nlist) — this runs once per row of a 100 TB corpus, so
+    * the per-row constant is the whole cost of assignment.
+    */
+  private[pipeline] def nearestCells(
+      m: Model, v: Array[Double], probes: Int): Array[Int] = {
+    val n = m.centroids.length
+    val dists = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val cent = m.centroids(c)
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { val t = v(j) - cent(j); d += t * t; j += 1 }
+      dists(c) = d
+      c += 1
+    }
+    val take = math.min(probes, n)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](n)
+    var p = 0
+    while (p < take) {
+      var best = -1
+      var bestD = Double.MaxValue
+      c = 0
+      while (c < n) {
+        if (!used(c) && dists(c) < bestD) { bestD = dists(c); best = c }
+        c += 1
+      }
+      used(best) = true
+      out(p) = best
+      p += 1
+    }
+    out
+  }
+
   private def cellUdf(m: Model, probes: Int) =
-    udf((xs: Seq[Double]) => {
-      val v = xs.toArray
-      // nearest `probes` centroids by squared L2
-      m.centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(probes).map(_._2)
-    })
+    udf((xs: Seq[Double]) => nearestCells(m, xs.toArray, probes))
+
+  /** Assign each corpus vector to its nearest cell: (corpus_id, __cv,
+    * __cell). The assignment depends only on the model, so callers issuing
+    * repeated [[topKAssigned]] probes against one corpus should persist this
+    * frame (or write it out partitioned by `__cell`) — the corpus is then
+    * scanned and assigned ONCE, not once per query batch.
+    */
+  def assignCells(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      model: Model): DataFrame = {
+    val assignC = cellUdf(model, 1)
+    Dedup.spread(corpus).select(col(corpusId).as("corpus_id"),
+      col(corpusVec).cast("array<double>").as("__cv"))
+      .withColumn("__cell", assignC(col("__cv"))(0))
+  }
 
   /** Approximate top-k: probe the query's `nprobe` nearest cells, exact
     * cosine re-rank within them.
@@ -98,16 +141,23 @@ object Ivf {
   def topK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, model: Model, nprobe: Int = 4): DataFrame =
+    topKAssigned(assignCells(corpus, corpusId, corpusVec, model),
+      queries, queryId, queryVec, k, model, nprobe)
+
+  /** [[topK]] over a pre-assigned ([[assignCells]]) — possibly persisted —
+    * corpus: repeated query batches reuse the assignment instead of
+    * re-scanning the corpus.
+    */
+  def topKAssigned(
+      assigned: DataFrame,
+      queries: DataFrame, queryId: String, queryVec: String,
       k: Int, model: Model, nprobe: Int = 4): DataFrame = {
-    val assignC = cellUdf(model, 1)
     val assignQ = cellUdf(model, nprobe)
-    val c = Dedup.spread(corpus).select(col(corpusId).as("corpus_id"),
-      col(corpusVec).cast("array<double>").as("__cv"))
-      .withColumn("__cell", assignC(col("__cv"))(0))
     val q = queries.select(col(queryId).as("query_id"),
       col(queryVec).cast("array<double>").as("__qv"))
       .withColumn("__cell", explode(assignQ(col("__qv"))))
-    val scored = c.join(q, Seq("__cell"))
+    val scored = assigned.join(q, Seq("__cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", Similarity.cosine(col("__cv"), col("__qv")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))

@@ -281,6 +281,38 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getLong(1) < 10L) // neighbor from the same cluster
   }
 
+  test("IVF nearestCells selection matches a full sort, nearest first") {
+    val m = Ivf.Model(Array(
+      Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 2.0), Array(-1.0, 0.0)))
+    val v = Array(0.9, 1.1)
+    val bySort = m.centroids.zipWithIndex.map { case (c, i) =>
+      ((v(0) - c(0)) * (v(0) - c(0)) + (v(1) - c(1)) * (v(1) - c(1)), i)
+    }.sortBy(_._1).map(_._2).toSeq
+    assert(Ivf.nearestCells(m, v, 3).toSeq === bySort.take(3))
+    assert(Ivf.nearestCells(m, v, 10).toSeq === bySort) // probes clamp to nlist
+  }
+
+  test("IVF topK over a persisted cell assignment equals the one-shot plan") {
+    val schema = StructType(Seq(longCol("id"), StructField("vec", ArrayType(DoubleType))))
+    val rows = (0 until 20).map { i =>
+      val base = if (i < 10) 10.0 else -10.0
+      Row(i.toLong, Seq(base + i * 0.01, base - i * 0.01, base))
+    }
+    val df = makeDf(schema, rows)
+    val model = Ivf.train(df, "vec", nlist = 2, seed = 7L)
+    val queries = df.filter("id < 3")
+    val assigned = Ivf.assignCells(df, "id", "vec", model).persist()
+    try {
+      def key(r: Row) = (r.getLong(0), r.getLong(1), r.getInt(3))
+      val oneShot = Ivf.topK(df, "id", "vec", queries, "id", "vec",
+        k = 2, model, nprobe = 1).collect().map(key).toSet
+      val reused = Ivf.topKAssigned(assigned, queries, "id", "vec",
+        k = 2, model, nprobe = 1).collect().map(key).toSet
+      assert(reused === oneShot)
+      assert(reused.nonEmpty)
+    } finally assigned.unpersist()
+  }
+
   test("LSH top-k finds a near-identical vector (shared signature buckets)") {
     val schema = StructType(Seq(longCol("id"), StructField("vec", ArrayType(DoubleType))))
     val rows = Row(1L, Seq(1.0, 0.5, -0.25, 2.0)) +:
