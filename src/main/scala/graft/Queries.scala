@@ -321,6 +321,22 @@ object Queries {
       lineitemSession(s, d).evaluate(
         QueryBuilder("lineitem").groupby(flagKeys)
           .median("l_quantity", 0.0, 50.0), Inf)),
+    "q33b_median_intervals" -> ((s, d) => {
+      // the reference's interval-scored quantile (Smith 2011), opt-in via
+      // conf: same query as q33 under the intervals mechanism. At eps=inf it
+      // deterministically releases the midpoint of the positive-width
+      // interval between sorted values nearest index q*n (lowest index wins
+      // ties) — the oracle mirrors exactly that
+      val prev = s.conf.getOption("spark.graft.quantile.method")
+      s.conf.set("spark.graft.quantile.method", "intervals")
+      try lineitemSession(s, d).evaluate(
+        QueryBuilder("lineitem").groupby(flagKeys)
+          .median("l_quantity", 0.0, 50.0), Inf)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.graft.quantile.method", v)
+        case None    => s.conf.unset("spark.graft.quantile.method")
+      }
+    }),
     "q34_quantile_p90" -> ((s, d) =>
       lineitemSession(s, d).evaluate(
         QueryBuilder("lineitem").quantile("l_quantity", 0.9, 0.0, 50.0), Inf)),
@@ -577,6 +593,9 @@ object Queries {
         .select("query_id", "corpus_id", "rank")
     }),
     "q59_knn_ivf" -> ((s, d) => {
+      // approximate by design (no oracle; all-cells twin q62 is oracled):
+      // the semantics contract is AnnRecallSpec — recall@3 >= 0.9 vs brute
+      // force at these exact parameters (nlist=8, nprobe=3)
       val emb = read(s, d, "embeddings")
       val model = graft.pipeline.Ivf.train(emb, "embedding", nlist = 8)
       graft.pipeline.Ivf.topK(emb, "vec_id", "embedding",
@@ -593,6 +612,9 @@ object Queries {
         .select("query_id", "corpus_id", "rank")
     }),
     "q46_knn_lsh" -> ((s, d) => {
+      // approximate by design (no oracle; exact twin q45 is oracled): the
+      // semantics contract is AnnRecallSpec — recall@3 >= 0.9 vs brute
+      // force at these exact parameters (64 planes, 8-bit bands)
       val emb = read(s, d, "embeddings")
       graft.pipeline.Similarity.lshTopK(
         emb, "vec_id", "embedding",
@@ -1130,6 +1152,24 @@ object Queries {
         |    ORDER BY -abs(cum - c/2.0 - 0.5*n) DESC,
         |             abs(bin - 0.5*2047) ASC, bin ASC) = 1)
         |SELECT l_returnflag, 0.0 + (bin + 0.5) * (50.0/2048) AS l_quantity_median FROM pick""".stripMargin,
+    "q33b_median_intervals" ->
+      """WITH vals AS (SELECT l_returnflag,
+        |    least(greatest(l_quantity, 0.0), 50.0) AS v FROM lineitem),
+        |ordered AS (SELECT l_returnflag, v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS i,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n,
+        |    lead(v) OVER (PARTITION BY l_returnflag ORDER BY v) AS nxt
+        |  FROM vals),
+        |intervals AS (
+        |  SELECT l_returnflag, CAST(i AS BIGINT) AS i, n, v AS lo,
+        |    coalesce(nxt, 50.0) AS hi FROM ordered
+        |  UNION ALL
+        |  SELECT l_returnflag, 0, max(n), 0.0, min(v) FROM ordered GROUP BY 1),
+        |pick AS (SELECT l_returnflag, lo, hi FROM intervals
+        |  WHERE hi > lo
+        |  QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY abs(i - 0.5 * n) ASC, i ASC) = 1)
+        |SELECT l_returnflag, (lo + hi) / 2.0 AS l_quantity_median FROM pick""".stripMargin,
     "q34_quantile_p90" ->
       """WITH base AS (SELECT
         |    CAST(least(floor(((least(greatest(l_quantity, 0.0), 50.0) - 0.0)

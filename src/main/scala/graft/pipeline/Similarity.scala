@@ -171,28 +171,103 @@ object Similarity {
     pairs.toDF("id_a", "id_b")
   }
 
+  /** Per-band hyperplane signatures: band t packs the sign bits of its own
+    * `bandBits` planes (planes t*bandBits until (t+1)*bandBits of the shared
+    * memoized plane matrix) into one long — the classic L-hash-table LSH
+    * layout, not limited to 64 total planes like a single packed signature.
+    */
+  private[pipeline] def bandSignatures(
+      vec: Column, numBands: Int, bandBits: Int): Column = {
+    val planes = numBands * bandBits
+    val u = udf((v: Array[Double]) => {
+      if (v == null) null
+      else {
+        val signs = Dedup.planeSigns(planes, v.length)
+        val out = new Array[Long](numBands)
+        var t = 0
+        while (t < numBands) {
+          var sig = 0L
+          var b = 0
+          while (b < bandBits) {
+            val row = signs(t * bandBits + b)
+            var dot = 0.0
+            var i = 0
+            while (i < v.length) { dot += row(i) * v(i); i += 1 }
+            if (dot > 0) sig |= (1L << b)
+            b += 1
+          }
+          out(t) = sig
+          t += 1
+        }
+        out
+      }
+    })
+    u(vec.cast("array<double>"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
-    * hyperplane-signature bands; candidates are corpus rows sharing at least
-    * one band with the query; exact cosine re-ranks candidates. Recall
-    * improves with more planes/bands. Shuffle is keyed on (band, bucket) —
-    * never a cross product.
+    * hyperplane-signature bands (L = planes/bandBits independent hash
+    * tables of bandBits bits each); candidates are corpus rows sharing at
+    * least one band bucket with the query; exact cosine re-ranks. Shuffle
+    * is keyed on (band, bucket) — never a cross product.
+    *
+    * The QUERY side multi-probes (Lv et al. 2007): each band is probed at
+    * its own bucket plus every single-bit flip, so a neighbor is a
+    * candidate when any band's signatures are within Hamming distance 1 —
+    * per-neighbor recall 1 - (1 - p^b - b*p^(b-1)*(1-p))^L for per-plane
+    * agreement p, a large lift over exact-bucket matching with ZERO extra
+    * corpus-side work (the corpus — the big side — is still bucketed once
+    * per band; only the small query side fans out b+1 probes).
+    *
+    * The defaults (64 planes, 8 bits -> 8 tables of 256 buckets) hold
+    * recall@3 >= 0.9 on clustered data — pinned against brute force in
+    * AnnRecallSpec, the contract the q46 registry entry relies on. At
+    * corpus scales where 256 buckets per band collide too much, raise
+    * bandBits (16 -> 65k buckets) and planes together to keep L.
     */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, planes: Int = 16): DataFrame = {
-    val bandCount = planes / 8
-    def banded(df: DataFrame, id: String, vec: String, idOut: String, vecOut: String) = {
-      val sig = Dedup.hyperplaneSignature(col(vec), planes)
-      Dedup.spread(df).select(col(id).as(idOut), col(vec).cast("array<double>").as(vecOut),
-        sig.as("__sig"))
-        .select(col(idOut), col(vecOut),
-          posexplode(array((0 until bandCount).map(j =>
-            shiftright(col("__sig"), j * 8).bitwiseAND(lit(0xffL))): _*))
-            .as(Seq("__band", "__bk")))
+      k: Int, planes: Int = 64, bandBits: Int = 8): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 63, "bandBits must be in [1, 63]")
+    require(planes % bandBits == 0, "planes must be a multiple of bandBits")
+    val bandCount = planes / bandBits
+    val probesPerBand = bandBits + 1
+    val cb = {
+      val sigs = bandSignatures(col(corpusVec), bandCount, bandBits)
+      Dedup.spread(corpus).select(col(corpusId).as("corpus_id"),
+        col(corpusVec).cast("array<double>").as("__cv"), sigs.as("__sigs"))
+        .select(col("corpus_id"), col("__cv"),
+          posexplode(col("__sigs")).as(Seq("__band", "__bk")))
     }
-    val cb = banded(corpus, corpusId, corpusVec, "corpus_id", "__cv")
-    val qb = banded(queries, queryId, queryVec, "query_id", "__qv")
+    val qb = {
+      // flat probe list: slot t*(b+1)+j is band t's bucket (j=0) or its
+      // j-1th single-bit flip; band recovered from the position on explode
+      val probe = udf((sigs: Seq[Long]) => {
+        if (sigs == null) null
+        else {
+          val out = new Array[Long](sigs.length * probesPerBand)
+          var t = 0
+          while (t < sigs.length) {
+            out(t * probesPerBand) = sigs(t)
+            var b = 0
+            while (b < bandBits) {
+              out(t * probesPerBand + 1 + b) = sigs(t) ^ (1L << b)
+              b += 1
+            }
+            t += 1
+          }
+          out
+        }
+      })
+      queries.select(col(queryId).as("query_id"),
+        col(queryVec).cast("array<double>").as("__qv"),
+        probe(bandSignatures(col(queryVec), bandCount, bandBits)).as("__probes"))
+        .select(col("query_id"), col("__qv"),
+          posexplode(col("__probes")).as(Seq("__pos", "__bk")))
+        .withColumn("__band", (col("__pos") / probesPerBand).cast("int"))
+        .drop("__pos")
+    }
     // score before the dedup: cosine is deterministic per (query, corpus)
     // pair, so distinct on the scored triple equals distinct on the id pair
     // — and the dedup shuffle then carries 3 scalar columns instead of both

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Recall contracts for the APPROXIMATE ANN paths. The exact twins (q45
+  * brute force, q62 all-cells IVF) are oracle-checked in CORRECTNESS; these
+  * pin what the approximate variants (q46 LSH, q59 IVF nprobe<nlist) are
+  * allowed to lose: recall@k against the exact top-k must stay above a
+  * floor on seeded clustered data AT THE REGISTRY'S OWN PARAMETERS
+  * (k=3 with the 64-plane/8-bit-band default for LSH; nlist=8, nprobe=3 for
+  * IVF). The floors here are the documented contract referenced from the
+  * q46/q59 registry entries.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val dim = 16
+  private val nClusters = 8
+  private val perCluster = 40
+  private val k = 3
+  private val nQueries = 20
+
+  /** Seeded clustered corpus: unit-norm cluster centers, members = center +
+    * small noise — the regime ANN is built for (neighbors share a cluster).
+    */
+  private def corpus() = {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(nClusters) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until nClusters * perCluster).map { i =>
+      val c = centers(i % nClusters)
+      Row(i.toLong, c.map(_ + rnd.nextGaussian() * 0.15).toSeq)
+    }
+    val schema = StructType(Seq(longCol("id"), StructField("vec", ArrayType(DoubleType))))
+    makeDf(schema, rows)
+  }
+
+  private def topKSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "corpus_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private def recallAtK(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val hits = exact.map { case (q, e) =>
+      approx.getOrElse(q, Set.empty).intersect(e).size.toDouble / e.size
+    }
+    hits.sum / exact.size
+  }
+
+  test("LSH top-k recall@3 >= 0.9 at the q46 registry parameters (64 planes, 8-bit bands)") {
+    val df = corpus()
+    val queries = df.filter(s"id < $nQueries")
+    val exact = topKSet(Similarity.bruteForceTopK(df, "id", "vec", queries, "id", "vec", k))
+    val approx = topKSet(Similarity.lshTopK(df, "id", "vec", queries, "id", "vec", k))
+    val r = recallAtK(approx, exact)
+    info(f"LSH recall@$k = $r%.3f")
+    assert(r >= 0.9, f"LSH recall@$k fell to $r%.3f — below the 0.9 floor q46 relies on")
+  }
+
+  test("IVF top-k recall@3 >= 0.9 at the q59 registry parameters (nlist=8, nprobe=3)") {
+    val df = corpus()
+    val queries = df.filter(s"id < $nQueries")
+    val model = Ivf.train(df, "vec", nlist = 8, seed = 42L)
+    val exact = topKSet(Similarity.bruteForceTopK(df, "id", "vec", queries, "id", "vec", k))
+    val approx = topKSet(Ivf.topK(df, "id", "vec", queries, "id", "vec", k, model, nprobe = 3))
+    val r = recallAtK(approx, exact)
+    info(f"IVF recall@$k = $r%.3f")
+    assert(r >= 0.9, f"IVF recall@$k fell to $r%.3f — below the 0.9 floor q59 relies on")
+  }
+
+  test("IVF recall improves monotonically-ish with nprobe, reaching 1.0 at nlist") {
+    val df = corpus()
+    val queries = df.filter("id < 10")
+    val model = Ivf.train(df, "vec", nlist = 8, seed = 42L)
+    val exact = topKSet(Similarity.bruteForceTopK(df, "id", "vec", queries, "id", "vec", k))
+    val r1 = recallAtK(topKSet(
+      Ivf.topK(df, "id", "vec", queries, "id", "vec", k, model, nprobe = 1)), exact)
+    val rAll = recallAtK(topKSet(
+      Ivf.topK(df, "id", "vec", queries, "id", "vec", k, model, nprobe = 8)), exact)
+    assert(rAll === 1.0) // probing every cell IS brute force (q62's contract)
+    assert(rAll >= r1)
+  }
+}
