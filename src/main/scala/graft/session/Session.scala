@@ -40,7 +40,26 @@ final class Session private (
   def remainingPrivacyBudget: PrivacyBudget = remaining
   def privateSources: Seq[String] = privateTables.keys.toSeq.sorted
   def publicSources: Seq[String] = publicTables.keys.toSeq.sorted
-  def getSchema(table: String): TableSchema = privateTables(table).schema
+
+  /** Private-table metadata lookup with the reference's error split: a
+    * PUBLIC name gets the targeted "is a public table" message
+    * (test_session.py test_invalid_data_properties), an unknown name gets a
+    * not-found error listing the private sources — never a bare KeyError.
+    */
+  private def privateSchemaOrFail(table: String, what: String): TableSchema =
+    privateTables.get(table) match {
+      case Some(t) => t.schema
+      case None if publicTables.contains(table) =>
+        throw new IllegalArgumentException(
+          s"Table '$table' is a public table, which cannot have $what.")
+      case None =>
+        throw new IllegalArgumentException(
+          s"private table '$table' does not exist " +
+            s"(private sources: ${privateSources.mkString(", ")})")
+    }
+
+  def getSchema(table: String): TableSchema =
+    privateSchemaOrFail(table, "a private schema")
 
   /** Column name -> analytics type (reference session.py get_column_types). */
   def getColumnTypes(table: String): Map[String, graft.types.ColumnType] =
@@ -50,13 +69,15 @@ final class Session private (
     * (reference session.py get_grouping_column).
     */
   def getGroupingColumn(table: String): Option[String] =
-    getSchema(table).groupingColumn
+    privateSchemaOrFail(table, "a grouping column").groupingColumn
 
   /** The privacy-ID column of an IDs table (reference get_id_column). */
-  def getIdColumn(table: String): Option[String] = getSchema(table).idColumn
+  def getIdColumn(table: String): Option[String] =
+    privateSchemaOrFail(table, "an id column").idColumn
 
   /** The identifier space of an IDs table (reference get_id_space). */
-  def getIdSpace(table: String): Option[String] = getSchema(table).idSpace
+  def getIdSpace(table: String): Option[String] =
+    privateSchemaOrFail(table, "an id space").idSpace
 
   /** The registered public tables (reference public_source_dataframes). */
   def publicSourceDataframes: Map[String, DataFrame] = publicTables.toMap
@@ -138,8 +159,10 @@ final class Session private (
   /** Per-output-column noise description without running or spending
     * (reference session.py:1001-1048, _noise_info.py).
     */
-  def noiseInfo(query: Query, budget: PrivacyBudget): Seq[NoiseInfo] =
+  def noiseInfo(query: Query, budget: PrivacyBudget): Seq[NoiseInfo] = {
+    checkActive() // a retired session answers no interactions, even free ones
     compileMeasure(query, budget)._1.noise
+  }
 
   private def compileMeasure(query: Query, budget: PrivacyBudget): (MeasureOut, TableSchema) = {
     val cat = catalog
@@ -235,6 +258,30 @@ final class Session private (
       "partition_and_create: split names must be distinct")
     require(splits.map(_._2).distinct.size == splits.size,
       "partition_and_create: split values must be distinct")
+    // split values must match the partition column's type (reference
+    // test_splits_value_type raises a TypeError naming the column): a
+    // mistyped value would otherwise compare unequal everywhere and
+    // silently hand back an EMPTY child holding real budget
+    locally {
+      import graft.types.ColumnType
+      val ctype = t.schema.columns.collectFirst {
+        case (n, d) if n == column => d.ctype }.get
+      splits.foreach { case (childName, v) =>
+        val ok = v == null || (ctype match {
+          case ColumnType.Integer => v.isInstanceOf[Byte] ||
+            v.isInstanceOf[Short] || v.isInstanceOf[Int] || v.isInstanceOf[Long]
+          case ColumnType.Decimal => v.isInstanceOf[Float] || v.isInstanceOf[Double]
+          case ColumnType.Varchar => v.isInstanceOf[String]
+          case ColumnType.Date => v.isInstanceOf[java.sql.Date] ||
+            v.isInstanceOf[java.time.LocalDate]
+          case ColumnType.Timestamp => v.isInstanceOf[java.sql.Timestamp] ||
+            v.isInstanceOf[java.time.Instant]
+        })
+        if (!ok) throw new IllegalArgumentException(
+          s"partition_and_create: split value $v (for child '$childName') " +
+            s"does not match partition column '$column' of type $ctype")
+      }
+    }
     // IDs tables: the constraint set decides the children's metric
     // (reference _create_partition_transformation, session.py:1380-1423, and
     // test/system/session/ids/test_partition.py):
@@ -409,7 +456,14 @@ object Session {
     private val publics = mutable.LinkedHashMap.empty[String, DataFrame]
     private val idSpaces = mutable.LinkedHashSet.empty[String]
 
-    def withPrivacyBudget(b: PrivacyBudget): this.type = { budget = Some(b); this }
+    def withPrivacyBudget(b: PrivacyBudget): this.type = {
+      // reference test_invalid_to_add_budget_twice: a second budget must not
+      // silently replace the first
+      require(budget.isEmpty,
+        "This Builder already has a privacy budget set")
+      budget = Some(b)
+      this
+    }
     def withPrivateDataFrame(
         name: String, df: DataFrame, pc: ProtectedChange): this.type = {
       Session.assertIdentifier(name)

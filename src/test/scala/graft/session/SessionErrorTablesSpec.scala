@@ -573,4 +573,332 @@ class SessionErrorTablesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("budget kind mismatch"))
   }
+
+  test("partition table: an unknown source table is named") {
+    val e = intercept[IllegalArgumentException] {
+      rows().partitionAndCreate("ghost", InfP, "flag", Seq("ta" -> "A"))
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
+
+  test("partition table: a partition column outside the schema is named") {
+    val e = intercept[IllegalArgumentException] {
+      rows().partitionAndCreate("t", InfP, "ghost", Seq("ta" -> "A"))
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
+
+  // reference test_invalid_splits_name: split names are identifiers
+  for (bad <- Seq("", " ", "space present", "2startsWithNumber", "has-dash"))
+    test(s"partition table: split name '$bad' is not an identifier") {
+      intercept[IllegalArgumentException] {
+        rows().partitionAndCreate("t", InfP, "flag", Seq(bad -> "A"))
+      }
+    }
+
+  // reference test_splits_value_type: a mistyped split value must error, not
+  // silently hand back an empty child holding real budget
+  private val badSplitValues: Seq[(String, String, Any)] = Seq(
+    ("an integer value against the string column", "flag", 0),
+    ("a string value against the long column", "qty", "A"),
+    ("a floating value against the long column", "qty", 1.5),
+    ("a date value against the string column", "flag",
+      java.sql.Date.valueOf("2024-01-01")))
+
+  for ((what, column, value) <- badSplitValues)
+    test(s"partition table: $what is rejected, naming the column") {
+      val e = intercept[IllegalArgumentException] {
+        rows().partitionAndCreate("t", InfP, column, Seq("ta" -> value))
+      }
+      assert(e.getMessage.contains(column))
+    }
+
+  test("partition table: a null split value is legal and matches null-safely") {
+    val kids = rows().partitionAndCreate("t", InfP, "flag", Seq("tnull" -> null))
+    // <=> semantics: the null child exists and holds zero of these rows
+    assert(kids("tnull").evaluate(QueryBuilder("tnull").count(), InfP)
+      .collect().head.getLong(0) === 0L)
+  }
+
+  test("partition table: an IDs table without a usable constraint names the fix") {
+    val e = intercept[IllegalArgumentException] {
+      ids().partitionAndCreate("t", InfP, "flag", Seq("ta" -> "A"))
+    }
+    assert(e.getMessage.contains("MaxGroupsPerID or MaxRowsPerID"))
+  }
+
+  test("partition table: noiseInfo on a retired child is rejected too") {
+    val s = rows()
+    val kids = s.partitionAndCreate("t", InfP, "flag", Seq("ta" -> "A"))
+    s.evaluate(QueryBuilder("t").count(), InfP) // retires the child
+    intercept[IllegalStateException] {
+      kids("ta").noiseInfo(QueryBuilder("ta").count(), InfP)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // View lifecycle tables (reference session.py create_view/delete_view
+  // contracts; test_invalid_queries_create; delete-while-children-open)
+  // ---------------------------------------------------------------------
+
+  test("view table: a duplicate view name is rejected") {
+    val s = rows()
+    s.createView(QueryBuilder("t").filter("qty > 0"), "v")
+    val e = intercept[IllegalArgumentException] {
+      s.createView(QueryBuilder("t").filter("qty > 1"), "v")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("view table: a view may not shadow a base private table") {
+    val e = intercept[IllegalArgumentException] {
+      rows().createView(QueryBuilder("t").filter("qty > 0"), "t")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("view table: a view may not shadow a public table") {
+    val s = rows()
+    s.addPublicDataFrame("pub", df)
+    val e = intercept[IllegalArgumentException] {
+      s.createView(QueryBuilder("t").filter("qty > 0"), "pub")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  for (bad <- Seq("", "my view", "1digit", "has-dash", "a.b"))
+    test(s"view table: view name '$bad' is not an identifier") {
+      intercept[IllegalArgumentException] {
+        rows().createView(QueryBuilder("t").filter("qty > 0"), bad)
+      }
+    }
+
+  test("view table: a view over an unknown source names it") {
+    val e = intercept[Exception] {
+      rows().createView(QueryBuilder("ghost").filter("qty > 0"), "v")
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
+
+  test("view table: delete_view refuses a base private table by name") {
+    val e = intercept[IllegalArgumentException] { rows().deleteView("t") }
+    assert(e.getMessage.contains("not a view"))
+  }
+
+  test("view table: delete_view of an unknown name lists the views") {
+    val s = rows()
+    s.createView(QueryBuilder("t").filter("qty > 0"), "v1")
+    val e = intercept[IllegalArgumentException] { s.deleteView("ghost") }
+    assert(e.getMessage.contains("not a view"))
+    assert(e.getMessage.contains("v1"))
+  }
+
+  test("view table: delete_view twice fails the second time") {
+    val s = rows()
+    s.createView(QueryBuilder("t").filter("qty > 0"), "v")
+    s.deleteView("v")
+    intercept[IllegalArgumentException] { s.deleteView("v") }
+  }
+
+  test("view table: evaluating a deleted view fails, naming it") {
+    val s = rows()
+    s.createView(QueryBuilder("t").filter("qty > 0"), "v")
+    s.deleteView("v")
+    val e = intercept[Exception] { s.evaluate(QueryBuilder("v").count(), InfP) }
+    assert(e.getMessage.contains("v"))
+  }
+
+  test("view table: a deleted view's name is immediately reusable") {
+    val s = rows()
+    s.createView(QueryBuilder("t").filter("qty > 0"), "v")
+    s.deleteView("v")
+    s.createView(QueryBuilder("t").filter("qty > 1"), "v")
+    assert(s.evaluate(QueryBuilder("v").count(), InfP).collect().nonEmpty)
+  }
+
+  test("view table: deleting a view on the parent retires open children " +
+      "(delete-while-children-open)") {
+    val s = rows()
+    s.createView(QueryBuilder("t").filter("qty > 0"), "v")
+    val kids = s.partitionAndCreate("t", InfP, "flag", Seq("ta" -> "A"))
+    s.deleteView("v") // ANY parent interaction ends the children's turn
+    val e = intercept[IllegalStateException] {
+      kids("ta").evaluate(QueryBuilder("ta").count(), InfP)
+    }
+    assert(e.getMessage.contains("retired"))
+  }
+
+  test("view table: children partitioned from a view survive its deletion") {
+    val s = rows()
+    s.createView(QueryBuilder("t").filter("qty > 0"), "v")
+    val kids = s.partitionAndCreate("v", InfP, "flag", Seq("ta" -> "A"))
+    // the child captured its frame at creation; deleting the parent's view
+    // later must not corrupt it — but the delete itself retires the child
+    // (previous row), so the pin here is on a FRESH child batch
+    val kids2 = s.partitionAndCreate("t", InfP, "flag", Seq("tb" -> "B"))
+    assert(kids2("tb").evaluate(QueryBuilder("tb").count(), InfP)
+      .collect().nonEmpty)
+    intercept[IllegalStateException] {
+      kids("ta").evaluate(QueryBuilder("ta").count(), InfP)
+    }
+  }
+
+  test("view table: noiseInfo after stop is rejected (no free interactions)") {
+    val s = rows(); s.stop()
+    intercept[IllegalStateException] { s.noiseInfo(QueryBuilder("t").count(), InfP) }
+  }
+
+  // ---------------------------------------------------------------------
+  // Metadata getter tables (test_invalid_data_properties: unknown names
+  // get a not-found listing sources; public names get the targeted
+  // "is a public table" message — never a bare KeyError)
+  // ---------------------------------------------------------------------
+
+  private val getters: Seq[(String, (Session, String) => Any)] = Seq(
+    ("get_schema", (s, n) => s.getSchema(n)),
+    ("get_column_types", (s, n) => s.getColumnTypes(n)),
+    ("get_grouping_column", (s, n) => s.getGroupingColumn(n)),
+    ("get_id_column", (s, n) => s.getIdColumn(n)),
+    ("get_id_space", (s, n) => s.getIdSpace(n)))
+
+  for ((gname, get) <- getters) {
+    test(s"getter table: $gname on an unknown table lists the private sources") {
+      val e = intercept[IllegalArgumentException] { get(rows(), "ghost") }
+      assert(e.getMessage.contains("ghost"))
+      assert(e.getMessage.contains("t")) // the listing includes real sources
+    }
+    test(s"getter table: $gname on a public table says so by name") {
+      val s = rows()
+      s.addPublicDataFrame("pub", df)
+      val e = intercept[IllegalArgumentException] { get(s, "pub") }
+      assert(e.getMessage.contains("is a public table"))
+    }
+  }
+
+  test("getter table: get_constraints on an unknown table is an error") {
+    val e = intercept[IllegalArgumentException] { rows().getConstraints("ghost") }
+    assert(e.getMessage.contains("ghost"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Builder misconfiguration, remaining half (test_invalid_to_add_budget_
+  // twice; test_invalid_column_name; test_session_raises_error_on_
+  // unsupported_spark_column_types; protected-change parameter domains)
+  // ---------------------------------------------------------------------
+
+  private val budgetPairs: Seq[(String, PrivacyBudget, PrivacyBudget)] = Seq(
+    ("PureDP then PureDP", PureDPBudget(1.0), PureDPBudget(2.0)),
+    ("PureDP then zCDP", PureDPBudget(1.0), RhoZCDPBudget(1.0)),
+    ("ApproxDP then PureDP", ApproxDPBudget(1.0, 1e-6), PureDPBudget(1.0)),
+    ("zCDP then the same zCDP", RhoZCDPBudget(1.0), RhoZCDPBudget(1.0)))
+
+  for ((what, first, second) <- budgetPairs)
+    test(s"builder table: setting the budget twice ($what) fails") {
+      val b = new Session.Builder().withPrivacyBudget(first)
+      val e = intercept[IllegalArgumentException] { b.withPrivacyBudget(second) }
+      assert(e.getMessage.contains("already has a privacy budget"))
+    }
+
+  test("builder table: an empty-string column name is rejected (private)") {
+    val bad = df.withColumnRenamed("qty", "")
+    val e = intercept[IllegalArgumentException] {
+      new Session.Builder().withPrivacyBudget(InfP)
+        .withPrivateDataFrame("a", bad, AddOneRow()).build(spark)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("builder table: an empty-string column name is rejected (public)") {
+    val bad = df.withColumnRenamed("qty", "")
+    val e = intercept[IllegalArgumentException] { rows().addPublicDataFrame("pub", bad) }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("builder table: an unsupported column type is rejected, naming the column") {
+    import org.apache.spark.sql.functions.{array, col}
+    val bad = df.select(col("flag"), array(col("qty")).as("arr"))
+    val e = intercept[IllegalArgumentException] {
+      new Session.Builder().withPrivacyBudget(InfP)
+        .withPrivateDataFrame("a", bad, AddOneRow()).build(spark)
+    }
+    assert(e.getMessage.contains("arr"))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("builder table: an unsupported public column type is rejected too") {
+    import org.apache.spark.sql.functions.{array, col}
+    val bad = df.select(col("flag"), array(col("qty")).as("arr"))
+    val e = intercept[IllegalArgumentException] { rows().addPublicDataFrame("pub", bad) }
+    assert(e.getMessage.contains("arr"))
+  }
+
+  private val badProtectedChanges: Seq[(String, () => Any)] = Seq(
+    ("AddMaxRows(0)", () => AddMaxRows(0)),
+    ("AddMaxRows(-3)", () => AddMaxRows(-3)),
+    ("AddMaxRowsInMaxGroups with zero groups",
+      () => AddMaxRowsInMaxGroups("flag", 0, 1)),
+    ("AddMaxRowsInMaxGroups with zero rows per group",
+      () => AddMaxRowsInMaxGroups("flag", 1, 0)),
+    ("AddRowsWithID with zero ids", () => AddRowsWithID("uid", maxIDs = 0)))
+
+  for ((what, mk) <- badProtectedChanges)
+    test(s"builder table: $what is outside the parameter domain") {
+      intercept[IllegalArgumentException] { mk() }
+    }
+
+  test("builder table: public tables are also rejected under duplicate " +
+      "names at runtime (addPublicDataFrame after build)") {
+    val s = rows()
+    s.addPublicDataFrame("pub", df)
+    val e = intercept[IllegalArgumentException] { s.addPublicDataFrame("pub", df) }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Lifecycle pins: which interactions stay legal after retirement, and
+  // which cost nothing (the reference's inspection-vs-interaction split)
+  // ---------------------------------------------------------------------
+
+  test("lifecycle pin: stop is idempotent") {
+    val s = rows()
+    s.stop()
+    s.stop() // second stop is a no-op, not an error
+    intercept[IllegalStateException] { s.evaluate(QueryBuilder("t").count(), InfP) }
+  }
+
+  test("lifecycle pin: budget and source inspections stay readable after stop") {
+    val s = rows(PureDPBudget(1.0))
+    s.evaluate(QueryBuilder("t").count(), PureDPBudget(0.25))
+    s.stop()
+    // inspections are free: they reveal nothing beyond past releases
+    assert(s.remainingPrivacyBudget === PureDPBudget(0.75))
+    assert(s.privateSources === Seq("t"))
+    assert(s.getSchema("t").contains("qty"))
+  }
+
+  test("lifecycle pin: noiseInfo describes without spending") {
+    val s = rows(PureDPBudget(1.0))
+    val info = s.noiseInfo(QueryBuilder("t").count(), PureDPBudget(0.5))
+    assert(info.nonEmpty)
+    assert(s.remainingPrivacyBudget === PureDPBudget(1.0)) // untouched
+  }
+
+  test("lifecycle table: a stopped child cannot partition further") {
+    val s = rows()
+    val kids = s.partitionAndCreate("t", InfP, "flag", Seq("ta" -> "A"))
+    kids("ta").stop()
+    intercept[IllegalStateException] {
+      kids("ta").partitionAndCreate("ta", InfP, "qty", Seq("q1" -> 1L))
+    }
+  }
+
+  test("lifecycle table: children enforce budget-kind matching like parents") {
+    val s = rows(PureDPBudget(Rat.Inf))
+    val kids = s.partitionAndCreate("t", PureDPBudget(Rat.Inf), "flag",
+      Seq("ta" -> "A"))
+    val e = intercept[IllegalArgumentException] {
+      kids("ta").evaluate(QueryBuilder("ta").count(), RhoZCDPBudget(0.5))
+    }
+    assert(e.getMessage.contains("budget kind mismatch"))
+  }
 }
