@@ -952,6 +952,19 @@ object Queries {
           sum(when(col("decoded.format") === "png", 1L).otherwise(0L)).as("n_png"),
           sum(size(col("decoded.features"))).as("n_features"))
     }),
+    "q104_image_phash_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // image near-dup dedup on REAL pixel content: five stripe patterns
+      // keyed by doc_id % 5 are synthesized and pHash-grouped; the groups
+      // must land exactly on the arithmetic partition the oracle computes
+      // (pixel-identical images share a hash, distinct patterns split —
+      // PhashSpec pins the spectral properties)
+      val withBin = read(s, d, "documents").select(col("doc_id"),
+        graft.pipeline.Multimodal.synthStripePng(lit(64), lit(48),
+          pmod(col("doc_id"), lit(5)).cast("int")).as("payload"))
+      graft.pipeline.Multimodal.dedupImagesByPhash(withBin, "doc_id", "payload")
+        .select(col("representative_id"), col("n_images"))
+    }),
     // -- streaming (availableNow over the same events data) ---------------
     "q54_streaming_window_counts" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1924,6 +1937,10 @@ object Queries {
       """SELECT CAST(4 * count(*) AS BIGINT) AS n_windows,
         |  CAST(sum(octet_length(encode(text)) // 2) AS BIGINT) AS total_samples,
         |  CAST(8 * 4 * count(*) AS BIGINT) AS n_features FROM documents""".stripMargin,
+    "q104_image_phash_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS representative_id,
+        |  CAST(count(*) AS BIGINT) AS n_images
+        |FROM documents GROUP BY doc_id % 5""".stripMargin,
     "q54_streaming_window_counts" ->
       """SELECT CAST((event_id // 600) * 600 AS BIGINT) AS window_start,
         |  event_type, CAST(count(*) AS BIGINT) AS count

@@ -167,6 +167,32 @@ object Multimodal {
   /** Column form of [[synthesizePng]] — runs executor-side. */
   val synthPng = udf((w: Int, h: Int, rgb: Int) => synthesizePng(w, h, rgb))
 
+  /** Synthesize a vertical-stripe PNG whose stripe frequency scales with
+    * `k`. Distinct `k` produce spatially distinct patterns with distinct
+    * DCT spectra — what [[perceptualHash]] keys on (solid fills all hash
+    * alike: their AC spectrum is zero). Used by specs and the CORRECTNESS
+    * registry to plant known image-duplicate groups.
+    */
+  def synthesizeStripePng(width: Int, height: Int, k: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+    val period = math.max(1, width / (2 * (k + 1)))
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, if ((x / period) % 2 == 0) 0xffffff else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Column form of [[synthesizeStripePng]] — runs executor-side. */
+  val synthStripePng = udf((w: Int, h: Int, k: Int) => synthesizeStripePng(w, h, k))
+
   /** REAL image resize: re-decode the payload, bilinearly rescale so the
     * longest side is `maxSide` (no-op for smaller images), re-encode as PNG.
     * Payloads no codec can read pass through unchanged — resizing is a
@@ -228,6 +254,131 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, decodedCol: String, frames: Int): DataFrame =
     df.withColumn("frame_index", explode(sequence(lit(0), lit(frames - 1))))
+
+  // -------------------------------------------------------------- image pHash
+
+  private val PhashSize = 32 // luminance resample grid
+  private val PhashBlock = 8 // low-frequency DCT block kept
+
+  /** DCT-II basis table for the 32-point transform, built once per JVM. */
+  private lazy val dctBasis: Array[Array[Double]] = {
+    val n = PhashSize
+    Array.tabulate(n, n)((k, t) => math.cos(math.Pi / n * (t + 0.5) * k))
+  }
+
+  /** 64-bit perceptual hash (pHash): decode, area-average luminance onto a
+    * 32x32 grid, 2D DCT-II, keep the low-frequency 8x8 block, and set bit i
+    * when coefficient i exceeds the block's median (DC excluded from the
+    * median so flat offsets don't flip every bit). Images that survive
+    * resize, recompression, or mild noise agree on most bits, so Hamming
+    * distance on these hashes is an image near-duplicate metric — the
+    * multimodal sibling of simhash on text. Returns null when no JDK codec
+    * can read the payload.
+    */
+  def perceptualHash(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case NonFatal(_) => null }
+    if (img == null) return null
+    val n = PhashSize
+    val w = img.getWidth
+    val h = img.getHeight
+    // area-average resample: each grid cell averages its pixel block (at
+    // least one pixel), so the hash is stable under moderate rescaling
+    val grid = Array.ofDim[Double](n, n)
+    val rowBuf = new Array[Int](w)
+    val cellSums = Array.ofDim[Double](n, n)
+    val cellCounts = Array.ofDim[Long](n, n)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      val gy = math.min(y * n / h, n - 1)
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val gx = math.min(x * n / w, n - 1)
+        cellSums(gy)(gx) += lum
+        cellCounts(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var gy = 0
+    while (gy < n) {
+      var gx = 0
+      while (gx < n) {
+        // images smaller than the grid leave empty cells; inherit the
+        // nearest filled source pixel so the transform stays total
+        grid(gy)(gx) =
+          if (cellCounts(gy)(gx) > 0) cellSums(gy)(gx) / cellCounts(gy)(gx)
+          else {
+            val sy = math.min(gy * h / n, h - 1)
+            val sx = math.min(gx * w / n, w - 1)
+            val rgb = img.getRGB(sx, sy)
+            0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+          }
+        gx += 1
+      }
+      gy += 1
+    }
+    // separable 2D DCT-II restricted to the 8x8 low-frequency corner
+    val block = Array.ofDim[Double](PhashBlock, PhashBlock)
+    var u = 0
+    while (u < PhashBlock) {
+      var v = 0
+      while (v < PhashBlock) {
+        var acc = 0.0
+        var ty = 0
+        while (ty < n) {
+          var rowDot = 0.0
+          var tx = 0
+          while (tx < n) { rowDot += grid(ty)(tx) * dctBasis(v)(tx); tx += 1 }
+          acc += rowDot * dctBasis(u)(ty)
+          ty += 1
+        }
+        block(u)(v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = (for (i <- 0 until PhashBlock; j <- 0 until PhashBlock
+      if i != 0 || j != 0) yield block(i)(j)).sorted
+    val median = (ac(30) + ac(31)) / 2.0 // of the 63 AC coefficients
+    var hash = 0L
+    var bit = 0
+    var i = 0
+    while (i < PhashBlock) {
+      var j = 0
+      while (j < PhashBlock) {
+        if (block(i)(j) > median) hash |= (1L << bit)
+        bit += 1
+        j += 1
+      }
+      i += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** Column form of [[perceptualHash]] — null for undecodable payloads. */
+  val pHash = udf((bytes: Array[Byte]) => perceptualHash(bytes))
+
+  /** Exact-duplicate image groups by perceptual hash: one row per decodable
+    * payload with its hash-group representative (min id) and group size —
+    * [[graft.pipeline.Dedup.exact]]'s shape, keyed on pixels instead of
+    * bytes, so re-encoded or resized copies of one image collapse into one
+    * group. A single hash-keyed shuffle carrying (hash, id): payload bytes
+    * never leave the map side.
+    */
+  def dedupImagesByPhash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), pHash(col(binCol)).as("phash"))
+      .filter(col("phash").isNotNull)
+    hashed.groupBy("phash")
+      .agg(min(col("id")).as("representative_id"), count(lit(1)).as("n_images"))
+  }
 
   // ------------------------------------------------------------------- audio
 

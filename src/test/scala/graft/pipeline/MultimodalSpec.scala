@@ -115,6 +115,46 @@ class MultimodalSpec extends SparkSpec {
     byId(2L).foreach(r => assert(r.getInt(2) === 0 && r.isNullAt(3)))
   }
 
+  test("perceptual hash: identical pixels agree, distinct patterns split") {
+    val hashes = (0 until 5).map { k =>
+      Multimodal.perceptualHash(Multimodal.synthesizeStripePng(64, 48, k))
+    }
+    assert(hashes.forall(_ != null))
+    assert(hashes.distinct.size === 5) // distinct spatial frequencies split
+    // re-encoding the same pattern yields the same hash (pixels, not bytes)
+    assert(Multimodal.perceptualHash(Multimodal.synthesizeStripePng(64, 48, 2))
+      === hashes(2))
+    // brightness invariance: DC is excluded and a positive luminance
+    // rescale preserves every AC comparison, so solid fills of different
+    // levels hash identically
+    assert(Multimodal.perceptualHash(Multimodal.synthesizePng(64, 48, 0x808080))
+      === Multimodal.perceptualHash(Multimodal.synthesizePng(64, 48, 0x404040)))
+    assert(Multimodal.perceptualHash("not an image".getBytes) === null)
+  }
+
+  test("perceptual hash survives a real resize (small Hamming distance)") {
+    val big = Multimodal.synthesizeStripePng(128, 96, 2)
+    val small = Multimodal.resizePayload(big, 64)
+    val h1 = Multimodal.perceptualHash(big).longValue
+    val h2 = Multimodal.perceptualHash(small).longValue
+    val dist = java.lang.Long.bitCount(h1 ^ h2)
+    assert(dist <= 8, s"pHash moved $dist bits under a 2x downscale")
+    // and an unrelated pattern stays far away
+    val other = Multimodal.perceptualHash(Multimodal.synthesizeStripePng(128, 96, 0))
+    assert(java.lang.Long.bitCount(h1 ^ other.longValue) > 8)
+  }
+
+  test("dedupImagesByPhash groups re-encoded copies, splits patterns") {
+    val rows = (0 until 10).map { i =>
+      Row(i.toLong, Multimodal.synthesizeStripePng(64, 48, i % 3))
+    } :+ Row(10L, "junk bytes".getBytes) // undecodable: excluded, not crashed
+    val df = makeDf(binSchema, rows)
+    val out = Multimodal.dedupImagesByPhash(df, "id", "payload")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // representatives are the min ids 0, 1, 2; group sizes 4, 3, 3
+    assert(out === Map(0L -> 4L, 1L -> 3L, 2L -> 3L))
+  }
+
   test("undecodable payloads fall back deterministically, tagged opaque") {
     val junk = "definitely not an image".getBytes
     val df = makeDf(binSchema, Seq(Row(1L, junk)))
