@@ -965,6 +965,21 @@ object Queries {
       graft.pipeline.Multimodal.dedupImagesByPhash(withBin, "doc_id", "payload")
         .select(col("representative_id"), col("n_images"))
     }),
+    "q105_video_frame_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // REAL container parsing: per-doc animated GIFs with doc_id % 3 + 1
+      // frames; sampling up to 2 evenly-spaced frames must yield exactly
+      // min(2, n) rows per doc with the true frame_count and decoded
+      // dimensions — all recomputable arithmetic for the oracle
+      val withBin = read(s, d, "documents").select(col("doc_id"),
+        graft.pipeline.Multimodal.synthGif(lit(32), lit(24),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("payload"))
+      graft.pipeline.Multimodal.sampleVideoFrames(withBin, "payload", maxFrames = 2)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("frame_count")).as("frame_count_sum"),
+          sum(col("frame.width")).as("width_sum"),
+          sum(when(col("frame.format") === "gif", 1L).otherwise(0L)).as("n_gif"))
+    }),
     // -- streaming (availableNow over the same events data) ---------------
     "q54_streaming_window_counts" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1941,6 +1956,13 @@ object Queries {
       """SELECT CAST(min(doc_id) AS BIGINT) AS representative_id,
         |  CAST(count(*) AS BIGINT) AS n_images
         |FROM documents GROUP BY doc_id % 5""".stripMargin,
+    "q105_video_frame_sample" ->
+      """SELECT CAST(sum(least(2, doc_id % 3 + 1)) AS BIGINT) AS n_rows,
+        |  CAST(sum((doc_id % 3 + 1) * least(2, doc_id % 3 + 1)) AS BIGINT)
+        |    AS frame_count_sum,
+        |  CAST(32 * sum(least(2, doc_id % 3 + 1)) AS BIGINT) AS width_sum,
+        |  CAST(sum(least(2, doc_id % 3 + 1)) AS BIGINT) AS n_gif
+        |FROM documents""".stripMargin,
     "q54_streaming_window_counts" ->
       """SELECT CAST((event_id // 600) * 600 AS BIGINT) AS window_start,
         |  event_type, CAST(count(*) AS BIGINT) AS count

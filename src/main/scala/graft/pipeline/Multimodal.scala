@@ -25,12 +25,12 @@ import scala.util.control.NonFatal
   *  - audio: payloads are parsed as 16-bit little-endian PCM and
   *    [[extractAudioFeatures]] computes a real DFT magnitude spectrum per
   *    window.
-  * Payloads no JDK codec can read (e.g. video containers) fall back to
-  * [[pseudoDecode]], a clearly-marked deterministic stand-in tagged with
-  * `format = "opaque"` so downstream filters can separate real decodes from
-  * fallbacks. [[sampleFrames]] stays a stub for the same reason: the JDK has
-  * no video demuxer, so frame sampling replicates metadata rather than
-  * seeking a container.
+  *  - video/animation: [[sampleVideoFrames]] opens multi-frame containers
+  *    the JDK can read (animated GIF) and decodes evenly-spaced frames.
+  * Payloads no JDK codec can read (e.g. mp4 — the JDK has no mp4 demuxer)
+  * fall back to [[pseudoDecode]], a clearly-marked deterministic stand-in
+  * tagged with `format = "opaque"` so downstream filters can separate real
+  * decodes from fallbacks.
   */
 object Multimodal {
 
@@ -246,14 +246,111 @@ object Multimodal {
       d.getField("features").as("features")))
   }
 
-  /** STUB frame sampling for video payloads: emits `frames` copies of the
-    * decoded struct with a frame index. The JDK ships no video demuxer, so a
-    * real implementation (container seek + per-frame decode) needs an
-    * external codec; the Spark-side shape — explode to one row per sampled
-    * frame — is the real contract.
+  /** Metadata-level frame sampling: emits `frames` copies of an
+    * already-decoded struct with a frame index — the cheap path when only
+    * the row shape matters. [[sampleVideoFrames]] is the REAL path for
+    * multi-frame containers the JDK can read (animated GIF); containers
+    * needing an external demuxer (mp4 etc.) can only go through this shape
+    * stub.
     */
   def sampleFrames(df: DataFrame, decodedCol: String, frames: Int): DataFrame =
     df.withColumn("frame_index", explode(sequence(lit(0), lit(frames - 1))))
+
+  // ------------------------------------------------------------------- video
+
+  /** Synthesize an animated GIF whose `frames` frames are stripe patterns
+    * phase-shifted per frame (used by specs and the CORRECTNESS registry:
+    * frame counts and per-frame pixels are predictable arithmetic).
+    */
+  def synthesizeAnimatedGif(width: Int, height: Int, frames: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            img.setRGB(x, y, if ((x + f) % 2 == 0) 0xffffff else 0x000000)
+            x += 1
+          }
+          y += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Column form of [[synthesizeAnimatedGif]] — runs executor-side. */
+  val synthGif = udf((w: Int, h: Int, frames: Int) => synthesizeAnimatedGif(w, h, frames))
+
+  /** REAL frame sampling kernel: open the container with an ImageIO reader,
+    * count its frames, decode up to `maxFrames` evenly-spaced ones (frame
+    * j*n/maxFrames — first frame always included). Returns
+    * (sourceFrameIndex, totalFrames, decodedStruct) triples. Single-image
+    * formats are one-frame containers; an undecodable payload yields one
+    * [[pseudoDecode]] fallback row; null yields none. GIF disposal/compose
+    * semantics are out of scope — frames decode independently.
+    */
+  private[pipeline] def decodeFrames(
+      bytes: Array[Byte], maxFrames: Int, featureDim: Int): Seq[(Int, Int, Row)] = {
+    if (bytes == null) return Nil
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    if (iis == null) return Seq((0, 1, pseudoDecode(bytes, featureDim)))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Seq((0, 1, pseudoDecode(bytes, featureDim)))
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val fmt = reader.getFormatName.toLowerCase
+        val n = reader.getNumImages(true)
+        val take = math.min(n, maxFrames)
+        (0 until take).map { j =>
+          val idx = j * n / maxFrames.max(1)
+          val img = reader.read(idx)
+          (idx, n, Row(img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, fmt,
+            bandLuminance(img, featureDim).toSeq))
+        }
+      } finally reader.dispose()
+    } catch {
+      case NonFatal(_) => Seq((0, 1, pseudoDecode(bytes, featureDim)))
+    } finally iis.close()
+  }
+
+  /** REAL video/animation frame sampling over a binary column: one output
+    * row per sampled frame with (frame_index, frame_count, outCol struct).
+    * Same batched mapPartitions shape as [[decodeImages]], with the same
+    * payload-hash rebalance option for skewed media sources.
+    */
+  def sampleVideoFrames(
+      df: DataFrame, binCol: String, maxFrames: Int, outCol: String = "frame",
+      featureDim: Int = 16, rebalance: Boolean = true): DataFrame = {
+    require(maxFrames >= 1, "maxFrames must be positive")
+    val base = if (rebalance) df.repartition(xxhash64(col(binCol))) else df
+    val inSchema = base.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("frame_index", IntegerType),
+      StructField("frame_count", IntegerType),
+      StructField(outCol, decodedSchema)))
+    base.mapPartitions { it =>
+      it.flatMap { row =>
+        decodeFrames(row.getAs[Array[Byte]](inSchema.fieldIndex(binCol)),
+          maxFrames, featureDim).iterator.map { case (idx, n, dec) =>
+          Row.fromSeq(row.toSeq ++ Seq(idx, n, dec))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 
   // -------------------------------------------------------------- image pHash
 

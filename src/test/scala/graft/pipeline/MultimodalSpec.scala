@@ -155,6 +155,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Map(0L -> 4L, 1L -> 3L, 2L -> 3L))
   }
 
+  test("video frames: REAL GIF container parsing, even sampling, true pixels") {
+    // 5-frame animated GIF sampled at maxFrames=2 -> source frames 0 and 2
+    val gif = Multimodal.synthesizeAnimatedGif(8, 6, 5)
+    val frames = Multimodal.decodeFrames(gif, maxFrames = 2, featureDim = 4)
+    assert(frames.map(f => (f._1, f._2)) === Seq((0, 5), (2, 5)))
+    frames.foreach { case (_, _, d) =>
+      assert((d.getInt(0), d.getInt(1)) === ((8, 6)))
+      assert(d.getString(3) === "gif")
+    }
+    // stripe phase on an ODD width: frame 0 has 5 white columns of 9,
+    // frame 1 has 4 — the decoded band means must track the real pixel
+    // counts (even widths balance out and would hide a fake decode)
+    val odd = Multimodal.synthesizeAnimatedGif(9, 6, 3)
+    val all = Multimodal.decodeFrames(odd, maxFrames = 3, featureDim = 4)
+    assert(all.map(_._1) === Seq(0, 1, 2)) // n <= max: every frame
+    val lum0 = all(0)._3.getSeq[Float](4)
+    val lum1 = all(1)._3.getSeq[Float](4)
+    assert(lum0.forall(f => math.abs(f - 5f / 9f) < 1e-6f)) // 5/9 white
+    assert(lum1.forall(f => math.abs(f - 4f / 9f) < 1e-6f)) // 4/9 white
+    assert(all(2)._3.getSeq[Float](4) === lum0) // same phase, same pixels
+  }
+
+  test("video frames: single-image payloads are one-frame containers; " +
+      "undecodable payloads fall back; nulls vanish") {
+    val png = Multimodal.synthesizePng(7, 5, 0x336699)
+    val one = Multimodal.decodeFrames(png, maxFrames = 4, featureDim = 2)
+    assert(one.map(f => (f._1, f._2)) === Seq((0, 1)))
+    assert(one.head._3.getString(3) === "png")
+    val junk = Multimodal.decodeFrames("not media".getBytes, 4, 2)
+    assert(junk.map(f => (f._1, f._2)) === Seq((0, 1)))
+    assert(junk.head._3.getString(3) === "opaque")
+    assert(Multimodal.decodeFrames(null, 4, 2) === Nil)
+    // the Spark surface: one row per sampled frame, nulls contribute none
+    val df = makeDf(binSchema, Seq(
+      Row(1L, Multimodal.synthesizeAnimatedGif(8, 6, 3)), Row(2L, null)))
+    val rows = Multimodal.sampleVideoFrames(df, "payload", maxFrames = 2,
+      rebalance = false).select("id", "frame_index", "frame_count").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet ===
+      Set((1L, 0, 3), (1L, 1, 3)))
+  }
+
   test("undecodable payloads fall back deterministically, tagged opaque") {
     val junk = "definitely not an image".getBytes
     val df = makeDf(binSchema, Seq(Row(1L, junk)))
