@@ -959,8 +959,10 @@ object Queries {
       // must land exactly on the arithmetic partition the oracle computes
       // (pixel-identical images share a hash, distinct patterns split —
       // PhashSpec pins the spectral properties)
+      // 32x24 is the smallest size whose five stripe periods stay distinct
+      // after the 32x32 pHash resample — same code path, half the bench cost
       val withBin = read(s, d, "documents").select(col("doc_id"),
-        graft.pipeline.Multimodal.synthStripePng(lit(64), lit(48),
+        graft.pipeline.Multimodal.synthStripePng(lit(32), lit(24),
           pmod(col("doc_id"), lit(5)).cast("int")).as("payload"))
       graft.pipeline.Multimodal.dedupImagesByPhash(withBin, "doc_id", "payload")
         .select(col("representative_id"), col("n_images"))

@@ -153,12 +153,8 @@ object Multimodal {
     */
   def synthesizePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
+    val px = Array.fill(width * height)(rgb)
+    img.setRGB(0, 0, width, height, px, 0, width) // bulk: one store per image
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -176,15 +172,11 @@ object Multimodal {
   def synthesizeStripePng(width: Int, height: Int, k: Int): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
     val period = math.max(1, width / (2 * (k + 1)))
+    val row = Array.tabulate(width)(x => if ((x / period) % 2 == 0) 0xffffff else 0)
+    val px = new Array[Int](width * height)
     var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        img.setRGB(x, y, if ((x / period) % 2 == 0) 0xffffff else 0x000000)
-        x += 1
-      }
-      y += 1
-    }
+    while (y < height) { System.arraycopy(row, 0, px, y * width, width); y += 1 }
+    img.setRGB(0, 0, width, height, px, 0, width)
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -272,15 +264,11 @@ object Multimodal {
       var f = 0
       while (f < frames) {
         val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+        val row = Array.tabulate(width)(x => if ((x + f) % 2 == 0) 0xffffff else 0)
+        val px = new Array[Int](width * height)
         var y = 0
-        while (y < height) {
-          var x = 0
-          while (x < width) {
-            img.setRGB(x, y, if ((x + f) % 2 == 0) 0xffffff else 0x000000)
-            x += 1
-          }
-          y += 1
-        }
+        while (y < height) { System.arraycopy(row, 0, px, y * width, width); y += 1 }
+        img.setRGB(0, 0, width, height, px, 0, width)
         w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
         f += 1
       }
