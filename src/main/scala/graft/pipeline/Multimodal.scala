@@ -459,8 +459,21 @@ object Multimodal {
     * never leave the map side.
     */
   def dedupImagesByPhash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"), pHash(col(binCol)).as("phash"))
-      .filter(col("phash").isNotNull)
+    val in = df.select(col(idCol).as("id"), col(binCol).as("__bin"))
+    val inSchema = in.schema
+    val outSchema = StructType(Seq(inSchema("id"), StructField("phash", LongType)))
+    // the hash runs inside an object boundary, not as a Column: a null
+    // filter on a projected UDF column gets pushed down (and through the
+    // aggregate when filtering the group key) with the UDF re-inlined,
+    // running the whole codec kernel twice per row — here decode happens
+    // exactly once and undecodable rows vanish before the shuffle
+    val hashed = in.mapPartitions { it =>
+      it.flatMap { r =>
+        val h = perceptualHash(r.getAs[Array[Byte]](1))
+        if (h == null) Iterator.empty
+        else Iterator.single(Row(r.get(0), h.longValue))
+      }
+    }(Encoders.row(outSchema))
     hashed.groupBy("phash")
       .agg(min(col("id")).as("representative_id"), count(lit(1)).as("n_images"))
   }
