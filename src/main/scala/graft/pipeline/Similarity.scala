@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Two plans:
@@ -177,32 +178,25 @@ object Similarity {
     * layout, not limited to 64 total planes like a single packed signature.
     */
   private[pipeline] def bandSignatures(
-      vec: Column, numBands: Int, bandBits: Int): Column = {
-    val planes = numBands * bandBits
-    val u = udf((v: Array[Double]) => {
-      if (v == null) null
-      else {
-        val signs = Dedup.planeSigns(planes, v.length)
-        val out = new Array[Long](numBands)
-        var t = 0
-        while (t < numBands) {
-          var sig = 0L
-          var b = 0
-          while (b < bandBits) {
-            val row = signs(t * bandBits + b)
-            var dot = 0.0
-            var i = 0
-            while (i < v.length) { dot += row(i) * v(i); i += 1 }
-            if (dot > 0) sig |= (1L << b)
-            b += 1
-          }
-          out(t) = sig
-          t += 1
-        }
-        out
+      v: Array[Double], numBands: Int, bandBits: Int): Array[Long] = {
+    val signs = Dedup.planeSigns(numBands * bandBits, v.length)
+    val out = new Array[Long](numBands)
+    var t = 0
+    while (t < numBands) {
+      var sig = 0L
+      var b = 0
+      while (b < bandBits) {
+        val row = signs(t * bandBits + b)
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += row(i) * v(i); i += 1 }
+        if (dot > 0) sig |= (1L << b)
+        b += 1
       }
-    })
-    u(vec.cast("array<double>"))
+      out(t) = sig
+      t += 1
+    }
+    out
   }
 
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
@@ -232,42 +226,41 @@ object Similarity {
     require(bandBits >= 1 && bandBits <= 63, "bandBits must be in [1, 63]")
     require(planes % bandBits == 0, "planes must be a multiple of bandBits")
     val bandCount = planes / bandBits
-    val probesPerBand = bandBits + 1
-    val cb = {
-      val sigs = bandSignatures(col(corpusVec), bandCount, bandBits)
-      Dedup.spread(corpus).select(col(corpusId).as("corpus_id"),
-        col(corpusVec).cast("array<double>").as("__cv"), sigs.as("__sigs"))
-        .select(col("corpus_id"), col("__cv"),
-          posexplode(col("__sigs")).as(Seq("__band", "__bk")))
-    }
-    val qb = {
-      // flat probe list: slot t*(b+1)+j is band t's bucket (j=0) or its
-      // j-1th single-bit flip; band recovered from the position on explode
-      val probe = udf((sigs: Seq[Long]) => {
-        if (sigs == null) null
-        else {
-          val out = new Array[Long](sigs.length * probesPerBand)
-          var t = 0
-          while (t < sigs.length) {
-            out(t * probesPerBand) = sigs(t)
-            var b = 0
-            while (b < bandBits) {
-              out(t * probesPerBand + 1 + b) = sigs(t) ^ (1L << b)
-              b += 1
+    // both sides band inside an object boundary (mapPartitions), not as a
+    // Column + posexplode: the Generate's inferred size()>0 filter gets
+    // pushed down with the signature UDF re-inlined, computing every
+    // signature twice per row — exactly the cost this operator exists to
+    // bound on the 100 TB corpus side
+    def banded(df: DataFrame, id: String, vec: String,
+        idOut: String, vecOut: String, multiProbe: Boolean) = {
+      val in = Dedup.spread(df).select(col(id).as(idOut),
+        col(vec).cast("array<double>").as(vecOut))
+      val inSchema = in.schema
+      val outSchema = StructType(inSchema.fields ++ Seq(
+        StructField("__band", IntegerType), StructField("__bk", LongType)))
+      in.mapPartitions { it =>
+        it.flatMap { r =>
+          val vs = r.getAs[scala.collection.Seq[Double]](1)
+          if (vs == null) Iterator.empty
+          else {
+            val sigs = bandSignatures(vs.toArray, bandCount, bandBits)
+            val base = r.toSeq
+            sigs.iterator.zipWithIndex.flatMap { case (sig, t) =>
+              // Seq[Any]: Seq(t, sig) would numerically widen the Int band
+              // index to Long and break the row encoder
+              if (!multiProbe) Iterator.single(Row.fromSeq(base ++ Seq[Any](t, sig)))
+              else (Iterator.single(sig) ++
+                Iterator.tabulate(bandBits)(b => sig ^ (1L << b)))
+                .map(bk => Row.fromSeq(base ++ Seq[Any](t, bk)))
             }
-            t += 1
           }
-          out
         }
-      })
-      queries.select(col(queryId).as("query_id"),
-        col(queryVec).cast("array<double>").as("__qv"),
-        probe(bandSignatures(col(queryVec), bandCount, bandBits)).as("__probes"))
-        .select(col("query_id"), col("__qv"),
-          posexplode(col("__probes")).as(Seq("__pos", "__bk")))
-        .withColumn("__band", (col("__pos") / probesPerBand).cast("int"))
-        .drop("__pos")
+      }(Encoders.row(outSchema))
     }
+    val cb = banded(corpus, corpusId, corpusVec, "corpus_id", "__cv", multiProbe = false)
+    // multi-probe (query side only): each band probes its bucket plus every
+    // single-bit flip — the corpus side stays one bucket per band
+    val qb = banded(queries, queryId, queryVec, "query_id", "__qv", multiProbe = true)
     // score before the dedup: cosine is deterministic per (query, corpus)
     // pair, so distinct on the scored triple equals distinct on the id pair
     // — and the dedup shuffle then carries 3 scalar columns instead of both
