@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** IVF (inverted-file) approximate nearest neighbor: a KMeans coarse
   * quantizer assigns every corpus vector to one of `nlist` cells; a query
@@ -129,10 +130,21 @@ object Ivf {
   def assignCells(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       model: Model): DataFrame = {
-    val assignC = cellUdf(model, 1)
-    Dedup.spread(corpus).select(col(corpusId).as("corpus_id"),
+    val in = Dedup.spread(corpus).select(col(corpusId).as("corpus_id"),
       col(corpusVec).cast("array<double>").as("__cv"))
-      .withColumn("__cell", assignC(col("__cv"))(0))
+    val inSchema = in.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("__cell", IntegerType))
+    // assignment runs inside an object boundary, not as a Column: the join
+    // key's inferred isnotnull filter would otherwise push down with the
+    // UDF re-inlined, scanning all nlist centroids twice per corpus row
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val v = r.getAs[scala.collection.Seq[Double]](1)
+        if (v == null) Iterator.empty
+        else Iterator.single(
+          Row.fromSeq(r.toSeq :+ nearestCells(model, v.toArray, 1)(0)))
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Approximate top-k: probe the query's `nprobe` nearest cells, exact
