@@ -982,6 +982,19 @@ object Queries {
           sum(col("frame.width")).as("width_sum"),
           sum(when(col("frame.format") === "gif", 1L).otherwise(0L)).as("n_gif"))
     }),
+    "q106_audio_fingerprint_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // audio dedup on REAL signal content: five pure tones (periods
+      // 4 << (doc_id % 5)) whose dominant spectral bins are distinct, so
+      // fingerprint groups must land exactly on the arithmetic partition
+      // the oracle computes — MultimodalSpec pins the spectral properties
+      val withBin = read(s, d, "documents").select(col("doc_id"),
+        graft.pipeline.Multimodal.synthTone(lit(512),
+          (lit(4) * pow(lit(2.0), pmod(col("doc_id"), lit(5)))).cast("int"))
+          .as("payload"))
+      graft.pipeline.Multimodal.dedupAudioByFingerprint(withBin, "doc_id", "payload")
+        .select(col("representative_id"), col("n_clips"))
+    }),
     // -- streaming (availableNow over the same events data) ---------------
     "q54_streaming_window_counts" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1957,6 +1970,10 @@ object Queries {
     "q104_image_phash_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS representative_id,
         |  CAST(count(*) AS BIGINT) AS n_images
+        |FROM documents GROUP BY doc_id % 5""".stripMargin,
+    "q106_audio_fingerprint_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS representative_id,
+        |  CAST(count(*) AS BIGINT) AS n_clips
         |FROM documents GROUP BY doc_id % 5""".stripMargin,
     "q105_video_frame_sample" ->
       """SELECT CAST(sum(least(2, doc_id % 3 + 1)) AS BIGINT) AS n_rows,

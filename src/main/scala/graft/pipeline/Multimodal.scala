@@ -518,6 +518,77 @@ object Multimodal {
     out
   }
 
+  /** Synthesize a 16-bit LE PCM sine tone: `nSamples` samples of period
+    * `period` at ~0.37 full scale (used by specs and the CORRECTNESS
+    * registry — the dominant spectral bin of a pure tone is predictable).
+    */
+  def synthesizeTonePcm(nSamples: Int, period: Int): Array[Byte] = {
+    val out = new Array[Byte](nSamples * 2)
+    var t = 0
+    while (t < nSamples) {
+      val s = math.round(math.sin(2.0 * math.Pi * t / period) * 12000.0).toInt
+      out(2 * t) = (s & 0xff).toByte
+      out(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    out
+  }
+
+  /** Column form of [[synthesizeTonePcm]] — runs executor-side. */
+  val synthTone = udf((n: Int, period: Int) => synthesizeTonePcm(n, period))
+
+  /** Audio content fingerprint by spectral-peak hashing (the idea behind
+    * landmark audio search): per PCM window, take the dominant DFT bin
+    * (DC excluded — amplitude scaling cannot move an argmax) and pack the
+    * per-window peak sequence into one long, 8 bits per window. Identical
+    * recordings collapse; different dominant frequencies split. Returns
+    * null for payloads with no samples.
+    */
+  def audioFingerprint(bytes: Array[Byte], windows: Int = 8, bins: Int = 32): java.lang.Long = {
+    if (bytes == null) return null
+    val samples = pcm16(bytes)
+    val n = samples.length
+    if (n == 0) return null
+    var hash = 0L
+    var w = 0
+    while (w < windows) {
+      val lo = w * n / windows
+      val hi = (w + 1) * n / windows
+      val mags = dftMagnitudes(samples, lo, hi, bins)
+      var peak = 1
+      var k = 2
+      while (k < bins) {
+        if (mags(k) > mags(peak)) peak = k
+        k += 1
+      }
+      hash = (hash << 8) | (peak & 0xff)
+      w += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** Duplicate-audio groups by [[audioFingerprint]]: one row per group with
+    * the min-id representative and size — [[dedupImagesByPhash]]'s shape
+    * for audio. The fingerprint runs inside an object boundary for the same
+    * reason (one decode per row); the shuffle carries (fingerprint, id).
+    */
+  def dedupAudioByFingerprint(
+      df: DataFrame, idCol: String, binCol: String,
+      windows: Int = 8, bins: Int = 32): DataFrame = {
+    val in = df.select(col(idCol).as("id"), col(binCol).as("__bin"))
+    val inSchema = in.schema
+    val outSchema = StructType(Seq(inSchema("id"), StructField("fingerprint", LongType)))
+    val hashed = in.mapPartitions { it =>
+      it.flatMap { r =>
+        val h = audioFingerprint(r.getAs[Array[Byte]](1), windows, bins)
+        if (h == null) Iterator.empty
+        else Iterator.single(Row(r.get(0), h.longValue))
+      }
+    }(Encoders.row(outSchema))
+    hashed.groupBy("fingerprint")
+      .agg(min(col("id")).as("representative_id"), count(lit(1)).as("n_clips"))
+  }
+
   /** REAL windowed audio feature extraction: the payload is parsed as 16-bit
     * little-endian PCM ([[pcm16]]) and split into `windows` equal spans
     * (window w covers samples [w*n/W, (w+1)*n/W), so per-window counts sum

@@ -196,6 +196,39 @@ class MultimodalSpec extends SparkSpec {
       Set((1L, 0, 3), (1L, 1, 3)))
   }
 
+  test("audio fingerprint: tones split by dominant bin, invariant to volume") {
+    // periods 4,8,16,32,64 over 64-sample windows -> peak bins 16,8,4,2,1
+    val fps = Seq(4, 8, 16, 32, 64).map(p =>
+      Multimodal.audioFingerprint(Multimodal.synthesizeTonePcm(512, p)))
+    assert(fps.forall(_ != null))
+    assert(fps.distinct.size === 5)
+    // same tone -> same fingerprint (content, not byte coincidence)
+    assert(Multimodal.audioFingerprint(Multimodal.synthesizeTonePcm(512, 8)) === fps(1))
+    // amplitude scaling cannot move an argmax: half-volume tone matches
+    val half = {
+      val out = new Array[Byte](512 * 2)
+      for (t <- 0 until 512) {
+        val s = math.round(math.sin(2.0 * math.Pi * t / 8) * 6000.0).toInt
+        out(2 * t) = (s & 0xff).toByte
+        out(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      }
+      out
+    }
+    assert(Multimodal.audioFingerprint(half) === fps(1))
+    assert(Multimodal.audioFingerprint(null) === null)
+    assert(Multimodal.audioFingerprint(Array.empty[Byte]) === null)
+  }
+
+  test("dedupAudioByFingerprint groups same tones, splits different ones") {
+    val rows = (0 until 9).map { i =>
+      Row(i.toLong, Multimodal.synthesizeTonePcm(512, 4 << (i % 3)))
+    } :+ Row(9L, null)
+    val df = makeDf(binSchema, rows)
+    val out = Multimodal.dedupAudioByFingerprint(df, "id", "payload")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(0L -> 3L, 1L -> 3L, 2L -> 3L))
+  }
+
   test("undecodable payloads fall back deterministically, tagged opaque") {
     val junk = "definitely not an image".getBytes
     val df = makeDf(binSchema, Seq(Row(1L, junk)))
