@@ -230,6 +230,56 @@ object Demo {
         .show(3)
     }
 
+    banner("15. Multimodal: decode images, dedup by pixels/signal, sample video")
+    locally {
+      import org.apache.spark.sql.functions._
+      val m = graft.pipeline.Multimodal
+      // media payloads ride as binary columns; here we synthesize PNGs /
+      // tones / animated GIFs so the demo is self-contained, but every
+      // kernel below is a REAL codec (javax.imageio decode, PCM+DFT)
+      val media = docs.limit(200).select(col("doc_id"),
+        m.synthStripePng(lit(32), lit(24), pmod(col("doc_id"), lit(3)).cast("int"))
+          .as("image"),
+        m.synthTone(lit(256), (lit(4) * pow(lit(2.0), pmod(col("doc_id"), lit(3))))
+          .cast("int")).as("audio"))
+      val decoded = m.decodeImages(media, "image", featureDim = 8)
+      decoded.select(col("doc_id"), col("decoded.width"), col("decoded.height"),
+        col("decoded.format")).show(3)
+      println("image groups by perceptual hash (pixels, not bytes):")
+      m.dedupImagesByPhash(media, "doc_id", "image")
+        .orderBy("representative_id").show()
+      println("audio groups by spectral fingerprint (volume-invariant):")
+      m.dedupAudioByFingerprint(media, "doc_id", "audio", windows = 4)
+        .orderBy("representative_id").show()
+      val gifs = docs.limit(50).select(col("doc_id"),
+        m.synthGif(lit(16), lit(12), (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+          .as("clip"))
+      val frames = m.sampleVideoFrames(gifs, "clip", maxFrames = 2, rebalance = false)
+      println(s"sampled ${frames.count()} frames from 50 animated clips " +
+        "(evenly spaced per container)")
+    }
+
+    banner("16. Similarity search: exact top-k, then the two scale paths")
+    locally {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 3)
+      println("brute force (small query set x any corpus):")
+      graft.pipeline.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 2)
+        .select("query_id", "corpus_id", "rank").orderBy("query_id", "rank").show()
+      println("LSH multi-probe (both sides large; recall contract in AnnRecallSpec):")
+      graft.pipeline.Similarity.lshTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 2)
+        .select("query_id", "corpus_id", "rank").orderBy("query_id", "rank").show()
+      println("IVF (train once, persist the cell assignment, probe cheaply):")
+      val model = graft.pipeline.Ivf.train(emb, "embedding", nlist = 4)
+      val assigned = graft.pipeline.Ivf.assignCells(emb, "vec_id", "embedding", model)
+      graft.pipeline.Ivf.topKAssigned(assigned, queries, "vec_id", "embedding",
+        k = 2, model, nprobe = 2)
+        .select("query_id", "corpus_id", "rank").orderBy("query_id", "rank").show()
+    }
+
     println("\ndemo complete.")
   }
 }

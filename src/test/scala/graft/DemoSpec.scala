@@ -15,7 +15,7 @@ class DemoSpec extends SparkSpec {
     val out = buf.toString("UTF-8")
 
     // every numbered section ran
-    for (i <- 1 to 14) assert(out.contains(s"=== $i. "), s"section $i missing")
+    for (i <- 1 to 16) assert(out.contains(s"=== $i. "), s"section $i missing")
 
     // session inspection and the mechanism preview
     assert(out.contains("Remaining privacy budget"))
@@ -56,6 +56,16 @@ class DemoSpec extends SparkSpec {
     // passage tooling: CDC chunks counted, window census printed
     assert(out.contains("CDC chunks over the deduped corpus:"))
     assert(out.contains("n_windows"))
+
+    // multimodal: real decode columns and both dedup families printed
+    assert(out.contains("image groups by perceptual hash"))
+    assert(out.contains("audio groups by spectral fingerprint"))
+    assert(out.contains("frames from 50 animated clips"))
+
+    // similarity: all three paths printed their top-k tables
+    assert(out.contains("brute force (small query set x any corpus):"))
+    assert(out.contains("LSH multi-probe"))
+    assert(out.contains("IVF (train once"))
 
     assert(out.contains("demo complete."))
   }
