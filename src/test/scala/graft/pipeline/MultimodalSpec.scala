@@ -229,6 +229,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Map(0L -> 3L, 1L -> 3L, 2L -> 3L))
   }
 
+  test("multimodal operators are invariant to input partitioning") {
+    // a cluster re-shards inputs freely: every released value must be a
+    // pure function of the data, never of the partition layout
+    val rows = (0L until 40L).map { i =>
+      Row(i, Multimodal.synthesizeStripePng(16, 12, (i % 3).toInt),
+        Multimodal.synthesizeTonePcm(128, 4 << (i % 3).toInt),
+        Multimodal.synthesizeAnimatedGif(8, 6, (i % 3).toInt + 1))
+    }
+    val schema = StructType(Seq(longCol("id"),
+      StructField("img", BinaryType), StructField("pcm", BinaryType),
+      StructField("gif", BinaryType)))
+    val base = makeDf(schema, rows)
+    val shuffled = makeDf(schema,
+      new scala.util.Random(7).shuffle(rows.toList)).repartition(7)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val ops = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      d => Multimodal.dedupImagesByPhash(d, "id", "img"),
+      d => Multimodal.dedupAudioByFingerprint(d, "id", "pcm", windows = 2),
+      d => Multimodal.decodeImages(d.select("id", "img"), "img")
+        .select(col("id"), col("decoded.width"), col("decoded.features")),
+      d => Multimodal.sampleVideoFrames(d.select("id", "gif"), "gif", maxFrames = 2)
+        .select("id", "frame_index", "frame_count"),
+      d => Multimodal.extractAudioFeatures(d.select("id", "pcm"), "pcm", windows = 2)
+        .select("id", "window_index", "n_samples", "features"))
+    ops.zipWithIndex.foreach { case (op, i) =>
+      assert(canon(op(base)) === canon(op(shuffled)), s"op $i layout-sensitive")
+    }
+  }
+
   test("undecodable payloads fall back deterministically, tagged opaque") {
     val junk = "definitely not an image".getBytes
     val df = makeDf(binSchema, Seq(Row(1L, junk)))
