@@ -995,6 +995,34 @@ object Queries {
       graft.pipeline.Multimodal.dedupAudioByFingerprint(withBin, "doc_id", "payload")
         .select(col("representative_id"), col("n_clips"))
     }),
+    "q107_unigram_logprob" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // perplexity-proxy data selection signal: per-doc mean NLL under the
+      // corpus's own unigram LM. Vocabulary-keyed count + one-row broadcast
+      // total + id-keyed agg; per-token costs quantized once to integer
+      // micro-nats so the released sums are exact BIGINTs
+      graft.pipeline.CorpusStats.unigramLogProb(
+        read(s, d, "documents"), "doc_id", "text")
+    }),
+    "q108_span_duplication" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // ExactSubstr-lite: fraction of each doc's 3-gram starts whose gram
+      // occurs >1 time corpus-wide. Shuffles carry only (8-byte hash, id);
+      // the fraction is an exact ratio of two small ints
+      graft.pipeline.Dedup.spanDuplicationFraction(
+        read(s, d, "documents"), "doc_id", "text", k = 3)
+    }),
+    "q109_semantic_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // SemDeDup within ground-truth clusters (the label column): drop a
+      // vector when an earlier same-cluster vector sits at cosine >= 0.42.
+      // Ids/booleans only; the nearest intra-cluster cosine to the
+      // threshold is >= 3e-4 away at every SF (measured), so engine
+      // round-off cannot flip a decision
+      graft.pipeline.Similarity.semanticDedup(
+        read(s, d, "embeddings"), "vec_id", "label", "embedding",
+        threshold = 0.42)
+    }),
     // -- streaming (availableNow over the same events data) ---------------
     "q54_streaming_window_counts" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1985,5 +2013,50 @@ object Queries {
     "q54_streaming_window_counts" ->
       """SELECT CAST((event_id // 600) * 600 AS BIGINT) AS window_start,
         |  event_type, CAST(count(*) AS BIGINT) AS count
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // per-token costs quantize to integer micro-nats BEFORE the document
+    // sum (costs >= 0, so DuckDB's half-away rounding agrees with Spark's
+    // half-up); the mean is an exact ratio of two BIGINTs
+    "q107_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(
+        |    string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |t AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |u AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM u),
+        |cost AS (SELECT token,
+        |    CAST(round(ln(tt::DOUBLE / c::DOUBLE) * 1e6) AS BIGINT) AS ce
+        |  FROM u CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(ce) AS BIGINT) AS nll_sum_e6,
+        |  CAST(sum(ce) AS DOUBLE) / count(*) AS mean_nll_e6
+        |FROM t JOIN cost USING (token) GROUP BY 1""".stripMargin,
+    // q71's tokenization (trim, no lower); only docs with >= 3 tokens have
+    // a 3-gram start; the fraction is an exact ratio of small ints
+    "q108_span_duplication" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents WHERE length(trim(text)) > 0),
+        |st AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)
+        |  WHERE len(toks) >= 3),
+        |c AS (SELECT g, count(*) AS n FROM st GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_starts,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_starts,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS dup_fraction
+        |FROM st JOIN c USING (g) GROUP BY 1""".stripMargin,
+    // ids/booleans-only contract: the nearest intra-cluster cosine to the
+    // 0.42 threshold is >= 3e-4 away at every SF (measured), so engine
+    // round-off cannot flip a membership decision
+    "q109_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings),
+        |d AS (SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_dups_earlier
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.42
+        |  GROUP BY 1)
+        |SELECT e.vec_id, e.label,
+        |  coalesce(d.n_dups_earlier, 0) AS n_dups_earlier,
+        |  coalesce(d.n_dups_earlier, 0) = 0 AS kept
+        |FROM e LEFT JOIN d ON e.vec_id = d.vec_id""".stripMargin)
 }

@@ -186,6 +186,44 @@ object CorpusStats {
         col("tf"), col("df"))
   }
 
+  /** Per-document unigram language-model score — the perplexity proxy used
+    * to rank documents by "typicality" under the corpus's own token
+    * distribution (the classic data-selection signal: wrong-language,
+    * OCR-noise, and template documents sit in the high-NLL tail; degenerate
+    * repetition sits in the low tail). Each document scores the mean
+    * negative log-likelihood of its tokens, -1/n * sum ln(c_t / T), where
+    * c_t is the token's corpus count and T the corpus token total.
+    *
+    * Scale shape: one token-keyed count builds the unigram table
+    * (vocabulary-sized, map-side combined); the scalar T arrives by a
+    * broadcast one-row cross join; the token stream joins the vocabulary
+    * (vocabulary side is the small one — broadcast- or shuffle-joined at
+    * Catalyst's discretion) and the only remaining shuffle is the id-keyed
+    * per-document aggregation, partially combined map-side.
+    *
+    * Portability: a raw sum of ln() doubles is order- and libm-dependent,
+    * so each token's cost is quantized ONCE to integer micro-nats,
+    * round(ln(T/c_t) * 1e6) — costs are >= 0 so half-up and half-away
+    * rounding agree — and documents sum exact integers. Released columns
+    * are two BIGINTs and their exact ratio: a libm last-ulp difference
+    * would have to land within ~1e-16 of a 0.5-micro-nat boundary to flip
+    * a released value. Documents with no tokens emit no row (q97's rule).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(df, textCol, col(idCol))
+    val unigrams = t.groupBy("token").agg(count(lit(1)).as("__c"))
+    val total = unigrams.agg(sum(col("__c")).as("__t"))
+    val costs = unigrams.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("__t").cast("double") / col("__c").cast("double")) * 1e6, 0)
+          .cast("long").as("__cost_e6"))
+    t.join(costs, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__cost_e6")).as("nll_sum_e6"))
+      .withColumn("mean_nll_e6",
+        col("nll_sum_e6").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** N-gram document frequency: the distinct word n-grams appearing in at
     * least `minDocs` distinct documents — the census that finds boilerplate
     * (headers, disclaimers, navigation) worth stripping before training.

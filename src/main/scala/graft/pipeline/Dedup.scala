@@ -30,6 +30,48 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
+  /** Per-document span-duplication fraction — the ExactSubstr signal
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better") in its bounded, relational form: the fraction of a document's
+    * word `k`-gram START POSITIONS whose k-gram occurs more than once in
+    * the whole corpus (counting every occurrence, including repeats inside
+    * one document). High values mark boilerplate and template text that
+    * survives document-level dedup because the surrounding bytes differ.
+    *
+    * Unlike [[shingles]] this keeps positions and multiplicity — the same
+    * k-gram twice in one document is two duplicated starts. Documents with
+    * fewer than k tokens emit no row (they have no k-gram start).
+    *
+    * Scale shape: shingle starts are a pure map-side projection
+    * (transform over the split array, codegen'd — nothing materializes per
+    * row but the 8-byte xxhash64 of each k-gram); the global occurrence
+    * count is one token-keyed agg with map-side combine; marking starts is
+    * a join against that (vocabulary-sized) count table keyed on the hash;
+    * the finale is the id-keyed per-document agg. Shuffles carry only
+    * (hash, id) — never text. The 8-byte hash stands in for the k-gram
+    * string (a collision needs ~2^32 distinct grams to reach 1e-9
+    * probability; at larger corpora widen to a 16-byte md5 pair).
+    */
+  def spanDuplicationFraction(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // guard BOTH emptiness and short docs: sequence(0, negative) would
+    // count down, not produce an empty list
+    val starts = df
+      .filter(length(trim(col(textCol))) > 0 && size(toks) >= k)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(toks) - k),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))).as("__h"))
+    val counts = starts.groupBy("__h").agg(count(lit(1)).as("__n"))
+    starts.join(counts, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_starts"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_starts"))
+      .withColumn("dup_fraction",
+        col("n_dup_starts").cast("double") / col("n_starts").cast("double"))
+  }
+
   /** JVM-side mirror of [[shingles]]: space-trim (Spark `trim` semantics),
     * `\s+` split, k-gram join by one space, distinct in first-seen order.
     */

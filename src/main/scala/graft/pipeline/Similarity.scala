@@ -172,6 +172,49 @@ object Similarity {
     pairs.toDF("id_a", "id_b")
   }
 
+  /** Semantic deduplication within pre-assigned clusters — the SemDeDup
+    * recipe (Abbas et al. 2023): embeddings are first partitioned into
+    * clusters (k-means cells from [[Ivf.train]], a label column, or any
+    * other assignment), then ONLY within-cluster pairs are scored, and a
+    * vector is dropped when an earlier vector (smaller id — deterministic
+    * on any engine) in its cluster sits at cosine >= `threshold`. Output is
+    * one row per input vector: (id, cluster, n_dups_earlier, kept) —
+    * integers and booleans only; raw cosines stay internal (ids-only
+    * contract, q73's rationale).
+    *
+    * Scale shape: the self-join keys on the cluster column, so the shuffle
+    * is cluster-keyed and the pair work is sum of squared CLUSTER sizes —
+    * the clustering granularity is the knob that keeps this near-linear
+    * (SemDeDup's own contract: more cells, less pair work). A cluster-size
+    * guard enforces that discipline instead of documenting it: clusters
+    * past `maxClusterRows` fail fast and name the sub-quadratic LSH path.
+    * The count that powers the guard is one keyed agg reduced to a single
+    * max row — not a collect of the data.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, clusterCol: String, vecCol: String,
+      threshold: Double, maxClusterRows: Long = 1L << 16): DataFrame = {
+    val biggest = df.groupBy(col(clusterCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head.getLong(0)
+    require(biggest <= maxClusterRows,
+      s"semanticDedup scores all pairs within each cluster and the largest " +
+        s"cluster has $biggest rows (bound $maxClusterRows); re-cluster at " +
+        "finer granularity (Ivf.train with larger nlist) or use " +
+        "Dedup.embeddingCosinePairs, the LSH path that needs no clustering")
+    val v = df.select(col(clusterCol).as("__cl"), col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val dupCounts = v.as("a")
+      .join(v.as("b"), col("a.__cl") === col("b.__cl") &&
+        col("a.__id") < col("b.__id"))
+      .filter(cosine(col("a.__v"), col("b.__v")) >= threshold)
+      .groupBy(col("b.__id").as("__id"))
+      .agg(count(lit(1)).as("n_dups_earlier"))
+    v.select(col("__id"), col("__cl")).join(dupCounts, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__cl").as(clusterCol),
+        coalesce(col("n_dups_earlier"), lit(0L)).as("n_dups_earlier"))
+      .withColumn("kept", col("n_dups_earlier") === 0)
+  }
+
   /** Per-band hyperplane signatures: band t packs the sign bits of its own
     * `bandBits` planes (planes t*bandBits until (t+1)*bandBits of the shared
     * memoized plane matrix) into one long — the classic L-hash-table LSH

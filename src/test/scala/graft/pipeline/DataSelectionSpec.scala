@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** The three data-selection operators added in round 7: unigram-LM scoring,
+  * span-duplication fraction (ExactSubstr-lite), and SemDeDup-style semantic
+  * dedup within clusters.
+  */
+class DataSelectionSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(longCol("id"), strCol("text")))
+
+  private def docs(rows: (Long, String)*) =
+    makeDf(docSchema, rows.map { case (i, t) => Row(i, t) })
+
+  // ------------------------------------------------------- unigram log-prob
+
+  test("unigramLogProb: hand-computed micro-nat costs on a tiny corpus") {
+    // tokens: a:2 b:2 c:1, T=5 -> cost(a)=cost(b)=round(ln(2.5)*1e6),
+    // cost(c)=round(ln(5)*1e6)
+    val ab = math.round(math.log(2.5) * 1e6)
+    val c5 = math.round(math.log(5.0) * 1e6)
+    val out = CorpusStats.unigramLogProb(
+      docs(1L -> "a a b", 2L -> "b c", 3L -> "   "), "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L)) // the blank doc emits no row
+    assert(out(1L) === ((3L, 3 * ab, 3 * ab / 3.0)))
+    assert(out(2L) === ((2L, ab + c5, (ab + c5) / 2.0)))
+  }
+
+  test("unigramLogProb: case-folds and collapses whitespace like q97") {
+    val out = CorpusStats.unigramLogProb(
+      docs(1L -> "The  THE", 2L -> "the"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // one token 'the' with c = T = 3: every cost is round(ln(1)*1e6) = 0
+    assert(out === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  // -------------------------------------------------- span-duplication frac
+
+  test("spanDuplicationFraction: shared and repeated 3-grams count per start") {
+    val out = Dedup.spanDuplicationFraction(
+      docs(1L -> "x y z w", 2L -> "x y z q", 3L -> "a b", 4L -> "m m m m"),
+      "id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // doc 3 has 2 tokens -> no 3-gram start -> no row
+    assert(out.keySet === Set(1L, 2L, 4L))
+    // docs 1/2 share "x y z"; their second starts are unique
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    // multiplicity inside ONE doc duplicates too: "m m m" occurs twice
+    assert(out(4L) === ((2L, 2L, 1.0)))
+  }
+
+  test("spanDuplicationFraction: fully unique corpus scores zero everywhere") {
+    val out = Dedup.spanDuplicationFraction(
+      docs(1L -> "a b c d", 2L -> "e f g"), "id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out === Map(1L -> 0.0, 2L -> 0.0))
+  }
+
+  // ---------------------------------------------------------- semantic dedup
+
+  private val embSchema = StructType(Seq(longCol("vec_id"), longCol("label"),
+    StructField("embedding", ArrayType(DoubleType))))
+
+  private def vecs(rows: (Long, Long, Seq[Double])*) =
+    makeDf(embSchema, rows.map { case (i, l, v) => Row(i, l, v) })
+
+  test("semanticDedup: drops only later vectors near an earlier one IN-cluster") {
+    val df = vecs(
+      (1L, 1L, Seq(1.0, 0.0)), (2L, 1L, Seq(1.0, 0.0)), (3L, 1L, Seq(0.0, 1.0)),
+      (4L, 2L, Seq(1.0, 0.0))) // same direction as 1 but another cluster
+    val out = Similarity.semanticDedup(df, "vec_id", "label", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out === Map(
+      1L -> ((0L, true)), 2L -> ((1L, false)),
+      3L -> ((0L, true)), 4L -> ((0L, true))))
+  }
+
+  test("semanticDedup: counts every earlier duplicate, not just one") {
+    val df = vecs(
+      (1L, 1L, Seq(1.0, 0.0)), (2L, 1L, Seq(1.0, 0.0)), (3L, 1L, Seq(1.0, 0.0)))
+    val out = Similarity.semanticDedup(df, "vec_id", "label", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("semanticDedup: cluster-size guard fails fast naming the LSH path") {
+    val df = vecs((1L, 1L, Seq(1.0, 0.0)), (2L, 1L, Seq(0.0, 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(df, "vec_id", "label", "embedding", 0.9,
+        maxClusterRows = 1L)
+    }
+    assert(e.getMessage.contains("embeddingCosinePairs"))
+    assert(e.getMessage.contains("2 rows"))
+  }
+}
