@@ -216,4 +216,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"single-pass, shuffle-free:\n$plan")
     assert(plan.contains("MapPartitions"), s"kernel scan expected:\n$plan")
   }
+
+  test("span duplication shuffles hashes only; text never leaves the scan") {
+    val df = Dedup.spanDuplicationFraction(docs(60), "id", "text", k = 3)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram-count join must stay key-equi:\n$plan")
+    val shuffles = plan.split('\n').filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffles.nonEmpty && shuffles.forall(!_.contains("text")),
+      s"only (hash, id) rows may shuffle:\n$plan")
+  }
+
+  test("unigram LM: vocabulary joins by key, the total broadcasts as one row") {
+    val df = CorpusStats.unigramLogProb(docs(60), "id", "text")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"no pair space anywhere:\n$plan")
+    // the single-row corpus total must arrive via broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"one-row total frame must broadcast:\n$plan")
+  }
+
+  test("semantic dedup joins cluster-keyed, never cartesian") {
+    val df = makeDf(
+      StructType(Seq(longCol("vec_id"), longCol("label"),
+        StructField("embedding", ArrayType(DoubleType)))),
+      (1 to 40).map(i => Row(i.toLong, (i % 4).toLong,
+        Seq(math.sin(i.toDouble), math.cos(i.toDouble)))))
+    val out = Similarity.semanticDedup(df, "vec_id", "label", "embedding", 0.99)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair scoring must stay within cluster-keyed equi joins:\n$plan")
+  }
 }
