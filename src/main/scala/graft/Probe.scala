@@ -1,44 +1,28 @@
 package graft
 
-import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
 
-import graft.accounting._
-import graft.budget._
-import graft.ir._
-import graft.session.Session
-
-/** Throwaway API probe (not part of the library surface). */
+/** Throwaway dev probe (not part of the library surface). Current use:
+  * timing + plan dump for individual registry queries —
+  * `runMain graft.Probe <sfDir> <queryName> [reps]`.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val name = if (args.length > 1) args(1) else "q108_span_duplication"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val Inf = PureDPBudget(Rat.Inf)
-    def p(name: String)(f: => Any): Unit =
-      try println(s"$name: " + f)
-      catch { case e: Throwable => println(s"$name threw: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
-
-    // unsupported column types
-    val arrDf = spark.createDataFrame(java.util.Arrays.asList(Row(Seq(1, 2))),
-      StructType(Seq(StructField("a", ArrayType(IntegerType)))))
-    p("array column")(Session.fromDataFrame(spark, Inf, "t", arrDf, AddOneRow()).describe())
-    val boolDf = spark.createDataFrame(java.util.Arrays.asList(Row(true)),
-      StructType(Seq(StructField("b", BooleanType))))
-    p("boolean column")(Session.fromDataFrame(spark, Inf, "t", boolDf, AddOneRow())
-      .evaluate(QueryBuilder("t").count(), Inf).collect().head.getLong(0))
-    // weird source ids
-    val okDf = spark.createDataFrame(java.util.Arrays.asList(Row(1L)),
-      StructType(Seq(StructField("x", LongType))))
-    p("source id with space")(Session.fromDataFrame(spark, Inf, "my table", okDf, AddOneRow())
-      .evaluate(QueryBuilder("my table").count(), Inf).collect().head.getLong(0))
-    p("empty source id")(Session.fromDataFrame(spark, Inf, "", okDf, AddOneRow()))
-    // nullable preservation
-    val nn = spark.createDataFrame(java.util.Arrays.asList(Row(1L)),
-      StructType(Seq(StructField("x", LongType, nullable = false))))
-    val s2 = Session.fromDataFrame(spark, Inf, "t", nn, AddOneRow())
-    p("nullable status")(s2.getColumnTypes("t").toString)
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warm
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      println(s"run$i: ${(System.nanoTime() - t0) / 1e9}")
+    }
+    fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

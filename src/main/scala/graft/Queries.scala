@@ -910,6 +910,32 @@ object Queries {
       q.awaitTermination()
       s.table(name)
     }),
+    "q110_streaming_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // bounded-memory top-k over an unbounded key stream: the SpaceSaving
+      // sketch state is `capacity` counters forever. Capacity 64 covers
+      // this table's 5 distinct event types, so the released ranking is
+      // EXACT (error 0, pinned in the projection) and the plain groupBy
+      // oracle applies; the approximation regime is SpaceSavingSpec's
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val hh = graft.streaming.Streaming.streamingHeavyHitters(
+        stream, "event_type", capacity = 64, k = 3)
+      val name = "q110mem"
+      val q = hh.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(posexplode(col("top")).as(Seq("pos", "hit")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("hit.key").as("event_type"), col("hit.count").as("count"))
+    }),
     "q102_source_quality" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // per-source corpus health: document counts, quality-gate pass rate,
@@ -2045,6 +2071,14 @@ object Queries {
         |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         |    AS dup_fraction
         |FROM st JOIN c USING (g) GROUP BY 1""".stripMargin,
+    // exact regime (capacity > distinct keys): the sketch top-k IS the
+    // groupBy top-k; rank ties break on the key string in both engines
+    "q110_streaming_heavy_hitters" ->
+      """SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |    AS BIGINT) AS rank,
+        |  event_type, CAST(count(*) AS BIGINT) AS count
+        |FROM events GROUP BY event_type
+        |ORDER BY 1 LIMIT 3""".stripMargin,
     // ids/booleans-only contract: the nearest intra-cluster cosine to the
     // 0.42 threshold is >= 3e-4 away at every SF (measured), so engine
     // round-off cannot flip a membership decision

@@ -42,29 +42,35 @@ object Dedup {
     * k-gram twice in one document is two duplicated starts. Documents with
     * fewer than k tokens emit no row (they have no k-gram start).
     *
-    * Scale shape: shingle starts are a pure map-side projection
-    * (transform over the split array, codegen'd — nothing materializes per
-    * row but the 8-byte xxhash64 of each k-gram); the global occurrence
-    * count is one token-keyed agg with map-side combine; marking starts is
-    * a join against that (vocabulary-sized) count table keyed on the hash;
-    * the finale is the id-keyed per-document agg. Shuffles carry only
+    * Scale shape: ONE pass generates the gram hashes — tokens hash once
+    * each (8 bytes), and a k-gram's identity is the xxhash64 of its
+    * token-hash slice, so no per-start string ever materializes and the
+    * kernel is O(tokens * k) long-hashing, not O(tokens * k) string
+    * building. Occurrence marking is a count window over the gram hash
+    * (one hash-keyed shuffle — NOT a count aggregate joined back, which
+    * would generate the gram stream twice and shuffle it twice); the
+    * finale is the id-keyed per-document agg. Shuffles carry only
     * (hash, id) — never text. The 8-byte hash stands in for the k-gram
-    * string (a collision needs ~2^32 distinct grams to reach 1e-9
-    * probability; at larger corpora widen to a 16-byte md5 pair).
+    * (a collision needs ~2^32 distinct grams to reach 1e-9 probability;
+    * at larger corpora widen to a 16-byte md5 pair).
     */
   def spanDuplicationFraction(
       df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     require(k >= 1, "k must be positive")
     val toks = split(trim(col(textCol)), "\\s+")
     // guard BOTH emptiness and short docs: sequence(0, negative) would
-    // count down, not produce an empty list
-    val starts = df
+    // count down, not produce an empty list. The token-hash array projects
+    // in its own step so the split runs once per row; the gram step
+    // references it twice (size + slice), which keeps CollapseProject from
+    // re-inlining the split into every lambda evaluation.
+    val tokenHashes = df
       .filter(length(trim(col(textCol))) > 0 && size(toks) >= k)
-      .select(col(idCol), explode(
-        transform(sequence(lit(0), size(toks) - k),
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))).as("__h"))
-    val counts = starts.groupBy("__h").agg(count(lit(1)).as("__n"))
-    starts.join(counts, "__h")
+      .select(col(idCol), transform(toks, t => xxhash64(t)).as("__th"))
+    val starts = tokenHashes.select(col(idCol), explode(
+      transform(sequence(lit(0), size(col("__th")) - k),
+        i => xxhash64(slice(col("__th"), i + 1, lit(k))))).as("__h"))
+    starts
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__h")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_starts"),
         sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_starts"))

@@ -192,6 +192,23 @@ object Streaming {
     }
   }
 
+  /** Running heavy hitters over an unbounded key stream: one row holding
+    * the SpaceSaving top-`k` (array of (key, count, error) structs in rank
+    * order), refreshed each micro-batch under complete/update output. The
+    * aggregation state is ONE sketch of `capacity` counters — fixed bytes
+    * forever, where a groupBy-count top-k would grow state with every
+    * distinct key the stream ever emits. Partial sketches per task merge
+    * associatively before the single final merge, so raw keys never cross
+    * the exchange either. Exact (error = 0) while the stream's distinct
+    * key count fits the capacity; past it, every reported count is an
+    * overestimate within its reported error (see
+    * [[graft.exec.SpaceSavingTopK]]).
+    */
+  def streamingHeavyHitters(
+      events: DataFrame, keyCol: String, capacity: Int, k: Int): DataFrame =
+    events.agg(graft.exec.SpaceSaving.spaceSavingTopK(
+      col(keyCol).cast("string"), capacity, k).as("top"))
+
   final case class SessionEvent(userId: Long, ts: Timestamp)
   final case class SessionSummary(
       userId: Long, start: Timestamp, end: Timestamp, nEvents: Long)
