@@ -986,10 +986,14 @@ object Queries {
       // (pixel-identical images share a hash, distinct patterns split —
       // PhashSpec pins the spectral properties)
       // 32x24 is the smallest size whose five stripe periods stay distinct
-      // after the 32x32 pHash resample — same code path, half the bench cost
-      val withBin = read(s, d, "documents").select(col("doc_id"),
-        graft.pipeline.Multimodal.synthStripePng(lit(32), lit(24),
-          pmod(col("doc_id"), lit(5)).cast("int")).as("payload"))
+      // after the 32x32 pHash resample — same code path, half the bench cost.
+      // A 1-in-4 deterministic slice keeps every hash group populated while
+      // the bench pays for the OPERATOR, not 60k PNG-encode scaffolding
+      // synthesizing its input (q50 still decodes the full table).
+      val withBin = read(s, d, "documents").filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"),
+          graft.pipeline.Multimodal.synthStripePng(lit(32), lit(24),
+            pmod(col("doc_id"), lit(5)).cast("int")).as("payload"))
       graft.pipeline.Multimodal.dedupImagesByPhash(withBin, "doc_id", "payload")
         .select(col("representative_id"), col("n_images"))
     }),
@@ -998,10 +1002,13 @@ object Queries {
       // REAL container parsing: per-doc animated GIFs with doc_id % 3 + 1
       // frames; sampling up to 2 evenly-spaced frames must yield exactly
       // min(2, n) rows per doc with the true frame_count and decoded
-      // dimensions — all recomputable arithmetic for the oracle
-      val withBin = read(s, d, "documents").select(col("doc_id"),
-        graft.pipeline.Multimodal.synthGif(lit(32), lit(24),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("payload"))
+      // dimensions — all recomputable arithmetic for the oracle. 1-in-4
+      // slice for the same reason as q104: the bench should weigh the
+      // sampler, not synthesizing 60k animated GIFs as its input.
+      val withBin = read(s, d, "documents").filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"),
+          graft.pipeline.Multimodal.synthGif(lit(32), lit(24),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("payload"))
       graft.pipeline.Multimodal.sampleVideoFrames(withBin, "payload", maxFrames = 2)
         .agg(count(lit(1)).as("n_rows"),
           sum(col("frame_count")).as("frame_count_sum"),
@@ -2024,7 +2031,7 @@ object Queries {
     "q104_image_phash_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS representative_id,
         |  CAST(count(*) AS BIGINT) AS n_images
-        |FROM documents GROUP BY doc_id % 5""".stripMargin,
+        |FROM documents WHERE doc_id % 4 = 0 GROUP BY doc_id % 5""".stripMargin,
     "q106_audio_fingerprint_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS representative_id,
         |  CAST(count(*) AS BIGINT) AS n_clips
@@ -2035,7 +2042,7 @@ object Queries {
         |    AS frame_count_sum,
         |  CAST(32 * sum(least(2, doc_id % 3 + 1)) AS BIGINT) AS width_sum,
         |  CAST(sum(least(2, doc_id % 3 + 1)) AS BIGINT) AS n_gif
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id % 4 = 0""".stripMargin,
     "q54_streaming_window_counts" ->
       """SELECT CAST((event_id // 600) * 600 AS BIGINT) AS window_start,
         |  event_type, CAST(count(*) AS BIGINT) AS count
