@@ -936,6 +936,50 @@ object Queries {
         .select((col("pos") + 1).cast("long").as("rank"),
           col("hit.key").as("event_type"), col("hit.count").as("count"))
     }),
+    "q111_streaming_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // ingest-time near-dup dedup: docs arrive in planted exact-copy
+      // groups of 3 (synthetic token streams from doc_id/3 — group token
+      // ranges are disjoint, so only true copies share buckets) and the
+      // min-id representative of each group must be the one that survives
+      // every band claim. The oracle regime is exact copies; the NEAR-dup
+      // power (twin loses >= 1 of 16 buckets) is StreamingSpec's pin.
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        // +1: an event at exactly epoch 0 ties the initial watermark and
+        // the stateful operator's late-row filter is strict
+        .withColumn("ts", timestamp_seconds(col("doc_id") + 1))
+        .withColumn("text", concat_ws(" ",
+          transform(sequence(lit(0), lit(19)),
+            i => concat(lit("t"), ((col("doc_id") / 3).cast("long") * 31 + i)
+              .cast("string")))))
+      val claims = graft.streaming.Streaming.streamingNearDupClaims(
+        stream, "ts", "doc_id", "text", watermark = "10 minutes")
+      val name = "q111mem"
+      val q = claims.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.Streaming.noveltyFromClaims(s.table(name), bands = 16)
+    }),
+    "q112_zorder_values" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // the Morton projection behind ZOrder.writeZOrdered, released as
+      // values so the oracle pins every bit placement: pure codegen'd
+      // shift/and/or tree, zero shuffle (the layout write itself is
+      // exercised in ZOrderSpec — a write has no releasable relation)
+      readEvents(s, d)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256)).as("u"),
+          pmod(col("event_id"), lit(256)).as("e"))
+        .withColumn("zval", graft.sources.ZOrder.zValue2(col("u"), col("e"), bits = 8))
+        .select(col("event_id"), col("zval"))
+    }),
     "q102_source_quality" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // per-source corpus health: document counts, quality-gate pass rate,
@@ -2086,6 +2130,28 @@ object Queries {
         |  event_type, CAST(count(*) AS BIGINT) AS count
         |FROM events GROUP BY event_type
         |ORDER BY 1 LIMIT 3""".stripMargin,
+    // bit-placement oracle for the Morton projection: column bit i of u
+    // lands at 2i, of e at 2i+1; non-overlapping powers make + equal to |
+    "q112_zorder_values" ->
+      """WITH m AS (SELECT event_id, user_id % 256 AS u, event_id % 256 AS e
+        |    FROM events)
+        |SELECT event_id, CAST(
+        |  ((u >> 0) & 1) * 1 + ((e >> 0) & 1) * 2 +
+        |  ((u >> 1) & 1) * 4 + ((e >> 1) & 1) * 8 +
+        |  ((u >> 2) & 1) * 16 + ((e >> 2) & 1) * 32 +
+        |  ((u >> 3) & 1) * 64 + ((e >> 3) & 1) * 128 +
+        |  ((u >> 4) & 1) * 256 + ((e >> 4) & 1) * 512 +
+        |  ((u >> 5) & 1) * 1024 + ((e >> 5) & 1) * 2048 +
+        |  ((u >> 6) & 1) * 4096 + ((e >> 6) & 1) * 8192 +
+        |  ((u >> 7) & 1) * 16384 + ((e >> 7) & 1) * 32768
+        |  AS BIGINT) AS zval
+        |FROM m""".stripMargin,
+    // exact-copy groups of 3: the min-id member claims every band bucket;
+    // distinct groups share no tokens, so a cross-group bucket collision
+    // needs a 64-bit hash collision (the q40 fingerprint-oracle regime)
+    "q111_streaming_neardup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+        |FROM documents GROUP BY doc_id // 3""".stripMargin,
     // ids/booleans-only contract: the nearest intra-cluster cosine to the
     // 0.42 threshold is >= 3e-4 away at every SF (measured), so engine
     // round-off cannot flip a membership decision

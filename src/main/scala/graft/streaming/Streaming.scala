@@ -192,6 +192,88 @@ object Streaming {
     }
   }
 
+  final case class BandClaim(docId: Long, survived: Boolean, ts: Timestamp)
+  // not private: the state encoder instantiates it in generated code
+  final case class BucketState(claimant: Long)
+  // not private: the row encoder instantiates it in generated code
+  final case class BandRow(bucket: Long, docId: Long, ts: Timestamp)
+
+  /** Streaming near-duplicate detection at ingest — the MinHash-LSH
+    * companion of [[streamingDedup]] (which only catches EXACT key
+    * repeats): each arriving document claims its `bands` band buckets, and
+    * a bucket already claimed within the watermark horizon flags the
+    * arrival as a near-duplicate of the claimant. Output is one row per
+    * (document, band) with `survived` = whether the document owns that
+    * bucket; reduce with [[noveltyFromClaims]] (a document is novel iff it
+    * owns EVERY band — near-dups share >= 1 bucket with their earlier
+    * twin at the banding's design probability).
+    *
+    * Arbitration is deterministic: within one micro-batch the SMALLEST
+    * doc id claims a contested bucket (so a batch of mutual near-dups
+    * keeps exactly its min-id representative instead of the mutual-kill
+    * an arbitrary first-wins would produce); across batches the earlier
+    * batch's claimant holds until the watermark expires its state.
+    *
+    * Scale shape: ONE stateful operator keyed on the 8-byte bucket hash —
+    * state per bucket is a single long claimant with an event-time
+    * timeout, so state bytes track DISTINCT buckets within the horizon,
+    * not stream history; the signature kernel is a map-side projection
+    * and the only shuffle is the bucket-keyed exchange into the state
+    * store. Document text never reaches the state store.
+    */
+  def streamingNearDupClaims(
+      stream: DataFrame, tsCol: String, idCol: String, textCol: String,
+      watermark: String, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3): Dataset[BandClaim] = {
+    import graft.pipeline.Dedup
+    implicit val rowEnc = Encoders.product[BandRow]
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[BandClaim]
+    implicit val keyEnc = Encoders.scalaLong
+    val sig = Dedup.minhashSignatureText(col(textCol), shingleSize, numHashes)
+    val banded = stream
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("docId"), col(tsCol).as("ts"),
+        posexplode(Dedup.bandHashes(sig, numHashes, bands))
+          .as(Seq("bandIdx", "bandHash")))
+      // bucket identity folds the band index into the hash so one state
+      // key space serves all bands
+      .select(xxhash64(col("bandHash"), col("bandIdx")).as("bucket"),
+        col("docId"), col("ts"))
+      .as[BandRow]
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, BandClaim](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector
+            val claimant = state.getOption.map(_.claimant)
+              .getOrElse(batch.minBy(_.docId).docId)
+            if (!state.exists) state.update(BucketState(claimant))
+            // hold the bucket for the watermark horizon past its newest
+            // claim; the timeout must sit strictly past the watermark
+            val maxTs = batch.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1))
+            batch.iterator.map(r =>
+              BandClaim(r.docId, r.docId == claimant, r.ts))
+          }
+      }
+  }
+
+  /** Batch reduction of [[streamingNearDupClaims]] output (e.g. over the
+    * sink table): a document is NOVEL iff it survived on every one of its
+    * `bands` claims. One id-keyed agg.
+    */
+  def noveltyFromClaims(claims: DataFrame, bands: Int): DataFrame =
+    claims.groupBy(col("docId").as("doc_id"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("survived"), 1L).otherwise(0L)).as("__s"))
+      .filter(col("__n") === bands && col("__s") === bands)
+      .select(col("doc_id"))
+
   /** Running heavy hitters over an unbounded key stream: one row holding
     * the SpaceSaving top-`k` (array of (key, count, error) structs in rank
     * order), refreshed each micro-batch under complete/update output. The

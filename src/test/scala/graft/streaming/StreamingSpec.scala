@@ -262,4 +262,64 @@ class StreamingSpec extends SparkSpec {
       (3L, 1L, 0L, 100L, 2L),
       (3L, 2L, 201L, 201L, 1L)))
   }
+
+  test("streaming near-dup claims: min-id representative survives, twins drop") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " other words"
+    val unrelated = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val claims = Streaming.streamingNearDupClaims(
+      in.toDF().toDF("id", "ts", "text"), "ts", "id", "text",
+      watermark = "10 minutes", numHashes = 64, bands = 16)
+    val q = claims.writeStream.format("memory").queryName("ndc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one batch of mutual near-dups + one unrelated doc: min-id
+      // arbitration must keep exactly doc 1 and doc 3
+      in.addData((1L, ts(1), base), (2L, ts(2), nearDup), (3L, ts(3), unrelated))
+      q.processAllAvailable()
+      val novel = Streaming.noveltyFromClaims(spark.table("ndc"), bands = 16)
+        .collect().map(_.getLong(0)).toSet
+      assert(novel.contains(1L) && novel.contains(3L))
+      assert(!novel.contains(2L), "the near-dup twin must lose >= 1 bucket")
+      // a later exact copy of doc 1 inside the horizon loses EVERY bucket
+      in.addData((7L, ts(4), base))
+      q.processAllAvailable()
+      val c7 = spark.table("ndc").filter("docId = 7")
+      assert(c7.count() === 16L)
+      assert(c7.filter("survived").count() === 0L)
+      // state is bucket-keyed: rows tracked == distinct claimed buckets
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("near-dup bucket state expires past the watermark horizon") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val text = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val claims = Streaming.streamingNearDupClaims(
+      in.toDF().toDF("id", "ts", "text"), "ts", "id", "text",
+      watermark = "5 minutes", numHashes = 64, bands = 16)
+    val q = claims.writeStream.format("memory").queryName("ndexp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, ts(1), text))
+      q.processAllAvailable()
+      // push the watermark far past doc 1's horizon, expiring its buckets
+      in.addData((2L, ts(120), (1 to 40).map(i => s"beta$i").mkString(" ")))
+      q.processAllAvailable()
+      // an exact copy of doc 1 arriving AFTER expiry claims fresh buckets
+      in.addData((9L, ts(121), text))
+      q.processAllAvailable()
+      val novel = Streaming.noveltyFromClaims(spark.table("ndexp"), bands = 16)
+        .collect().map(_.getLong(0)).toSet
+      assert(novel === Set(1L, 2L, 9L),
+        "the expired twin must read as novel again")
+    } finally q.stop()
+  }
 }
