@@ -980,6 +980,13 @@ object Queries {
         .withColumn("zval", graft.sources.ZOrder.zValue2(col("u"), col("e"), bits = 8))
         .select(col("event_id"), col("zval"))
     }),
+    "q113_key_skew_report" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // pre-shuffle skew diagnostics on the events user column: key count,
+      // hot-key ceiling, and micro-nat-quantized Shannon entropy — all
+      // BIGINTs plus one exact ratio (q107's portability discipline)
+      graft.sources.Salting.keySkewReport(readEvents(s, d), "user_id")
+    }),
     "q102_source_quality" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // per-source corpus health: document counts, quality-gate pass rate,
@@ -2130,6 +2137,21 @@ object Queries {
         |  event_type, CAST(count(*) AS BIGINT) AS count
         |FROM events GROUP BY event_type
         |ORDER BY 1 LIMIT 3""".stripMargin,
+    // per-key entropy mass quantizes to integer micro-nats BEFORE the sum
+    // (q107's rule: costs >= 0, half-up == half-away); released values are
+    // BIGINTs and one exact ratio
+    "q113_key_skew_report" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |    FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(tt) AS BIGINT) AS n_rows,
+        |  CAST(max(c) AS BIGINT) AS max_count,
+        |  CAST(sum(c * CAST(round(ln(tt::DOUBLE / c::DOUBLE) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS entropy_e6_num,
+        |  CAST(sum(c * CAST(round(ln(tt::DOUBLE / c::DOUBLE) * 1e6) AS BIGINT))
+        |    AS DOUBLE) / max(tt) AS entropy_e6
+        |FROM c CROSS JOIN t""".stripMargin,
     // bit-placement oracle for the Morton projection: column bit i of u
     // lands at 2i, of e at 2i+1; non-overlapping powers make + equal to |
     "q112_zorder_values" ->

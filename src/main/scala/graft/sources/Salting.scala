@@ -38,4 +38,34 @@ object Salting {
     */
   def saltExpr(allColumns: Seq[Column], buckets: Int): Column =
     pmod(xxhash64(allColumns: _*), lit(buckets.toLong))
+
+  /** Key-skew diagnostics for a prospective shuffle key: the one-row
+    * report that decides BEFORE a 100 TB groupBy/join whether the key
+    * needs [[saltedJoin]]/[[saltExpr]] or AQE alone will cope.
+    *
+    *  - `n_keys`, `n_rows`, `max_count`: the hot-key ceiling (one task's
+    *    worth of rows under hash partitioning).
+    *  - `entropy_e6_num / n_rows` = Shannon entropy of the key histogram
+    *    in micro-nats: ln(n_keys)*1e6 when uniform, collapsing toward 0 as
+    *    one key dominates. Per-key terms quantize to integer micro-nats
+    *    before summing (q107's portability discipline), so both released
+    *    columns are exact BIGINTs and the ratio is exact.
+    *
+    * Scale shape: one key-keyed count with map-side combine, then a
+    * one-row total reduction joined back by broadcast; nothing but
+    * (key, count) ever shuffles.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("__c"), col("__t"),
+        // c * round(ln(T/c) * 1e6): integer micro-nat mass per key
+        (col("__c") * round(log(col("__t").cast("double") /
+          col("__c").cast("double")) * 1e6, 0).cast("long")).as("__h"))
+      .agg(count(lit(1)).as("n_keys"), max(col("__t")).as("n_rows"),
+        max(col("__c")).as("max_count"), sum(col("__h")).as("entropy_e6_num"))
+      .withColumn("entropy_e6",
+        col("entropy_e6_num").cast("double") / col("n_rows").cast("double"))
+  }
 }
