@@ -280,6 +280,46 @@ object Demo {
         .select("query_id", "corpus_id", "rank").orderBy("query_id", "rank").show()
     }
 
+    banner("17. Data selection: LM typicality, span dup, semantic dedup")
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      println("most/least typical docs under the corpus's own unigram LM:")
+      val lm = graft.pipeline.CorpusStats.unigramLogProb(docs, "doc_id", "text")
+      lm.orderBy(col("mean_nll_e6")).limit(2)
+        .unionAll(lm.orderBy(col("mean_nll_e6").desc).limit(2)).show()
+      println("span-duplication tail (boilerplate that survives doc dedup):")
+      graft.pipeline.Dedup.spanDuplicationFraction(docs, "doc_id", "text")
+        .orderBy(col("dup_fraction").desc, col("doc_id")).limit(3).show()
+      println("SemDeDup within label clusters at tau=0.42:")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val sd = graft.pipeline.Similarity.semanticDedup(
+        emb, "vec_id", "label", "embedding", threshold = 0.42)
+      println(s"kept ${sd.filter(col("kept")).count()} of ${sd.count()} vectors")
+    }
+
+    banner("18. Layout + shuffle hygiene: skew report, z-order, top-k sketch")
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val events = spark.read.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType))))
+        .parquet(s"$sfDir/events.parquet")
+      println("is user_id safe to shuffle on? (entropy_e6 ~ ln(n_keys)*1e6 = uniform)")
+      graft.sources.Salting.keySkewReport(events, "user_id").show()
+      println("morton codes give every z column locality (layout: ZOrder.writeZOrdered):")
+      events.select(col("event_id"),
+        graft.sources.ZOrder.zValue2(pmod(col("user_id"), lit(16)),
+          pmod(col("event_id"), lit(16)), bits = 4).as("z"))
+        .orderBy("event_id").limit(3).show()
+      println("bounded-memory top event types (SpaceSaving, exact under capacity):")
+      events.agg(graft.exec.SpaceSaving.spaceSavingTopK(
+        col("event_type"), capacity = 64, k = 3).as("top"))
+        .select(explode(col("top"))).show(truncate = false)
+    }
+
     println("\ndemo complete.")
   }
 }
