@@ -34,6 +34,11 @@ import scala.util.control.NonFatal
   */
 object Multimodal {
 
+  // ImageIO's default ImageInput/OutputStream cache spills every payload
+  // through a temp FILE on disk; executor-side codec kernels must stay in
+  // memory (one disk round-trip per image would dominate at corpus scale)
+  ImageIO.setUseCache(false)
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("channels", IntegerType), StructField("format", StringType),
@@ -112,18 +117,27 @@ object Multimodal {
   /** REAL decode kernel: `javax.imageio` parses the payload; on success the
     * row carries the actual decoded (width, height, channels, format) plus
     * [[bandLuminance]] features. Unreadable payloads fall back to
-    * [[pseudoDecode]]; null payloads stay null.
+    * [[pseudoDecode]]; null payloads stay null. One stream + one reader
+    * per payload — sniffing the format and decoding share the setup
+    * instead of re-opening the bytes twice.
     */
   private[pipeline] def decodeImage(bytes: Array[Byte], featureDim: Int): Row = {
     if (bytes == null) return null
-    val fmt = detectFormat(bytes)
-    val img =
-      if (fmt == null) null
-      else try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case NonFatal(_) => null }
-    if (img == null) pseudoDecode(bytes, featureDim)
-    else Row(img.getWidth, img.getHeight, img.getColorModel.getNumComponents,
-      fmt, bandLuminance(img, featureDim).toSeq)
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    if (iis == null) return pseudoDecode(bytes, featureDim)
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return pseudoDecode(bytes, featureDim)
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val fmt = reader.getFormatName.toLowerCase
+        val img = reader.read(0)
+        Row(img.getWidth, img.getHeight, img.getColorModel.getNumComponents,
+          fmt, bandLuminance(img, featureDim).toSeq)
+      } finally reader.dispose()
+    } catch { case NonFatal(_) => pseudoDecode(bytes, featureDim) }
+    finally iis.close()
   }
 
   /** Decode a binary image column into a typed struct, batched per
