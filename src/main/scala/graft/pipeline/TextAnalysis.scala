@@ -68,6 +68,34 @@ object TextAnalysis {
       when(punctRatio(c) < 0.3, 1.0).otherwise(0.0) +
       when(stopwordRatio(c) > 0.0, 1.0).otherwise(0.0)) / lit(4.0)
 
+  /** Deflate compression ratio (compressed bytes / raw UTF-8 bytes) — the
+    * repetition signal used by the large-crawl pipelines: machine-generated
+    * loops and template spam compress far below natural prose, gibberish
+    * and random noise barely compress at all, so gates keep a middle band.
+    * Pure map-side kernel (one bounded Deflater per value, no shuffle);
+    * deterministic per JVM but NOT engine-portable (zlib output depends on
+    * the implementation), so its contract lives in TextMetricsSpec, not a
+    * SQL oracle. Empty/null text scores null.
+    */
+  def compressionRatio(c: Column): Column = {
+    val u = udf((t: String) => {
+      if (t == null || t.isEmpty) null
+      else {
+        val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        try {
+          d.setInput(raw)
+          d.finish()
+          val buf = new Array[Byte](8192)
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          java.lang.Double.valueOf(n.toDouble / raw.length)
+        } finally d.end()
+      }
+    })
+    u(c)
+  }
+
   /** Fraction of a document's lines that are duplicates of another line
     * (the Gopher repetition filter's line-level signal). Pure projection:
     * split + array_distinct, no shuffle at any scale.

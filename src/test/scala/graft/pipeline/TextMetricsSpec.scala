@@ -198,4 +198,21 @@ class TextMetricsSpec extends SparkSpec {
       .select(Dedup.hyperplaneSignature(col("v"), 16)).collect().head.getLong(0)
     assert((s1 ^ neg) === (1L << 16) - 1)
   }
+
+  test("compression ratio separates loops, prose, and noise") {
+    import org.apache.spark.sql.functions.col
+    val c = TextAnalysis.compressionRatio(col("t"))
+    val loop = one("spam ham " * 400, c).asInstanceOf[Double]
+    val prose = one(("the quick brown fox jumps over the lazy dog and then " +
+      "discusses query planning with a colleague over coffee ") * 8, c)
+      .asInstanceOf[Double]
+    val rnd = new scala.util.Random(5)
+    val noise = one(Seq.fill(3200)(('a' + rnd.nextInt(26)).toChar).mkString, c)
+      .asInstanceOf[Double]
+    assert(loop < 0.05, s"a pure loop must collapse, got $loop")
+    assert(prose > loop && prose < noise,
+      s"prose ($prose) must sit between loop ($loop) and noise ($noise)")
+    assert(noise > 0.5, s"incompressible noise should stay near raw, got $noise")
+    assert(one("", c) == null && one(null, c) == null)
+  }
 }
