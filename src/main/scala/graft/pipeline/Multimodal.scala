@@ -506,24 +506,57 @@ object Multimodal {
     out
   }
 
+  // twiddle tables per (windowLength, bins): media batches share a handful
+  // of window geometries, and sin/cos dominate the direct DFT, so memoize
+  // the table once per JVM per geometry (bounded — odd one-off geometries
+  // past the cap just compute inline)
+  private val twiddleCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (Array[Double], Array[Double])]()
+  private val TwiddleCacheMax = 256
+
+  private def twiddles(n: Int, bins: Int): (Array[Double], Array[Double]) = {
+    val build = { _: (Int, Int) =>
+      val cos = new Array[Double](bins * n)
+      val sin = new Array[Double](bins * n)
+      var k = 0
+      while (k < bins) {
+        var t = 0
+        while (t < n) {
+          val ang = -2.0 * math.Pi * k * t / n
+          cos(k * n + t) = math.cos(ang)
+          sin(k * n + t) = math.sin(ang)
+          t += 1
+        }
+        k += 1
+      }
+      (cos, sin)
+    }
+    if (twiddleCache.size >= TwiddleCacheMax) {
+      val hit = twiddleCache.get((n, bins))
+      if (hit != null) hit else build((n, bins))
+    } else twiddleCache.computeIfAbsent((n, bins), k => build(k))
+  }
+
   /** Magnitude spectrum |X_k|/n of x[lo, hi) at k = 0..bins-1 (direct DFT —
-    * windows are short and bins few, so O(n*bins) beats FFT bookkeeping).
-    * bins(0) is |mean|; an empty span yields zeros.
+    * windows are short and bins few, so O(n*bins) beats FFT bookkeeping;
+    * the sin/cos table is memoized per window geometry). bins(0) is
+    * |mean|; an empty span yields zeros.
     */
   private[pipeline] def dftMagnitudes(
       x: Array[Double], lo: Int, hi: Int, bins: Int): Array[Float] = {
     val n = hi - lo
     val out = new Array[Float](bins)
     if (n <= 0) return out
+    val (cosT, sinT) = twiddles(n, bins)
     var k = 0
     while (k < bins) {
       var re = 0.0
       var im = 0.0
+      val base = k * n
       var t = 0
       while (t < n) {
-        val ang = -2.0 * math.Pi * k * t / n
-        re += x(lo + t) * math.cos(ang)
-        im += x(lo + t) * math.sin(ang)
+        re += x(lo + t) * cosT(base + t)
+        im += x(lo + t) * sinT(base + t)
         t += 1
       }
       out(k) = (math.sqrt(re * re + im * im) / n).toFloat
