@@ -987,6 +987,19 @@ object Queries {
       // BIGINTs plus one exact ratio (q107's portability discipline)
       graft.sources.Salting.keySkewReport(readEvents(s, d), "user_id")
     }),
+    "q114_tree_prefix_sums" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // continual-release counting (Chan/Shi/Song binary tree): running
+      // totals of 10-minute event windows where EVERY prefix is private
+      // at finite eps with O(log^1.5 T) error. At eps=inf the noise is
+      // zero and the release is the exact cumulative series — the oracle;
+      // the finite-eps regime is TreeAggregationSpec's contract
+      val windows = readEvents(s, d)
+        .groupBy((col("event_id") / 600).cast("long").as("t"))
+        .agg(count(lit(1)).as("c"))
+      graft.exec.TreeAggregation.noisyPrefixSums(
+        windows, "t", "c", maxT = 1024, epsilon = Double.PositiveInfinity)
+    }),
     "q102_source_quality" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // per-source corpus health: document counts, quality-gate pass rate,
@@ -2137,6 +2150,13 @@ object Queries {
         |  event_type, CAST(count(*) AS BIGINT) AS count
         |FROM events GROUP BY event_type
         |ORDER BY 1 LIMIT 3""".stripMargin,
+    // DuckDB windowed sum returns HUGEINT — cast; the tree release at
+    // eps=inf must equal the exact cumulative series
+    "q114_tree_prefix_sums" ->
+      """WITH w AS (SELECT CAST(event_id // 600 AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1)
+        |SELECT t, CAST(sum(c) OVER (ORDER BY t) AS BIGINT) AS prefix_sum
+        |FROM w""".stripMargin,
     // per-key entropy mass quantizes to integer micro-nats BEFORE the sum
     // (q107's rule: costs >= 0, half-up == half-away); released values are
     // BIGINTs and one exact ratio
