@@ -92,6 +92,21 @@ class DataSelectionSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("results are partition-invariant (1 vs 17 shuffled partitions)") {
+    val rnd = new scala.util.Random(9)
+    val corpus = (1 to 60).map(i =>
+      i.toLong -> Seq.fill(12)("w" + rnd.nextInt(30)).mkString(" "))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    for (parts <- Seq(1, 17)) {
+      val df = docs(corpus: _*).repartition(parts)
+      assert(canon(CorpusStats.unigramLogProb(df, "id", "text")) ===
+        canon(CorpusStats.unigramLogProb(docs(corpus: _*), "id", "text")))
+      assert(canon(Dedup.spanDuplicationFraction(df, "id", "text", 3)) ===
+        canon(Dedup.spanDuplicationFraction(docs(corpus: _*), "id", "text", 3)))
+    }
+  }
+
   test("semanticDedup: cluster-size guard fails fast naming the LSH path") {
     val df = vecs((1L, 1L, Seq(1.0, 0.0)), (2L, 1L, Seq(0.0, 1.0)))
     val e = intercept[IllegalArgumentException] {
