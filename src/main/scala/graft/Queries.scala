@@ -1000,6 +1000,19 @@ object Queries {
       graft.exec.TreeAggregation.noisyPrefixSums(
         windows, "t", "c", maxT = 1024, epsilon = Double.PositiveInfinity)
     }),
+    "q115_json_props" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // semi-structured ingestion: the events props column is a JSON blob;
+      // extraction is a codegen'd path expression (get_json_object), never
+      // a parse-to-rows UDF, and the agg is one keyed shuffle. Exercises
+      // the one table column nothing else reads.
+      readEvents(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("__k"))
+        .groupBy("event_type")
+        .agg(count(col("__k")).as("n_with_k"), sum(col("__k")).as("k_sum"),
+          max(col("__k")).as("k_max"))
+    }),
     "q102_source_quality" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // per-source corpus health: document counts, quality-gate pass rate,
@@ -2150,6 +2163,15 @@ object Queries {
         |  event_type, CAST(count(*) AS BIGINT) AS count
         |FROM events GROUP BY event_type
         |ORDER BY 1 LIMIT 3""".stripMargin,
+    // JSON path extraction mirrors get_json_object; sums of small ints
+    "q115_json_props" ->
+      """SELECT event_type,
+        |  CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS k_sum,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS k_max
+        |FROM events GROUP BY 1""".stripMargin,
     // DuckDB windowed sum returns HUGEINT — cast; the tree release at
     // eps=inf must equal the exact cumulative series
     "q114_tree_prefix_sums" ->
