@@ -215,6 +215,26 @@ object Similarity {
       .withColumn("kept", col("n_dups_earlier") === 0)
   }
 
+  /** One-call SemDeDup for un-clustered corpora: train an IVF coarse
+    * quantizer ([[Ivf.train]], seeded sample, `nlist` cells), assign every
+    * vector to its nearest cell, and run [[semanticDedup]] within cells.
+    * `nlist` is the scale knob — pair work is the sum of squared CELL
+    * sizes, so more cells buy less quadratic work at the price of missing
+    * duplicates that straddle a cell boundary (the SemDeDup trade; exact
+    * duplicates always share a cell because identical vectors share a
+    * nearest centroid).
+    */
+  def semanticDedupAuto(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nlist: Int = 256, maxClusterRows: Long = 1L << 16): DataFrame = {
+    val model = Ivf.train(df, vecCol, nlist)
+    val assigned = Ivf.assignCells(df, idCol, vecCol, model)
+      .select(col("corpus_id").as(idCol), col("__cell"))
+      .join(df, Seq(idCol))
+    semanticDedup(assigned, idCol, "__cell", vecCol, threshold, maxClusterRows)
+      .withColumnRenamed("__cell", "cell")
+  }
+
   /** Per-band hyperplane signatures: band t packs the sign bits of its own
     * `bandBits` planes (planes t*bandBits until (t+1)*bandBits of the shared
     * memoized plane matrix) into one long — the classic L-hash-table LSH

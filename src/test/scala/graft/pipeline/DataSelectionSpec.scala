@@ -107,6 +107,34 @@ class DataSelectionSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupAuto: IVF cells route exact twins into one cluster") {
+    // 3 well-separated directions in 8 dims; each cell's singletons sit at
+    // the direction plus a DISTINCT perpendicular offset (pairwise cosine
+    // <= 0.99 by construction), and two exact duplicate pairs are planted.
+    // Identical vectors share a nearest centroid, so the twins must drop
+    // however kmeans carves the rest; nothing else may reach 0.9999.
+    def unit(axis: Int, scale: Double) = Seq.tabulate(8)(k =>
+      if (k == axis) scale else 0.0)
+    def plus(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x + y }
+    val dirs = Seq(unit(0, 10.0), unit(1, 10.0), unit(2, 10.0))
+    val singles = (0 until 30).map { i =>
+      val off = unit(3 + i % 5, 2.0 + (i / 3))
+      (i.toLong, 0L, plus(dirs(i % 3), off))
+    }
+    val rows = singles ++ Seq(
+      (100L, 0L, dirs(0)), (101L, 0L, dirs(0)), // exact twins
+      (102L, 0L, dirs(1)), (103L, 0L, dirs(1)))
+    import org.apache.spark.sql.functions.col
+    val df = vecs(rows: _*).select(col("vec_id"), col("embedding"))
+    val out = Similarity.semanticDedupAuto(df, "vec_id", "embedding",
+      threshold = 0.9999, nlist = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(100L) && !out(101L), "the later exact twin must drop")
+    assert(out(102L) && !out(103L))
+    assert(out.size === 34)
+    assert(out.count(!_._2) === 2, "ONLY the two later twins drop")
+  }
+
   test("semanticDedup: cluster-size guard fails fast naming the LSH path") {
     val df = vecs((1L, 1L, Seq(1.0, 0.0)), (2L, 1L, Seq(0.0, 1.0)))
     val e = intercept[IllegalArgumentException] {
