@@ -1157,6 +1157,34 @@ object Queries {
         col("window.start").cast("long").as("window_start"),
         col("event_type"), col("count"))
     }),
+    "q116_windowed_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // per-window hot keys with FIXED per-window state (the SpaceSaving
+      // sketch under a tumbling window). Capacity 64 > 5 event types, so
+      // every window's ranking is exact and the plain per-window groupBy
+      // oracle applies; rank ties break on the key string in both engines
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_seconds(col("event_id")))
+      val hh = graft.streaming.Streaming.windowedHeavyHitters(
+        stream, "ts", "event_type", "10 minutes", "5 minutes",
+        capacity = 64, k = 2)
+      val name = "q116mem"
+      val q = hh.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("window.start").cast("long").as("window_start"),
+          posexplode(col("top")).as(Seq("pos", "hit")))
+        .select(col("window_start"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.key").as("event_type"), col("hit.count").as("count"))
+    }),
     "q69_sessionization_batch" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // event time in seconds derived from event_id (the parquet ts column
@@ -2163,6 +2191,18 @@ object Queries {
         |  event_type, CAST(count(*) AS BIGINT) AS count
         |FROM events GROUP BY event_type
         |ORDER BY 1 LIMIT 3""".stripMargin,
+    // per-window exact regime (capacity > distinct keys): sketch top-k ==
+    // groupBy top-k inside each 600-second window; ties break on the key
+    "q116_windowed_heavy_hitters" ->
+      """WITH w AS (SELECT CAST((event_id // 600) * 600 AS BIGINT) AS ws,
+        |    event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT ws AS window_start,
+        |  CAST(rank AS BIGINT) AS rank, event_type, c AS count
+        |FROM (SELECT ws, event_type, c,
+        |    row_number() OVER (PARTITION BY ws ORDER BY c DESC, event_type)
+        |      AS rank FROM w) t
+        |WHERE rank <= 2""".stripMargin,
     // JSON path extraction mirrors get_json_object; sums of small ints
     "q115_json_props" ->
       """SELECT event_type,

@@ -291,6 +291,24 @@ object Streaming {
     events.agg(graft.exec.SpaceSaving.spaceSavingTopK(
       col(keyCol).cast("string"), capacity, k).as("top"))
 
+  /** Per-window heavy hitters: [[streamingHeavyHitters]]'s sketch inside a
+    * tumbling-window streaming aggregation — each window keeps its own
+    * `capacity`-counter SpaceSaving state, so the per-window hot-key
+    * report costs fixed bytes per OPEN window no matter how many distinct
+    * keys the window sees (a per-(window, key) count agg would grow state
+    * with the window's key cardinality). Exact below capacity; use
+    * complete/update output, or append with the watermark closing windows.
+    */
+  def windowedHeavyHitters(
+      events: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, watermark: String,
+      capacity: Int, k: Int): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(graft.exec.SpaceSaving.spaceSavingTopK(
+        col(keyCol).cast("string"), capacity, k).as("top"))
+
   final case class SessionEvent(userId: Long, ts: Timestamp)
   final case class SessionSummary(
       userId: Long, start: Timestamp, end: Timestamp, nEvents: Long)
