@@ -86,6 +86,23 @@ object GraftExtensions {
         "bounded_collect_list(value, limit) takes exactly 2 arguments")
       BoundedCollectList(exprs.head, intLiteral(exprs(1), "bounded_collect_list limit"))
         .toAggregateExpression()
+    },
+    "compression_ratio" -> lift1(graft.pipeline.TextAnalysis.compressionRatio),
+    "image_phash" -> lift1(c => graft.pipeline.Multimodal.pHash(c)),
+    "audio_fingerprint" -> lift1(c =>
+      graft.pipeline.Multimodal.audioFingerprintCol(c)),
+    "z_value" -> { exprs =>
+      require(exprs.size == 3, "z_value(x, y, bits) takes exactly 3 arguments")
+      val bits = intLiteral(exprs(2), "z_value bits")
+      ColumnBridge.resolvedExpression(graft.sources.ZOrder.zValue2(
+        ColumnBridge.column(exprs(0)), ColumnBridge.column(exprs(1)), bits))
+    },
+    "space_saving_topk" -> { exprs =>
+      require(exprs.size == 3,
+        "space_saving_topk(key, capacity, k) takes exactly 3 arguments")
+      SpaceSavingTopK(exprs.head,
+        intLiteral(exprs(1), "space_saving_topk capacity"),
+        intLiteral(exprs(2), "space_saving_topk k")).toAggregateExpression()
     })
 
   /** Register the functions into an already-running session (for sessions

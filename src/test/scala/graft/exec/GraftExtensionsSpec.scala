@@ -65,4 +65,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out === Map(0L -> 7, 1L -> 7)) // both groups capped at the limit
   }
+
+  test("round-7 primitives are callable from pure SQL") {
+    val row = spark.sql("""
+      SELECT z_value(3L, 5L, 3) AS z,
+             compression_ratio(repeat('spam ham ', 200)) AS cr,
+             image_phash(CAST(NULL AS BINARY)) AS ph,
+             audio_fingerprint(CAST(NULL AS BINARY)) AS af
+    """).collect().head
+    assert(row.getLong(0) === 39L)
+    assert(row.getDouble(1) < 0.05)
+    assert(row.isNullAt(2) && row.isNullAt(3))
+    // real payloads through the SQL surface
+    val png = graft.pipeline.Multimodal.synthesizePng(8, 8, 0x336699)
+    val tone = graft.pipeline.Multimodal.synthesizeTonePcm(512, 16)
+    import spark.implicits._
+    val media = Seq((png, tone)).toDF("img", "clip")
+    media.createOrReplaceTempView("media")
+    val m = spark.sql(
+      "SELECT image_phash(img) AS ph, audio_fingerprint(clip) AS af FROM media")
+      .collect().head
+    assert(!m.isNullAt(0) && !m.isNullAt(1))
+  }
+
+  test("space_saving_topk works as a SQL aggregate (exact regime)") {
+    spark.range(90).selectExpr("CAST(id % 3 AS STRING) AS k")
+      .createOrReplaceTempView("ss")
+    val out = spark.sql("""
+      SELECT h.key, h.count, h.error
+      FROM (SELECT space_saving_topk(k, 16, 3) AS top FROM ss)
+      LATERAL VIEW explode(top) t AS h
+    """).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === Set(("0", 30L, 0L), ("1", 30L, 0L), ("2", 30L, 0L)))
+  }
 }
