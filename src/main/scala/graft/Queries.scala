@@ -1157,6 +1157,20 @@ object Queries {
         col("window.start").cast("long").as("window_start"),
         col("event_type"), col("count"))
     }),
+    "q117_bpe_saturation" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // tokenizer training end-to-end on its own corpus: trained to
+      // saturation (the merge loop self-terminates when every seen word is
+      // one symbol), BPE encoding must reproduce whole-word segmentation —
+      // per-doc subword counts equal the house token count, which DuckDB
+      // recomputes. Trains on the real table; encodes the real table.
+      val docsDf = read(s, d, "documents")
+      val model = graft.pipeline.Bpe.train(docsDf, "text",
+        numMerges = 10000, minPairCount = 1)
+      docsDf.select(col("doc_id"),
+        size(graft.pipeline.Bpe.encode(col("text"), model)).cast("long")
+          .as("n_subwords"))
+    }),
     "q116_windowed_heavy_hitters" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
@@ -2191,6 +2205,13 @@ object Queries {
         |  event_type, CAST(count(*) AS BIGINT) AS count
         |FROM events GROUP BY event_type
         |ORDER BY 1 LIMIT 3""".stripMargin,
+    // saturation contract: fully-trained BPE on its own corpus segments
+    // every seen word as one token, so subword count == word count
+    "q117_bpe_saturation" ->
+      """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |  AS n_subwords
+        |FROM documents""".stripMargin,
     // per-window exact regime (capacity > distinct keys): sketch top-k ==
     // groupBy top-k inside each 600-second window; ties break on the key
     "q116_windowed_heavy_hitters" ->

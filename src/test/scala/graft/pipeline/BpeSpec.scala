@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(longCol("id"), strCol("text")))
+
+  private def docs(rows: (Long, String)*) =
+    makeDf(docSchema, rows.map { case (i, t) => Row(i, t) })
+
+  test("training follows the hand-computed merge order with lexicographic ties") {
+    // words: low x2, lower x1. pair counts: (l,o)=3, (o,w)=3, (w,e)=1,
+    // (e,r)=1 -> tie (l,o)/(o,w) breaks lexicographically to (l,o); then
+    // (lo,w)=3 wins; then (e,r)/(low,e) tie at 1 breaks to (e,r)
+    val m = Bpe.train(docs(1L -> "low low", 2L -> "lower"),
+      "text", numMerges = 3, minPairCount = 1)
+    assert(m.merges === Seq("l" -> "o", "lo" -> "w", "e" -> "r"))
+  }
+
+  test("minPairCount stops the loop before singleton merges") {
+    val m = Bpe.train(docs(1L -> "low low", 2L -> "lower"),
+      "text", numMerges = 10, minPairCount = 2)
+    // only the count-3 pairs qualify
+    assert(m.merges === Seq("l" -> "o", "lo" -> "w"))
+  }
+
+  test("encode reproduces training segmentation; unseen chars stay split") {
+    val m = Bpe.train(docs(1L -> "low low", 2L -> "lower"),
+      "text", numMerges = 3, minPairCount = 1)
+    val out = docs(1L -> "low lower lowest zzz")
+      .select(Bpe.encode(col("text"), m).as("toks"))
+      .collect().head.getSeq[String](0)
+    // low -> [low]; lower -> [low, er]; lowest -> [low, e, s, t] (no (e,s)
+    // merge learned); zzz stays characters
+    assert(out === Seq("low", "low", "er", "low", "e", "s", "t", "z", "z", "z"))
+  }
+
+  test("training is deterministic under any partitioning") {
+    val corpus = (1 to 50).map(i =>
+      i.toLong -> s"alpha beta gamma delta token$i alpha beta")
+    val a = Bpe.train(docs(corpus: _*), "text", numMerges = 8)
+    val b = Bpe.train(docs(corpus: _*).repartition(13), "text", numMerges = 8)
+    assert(a.merges === b.merges)
+    assert(a.merges.nonEmpty)
+  }
+
+  test("the word-dictionary residency bound is enforced, naming the fix") {
+    val corpus = (1 to 40).map(i => i.toLong -> s"w$i x$i y$i")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(docs(corpus: _*), "text", numMerges = 2, maxWords = 10)
+    }
+    assert(e.getMessage.contains("frequency floor"))
+  }
+
+  test("null text encodes to null; blank to empty") {
+    val m = Bpe.Model(Seq("a" -> "b"))
+    val df = makeDf(docSchema, Seq(Row(1L, null), Row(2L, "   ")))
+      .select(col("id"), Bpe.encode(col("text"), m).as("toks"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      Option(r.getSeq[String](1))).toMap
+    assert(rows(1L).isEmpty)
+    assert(rows(2L).contains(Seq.empty))
+  }
+}
