@@ -291,6 +291,9 @@ object Demo {
       println("span-duplication tail (boilerplate that survives doc dedup):")
       graft.pipeline.Dedup.spanDuplicationFraction(docs, "doc_id", "text")
         .orderBy(col("dup_fraction").desc, col("doc_id")).limit(3).show()
+      println("BPE: one corpus pass -> word dict -> deterministic merges:")
+      val bpe = graft.pipeline.Bpe.train(docs, "text", numMerges = 10)
+      println(s"first merges: ${bpe.merges.take(5).mkString(", ")}")
       println("SemDeDup within label clusters at tau=0.42:")
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val sd = graft.pipeline.Similarity.semanticDedup(
