@@ -40,6 +40,9 @@ object TreeAggregation {
       df: DataFrame, tCol: String, countCol: String,
       maxT: Long, epsilon: Double, sensitivity: Double = 1.0): DataFrame = {
     require(maxT >= 1, "maxT must be positive")
+    require(epsilon > 0.0,
+      s"epsilon must be positive (or infinite for the exact release), got $epsilon")
+    require(sensitivity > 0.0, s"sensitivity must be positive, got $sensitivity")
     // the tree is sized by maxT: an index past it would decompose into
     // nodes that were never built (and never noised) — fail, don't drop
     val bounds = df.agg(min(col(tCol).cast("long")), max(col(tCol).cast("long"))).head

@@ -33,6 +33,17 @@ class TreeAggregationSpec extends SparkSpec {
     }
   }
 
+  test("non-positive epsilon and sensitivity are rejected") {
+    val df = series(0L -> 1L)
+    assert(intercept[IllegalArgumentException] {
+      TreeAggregation.noisyPrefixSums(df, "t", "c", maxT = 4, epsilon = 0.0)
+    }.getMessage.contains("epsilon"))
+    assert(intercept[IllegalArgumentException] {
+      TreeAggregation.noisyPrefixSums(df, "t", "c", maxT = 4,
+        epsilon = 1.0, sensitivity = -1.0)
+    }.getMessage.contains("sensitivity"))
+  }
+
   test("indexes outside [0, maxT) are rejected, not dropped") {
     val e = intercept[IllegalArgumentException] {
       TreeAggregation.noisyPrefixSums(series(9L -> 1L), "t", "c",
