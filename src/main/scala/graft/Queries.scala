@@ -973,7 +973,7 @@ object Queries {
       // values so the oracle pins every bit placement: pure codegen'd
       // shift/and/or tree, zero shuffle (the layout write itself is
       // exercised in ZOrderSpec — a write has no releasable relation)
-      readEvents(s, d)
+      read(s, d, "events")
         .select(col("event_id"),
           pmod(col("user_id"), lit(256)).as("u"),
           pmod(col("event_id"), lit(256)).as("e"))
@@ -985,7 +985,7 @@ object Queries {
       // pre-shuffle skew diagnostics on the events user column: key count,
       // hot-key ceiling, and micro-nat-quantized Shannon entropy — all
       // BIGINTs plus one exact ratio (q107's portability discipline)
-      graft.sources.Salting.keySkewReport(readEvents(s, d), "user_id")
+      graft.sources.Salting.keySkewReport(read(s, d, "events"), "user_id")
     }),
     "q114_tree_prefix_sums" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -994,24 +994,11 @@ object Queries {
       // at finite eps with O(log^1.5 T) error. At eps=inf the noise is
       // zero and the release is the exact cumulative series — the oracle;
       // the finite-eps regime is TreeAggregationSpec's contract
-      val windows = readEvents(s, d)
+      val windows = read(s, d, "events")
         .groupBy((col("event_id") / 600).cast("long").as("t"))
         .agg(count(lit(1)).as("c"))
       graft.exec.TreeAggregation.noisyPrefixSums(
         windows, "t", "c", maxT = 1024, epsilon = Double.PositiveInfinity)
-    }),
-    "q115_json_props" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      // semi-structured ingestion: the events props column is a JSON blob;
-      // extraction is a codegen'd path expression (get_json_object), never
-      // a parse-to-rows UDF, and the agg is one keyed shuffle. Exercises
-      // the one table column nothing else reads.
-      readEvents(s, d)
-        .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("__k"))
-        .groupBy("event_type")
-        .agg(count(col("__k")).as("n_with_k"), sum(col("__k")).as("k_sum"),
-          max(col("__k")).as("k_max"))
     }),
     "q102_source_quality" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2224,15 +2211,6 @@ object Queries {
         |    row_number() OVER (PARTITION BY ws ORDER BY c DESC, event_type)
         |      AS rank FROM w) t
         |WHERE rank <= 2""".stripMargin,
-    // JSON path extraction mirrors get_json_object; sums of small ints
-    "q115_json_props" ->
-      """SELECT event_type,
-        |  CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-        |    AS k_sum,
-        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-        |    AS k_max
-        |FROM events GROUP BY 1""".stripMargin,
     // DuckDB windowed sum returns HUGEINT — cast; the tree release at
     // eps=inf must equal the exact cumulative series
     "q114_tree_prefix_sums" ->

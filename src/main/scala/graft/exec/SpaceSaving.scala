@@ -170,7 +170,12 @@ object SpaceSavingTopK {
       out.writeBoolean(evicted)
       out.writeInt(counters.size)
       counters.foreach { case (key, (c, e)) =>
-        out.writeUTF(key); out.writeLong(c); out.writeLong(e)
+        // length-framed UTF-8, not writeUTF: a key past 64 KB (degenerate
+        // URLs, whole documents as keys) must round-trip, not crash the
+        // shuffle with UTFDataFormatException
+        val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(kb.length); out.write(kb)
+        out.writeLong(c); out.writeLong(e)
       }
       out.flush()
       bos.toByteArray
@@ -185,7 +190,10 @@ object SpaceSavingTopK {
       val n = in.readInt()
       var i = 0
       while (i < n) {
-        s.counters.update(in.readUTF(), (in.readLong(), in.readLong()))
+        val kb = new Array[Byte](in.readInt())
+        in.readFully(kb)
+        val key = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+        s.counters.update(key, (in.readLong(), in.readLong()))
         i += 1
       }
       s

@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
 object TreeAggregation {
 
   /** Noisy prefix sums of `countCol` ordered by the dense time index
-    * `tCol` (0-based long; gaps are fine — missing indexes contribute 0).
-    * Output: one row per input index with (tCol, prefix_sum). `maxT` is
-    * the series-length bound that sizes the tree; `epsilon` the total
-    * budget for the WHOLE series, `sensitivity` the per-index bound.
+    * `tCol` (0-based long; gaps are fine — missing indexes contribute 0,
+    * and rows sharing an index sum into it). Output: one row per DISTINCT
+    * input index with (tCol, prefix_sum). `maxT` is the series-length
+    * bound that sizes the tree; `epsilon` the total budget for the WHOLE
+    * series, `sensitivity` the per-index bound.
     */
   def noisyPrefixSums(
       df: DataFrame, tCol: String, countCol: String,
@@ -77,8 +78,10 @@ object TreeAggregation {
 
     // dyadic cover of [0, t]: with n = t+1, every SET bit l of n
     // contributes exactly the node (level l, index (n >> l) - 1) — the
-    // bits above l fix the node's start, the node's width is 2^l
-    val decomposition = df.select(col(tCol).cast("long").as("__t"))
+    // bits above l fix the node's start, the node's width is 2^l.
+    // DISTINCT first: duplicate input indexes aggregate correctly on the
+    // contribution side, but would double-count every cover node here
+    val decomposition = df.select(col(tCol).cast("long").as("__t")).distinct()
       .select(col("__t"), explode(levels).as("__l"))
       .withColumn("__n", col("__t") + 1)
       .filter(expr("shiftright(__n, __l)").bitwiseAND(lit(1L)) === 1L)

@@ -508,14 +508,17 @@ object Multimodal {
 
   // twiddle tables per (windowLength, bins): media batches share a handful
   // of window geometries, and sin/cos dominate the direct DFT, so memoize
-  // the table once per JVM per geometry (bounded — odd one-off geometries
-  // past the cap just compute inline)
+  // the table once per JVM per geometry. The budget is in ELEMENTS, not
+  // entries — window length scales with clip length, so an entry-count cap
+  // would let a few long clips pin hundreds of MB per executor. Geometries
+  // past the remaining budget just compute inline (O(1) memory, as before
+  // the cache existed).
   private val twiddleCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), (Array[Double], Array[Double])]()
-  private val TwiddleCacheMax = 256
+  private val TwiddleBudgetElems = new java.util.concurrent.atomic.AtomicLong(1L << 22) // ~64 MB
 
   private def twiddles(n: Int, bins: Int): (Array[Double], Array[Double]) = {
-    val build = { _: (Int, Int) =>
+    def build(): (Array[Double], Array[Double]) = {
       val cos = new Array[Double](bins * n)
       val sin = new Array[Double](bins * n)
       var k = 0
@@ -531,10 +534,22 @@ object Multimodal {
       }
       (cos, sin)
     }
-    if (twiddleCache.size >= TwiddleCacheMax) {
-      val hit = twiddleCache.get((n, bins))
-      if (hit != null) hit else build((n, bins))
-    } else twiddleCache.computeIfAbsent((n, bins), k => build(k))
+    val hit = twiddleCache.get((n, bins))
+    if (hit != null) hit
+    else {
+      val elems = 2L * bins * n
+      val tables = build()
+      // reserve budget first; losing a concurrent race refunds and uses
+      // whichever entry won
+      if (TwiddleBudgetElems.addAndGet(-elems) >= 0) {
+        val prev = twiddleCache.putIfAbsent((n, bins), tables)
+        if (prev != null) { TwiddleBudgetElems.addAndGet(elems); prev }
+        else tables
+      } else {
+        TwiddleBudgetElems.addAndGet(elems)
+        tables
+      }
+    }
   }
 
   /** Magnitude spectrum |X_k|/n of x[lo, hi) at k = 0..bins-1 (direct DFT —

@@ -194,17 +194,22 @@ object Similarity {
   def semanticDedup(
       df: DataFrame, idCol: String, clusterCol: String, vecCol: String,
       threshold: Double, maxClusterRows: Long = 1L << 16): DataFrame = {
-    val biggest = df.groupBy(col(clusterCol)).agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n"))).head.getLong(0)
-    require(biggest <= maxClusterRows,
-      s"semanticDedup scores all pairs within each cluster and the largest " +
-        s"cluster has $biggest rows (bound $maxClusterRows); re-cluster at " +
-        "finer granularity (Ivf.train with larger nlist) or use " +
-        "Dedup.embeddingCosinePairs, the LSH path that needs no clustering")
     val v = df.select(col(clusterCol).as("__cl"), col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
-    val dupCounts = v.as("a")
-      .join(v.as("b"), col("a.__cl") === col("b.__cl") &&
+    // rows with a null vector or null cluster cannot join a pair: they are
+    // excluded from scoring (and from the guard — a large null group forms
+    // no pairs) and reported kept in the output
+    val scorable = v.filter(col("__v").isNotNull && col("__cl").isNotNull)
+    val biggest = scorable.groupBy(col("__cl")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head
+    val biggestN = if (biggest.isNullAt(0)) 0L else biggest.getLong(0)
+    require(biggestN <= maxClusterRows,
+      s"semanticDedup scores all pairs within each cluster and the largest " +
+        s"cluster has $biggestN rows (bound $maxClusterRows); re-cluster at " +
+        "finer granularity (Ivf.train with larger nlist) or use " +
+        "Dedup.embeddingCosinePairs, the LSH path that needs no clustering")
+    val dupCounts = scorable.as("a")
+      .join(scorable.as("b"), col("a.__cl") === col("b.__cl") &&
         col("a.__id") < col("b.__id"))
       .filter(cosine(col("a.__v"), col("b.__v")) >= threshold)
       .groupBy(col("b.__id").as("__id"))
@@ -228,9 +233,13 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nlist: Int = 256, maxClusterRows: Long = 1L << 16): DataFrame = {
     val model = Ivf.train(df, vecCol, nlist)
-    val assigned = Ivf.assignCells(df, idCol, vecCol, model)
-      .select(col("corpus_id").as(idCol), col("__cell"))
-      .join(df, Seq(idCol))
+    // LEFT join: assignCells emits nothing for null vectors, but the
+    // output contract is one row per input — unassignable rows ride with
+    // a null cell and semanticDedup reports them kept
+    val assigned = df.join(
+      Ivf.assignCells(df, idCol, vecCol, model)
+        .select(col("corpus_id").as(idCol), col("__cell")),
+      Seq(idCol), "left")
     semanticDedup(assigned, idCol, "__cell", vecCol, threshold, maxClusterRows)
       .withColumnRenamed("__cell", "cell")
   }

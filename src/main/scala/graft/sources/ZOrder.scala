@@ -22,17 +22,23 @@ object ZOrder {
 
   /** Morton code interleaving the low `bits` bits of each column in
     * `cols` (column j's bit i lands at position i * cols.size + j).
-    * Inputs must be non-negative; values are masked to `bits` bits.
-    * Capacity: `bits * cols.size` must fit a long's 63 value bits.
+    * Inputs must be non-negative — a negative value fails the row at
+    * execution time (arithmetic shifts would otherwise silently collapse
+    * every negative to the all-ones z-value and destroy the layout's
+    * locality). Values are masked to `bits` bits. Capacity:
+    * `bits * cols.size` must fit a long's 63 value bits.
     */
   def zValue(cols: Seq[Column], bits: Int): Column = {
     require(cols.size >= 2, "z-ordering needs at least two columns")
     require(bits >= 1 && bits * cols.size <= 63,
       s"bits * columns must fit a long: $bits * ${cols.size}")
+    val guarded = cols.map(c => when(c.cast("long") < 0, raise_error(
+      lit("z_value requires non-negative inputs; shift or hash negative " +
+        "keys first"))).otherwise(c.cast("long")))
     val terms = for {
-      (c, j) <- cols.zipWithIndex
+      (c, j) <- guarded.zipWithIndex
       i <- 0 until bits
-    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)),
       i * cols.size + j)
     terms.reduce(_.bitwiseOR(_))
   }

@@ -98,6 +98,15 @@ class SpaceSavingSpec extends SparkSpec {
     assert(back.evicted === s.evicted)
   }
 
+  test("keys past 64 KB round-trip (length-framed, not writeUTF)") {
+    val big = "k" * 100000 + "é" // multibyte tail crosses byte/char counts
+    val s = new SpaceSavingTopK.Sketch(2)
+    s.add(big); s.add(big); s.add("small")
+    val back = SpaceSavingTopK.Sketch.fromBytes(s.toBytes, 2)
+    assert(back.counters(big) === ((2L, 0L)))
+    assert(back.counters("small") === ((1L, 0L)))
+  }
+
   test("string keys only: a non-string child is rejected at analysis time") {
     val df = keysDf(Seq("1", "2"))
     val e = intercept[org.apache.spark.sql.AnalysisException] {

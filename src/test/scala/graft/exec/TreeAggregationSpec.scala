@@ -33,6 +33,14 @@ class TreeAggregationSpec extends SparkSpec {
     }
   }
 
+  test("duplicate time indexes sum into their index instead of double-counting") {
+    val df = series(0L -> 1L, 3L -> 1L, 3L -> 2L)
+    val got = TreeAggregation.noisyPrefixSums(df, "t", "c",
+      maxT = 8, epsilon = Double.PositiveInfinity)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 3L -> 4L))
+  }
+
   test("non-positive epsilon and sensitivity are rejected") {
     val df = series(0L -> 1L)
     assert(intercept[IllegalArgumentException] {

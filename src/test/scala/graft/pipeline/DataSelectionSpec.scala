@@ -135,6 +135,18 @@ class DataSelectionSpec extends SparkSpec {
     assert(out.count(!_._2) === 2, "ONLY the two later twins drop")
   }
 
+  test("semanticDedup: null vectors and null clusters ride through kept") {
+    val schema = StructType(Seq(longCol("vec_id"), longCol("label"),
+      StructField("embedding", ArrayType(DoubleType))))
+    val df = makeDf(schema, Seq(
+      Row(1L, 1L, Seq(1.0, 0.0)), Row(2L, 1L, Seq(1.0, 0.0)),
+      Row(3L, 1L, null), // null vector: cannot be compared, stays kept
+      Row(4L, null, Seq(1.0, 0.0)))) // null cluster: joins no pairs
+    val out = Similarity.semanticDedup(df, "vec_id", "label", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+
   test("semanticDedup: cluster-size guard fails fast naming the LSH path") {
     val df = vecs((1L, 1L, Seq(1.0, 0.0)), (2L, 1L, Seq(0.0, 1.0)))
     val e = intercept[IllegalArgumentException] {

@@ -75,6 +75,13 @@ class ZOrderSpec extends SparkSpec {
       s"z-value must stay a native expression:\n$plan")
   }
 
+  test("negative inputs fail the row instead of collapsing to all-ones") {
+    val df = makeDf(xy, Seq(Row(-1L, 5L)))
+      .withColumn("z", ZOrder.zValue2(col("x"), col("y"), bits = 3))
+    val e = intercept[Exception] { df.collect() }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
   test("capacity and arity guards") {
     intercept[IllegalArgumentException] {
       ZOrder.zValue(Seq(col("x")), bits = 8)

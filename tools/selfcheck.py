@@ -34,7 +34,12 @@ def canon(tbl):
             if isinstance(v, bytes):
                 v = v.hex()
             if isinstance(v, list):
-                v = tuple(round(x, 5) if isinstance(x, float) else x for x in v)
+                v = tuple(
+                    "nan" if isinstance(x, float) and math.isnan(x)
+                    else round(x, 5) if isinstance(x, float)
+                    else x.hex() if isinstance(x, bytes)
+                    else x
+                    for x in v)
             row.append(v)
         rows.append(tuple(row))
     rows.sort(key=repr)
