@@ -997,8 +997,11 @@ object Queries {
       val windows = read(s, d, "events")
         .groupBy((col("event_id") / 600).cast("long").as("t"))
         .agg(count(lit(1)).as("c"))
+      // maxT is the PUBLIC series horizon (a privacy parameter — sizing it
+      // from the data would leak); 2^16 windows covers every test SF with
+      // a ~130k-row node table, still a function of series length only
       graft.exec.TreeAggregation.noisyPrefixSums(
-        windows, "t", "c", maxT = 1024, epsilon = Double.PositiveInfinity)
+        windows, "t", "c", maxT = 1L << 16, epsilon = Double.PositiveInfinity)
     }),
     "q102_source_quality" -> ((s, d) => {
       import org.apache.spark.sql.functions._

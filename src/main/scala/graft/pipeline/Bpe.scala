@@ -28,9 +28,6 @@ object Bpe {
     @transient lazy val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
   }
 
-  private def toIntBound(n: Long): Int =
-    math.min(n, (Int.MaxValue - 1).toLong).toInt
-
   /** Learn `numMerges` BPE merges from the corpus's word-frequency
     * dictionary. Words are the house tokenization (lowercased, whitespace
     * split); symbols start as single characters. Pairs occurring fewer
@@ -44,7 +41,7 @@ object Bpe {
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .limit(toIntBound(maxWords) + 1)
+      .limit(graft.Limits.toIntBound(maxWords) + 1)
       .collect()
     require(fetched.length <= maxWords,
       s"BPE training holds the word dictionary driver-side (bound $maxWords " +

@@ -105,10 +105,17 @@ object Ivf {
     var p = 0
     while (p < take) {
       var best = -1
-      var bestD = Double.MaxValue
+      // PositiveInfinity, and NaN distances lose every comparison: a
+      // degenerate vector (NaN component, squared sum overflowing to Inf)
+      // must still select SOME unused cell rather than crash the task
+      var bestD = Double.PositiveInfinity
       c = 0
       while (c < n) {
-        if (!used(c) && dists(c) < bestD) { bestD = dists(c); best = c }
+        // NaN reads as +Infinity so finite cells always win over it and
+        // an all-NaN row falls back to the first unused cell
+        val d = if (java.lang.Double.isNaN(dists(c))) Double.PositiveInfinity
+          else dists(c)
+        if (!used(c) && (best == -1 || d < bestD)) { bestD = d; best = c }
         c += 1
       }
       used(best) = true

@@ -317,7 +317,9 @@ object Multimodal {
         val n = reader.getNumImages(true)
         val take = math.min(n, maxFrames)
         (0 until take).map { j =>
-          val idx = j * n / maxFrames.max(1)
+          // divide by take, not maxFrames: with n < maxFrames every frame
+          // decodes exactly once (j*n/maxFrames would re-decode frame 0)
+          val idx = j * n / take
           val img = reader.read(idx)
           (idx, n, Row(img.getWidth, img.getHeight,
             img.getColorModel.getNumComponents, fmt,
@@ -446,7 +448,7 @@ object Multimodal {
     }
     val ac = (for (i <- 0 until PhashBlock; j <- 0 until PhashBlock
       if i != 0 || j != 0) yield block(i)(j)).sorted
-    val median = (ac(30) + ac(31)) / 2.0 // of the 63 AC coefficients
+    val median = ac(31) // true median of the 63 AC coefficients
     var hash = 0L
     var bit = 0
     var i = 0
@@ -465,12 +467,13 @@ object Multimodal {
   /** Column form of [[perceptualHash]] — null for undecodable payloads. */
   val pHash = udf((bytes: Array[Byte]) => perceptualHash(bytes))
 
-  /** Exact-duplicate image groups by perceptual hash: one row per decodable
-    * payload with its hash-group representative (min id) and group size —
-    * [[graft.pipeline.Dedup.exact]]'s shape, keyed on pixels instead of
-    * bytes, so re-encoded or resized copies of one image collapse into one
-    * group. A single hash-keyed shuffle carrying (hash, id): payload bytes
-    * never leave the map side.
+  /** Duplicate-image GROUP SUMMARIES by perceptual hash: one row per hash
+    * group with (phash, min-id representative, group size), keyed on
+    * pixels instead of bytes, so re-encoded or resized copies of one image
+    * collapse into one group. For the per-payload id -> representative
+    * mapping, join the input's (id, pHash) projection against this result
+    * on the hash. A single hash-keyed shuffle carrying (hash, id): payload
+    * bytes never leave the map side.
     */
   def dedupImagesByPhash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val in = df.select(col(idCol).as("id"), col(binCol).as("__bin"))
@@ -636,10 +639,11 @@ object Multimodal {
     */
   def audioFingerprintCol(c: Column): Column = audioFpUdf(c)
 
-  /** Duplicate-audio groups by [[audioFingerprint]]: one row per group with
-    * the min-id representative and size — [[dedupImagesByPhash]]'s shape
-    * for audio. The fingerprint runs inside an object boundary for the same
-    * reason (one decode per row); the shuffle carries (fingerprint, id).
+  /** Duplicate-audio GROUP SUMMARIES by [[audioFingerprint]]: one row per
+    * group with the min-id representative and size —
+    * [[dedupImagesByPhash]]'s shape for audio. The fingerprint runs inside
+    * an object boundary for the same reason (one decode per row); the
+    * shuffle carries (fingerprint, id).
     */
   def dedupAudioByFingerprint(
       df: DataFrame, idCol: String, binCol: String,

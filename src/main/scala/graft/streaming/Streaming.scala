@@ -20,9 +20,6 @@ import graft.exec.Noise
   */
 object Streaming {
 
-  private def toIntBound(n: Long): Int =
-    math.min(n, (Int.MaxValue - 1).toLong).toInt
-
   /** Tumbling-window counts per key with event-time watermarking: late rows
     * beyond `watermark` are dropped, windows finalize once the watermark
     * passes (use OutputMode.Append downstream).
@@ -71,7 +68,7 @@ object Streaming {
     // the cap instead of OOMing the driver on an unbounded blocklist —
     // mirroring bruteForcePairs' enforced resident bound
     val fetched = blocklist.select(explode(gramsOf).as("__g"))
-      .distinct().limit(toIntBound(maxBlocklistGrams) + 1).collect()
+      .distinct().limit(graft.Limits.toIntBound(maxBlocklistGrams) + 1).collect()
     require(fetched.length <= maxBlocklistGrams,
       s"streamingDecontaminate broadcasts the blocklist's distinct $n-grams " +
         s"to every executor (bound $maxBlocklistGrams grams exceeded); for " +

@@ -15,7 +15,7 @@ class DemoSpec extends SparkSpec {
     val out = buf.toString("UTF-8")
 
     // every numbered section ran
-    for (i <- 1 to 16) assert(out.contains(s"=== $i. "), s"section $i missing")
+    for (i <- 1 to 18) assert(out.contains(s"=== $i. "), s"section $i missing")
 
     // session inspection and the mechanism preview
     assert(out.contains("Remaining privacy budget"))

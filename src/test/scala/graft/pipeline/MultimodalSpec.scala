@@ -177,6 +177,18 @@ class MultimodalSpec extends SparkSpec {
     assert(all(2)._3.getSeq[Float](4) === lum0) // same phase, same pixels
   }
 
+  test("video frames: fewer frames than the budget decode each exactly once") {
+    // the regression regime 2 <= n < maxFrames: an index step divided by
+    // maxFrames instead of the take count would decode frame 0 three times
+    // odd width: stripe phases 0/1 have different white-column counts
+    val gif = Multimodal.synthesizeAnimatedGif(9, 6, 3)
+    val frames = Multimodal.decodeFrames(gif, maxFrames = 8, featureDim = 4)
+    assert(frames.map(f => (f._1, f._2)) === Seq((0, 3), (1, 3), (2, 3)))
+    val l0 = frames(0)._3.getSeq[Float](4)
+    val l1 = frames(1)._3.getSeq[Float](4)
+    assert(l0 !== l1, "distinct source frames must carry distinct pixels")
+  }
+
   test("video frames: single-image payloads are one-frame containers; " +
       "undecodable payloads fall back; nulls vanish") {
     val png = Multimodal.synthesizePng(7, 5, 0x336699)
