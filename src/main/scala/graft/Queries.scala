@@ -692,6 +692,24 @@ object Queries {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split").agg(count(lit(1)).as("n"))
     }),
+    "q118_group_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // q83's per-language top tokens through the GROUPED SpaceSaving
+      // path: per-group state is capacity counters (not the group's
+      // vocabulary), partials merge map-side. Capacity 64 > the corpus
+      // vocabulary, so every group's ranking is exact and q83's oracle
+      // shape applies at k = 3
+      val toks = read(s, d, "documents")
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      toks.groupBy("lang")
+        .agg(graft.exec.SpaceSaving.spaceSavingTopK(
+          col("token"), capacity = 64, k = 3).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "hit")))
+        .select(col("lang"), col("hit.key").as("token"),
+          col("hit.count").as("n"), (col("pos") + 1).cast("long").as("rank"))
+    }),
     "q83_top_tokens_by_lang" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // per-language vocabulary summary: grouped heavy hitters via a
@@ -1823,6 +1841,18 @@ object Queries {
         |          AS token FROM documents)
         |  WHERE length(token) > 0 GROUP BY lang, token) t
         |WHERE rank <= 5""".stripMargin,
+    // grouped-sketch exact regime: capacity > vocabulary, so the sketch
+    // ranking equals the exact per-group rank (q83's oracle at k = 3)
+    "q118_group_heavy_hitters" ->
+      """SELECT lang, token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT lang, token, count(*) AS n,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, token) AS rank
+        |  FROM (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |          AS token FROM documents)
+        |  WHERE length(token) > 0 GROUP BY lang, token) t
+        |WHERE rank <= 3""".stripMargin,
     // same shingling convention as q77: distinct grams per doc, short docs
     // contribute their whole text as one gram
     "q84_boilerplate_ngrams" ->
