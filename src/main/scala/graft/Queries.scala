@@ -710,6 +710,56 @@ object Queries {
         .select(col("lang"), col("hit.key").as("token"),
           col("hit.count").as("n"), (col("pos") + 1).cast("long").as("rank"))
     }),
+    "q119_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // as-of enrichment: each purchase joined to the user's most recent
+      // STRICTLY PRIOR click (event_id is the event-time proxy — see
+      // readEvents). One exchange on user_id + a carry-forward window —
+      // no theta-join anywhere in the plan
+      val e = read(s, d, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("t"),
+          col("value").as("purchase_value"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("t"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.pipeline.Relational.asOfJoin(purchases, clicks, Seq("user_id"), "t")
+        .select(col("t").as("event_id"), col("user_id"),
+          col("purchase_value"), col("click_id"), col("click_value"))
+    }),
+    "q120_range_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      // interval join lowered to an equi-join on grid cells: lineitem
+      // priced into OVERLAPPING bands (mid/high overlap budget/luxe, so a
+      // row can land in two), exact [lo, hi) filter post-join. count/min/
+      // max are addition-order-free, so the release is bit-deterministic
+      val bands = Seq(
+        ("budget", 0.0, 20000.0), ("mid", 15000.0, 60000.0),
+        ("high", 60000.0, 95000.0), ("luxe", 90000.0, 200000.0))
+        .toDF("band", "lo", "hi")
+      graft.pipeline.Relational.rangeJoin(
+        read(s, d, "lineitem").select(col("l_extendedprice")),
+        "l_extendedprice", bands, "lo", "hi", cellWidth = 5000.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_items"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+    }),
+    "q121_svt_above_threshold" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // Sparse Vector Technique: which event types clear a popularity
+      // threshold, scanned alphabetically, halting after 2 positives —
+      // total eps is independent of how many types are scanned (the DP
+      // property that makes SVT a primitive). At eps=inf the release is
+      // the deterministic first-2-above prefix (this oracle); finite-eps
+      // behavior is SparseVectorSpec's contract
+      val counts = read(s, d, "events")
+        .groupBy("event_type").agg(count(lit(1)).cast("double").as("n"))
+      graft.exec.SparseVector.aboveThreshold(counts, "event_type", "n",
+        threshold = 2000.0, maxPositives = 2,
+        epsilon = Double.PositiveInfinity)
+    }),
     "q83_top_tokens_by_lang" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // per-language vocabulary summary: grouped heavy hitters via a
@@ -1853,6 +1903,39 @@ object Queries {
         |          AS token FROM documents)
         |  WHERE length(token) > 0 GROUP BY lang, token) t
         |WHERE rank <= 3""".stripMargin,
+    // event_id is unique, so "latest prior click" is unambiguous and the
+    // rn=1 pick matches the engine's hash tiebreak trivially
+    "q119_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, value AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.event_id, c.click_id, c.click_value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.click_id DESC) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.click_id < p.event_id)
+        |SELECT p.event_id, p.user_id, p.purchase_value,
+        |  m.click_id, m.click_value
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)""".stripMargin,
+    "q120_range_join" ->
+      """SELECT d.band AS band, CAST(count(*) AS BIGINT) AS n_items,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM (VALUES ('budget', 0.0, 20000.0), ('mid', 15000.0, 60000.0),
+        |    ('high', 60000.0, 95000.0), ('luxe', 90000.0, 200000.0))
+        |  d(band, lo, hi)
+        |JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY 1""".stripMargin,
+    "q121_svt_above_threshold" ->
+      """WITH c AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT event_type, n,
+        |    row_number() OVER (ORDER BY event_type) AS qid FROM c),
+        |p AS (SELECT event_type, n > 2000.0 AS above,
+        |    sum(CASE WHEN n > 2000.0 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY qid) AS npos
+        |  FROM o)
+        |SELECT event_type, CAST(npos AS BIGINT) AS rank
+        |FROM p WHERE above AND npos <= 2""".stripMargin,
     // same shingling convention as q77: distinct grams per doc, short docs
     // contribute their whole text as one gram
     "q84_boilerplate_ngrams" ->

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal and interval join operators Spark has no built-in for. Both are
+  * lowered to shapes Catalyst already executes well — a single keyed
+  * exchange + sort for the as-of join, an equi hash join for the range
+  * join — instead of the BroadcastNestedLoopJoin / cartesian theta-join
+  * Spark would plan for the naive `ON a.t >= b.t` / `ON v BETWEEN lo AND
+  * hi` formulations (quadratic per key, the classic 100-TB killer).
+  *
+  * Beyond-reference operators: the reference engine has no temporal or
+  * interval joins (SURVEY.md §2.8 — joins are equi-only); these cover the
+  * event-log enrichment a training-data pipeline needs.
+  */
+object Relational {
+
+  /** As-of join: attach to every left row the single most recent right row
+    * sharing `keyCols` — strictly earlier by `timeCol` when `strict`,
+    * no-later otherwise. Left rows with no matching right row keep null
+    * right columns (left-join semantics). Right columns other than
+    * key/time are carried; their names must not clash with left's.
+    *
+    * Plan: NO join at all. Both sides union into one stream tagged by
+    * side; ONE exchange on the key; a running `last(payload, ignoreNulls)`
+    * window ordered by (time, side, tie-hash) carries the latest right
+    * payload forward; left rows then read the carried struct. Per-group
+    * window state is a single payload struct regardless of group size, and
+    * the whole operator costs one shuffle + one sort — the same bill as
+    * sessionization. Tie discipline: at equal time, lefts sort before
+    * rights under `strict` (so a same-instant right row is invisible) and
+    * after them otherwise; right rows tied with each other order by a
+    * payload hash, so the carried match is deterministic under any input
+    * partitioning.
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      timeCol: String, strict: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "asOfJoin needs at least one key column")
+    val sideCols = keyCols :+ timeCol
+    sideCols.foreach { c =>
+      require(left.columns.contains(c), s"left side is missing column '$c'")
+      require(right.columns.contains(c), s"right side is missing column '$c'")
+    }
+    val payloadCols = right.columns.filterNot(sideCols.contains).toSeq
+    require(payloadCols.nonEmpty,
+      "right side carries no payload columns beyond the key and time")
+    val clash = payloadCols.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"right payload columns ${clash.mkString(", ")} clash with left; rename them first")
+
+    // at equal time a strict match must not see the same-instant right row:
+    // sort lefts before rights (and the reverse for non-strict)
+    val (leftTag, rightTag) = if (strict) (0, 1) else (1, 0)
+    val payloadType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
+    val leftRowType = left.select(struct(left.columns.map(col).toSeq: _*)).schema.head.dataType
+    val taggedRight = right.select(
+      keyCols.map(col) ++ Seq(
+        col(timeCol).as("__t"), lit(rightTag).as("__side"),
+        struct(payloadCols.map(col): _*).as("__payload"),
+        xxhash64(payloadCols.map(col): _*).as("__tie"),
+        lit(null).cast(leftRowType).as("__left")): _*)
+    val taggedLeft = left.select(
+      keyCols.map(col) ++ Seq(
+        col(timeCol).as("__t"), lit(leftTag).as("__side"),
+        lit(null).cast(payloadType).as("__payload"),
+        lit(0L).as("__tie"),
+        struct(left.columns.map(col).toSeq: _*).as("__left")): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__left").isNotNull)
+      .select(left.columns.toSeq.map(c => col(s"__left.`$c`").as(c)) ++
+        payloadCols.map(c => col(s"__match.`$c`").as(c)): _*)
+  }
+
+  /** Interval (range) join: pair each fact row with every dim interval
+    * `[lo, hi)` containing `valueCol`, as an EQUI-join on grid cells.
+    * Each dim interval explodes to the `ceil(width/cellWidth)` cells it
+    * overlaps; each fact row maps to the one cell containing its value;
+    * a hash join on the cell replaces the nested-loop theta-join, and the
+    * exact bounds predicate filters post-join. Overlapping intervals
+    * produce one output row per containing interval (general join
+    * semantics, not binning). Output carries all fact columns then all
+    * dim columns.
+    *
+    * Scale: shuffle is keyed on the cell, so co-located candidates are
+    * only rows within `cellWidth` of each other — near-linear when
+    * `cellWidth` is near the median interval width. A dim interval
+    * spanning w cells emits w rows; size `cellWidth` accordingly (the
+    * fact side never expands). A hot cell (value skew) behaves like any
+    * skewed hash join and AQE's skew-join split applies.
+    */
+  def rangeJoin(
+      fact: DataFrame, valueCol: String, dim: DataFrame,
+      loCol: String, hiCol: String, cellWidth: Double): DataFrame = {
+    require(cellWidth > 0.0, s"cellWidth must be positive, got $cellWidth")
+    require(fact.columns.contains(valueCol), s"fact side is missing '$valueCol'")
+    Seq(loCol, hiCol).foreach(c =>
+      require(dim.columns.contains(c), s"dim side is missing '$c'"))
+    val clash = dim.columns.filter(fact.columns.contains)
+    require(clash.isEmpty,
+      s"dim columns ${clash.mkString(", ")} clash with fact; rename them first")
+
+    val dimCells = dim
+      .where(col(hiCol) > col(loCol)) // empty intervals match nothing
+      .withColumn("__cell", explode(sequence(
+        floor(col(loCol).cast("double") / cellWidth).cast("long"),
+        floor(col(hiCol).cast("double") / cellWidth).cast("long"))))
+    val factCells = fact.withColumn("__cell",
+      floor(col(valueCol).cast("double") / cellWidth).cast("long"))
+    factCells.join(dimCells, "__cell")
+      .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .select(fact.columns.toSeq.map(col) ++ dim.columns.toSeq.map(col): _*)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def trades = Seq(
+    // (key, t, trade_px)
+    ("A", 10L, 100.0), ("A", 20L, 101.0), ("A", 30L, 102.0),
+    ("B", 15L, 200.0), ("C", 5L, 300.0)
+  ).toDF("sym", "t", "trade_px")
+
+  private def quotes = Seq(
+    // (key, t, bid)
+    ("A", 8L, 99.0), ("A", 20L, 100.5), ("A", 25L, 101.5),
+    ("B", 15L, 199.0), ("B", 16L, 199.5)
+  ).toDF("sym", "t", "bid")
+
+  test("asOfJoin strict: most recent strictly-earlier right row per left row") {
+    val out = Relational.asOfJoin(trades, quotes, Seq("sym"), "t")
+      .as[(String, Long, Double, Option[Double])].collect().toSet
+    assert(out === Set(
+      ("A", 10L, 100.0, Some(99.0)),   // only the t=8 quote precedes
+      ("A", 20L, 101.0, Some(99.0)),   // t=20 quote is same-instant: excluded
+      ("A", 30L, 102.0, Some(101.5)),  // latest of 8/20/25
+      ("B", 15L, 200.0, None),         // t=15 quote same-instant: excluded
+      ("C", 5L, 300.0, None)))         // no quotes for C at all
+  }
+
+  test("asOfJoin non-strict: same-instant right row matches") {
+    val out = Relational.asOfJoin(trades, quotes, Seq("sym"), "t", strict = false)
+      .as[(String, Long, Double, Option[Double])].collect().toSet
+    assert(out(("A", 20L, 101.0, Some(100.5))))
+    assert(out(("B", 15L, 200.0, Some(199.0))))
+  }
+
+  test("asOfJoin carries every right payload column and keeps left schema order") {
+    val rich = quotes.withColumn("ask", $"bid" + 1.0)
+    val out = Relational.asOfJoin(trades, rich, Seq("sym"), "t")
+    assert(out.columns.toSeq === Seq("sym", "t", "trade_px", "bid", "ask"))
+    val row = out.where($"sym" === "A" && $"t" === 30L).head
+    assert(row.getDouble(3) === 101.5 && row.getDouble(4) === 102.5)
+  }
+
+  test("asOfJoin is invariant under input partitioning") {
+    val base = Relational.asOfJoin(trades, quotes, Seq("sym"), "t").collect().toSet
+    val shuffled = Relational.asOfJoin(
+      trades.repartition(7), quotes.repartition(3), Seq("sym"), "t").collect().toSet
+    assert(shuffled === base)
+  }
+
+  test("asOfJoin ties between right rows resolve deterministically") {
+    // two quotes at the same (sym, t): the carried match must be the same
+    // row on every run/partitioning (hash tiebreak), not arbitrary
+    val dup = Seq(("A", 8L, 99.0), ("A", 8L, 98.0)).toDF("sym", "t", "bid")
+    val r1 = Relational.asOfJoin(trades, dup, Seq("sym"), "t").collect().toSet
+    val r2 = Relational.asOfJoin(
+      trades.repartition(5), dup.repartition(2), Seq("sym"), "t").collect().toSet
+    assert(r1 === r2)
+  }
+
+  test("asOfJoin supports composite keys") {
+    val l = Seq(("A", 1, 10L, 1.0), ("A", 2, 10L, 2.0)).toDF("k1", "k2", "t", "x")
+    val r = Seq(("A", 1, 5L, 7.0)).toDF("k1", "k2", "t", "y")
+    val out = Relational.asOfJoin(l, r, Seq("k1", "k2"), "t")
+      .as[(String, Int, Long, Double, Option[Double])].collect().toSet
+    assert(out === Set(("A", 1, 10L, 1.0, Some(7.0)), ("A", 2, 10L, 2.0, None)))
+  }
+
+  test("asOfJoin rejects payload-name clashes and missing columns") {
+    val bad = quotes.withColumnRenamed("bid", "trade_px")
+    assertThrows[IllegalArgumentException] {
+      Relational.asOfJoin(trades, bad, Seq("sym"), "t")
+    }
+    assertThrows[IllegalArgumentException] {
+      Relational.asOfJoin(trades, quotes.drop("t"), Seq("sym"), "t")
+    }
+    assertThrows[IllegalArgumentException] {
+      Relational.asOfJoin(trades, trades.select("sym", "t"), Seq("sym"), "t")
+    }
+  }
+
+  private def bands = Seq(
+    ("low", 0.0, 10.0), ("mid", 5.0, 20.0), ("empty", 30.0, 30.0)
+  ).toDF("band", "lo", "hi")
+
+  test("rangeJoin: containment with overlaps, [lo, hi) bounds") {
+    val fact = Seq(3.0, 7.0, 10.0, 20.0, 25.0).toDF("v")
+    val out = Relational.rangeJoin(fact, "v", bands, "lo", "hi", cellWidth = 4.0)
+      .select("v", "band").as[(Double, String)].collect().toSet
+    assert(out === Set(
+      (3.0, "low"),                 // one band
+      (7.0, "low"), (7.0, "mid"),   // overlap -> two rows
+      (10.0, "mid")))               // 10 excluded from low (hi exclusive),
+                                    // 20/25 match nothing; empty band never matches
+  }
+
+  test("rangeJoin handles negative values and sub-unit cells") {
+    val dim = Seq(("neg", -5.0, -1.0)).toDF("band", "lo", "hi")
+    val fact = Seq(-5.0, -1.0, -0.5, -4.99).toDF("v")
+    val out = Relational.rangeJoin(fact, "v", dim, "lo", "hi", cellWidth = 0.75)
+      .select("v").as[Double].collect().toSet
+    assert(out === Set(-5.0, -4.99))
+  }
+
+  test("rangeJoin plans an equi hash join, not a nested-loop theta join") {
+    val fact = Seq.tabulate(100)(i => i.toDouble).toDF("v")
+    val plan = Relational.rangeJoin(fact, "v", bands, "lo", "hi", cellWidth = 4.0)
+      .queryExecution.executedPlan
+    val rendered = plan.toString
+    assert(!rendered.contains("BroadcastNestedLoopJoin"))
+    assert(!rendered.contains("CartesianProduct"))
+  }
+
+  test("rangeJoin rejects bad geometry and clashes") {
+    val fact = Seq(1.0).toDF("v")
+    assertThrows[IllegalArgumentException] {
+      Relational.rangeJoin(fact, "v", bands, "lo", "hi", cellWidth = 0.0)
+    }
+    assertThrows[IllegalArgumentException] {
+      Relational.rangeJoin(fact, "v", bands.withColumnRenamed("band", "v"),
+        "lo", "hi", cellWidth = 1.0)
+    }
+  }
+}
