@@ -323,6 +323,41 @@ object Demo {
         .select(explode(col("top"))).show(truncate = false)
     }
 
+    banner("19. Temporal/interval joins and threshold release")
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      import spark.implicits._
+      val events = spark.read.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType))))
+        .parquet(s"$sfDir/events.parquet")
+      println("as-of join: each purchase with the user's latest PRIOR click")
+      println("(one exchange + carry-forward window; no theta join):")
+      val purchases = events.where($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("t"), $"value".as("purchase_value"))
+      val clicks = events.where($"event_type" === "click")
+        .select($"user_id", $"event_id".as("t"),
+          $"event_id".as("click_id"), $"value".as("click_value"))
+      graft.pipeline.Relational.asOfJoin(purchases, clicks, Seq("user_id"), "t")
+        .orderBy("t").show(3)
+      println("range join: value-in-interval as an equi-join on grid cells")
+      println("(overlapping bands are general join semantics, not binning):")
+      val bands = Seq(("small", 0.0, 10.0), ("large", 8.0, 100.0))
+        .toDF("band", "lo", "hi")
+      graft.pipeline.Relational.rangeJoin(
+        events.select($"event_id", $"value"), "value",
+        bands, "lo", "hi", cellWidth = 10.0)
+        .groupBy("band").count().orderBy("band").show()
+      println("SVT AboveThreshold: identities of the first 2 event types over")
+      println("2000 hits, eps total NOT growing with the number scanned:")
+      val counts = events.groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"))
+      graft.exec.SparseVector.aboveThreshold(counts, "event_type", "n",
+        threshold = 2000.0, maxPositives = 2, epsilon = 1.0).show()
+    }
+
     println("\ndemo complete.")
   }
 }

@@ -15,7 +15,7 @@ class DemoSpec extends SparkSpec {
     val out = buf.toString("UTF-8")
 
     // every numbered section ran
-    for (i <- 1 to 18) assert(out.contains(s"=== $i. "), s"section $i missing")
+    for (i <- 1 to 19) assert(out.contains(s"=== $i. "), s"section $i missing")
 
     // session inspection and the mechanism preview
     assert(out.contains("Remaining privacy budget"))
@@ -66,6 +66,11 @@ class DemoSpec extends SparkSpec {
     assert(out.contains("brute force (small query set x any corpus):"))
     assert(out.contains("LSH multi-probe"))
     assert(out.contains("IVF (train once"))
+
+    // temporal/interval joins + SVT release printed their tables
+    assert(out.contains("as-of join: each purchase with the user's latest PRIOR click"))
+    assert(out.contains("range join: value-in-interval as an equi-join on grid cells"))
+    assert(out.contains("SVT AboveThreshold"))
 
     assert(out.contains("demo complete."))
   }
