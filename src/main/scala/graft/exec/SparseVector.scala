@@ -76,6 +76,10 @@ object SparseVector {
     while (i < ordered.length && nReleased < c) {
       val row = ordered(i)
       val v = row.get(1) match {
+        case null => throw new IllegalArgumentException(
+          s"null value in column '$valueCol' for query id '${row.get(0)}'; " +
+            "SVT needs a concrete value per query — coalesce nulls (e.g. " +
+            "to 0 for an absent count) before calling aboveThreshold")
         case d: java.lang.Double => d.doubleValue()
         case l: java.lang.Long => l.doubleValue()
         case x: java.lang.Number => x.doubleValue()

@@ -33,7 +33,9 @@ object Relational {
     * rights under `strict` (so a same-instant right row is invisible) and
     * after them otherwise; right rows tied with each other order by a
     * payload hash, so the carried match is deterministic under any input
-    * partitioning.
+    * partitioning. Null keys follow SQL equi-join semantics: a right row
+    * with any null key column can never match (it is dropped before the
+    * union), so a left row with a null key keeps null right columns.
     */
   def asOfJoin(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
@@ -44,6 +46,10 @@ object Relational {
       require(left.columns.contains(c), s"left side is missing column '$c'")
       require(right.columns.contains(c), s"right side is missing column '$c'")
     }
+    val reserved = Seq("__t", "__side", "__payload", "__tie", "__left", "__match")
+    for (side <- Seq("left" -> left, "right" -> right); c <- reserved)
+      require(!side._2.columns.contains(c),
+        s"${side._1} side uses reserved internal column name '$c'; rename it first")
     val payloadCols = right.columns.filterNot(sideCols.contains).toSeq
     require(payloadCols.nonEmpty,
       "right side carries no payload columns beyond the key and time")
@@ -56,7 +62,10 @@ object Relational {
     val (leftTag, rightTag) = if (strict) (0, 1) else (1, 0)
     val payloadType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
     val leftRowType = left.select(struct(left.columns.map(col).toSeq: _*)).schema.head.dataType
-    val taggedRight = right.select(
+    // SQL equi-join semantics: null keys never match. Window.partitionBy
+    // would group null keys together, so drop null-keyed right rows here.
+    val matchableRight = right.where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val taggedRight = matchableRight.select(
       keyCols.map(col) ++ Seq(
         col(timeCol).as("__t"), lit(rightTag).as("__side"),
         struct(payloadCols.map(col): _*).as("__payload"),
@@ -106,6 +115,9 @@ object Relational {
     val clash = dim.columns.filter(fact.columns.contains)
     require(clash.isEmpty,
       s"dim columns ${clash.mkString(", ")} clash with fact; rename them first")
+    for (side <- Seq("fact" -> fact, "dim" -> dim))
+      require(!side._2.columns.contains("__cell"),
+        s"${side._1} side uses reserved internal column name '__cell'; rename it first")
 
     val dimCells = dim
       .where(col(hiCol) > col(loCol)) // empty intervals match nothing

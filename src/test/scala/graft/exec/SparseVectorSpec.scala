@@ -86,6 +86,17 @@ class SparseVectorSpec extends SparkSpec {
     }
   }
 
+  test("null value fails loudly naming the query id, not with a type error") {
+    val withNull = Seq(("a", Some(120.0)), ("b", None)).toDF("qid", "n")
+    val ex = intercept[IllegalArgumentException] {
+      SparseVector.aboveThreshold(withNull, "qid", "n",
+        threshold = 100.0, maxPositives = 2, epsilon = Double.PositiveInfinity)
+    }
+    assert(ex.getMessage.contains("null value"))
+    assert(ex.getMessage.contains("'b'"))
+    assert(ex.getMessage.contains("coalesce"))
+  }
+
   test("finite eps: tiny eps actually perturbs decisions (noise is live)") {
     // at eps=0.001 the threshold noise scale is 4000 against margins of ~50:
     // 50 trials virtually never reproduce the exact release every time

@@ -72,6 +72,37 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out === Set(("A", 1, 10L, 1.0, Some(7.0)), ("A", 2, 10L, 2.0, None)))
   }
 
+  test("asOfJoin: null keys never match (SQL equi-join semantics)") {
+    val l = Seq((Some("A"), 10L, 1.0), (None, 10L, 2.0))
+      .toDF("sym", "t", "x")
+    val r = Seq((Some("A"), 5L, 7.0), (None, 5L, 8.0))
+      .toDF("sym", "t", "y")
+    val out = Relational.asOfJoin(l, r, Seq("sym"), "t")
+      .as[(Option[String], Long, Double, Option[Double])].collect().toSet
+    // the null-keyed left row must NOT pick up the null-keyed right row
+    assert(out === Set(
+      (Some("A"), 10L, 1.0, Some(7.0)),
+      (None, 10L, 2.0, None)))
+  }
+
+  test("asOfJoin and rangeJoin reject reserved internal column names") {
+    assertThrows[IllegalArgumentException] {
+      Relational.asOfJoin(trades.withColumn("__match", $"t"), quotes, Seq("sym"), "t")
+    }
+    assertThrows[IllegalArgumentException] {
+      Relational.asOfJoin(trades, quotes.withColumn("__tie", $"t"), Seq("sym"), "t")
+    }
+    val fact = Seq(1.0).toDF("v")
+    assertThrows[IllegalArgumentException] {
+      Relational.rangeJoin(fact.withColumn("__cell", $"v"), "v", bands,
+        "lo", "hi", cellWidth = 1.0)
+    }
+    assertThrows[IllegalArgumentException] {
+      Relational.rangeJoin(fact, "v", bands.withColumn("__cell", $"lo"),
+        "lo", "hi", cellWidth = 1.0)
+    }
+  }
+
   test("asOfJoin rejects payload-name clashes and missing columns") {
     val bad = quotes.withColumnRenamed("bid", "trade_px")
     assertThrows[IllegalArgumentException] {
