@@ -571,9 +571,21 @@ object Queries {
     }),
     "q44_embedding_dedup" -> ((s, d) =>
       // testdata embeddings are near-orthogonal random vectors (max pairwise
-      // cosine ~0.48), so the demo threshold sits below that
+      // cosine ~0.48), so the demo threshold sits below that. Approximate by
+      // design (no oracle): its machinery is oracled by q44b (exhaustive
+      // bucket, provable coverage) and its recall by AnnRecallSpec
       graft.pipeline.Dedup.embeddingCosinePairs(
         read(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4, planes = 8)),
+    "q44b_embedding_dedup_exact" -> ((s, d) =>
+      // the whole corpus in one bucket — the self-join limit of probing
+      // every bucket — makes candidate coverage structural, so the SAME
+      // bounded-collect/pair-explode/cosine-verify plumbing q44 runs must
+      // reproduce the brute-force pair set exactly (ids only; oracle is
+      // q73's SQL) — this is q62's nprobe=nlist trick applied to the LSH
+      // pair path
+      graft.pipeline.Dedup.embeddingCosinePairsExhaustive(
+        read(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+        .select("id_a", "id_b")),
     "q73_embedding_pairs_exact" -> ((s, d) =>
       // the exact twin of q44: brute-force all-pairs cosine at the same
       // threshold, ids only (the pair set is engine-stable; the raw cosine
@@ -614,11 +626,27 @@ object Queries {
     "q46_knn_lsh" -> ((s, d) => {
       // approximate by design (no oracle; exact twin q45 is oracled): the
       // semantics contract is AnnRecallSpec — recall@3 >= 0.9 vs brute
-      // force at these exact parameters (64 planes, 8-bit bands)
+      // force at these exact parameters (64 planes, 8-bit bands) — and the
+      // plumbing contract is q46b, the same operator at provably-exhaustive
+      // parameters
       val emb = read(s, d, "embeddings")
       graft.pipeline.Similarity.lshTopK(
         emb, "vec_id", "embedding",
         emb.filter("vec_id < 10"), "vec_id", "embedding", k = 3)
+    }),
+    "q46b_knn_lsh_exact" -> ((s, d) => {
+      // 1-bit bands: the query side's single-bit-flip multi-probe then
+      // covers BOTH values of every band, so every corpus row is a
+      // candidate for every query by construction — recall 1 structurally,
+      // and the full banding/probe/join/re-rank plumbing q46 runs must
+      // reproduce the exact top-k (rank-only; knnOracle) — the LSH
+      // analogue of q62's nprobe=nlist
+      val emb = read(s, d, "embeddings")
+      graft.pipeline.Similarity.lshTopK(
+        emb, "vec_id", "embedding",
+        emb.filter("vec_id < 10"), "vec_id", "embedding", k = 3,
+        planes = 2, bandBits = 1)
+        .select("query_id", "corpus_id", "rank")
     }),
     // -- LLM-pipeline: text analysis --------------------------------------
     "q47_token_count" -> ((s, d) => {
@@ -1741,10 +1769,20 @@ object Queries {
     // reorder; ties broken by corpus_id in both engines.
     "q45_knn_bruteforce" -> knnOracle,
     "q62_knn_ivf_exact" -> knnOracle,
+    // LSH top-k at provably-exhaustive parameters (1-bit bands + multi-probe
+    // covers every bucket): must equal the exact top-k
+    "q46b_knn_lsh_exact" -> knnOracle,
     // ids-only contract: membership at threshold 0.4 is macroscopically
     // separated in this data (nearest non-pair cosine ~0.48 vs planted
     // pairs >= 0.9), so engine round-off cannot flip the set
     "q73_embedding_pairs_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+    // the LSH pair plumbing at exhaustive (one-bucket) coverage: must equal
+    // the same brute-force pair set q73 is checked against
+    "q44b_embedding_dedup_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id

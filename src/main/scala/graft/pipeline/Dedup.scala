@@ -915,6 +915,44 @@ object Dedup {
       posexplode(array((0 until bandCount).map(j =>
         shiftright(col("__sig"), j * 8).bitwiseAND(lit(0xffL))): _*))
         .as(Seq("__band", "__bk")))
+    cosineVerifyBuckets(banded, threshold, maxBucket)
+  }
+
+  /** Exhaustive-coverage variant of [[embeddingCosinePairs]]: the whole
+    * corpus lands in ONE bucket — the self-join limit of probing every
+    * bucket, the same way nprobe = nlist makes IVF exhaustive — so the
+    * candidate set structurally contains every pair and the output provably
+    * equals the brute-force pair set. It runs the SAME bounded-collect /
+    * pair-explode / cosine-verify / distinct plumbing as the banded path,
+    * which is the point: it is the oracle anchor that pins that machinery's
+    * semantics for the driver gate, the role [[Ivf.topK]] at nprobe = nlist
+    * plays for IVF. Verification is O(n^2) in one bucket by construction —
+    * an anchor for test-scale corpora, never the production path
+    * (`maxCorpusRows` enforced up front; past it use the banded
+    * [[embeddingCosinePairs]]).
+    */
+  def embeddingCosinePairsExhaustive(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      maxCorpusRows: Int = 1 << 14): DataFrame = {
+    val cnt = df.count()
+    require(cnt <= maxCorpusRows,
+      s"embeddingCosinePairsExhaustive verifies all pairs of $cnt rows in " +
+        s"one bucket (bound $maxCorpusRows); it exists to anchor the banded " +
+        "path's semantics at test scale — use embeddingCosinePairs, the " +
+        "sub-quadratic banded path, for corpora past the bound")
+    val banded = spread(df).select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"),
+      lit(0).as("__band"), lit(0L).as("__bk"))
+    cosineVerifyBuckets(banded, threshold, maxCorpusRows)
+  }
+
+  /** Shared verify stage of the embedding-pair paths: gather each
+    * (band, bucket) with a bounded buffer, explode the per-bucket pair
+    * square above the id diagonal, score with the codegen'd cosine, filter,
+    * and only then dedup band collisions.
+    */
+  private def cosineVerifyBuckets(
+      banded: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
     // buckets gathered with a bounded buffer (maxBucket + 1): a flood
     // bucket costs O(maxBucket) vectors in its aggregation task instead of
     // materializing fully just to be dropped by the size filter

@@ -72,6 +72,40 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.9, f"IVF recall@$k fell to $r%.3f — below the 0.9 floor q59 relies on")
   }
 
+  test("LSH top-k at 1-bit bands (q46b parameters) equals brute force exactly") {
+    // with bandBits=1 the query side's single-bit-flip multi-probe covers
+    // BOTH buckets of every band, so candidate coverage is structural —
+    // this is the provable-recall configuration the q46b registry entry
+    // oracles; it must match brute force row for row, ranks included
+    val df = corpus()
+    val queries = df.filter(s"id < $nQueries")
+    val exact = Similarity.bruteForceTopK(df, "id", "vec", queries, "id", "vec", k)
+      .select("query_id", "corpus_id", "rank").collect().toSet
+    val exhaustive = Similarity.lshTopK(df, "id", "vec", queries, "id", "vec", k,
+      planes = 2, bandBits = 1)
+      .select("query_id", "corpus_id", "rank").collect().toSet
+    assert(exhaustive === exact)
+  }
+
+  test("one-bucket exhaustive embedding pairs (q44b parameters) equal brute force") {
+    val df = corpus()
+    val threshold = 0.8 // within-cluster cosines ~0.95, cross-cluster well below
+    val exact = Similarity.bruteForcePairs(df, "id", "vec", threshold)
+      .select("id_a", "id_b").collect().toSet
+    assert(exact.nonEmpty) // the contract is vacuous on an empty pair set
+    val exhaustive = Dedup.embeddingCosinePairsExhaustive(df, "id", "vec", threshold)
+      .select("id_a", "id_b").collect().toSet
+    assert(exhaustive === exact)
+  }
+
+  test("exhaustive embedding pairs refuse corpora past the resident bound") {
+    val df = corpus()
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairsExhaustive(df, "id", "vec", 0.8, maxCorpusRows = 10)
+    }
+    assert(ex.getMessage.contains("embeddingCosinePairs"))
+  }
+
   test("IVF recall improves monotonically-ish with nprobe, reaching 1.0 at nlist") {
     val df = corpus()
     val queries = df.filter("id < 10")
