@@ -256,13 +256,23 @@ final class MeasurementPlanner(
         .getOption("spark.graft.quantile.method").getOrElse("binned")
       val result = method match {
         case "intervals" =>
+          // per-group state is O(group size) by the mechanism's nature, so
+          // the gather is residency-bounded (cap + 1 values: one extra row
+          // marks the overflow, never an OOM) and the finisher refuses an
+          // oversized group loudly, naming the bounded-state binned path —
+          // the same discipline as Similarity.bruteForcePairs' guard
+          val maxGroupRows = t.df.sparkSession.conf
+            .getOption("spark.graft.quantile.intervals.maxGroupRows")
+            .map(_.toInt).getOrElse(1 << 20)
           val vals = t.df.withColumn("__v", col(m).cast("double"))
+          val gather = graft.exec.BoundedCollect
+            .boundedCollectList(col("__v"), maxGroupRows + 1).as("__vs")
           val perGroup =
-            if (keys.isEmptyKey) vals.agg(collect_list(col("__v")).as("__vs"))
-            else vals.groupBy(keyCols.map(col).toIndexedSeq: _*)
-              .agg(collect_list(col("__v")).as("__vs"))
+            if (keys.isEmptyKey) vals.agg(gather)
+            else vals.groupBy(keyCols.map(col).toIndexedSeq: _*).agg(gather)
           keysetJoin(keys, perGroup, Seq("__vs" -> None))
-            .withColumn(out, DpQuantile.finishIntervalsUdf(q, lo, hi, eps)(col("__vs")))
+            .withColumn(out,
+              DpQuantile.finishIntervalsUdf(q, lo, hi, eps, maxGroupRows)(col("__vs")))
             .drop("__vs")
         case "binned" =>
           val binned = t.df.withColumn("__bin", DpQuantile.binColumn(col(m), lo, hi))

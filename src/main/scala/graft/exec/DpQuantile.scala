@@ -51,11 +51,23 @@ object DpQuantile {
     }).asNondeterministic()
 
   /** Finisher over a group's raw values: the interval-scoring exponential
-    * mechanism (see [[finishIntervals]]).
+    * mechanism (see [[finishIntervals]]). `maxGroupRows` is the per-group
+    * residency bound the planner enforced on the gather (it collects
+    * maxGroupRows + 1 values, so an oversized group surfaces here as a loud
+    * refusal naming the bounded-state binned path, never as a silently
+    * truncated — i.e. wrong — quantile).
     */
-  def finishIntervalsUdf(q: Double, low: Double, high: Double, eps: Double): UserDefinedFunction =
+  def finishIntervalsUdf(
+      q: Double, low: Double, high: Double, eps: Double,
+      maxGroupRows: Int): UserDefinedFunction =
     udf((vs: Seq[Double]) => {
       val arr = if (vs == null) Array.empty[Double] else vs.toArray
+      if (arr.length > maxGroupRows) throw new IllegalArgumentException(
+        s"interval-scored quantile materializes each group's values and a " +
+          s"group exceeds the $maxGroupRows-row bound " +
+          "(spark.graft.quantile.intervals.maxGroupRows); use the default " +
+          "bounded-state binned mechanism (spark.graft.quantile.method = " +
+          "binned) for groups this large, or raise the bound explicitly")
       val rng = ThreadLocalRandom.current()
       finishIntervals(arr, q, low, high, eps, () => rng.nextDouble())
     }).asNondeterministic()
@@ -75,6 +87,10 @@ object DpQuantile {
     * materializes each group's values, so per-group memory is O(group
     * size) — fine at the reference's scale, not at billion-row groups,
     * which is why the binned mechanism stays the default (header above).
+    * The planner bounds the gather at
+    * `spark.graft.quantile.intervals.maxGroupRows` (default 2^20) values
+    * per group via BoundedCollect; a larger group is refused loudly by the
+    * finisher rather than truncated or OOMing an executor.
     */
   private[graft] def finishIntervals(
       values: Array[Double], q: Double, low: Double, high: Double, eps: Double,

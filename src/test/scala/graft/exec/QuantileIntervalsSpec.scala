@@ -143,6 +143,32 @@ class QuantileIntervalsSpec extends SparkSpec {
     }
   }
 
+  test("session: a group past the residency bound is refused, naming the binned path") {
+    spark.conf.set("spark.graft.quantile.intervals.maxGroupRows", "4")
+    try withIntervals {
+      val s = sess(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+      val e = intercept[Exception] {
+        s.evaluate(QueryBuilder("t").median("x", 0, 10), Inf).collect()
+      }
+      // the refusal surfaces through Spark's task-failure wrapping; the
+      // root message must name the bound conf and the binned escape hatch
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+      assert(msgs.contains("maxGroupRows"), msgs)
+      assert(msgs.contains("binned"), msgs)
+    } finally spark.conf.unset("spark.graft.quantile.intervals.maxGroupRows")
+  }
+
+  test("session: intervals bound at exactly the group size still answers") {
+    spark.conf.set("spark.graft.quantile.intervals.maxGroupRows", "6")
+    try withIntervals {
+      val s = sess(Seq(1.0, 3.0, 5.0, 7.0, 9.0, 11.0))
+      val m = s.evaluate(QueryBuilder("t").median("x", 0, 100), Inf)
+        .collect().head.getDouble(0)
+      assert(m === 6.0)
+    } finally spark.conf.unset("spark.graft.quantile.intervals.maxGroupRows")
+  }
+
   test("session: unknown quantile method is rejected") {
     spark.conf.set("spark.graft.quantile.method", "nope")
     try {
