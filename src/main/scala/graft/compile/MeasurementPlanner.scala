@@ -699,13 +699,17 @@ final class MeasurementPlanner(
 }
 
 /** Finisher for GetBounds: choose the magnitude exponent k such that ~95% of
-  * values satisfy |x| <= 2^k, via the exponential mechanism over candidate
-  * exponents (reference create_bounds_measurement, threshold 0.95:
-  * _base_measurement_visitor.py:1533-1544,1616).
+  * values satisfy |x| <= 2^k, by private selection over candidate exponents
+  * (reference create_bounds_measurement, threshold 0.95:
+  * _base_measurement_visitor.py:1533-1544,1616). The release is a bare
+  * integer exponent and the finite-eps selection runs EXACTLY — rational
+  * utilities + [[graft.exec.Noise.permuteAndFlip]]'s integer-arithmetic
+  * coins — so this measurement has zero floating-point sampling surface.
   */
 object GetBoundsImpl {
   import org.apache.spark.sql.Row
   import java.util.concurrent.ThreadLocalRandom
+  import graft.budget.Rat
 
   def finishUdf(eps: Double): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((pairs: Seq[Row]) => {
@@ -724,27 +728,22 @@ object GetBoundsImpl {
         cum(i) = acc
         i += 1
       }
-      val target = 0.95 * n
       if (eps.isInfinity) {
-        val idx = cum.indexWhere(_ >= target)
+        val idx = cum.indexWhere(_ * 20L >= 19L * n) // cum >= 0.95 * n, exactly
         ks(if (idx < 0) ks.length - 1 else idx)
       } else {
         // utility u = -|cum - 0.95*n| has sensitivity 1.95: a row moves the
         // cumulative count by <= 1 and the 0.95*n target by 0.95, so the
-        // exponential-mechanism weights divide eps by 2 * 1.95.
-        val uSens = 1.95
-        val rng = ThreadLocalRandom.current()
-        var pick = 0
-        var best = Double.NegativeInfinity
-        i = 0
-        while (i < ks.length) {
-          val u = -math.abs(cum(i) - target)
-          val g = -math.log(-math.log(rng.nextDouble()))
-          val s = eps / (2.0 * uSens) * u + g
-          if (s > best) { best = s; pick = i }
-          i += 1
+        // selection weights divide eps by 2 * 1.95. Scaled by 20 to stay
+        // integral: d20 = |20*cum - 19*n|, uSens20 = 39, all exact.
+        val target20 = 19L * n
+        val d20 = IndexedSeq.tabulate(ks.length) { j =>
+          math.abs(20L * cum(j) - target20)
         }
-        ks(pick)
+        val dMin = d20.min
+        val scale = Rat(eps) / Rat(2L * 39L)
+        val gammas = d20.map(d => scale * Rat(d - dMin))
+        ks(graft.exec.Noise.permuteAndFlip(gammas, ThreadLocalRandom.current()))
       }
     }).asNondeterministic()
 }

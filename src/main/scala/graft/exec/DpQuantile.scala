@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
+import graft.budget.Rat
+
 /** DP quantile via the exponential mechanism over a fixed binning of the
   * clamped range (reference: GroupByQuantile at _query_expr.py:1731, lowered
   * through core `create_quantile_measurement`,
@@ -46,8 +48,7 @@ object DpQuantile {
         val b = r.getInt(0)
         if (b >= 0 && b < Bins) counts(b) += r.getLong(1)
       }
-      val rng = ThreadLocalRandom.current()
-      finish(counts, q, low, high, eps, () => rng.nextDouble())
+      finish(counts, q, low, high, eps, ThreadLocalRandom.current())
     }).asNondeterministic()
 
   /** Finisher over a group's raw values: the interval-scoring exponential
@@ -91,6 +92,18 @@ object DpQuantile {
     * `spark.graft.quantile.intervals.maxGroupRows` (default 2^20) values
     * per group via BoundedCollect; a larger group is refused loudly by the
     * finisher rather than truncated or OOMing an executor.
+    *
+    * FP disclosure: unlike the binned default — whose finite-eps selection
+    * is EXACT via [[Noise.permuteAndFlip]] — this mechanism is defined over
+    * a continuous density (selection weights carry data-dependent interval
+    * WIDTHS as a base measure, and the release is uniform within the chosen
+    * data-valued interval), so transcendental floating point is inherent to
+    * its shape: no finite-arithmetic implementation can sample it exactly,
+    * and an exact-rational rejection scheme has unbounded expected time
+    * when the near-target intervals are narrow relative to the clamp range.
+    * The reference's implementation is float-based for the same reason.
+    * Callers wanting the closed FP surface should stay on the binned
+    * default; this path exists for reference-shape parity.
     */
   private[graft] def finishIntervals(
       values: Array[Double], q: Double, low: Double, high: Double, eps: Double,
@@ -136,35 +149,49 @@ object DpQuantile {
     }
   }
 
-  /** The mechanism itself, over materialized per-bin counts. `nextDouble`
-    * injects the randomness source so the statistical acceptance tests
-    * (QuantileFidelitySpec) can drive it with a seeded generator; the UDF
-    * passes ThreadLocalRandom.
+  /** The mechanism itself, over materialized per-bin counts. `rng` injects
+    * the randomness source so the statistical acceptance tests
+    * (QuantileFidelitySpec) can drive it seeded; the UDF passes
+    * ThreadLocalRandom.
+    *
+    * Finite-eps bin SELECTION is sampled EXACTLY: rank errors, the q*n
+    * target, and eps are exact rationals (a double IS a rational), and
+    * permute-and-flip runs on integer permutations + CKS
+    * Bernoulli(exp(-gamma)) coins ([[Noise.permuteAndFlip]]) — no
+    * transcendental floating point touches the data-dependent choice,
+    * the same discipline the exact CKS samplers enforce for additive
+    * noise. Permute-and-flip is eps-DP with the same 2 * uSens scaling
+    * and stochastically dominates the exponential mechanism's error
+    * (McKenna & Sheldon 2020). The within-bin uniform draw that follows
+    * uses plain doubles: it is data-INDEPENDENT post-processing of the
+    * selected bin index, so it carries no FP privacy surface.
     */
   private[graft] def finish(
       counts: Array[Long], q: Double, low: Double, high: Double, eps: Double,
-      nextDouble: () => Double): Double = {
+      rng: java.util.random.RandomGenerator): Double = {
     val n = counts.sum
-    val target = q * n
     val width = (high - low) / Bins
-    // utility per bin: -(rank error at bin midpoint)
-    val u = new Array[Double](Bins)
+    // doubled utility per bin, exactly rational: -(2 * rank error at the
+    // bin midpoint) = -|2*cum + counts(i) - 2*q*n|
+    val target2 = Rat(2) * Rat(q) * Rat(n)
+    val d2 = new Array[Rat](Bins)
     var cum = 0L
     var i = 0
     while (i < Bins) {
-      u(i) = -math.abs(cum + counts(i) / 2.0 - target)
+      val r2 = Rat(2 * cum + counts(i))
+      d2(i) = if (r2 >= target2) r2 - target2 else target2 - r2
       cum += counts(i)
       i += 1
     }
+    val dMin = d2.min
     if (eps.isInfinity) {
-      val best = u.max
       // among max-utility bins pick the one nearest the q-th bin position
       val anchor = q * (Bins - 1)
       var pick = -1
       var dist = Double.MaxValue
       i = 0
       while (i < Bins) {
-        if (u(i) == best) {
+        if (d2(i) == dMin) {
           val d = math.abs(i - anchor)
           if (d < dist) { dist = d; pick = i }
         }
@@ -172,21 +199,13 @@ object DpQuantile {
       }
       low + (pick + 0.5) * width
     } else {
-      // Gumbel-max sampling of exp(eps * u / (2 * uSens)): equivalent to
-      // the exponential mechanism, no normalization pass needed. uSens =
-      // 1 + q is the true utility sensitivity (rank moves by <= 1, target
-      // q*n moves by q per added/removed row).
-      val uSens = 1.0 + q
-      var pick = 0
-      var best = Double.NegativeInfinity
-      i = 0
-      while (i < Bins) {
-        val g = -math.log(-math.log(nextDouble()))
-        val s = eps / (2.0 * uSens) * u(i) + g
-        if (s > best) { best = s; pick = i }
-        i += 1
-      }
-      low + (pick + nextDouble()) * width
+      // gamma_i = eps * (u_max - u_i) / (2 * uSens), with utilities doubled
+      // above so the divisor doubles too: uSens = 1 + q (rank moves by <= 1,
+      // target q*n by q per added/removed row) -> 4 * (1 + q) against d2
+      val scale = Rat(eps) / (Rat(4) * (Rat(1) + Rat(q)))
+      val gammas = IndexedSeq.tabulate(Bins)(j => scale * (d2(j) - dMin))
+      val pick = Noise.permuteAndFlip(gammas, rng)
+      low + (pick + rng.nextDouble()) * width
     }
   }
 }

@@ -186,6 +186,91 @@ object Noise {
     false // unreachable
   }
 
+  /** Uniform BigInt in [0, bound): rejection sampling on raw random bits —
+    * exact, no floating point. Expected < 2 draws.
+    */
+  private def uniformBigInt(
+      bound: BigInt, rng: java.util.random.RandomGenerator): BigInt = {
+    require(bound > 0, s"bound must be positive, got $bound")
+    if (bound.isValidLong) return BigInt(rng.nextLong(bound.toLong))
+    val bits = bound.bitLength
+    val bytes = new Array[Byte]((bits + 7) / 8)
+    val mask = (0xff >>> (bytes.length * 8 - bits)).toByte
+    while (true) {
+      rng.nextBytes(bytes)
+      bytes(0) = (bytes(0) & mask).toByte
+      val r = BigInt(1, bytes)
+      if (r < bound) return r
+    }
+    BigInt(0) // unreachable
+  }
+
+  /** BigInt-capable [[bernoulliExpFrac]] (CKS Algorithm 1): exact
+    * Bernoulli(exp(-num/den)) for 0 <= num/den <= 1.
+    */
+  private def bernoulliExpFracBig(
+      num: BigInt, den: BigInt, rng: java.util.random.RandomGenerator): Boolean = {
+    var k = 1L
+    while (true) {
+      if (num == 0 || uniformBigInt(den * k, rng) >= num) return k % 2 == 1
+      k += 1
+    }
+    false // unreachable
+  }
+
+  /** Exact Bernoulli(exp(-gamma)) for an arbitrary rational gamma >= 0
+    * (CKS Algorithm 2's composition: exp(-gamma) = exp(-1)^floor(gamma) *
+    * exp(-frac(gamma)), each factor drawn exactly). Expected O(1) work —
+    * the exp(-1) chain fails with probability 1 - 1/e per link, so large
+    * gammas short-circuit almost immediately.
+    */
+  def bernoulliExp(gamma: Rat, rng: java.util.random.RandomGenerator): Boolean = {
+    require(!gamma.isInfinite && gamma >= Rat(0),
+      s"gamma must be finite and non-negative, got $gamma")
+    val one = Rat(1)
+    var g = gamma
+    while (g > one) {
+      if (!bernoulliExpFracBig(BigInt(1), BigInt(1), rng)) return false
+      g = g - one
+    }
+    bernoulliExpFracBig(g.num, g.den, rng)
+  }
+
+  /** Exact DP selection via permute-and-flip (McKenna & Sheldon 2020,
+    * arXiv:2010.12603, Algorithm 1): visit candidates in a uniformly random
+    * order and release the first whose exact Bernoulli(exp(-gamma_i)) coin
+    * lands heads, where gamma_i = eps * (u_max - u_i) / (2 * uSens) >= 0 is
+    * precomputed by the caller AS AN EXACT RATIONAL. Permute-and-flip is
+    * eps-DP for any bounded-sensitivity utility and stochastically
+    * dominates the exponential mechanism's error, and — the reason it is
+    * used here — admits an EXACT implementation: integer permutation +
+    * CKS Bernoulli(exp(-gamma)) coins, no transcendental floating point
+    * anywhere, closing for discrete selection the same Mironov-style FP
+    * surface the CKS samplers close for additive noise. At least one
+    * gamma must be zero (the max-utility candidate), so one pass always
+    * releases.
+    */
+  def permuteAndFlip(
+      gammas: IndexedSeq[Rat], rng: java.util.random.RandomGenerator): Int = {
+    require(gammas.nonEmpty, "permuteAndFlip needs at least one candidate")
+    val order = Array.tabulate(gammas.length)(identity)
+    var i = order.length - 1
+    while (i > 0) { // Fisher-Yates on exact uniform ints
+      val j = rng.nextInt(i + 1)
+      val t = order(i); order(i) = order(j); order(j) = t
+      i -= 1
+    }
+    var k = 0
+    while (k < order.length) {
+      val c = order(k)
+      if (bernoulliExp(gammas(c), rng)) return c
+      k += 1
+    }
+    // unreachable when some gamma == 0; tolerate caller slack loudly
+    throw new IllegalStateException(
+      "permuteAndFlip exhausted all candidates — no gamma was zero")
+  }
+
   /** Continuous Laplace with scale b. */
   def sampleLaplace(b: Double): Double = {
     if (b == 0.0) return 0.0

@@ -47,10 +47,10 @@ class QuantileFidelitySpec extends AnyFunSuite {
     math.abs(values.count(_ < released) - q * N)
 
   private def draws(q: Double, eps: Double, reps: Int, seed: Long): Seq[Double] = {
-    val rng = new scala.util.Random(seed)
+    val rng = new java.util.Random(seed)
     val counts = countsOf(values)
     (1 to reps).map(_ =>
-      DpQuantile.finish(counts, q, Low, High, eps, () => rng.nextDouble()))
+      DpQuantile.finish(counts, q, Low, High, eps, rng))
   }
 
   /** t = 3 (95%) rank-error bound. u_opt on this corpus is ~0.5 (each bin
