@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.accounting.{AddMaxRows, AddOneRow}
+import graft.budget.{PureDPBudget, Rat}
+import graft.constraints.MaxRowsPerID
+import graft.ir.{BinningSpec, QueryBuilder}
+import graft.keyset.KeySet
+import graft.pipeline.{Dedup, Ivf, Relational, Similarity, TextAnalysis}
+import graft.session.Session
+
+/** Doctest-style runnable examples for the most-used public entry points —
+  * the role the reference's docstring doctests play (e.g.
+  * /root/reference/src/tmlt/analytics/session.py:1037-1043): each test is a
+  * copy-pasteable snippet whose printed claim is asserted, so the docs can
+  * never drift from the code. Examples run at infinite budget where a
+  * deterministic answer keeps the snippet self-evident.
+  */
+class DocExamplesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Inf = PureDPBudget(Rat.Inf)
+
+  private def visits = makeDf(
+    StructType(Seq(strCol("user"), strCol("page"), dblCol("seconds"))),
+    Seq(
+      Row("ann", "home", 12.0), Row("ann", "docs", 30.0),
+      Row("bob", "home", 5.0), Row("bob", "docs", 60.0),
+      Row("bob", "docs", 45.0), Row("eve", "pricing", 8.0)))
+
+  test("example: build a Session and run a DP count") {
+    // One call for the common case: one table, protect one row.
+    val session = Session.fromDataFrame(
+      spark, PureDPBudget(1.0), "visits", visits, AddOneRow())
+    // At finite budget this answer would be noisy; the budget ledger is
+    // charged either way.
+    val q = QueryBuilder("visits").filter("seconds >= 10").count()
+    val n = session.evaluate(q, PureDPBudget(1.0)).collect().head.getLong(0)
+    assert(session.remainingPrivacyBudget === PureDPBudget(0.0))
+    // 4 rows last >= 10 seconds; at eps=1 the release is that plus
+    // two-sided geometric noise of scale 1/eps
+    assert(math.abs(n - 4L) < 40L)
+  }
+
+  test("example: Builder with private + public tables") {
+    val pages = Seq(("home", "core"), ("docs", "core"), ("pricing", "sales"))
+      .toDF("page", "team")
+    val session = new Session.Builder()
+      .withPrivacyBudget(Inf)
+      .withPrivateDataFrame("visits", visits, AddMaxRows(2))
+      .withPublicDataFrame("pages", pages)
+      .build(spark)
+    assert(session.privateSources === Seq("visits"))
+    // public joins are free; the protected change still bounds each
+    // user's influence at 2 rows
+    val q = QueryBuilder("visits").joinPublic("pages")
+      .groupby(KeySet.fromColumn("team", Seq("core", "sales"))).count()
+    val rows = session.evaluate(q, Inf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === Map("core" -> 5L, "sales" -> 1L))
+  }
+
+  test("example: grouped aggregates zero-fill the declared key domain") {
+    val session = Session.fromDataFrame(spark, Inf, "visits", visits, AddOneRow())
+    // The keyset IS the output domain: absent keys appear with 0, keys
+    // outside it are dropped — that is what makes the release safe to
+    // publish as a table.
+    val keys = KeySet.fromColumn("page", Seq("home", "docs", "checkout"))
+    val out = session.evaluate(
+      QueryBuilder("visits").groupby(keys).sum("seconds", 0, 60, name = "total"),
+      Inf).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("home" -> 17.0, "docs" -> 135.0, "checkout" -> 0.0))
+    // "pricing" was in the data but not the keyset: never released
+    assert(!out.contains("pricing"))
+  }
+
+  test("example: quantile sugar (median) over a clamped range") {
+    val session = Session.fromDataFrame(spark, Inf, "visits", visits, AddOneRow())
+    val m = session.evaluate(
+      QueryBuilder("visits").median("seconds", 0, 100), Inf)
+      .collect().head.getDouble(0)
+    // six values 5..60: at infinite budget the DP median lands inside
+    // the central mass (binned exponential mechanism, 2048 bins)
+    assert(m > 12.0 && m < 45.0)
+  }
+
+  test("example: histogram over explicit bin edges") {
+    val session = Session.fromDataFrame(spark, Inf, "visits", visits, AddOneRow())
+    val out = session.evaluate(
+      QueryBuilder("visits").histogram("seconds", BinningSpec(Seq(0.0, 15.0, 60.0))),
+      Inf).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("[0.00, 15.00]" -> 3L, "(15.00, 60.00]" -> 3L))
+  }
+
+  test("example: KeySet algebra — cross, subtract, size") {
+    val pages = KeySet.fromColumn("page", Seq("home", "docs"))
+    val flags = KeySet.fromColumn("flag", Seq("a", "b", "c"))
+    val full = pages * flags // cross product: 2 x 3 = 6 keys
+    assert(full.size(spark) === 6L)
+    val banned = KeySet.fromTuples(
+      Seq(Seq("home", "c")),
+      StructType(Seq(strCol("page"), strCol("flag"))))
+    assert(full.subtract(banned).size(spark) === 5L)
+  }
+
+  test("example: constraints turn unbounded tables into bounded ones") {
+    val session = Session.fromDataFrame(
+      spark, Inf, "visits", visits,
+      graft.accounting.AddRowsWithID("user", "users"))
+    // An IDs-protected table has unbounded per-user rows; enforcing
+    // MaxRowsPerID(2) truncates deterministically and makes counts finite-
+    // sensitivity. bob has 3 rows, so one is dropped by the truncation.
+    val q = QueryBuilder("visits").enforce(MaxRowsPerID(2)).count()
+    val n = session.evaluate(q, Inf).collect().head.getLong(0)
+    assert(n === 5L)
+  }
+
+  test("example: partitionAndCreate splits one budget into parallel sessions") {
+    val session = Session.fromDataFrame(
+      spark, PureDPBudget(2.0), "visits", visits, AddOneRow())
+    // Disjoint partitions compose in parallel: each child session holds
+    // the FULL passed budget over its slice.
+    val kids = session.partitionAndCreate("visits", PureDPBudget(2.0),
+      "page", Seq("home_part" -> "home", "docs_part" -> "docs"))
+    assert(kids.keySet === Set("home_part", "docs_part"))
+    assert(kids("docs_part").remainingPrivacyBudget === PureDPBudget(2.0))
+  }
+
+  test("example: exact dedup keeps one representative per key") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "bye"))
+      .toDF("id", "text")
+    val out = Dedup.exact(docs, Seq("text"), "id")
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L)) // smallest id wins, deterministically
+  }
+
+  test("example: brute-force and IVF top-k agree when every cell is probed") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)),
+      (2L, Array(0.0, 1.0)), (3L, Array(0.1, 0.9))
+    ).toDF("id", "vec")
+    val queries = vecs.filter("id = 0")
+    val exact = Similarity.bruteForceTopK(vecs, "id", "vec", queries, "id", "vec", k = 2)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(exact === Set(1L, 3L)) // nearest by cosine, self excluded
+    val model = Ivf.train(vecs, "vec", nlist = 2)
+    val ivf = Ivf.topK(vecs, "id", "vec", queries, "id", "vec", k = 2, model,
+      nprobe = 2) // nprobe = nlist probes everything: identical to exact
+    assert(ivf.select("corpus_id").as[Long].collect().toSet === exact)
+  }
+
+  test("example: as-of join attaches the latest earlier observation") {
+    val trades = Seq(("A", 10L, 100.0)).toDF("sym", "t", "px")
+    val quotes = Seq(("A", 8L, 99.0), ("A", 9L, 99.5), ("A", 11L, 98.0))
+      .toDF("sym", "t", "bid")
+    val out = Relational.asOfJoin(trades, quotes, Seq("sym"), "t")
+      .select("bid").as[Double].collect()
+    assert(out.toSeq === Seq(99.5)) // t=9 is the latest quote before t=10
+  }
+
+  test("example: text metrics are plain Columns, composable anywhere") {
+    val docs = Seq("the quick brown fox", "x").toDF("text")
+    val counts = docs
+      .select(TextAnalysis.tokenCount(org.apache.spark.sql.functions.col("text"))
+        .as("n_tokens"))
+      .as[Long].collect().toSeq
+    assert(counts === Seq(4L, 1L))
+  }
+}
