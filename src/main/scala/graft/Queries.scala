@@ -577,8 +577,8 @@ object Queries {
       graft.pipeline.Dedup.embeddingCosinePairs(
         read(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4, planes = 8)),
     "q44b_embedding_dedup_exact" -> ((s, d) =>
-      // the whole corpus in one bucket — the self-join limit of probing
-      // every bucket — makes candidate coverage structural, so the SAME
+      // triangle-blocked buckets make every pair co-occur by construction
+      // (the self-join limit of probing every bucket), so the SAME
       // bounded-collect/pair-explode/cosine-verify plumbing q44 runs must
       // reproduce the brute-force pair set exactly (ids only; oracle is
       // q73's SQL) — this is q62's nprobe=nlist trick applied to the LSH

@@ -918,31 +918,46 @@ object Dedup {
     cosineVerifyBuckets(banded, threshold, maxBucket)
   }
 
-  /** Exhaustive-coverage variant of [[embeddingCosinePairs]]: the whole
-    * corpus lands in ONE bucket — the self-join limit of probing every
-    * bucket, the same way nprobe = nlist makes IVF exhaustive — so the
-    * candidate set structurally contains every pair and the output provably
-    * equals the brute-force pair set. It runs the SAME bounded-collect /
-    * pair-explode / cosine-verify / distinct plumbing as the banded path,
-    * which is the point: it is the oracle anchor that pins that machinery's
-    * semantics for the driver gate, the role [[Ivf.topK]] at nprobe = nlist
-    * plays for IVF. Verification is O(n^2) in one bucket by construction —
-    * an anchor for test-scale corpora, never the production path
-    * (`maxCorpusRows` enforced up front; past it use the banded
-    * [[embeddingCosinePairs]]).
+  /** Exhaustive-coverage variant of [[embeddingCosinePairs]] — the
+    * self-join limit of probing every bucket, the same way nprobe = nlist
+    * makes IVF exhaustive — so the candidate set structurally contains
+    * every pair and the output provably equals the brute-force pair set.
+    * It runs the SAME bounded-collect / pair-explode / cosine-verify /
+    * distinct plumbing as the banded path, which is the point: it is the
+    * oracle anchor that pins that machinery's semantics for the driver
+    * gate, the role [[Ivf.topK]] at nprobe = nlist plays for IVF.
+    *
+    * Coverage is distributed by TRIANGLE BLOCKING rather than one flood
+    * bucket: rows hash into `blocks` blocks and each row joins the bucket
+    * of every unordered block pair involving its block, so a pair with
+    * blocks (i, j) co-occurs in bucket (min, max) by construction — recall
+    * 1 structurally, with the O(n^2) verification spread over
+    * blocks*(blocks+1)/2 independent tasks of O((n/blocks)^2) work each
+    * (same-block pairs co-occur in several buckets; the trailing distinct
+    * already dedups band collisions). Total work is still quadratic —
+    * exhaustive by definition — so `maxCorpusRows` is enforced up front;
+    * past it use the banded [[embeddingCosinePairs]], the sub-quadratic
+    * path.
     */
   def embeddingCosinePairsExhaustive(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      maxCorpusRows: Int = 1 << 14): DataFrame = {
+      maxCorpusRows: Int = 1 << 14, blocks: Int = 16): DataFrame = {
+    require(blocks >= 1 && blocks <= 1024,
+      s"blocks must be in [1, 1024], got $blocks")
     val cnt = df.count()
     require(cnt <= maxCorpusRows,
-      s"embeddingCosinePairsExhaustive verifies all pairs of $cnt rows in " +
-        s"one bucket (bound $maxCorpusRows); it exists to anchor the banded " +
+      s"embeddingCosinePairsExhaustive verifies all ~n^2/2 pairs of $cnt " +
+        s"rows (bound $maxCorpusRows); it exists to anchor the banded " +
         "path's semantics at test scale — use embeddingCosinePairs, the " +
         "sub-quadratic banded path, for corpora past the bound")
+    val b = blocks
     val banded = spread(df).select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"),
-      lit(0).as("__band"), lit(0L).as("__bk"))
+      pmod(xxhash64(col(idCol)), lit(b)).cast("int").as("__blk"))
+      .select(col("__id"), col("__v"), lit(0).as("__band"),
+        explode(transform(sequence(lit(0), lit(b - 1)), j =>
+          (least(col("__blk"), j) * b + greatest(col("__blk"), j))
+            .cast("long"))).as("__bk"))
     cosineVerifyBuckets(banded, threshold, maxCorpusRows)
   }
 

@@ -87,7 +87,7 @@ class AnnRecallSpec extends SparkSpec {
     assert(exhaustive === exact)
   }
 
-  test("one-bucket exhaustive embedding pairs (q44b parameters) equal brute force") {
+  test("triangle-blocked exhaustive embedding pairs (q44b parameters) equal brute force") {
     val df = corpus()
     val threshold = 0.8 // within-cluster cosines ~0.95, cross-cluster well below
     val exact = Similarity.bruteForcePairs(df, "id", "vec", threshold)

@@ -75,6 +75,33 @@ class AsOfJoinPropertySpec extends SparkSpec {
       }
     }
 
+  test("rangeJoin: result is invariant to the cellWidth tuning knob " +
+      "and matches a direct containment filter (10 seeded trials)") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val fact = makeDf(StructType(Seq(dblCol("v"))),
+        Seq.fill(40)(Row((rnd.nextInt(200) - 100) / 10.0)))
+      val dim = makeDf(StructType(Seq(strCol("band"), dblCol("lo"), dblCol("hi"))),
+        Seq.tabulate(8) { i =>
+          val lo = (rnd.nextInt(160) - 80) / 10.0
+          Row("b" + i, lo, lo + rnd.nextInt(30) / 10.0) // may be empty (hi == lo)
+        })
+      // the oracle nobody would run at scale: filter the cross product
+      val expected = fact.crossJoin(dim)
+        .where(col("v") >= col("lo") && col("v") < col("hi"))
+        .select("v", "band").collect().map(r => (r.getDouble(0), r.getString(1)))
+        .toSeq.sorted
+      // cellWidth is pure tuning: any positive width must reproduce it
+      for (w <- Seq(0.3, 1.0, 7.5)) {
+        val got = Relational.rangeJoin(fact, "v", dim, "lo", "hi", cellWidth = w)
+          .select("v", "band").collect().map(r => (r.getDouble(0), r.getString(1)))
+          .toSeq.sorted
+        assert(got === expected, s"seed=$seed cellWidth=$w")
+      }
+    }
+  }
+
   test("strict vs non-strict differ exactly on same-instant matches") {
     for (seed <- 21 to 30) {
       val rnd = new scala.util.Random(seed)
