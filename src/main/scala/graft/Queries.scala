@@ -788,6 +788,13 @@ object Queries {
         threshold = 2000.0, maxPositives = 2,
         epsilon = Double.PositiveInfinity)
     }),
+    "q122_bigram_logprob" -> ((s, d) =>
+      // CCNet-style LM perplexity proxy, one level above q107: per-doc mean
+      // NLL of bigram transitions under the corpus's own add-0.5-smoothed
+      // bigram LM. Costs quantize once to integer micro-nats so the
+      // released sums are exact BIGINTs
+      graft.pipeline.CorpusStats.bigramLogProb(
+        read(s, d, "documents"), "doc_id", "text", k = 0.5)),
     "q83_top_tokens_by_lang" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // per-language vocabulary summary: grouped heavy hitters via a
@@ -1974,6 +1981,30 @@ object Queries {
         |  FROM o)
         |SELECT event_type, CAST(npos AS BIGINT) AS rank
         |FROM p WHERE above AND npos <= 2""".stripMargin,
+    // q107's tokenization; transitions cost round(ln((cu+0.5V)/(cuv+0.5))e6)
+    // micro-nats — ratio >= 1 (cu >= cuv, V >= 1) so costs >= 0 and DuckDB
+    // half-away rounding agrees with Spark half-up; docs with < 2 tokens
+    // have no transitions and emit no row
+    "q122_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ls
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bi AS (SELECT doc_id, ls[i] AS u, ls[i+1] AS v
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ls) - 1)) AS i)
+        |  WHERE len(ls) >= 2),
+        |cuv AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cuv
+        |  FROM bi GROUP BY 1, 2),
+        |cu AS (SELECT u, CAST(sum(cuv) AS BIGINT) AS cu FROM cuv GROUP BY 1),
+        |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz
+        |  FROM (SELECT unnest(ls) AS tok FROM t)),
+        |cost AS (SELECT u, v, CAST(round(ln(
+        |      (cu::DOUBLE + 0.5 * vsz::DOUBLE) / (cuv::DOUBLE + 0.5)) * 1e6)
+        |    AS BIGINT) AS ce
+        |  FROM cuv JOIN cu USING (u) CROSS JOIN voc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(ce) AS BIGINT) AS nll_sum_e6,
+        |  CAST(sum(ce) AS DOUBLE) / count(*) AS mean_nll_e6
+        |FROM bi JOIN cost USING (u, v) GROUP BY 1""".stripMargin,
     // same shingling convention as q77: distinct grams per doc, short docs
     // contribute their whole text as one gram
     "q84_boilerplate_ngrams" ->

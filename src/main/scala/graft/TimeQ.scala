@@ -1,0 +1,24 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = args.head
+    val names = args.drop(1).toSeq
+    // warm
+    names.foreach { n => try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () } }
+    for (r <- 1 to 3; n <- names) {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(n)(spark, d)
+      df.queryExecution.executedPlan
+      val t1 = System.nanoTime()
+      val c = df.count()
+      println(f"$n run$r plan=${(t1-t0)/1e9}%.3f total=${(System.nanoTime()-t0)/1e9}%.3f rows=$c")
+    }
+    spark.stop()
+  }
+}

@@ -224,6 +224,61 @@ object CorpusStats {
         col("nll_sum_e6").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Bigram language-model scoring with add-k smoothing — the CCNet-style
+    * perplexity-proxy one LM level above [[unigramLogProb]]: a document's
+    * transitions score -ln P(w_i | w_{i-1}) with
+    * P(v | u) = (c(u,v) + k) / (c(u) + k*V), where c(u,v) is the corpus
+    * bigram count, c(u) the count of u as a predecessor (the row sum of
+    * c(u,·)), and V the corpus vocabulary size. Repetitive/template text
+    * scores low, wrong-language and OCR-noise text scores high — and unlike
+    * the unigram score, scrambled word salad no longer looks "typical".
+    * Documents with fewer than two tokens have no transitions and emit no
+    * row (q97's rule, matching [[unigramLogProb]]).
+    *
+    * Scale shape: the transition stream is a pure per-row projection (a JVM
+    * kernel pairs the consecutive tokens of the SAME canonical Spark
+    * tokenization `tokens` uses — interpreted higher-order zips re-evaluate
+    * their captured split per element, the q71 lesson); the bigram-type
+    * count is (u,v)-keyed and map-side combined; context counts come from
+    * the bigram table itself (vocabulary-sized row sum, no second pass over
+    * the data); the scalar V arrives by a broadcast one-row cross join; the
+    * transition stream joins the cost table on (u,v) and the only remaining
+    * shuffle is the id-keyed per-document aggregation.
+    *
+    * Portability: per-transition costs quantize ONCE to integer micro-nats,
+    * round(ln((c(u)+kV)/(c(u,v)+k)) * 1e6) — the ratio is >= 1 because
+    * c(u) >= c(u,v) and V >= 1, so costs are >= 0 and half-up/half-away
+    * rounding agree — and documents sum exact BIGINTs (q107's discipline).
+    */
+  def bigramLogProb(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    val base = Dedup.spread(df).select(col(idCol),
+      when(length(trim(col(textCol))) > 0,
+        split(trim(lower(col(textCol))), "\\s+"))
+        .otherwise(array().cast("array<string>")).as("__ts"))
+    val biUdf = udf((ts: Seq[String]) =>
+      if (ts == null || ts.length < 2) Array.empty[(String, String)]
+      else Array.tabulate(ts.length - 1)(i => (ts(i), ts(i + 1))))
+    val bi = base.select(col(idCol), explode(biUdf(col("__ts"))).as("__b"))
+      .select(col(idCol), col("__b._1").as("__u"), col("__b._2").as("__v"))
+    val cuv = bi.groupBy("__u", "__v").agg(count(lit(1)).as("__cuv"))
+    val cu = cuv.groupBy("__u").agg(sum(col("__cuv")).as("__cu"))
+    val vocab = base.select(explode(col("__ts")).as("__tok"))
+      .agg(countDistinct(col("__tok")).as("__vsz"))
+    val costs = cuv.join(cu, "__u").crossJoin(broadcast(vocab))
+      .select(col("__u"), col("__v"),
+        round(log((col("__cu").cast("double") + lit(k) * col("__vsz").cast("double")) /
+          (col("__cuv").cast("double") + lit(k))) * 1e6, 0)
+          .cast("long").as("__cost_e6"))
+    bi.join(costs, Seq("__u", "__v"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__cost_e6")).as("nll_sum_e6"))
+      .withColumn("mean_nll_e6",
+        col("nll_sum_e6").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** N-gram document frequency: the distinct word n-grams appearing in at
     * least `minDocs` distinct documents — the census that finds boilerplate
     * (headers, disclaimers, navigation) worth stripping before training.

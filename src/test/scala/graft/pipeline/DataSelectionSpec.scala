@@ -40,6 +40,39 @@ class DataSelectionSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 0L))
   }
 
+  // -------------------------------------------------------- bigram log-prob
+
+  test("bigramLogProb: hand-computed add-k transition costs on a tiny corpus") {
+    // bigrams: (a,b):1 (b,a):2; contexts: c(a)=1 c(b)=2; V={a,b,c}=3, k=0.5
+    // cost(a,b) = round(ln((1+1.5)/(1+0.5))e6), cost(b,a) = round(ln(3.5/2.5)e6)
+    val cab = math.round(math.log(2.5 / 1.5) * 1e6)
+    val cba = math.round(math.log(3.5 / 2.5) * 1e6)
+    val out = CorpusStats.bigramLogProb(
+      docs(1L -> "a b a", 2L -> "b a", 3L -> "c", 4L -> "  "), "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // the 1-token doc still votes its token into V, but emits no row
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((2L, cab + cba, (cab + cba) / 2.0)))
+    assert(out(2L) === ((1L, cba, cba.toDouble)))
+  }
+
+  test("bigramLogProb: repetition scores LOW, salad scores high") {
+    // one degenerate repeated transition vs unique transitions: the
+    // repetition's high c(u,v) makes its mean cost strictly smaller
+    val out = CorpusStats.bigramLogProb(
+      docs(1L -> "x x x x x x x x", 2L -> "p q r s t u v w"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < out(2L))
+  }
+
+  test("bigramLogProb rejects non-positive smoothing") {
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.bigramLogProb(docs(1L -> "a b"), "id", "text", k = 0.0)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
   // -------------------------------------------------- span-duplication frac
 
   test("spanDuplicationFraction: shared and repeated 3-grams count per start") {
@@ -104,6 +137,8 @@ class DataSelectionSpec extends SparkSpec {
         canon(CorpusStats.unigramLogProb(docs(corpus: _*), "id", "text")))
       assert(canon(Dedup.spanDuplicationFraction(df, "id", "text", 3)) ===
         canon(Dedup.spanDuplicationFraction(docs(corpus: _*), "id", "text", 3)))
+      assert(canon(CorpusStats.bigramLogProb(df, "id", "text")) ===
+        canon(CorpusStats.bigramLogProb(docs(corpus: _*), "id", "text")))
     }
   }
 
