@@ -795,6 +795,35 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q123_distinct_sketch_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // mergeable HLL distinct-count sketches, the 100-TB count-distinct
+      // shape: per-(lang, source) sketches roll up to per-lang WITHOUT
+      // re-reading the corpus. Exact-equality between rollup and a direct
+      // per-lang sketch is NOT promised (HIP vs standard estimator — see
+      // rollupDistinctSketch's header); the contract is that BOTH paths
+      // land within 5% of the exact count (~8 sigma of slack at lgK=14).
+      // DataSketches HLL has no RNG, so both booleans are deterministic
+      // and driver-oracled as TRUE
+      val docs = read(s, d, "documents")
+      val fine = graft.pipeline.CorpusStats.distinctSketch(
+        docs, Seq("lang", "source"), "doc_id")
+      val rolled = graft.pipeline.CorpusStats.rollupDistinctSketch(
+        fine, Seq("lang"))
+      val direct = graft.pipeline.CorpusStats.distinctSketch(
+        docs, Seq("lang"), "doc_id")
+      val exact = docs.groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_distinct"))
+      def within5(est: org.apache.spark.sql.Column) =
+        abs(est.cast("double") - col("n_distinct").cast("double")) <=
+          lit(0.05) * col("n_distinct").cast("double")
+      exact
+        .join(rolled.select(col("lang"), col("n_distinct_est").as("__roll")), "lang")
+        .join(direct.select(col("lang"), col("n_distinct_est").as("__direct")), "lang")
+        .select(col("lang"), col("n_distinct"),
+          within5(col("__roll")).as("rollup_within_5pct"),
+          within5(col("__direct")).as("est_within_5pct"))
+    }),
     "q83_top_tokens_by_lang" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // per-language vocabulary summary: grouped heavy hitters via a
@@ -2005,6 +2034,14 @@ object Queries {
         |  CAST(sum(ce) AS BIGINT) AS nll_sum_e6,
         |  CAST(sum(ce) AS DOUBLE) / count(*) AS mean_nll_e6
         |FROM bi JOIN cost USING (u, v) GROUP BY 1""".stripMargin,
+    // the exact column is oracled exactly; the two booleans are
+    // deterministic contracts (DataSketches HLL has no RNG): the rolled-up
+    // and direct estimates each sit ~8 sigma inside the 5% tolerance at
+    // lgK=14
+    "q123_distinct_sketch_rollup" ->
+      """SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |  TRUE AS rollup_within_5pct, TRUE AS est_within_5pct
+        |FROM documents GROUP BY 1""".stripMargin,
     // same shingling convention as q77: distinct grams per doc, short docs
     // contribute their whole text as one gram
     "q84_boilerplate_ngrams" ->

@@ -38,6 +38,52 @@ object CorpusStats {
         col("__r.total_len"), col("__r.approx_distinct"))
   }
 
+  /** Per-group distinct-cardinality sketches (Apache DataSketches HLL via
+    * Spark's `hll_sketch_agg`): one row per group carrying the serialized
+    * sketch AND its estimate. THE 100-TB count-distinct shape: the exact
+    * `count(DISTINCT x)` needs every distinct value to survive a shuffle
+    * (an Expand plan whose width scales with the cardinality), while the
+    * sketch is a fixed 2^lgK-register state that partially aggregates
+    * map-side and merges associatively — and the carried sketch column
+    * means downstream rollups ([[rollupDistinctSketch]]) and cross-dataset
+    * unions never touch the raw data again. Estimates are deterministic
+    * (DataSketches HLL has no RNG: register state is a pure function of
+    * the distinct-value hash set), so contracts over them are testable.
+    * Default lgK = 14 gives ~0.6% relative standard error.
+    */
+  def distinctSketch(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lgK: Int = 14): DataFrame = {
+    require(groupCols.nonEmpty, "group by at least one column")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("sketch"))
+      .withColumn("n_distinct_est", hll_sketch_estimate(col("sketch")))
+  }
+
+  /** Merge already-built HLL sketches up to a coarser grouping (Spark's
+    * `hll_union_agg`) — the rollup that turns per-(day, source) sketches
+    * into per-source cardinalities without re-reading the corpus. The
+    * union's register state is an associative, order-free function of the
+    * input sketches (register max), so rollups are deterministic under any
+    * partitioning — but a rolled-up estimate is NOT bit-identical to a
+    * direct single-pass sketch of the combined data: DataSketches scores
+    * directly-built sketches with the HIP estimator and unioned states
+    * with the standard estimator (measured: equal through set mode, ~0.5%
+    * apart once dense at ~2k distinct). Both estimators carry the same
+    * error bound, which is the contract q123 pins (rollup AND direct each
+    * within 5% of exact, ~8 sigma of slack at lgK = 14).
+    */
+  def rollupDistinctSketch(
+      df: DataFrame, groupCols: Seq[String],
+      sketchCol: String = "sketch"): DataFrame = {
+    require(groupCols.nonEmpty, "roll up to at least one column")
+    require(df.columns.contains(sketchCol), s"no such column: $sketchCol")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col(sketchCol)).as("sketch"))
+      .withColumn("n_distinct_est", hll_sketch_estimate(col("sketch")))
+  }
+
   /** One row per non-empty lowercased whitespace token, keeping `extra`
     * columns — THE tokenization convention every token oracle mirrors as
     * DuckDB's `string_split_regex(trim(lower(text)), '\s+')`; q78/q83/q87
