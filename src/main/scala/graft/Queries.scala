@@ -795,6 +795,13 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q124_numeric_profile" -> ((s, d) =>
+      // exact per-group distribution profile: count/min/max + interpolated
+      // percentiles (quantile_cont definition). State is a value->count
+      // histogram per group (50 distinct quantities), not O(rows)
+      graft.pipeline.CorpusStats.numericProfile(
+        read(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+        "l_quantity", percentiles = Seq(0.25, 0.5, 0.75, 0.9))),
     "q123_distinct_sketch_rollup" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // mergeable HLL distinct-count sketches, the 100-TB count-distinct
@@ -2042,6 +2049,18 @@ object Queries {
       """SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
         |  TRUE AS rollup_within_5pct, TRUE AS est_within_5pct
         |FROM documents GROUP BY 1""".stripMargin,
+    // both engines use the index = p*(n-1) interpolated definition
+    // (Spark percentile == DuckDB quantile_cont); quantities are
+    // integer-valued so the interpolations are exact small fractions
+    "q124_numeric_profile" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(l_quantity) AS BIGINT) AS n_rows,
+        |  min(l_quantity) AS vmin, max(l_quantity) AS vmax,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     // same shingling convention as q77: distinct grams per doc, short docs
     // contribute their whole text as one gram
     "q84_boilerplate_ngrams" ->

@@ -84,6 +84,50 @@ object CorpusStats {
       .withColumn("n_distinct_est", hll_sketch_estimate(col("sketch")))
   }
 
+  /** Per-group numeric distribution profile: non-null count, min, max, and
+    * EXACT linearly-interpolated percentiles (the `quantile_cont`
+    * definition: index p*(n-1), interpolate between the flanking order
+    * statistics) — the distribution report a pipeline owner reads before
+    * picking clamp bounds, bin edges, or packing lengths. Percentile
+    * columns are named p25 / p50 / p97_5 after their percentage.
+    *
+    * Scale shape: one partial->final keyed aggregation. Spark's exact
+    * `percentile` holds a value -> count histogram per group, so state is
+    * O(distinct values per group) — constant-ish for the integer-valued
+    * measures this profiles (quantities, token counts, lengths), NOT
+    * O(group rows). For continuous high-cardinality measures at 100 TB
+    * prefer `approx_percentile` (bounded GK state) or the DP quantile's
+    * fixed 2048-bin histogram; this operator is the exact anchor.
+    * Everything released is order-independent: min/max exactly, and the
+    * exact percentile is a deterministic function of the group's
+    * multiset.
+    */
+  def numericProfile(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(groupCols.nonEmpty, "group by at least one column")
+    require(percentiles.nonEmpty, "profile at least one percentile")
+    percentiles.foreach(p =>
+      require(p >= 0.0 && p <= 1.0, s"percentile out of [0, 1]: $p"))
+    def lbl(p: Double): String = {
+      val pct = p * 100
+      if (pct == math.rint(pct)) s"p${pct.toLong}"
+      else "p" + BigDecimal(pct).underlying.stripTrailingZeros.toPlainString
+        .replace('.', '_')
+    }
+    val labels = percentiles.map(lbl)
+    require(labels.distinct.size == labels.size,
+      s"duplicate percentile labels: ${labels.mkString(", ")}")
+    val v = col(valueCol).cast("double")
+    val pctArr = percentile(v, lit(percentiles.toArray)).as("__ps")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(v).as("n_rows"), min(v).as("vmin"), max(v).as("vmax"),
+        pctArr)
+      .select(groupCols.map(col) ++
+        Seq(col("n_rows"), col("vmin"), col("vmax")) ++
+        labels.zipWithIndex.map { case (l, i) => col("__ps")(i).as(l) }: _*)
+  }
+
   /** One row per non-empty lowercased whitespace token, keeping `extra`
     * columns — THE tokenization convention every token oracle mirrors as
     * DuckDB's `string_split_regex(trim(lower(text)), '\s+')`; q78/q83/q87
