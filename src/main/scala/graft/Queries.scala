@@ -795,6 +795,21 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q125_connected_components" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      // first-class graph primitive: components of the per-user event-chain
+      // graph (consecutive events linked), whose TRUE labels are derivable
+      // per user (min event_id) — so the oracle is exact while the engine
+      // sees only an anonymous edge list. Chains are ~67 hops at sf0.01:
+      // deep enough that naive bounded propagation would be wrong, pinning
+      // the union-find/propagation convergence contract
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val edges = readEvents(s, d)
+        .select(col("event_id"), lag("event_id", 1).over(w).as("prev"))
+        .where(col("prev").isNotNull)
+      graft.pipeline.Dedup.connectedComponents(edges, "prev", "event_id")
+    }),
     "q124_numeric_profile" -> ((s, d) =>
       // exact per-group distribution profile: count/min/max + interpolated
       // percentiles (quantile_cont definition). State is a value->count
@@ -2049,6 +2064,15 @@ object Queries {
       """SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
         |  TRUE AS rollup_within_5pct, TRUE AS est_within_5pct
         |FROM documents GROUP BY 1""".stripMargin,
+    // ground truth without closure: every user's chain is one component
+    // labeled by the user's min event_id; vertices exist only where edges
+    // do, so single-event users are absent
+    "q125_connected_components" ->
+      """WITH u AS (SELECT user_id, CAST(min(event_id) AS BIGINT) AS c,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(e.event_id AS BIGINT) AS id, u.c AS component
+        |FROM events e JOIN u USING (user_id) WHERE u.n >= 2""".stripMargin,
     // both engines use the index = p*(n-1) interpolated definition
     // (Spark percentile == DuckDB quantile_cont); quantities are
     // integer-valued so the interpolations are exact small fractions

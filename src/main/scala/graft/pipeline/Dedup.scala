@@ -292,7 +292,7 @@ object Dedup {
   def minhashClusters(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 64, shingleSize: Int = 3,
-      threshold: Double = 0.5, maxIters: Int = 5,
+      threshold: Double = 0.5, maxIters: Int = 16,
       verify: Boolean = true): DataFrame = {
     val pairs =
       if (verify)
@@ -306,11 +306,6 @@ object Dedup {
         coalesce(col("__c"), col("__id")).as("cluster_id"))
   }
 
-  /** Min-label propagation connected components over an edge list —
-    * DataFrame-native (each iteration is one shuffle keyed on vertex id),
-    * converging in O(component diameter) rounds. Returns (id, component)
-    * where component = smallest vertex id in the component.
-    */
   /** Edge-count cutoff below which connected components run as a
     * driver-side union-find: near-dup graphs are sparse (edges ~ number of
     * duplicates, not corpus size), so even a 100 TB corpus usually lands
@@ -319,8 +314,22 @@ object Dedup {
     */
   val InMemoryEdgeCutoff: Long = 1L << 22
 
+  /** Connected components over an edge list, returning (id, component)
+    * where component = smallest vertex id in the component (vertices exist
+    * only where edges do). Small edge sets (<= `inMemoryCutoff`) collapse
+    * into one driver-side union-find collect; past it, DataFrame-native
+    * min-label propagation WITH POINTER JUMPING runs: each round a vertex
+    * takes the min of its label, its neighbors' labels, and its label's
+    * label (the shortcut that contracts chains geometrically), so
+    * convergence is O(log diameter) rounds — not O(diameter), which on a
+    * 100M-edge near-dup graph with a few deep chains would either need
+    * unbounded rounds or, worse, stop early with silently wrong labels.
+    * Non-convergence within `maxIters` throws rather than mislabels;
+    * the default 16 covers any diameter up to ~2^16.
+    */
   def connectedComponents(
-      edges: DataFrame, srcCol: String, dstCol: String, maxIters: Int = 10): DataFrame = {
+      edges: DataFrame, srcCol: String, dstCol: String, maxIters: Int = 16,
+      inMemoryCutoff: Long = InMemoryEdgeCutoff): DataFrame = {
     // The edge list is typically the output of an expensive candidate+verify
     // pipeline: persist it so the size probe, the collect (small case), and
     // the propagation loop (large case) all run that pipeline exactly once.
@@ -328,7 +337,7 @@ object Dedup {
     // set is small enough for the union-find path.
     val pairs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
     val edgeCount = pairs.count()
-    if (edgeCount <= InMemoryEdgeCutoff) {
+    if (edgeCount <= inMemoryCutoff) {
       val sample = pairs.collect() // from cache
       pairs.unpersist(false)
       val spark = edges.sparkSession
@@ -355,27 +364,42 @@ object Dedup {
     val e = pairs
       .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
+    // localCheckpoint (not cache) per round: the pointer-jump self-join
+    // references the label table twice, so an un-truncated logical plan
+    // would double every iteration — checkpointing pins each round's rows
+    // AND resets the lineage to a leaf
     var labels = e.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
+      .withColumn("component", col("id")).localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
       val incoming = e.join(labels.withColumnsRenamed(Map("id" -> "src")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("component").as("__in"))
-      val next = labels.join(incoming, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("__in"), col("component")))
-          .as("component"))
-        .cache()
+      // pointer jump: follow my label to ITS label — chains contract
+      // geometrically, so deep components converge in O(log diameter)
+      val jump = labels.select(col("id").as("component"), col("component").as("__jp"))
+      val next = labels
+        .join(incoming, Seq("id"), "left")
+        .join(jump, Seq("component"), "left")
+        .select(col("id"), least(col("component"),
+          coalesce(col("__in"), col("component")),
+          coalesce(col("__jp"), col("component"))).as("component"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnsRenamed(Map("component" -> "__old")),
         Seq("id")).filter(col("component") =!= col("__old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    // labels is cached and already materialized by the convergence count
     e.unpersist()
     pairs.unpersist(false)
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds " +
+          "(component diameter exceeds ~2^maxIters under pointer jumping); " +
+          "raise maxIters — labels from a stopped-early propagation would " +
+          "be silently wrong")
+    }
     labels
   }
 

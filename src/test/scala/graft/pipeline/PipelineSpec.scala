@@ -57,6 +57,40 @@ class PipelineSpec extends SparkSpec {
     assert(cc(10L) === 10L && cc(11L) === 10L)
   }
 
+  test("distributed propagation handles a 200-deep chain in O(log d) rounds") {
+    // inMemoryCutoff = 0 forces the label-propagation path; pointer jumping
+    // must close a 200-hop diameter within 10 rounds (2^10 >> 200), where
+    // plain neighbor propagation would need 200
+    val chain = (1L until 200L).map(i => Row(i, i + 1)) :+ Row(500L, 501L)
+    val edges = makeDf(StructType(Seq(longCol("a"), longCol("b"))), chain)
+    val cc = Dedup.connectedComponents(edges, "a", "b", maxIters = 10,
+      inMemoryCutoff = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 200L).forall(cc(_) == 1L))
+    assert(cc(500L) === 500L && cc(501L) === 500L)
+  }
+
+  test("distributed and union-find paths agree on a random sparse graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = makeDf(StructType(Seq(longCol("a"), longCol("b"))),
+      Seq.fill(120)(Row(rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(Dedup.connectedComponents(edges, "a", "b",
+        maxIters = 16, inMemoryCutoff = 0L)) ===
+      canon(Dedup.connectedComponents(edges, "a", "b")))
+  }
+
+  test("propagation refuses to release labels it could not converge") {
+    val chain = (1L until 64L).map(i => Row(i, i + 1))
+    val edges = makeDf(StructType(Seq(longCol("a"), longCol("b"))), chain)
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, "a", "b", maxIters = 2,
+        inMemoryCutoff = 0L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("ngram jaccard: identical 1, disjoint 0") {
     val df = docs(1L -> "a b c d e").crossJoin(
       docs(2L -> "a b c d e").select(col("text").as("text2")))
