@@ -795,6 +795,32 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q126_kmv_overlap" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // KMV/theta sketches answer what HLL cannot: DISTINCT-SET ALGEBRA.
+      // One bounded mergeable sketch per split (k smallest 64-bit shingle
+      // hashes), then union/intersection as pure array projections over
+      // the released sketches — the contamination-planning question "how
+      // many shingles do these corpora share" without an Expand plan. At
+      // test SFs the true distinct counts sit under k, the regime where
+      // every hash is retained and all four numbers are EXACT (q110's
+      // exact-regime anchoring pattern)
+      val k = 1 << 15
+      val K = graft.exec.Kmv
+      val sh = read(s, d, "documents").select(
+        (col("doc_id") % 2 === 0).as("even"),
+        explode(graft.pipeline.Dedup.shingles(lower(col("text")), 3)).as("g"))
+      val sketches = sh.groupBy("even").agg(K.sketch(col("g"), k).as("sk"))
+      val a = sketches.filter(col("even")).select(col("sk").as("ska"))
+      val b = sketches.filter(!col("even")).select(col("sk").as("skb"))
+      a.crossJoin(b).select(
+        round(K.estimate(col("ska"), k)).cast("long").as("n_even"),
+        round(K.estimate(col("skb"), k)).cast("long").as("n_odd"),
+        round(K.estimate(K.union(col("ska"), col("skb"), k), k))
+          .cast("long").as("n_union"),
+        round(K.intersectEstimate(col("ska"), col("skb"), k))
+          .cast("long").as("n_intersection"))
+    }),
     "q125_connected_components" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
@@ -2064,6 +2090,24 @@ object Queries {
       """SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
         |  TRUE AS rollup_within_5pct, TRUE AS est_within_5pct
         |FROM documents GROUP BY 1""".stripMargin,
+    // q42's shingling convention (short docs contribute their whole text);
+    // true distinct counts < k = 2^15 at every test SF, so the sketch
+    // retains every hash and all four released numbers are exact
+    "q126_kmv_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id % 2 = 0 AS even, unnest(CASE WHEN len(toks) < 3
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) END) AS g FROM t)
+        |SELECT CAST(count(DISTINCT g) FILTER (even) AS BIGINT) AS n_even,
+        |  CAST(count(DISTINCT g) FILTER (NOT even) AS BIGINT) AS n_odd,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_union,
+        |  CAST(count(DISTINCT g) FILTER (even)
+        |    + count(DISTINCT g) FILTER (NOT even)
+        |    - count(DISTINCT g) AS BIGINT) AS n_intersection
+        |FROM sh""".stripMargin,
     // ground truth without closure: every user's chain is one component
     // labeled by the user's min event_id; vertices exist only where edges
     // do, so single-event users are absent
