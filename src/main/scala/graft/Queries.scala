@@ -795,6 +795,12 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q127_corpus_mix_rollup" -> ((s, d) =>
+      // every rollup level in ONE pass (native Expand + one exchange):
+      // per-(lang, source) / per-lang / grand-total doc and token counts,
+      // with grouping_level disambiguating rollup NULLs from data NULLs
+      graft.pipeline.CorpusStats.corpusMix(
+        read(s, d, "documents"), Seq("lang", "source"), "text")),
     "q126_kmv_overlap" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // KMV/theta sketches answer what HLL cannot: DISTINCT-SET ALGEBRA.
@@ -2090,6 +2096,16 @@ object Queries {
       """SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
         |  TRUE AS rollup_within_5pct, TRUE AS est_within_5pct
         |FROM documents GROUP BY 1""".stripMargin,
+    // GROUPING_ID bitmask semantics match Spark's (1 bit per rolled-up
+    // column); q47's token formula
+    "q127_corpus_mix_rollup" ->
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang, source) AS INTEGER) AS grouping_level,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+        |    AS n_tokens
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
     // q42's shingling convention (short docs contribute their whole text);
     // true distinct counts < k = 2^15 at every test SF, so the sketch
     // retains every hash and all four released numbers are exact

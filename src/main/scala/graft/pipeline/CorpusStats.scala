@@ -128,6 +128,26 @@ object CorpusStats {
         labels.zipWithIndex.map { case (l, i) => col("__ps")(i).as(l) }: _*)
   }
 
+  /** Corpus mix report at EVERY rollup level of `groupCols` in one pass:
+    * document and token totals per (lang, source), per lang, and grand
+    * total — the mixture table a pretraining run is provisioned from.
+    * Lowers to Spark's native ROLLUP (one Expand + one keyed aggregation:
+    * each row fans out to its |groupCols|+1 grouping sets map-side and
+    * every level partially aggregates before the single exchange — the
+    * plan beats |levels| separate scans by reading the corpus once).
+    * `grouping_id` disambiguates a rolled-up level's NULL from a NULL data
+    * value, exactly as in SQL.
+    */
+  def corpusMix(
+      df: DataFrame, groupCols: Seq[String], textCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "roll up over at least one column")
+    df.select(groupCols.map(col) :+
+        TextAnalysis.tokenCount(col(textCol)).as("__tc"): _*)
+      .rollup(groupCols.map(col): _*)
+      .agg(grouping_id().cast("int").as("grouping_level"),
+        count(lit(1)).as("n_docs"), sum(col("__tc")).as("n_tokens"))
+  }
+
   /** One row per non-empty lowercased whitespace token, keeping `extra`
     * columns — THE tokenization convention every token oracle mirrors as
     * DuckDB's `string_split_regex(trim(lower(text)), '\s+')`; q78/q83/q87

@@ -58,6 +58,24 @@ class NumericProfileSpec extends SparkSpec {
     }
   }
 
+  test("corpusMix: one pass yields every rollup level; data NULLs keep " +
+      "their own group, disambiguated by grouping_level") {
+    val schema = StructType(Seq(strCol("lang"), strCol("src"), strCol("text")))
+    val df = makeDf(schema, Seq(
+      Row("en", "web", "a b"), Row("en", "web", "c"), Row("en", "book", "d e f"),
+      Row(null, "web", "x y"))) // a DATA null, not a rollup null
+    val out = CorpusStats.corpusMix(df, Seq("lang", "src"), "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("en", "web", 0)) === ((2L, 3L)))
+    assert(out(("en", "book", 0)) === ((1L, 3L)))
+    assert(out((null, "web", 0)) === ((1L, 2L))) // data null at level 0
+    assert(out(("en", null, 1)) === ((3L, 6L))) // per-lang rollup
+    assert(out((null, null, 1)) === ((1L, 2L))) // data-null lang rolled up
+    assert(out((null, null, 3)) === ((4L, 8L))) // grand total
+    assert(out.size === 6)
+  }
+
   test("profile is partition-invariant (1 vs 17 partitions)") {
     val rnd = new scala.util.Random(4)
     val rows = (1 to 500).map(i =>
