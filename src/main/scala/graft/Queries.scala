@@ -815,8 +815,11 @@ object Queries {
       val K = graft.exec.Kmv
       val sh = read(s, d, "documents").select(
         (col("doc_id") % 2 === 0).as("even"),
-        explode(graft.pipeline.Dedup.shingles(lower(col("text")), 3)).as("g"))
+        explode(graft.pipeline.Dedup.lowerShinglesCol(col("text"), 3)).as("g"))
+      // two rows (one sketch per side): pin them so referencing each side
+      // doesn't re-run the corpus aggregation per reference
       val sketches = sh.groupBy("even").agg(K.sketch(col("g"), k).as("sk"))
+        .localCheckpoint(true)
       val a = sketches.filter(col("even")).select(col("sk").as("ska"))
       val b = sketches.filter(!col("even")).select(col("sk").as("skb"))
       a.crossJoin(b).select(

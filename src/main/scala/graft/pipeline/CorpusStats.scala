@@ -373,7 +373,14 @@ object CorpusStats {
       else Array.tabulate(ts.length - 1)(i => (ts(i), ts(i + 1))))
     val bi = base.select(col(idCol), explode(biUdf(col("__ts"))).as("__b"))
       .select(col(idCol), col("__b._1").as("__u"), col("__b._2").as("__v"))
+    // the bigram-type table feeds BOTH the cost model and the context row
+    // sums: persist it so the corpus-wide aggregation runs once, then pin
+    // the finished (small, model-sized) cost table eagerly — the final
+    // per-document join re-derives only the cheap transition stream, and
+    // AQE picks that join's strategy from the checkpoint's REAL size
+    // instead of a UDF-generate guess
     val cuv = bi.groupBy("__u", "__v").agg(count(lit(1)).as("__cuv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cu = cuv.groupBy("__u").agg(sum(col("__cuv")).as("__cu"))
     val vocab = base.select(explode(col("__ts")).as("__tok"))
       .agg(countDistinct(col("__tok")).as("__vsz"))
@@ -382,6 +389,8 @@ object CorpusStats {
         round(log((col("__cu").cast("double") + lit(k) * col("__vsz").cast("double")) /
           (col("__cuv").cast("double") + lit(k))) * 1e6, 0)
           .cast("long").as("__cost_e6"))
+      .localCheckpoint(true)
+    cuv.unpersist(false)
     bi.join(costs, Seq("__u", "__v"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__cost_e6")).as("nll_sum_e6"))

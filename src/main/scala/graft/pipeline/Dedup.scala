@@ -106,6 +106,17 @@ object Dedup {
   private[pipeline] def lowerShingles(t: String, k: Int): Array[String] =
     shingleArr(if (t == null) "" else t.toLowerCase(java.util.Locale.ROOT), k)
 
+  /** [[lowerShingles]] as a Column — the JVM-kernel twin of
+    * `shingles(lower(c), k)` for hot paths: the declarative
+    * transform/slice/concat_ws chain is an interpreted higher-order
+    * function that re-evaluates its captured split per element (measured
+    * ~2x slower on the documents table, the q71/q84 lesson).
+    */
+  def lowerShinglesCol(c: Column, k: Int): Column = {
+    require(k >= 1, "shingle size must be positive")
+    udf((t: String) => lowerShingles(t, k)).apply(c)
+  }
+
   /** Spread compute-bound per-row work across every core when the upstream
     * scan produced fewer partitions (small files at test SF make one task do
     * all the hashing; a 100 TB scan already yields thousands of splits and
