@@ -371,27 +371,34 @@ object CorpusStats {
     val biUdf = udf((ts: Seq[String]) =>
       if (ts == null || ts.length < 2) Array.empty[(String, String)]
       else Array.tabulate(ts.length - 1)(i => (ts(i), ts(i + 1))))
+    // every exchange carries 8-byte hashes, never gram strings (the q71
+    // discipline): __g identifies the (u, v) transition type, __hu its
+    // context u. A 64-bit collision can only merge two transition types
+    // (odds ~|types|^2 / 2^64), nudging two cost integers — never a
+    // structural error
     val bi = base.select(col(idCol), explode(biUdf(col("__ts"))).as("__b"))
-      .select(col(idCol), col("__b._1").as("__u"), col("__b._2").as("__v"))
+      .select(col(idCol),
+        xxhash64(col("__b._1"), col("__b._2")).as("__g"),
+        xxhash64(col("__b._1")).as("__hu"))
     // the bigram-type table feeds BOTH the cost model and the context row
     // sums: persist it so the corpus-wide aggregation runs once, then pin
     // the finished (small, model-sized) cost table eagerly — the final
     // per-document join re-derives only the cheap transition stream, and
     // AQE picks that join's strategy from the checkpoint's REAL size
     // instead of a UDF-generate guess
-    val cuv = bi.groupBy("__u", "__v").agg(count(lit(1)).as("__cuv"))
+    val cuv = bi.groupBy("__g", "__hu").agg(count(lit(1)).as("__cuv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cu = cuv.groupBy("__u").agg(sum(col("__cuv")).as("__cu"))
+    val cu = cuv.groupBy("__hu").agg(sum(col("__cuv")).as("__cu"))
     val vocab = base.select(explode(col("__ts")).as("__tok"))
       .agg(countDistinct(col("__tok")).as("__vsz"))
-    val costs = cuv.join(cu, "__u").crossJoin(broadcast(vocab))
-      .select(col("__u"), col("__v"),
+    val costs = cuv.join(cu, "__hu").crossJoin(broadcast(vocab))
+      .select(col("__g"),
         round(log((col("__cu").cast("double") + lit(k) * col("__vsz").cast("double")) /
           (col("__cuv").cast("double") + lit(k))) * 1e6, 0)
           .cast("long").as("__cost_e6"))
       .localCheckpoint(true)
     cuv.unpersist(false)
-    bi.join(costs, Seq("__u", "__v"))
+    bi.join(costs, Seq("__g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__cost_e6")).as("nll_sum_e6"))
       .withColumn("mean_nll_e6",
