@@ -795,6 +795,16 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q128_weighted_quota" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // A-ES weighted sampling: 20 docs per language, selection pressure
+      // proportional to token count, membership deterministic via the md5
+      // id-hash uniform — the exponential-key order reproduces in SQL
+      val docs = read(s, d, "documents").withColumn("w",
+        graft.pipeline.TextAnalysis.tokenCount(col("text")))
+      graft.pipeline.Sampling.weightedQuota(docs, "lang", "doc_id", "w", 20)
+        .select(col("lang"), col("doc_id"))
+    }),
     "q127_corpus_mix_rollup" -> ((s, d) =>
       // every rollup level in ONE pass (native Expand + one exchange):
       // per-(lang, source) / per-lang / grand-total doc and token counts,
@@ -2099,6 +2109,17 @@ object Queries {
       """SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
         |  TRUE AS rollup_within_5pct, TRUE AS est_within_5pct
         |FROM documents GROUP BY 1""".stripMargin,
+    // same md5 uniform as q81; the exponential key -ln(u)/w reproduces in
+    // SQL (w = q47's token count; zero-token docs carry no sampling mass)
+    "q128_weighted_quota" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+        |        / 4294967296.0)
+        |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE),
+        |      doc_id) AS rk
+        |  FROM documents WHERE length(trim(text)) > 0) t
+        |WHERE rk <= 20""".stripMargin,
     // GROUPING_ID bitmask semantics match Spark's (1 bit per rolled-up
     // column); q47's token formula
     "q127_corpus_mix_rollup" ->

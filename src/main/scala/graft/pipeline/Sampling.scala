@@ -75,6 +75,42 @@ object Sampling {
       .filter(col("__rk") <= quota).drop("__rk")
   }
 
+  /** Weighted sampling without replacement, `quota` rows per group —
+    * Efraimidis-Spirakis (A-ES) reservoir order made deterministic: each
+    * row draws the exponential key -ln(u) / w from its id-hash uniform
+    * u = (hash32(id) + 1) / 2^32 and the group's `quota` SMALLEST keys
+    * survive (equivalent to the classic top-k by u^(1/w); inclusion
+    * probability scales with the row's weight). The importance-sampling
+    * primitive for quality-weighted mixture building: double a document's
+    * quality score and you double its selection pressure, while membership
+    * stays reproducible run-to-run, cluster-size-independent, and
+    * auditable in any engine with md5 and ln.
+    *
+    * Rows whose weight is null, NaN, zero, or negative are dropped (no
+    * sampling mass), deterministically. Plan shape matches
+    * [[stratifiedQuota]]: one groupCol-keyed window, WindowGroupLimit
+    * pre-filtering map-side; the key is a pure projection.
+    *
+    * Portability note: the key involves ln() doubles, so cross-engine rank
+    * agreement rides on libm agreement to the last ulp — two DIFFERENT
+    * keys colliding within one ulp across engines is the q107-class risk
+    * (~1e-16 per boundary pair); exact ties (equal hash AND weight) break
+    * on the id in both engines.
+    */
+  def weightedQuota(
+      df: DataFrame, groupCol: String, idCol: String, weightCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    val u = (hash32(col(idCol)) + lit(1L)).cast("double") / lit(4294967296.0)
+    val key = -log(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(groupCol)).orderBy(key, col(idCol))
+    df.filter(col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0.0 &&
+        !isnan(col(weightCol).cast("double")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota).drop("__rk")
+  }
+
   /** Deterministic mixture upsampling: emit each row `weight(group)` times,
     * the standard way to hit a target domain mix (e.g. books x3, web x1)
     * without materializing copies upstream. Fractional weights are honored

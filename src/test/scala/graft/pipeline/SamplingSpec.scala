@@ -146,6 +146,54 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedQuota: selection frequency tracks the weights") {
+    // 400 rows, weight 9 for ids % 4 == 0 and 1 otherwise, quota 100 of
+    // 400: the heavy quarter (total mass 900 of 1200) must dominate the
+    // sample. With A-ES inclusion ~ mass, expect far more than its 25%
+    // uniform share; the draw is deterministic, so the bound cannot flake.
+    val schema = StructType(Seq(strCol("g"), longCol("id"), dblCol("w")))
+    val df = makeDf(schema, (1 to 400).map(i =>
+      Row("g", i.toLong, if (i % 4 == 0) 9.0 else 1.0)))
+    val picked = Sampling.weightedQuota(df, "g", "id", "w", 100)
+      .collect().map(_.getLong(1)).toSet
+    assert(picked.size === 100)
+    val heavy = picked.count(_ % 4 == 0)
+    assert(heavy >= 55, s"heavy rows picked: $heavy of 100")
+  }
+
+  test("weightedQuota: a practically-infinite weight always survives; " +
+      "null/zero/negative/NaN weights carry no mass") {
+    val schema = StructType(Seq(strCol("g"), longCol("id"), dblCol("w")))
+    val df = makeDf(schema, Seq(
+      Row("g", 1L, 1e18), Row("g", 2L, 1.0), Row("g", 3L, 1.0),
+      Row("g", 4L, null), Row("g", 5L, 0.0), Row("g", 6L, -2.0),
+      Row("g", 7L, Double.NaN)))
+    val out = Sampling.weightedQuota(df, "g", "id", "w", 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.contains(1L), "the 1e18-weight row must be selected")
+    assert(out.size === 2)
+    assert(!Seq(4L, 5L, 6L, 7L).exists(out.contains),
+      "massless rows must never be selected")
+  }
+
+  test("weightedQuota is partition-invariant and keeps short groups whole") {
+    val schema = StructType(Seq(strCol("g"), longCol("id"), dblCol("w")))
+    val rows = (1 to 90).map(i => Row("g" + i % 3, i.toLong, (i % 7 + 1).toDouble))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedQuota(d, "g", "id", "w", 10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val base = makeDf(schema, rows)
+    assert(run(base.repartition(1)) === run(base.repartition(17)))
+    // a group smaller than the quota survives entirely
+    val tiny = Sampling.weightedQuota(
+      makeDf(schema, Seq(Row("t", 1L, 2.0), Row("t", 2L, 3.0))),
+      "g", "id", "w", 10).count()
+    assert(tiny === 2L)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedQuota(base, "g", "id", "w", 0)
+    }
+  }
+
   test("hash split validates its fractions") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(ids(1), "id", Seq("a" -> 0.9, "b" -> 0.2))
