@@ -254,4 +254,55 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"pair scoring must stay within cluster-keyed equi joins:\n$plan")
   }
+
+  test("numeric profile is one partial->final aggregate, one exchange") {
+    val df = makeDf(StructType(Seq(strCol("g"), dblCol("v"))),
+      (1 to 100).map(i => Row("g" + i % 3, (i % 11).toDouble)))
+    val plan = executed(CorpusStats.numericProfile(df, Seq("g"), "v"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"one keyed shuffle expected:\n$plan")
+    assert(plan.contains("partial_"), s"map-side partial agg expected:\n$plan")
+  }
+
+  test("rollup mix report is a single Expand + one keyed aggregation") {
+    val df = makeDf(StructType(Seq(strCol("lang"), strCol("src"), strCol("text"))),
+      (1 to 60).map(i => Row("l" + i % 3, "s" + i % 2, "a b c")))
+    val plan = executed(CorpusStats.corpusMix(df, Seq("lang", "src"), "text"))
+    assert("Expand".r.findAllIn(plan).size === 1,
+      s"levels must fan out in ONE Expand, not one scan per level:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"all levels share one keyed shuffle:\n$plan")
+  }
+
+  test("KMV sketches partially aggregate map-side; only sketches shuffle") {
+    val df = makeDf(StructType(Seq(strCol("g"), longCol("v"))),
+      (1 to 500).map(i => Row("g" + i % 2, i.toLong)))
+    val sk = df.groupBy("g").agg(graft.exec.Kmv.sketch(col("v"), 64).as("sk"))
+    val plan = executed(sk)
+    assert(plan.contains("partial_kmv_sketch"),
+      s"sketch must combine map-side before the exchange:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1)
+  }
+
+  test("weighted quota pre-filters its window map-side (WindowGroupLimit)") {
+    val df = makeDf(StructType(Seq(strCol("g"), longCol("id"), dblCol("w"))),
+      (1 to 300).map(i => Row("g" + i % 2, i.toLong, (i % 5 + 1).toDouble)))
+    val plan = executed(Sampling.weightedQuota(df, "g", "id", "w", 5))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push into a per-partition group limit:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("bigram LM: per-document join side carries hashes, not gram strings") {
+    val df = makeDf(StructType(Seq(longCol("id"), strCol("text"))),
+      (1 to 80).map(i => Row(i.toLong, s"alpha bravo charlie delta tail$i")))
+    val out = CorpusStats.bigramLogProb(df, "id", "text")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    // every hash-partitioned shuffle must be keyed on longs (__g/__hu/id);
+    // no exchange may carry the __u/__v gram strings
+    val shuffles = plan.split('\n').filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffles.forall(l => !l.contains("__u#") && !l.contains("__v#")),
+      s"gram strings must not cross an exchange:\n$plan")
+  }
 }
