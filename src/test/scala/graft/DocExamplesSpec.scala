@@ -168,4 +168,41 @@ class DocExamplesSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(counts === Seq(4L, 1L))
   }
+
+  test("example: KMV sketches do distinct-set algebra across corpora") {
+    import org.apache.spark.sql.functions.col
+    val k = 64
+    val a = (0L until 30L).toDF("v").agg(exec.Kmv.sketch(col("v"), k).as("ska"))
+    val b = (20L until 50L).toDF("v").agg(exec.Kmv.sketch(col("v"), k).as("skb"))
+    val row = a.crossJoin(b).select(
+      exec.Kmv.estimate(exec.Kmv.union(col("ska"), col("skb"), k), k).as("u"),
+      exec.Kmv.intersectEstimate(col("ska"), col("skb"), k).as("i")).head()
+    // under k distinct values the sketch holds every hash: exact answers
+    assert(row.getDouble(0) === 50.0 && row.getDouble(1) === 10.0)
+  }
+
+  test("example: connected components label an edge list by min vertex id") {
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 8L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("example: numeric profile reads like a distribution report") {
+    import org.apache.spark.sql.functions.col
+    val sizes = Seq(("en", 1.0), ("en", 2.0), ("en", 3.0), ("en", 4.0))
+      .toDF("lang", "kb")
+    val row = pipeline.CorpusStats.numericProfile(
+      sizes, Seq("lang"), "kb", Seq(0.5)).head()
+    // (lang, n_rows, vmin, vmax, p50): quantile_cont interpolation
+    assert(row.getLong(1) === 4L && row.getDouble(4) === 2.5)
+  }
+
+  test("example: weighted quota samples proportionally to a weight column") {
+    val docs = Seq(("web", 1L, 1000.0), ("web", 2L, 0.001), ("web", 3L, 0.001))
+      .toDF("src", "id", "quality")
+    val kept = pipeline.Sampling.weightedQuota(docs, "src", "id", "quality", 1)
+      .select("id").as[Long].collect().toSeq
+    assert(kept === Seq(1L)) // overwhelming weight -> deterministic pick
+  }
 }
