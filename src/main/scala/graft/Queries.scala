@@ -1346,6 +1346,40 @@ object Queries {
         col("window.start").cast("long").as("window_start"),
         col("event_type"), col("count"))
     }),
+    "q129_streaming_distinct_users" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // windowed distinct users on a stream: streaming aggregation REJECTS
+      // count(DISTINCT ...), so the mergeable HLL sketch is the streaming
+      // path, not an approximation convenience. The exact per-window count
+      // comes from the batch side of the same data; the release pins the
+      // deterministic estimate within 5% of it (~8 sigma at lgK=14)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_seconds(col("event_id")))
+      val est = graft.streaming.Streaming.windowedDistinctSketch(
+        stream, "ts", "user_id", "10 minutes", "10 minutes")
+      val name = "q129mem"
+      val q = est.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = s.table(name).select(
+        col("window.start").cast("long").as("window_start"),
+        col("n_rows"), col("n_distinct_est"))
+      val exact = readEvents(s, d)
+        .groupBy(((col("event_id").cast("long") / 600L).cast("long") * 600L)
+          .as("window_start"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      streamed.join(exact, "window_start")
+        .select(col("window_start"), col("n_rows"), col("n_users"),
+          (abs(col("n_distinct_est").cast("double") - col("n_users").cast("double"))
+            <= lit(0.05) * col("n_users").cast("double")).as("est_within_5pct"))
+    }),
     "q117_bpe_saturation" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // tokenizer training end-to-end on its own corpus: trained to
@@ -2109,6 +2143,14 @@ object Queries {
       """SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
         |  TRUE AS rollup_within_5pct, TRUE AS est_within_5pct
         |FROM documents GROUP BY 1""".stripMargin,
+    // q54's window arithmetic; the exact column is oracled exactly and the
+    // estimate contract is deterministic (DataSketches HLL has no RNG)
+    "q129_streaming_distinct_users" ->
+      """SELECT CAST((event_id // 600) * 600 AS BIGINT) AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  TRUE AS est_within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
     // same md5 uniform as q81; the exponential key -ln(u)/w reproduces in
     // SQL (w = q47's token count; zero-token docs carry no sampling mass)
     "q128_weighted_quota" ->

@@ -32,6 +32,26 @@ object Streaming {
       .groupBy(window(col(tsCol), windowDuration), col(keyCol))
       .agg(count(lit(1)).as("count"))
 
+  /** Tumbling-window DISTINCT cardinality via HLL sketches — streaming
+    * aggregation rejects `count(DISTINCT ...)` outright (it cannot hold
+    * per-window distinct-value state), so the sketch IS the streaming
+    * distinct-count path, not merely the cheap one: per-window state is a
+    * fixed 2^lgK-register DataSketches HLL that merges associatively
+    * across micro-batches. Releases the window, the exact row count, and
+    * the deterministic distinct estimate (no RNG — a pure function of the
+    * window's distinct-value set), so q-gate tolerance contracts over it
+    * are stable.
+    */
+  def windowedDistinctSketch(
+      events: DataFrame, tsCol: String, valueCol: String,
+      windowDuration: String, watermark: String, lgK: Int = 14): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(count(lit(1)).as("n_rows"),
+        hll_sketch_estimate(hll_sketch_agg(col(valueCol), lgK))
+          .as("n_distinct_est"))
+
   /** Streaming dedup at ingest: drop rows whose `keyCols` were already seen
     * within the watermark horizon. State is bounded — Spark evicts seen-keys
     * state older than the watermark — so this runs indefinitely on an

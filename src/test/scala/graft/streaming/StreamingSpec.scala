@@ -35,6 +35,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed distinct sketch: exact in set mode, merged across batches") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[(Timestamp, Long)]
+    val est = Streaming.windowedDistinctSketch(
+      in.toDF().toDF("ts", "user"), "ts", "user", "10 minutes", "5 minutes")
+    val q = est.writeStream.format("memory").queryName("wds")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // users 1..40 across TWO micro-batches with repeats: the per-window
+      // sketch state must merge across batches; in set mode the estimate
+      // is the exact distinct count
+      in.addData((1L to 25L).map(u => (ts(1), u)): _*)
+      q.processAllAvailable()
+      in.addData((10L to 40L).map(u => (ts(5), u)): _*)
+      in.addData(Seq((ts(12), 7L), (ts(13), 7L), (ts(14), 8L)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("wds")
+        .selectExpr("window.start", "n_rows", "n_distinct_est").collect()
+        .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(rows(ts(0)) === ((56L, 40L))) // 25 + 31 rows, 40 distinct
+      assert(rows(ts(10)) === ((3L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming decontamination filters blocklisted docs map-side") {
     val sqlCtx = spark.sqlContext
     import sqlCtx.implicits._
