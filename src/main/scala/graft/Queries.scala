@@ -795,6 +795,14 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q130_event_funnel" -> ((s, d) =>
+      // ordered-sequence funnel view -> click -> purchase per user:
+      // earliest-completion semantics, each stage an entity-keyed join +
+      // min-agg over that step's pushed-filter scan — never a per-user
+      // event gather
+      graft.pipeline.Relational.funnel(
+        readEvents(s, d), "user_id", "event_type", "event_id",
+        Seq("view", "click", "purchase"))),
     "q128_weighted_quota" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // A-ES weighted sampling: 20 docs per language, selection pressure
@@ -2151,6 +2159,22 @@ object Queries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  TRUE AS est_within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+    // staged min-completion times: s_i = earliest step-i event strictly
+    // after the entity's s_{i-1}
+    "q130_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(event_id) AS t FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.event_id) AS t FROM events e
+        |    JOIN s1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.event_id > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.event_id) AS t FROM events e
+        |    JOIN s2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.event_id > s2.t GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS step_name,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_entities
+        |UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase',
+        |  CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin,
     // same md5 uniform as q81; the exponential key -ln(u)/w reproduces in
     // SQL (w = q47's token count; zero-token docs carry no sampling mass)
     "q128_weighted_quota" ->

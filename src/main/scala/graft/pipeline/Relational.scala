@@ -88,6 +88,52 @@ object Relational {
         payloadCols.map(c => col(s"__match.`$c`").as(c)): _*)
   }
 
+  /** Ordered-sequence funnel: for each prefix of `steps`, how many
+    * entities completed the steps IN ORDER (each step strictly later by
+    * `timeCol` than the previous one, earliest-completion semantics).
+    * Releases one row per step: (step, step_name, n_entities), with
+    * n_entities non-increasing down the funnel.
+    *
+    * Plan: no sequence scan and no per-entity gather — stage i is the
+    * minimal completion time of step i among events after the entity's
+    * stage-(i-1) time: a filtered scan, an entity-keyed equi-join against
+    * the (entities-sized) previous stage, and a min-aggregate, repeated
+    * |steps| times. Every join is keyed on the entity id; each stage's
+    * state is one timestamp per surviving entity; the final counts are
+    * single-row aggregates. At 100 TB each stage reads only its step's
+    * events (predicate pushed to the scan) and shuffles entity ids +
+    * timestamps, never full events.
+    */
+  def funnel(
+      events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"duplicate step types: ${steps.mkString(", ")}")
+    Seq(entityCol, typeCol, timeCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    // each stage pins eagerly (entity-sized) so its count AND the next
+    // stage's join read materialized rows — a lazy chain would recompute
+    // stages 1..i at every count, O(|steps|^2) scans
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(entityCol).as("__e")).agg(min(col(timeCol)).as("__t"))
+      .localCheckpoint(true)
+    val counts = scala.collection.mutable.ListBuffer(
+      (1, steps.head, reached.count()))
+    for ((step, i) <- steps.zipWithIndex.drop(1)) {
+      reached = events.filter(col(typeCol) === step)
+        .select(col(entityCol).as("__e"), col(timeCol).as("__nt"))
+        .join(reached, "__e")
+        .where(col("__nt") > col("__t"))
+        .groupBy(col("__e")).agg(min(col("__nt")).as("__t"))
+        .localCheckpoint(true)
+      counts += ((i + 1, step, reached.count()))
+    }
+    counts.toSeq.toDF("step", "step_name", "n_entities")
+  }
+
   /** Interval (range) join: pair each fact row with every dim interval
     * `[lo, hi)` containing `valueCol`, as an EQUI-join on grid cells.
     * Each dim interval explodes to the `ceil(width/cellWidth)` cells it

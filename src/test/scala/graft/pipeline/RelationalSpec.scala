@@ -158,4 +158,54 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         "lo", "hi", cellWidth = 1.0)
     }
   }
+
+  private def funnelEvents = Seq(
+    // u1 completes a -> b -> c in order
+    (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+    // u2 has b BEFORE its a: reaches step 1 only
+    (2L, "b", 5L), (2L, "a", 8L),
+    // u3: b at the SAME instant as a — strict order excludes it
+    (3L, "a", 10L), (3L, "b", 10L),
+    // u4: a then b, no c; the later second a is irrelevant
+    (4L, "a", 1L), (4L, "b", 2L), (4L, "a", 50L),
+    // u5 never does a
+    (5L, "b", 1L), (5L, "c", 2L)
+  ).toDF("user", "etype", "t")
+
+  test("funnel: ordered strict completion, earliest semantics, by hand") {
+    val out = Relational.funnel(funnelEvents, "user", "etype", "t",
+      Seq("a", "b", "c"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    // step1: u1 u2 u3 u4; step2 (b strictly after a): u1 u4; step3: u1
+    assert(out === Seq((1, "a", 4L), (2, "b", 2L), (3, "c", 1L)))
+  }
+
+  test("funnel: step order matters and counts never increase") {
+    val rev = Relational.funnel(funnelEvents, "user", "etype", "t",
+      Seq("c", "b", "a"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).map(_._3).toSeq
+    assert(rev === Seq(2L, 0L, 0L)) // u1/u5 did c; nobody does b after c
+    val fwd = Relational.funnel(funnelEvents, "user", "etype", "t",
+      Seq("a", "b", "c")).as[(Int, String, Long)].collect().map(_._3)
+    assert(fwd.sorted.reverse.toSeq === fwd.toSeq, "monotone down the funnel")
+  }
+
+  test("funnel rejects duplicate steps, empty steps, missing columns") {
+    assertThrows[IllegalArgumentException] {
+      Relational.funnel(funnelEvents, "user", "etype", "t", Seq("a", "a"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Relational.funnel(funnelEvents, "user", "etype", "t", Nil)
+    }
+    assertThrows[IllegalArgumentException] {
+      Relational.funnel(funnelEvents, "user", "etype", "nope", Seq("a"))
+    }
+  }
+
+  test("funnel is invariant under input partitioning") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.funnel(df, "user", "etype", "t", Seq("a", "b", "c"))
+        .as[(Int, String, Long)].collect().toSet
+    assert(run(funnelEvents.repartition(1)) === run(funnelEvents.repartition(13)))
+  }
 }
