@@ -795,6 +795,16 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q131_cohort_retention" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // retention triangle over 10-minute periods: cohort = first active
+      // period per user; one distinct (user, period) collapse bounds heavy
+      // users to one row per period before any join
+      graft.pipeline.Relational.cohortRetention(
+        readEvents(s, d).withColumn("period",
+          (col("event_id").cast("long") / 600L).cast("long")),
+        "user_id", "period")
+    }),
     "q130_event_funnel" -> ((s, d) =>
       // ordered-sequence funnel view -> click -> purchase per user:
       // earliest-completion semantics, each stage an entity-keyed join +
@@ -2159,6 +2169,15 @@ object Queries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  TRUE AS est_within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+    // cohort = min active period per user; ages count distinct active
+    // periods relative to it
+    "q131_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(event_id // 600 AS BIGINT) AS p FROM events),
+        |c AS (SELECT user_id, min(p) AS c FROM a GROUP BY 1)
+        |SELECT c.c AS cohort, a.p - c.c AS age,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
     // staged min-completion times: s_i = earliest step-i event strictly
     // after the entity's s_{i-1}
     "q130_event_funnel" ->

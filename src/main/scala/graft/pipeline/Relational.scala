@@ -134,6 +134,35 @@ object Relational {
     counts.toSeq.toDF("step", "step_name", "n_entities")
   }
 
+  /** Cohort retention matrix: entities cohorted by their FIRST activity
+    * period, with one row per (cohort, age) = (first period, periods since
+    * first) carrying how many of the cohort's entities were active again
+    * at that age — the standard retention triangle. `periodCol` is any
+    * integer-valued period expression the caller derived (day number,
+    * week number); age 0 rows equal the cohort sizes by construction.
+    *
+    * Plan: one distinct over (entity, period) — the only data-sized
+    * shuffle, entity-keyed — then a min-aggregate for the cohort table
+    * (entities-sized), an entity-keyed equi-join back, and a
+    * (cohort, age)-keyed count whose result is at most
+    * |periods|*(|periods|+1)/2 rows. Activity beyond the first per
+    * (entity, period) is collapsed BEFORE the join, so heavy entities
+    * cost one row per active period, not one per event.
+    */
+  def cohortRetention(
+      events: DataFrame, entityCol: String, periodCol: String): DataFrame = {
+    Seq(entityCol, periodCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    val active = events
+      .select(col(entityCol).as("__e"), col(periodCol).cast("long").as("__p"))
+      .where(col("__e").isNotNull && col("__p").isNotNull)
+      .distinct()
+    val cohorts = active.groupBy("__e").agg(min(col("__p")).as("__c"))
+    active.join(cohorts, "__e")
+      .groupBy(col("__c").as("cohort"), (col("__p") - col("__c")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Interval (range) join: pair each fact row with every dim interval
     * `[lo, hi)` containing `valueCol`, as an EQUI-join on grid cells.
     * Each dim interval explodes to the `ceil(width/cellWidth)` cells it

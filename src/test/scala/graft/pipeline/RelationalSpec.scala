@@ -202,6 +202,25 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("cohortRetention: hand-computed triangle; repeats collapse; " +
+      "age 0 equals cohort size; nulls drop") {
+    val events = Seq[(java.lang.Long, java.lang.Long)](
+      // u1 first in period 1, active again in 2 and 4 (twice: collapses)
+      (1L, 1L), (1L, 2L), (1L, 4L), (1L, 4L),
+      // u2 first in period 1 only
+      (2L, 1L),
+      // u3 first in period 2, active in 3
+      (3L, 2L), (3L, 3L),
+      // null entity and null period rows carry no signal
+      (null, 1L), (4L, null)
+    ).toDF("user", "p")
+    val out = Relational.cohortRetention(events, "user", "p")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 0L, 2L), (1L, 1L, 1L), (1L, 3L, 1L),
+      (2L, 0L, 1L), (2L, 1L, 1L)))
+  }
+
   test("funnel is invariant under input partitioning") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Relational.funnel(df, "user", "etype", "t", Seq("a", "b", "c"))
