@@ -54,9 +54,9 @@ class TransformChainFuzzSpec extends SparkSpec {
       val sess = Session.fromDataFrame(spark, Inf, "t", df, AddOneRow())
 
       def xd(r: MRow): java.lang.Double = r("x").asInstanceOf[java.lang.Double]
-      val steps = rnd.nextInt(6)
+      val steps = rnd.nextInt(7)
       val applied = scala.collection.mutable.ListBuffer.empty[String]
-      for (_ <- 1 to steps) rnd.nextInt(10) match {
+      for (_ <- 1 to steps) rnd.nextInt(12) match {
         case 0 => // rename y
           val to = if (yn == "y") "y2" else "y"
           qb = qb.rename(Map(yn -> to))
@@ -121,16 +121,31 @@ class TransformChainFuzzSpec extends SparkSpec {
             model = model.map(r => r + ("w" -> (r(yn).asInstanceOf[Long] % 3 + 1)))
             cols += "w"; applied += "map(w)"
           }
+        case 10 => // distinct over (g, y): drops every other column
+          qb = qb.distinctRows("g", yn)
+          model = model.map(r => Map("g" -> r("g"), yn -> r(yn))).distinct
+          cols = Set("g", yn) // m/x/w are gone; joined stays spent
+          applied += "distinctRows"
+        case 11 if !cols("__bin") => // named binning of y: [-10,0], (0,10]
+          qb = qb.binColumn(yn, graft.ir.BinningSpec(Seq(-10L, 0L, 10L),
+            names = Some(Seq("neg", "pos"))), Some("__bin"))
+          model = model.map(r => r + ("__bin" ->
+            (if (r(yn).asInstanceOf[Long] <= 0L) "neg" else "pos")))
+          cols += "__bin"; applied += "binColumn"
         case _ => () // inapplicable draw: skip
       }
 
       // ---- terminal: grouped count + clamped sum over a random keyset ----
-      val keyVals = rnd.shuffle(groups).take(1 + rnd.nextInt(4)) :+ "zz"
+      // group on the bin column (when a binColumn step ran and a coin
+      // says so) or on g; keysets always include one absent key
+      val (gCol, keyVals) =
+        if (cols("__bin") && rnd.nextBoolean()) ("__bin", Seq("neg", "pos", "zz"))
+        else ("g", rnd.shuffle(groups).take(1 + rnd.nextInt(4)) :+ "zz")
       val keys = KeySet.fromTuples(keyVals.map(Seq[Any](_)),
-        StructType(Seq(strCol("g"))))
-      val byKey = model.groupBy(_("g").asInstanceOf[String])
+        StructType(Seq(strCol(gCol))))
+      val byKey = model.groupBy(_(gCol).asInstanceOf[String])
         .filter { case (k, _) => keyVals.contains(k) }
-      val ctx = s"trial $trial chain=[${applied.mkString(", ")}]"
+      val ctx = s"trial $trial chain=[${applied.mkString(", ")}] by=$gCol"
 
       val counts = sess.evaluate(qb.groupby(keys).count(), Inf)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -138,6 +153,12 @@ class TransformChainFuzzSpec extends SparkSpec {
       for (k <- keyVals)
         assert(counts(k) === byKey.get(k).map(_.size).getOrElse(0).toLong,
           s"$ctx count($k)")
+
+      val distincts = sess.evaluate(qb.groupby(keys).countDistinct(), Inf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for (k <- keyVals)
+        assert(distincts(k) === byKey.get(k).map(_.distinct.size).getOrElse(0).toLong,
+          s"$ctx countDistinct($k)")
 
       val lo = -(1 + rnd.nextInt(5)).toDouble
       val hi = (1 + rnd.nextInt(7)).toDouble
