@@ -795,6 +795,35 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q132_cms_frequencies" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // Count-Min point frequencies: one 4x1024 counter matrix (fixed
+      // state, any cardinality) answers per-key counts; the parity-split
+      // sketches merge EXACTLY (counters add — bit-identical to the
+      // single-pass sketch, unlike HLL's estimator split). The 5 event
+      // types are collision-free in at least one row at width 1024
+      // (SF-independent: it depends only on the key strings), so the
+      // estimates equal the exact counts and oracle as values, not
+      // tolerances; est >= exact is CMS's deterministic guarantee either
+      // way
+      val C = graft.exec.CountMin
+      val (depth, width) = (4, 1024)
+      val ev = readEvents(s, d)
+      val whole = ev.agg(C.sketch(col("event_type"), depth, width).as("sk"))
+      val halves = ev.groupBy((col("event_id") % 2 === 0).as("h"))
+        .agg(C.sketch(col("event_type"), depth, width).as("hs"))
+        .localCheckpoint(true)
+      val merged = halves.filter(col("h")).select(col("hs").as("a"))
+        .crossJoin(halves.filter(!col("h")).select(col("hs").as("b")))
+        .select(C.merge(col("a"), col("b")).as("msk"))
+      val exact = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"))
+      exact.crossJoin(whole).crossJoin(merged).select(
+        col("event_type"), col("n_events"),
+        C.estimate(col("sk"), col("event_type"), depth, width)
+          .as("cms_estimate"),
+        (col("sk") === col("msk")).as("merge_exact"))
+    }),
     "q131_cohort_retention" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // retention triangle over 10-minute periods: cohort = first active
@@ -2168,6 +2197,12 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  TRUE AS est_within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
+    // collision-free regime at these 5 keys: the CMS estimate IS the
+    // exact count (value-oracled); merge exactness is structural
+    "q132_cms_frequencies" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS cms_estimate, TRUE AS merge_exact
         |FROM events GROUP BY 1""".stripMargin,
     // cohort = min active period per user; ages count distinct active
     // periods relative to it
