@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time a handful of named queries (3 warm runs each, with
+  * the same plan/exec split Bench records) without paying the full
+  * 134-query bench — `runMain graft.TimeQ <sfDir> <q1> <q2> ...`. Used for
+  * the per-operator scaling probes recorded in PLANS.md.
+  */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
