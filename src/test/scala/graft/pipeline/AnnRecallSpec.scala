@@ -98,6 +98,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(exhaustive === exact)
   }
 
+  test("exhaustive pairs are invariant to the blocks tuning knob") {
+    // blocks only spreads the O(n^2) verify over block-pair tasks;
+    // coverage is structural at EVERY block count, including the
+    // degenerate single flood bucket
+    val df = corpus()
+    val threshold = 0.8
+    def run(b: Int) = Dedup.embeddingCosinePairsExhaustive(
+      df, "id", "vec", threshold, blocks = b)
+      .select("id_a", "id_b").collect().toSet
+    val base = run(1)
+    assert(base.nonEmpty)
+    assert(run(4) === base)
+    assert(run(64) === base)
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairsExhaustive(df, "id", "vec", threshold, blocks = 0)
+    }
+  }
+
   test("exhaustive embedding pairs refuse corpora past the resident bound") {
     val df = corpus()
     val ex = intercept[IllegalArgumentException] {
