@@ -111,4 +111,41 @@ class GoldenOutputsSpec extends SparkSpec {
 
   private def docsDf(text: String) =
     makeDf(StructType(Seq(strCol("text"))), Seq(Row(text)))
+
+  test("golden: round-8 operator output schemas, locked verbatim") {
+    def sig(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.schema.map(f => s"${f.name}:${f.dataType.simpleString}")
+    val docs = makeDf(
+      StructType(Seq(strCol("lang"), longCol("id"), strCol("text"), dblCol("w"))),
+      Seq(Row("en", 1L, "a b c", 2.0), Row("de", 2L, "x y", 1.0)))
+    assert(sig(pipeline.CorpusStats.bigramLogProb(docs, "id", "text")) ===
+      Seq("id:bigint", "n_bigrams:bigint", "nll_sum_e6:bigint",
+        "mean_nll_e6:double"))
+    assert(sig(pipeline.CorpusStats.distinctSketch(docs, Seq("lang"), "id")) ===
+      Seq("lang:string", "sketch:binary", "n_distinct_est:bigint"))
+    assert(sig(pipeline.CorpusStats.numericProfile(docs, Seq("lang"), "w",
+      Seq(0.5, 0.975))) ===
+      Seq("lang:string", "n_rows:bigint", "vmin:double", "vmax:double",
+        "p50:double", "p97_5:double"))
+    assert(sig(pipeline.CorpusStats.corpusMix(docs, Seq("lang"), "text")) ===
+      Seq("lang:string", "grouping_level:int", "n_docs:bigint",
+        "n_tokens:bigint"))
+    assert(sig(pipeline.Sampling.weightedQuota(docs, "lang", "id", "w", 1)) ===
+      Seq("lang:string", "id:bigint", "text:string", "w:double"))
+    val events = makeDf(
+      StructType(Seq(longCol("u"), strCol("t"), longCol("ts"))),
+      Seq(Row(1L, "a", 1L), Row(1L, "b", 2L)))
+    assert(sig(pipeline.Relational.funnel(events, "u", "t", "ts", Seq("a", "b"))) ===
+      Seq("step:int", "step_name:string", "n_entities:bigint"))
+    assert(sig(pipeline.Relational.cohortRetention(events, "u", "ts")) ===
+      Seq("cohort:bigint", "age:bigint", "n_active:bigint"))
+    val edges = makeDf(StructType(Seq(longCol("a"), longCol("b"))),
+      Seq(Row(1L, 2L)))
+    assert(sig(pipeline.Dedup.connectedComponents(edges, "a", "b")) ===
+      Seq("id:bigint", "component:bigint"))
+    assert(sig(docs.agg(exec.Kmv.sketch(col("id"), 16).as("sk"))) ===
+      Seq("sk:array<bigint>"))
+    assert(sig(docs.agg(exec.CountMin.sketch(col("lang"), 2, 8).as("cm"))) ===
+      Seq("cm:array<bigint>"))
+  }
 }
