@@ -131,11 +131,83 @@ object KmvSketchAgg {
   }
 }
 
+/** Grouped union of already-built KMV sketches — the rollup aggregate
+  * that turns per-(day, source) sketches into per-source sketches without
+  * re-reading data. Unlike HLL (whose direct builds score via HIP and
+  * unions via the standard estimator), KMV has ONE estimator, so a rolled-
+  * up sketch is BIT-IDENTICAL to a direct single-pass sketch of the
+  * combined data: k-smallest-of-union is associative, order-free, and
+  * exactly what one pass retains (KmvSpec pins this).
+  */
+final case class KmvUnionAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvSketchAgg.State]
+    with UnaryLike[Expression] {
+
+  require(k >= 2, "kmv_union needs k >= 2")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kmv_union merges array<bigint> sketches, got ${other.simpleString}")
+    }
+
+  import KmvSketchAgg.State
+
+  override def createAggregationBuffer(): State = new State(k)
+
+  override def update(buffer: State, input: InternalRow): State = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) { buffer.add(arr.getLong(i)); i += 1 }
+    }
+    buffer
+  }
+
+  override def merge(buffer: State, other: State): State = {
+    buffer.mergeWith(other)
+    buffer
+  }
+
+  override def eval(buffer: State): Any =
+    new GenericArrayData(buffer.sortedValues)
+
+  override def serialize(obj: State): Array[Byte] = obj.toBytes
+  override def deserialize(bytes: Array[Byte]): State =
+    KmvSketchAgg.State.fromBytes(bytes, k)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvUnionAgg =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_union"
+}
+
 /** Column API over [[KmvSketchAgg]] plus the codegen'd set-operation
   * estimators. Sketches are sorted array<long> in the flipped encoding;
   * every helper below is a pure projection over released sketches.
   */
 object Kmv {
+
+  /** Grouped rollup: union many sketches per group ([[KmvUnionAgg]]);
+    * bit-identical to sketching the combined data directly.
+    */
+  def unionAgg(sketches: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvUnionAgg(ColumnBridge.expression(sketches), k)
+        .toAggregateExpression())
 
   /** Aggregate: the KMV sketch of `c` (any type; hashed with xxhash64).
     * Null items are skipped, matching count(DISTINCT c)'s null discipline.

@@ -80,6 +80,22 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(est - 10000.0) <= 0.15 * 10000.0, s"estimate $est")
   }
 
+  test("grouped rollup sketches are BIT-IDENTICAL to direct sketches " +
+      "(no HLL-style estimator split)") {
+    val k = 128
+    // fine grain: (g, h) sketches; rollup to g must equal sketching g's
+    // rows directly — k-smallest-of-union is exactly what one pass keeps
+    val data = df((0 until 3000).map(i =>
+      ("g" + i % 2 + "_h" + i % 4) -> java.lang.Long.valueOf((i % 700).toLong)): _*)
+      .withColumn("g", substring(col("side"), 1, 2))
+    val fine = data.groupBy("side", "g").agg(Kmv.sketch(col("v"), k).as("sk"))
+    val rolled = fine.groupBy("g").agg(Kmv.unionAgg(col("sk"), k).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val direct = data.groupBy("g").agg(Kmv.sketch(col("v"), k).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rolled === direct)
+  }
+
   test("nulls are skipped like count(DISTINCT); empty input sketches empty") {
     val k = 16
     val data = df("a" -> 1L, "a" -> null, "a" -> 2L)
