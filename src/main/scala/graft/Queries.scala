@@ -795,6 +795,13 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q133_funnel_window" -> ((s, d) =>
+      // the q130 funnel under a 20-minute conversion window: each step
+      // must land within 1200 time units of the previous stage's earliest
+      // completion (greedy first-window semantics)
+      graft.pipeline.Relational.funnel(
+        readEvents(s, d), "user_id", "event_type", "event_id",
+        Seq("view", "click", "purchase"), maxGap = Some(1200L))),
     "q132_cms_frequencies" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // Count-Min point frequencies: one 4x1024 counter matrix (fixed
@@ -2198,6 +2205,23 @@ object Queries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  TRUE AS est_within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+    // q130's staged CTEs with the conversion-window bound added
+    "q133_funnel_window" ->
+      """WITH s1 AS (SELECT user_id, min(event_id) AS t FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.event_id) AS t FROM events e
+        |    JOIN s1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.event_id > s1.t
+        |      AND e.event_id <= s1.t + 1200 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.event_id) AS t FROM events e
+        |    JOIN s2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.event_id > s2.t
+        |      AND e.event_id <= s2.t + 1200 GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS step_name,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_entities
+        |UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase',
+        |  CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin,
     // collision-free regime at these 5 keys: the CMS estimate IS the
     // exact count (value-oracled); merge exactness is structural
     "q132_cms_frequencies" ->

@@ -106,12 +106,19 @@ object Relational {
     */
   def funnel(
       events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], maxGap: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"duplicate step types: ${steps.mkString(", ")}")
     Seq(entityCol, typeCol, timeCol).foreach(c =>
       require(events.columns.contains(c), s"events side is missing '$c'"))
+    maxGap.foreach { g =>
+      require(g > 0L, s"maxGap must be positive, got $g")
+      val t = events.schema(timeCol).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"maxGap needs a numeric time column, got ${t.simpleString} — " +
+          "convert timestamps to epoch units first")
+    }
     val spark = events.sparkSession
     import spark.implicits._
     // each stage pins eagerly (entity-sized) so its count AND the next
@@ -123,10 +130,15 @@ object Relational {
     val counts = scala.collection.mutable.ListBuffer(
       (1, steps.head, reached.count()))
     for ((step, i) <- steps.zipWithIndex.drop(1)) {
+      // conversion window: the next step must land within maxGap of the
+      // PREVIOUS stage's earliest completion (greedy first-window
+      // semantics — deterministic, mirrored exactly by the oracle)
+      val within = maxGap.map(g => col("__nt") <= col("__t") + lit(g))
+        .getOrElse(lit(true))
       reached = events.filter(col(typeCol) === step)
         .select(col(entityCol).as("__e"), col(timeCol).as("__nt"))
         .join(reached, "__e")
-        .where(col("__nt") > col("__t"))
+        .where(col("__nt") > col("__t") && within)
         .groupBy(col("__e")).agg(min(col("__nt")).as("__t"))
         .localCheckpoint(true)
       counts += ((i + 1, step, reached.count()))

@@ -190,6 +190,34 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(fwd.sorted.reverse.toSeq === fwd.toSeq, "monotone down the funnel")
   }
 
+  test("funnel maxGap: greedy first-window semantics by hand") {
+    val ev = Seq(
+      // u1: b lands 5 after a — inside a gap of 10
+      (1L, "a", 10L), (1L, "b", 15L),
+      // u2: earliest b is 30 after a, too late; a LATER b would not help
+      // the greedy window even though it exists
+      (2L, "a", 10L), (2L, "b", 40L),
+      // u3: first b inside the window, second b (outside) irrelevant
+      (3L, "a", 10L), (3L, "b", 19L), (3L, "b", 99L)
+    ).toDF("user", "etype", "t")
+    val out = Relational.funnel(ev, "user", "etype", "t", Seq("a", "b"),
+      maxGap = Some(10L))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1, "a", 3L), (2, "b", 2L)))
+    // no gap: u2's late b now counts
+    val open = Relational.funnel(ev, "user", "etype", "t", Seq("a", "b"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).map(_._3).toSeq
+    assert(open === Seq(3L, 3L))
+    assertThrows[IllegalArgumentException] {
+      Relational.funnel(ev, "user", "etype", "t", Seq("a", "b"), Some(0L))
+    }
+    assertThrows[IllegalArgumentException] {
+      import org.apache.spark.sql.functions.{col, timestamp_seconds}
+      Relational.funnel(ev.withColumn("ts", timestamp_seconds(col("t"))),
+        "user", "etype", "ts", Seq("a", "b"), Some(10L))
+    }
+  }
+
   test("funnel rejects duplicate steps, empty steps, missing columns") {
     assertThrows[IllegalArgumentException] {
       Relational.funnel(funnelEvents, "user", "etype", "t", Seq("a", "a"))
