@@ -795,6 +795,17 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q134_embedding_mean_pool" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // chunk-to-document pooling: positionwise mean embedding per label
+      // cluster, elements snapped to a 1e-6 grid FIRST so the sums are
+      // exact integers (addition-order-free on any engine); released as
+      // (label, pos, mean) rows for the value oracle
+      val pooled = graft.pipeline.Similarity.meanPool(
+        read(s, d, "embeddings"), "label", "embedding", quantizeUnit = 1e-6)
+      pooled.select(col("label"), col("n_vecs"),
+        posexplode(col("embedding")).as(Seq("pos", "mean_val")))
+    }),
     "q133_funnel_window" -> ((s, d) =>
       // the q130 funnel under a 20-minute conversion window: each step
       // must land within 1200 time units of the previous stage's earliest
@@ -2205,6 +2216,21 @@ object Queries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  TRUE AS est_within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+    // the quantizer divides by the unit (v / 0.000001, NOT v * 1e6 —
+    // different IEEE doubles); floor(x + 0.5) is the sign-safe
+    // engine-portable snap, and the mean is (exact sum / n) * unit
+    "q134_embedding_mean_pool" ->
+      """WITH e AS (SELECT label, CAST(u.ord - 1 AS INTEGER) AS pos,
+        |    CAST(floor(embedding[u.ord]::DOUBLE / 0.000001 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS u(ord))
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT e.label, n.n_vecs, e.pos,
+        |  CAST(sum(q) AS DOUBLE) / count(*) * 0.000001 AS mean_val
+        |FROM e JOIN n USING (label) GROUP BY 1, 2, 3""".stripMargin,
     // q130's staged CTEs with the conversion-window bound added
     "q133_funnel_window" ->
       """WITH s1 AS (SELECT user_id, min(event_id) AS t FROM events

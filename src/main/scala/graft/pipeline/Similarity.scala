@@ -86,6 +86,51 @@ object Similarity {
     * side across the corpus scan, score, keep k per query by window rank.
     * Scales to any corpus size; queries must fit in a broadcast.
     */
+  /** Mean-pool vectors per group — the chunk-to-document pooling step
+    * that turns per-chunk embeddings into one document vector (and
+    * per-cluster centroids, per-source prototypes...). Returns one row per
+    * group: (group, n_vecs, embedding), pooling positionwise over the
+    * group's non-null vectors; ragged inputs average each position over
+    * the vectors long enough to have it.
+    *
+    * `quantizeUnit` > 0 snaps elements to that grid FIRST (floor(v/u +
+    * 0.5), sign-safe and engine-portable) so per-position sums run over
+    * exact integers — addition-order-free, bit-reproducible on any
+    * engine/partitioning, the discipline the micro-nat LM costs use. At 0
+    * the pool is plain double averaging (fast path; last-ulp
+    * order-sensitivity documented rather than paid for).
+    *
+    * Scale shape: posexplode is map-side; ONE (group, position)-keyed
+    * aggregation partially combines; re-assembly collects `dim` structs
+    * per group (state bounded by the embedding dimension, not group
+    * size).
+    */
+  def meanPool(
+      df: DataFrame, groupCol: String, vecCol: String,
+      quantizeUnit: Double = 0.0): DataFrame = {
+    require(quantizeUnit >= 0.0 && !quantizeUnit.isNaN,
+      s"quantizeUnit must be >= 0, got $quantizeUnit")
+    val expl = df
+      .where(col(groupCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__v")))
+    val mean =
+      if (quantizeUnit > 0.0) {
+        val q = floor(col("__v") / quantizeUnit + lit(0.5)).cast("long")
+        expl.groupBy("__g", "__p")
+          .agg(count(lit(1)).as("__n"), sum(q).as("__s"))
+          .select(col("__g"), col("__p"),
+            (col("__s").cast("double") / col("__n")) * lit(quantizeUnit))
+      } else expl.groupBy("__g", "__p").agg(avg(col("__v")))
+    val m = mean.toDF("__g", "__p", "__m")
+    val nVecs = df.where(col(groupCol).isNotNull && col(vecCol).isNotNull)
+      .groupBy(col(groupCol).as("__g")).agg(count(lit(1)).as("n_vecs"))
+    m.groupBy("__g")
+      .agg(transform(array_sort(collect_list(struct(col("__p"), col("__m")))),
+        s => s.getField("__m")).as("embedding"))
+      .join(nVecs, "__g")
+      .select(col("__g").as(groupCol), col("n_vecs"), col("embedding"))
+  }
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

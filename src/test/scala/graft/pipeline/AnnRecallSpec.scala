@@ -98,6 +98,46 @@ class AnnRecallSpec extends SparkSpec {
     assert(exhaustive === exact)
   }
 
+  test("meanPool: positionwise means by hand; ragged, null, and " +
+      "quantized paths") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", ArrayType(DoubleType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", Seq(1.0, 2.0)), Row("a", Seq(3.0, 6.0, 9.0)), // ragged
+        Row("a", null), Row(null, Seq(7.0, 7.0)))),
+      schema)
+    val out = Similarity.meanPool(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    // null vector and null group carry nothing; position 2 averages only
+    // the one vector long enough to have it
+    assert(out === Map("a" -> ((2L, Seq(2.0, 4.0, 9.0)))))
+    val quant = Similarity.meanPool(df, "g", "v", quantizeUnit = 1e-6)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+    assert(quant("a") === Seq(2.0, 4.0, 9.0)) // clean values: identical
+    intercept[IllegalArgumentException] {
+      Similarity.meanPool(df, "g", "v", quantizeUnit = -1.0)
+    }
+  }
+
+  test("meanPool quantized path is addition-order-free across partitionings") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(5)
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", ArrayType(DoubleType))))
+    val rows = Seq.fill(300)(Row("g" + rnd.nextInt(3),
+      Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    def run(parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts), schema)
+      .transform(d => Similarity.meanPool(d, "g", "v", quantizeUnit = 1e-6))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+    assert(run(1) === run(17)) // bit-identical, not merely close
+  }
+
   test("exhaustive pairs are invariant to the blocks tuning knob") {
     // blocks only spreads the O(n^2) verify over block-pair tasks;
     // coverage is structural at EVERY block count, including the
