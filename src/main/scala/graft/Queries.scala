@@ -2222,8 +2222,7 @@ object Queries {
     "q134_embedding_mean_pool" ->
       """WITH e AS (SELECT label, CAST(u.ord - 1 AS INTEGER) AS pos,
         |    CAST(floor(embedding[u.ord]::DOUBLE / 0.000001 + 0.5) AS BIGINT) AS q
-        |  FROM embeddings,
-        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS u(ord))
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(ord)
         |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
         |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
