@@ -43,6 +43,33 @@ object Similarity {
     }
   })
 
+  /** L2-normalize an array<double> column (the companion [[meanPool]]
+    * output usually needs before cosine work: a mean of unit vectors is
+    * not unit). One fused pass; null vectors stay null and zero vectors
+    * (no direction) return null rather than dividing by zero.
+    */
+  def normalizeL2(vec: Column): Column = normalizeKernel(vec.cast("array<double>"))
+
+  private val normalizeKernel = udf((a: Array[Double]) => {
+    if (a == null) null
+    else {
+      var n2 = 0.0
+      var i = 0
+      while (i < a.length) { n2 += a(i) * a(i); i += 1 }
+      if (n2 == 0.0) null
+      else {
+        // divide by the norm (one exactly-rounded op) rather than multiply
+        // by its reciprocal (two roundings: 3/5 -> 0.6 exactly, 3 * (1/5)
+        // does not)
+        val norm = math.sqrt(n2)
+        val out = new Array[Double](a.length)
+        i = 0
+        while (i < a.length) { out(i) = a(i) / norm; i += 1 }
+        out
+      }
+    }
+  })
+
   /** Symmetric per-vector int8 scalar quantization: each element maps to
     * floor(x * 127 / max|x| + 0.5) in [-127, 127], the storage layout that
     * cuts an embedding corpus 4x against float32 with bounded relative

@@ -123,6 +123,29 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("normalizeL2: unit norm, direction preserved, zero/null to null") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("v", ArrayType(DoubleType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(Seq(3.0, 4.0)), Row(Seq(0.0, 0.0)), Row(null))), schema)
+    val out = df.select(Similarity.normalizeL2(
+      org.apache.spark.sql.functions.col("v"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Double](0))
+    assert(out(0) === Seq(0.6, 0.8))
+    assert(out(1) == null && out(2) == null)
+    // normalized mean-pooled vectors have unit cosine with themselves
+    val pooled = Similarity.meanPool(
+      df.where(org.apache.spark.sql.functions.col("v").isNotNull)
+        .withColumn("g", org.apache.spark.sql.functions.lit("g")), "g", "v")
+    val nv = pooled.select(Similarity.normalizeL2(
+      org.apache.spark.sql.functions.col("embedding")).as("nv"))
+    val c = nv.select(Similarity.cosine(
+      org.apache.spark.sql.functions.col("nv"),
+      org.apache.spark.sql.functions.col("nv"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
   test("meanPool quantized path is addition-order-free across partitionings") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
