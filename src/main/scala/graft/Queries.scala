@@ -795,6 +795,13 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q135_funnel_gaps" -> ((s, d) =>
+      // time-to-convert down the q130 funnel: per step, the surviving
+      // users' gaps between earliest completions — count/min/max/exact
+      // sum (integral time units, so every stat is order-free)
+      graft.pipeline.Relational.funnelGaps(
+        readEvents(s, d), "user_id", "event_type", "event_id",
+        Seq("view", "click", "purchase"))),
     "q134_embedding_mean_pool" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // chunk-to-document pooling: positionwise mean embedding per label
@@ -2216,6 +2223,27 @@ object Queries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  TRUE AS est_within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+    // q130's staged CTEs carrying the previous stage's time; gaps are
+    // integer-valued, so min/max/sum are exact in any order
+    "q135_funnel_gaps" ->
+      """WITH s1 AS (SELECT user_id, min(event_id) AS t FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.event_id) AS t, s1.t AS pt
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.event_id > s1.t
+        |  GROUP BY e.user_id, s1.t),
+        |s3 AS (SELECT e.user_id, min(e.event_id) AS t, s2.t AS pt
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.event_id > s2.t
+        |  GROUP BY e.user_id, s2.t)
+        |SELECT 2 AS step, 'click' AS step_name,
+        |  CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(min(t - pt) AS DOUBLE) AS min_gap,
+        |  CAST(max(t - pt) AS DOUBLE) AS max_gap,
+        |  CAST(sum(t - pt) AS DOUBLE) AS sum_gap FROM s2
+        |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+        |  CAST(min(t - pt) AS DOUBLE), CAST(max(t - pt) AS DOUBLE),
+        |  CAST(sum(t - pt) AS DOUBLE) FROM s3""".stripMargin,
     // the quantizer divides by the unit (v / 0.000001, NOT v * 1e6 —
     // different IEEE doubles); floor(x + 0.5) is the sign-safe
     // engine-portable snap, and the mean is (exact sum / n) * unit

@@ -107,6 +107,24 @@ object Relational {
   def funnel(
       events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
       steps: Seq[String], maxGap: Option[Long] = None): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stages = funnelStages(events, entityCol, typeCol, timeCol, steps, maxGap)
+    stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      (i + 1, step, df.count())
+    }.toDF("step", "step_name", "n_entities")
+  }
+
+  /** The staged reach tables behind [[funnel]]: stage i holds one row per
+    * entity that completed steps 1..i, carrying its stage-i earliest
+    * completion `__t` and the previous stage's `__pt` (null at stage 1).
+    * Each stage pins eagerly (entity-sized) so downstream counts and the
+    * next stage's join read materialized rows — a lazy chain would
+    * recompute stages 1..i at every consumer, O(|steps|^2) scans.
+    */
+  private def funnelStages(
+      events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
+      steps: Seq[String], maxGap: Option[Long]): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"duplicate step types: ${steps.mkString(", ")}")
@@ -119,17 +137,13 @@ object Relational {
         s"maxGap needs a numeric time column, got ${t.simpleString} — " +
           "convert timestamps to epoch units first")
     }
-    val spark = events.sparkSession
-    import spark.implicits._
-    // each stage pins eagerly (entity-sized) so its count AND the next
-    // stage's join read materialized rows — a lazy chain would recompute
-    // stages 1..i at every count, O(|steps|^2) scans
+    val tType = events.schema(timeCol).dataType
     var reached = events.filter(col(typeCol) === steps.head)
       .groupBy(col(entityCol).as("__e")).agg(min(col(timeCol)).as("__t"))
+      .withColumn("__pt", lit(null).cast(tType))
       .localCheckpoint(true)
-    val counts = scala.collection.mutable.ListBuffer(
-      (1, steps.head, reached.count()))
-    for ((step, i) <- steps.zipWithIndex.drop(1)) {
+    val stages = scala.collection.mutable.ListBuffer(reached)
+    for (step <- steps.drop(1)) {
       // conversion window: the next step must land within maxGap of the
       // PREVIOUS stage's earliest completion (greedy first-window
       // semantics — deterministic, mirrored exactly by the oracle)
@@ -137,13 +151,60 @@ object Relational {
         .getOrElse(lit(true))
       reached = events.filter(col(typeCol) === step)
         .select(col(entityCol).as("__e"), col(timeCol).as("__nt"))
-        .join(reached, "__e")
+        .join(reached.drop("__pt"), "__e")
         .where(col("__nt") > col("__t") && within)
-        .groupBy(col("__e")).agg(min(col("__nt")).as("__t"))
+        // one reached row per entity, so min(__t) IS the previous time
+        .groupBy(col("__e"))
+        .agg(min(col("__nt")).as("__t"), min(col("__t")).as("__pt"))
         .localCheckpoint(true)
-      counts += ((i + 1, step, reached.count()))
+      stages += reached
     }
-    counts.toSeq.toDF("step", "step_name", "n_entities")
+    stages.toSeq
+  }
+
+  /** Time-to-convert statistics down the funnel: for every step past the
+    * first, the surviving entities' gaps t_i - t_{i-1} between earliest
+    * completions — count, min, max, and exact sum (the mean is
+    * sum/n downstream). Same staged plan as [[funnel]] (the stage tables
+    * already carry both times), so the gap stats cost |steps|-1
+    * single-row aggregates over entity-sized pinned tables. Numeric time
+    * columns only — gaps are differences.
+    */
+  def funnelGaps(
+      events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
+      steps: Seq[String], maxGap: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, "gap stats need at least two steps")
+    val t = events.schema.apply(timeCol).dataType
+    require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"funnelGaps needs a numeric time column, got ${t.simpleString} — " +
+        "convert timestamps to epoch units first")
+    val spark = events.sparkSession
+    val stages = funnelStages(events, entityCol, typeCol, timeCol, steps, maxGap)
+    // gaps released as doubles: integral time units give integer-valued
+    // gaps whose min/max/sum are exact in ANY addition order below 2^53;
+    // fractional units make the sum order-sensitive at the last ulp —
+    // prefer epoch integers
+    val rows = stages.zip(steps).zipWithIndex.drop(1).map { case ((df, step), i) =>
+      val g = (col("__t") - col("__pt")).cast("double")
+      val r = df.agg(count(lit(1)).as("n"),
+        min(g).as("mn"), max(g).as("mx"), sum(g).as("sm")).head()
+      org.apache.spark.sql.Row(Integer.valueOf(i + 1), step,
+        java.lang.Long.valueOf(r.getLong(0)),
+        if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)),
+        if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)))
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("step", IntegerType, nullable = false),
+        StructField("step_name", StringType, nullable = false),
+        StructField("n_entities", LongType, nullable = false),
+        StructField("min_gap", DoubleType, nullable = true),
+        StructField("max_gap", DoubleType, nullable = true),
+        StructField("sum_gap", DoubleType, nullable = true))))
   }
 
   /** Cohort retention matrix: entities cohorted by their FIRST activity

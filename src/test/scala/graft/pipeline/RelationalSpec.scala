@@ -249,6 +249,31 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       (2L, 0L, 1L), (2L, 1L, 1L)))
   }
 
+  test("funnelGaps: hand-computed time-to-convert; empty steps go null") {
+    // from funnelEvents: step2 survivors u1 (20-10=10) and u4 (2-1=1);
+    // step3 survivor u1 (30-20=10)
+    val out = Relational.funnelGaps(funnelEvents, "user", "etype", "t",
+      Seq("a", "b", "c"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(2) === ((2L, 1.0, 10.0, 11.0)))
+    assert(out(3) === ((1L, 10.0, 10.0, 10.0)))
+    // a step nobody reaches reports n = 0 with null stats
+    val dead = Relational.funnelGaps(funnelEvents, "user", "etype", "t",
+      Seq("a", "b", "zz"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.isNullAt(3)))).toMap
+    assert(dead(3) === ((0L, true)))
+    assertThrows[IllegalArgumentException] {
+      Relational.funnelGaps(funnelEvents, "user", "etype", "t", Seq("a"))
+    }
+    assertThrows[IllegalArgumentException] {
+      import org.apache.spark.sql.functions.{col, timestamp_seconds}
+      Relational.funnelGaps(
+        funnelEvents.withColumn("ts", timestamp_seconds(col("t"))),
+        "user", "etype", "ts", Seq("a", "b"))
+    }
+  }
+
   test("funnel is invariant under input partitioning") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Relational.funnel(df, "user", "etype", "t", Seq("a", "b", "c"))
