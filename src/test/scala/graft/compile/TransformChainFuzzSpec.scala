@@ -29,7 +29,7 @@ class TransformChainFuzzSpec extends SparkSpec {
 
   test("random transform chains at infinite budget match the Scala model") {
     val rnd = new scala.util.Random(20260814L)
-    for (trial <- 1 to 18) {
+    for (trial <- 1 to 30) {
       // ---- base table: g in {a..d}, x with null/NaN/±Inf, y integer ----
       val groups = Seq("a", "b", "c", "d")
       val xPool = Seq[java.lang.Double](
