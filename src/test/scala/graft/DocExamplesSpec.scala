@@ -198,6 +198,26 @@ class DocExamplesSpec extends SparkSpec {
     assert(row.getLong(1) === 4L && row.getDouble(4) === 2.5)
   }
 
+  test("example: funnels and cohorts read like the product-analytics SQL") {
+    val events = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "buy", 25L),
+      (2L, "view", 5L), (2L, "click", 90L)
+    ).toDF("user", "etype", "ts")
+    val steps = pipeline.Relational.funnel(events, "user", "etype", "ts",
+      Seq("view", "click", "buy"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).map(_._3).toSeq
+    assert(steps === Seq(2L, 2L, 1L)) // both view+click; only u1 buys
+    val windowed = pipeline.Relational.funnel(events, "user", "etype", "ts",
+      Seq("view", "click", "buy"), maxGap = Some(30L))
+      .as[(Int, String, Long)].collect().sortBy(_._1).map(_._3).toSeq
+    assert(windowed === Seq(2L, 1L, 1L)) // u2's click misses the window
+    val cohorts = pipeline.Relational.cohortRetention(
+      events.withColumn("period", org.apache.spark.sql.functions
+        .floor(org.apache.spark.sql.functions.col("ts") / 50)), "user", "period")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cohorts === Set((0L, 0L, 2L), (0L, 1L, 1L))) // u2 returns later
+  }
+
   test("example: weighted quota samples proportionally to a weight column") {
     val docs = Seq(("web", 1L, 1000.0), ("web", 2L, 0.001), ("web", 3L, 0.001))
       .toDF("src", "id", "quality")
