@@ -795,6 +795,21 @@ object Queries {
       // released sums are exact BIGINTs
       graft.pipeline.CorpusStats.bigramLogProb(
         read(s, d, "documents"), "doc_id", "text", k = 0.5)),
+    "q136_compaction_plan" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // small-file compaction planning: a synthetic listing (one "file"
+      // per document, sized by its text) stripes serpentine over the
+      // size-sorted order into ceil(total/target) groups — deterministic
+      // and exactly SQL-mirrorable, unlike sequential first-fit. Released
+      // as the per-group summary (assignment itself is path-by-path
+      // identical too; the summary keeps the output compact)
+      val listing = read(s, d, "documents").select(
+        concat(col("source"), lit("/"), col("doc_id")).as("path"),
+        length(col("text")).cast("long").as("bytes"))
+      graft.sources.Compaction.compactionSummary(
+        graft.sources.Compaction.planCompaction(
+          listing, "path", "bytes", targetBytes = 4096L))
+    }),
     "q135_funnel_gaps" -> ((s, d) =>
       // time-to-convert down the q130 funnel: per step, the surviving
       // users' gaps between earliest completions — count/min/max/exact
@@ -2223,6 +2238,22 @@ object Queries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  TRUE AS est_within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+    // serpentine striping reproduces rank-for-rank in SQL: pass r/ng
+    // alternates direction, offset r%ng picks the group
+    "q136_compaction_plan" ->
+      """WITH f AS (SELECT source || '/' || doc_id AS path,
+        |    CAST(length(text) AS BIGINT) AS bytes FROM documents),
+        |t AS (SELECT greatest(CAST(ceil(sum(bytes)::DOUBLE / 4096) AS BIGINT),
+        |    1) AS ng FROM f),
+        |r AS (SELECT path, bytes,
+        |    row_number() OVER (ORDER BY bytes DESC, path) - 1 AS r, ng
+        |  FROM f CROSS JOIN t),
+        |a AS (SELECT path, bytes, CASE WHEN (r // ng) % 2 = 0 THEN r % ng
+        |    ELSE ng - 1 - r % ng END AS grp FROM r)
+        |SELECT CAST(grp AS BIGINT) AS "group",
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes
+        |FROM a GROUP BY 1""".stripMargin,
     // q130's staged CTEs carrying the previous stage's time; gaps are
     // integer-valued, so min/max/sum are exact in any order
     "q135_funnel_gaps" ->

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Compaction planning for small-file sprawl — the layout-maintenance
+  * chore every long-lived 100 TB table accumulates (streaming sinks and
+  * fine-grained partitions leave thousands of files far below the
+  * row-group sweet spot; reading them costs a task per file).
+  *
+  * The planner assigns each file to a compaction group by SERPENTINE
+  * STRIPING over the size-sorted listing: files order by (bytes desc,
+  * path), the group count is ceil(total / targetBytes), and rank r maps
+  * boustrophedon-style (down, back up, repeat) so each group receives one
+  * file per pass from alternating ends of the size distribution — the
+  * classic balanced-striping approximation to LPT scheduling, fully
+  * order-free and expressible in plain SQL (the oracle reproduces every
+  * assignment exactly), unlike first-fit-decreasing whose sequential
+  * state cannot be checked by an independent engine.
+  *
+  * Plan shape: one global sort of the LISTING (files, not data — a 100 TB
+  * table is a few million listing rows at most) and a rank projection; no
+  * data movement happens here. The executor that performs the rewrite
+  * consumes (group, path) and streams each group's files through a
+  * single writer task.
+  */
+object Compaction {
+
+  def planCompaction(
+      files: DataFrame, pathCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0L, s"targetBytes must be positive, got $targetBytes")
+    Seq(pathCol, bytesCol).foreach(c =>
+      require(files.columns.contains(c), s"listing is missing column '$c'"))
+    val cleaned = files
+      .where(col(pathCol).isNotNull && col(bytesCol).isNotNull &&
+        col(bytesCol).cast("long") >= 0L)
+      .select(col(pathCol).as("path"), col(bytesCol).cast("long").as("bytes"))
+    // ceil(total/target) groups, at least 1 when any file exists; the
+    // one-row total broadcasts
+    val totals = cleaned.agg(
+      greatest(ceil(sum(col("bytes")).cast("double") / targetBytes), lit(1L))
+        .cast("long").as("__ng"))
+    val ranked = cleaned.crossJoin(broadcast(totals))
+      .withColumn("__r",
+        row_number().over(Window.orderBy(col("bytes").desc, col("path"))) - 1)
+    // serpentine: pass p = r / ng; offset o = r % ng; even passes walk
+    // groups forward, odd passes backward
+    ranked.select(col("path"), col("bytes"),
+      when((col("__r") / col("__ng")).cast("long") % 2 === 0,
+        col("__r") % col("__ng"))
+        .otherwise(col("__ng") - lit(1) - col("__r") % col("__ng"))
+        .cast("long").as("group"))
+  }
+
+  /** The per-group totals a compaction run is sized by: file count and
+    * byte sum per planned group.
+    */
+  def compactionSummary(plan: DataFrame): DataFrame = {
+    Seq("group", "bytes").foreach(c =>
+      require(plan.columns.contains(c), s"plan is missing column '$c'"))
+    plan.groupBy("group")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"))
+  }
+}
