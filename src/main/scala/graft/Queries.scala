@@ -871,7 +871,7 @@ object Queries {
       // users to one row per period before any join
       graft.pipeline.Relational.cohortRetention(
         readEvents(s, d).withColumn("period",
-          (col("event_id").cast("long") / 600L).cast("long")),
+          expr("CAST(event_id AS BIGINT) div 600")),
         "user_id", "period")
     }),
     "q130_event_funnel" -> ((s, d) =>
@@ -1281,7 +1281,7 @@ object Queries {
       // zero and the release is the exact cumulative series — the oracle;
       // the finite-eps regime is TreeAggregationSpec's contract
       val windows = read(s, d, "events")
-        .groupBy((col("event_id") / 600).cast("long").as("t"))
+        .groupBy(expr("CAST(event_id AS BIGINT) div 600").as("t"))
         .agg(count(lit(1)).as("c"))
       // maxT is the PUBLIC series horizon (a privacy parameter — sizing it
       // from the data would leak); 2^16 windows covers every test SF with
@@ -1459,7 +1459,7 @@ object Queries {
         col("window.start").cast("long").as("window_start"),
         col("n_rows"), col("n_distinct_est"))
       val exact = readEvents(s, d)
-        .groupBy(((col("event_id").cast("long") / 600L).cast("long") * 600L)
+        .groupBy((expr("CAST(event_id AS BIGINT) div 600") * 600L)
           .as("window_start"))
         .agg(countDistinct(col("user_id")).as("n_users"))
       streamed.join(exact, "window_start")
@@ -2282,7 +2282,8 @@ object Queries {
       """WITH e AS (SELECT label, CAST(u.ord - 1 AS INTEGER) AS pos,
         |    CAST(floor(embedding[u.ord]::DOUBLE / 0.000001 + 0.5) AS BIGINT) AS q
         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(ord)
-        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND embedding[u.ord] IS NOT NULL),
         |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
         |  GROUP BY 1)

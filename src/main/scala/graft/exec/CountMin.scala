@@ -128,6 +128,10 @@ object CountMin {
   def estimate(sk: Column, key: Column, depth: Int, width: Int): Column = {
     val f = udf((s: Seq[Long], k: String) =>
       if (s == null || k == null) null else {
+        require(s.length == depth * width,
+          s"count_min estimate: sketch has ${s.length} cells but depth=" +
+            s"$depth width=$width expects ${depth * width} — the sketch " +
+            "was built with different dimensions")
         var best = Long.MaxValue
         var r = 0
         while (r < depth) {
@@ -141,7 +145,14 @@ object CountMin {
   }
 
   /** Exact merge: counters add elementwise, bit-identical to a single-pass
-    * sketch over the combined data.
+    * sketch over the combined data. Sketches must share dimensions —
+    * mismatched sizes fail loudly instead of null-padding.
     */
-  def merge(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+  def merge(a: Column, b: Column): Column =
+    when(size(a) =!= size(b),
+      raise_error(concat(
+        lit("count_min merge: sketch sizes differ ("), size(a).cast("string"),
+        lit(" vs "), size(b).cast("string"),
+        lit(") — both sides must use the same depth*width"))))
+      .otherwise(zip_with(a, b, (x, y) => x + y))
 }

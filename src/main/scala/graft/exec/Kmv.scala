@@ -198,8 +198,28 @@ final case class KmvUnionAgg(
 /** Column API over [[KmvSketchAgg]] plus the codegen'd set-operation
   * estimators. Sketches are sorted array<long> in the flipped encoding;
   * every helper below is a pure projection over released sketches.
+  *
+  * INVARIANT: every sketch passed to [[estimate]] / [[union]] /
+  * [[intersectEstimate]] / [[jaccardEstimate]] must have been built by
+  * [[sketch]]/[[unionAgg]] with the SAME `k` — the sketch array does not
+  * carry its k, so the estimators trust the caller. A sketch built with a
+  * LARGER k is caught structurally (size > k fails loudly via
+  * [[checkK]]); a sketch built with a SMALLER k is indistinguishable from
+  * an exact-regime sketch and would silently bias the estimator — keep k
+  * in one place at the call site.
   */
 object Kmv {
+
+  /** Structural k guard: a sketch can never hold more than its k hashes,
+    * so size > k proves a mismatched (larger-k) sketch — fail loudly
+    * instead of estimating from the wrong order statistic.
+    */
+  private def checkK(sk: Column, k: Int): Column =
+    when(size(sk) > k,
+      raise_error(concat(
+        lit("kmv: sketch holds "), size(sk).cast("string"),
+        lit(s" hashes but k=$k was passed — it was built with a larger k"))))
+      .otherwise(sk)
 
   /** Grouped rollup: union many sketches per group ([[KmvUnionAgg]]);
     * bit-identical to sketching the combined data directly.
@@ -228,15 +248,17 @@ object Kmv {
   /** Distinct-count estimate: exact size while < k (every hash retained),
     * else (k-1) / U_(k).
     */
-  def estimate(sk: Column, k: Int): Column =
-    when(size(sk) < k, size(sk).cast("double"))
-      .otherwise(lit((k - 1).toDouble) / u(sk, lit(k - 1)))
+  def estimate(sk: Column, k: Int): Column = {
+    val s = checkK(sk, k)
+    when(size(s) < k, size(s).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / u(s, lit(k - 1)))
+  }
 
   /** Union sketch: the k smallest distinct hashes of either side — exactly
     * the sketch a single pass over the concatenated data would build.
     */
   def union(a: Column, b: Column, k: Int): Column =
-    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+    slice(array_sort(array_distinct(concat(checkK(a, k), checkK(b, k)))), 1, k)
 
   /** Distinct-intersection estimate via the rho * union rule
     * (|U_k ∩ A ∩ B| / |U_k|) * estimate(U_k): exact when the union stays

@@ -141,6 +141,11 @@ object Similarity {
       .where(col(groupCol).isNotNull && col(vecCol).isNotNull)
       .select(col(groupCol).as("__g"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__v")))
+      // Null ELEMENTS inside a vector are skipped in both modes: avg()
+      // ignores nulls natively, and dropping them here keeps the quantized
+      // path's denominator (count) consistent with its numerator (sum),
+      // which also skips nulls.
+      .where(col("__v").isNotNull)
     val mean =
       if (quantizeUnit > 0.0) {
         val q = floor(col("__v") / quantizeUnit + lit(0.5)).cast("long")

@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   * assignment exactly), unlike first-fit-decreasing whose sequential
   * state cannot be checked by an independent engine.
   *
-  * Plan shape: one global sort of the LISTING (files, not data — a 100 TB
-  * table is a few million listing rows at most) and a rank projection; no
-  * data movement happens here. The executor that performs the rewrite
-  * consumes (group, path) and streams each group's files through a
-  * single writer task.
+  * Plan shape: the global rank over the LISTING (files, not data) is
+  * two-phase — range-partition on the sort key, materialize once
+  * (localCheckpoint, so the sampled range boundaries cannot drift between
+  * the count job and the rank job), rank locally per partition, and add
+  * the broadcast per-partition offsets. No single-task sort: each range
+  * partition ranks independently, so the planner holds up at any listing
+  * size (a 100 TB table is a few million listing rows; a billion-file
+  * lake still fans out). The only driver-resident state is one count per
+  * range partition. No data movement happens here. The executor that
+  * performs the rewrite consumes (group, path) and streams each group's
+  * files through a single writer task.
   */
 object Compaction {
 
@@ -33,6 +39,7 @@ object Compaction {
     require(targetBytes > 0L, s"targetBytes must be positive, got $targetBytes")
     Seq(pathCol, bytesCol).foreach(c =>
       require(files.columns.contains(c), s"listing is missing column '$c'"))
+    val spark = files.sparkSession
     val cleaned = files
       .where(col(pathCol).isNotNull && col(bytesCol).isNotNull &&
         col(bytesCol).cast("long") >= 0L)
@@ -42,14 +49,32 @@ object Compaction {
     val totals = cleaned.agg(
       greatest(ceil(sum(col("bytes")).cast("double") / targetBytes), lit(1L))
         .cast("long").as("__ng"))
-    val ranked = cleaned.crossJoin(broadcast(totals))
+    // Two-phase global rank: range-partition by the sort key (path makes
+    // the order total, so ranks are unambiguous), pin the partitioning
+    // (range boundaries come from sampling — without the checkpoint the
+    // count job and the rank job could see different partition ids), then
+    // rank = local row_number + the partition's cumulative offset.
+    val parted = cleaned
+      .repartitionByRange(col("bytes").desc, col("path"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).init
+    val offsetsDf = spark.createDataFrame(
+      counts.map(_._1).zip(offsets).toIndexedSeq).toDF("__pid", "__off")
+    val localW = Window.partitionBy("__pid")
+      .orderBy(col("bytes").desc, col("path"))
+    val ranked = parted
+      .join(broadcast(offsetsDf), Seq("__pid"))
       .withColumn("__r",
-        row_number().over(Window.orderBy(col("bytes").desc, col("path"))) - 1)
-    // serpentine: pass p = r / ng; offset o = r % ng; even passes walk
-    // groups forward, odd passes backward
+        row_number().over(localW).cast("long") - 1L + col("__off"))
+      .crossJoin(broadcast(totals))
+    // serpentine: pass p = r div ng; offset o = r % ng; even passes walk
+    // groups forward, odd passes backward. `div` is true integral
+    // division — no IEEE-rounding dependence to match the oracle's `//`.
     ranked.select(col("path"), col("bytes"),
-      when((col("__r") / col("__ng")).cast("long") % 2 === 0,
-        col("__r") % col("__ng"))
+      when(expr("__r div __ng") % 2 === 0, col("__r") % col("__ng"))
         .otherwise(col("__ng") - lit(1) - col("__r") % col("__ng"))
         .cast("long").as("group"))
   }

@@ -84,4 +84,18 @@ class CountMinSpec extends SparkSpec {
       df(keys).agg(CountMin.sketch(col("k"), 4, 1).as("s")).head()
     }
   }
+
+  test("mismatched sketch dimensions fail loudly in merge and estimate") {
+    val keys = (1 to 50).map(i => "k" + i)
+    val a = df(keys).agg(CountMin.sketch(col("k"), 4, 32).as("a"))
+    val b = df(keys).agg(CountMin.sketch(col("k"), 4, 64).as("b"))
+    val eMerge = intercept[Exception] {
+      a.crossJoin(b).select(CountMin.merge(col("a"), col("b"))).head()
+    }
+    assert(eMerge.getMessage.contains("sketch sizes differ"))
+    val eEst = intercept[Exception] {
+      a.select(CountMin.estimate(col("a"), lit("k1"), 4, 64)).head()
+    }
+    assert(eEst.getMessage.contains("different dimensions"))
+  }
 }

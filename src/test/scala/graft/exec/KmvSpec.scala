@@ -122,4 +122,24 @@ class KmvSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("k >= 2"))
   }
+
+  test("estimators reject a sketch built with a LARGER k (size > k proves " +
+      "the mismatch); a smaller-k sketch is documented as the caller's " +
+      "invariant") {
+    // 100 distinct at k=64: the sketch saturates at 64 hashes, so passing
+    // k=16 to any estimator is structurally detectable
+    val data = df(range2("a", 0, 100): _*)
+    val sk = data.agg(Kmv.sketch(col("v"), 64).as("s"))
+    val eEst = intercept[Exception] {
+      sk.select(Kmv.estimate(col("s"), 16)).head()
+    }
+    assert(eEst.getMessage.contains("built with a larger k"))
+    val eUnion = intercept[Exception] {
+      sk.select(Kmv.union(col("s"), col("s"), 16)).head()
+    }
+    assert(eUnion.getMessage.contains("built with a larger k"))
+    // matching k still estimates fine on the same sketch
+    val est = sk.select(Kmv.estimate(col("s"), 64)).head().getDouble(0)
+    assert(est > 0.0)
+  }
 }

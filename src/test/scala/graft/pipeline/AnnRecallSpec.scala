@@ -123,6 +123,28 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("meanPool: null ELEMENTS inside a vector are skipped identically " +
+      "in the plain and quantized paths") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType),
+      StructField("v", ArrayType(DoubleType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", Seq[java.lang.Double](1.0, null, 5.0)),
+        Row("a", Seq[java.lang.Double](3.0, 8.0, null)))),
+      schema)
+    // position 0: (1+3)/2; position 1: 8 alone; position 2: 5 alone —
+    // in BOTH modes (the quantized denominator must not count the nulls)
+    val plain = Similarity.meanPool(df, "g", "v")
+      .collect().map(r => r.getSeq[Double](2)).head
+    val quant = Similarity.meanPool(df, "g", "v", quantizeUnit = 1e-6)
+      .collect().map(r => r.getSeq[Double](2)).head
+    assert(plain === Seq(2.0, 8.0, 5.0))
+    assert(quant === Seq(2.0, 8.0, 5.0))
+  }
+
   test("normalizeL2: unit norm, direction preserved, zero/null to null") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
