@@ -92,7 +92,10 @@ object Relational {
     * entities completed the steps IN ORDER (each step strictly later by
     * `timeCol` than the previous one, earliest-completion semantics).
     * Releases one row per step: (step, step_name, n_entities), with
-    * n_entities non-increasing down the funnel.
+    * n_entities non-increasing down the funnel. Events with a NULL entity
+    * id are dropped at every stage (no identity to follow through the
+    * funnel) — the same null discipline as [[cohortRetention]] and
+    * [[asOfJoin]].
     *
     * Plan: no sequence scan and no per-entity gather — stage i is the
     * minimal completion time of step i among events after the entity's
@@ -138,7 +141,13 @@ object Relational {
           "convert timestamps to epoch units first")
     }
     val tType = events.schema(timeCol).dataType
-    var reached = events.filter(col(typeCol) === steps.head)
+    // Null entity ids carry no identity and are DROPPED at every stage —
+    // the same discipline as cohortRetention and asOfJoin. Without the
+    // stage-1 filter, null-id events would pool into one phantom entity
+    // that inflates step 1 and then silently vanishes at step 2 (an
+    // equi-join never matches null).
+    var reached = events
+      .filter(col(typeCol) === steps.head && col(entityCol).isNotNull)
       .groupBy(col(entityCol).as("__e")).agg(min(col(timeCol)).as("__t"))
       .withColumn("__pt", lit(null).cast(tType))
       .localCheckpoint(true)
@@ -149,7 +158,8 @@ object Relational {
       // semantics — deterministic, mirrored exactly by the oracle)
       val within = maxGap.map(g => col("__nt") <= col("__t") + lit(g))
         .getOrElse(lit(true))
-      reached = events.filter(col(typeCol) === step)
+      reached = events
+        .filter(col(typeCol) === step && col(entityCol).isNotNull)
         .select(col(entityCol).as("__e"), col(timeCol).as("__nt"))
         .join(reached.drop("__pt"), "__e")
         .where(col("__nt") > col("__t") && within)

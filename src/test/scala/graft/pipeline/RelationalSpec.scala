@@ -274,6 +274,87 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("funnel: null entity ids drop at EVERY stage — step 1 and step 2 " +
+      "agree (no phantom pooled entity)") {
+    val ev = Seq[(java.lang.Long, String, java.lang.Long)](
+      // two real entities complete a -> b
+      (1L, "a", 10L), (1L, "b", 20L),
+      (2L, "a", 10L), (2L, "b", 20L),
+      // three null-id events that would pool into one phantom step-1
+      // entity if stage 1 kept nulls like groupBy does
+      (null, "a", 1L), (null, "a", 2L), (null, "b", 3L)
+    ).toDF("user", "etype", "t")
+    val out = Relational.funnel(ev, "user", "etype", "t", Seq("a", "b"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).map(_._3).toSeq
+    assert(out === Seq(2L, 2L)) // nulls contribute to NEITHER stage
+    val gaps = Relational.funnelGaps(ev, "user", "etype", "t", Seq("a", "b"))
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(gaps === Seq(2L))
+  }
+
+  test("funnel/funnelGaps match a pure-Scala model across random event " +
+      "sets, permutations, and partitionings") {
+    // the model: earliest completion of each step strictly after (and
+    // within maxGap of) the previous stage's earliest completion
+    def model(rows: Seq[(Long, String, Long)], steps: Seq[String],
+        maxGap: Option[Long]): (Seq[Long], Seq[(Long, Double, Double, Double)]) = {
+      val byUser = rows.groupBy(_._1)
+      val reach = scala.collection.mutable.Map[Long, List[Long]]()
+      for ((u, evs) <- byUser) {
+        var times = List.empty[Long] // reversed completion times
+        var alive = true
+        for (step <- steps if alive) {
+          val prev = times.headOption
+          val cand = evs.iterator
+            .filter(_._2 == step)
+            .map(_._3)
+            .filter(t => prev.forall(p =>
+              t > p && maxGap.forall(g => t <= p + g)))
+          if (cand.isEmpty) alive = false
+          else times = cand.min :: times
+        }
+        reach(u) = times.reverse
+      }
+      val counts = steps.indices.map(i =>
+        reach.values.count(_.length >= i + 1).toLong)
+      val gaps = (1 until steps.size).map { i =>
+        val g = reach.values.toSeq.filter(_.length >= i + 1)
+          .map(ts => (ts(i) - ts(i - 1)).toDouble)
+        if (g.isEmpty) (0L, 0.0, 0.0, 0.0)
+        else (g.size.toLong, g.min, g.max, g.sum)
+      }
+      (counts, gaps)
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val steps = Seq("a", "b", "c").take(2 + trial % 2)
+      val maxGap = if (trial % 3 == 0) Some(5L + rnd.nextInt(10)) else None
+      val rows = Seq.fill(120 + rnd.nextInt(80))((
+        rnd.nextInt(25).toLong,
+        Seq("a", "b", "c", "d")(rnd.nextInt(4)),
+        rnd.nextInt(40).toLong))
+      val shuffled = rnd.shuffle(rows)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          shuffled.map(r => Row(r._1, r._2, r._3)), 1 + rnd.nextInt(9)),
+        StructType(Seq(StructField("user", LongType),
+          StructField("etype", StringType), StructField("t", LongType))))
+      val (mCounts, mGaps) = model(rows, steps, maxGap)
+      val counts = Relational.funnel(df, "user", "etype", "t", steps, maxGap)
+        .as[(Int, String, Long)].collect().sortBy(_._1).map(_._3).toSeq
+      assert(counts === mCounts, s"trial $trial counts (maxGap=$maxGap)")
+      if (steps.size >= 2) {
+        val gaps = Relational.funnelGaps(df, "user", "etype", "t", steps, maxGap)
+          .collect().sortBy(_.getInt(0)).map(r =>
+            (r.getLong(2),
+              if (r.isNullAt(3)) 0.0 else r.getDouble(3),
+              if (r.isNullAt(4)) 0.0 else r.getDouble(4),
+              if (r.isNullAt(5)) 0.0 else r.getDouble(5))).toSeq
+        assert(gaps === mGaps, s"trial $trial gaps (maxGap=$maxGap)")
+      }
+    }
+  }
+
   test("funnel is invariant under input partitioning") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Relational.funnel(df, "user", "etype", "t", Seq("a", "b", "c"))
