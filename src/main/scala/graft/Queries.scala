@@ -898,6 +898,33 @@ object Queries {
       // with grouping_level disambiguating rollup NULLs from data NULLs
       graft.pipeline.CorpusStats.corpusMix(
         read(s, d, "documents"), Seq("lang", "source"), "text")),
+    "q137_kmv_estimator_regime" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // KMV past saturation: q126 pins the exact regime (distinct < k,
+      // every hash retained); this anchors the ESTIMATOR regime (k-1)/U_(k)
+      // with a driver-visible contract. k=512 puts every lang's 3-shingle
+      // count (>= ~3k at every SF) well past the sketch, the relative
+      // error concentrates at 1/sqrt(k-2) ~ 4.4%, and the released
+      // boolean allows 4 sigma. Fine sketches per (lang, source) roll up
+      // via unionAgg; theta-sketch composability makes the rollup
+      // BIT-IDENTICAL to a direct per-lang sketch (the k smallest hashes
+      // of a union each survive their own source's k smallest), released
+      // as an exact equality, not a tolerance. xxhash64 is seedless-fixed:
+      // no RNG anywhere, both booleans are pure functions of the data
+      val k = 512
+      val K = graft.exec.Kmv
+      val sh = read(s, d, "documents").select(col("lang"), col("source"),
+        explode(graft.pipeline.Dedup.lowerShinglesCol(col("text"), 3)).as("g"))
+      val fine = sh.groupBy("lang", "source").agg(K.sketch(col("g"), k).as("sk"))
+      val rolled = fine.groupBy("lang").agg(K.unionAgg(col("sk"), k).as("rsk"))
+      val direct = sh.groupBy("lang").agg(K.sketch(col("g"), k).as("dsk"))
+      val exact = sh.groupBy("lang").agg(countDistinct(col("g")).as("n_shingles"))
+      exact.join(rolled, "lang").join(direct, "lang")
+        .select(col("lang"), col("n_shingles"),
+          (abs(K.estimate(col("dsk"), k) - col("n_shingles").cast("double")) <=
+            lit(0.177) * col("n_shingles").cast("double")).as("est_within_4sigma"),
+          (col("rsk") === col("dsk")).as("rollup_exact"))
+    }),
     "q126_kmv_overlap" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // KMV/theta sketches answer what HLL cannot: DISTINCT-SET ALGEBRA.
@@ -2362,6 +2389,19 @@ object Queries {
     // q42's shingling convention (short docs contribute their whole text);
     // true distinct counts < k = 2^15 at every test SF, so the sketch
     // retains every hash and all four released numbers are exact
+    // q126's shingle CTE grouped by lang; the estimate and rollup
+    // contracts are deterministic (seedless xxhash64) and oracled TRUE
+    "q137_kmv_estimator_regime" ->
+      """WITH t AS (SELECT lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (SELECT lang, unnest(CASE WHEN len(toks) < 3
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) END) AS g FROM t)
+        |SELECT lang, CAST(count(DISTINCT g) AS BIGINT) AS n_shingles,
+        |  TRUE AS est_within_4sigma, TRUE AS rollup_exact
+        |FROM sh GROUP BY 1""".stripMargin,
     "q126_kmv_overlap" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS toks
