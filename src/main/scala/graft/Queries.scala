@@ -898,6 +898,56 @@ object Queries {
       // with grouping_level disambiguating rollup NULLs from data NULLs
       graft.pipeline.CorpusStats.corpusMix(
         read(s, d, "documents"), Seq("lang", "source"), "text")),
+    "q138_containment_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // fragment-level duplication: token-level containment pairs over
+      // the corpus plus derived 10-token snippet docs (ids "s<doc_id>"),
+      // the planted-containment pattern that keeps the oracle non-trivial
+      // at every SF. Winnowing fingerprints guarantee every contained doc
+      // of >= w+k-1 tokens shares a fingerprint with its container, so
+      // the candidate equi-join loses no recall; exact padded-substring
+      // verify kills false candidates
+      val docs = read(s, d, "documents")
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val snippets = docs.where(size(toks) >= 15)
+        .select(concat(lit("s"), col("doc_id")).as("doc_id"),
+          array_join(slice(toks, 1, 10), " ").as("text"))
+      val corpus = docs
+        .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+        .unionByName(snippets)
+      graft.pipeline.Dedup.containedDocs(corpus, "doc_id", "text")
+    }),
+    "q139_pagerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // PageRank over the bipartite customer<->supplier trade graph
+      // (distinct edges both directions wherever a lineitem links them),
+      // in EXACT fixed-point arithmetic: every iteration is integer
+      // division + integer sums, so the oracle unrolls the identical
+      // recurrence in SQL and the top-20 ranks match bit for bit
+      val li = read(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = read(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      graft.pipeline.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy(col("rank_fp").desc, col("node")).limit(20)
+    }),
+    "q140_global_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // global quartiles by text length (doc_id tiebreak) through the
+      // two-phase rank — no single-task window — summarized per bucket;
+      // identical buckets to SQL NTILE(4)
+      val docs = read(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      graft.exec.Ranks
+        .globalNtile(docs, Seq(col("len").desc, col("doc_id")), 4)
+        .groupBy("ntile").agg(count(lit(1)).as("n_docs"),
+          min("len").as("min_len"), max("len").as("max_len"),
+          sum("len").as("sum_len"))
+    }),
     "q137_kmv_estimator_regime" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // KMV past saturation: q126 pins the exact regime (distinct < k,
@@ -2389,6 +2439,70 @@ object Queries {
     // q42's shingling convention (short docs contribute their whole text);
     // true distinct counts < k = 2^15 at every test SF, so the sketch
     // retains every hash and all four released numbers are exact
+    // brute-force all-pairs containment over normalized token joins —
+    // the oracle can afford O(n^2) at sf0.01; the engine may not, and
+    // takes the winnowing-candidate path to the same rows. The a.ntok >=
+    // 8 floor mirrors the operator's w+k-1 recall contract
+    "q138_containment_dedup" ->
+      """WITH raw AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')
+        |      AS norm,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS ntok
+        |  FROM documents),
+        |snip AS (SELECT 's' || CAST(doc_id AS VARCHAR) AS id,
+        |    array_to_string(string_split_regex(trim(lower(text)),
+        |      '\s+')[1:10], ' ') AS norm,
+        |    10 AS ntok
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 15),
+        |u AS (SELECT * FROM raw UNION ALL SELECT * FROM snip)
+        |SELECT a.id AS contained_id, b.id AS container_id
+        |FROM u a JOIN u b ON a.id <> b.id AND a.ntok >= 8
+        |  AND (a.ntok < b.ntok OR (a.ntok = b.ntok AND a.id > b.id))
+        |  AND contains(' ' || b.norm || ' ', ' ' || a.norm || ' ')""".stripMargin,
+    // the identical integer recurrence unrolled: r0 = base = scale//N,
+    // contribution = r//deg, r' = (15*base)//100 + (85*sum)//100 — every
+    // op is integer division or integer sum, so ranks match bit for bit
+    "q139_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT
+        |    'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s, c FROM pairs),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |b AS (SELECT 1000000000000 // count(*) AS base FROM n),
+        |r0 AS (SELECT node, (SELECT base FROM b) AS r FROM n),
+        |c1 AS (SELECT e.dst AS node, sum(r0.r // deg.deg) AS s FROM e
+        |  JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r1 AS (SELECT n.node, (15 * (SELECT base FROM b)) // 100
+        |    + (85 * coalesce(c1.s, 0)) // 100 AS r
+        |  FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum(r1.r // deg.deg) AS s FROM e
+        |  JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r2 AS (SELECT n.node, (15 * (SELECT base FROM b)) // 100
+        |    + (85 * coalesce(c2.s, 0)) // 100 AS r
+        |  FROM n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum(r2.r // deg.deg) AS s FROM e
+        |  JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r3 AS (SELECT n.node, (15 * (SELECT base FROM b)) // 100
+        |    + (85 * coalesce(c3.s, 0)) // 100 AS r
+        |  FROM n LEFT JOIN c3 USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+        |ORDER BY r DESC, node LIMIT 20""".stripMargin,
+    // SQL NTILE over the same total order; the engine's two-phase rank
+    // must reproduce the buckets exactly
+    "q140_global_ntile" ->
+      """SELECT CAST(ntile AS BIGINT) AS ntile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(len) AS min_len, max(len) AS max_len,
+        |  CAST(sum(len) AS BIGINT) AS sum_len
+        |FROM (SELECT ntile(4) OVER (ORDER BY length(text) DESC, doc_id)
+        |      AS ntile,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
     // q126's shingle CTE grouped by lang; the estimate and rollup
     // contracts are deterministic (seedless xxhash64) and oracled TRUE
     "q137_kmv_estimator_regime" ->

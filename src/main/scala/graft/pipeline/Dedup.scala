@@ -1053,6 +1053,66 @@ object Dedup {
     u(vec.cast("array<double>"))
   }
 
+  /** Substring-containment dedup at TOKEN level: pairs (contained_id,
+    * container_id) where one document's normalized token sequence appears
+    * contiguously inside another's — the "this document is a fragment of
+    * that one" relation that exact and near-dup both miss (a 10-token
+    * excerpt of a 10k-token page has Jaccard ~0.001 and a disjoint
+    * MinHash signature, yet is pure duplication for a training mix).
+    *
+    * Exactness contract: winnowing guarantees any shared token run of
+    * >= w + k - 1 tokens shares at least one fingerprint
+    * ([[TextAnalysis.winnowingFingerprints]]; Schleimer-Wilkerson-Aiken
+    * 2003 theorem 1 — a contained doc's k-gram windows all occur
+    * contiguously in the container, so every one of its fingerprint
+    * windows is also a window of the container). Candidates therefore
+    * come from a fingerprint equi-join with NO recall loss for contained
+    * docs of >= w + k - 1 tokens; shorter docs are out of contract
+    * (callers lower k/w, at more fingerprints per doc). Each candidate is
+    * then verified by exact space-padded substring match over the
+    * normalized (lowercased, whitespace-collapsed) token join, so false
+    * candidates never survive. Equal token sequences orient the HIGHER id
+    * as contained (smallest id stays canonical, [[exact]]'s discipline).
+    *
+    * Scale shape: fingerprints are a map-side projection; the candidate
+    * join is an equi-join on an 8-byte fingerprint whose fan-out is the
+    * fingerprint's document frequency — boilerplate-heavy corpora should
+    * strip shared headers first (stripBoilerplate), exactly as PPJoin
+    * corpora do, and AQE's skew split handles the residual hot keys. The
+    * verify stage touches only candidate pairs, never all pairs.
+    */
+  def containedDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    Seq(idCol, textCol).foreach(c =>
+      require(df.columns.contains(c), s"input is missing column '$c'"))
+    val minTokens = w + k - 1
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val base = spread(df).select(
+      col(idCol).cast("string").as("__id"),
+      array_join(toks, " ").as("__norm"),
+      size(toks).cast("long").as("__ntok"),
+      TextAnalysis.winnowingFingerprints(col(textCol), k, w).as("__fps"))
+      .localCheckpoint(true)
+    val fp = base.select(col("__id"), col("__ntok"),
+      explode(col("__fps")).as("__fp"))
+    val cand = fp.select(col("__fp"), col("__id").as("__a"), col("__ntok").as("__an"))
+      .where(col("__an") >= minTokens)
+      .join(fp.select(col("__fp"), col("__id").as("__b"), col("__ntok").as("__bn")),
+        "__fp")
+      .where(col("__a") =!= col("__b") &&
+        (col("__an") < col("__bn") ||
+          (col("__an") === col("__bn") && col("__a") > col("__b"))))
+      .select(col("__a"), col("__b")).distinct()
+    cand
+      .join(base.select(col("__id").as("__a"), col("__norm").as("__na")), "__a")
+      .join(base.select(col("__id").as("__b"), col("__norm").as("__nb")), "__b")
+      .where(concat(lit(" "), col("__nb"), lit(" "))
+        .contains(concat(lit(" "), col("__na"), lit(" "))))
+      .select(col("__a").as("contained_id"), col("__b").as("container_id"))
+  }
+
   /** Memoized +-1 plane matrix for [[hyperplaneSignature]]; entry (p, i) is
     * the low bit of Spark's xxhash64 over the two int columns (i, p) with
     * the default seed 42, i.e. XXH64.hashInt(p, XXH64.hashInt(i, 42)).

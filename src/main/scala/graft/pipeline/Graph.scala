@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the second graph primitive after
+  * [[Dedup.connectedComponents]]. PageRank here is EXACT FIXED-POINT
+  * arithmetic end to end: ranks live as integer micro-units and every
+  * per-iteration operation is an integer division or an integer sum, so
+  * the result is bit-identical under any partitioning, any addition
+  * order, and any engine — an independent SQL engine reproduces every
+  * rank value exactly (the q134-class portability discipline, applied to
+  * an iterative algorithm). Floating-point PageRank cannot make that
+  * promise: its per-node sums are addition-order-sensitive at the last
+  * ulp, which compounds across iterations.
+  */
+object Graph {
+
+  /** PageRank with integer fixed-point arithmetic.
+    *
+    * Semantics (the public power-iteration formulation, e.g. Brin & Page
+    * 1998, with the common "dangling mass dropped" simplification):
+    *   r_0(v)    = scale div N                      (integer)
+    *   c_t(u->v) = r_t(u) div outdeg(u)             (integer division)
+    *   r_{t+1}(v) = ((den-num) * (scale div N)) div den
+    *              + (num * sum_incoming c_t) div den
+    * with damping d = num/den (default 85/100). Dropped division
+    * remainders vanish at `scale` = 1e12 micro-units (relative error
+    * ~N/scale per iteration); what matters is that BOTH engines drop the
+    * SAME remainders, so the released longs agree bit for bit. Nodes are
+    * the distinct endpoints of `edges`; dangling nodes (no out-edges)
+    * keep receiving the teleport term but leak their rank mass, the
+    * standard simplification when the release is a ranking rather than a
+    * probability (documented so the oracle can mirror it).
+    *
+    * Scale shape: per iteration, ONE join of the rank table (N rows)
+    * against the edge list on the source key and ONE destination-keyed
+    * sum — both shuffle bounded-width (node, long) rows, never payloads.
+    * The rank table is localCheckpoint'd each round so the plan stays
+    * O(1) deep instead of doubling (the [[Dedup.connectedComponents]]
+    * discipline); iterations is explicitly bounded. Multi-edges count
+    * multiply — pre-`distinct` the edge list for simple-graph semantics.
+    *
+    * Returns (node, rank_fp): the fixed-point rank in `scale` units.
+    */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, dampingNum: Long = 85L, dampingDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
+      s"damping must be a fraction in [0, 1]: $dampingNum/$dampingDen")
+    require(scale >= 1000000L, s"scale too coarse for stable ranks: $scale")
+    Seq(srcCol, dstCol).foreach(c =>
+      require(edges.columns.contains(c), s"edge list is missing column '$c'"))
+    val e = edges
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"))
+      .where(col("__s").isNotNull && col("__d").isNotNull)
+      .localCheckpoint(true)
+    val nodes = e.select(col("__s").as("__n"))
+      .unionByName(e.select(col("__d").as("__n"))).distinct()
+    val outdeg = e.groupBy(col("__s").as("__n")).agg(count(lit(1)).as("__deg"))
+    // one broadcastable row keeps N out of the driver; base = scale div N
+    // is the integer teleport unit every engine derives identically
+    val base = nodes.agg(count(lit(1)).as("__cnt"))
+      .select(expr(s"${scale}L div __cnt").as("__base"))
+    var ranks = nodes.crossJoin(broadcast(base))
+      .select(col("__n"), col("__base").as("__r"), col("__base"))
+      .localCheckpoint(true)
+    val teleport = expr(s"((${dampingDen - dampingNum}L * __base) div ${dampingDen}L)")
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.join(outdeg, "__n")
+          .select(col("__n").as("__s"), expr("__r div __deg").as("__c")), "__s")
+        .groupBy(col("__d").as("__n")).agg(sum(col("__c")).as("__in"))
+      ranks = ranks.select(col("__n"), col("__base"))
+        .join(contrib, Seq("__n"), "left")
+        .select(col("__n"),
+          (teleport +
+            expr(s"(${dampingNum}L * coalesce(__in, 0L)) div ${dampingDen}L"))
+            .as("__r"),
+          col("__base"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("__n").as("node"), col("__r").as("rank_fp"))
+  }
+}

@@ -39,7 +39,6 @@ object Compaction {
     require(targetBytes > 0L, s"targetBytes must be positive, got $targetBytes")
     Seq(pathCol, bytesCol).foreach(c =>
       require(files.columns.contains(c), s"listing is missing column '$c'"))
-    val spark = files.sparkSession
     val cleaned = files
       .where(col(pathCol).isNotNull && col(bytesCol).isNotNull &&
         col(bytesCol).cast("long") >= 0L)
@@ -49,26 +48,11 @@ object Compaction {
     val totals = cleaned.agg(
       greatest(ceil(sum(col("bytes")).cast("double") / targetBytes), lit(1L))
         .cast("long").as("__ng"))
-    // Two-phase global rank: range-partition by the sort key (path makes
-    // the order total, so ranks are unambiguous), pin the partitioning
-    // (range boundaries come from sampling — without the checkpoint the
-    // count job and the rank job could see different partition ids), then
-    // rank = local row_number + the partition's cumulative offset.
-    val parted = cleaned
-      .repartitionByRange(col("bytes").desc, col("path"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft(0L)(_ + _._2).init
-    val offsetsDf = spark.createDataFrame(
-      counts.map(_._1).zip(offsets).toIndexedSeq).toDF("__pid", "__off")
-    val localW = Window.partitionBy("__pid")
-      .orderBy(col("bytes").desc, col("path"))
-    val ranked = parted
-      .join(broadcast(offsetsDf), Seq("__pid"))
-      .withColumn("__r",
-        row_number().over(localW).cast("long") - 1L + col("__off"))
+    // Two-phase global rank over (bytes desc, path) — path makes the
+    // order total, so ranks are unambiguous; see graft.exec.Ranks for the
+    // no-single-task-sort shape.
+    val ranked = graft.exec.Ranks
+      .globalRowNumber(cleaned, Seq(col("bytes").desc, col("path")), "__r")
       .crossJoin(broadcast(totals))
     // serpentine: pass p = r div ng; offset o = r % ng; even passes walk
     // groups forward, odd passes backward. `div` is true integral

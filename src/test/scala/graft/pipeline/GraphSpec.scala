@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Fixed-point PageRank: bit-equality against a pure-Scala integer model,
+  * ranking sanity, partition invariance, and guards.
+  */
+class GraphSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(strCol("src"), strCol("dst")))
+
+  private def df(edges: Seq[(String, String)]) =
+    makeDf(schema, edges.map { case (a, b) => Row(a, b) })
+
+  /** The identical integer recurrence, sequentially. */
+  private def model(edges: Seq[(String, String)], iters: Int,
+      num: Long = 85L, den: Long = 100L,
+      scale: Long = 1000000000000L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale / nodes.size
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) in(d) += r(s) / outdeg(s)
+      r = nodes.map(n =>
+        n -> (((den - num) * base) / den + (num * in(n)) / den)).toMap
+    }
+    r
+  }
+
+  test("pageRank equals the integer model BIT FOR BIT on a hand graph") {
+    // two triangles bridged by one edge, plus a dangling sink
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "a",
+      "x" -> "y", "y" -> "z", "z" -> "x",
+      "c" -> "x", "z" -> "sink")
+    val out = Graph.pageRank(df(edges), "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === model(edges, 5))
+  }
+
+  test("hub of a star out-ranks the leaves; ranks are non-negative") {
+    val edges = (1 to 8).flatMap(i => Seq(s"leaf$i" -> "hub", "hub" -> s"leaf$i"))
+    val out = Graph.pageRank(df(edges), "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("hub") > out("leaf1"))
+    assert(out.values.forall(_ >= 0L))
+    // leaves are symmetric: identical ranks (exact arithmetic, no noise)
+    assert((1 to 8).map(i => out(s"leaf$i")).distinct.size === 1)
+  }
+
+  test("pageRank matches the model on random graphs and is " +
+      "partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(20)
+      val edges = Seq.fill(80 + rnd.nextInt(60))(
+        ("v" + rnd.nextInt(n), "v" + rnd.nextInt(n)))
+        .filter(e => e._1 != e._2).distinct
+      val expected = model(edges, 4)
+      def run(parts: Int) = Graph.pageRank(
+        df(edges).repartition(parts), "src", "dst", iterations = 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(run(1) === expected, s"trial $trial")
+      assert(run(13) === expected, s"trial $trial, 13 partitions")
+    }
+  }
+
+  test("null endpoints drop; guards reject bad parameters") {
+    val messy = makeDf(schema, Seq(Row("a", "b"), Row(null, "b"), Row("a", null)))
+    val out = Graph.pageRank(messy, "src", "dst", iterations = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("a", "b"))
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df(Seq("a" -> "b")), "src", "dst", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df(Seq("a" -> "b")), "src", "dst",
+        dampingNum = 101L, dampingDen = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df(Seq("a" -> "b")), "nope", "dst")
+    }
+  }
+}
