@@ -218,6 +218,32 @@ class DocExamplesSpec extends SparkSpec {
     assert(cohorts === Set((0L, 0L, 2L), (0L, 1L, 1L))) // u2 returns later
   }
 
+  test("example: streaming windowed counts finalize when the watermark " +
+      "passes the window") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = streaming.Streaming.windowedCounts(
+      in.toDF().toDF("ts", "etype"), "ts", "etype",
+      windowDuration = "10 minutes", watermark = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("walkthrough_wc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), "click"), (ts(2), "click"), (ts(3), "view"))
+      q.processAllAvailable() // watermark inside window [0,10): no output
+      assert(spark.table("walkthrough_wc").count() === 0)
+      in.addData((ts(30), "click")) // watermark passes [0,10): it finalizes
+      q.processAllAvailable()
+      val rows = spark.table("walkthrough_wc")
+        .selectExpr("etype", "count").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows === Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
   test("example: weighted quota samples proportionally to a weight column") {
     val docs = Seq(("web", 1L, 1000.0), ("web", 2L, 0.001), ("web", 3L, 0.001))
       .toDF("src", "id", "quality")
