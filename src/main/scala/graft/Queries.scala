@@ -898,6 +898,35 @@ object Queries {
       // with grouping_level disambiguating rollup NULLs from data NULLs
       graft.pipeline.CorpusStats.corpusMix(
         read(s, d, "documents"), Seq("lang", "source"), "text")),
+    "q141_bfs_distances" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // blast radius over the q139 trade graph: minimum hop count from
+      // the nation-0 suppliers, level-synchronous frontier BFS — exact
+      // integer distances, mirrored by a recursive SQL CTE
+      val li = read(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = read(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      // seed on the MINIMUM nation key present (not a literal nation):
+      // non-empty at every SF, still a pure function of the data
+      val sup = read(s, d, "supplier")
+      val minNation = sup.agg(min(col("s_nationkey")).as("__mn"))
+      val seeds = sup.crossJoin(broadcast(minNation))
+        .where(col("s_nationkey") === col("__mn"))
+        .select(concat(lit("s"), col("s_suppkey")).as("seed"))
+      graft.pipeline.Graph.bfsDistances(edges, "src", "dst", seeds, "seed",
+        maxHops = 4)
+    }),
+    "q142_session_paths" -> ((s, d) =>
+      // user-journey census: sessions split on event_id gaps > 600, each
+      // session rendered as its ordered event-type path, top 20 paths by
+      // session count (count desc, path tiebreak)
+      graft.pipeline.Relational.sessionPaths(
+        readEvents(s, d), "user_id", "event_id", "event_type",
+        gapUnits = 600L, k = 20)),
     "q138_containment_dedup" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // fragment-level duplication: token-level containment pairs over
@@ -2439,6 +2468,46 @@ object Queries {
     // q42's shingling convention (short docs contribute their whole text);
     // true distinct counts < k = 2^15 at every test SF, so the sketch
     // retains every hash and all four released numbers are exact
+    // the recursive CTE explores (node, dist<=4) pairs with UNION
+    // dedup; min(dist) per node IS the BFS level
+    "q141_bfs_distances" ->
+      """WITH RECURSIVE pairs AS (SELECT DISTINCT
+        |    'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s, c FROM pairs),
+        |seeds AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        |  FROM supplier
+        |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)),
+        |walk(node, dist) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.dist < 4)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1""".stripMargin,
+    // the same lag/cumsum sessionization as q69, paths via ordered
+    // string_agg; event_id is unique so the order is total
+    "q142_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL),
+        |s AS (SELECT *, CASE WHEN lag(event_id) OVER w IS NULL
+        |      OR event_id - lag(event_id) OVER w > 600 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |t AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY event_id) AS sid FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |    ORDER BY event_id) AS rn FROM t),
+        |p AS (SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY event_id)
+        |      FILTER (rn <= 64) AS path0,
+        |    count(*) AS n FROM r GROUP BY 1, 2),
+        |f AS (SELECT CASE WHEN n > 64 THEN path0 || '>...' ELSE path0 END
+        |    AS path FROM p)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM f GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     // brute-force all-pairs containment over normalized token joins —
     // the oracle can afford O(n^2) at sf0.01; the engine may not, and
     // takes the winnowing-candidate path to the same rows. The a.ntok >=

@@ -288,4 +288,56 @@ object Relational {
       .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .select(fact.columns.toSeq.map(col) ++ dim.columns.toSeq.map(col): _*)
   }
+
+  /** Top session paths: each entity's events split into sessions on gaps
+    * > `gapUnits` of `timeCol` silence, every session rendered as its
+    * ordered event-type path ("view>click>buy"), and the `k` most common
+    * paths released with their session counts — the user-journey census
+    * behind funnel design (funnels TEST a hypothesized path; this
+    * DISCOVERS which paths exist).
+    *
+    * Determinism: events order by (timeCol, typeCol) within an entity —
+    * callers with duplicate (time, type) events are safe because
+    * duplicates are interchangeable in a path. Null entity ids and null
+    * times are dropped ([[funnel]]'s discipline).
+    *
+    * Scale shape: sessionization is ONE entity-keyed streaming window
+    * (lag + running sum — no per-entity gather); path assembly is a
+    * grouped collect BOUNDED at `maxLen` structs per session — events
+    * past `maxLen` never enter the aggregation state (the collect skips
+    * them), the path gets a ">..." marker, and the exact event count is
+    * still released. The final top-k is TakeOrderedAndProject, never a
+    * global sort.
+    */
+  def sessionPaths(
+      events: DataFrame, entityCol: String, timeCol: String, typeCol: String,
+      gapUnits: Long, k: Int, maxLen: Int = 64): DataFrame = {
+    require(gapUnits > 0L, s"gapUnits must be positive, got $gapUnits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    Seq(entityCol, timeCol, typeCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    val w = Window.partitionBy(entityCol).orderBy(col(timeCol), col(typeCol))
+    val prev = lag(col(timeCol), 1).over(w)
+    val sess = events
+      .where(col(entityCol).isNotNull && col(timeCol).isNotNull)
+      .withColumn("__new",
+        when(prev.isNull || col(timeCol) - prev > gapUnits, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(w))
+    val wr = Window.partitionBy(col(entityCol), col("__sid"))
+      .orderBy(col(timeCol), col(typeCol))
+    val paths = sess.withColumn("__rn", row_number().over(wr))
+      .groupBy(col(entityCol), col("__sid"))
+      .agg(
+        concat_ws(">", transform(
+          array_sort(collect_list(when(col("__rn") <= maxLen,
+            struct(col(timeCol).as("t"), col(typeCol).as("y"))))),
+          s => s.getField("y"))).as("__path"),
+        count(lit(1)).as("__n"))
+    paths
+      .select(when(col("__n") > maxLen, concat(col("__path"), lit(">...")))
+        .otherwise(col("__path")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
+  }
 }

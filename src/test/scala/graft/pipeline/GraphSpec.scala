@@ -71,6 +71,53 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("bfsDistances: hand-computed levels on a branching graph; " +
+      "unreached nodes absent; early stop on exhausted frontier") {
+    // a -> b -> c -> d, a -> c (shortcut), isolated island x -> y
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c", "x" -> "y")
+    val seeds = makeDf(StructType(Seq(strCol("n"))), Seq(Row("a")))
+    val out = Graph.bfsDistances(df(edges), "src", "dst", seeds, "n", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c via the shortcut at hop 1, d at hop 2; x/y unreached
+    assert(out === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+  }
+
+  test("bfsDistances: maxHops truncates; multi-seed takes the min; " +
+      "cycles terminate") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d", "d" -> "e")
+    val seeds = makeDf(StructType(Seq(strCol("n"))), Seq(Row("a"), Row("d")))
+    val out = Graph.bfsDistances(df(edges), "src", "dst", seeds, "n", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // d is a seed (0), so e = 1; c = 2 from a; nothing past hop 2
+    assert(out === Map("a" -> 0L, "d" -> 0L, "b" -> 1L, "e" -> 1L, "c" -> 2L))
+  }
+
+  test("bfsDistances matches a sequential BFS model on random graphs, " +
+      "partition-invariant") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 25 + rnd.nextInt(15)
+      val edges = Seq.fill(70 + rnd.nextInt(60))(
+        ("v" + rnd.nextInt(n), "v" + rnd.nextInt(n))).distinct
+      val seedIds = Seq("v0", "v1")
+      val maxHops = 3
+      // sequential BFS
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dist = scala.collection.mutable.Map(seedIds.map(_ -> 0L): _*)
+      var frontier = seedIds.toSet
+      for (hop <- 1L to maxHops) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil)).filterNot(dist.contains)
+        frontier.foreach(dist(_) = hop)
+      }
+      val seeds = makeDf(StructType(Seq(strCol("n"))), seedIds.map(Row(_)))
+      def run(parts: Int) = Graph.bfsDistances(
+        df(edges).repartition(parts), "src", "dst", seeds, "n", maxHops)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(run(1) === dist.toMap, s"trial $trial")
+      assert(run(11) === dist.toMap, s"trial $trial, 11 partitions")
+    }
+  }
+
   test("null endpoints drop; guards reject bad parameters") {
     val messy = makeDf(schema, Seq(Row("a", "b"), Row(null, "b"), Row("a", null)))
     val out = Graph.pageRank(messy, "src", "dst", iterations = 1)

@@ -355,6 +355,46 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("sessionPaths: hand-computed paths, gap splits, truncation marker, " +
+      "null drops, top-k tiebreak") {
+    val ev = Seq[(java.lang.Long, java.lang.Long, String)](
+      // u1: one session a>b, then (gap > 10) session a>b
+      (1L, 0L, "a"), (1L, 5L, "b"), (1L, 100L, "a"), (1L, 104L, "b"),
+      // u2: single session a>b
+      (2L, 0L, "a"), (2L, 9L, "b"),
+      // u3: single session c
+      (3L, 0L, "c"),
+      // null user: dropped
+      (null, 0L, "a")
+    ).toDF("user", "t", "etype")
+    val out = Relational.sessionPaths(ev, "user", "t", "etype",
+      gapUnits = 10L, k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a>b", 3L), ("c", 1L))) // count desc, path asc
+    // maxLen = 2 truncates u1's 3-event session, exact count preserved
+    val ev2 = Seq((1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "c"))
+      .toDF("user", "t", "etype")
+    val trunc = Relational.sessionPaths(ev2, "user", "t", "etype",
+      gapUnits = 10L, k = 5, maxLen = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(trunc === Seq(("a>b>...", 1L)))
+    assertThrows[IllegalArgumentException] {
+      Relational.sessionPaths(ev2, "user", "t", "etype", 0L, 5)
+    }
+  }
+
+  test("sessionPaths is invariant under input partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(400)((rnd.nextInt(20).toLong,
+      rnd.nextInt(500).toLong, Seq("a", "b", "c")(rnd.nextInt(3))))
+      .distinct // (user, t) repeats with different types are fine; exact dups not
+    val df = rows.toDF("user", "t", "etype")
+    def run(parts: Int) = Relational.sessionPaths(
+      df.repartition(parts), "user", "t", "etype", 50L, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(run(1) === run(13))
+  }
+
   test("funnel is invariant under input partitioning") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Relational.funnel(df, "user", "etype", "t", Seq("a", "b", "c"))
