@@ -898,6 +898,54 @@ object Queries {
       // with grouping_level disambiguating rollup NULLs from data NULLs
       graft.pipeline.CorpusStats.corpusMix(
         read(s, d, "documents"), Seq("lang", "source"), "text")),
+    "q143_streaming_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // the q130 funnel on a STREAM with fixed per-entity state (one
+      // timestamp per step, no event buffer); AvailableNow makes this
+      // batch-equivalent, so q130's oracle pins the streaming recurrence
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val steps = Seq("view", "click", "purchase")
+      val reach = graft.streaming.Streaming.streamingFunnel(
+        stream, "user_id", "event_type", "event_id", steps)
+      val name = "q143mem"
+      val q = reach.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val t = s.table(name)
+      import s.implicits._
+      steps.zipWithIndex.map { case (st, i) =>
+        (i + 1, st, t.where(col("stage") >= i + 1).count())
+      }.toDF("step", "step_name", "n_entities")
+    }),
+    "q144_zero_fill_series" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // purchase counts per 600-unit bucket with gaps zero-filled over
+      // the full observed range — resampling before windows/diffs; the
+      // raise_error off-grid guard is structurally satisfied (buckets
+      // are built as t*600)
+      val series = readEvents(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy((expr("CAST(event_id AS BIGINT) div 600") * 600L).as("bucket"))
+        .agg(count(lit(1)).as("n_purchases"))
+      graft.pipeline.Relational.zeroFillSeries(
+        series, "bucket", 600L, Seq("n_purchases"))
+    }),
+    "q145_rolling_window_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // per-user trailing 600-unit activity at every event: count/min/max
+      // over the RANGE frame (order-free stats only — a rolling double
+      // sum would be engine-order-sensitive)
+      graft.pipeline.Relational.rollingStats(
+        readEvents(s, d).select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "event_id", "value", rangePreceding = 600L)
+    }),
     "q141_bfs_distances" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // blast radius over the q139 trade graph: minimum hop count from
@@ -2468,6 +2516,41 @@ object Queries {
     // q42's shingling convention (short docs contribute their whole text);
     // true distinct counts < k = 2^15 at every test SF, so the sketch
     // retains every hash and all four released numbers are exact
+    // q130's staged funnel CTEs: the streaming recurrence must land on
+    // the identical counts
+    "q143_streaming_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(event_id) AS t FROM events
+        |    WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.event_id) AS t FROM events e
+        |    JOIN s1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND e.event_id > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.event_id) AS t FROM events e
+        |    JOIN s2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.event_id > s2.t GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS step_name,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_entities
+        |UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase',
+        |  CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin,
+    // generate_series fills the grid; absent buckets coalesce to 0
+    "q144_zero_fill_series" ->
+      """WITH c AS (SELECT CAST((event_id // 600) * 600 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM c)
+        |SELECT g.bucket, coalesce(c.n_purchases, 0) AS n_purchases
+        |FROM (SELECT unnest(generate_series((SELECT lo FROM b),
+        |    (SELECT hi FROM b), 600)) AS bucket) g
+        |LEFT JOIN c USING (bucket)""".stripMargin,
+    // the same RANGE frame; count/min/max are evaluation-order-free
+    "q145_rolling_window_stats" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |  min(value) OVER w AS min_window,
+        |  max(value) OVER w AS max_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin,
     // the recursive CTE explores (node, dist<=4) pairs with UNION
     // dedup; min(dist) per node IS the BFS level
     "q141_bfs_distances" ->

@@ -289,6 +289,72 @@ object Relational {
       .select(fact.columns.toSeq.map(col) ++ dim.columns.toSeq.map(col): _*)
   }
 
+  /** Zero-fill a regular series: every multiple of `step` between the
+    * data's min and max bucket appears exactly once, absent buckets
+    * zero-filled on `zeroCols` — the time-series resampling step every
+    * dashboard and rate model needs before windows or diffs (a gap read
+    * as "no row" silently becomes "no data point" downstream; a gap read
+    * as 0 is a statement). The keyset-zero-fill discipline, applied to a
+    * numeric domain too large to enumerate by hand.
+    *
+    * Scale shape: bounds are a 2-long aggregate (the only driver-resident
+    * state); the grid generates in parallel via `spark.range` (never a
+    * one-task `sequence` explode); the join is a bucket-keyed left join.
+    * Buckets must already be multiples of `step` — off-grid rows fail
+    * loudly rather than silently landing between grid points.
+    */
+  def zeroFillSeries(
+      df: DataFrame, bucketCol: String, step: Long,
+      zeroCols: Seq[String]): DataFrame = {
+    require(step > 0L, s"step must be positive, got $step")
+    require(df.columns.contains(bucketCol), s"input is missing '$bucketCol'")
+    zeroCols.foreach(c =>
+      require(df.columns.contains(c), s"input is missing zero-fill column '$c'"))
+    val spark = df.sparkSession
+    val checked = df.withColumn(bucketCol,
+      when(pmod(col(bucketCol).cast("long"), lit(step)) =!= 0L,
+        raise_error(concat(lit(s"zeroFillSeries: bucket "),
+          col(bucketCol).cast("string"),
+          lit(s" is not a multiple of step $step"))))
+        .otherwise(col(bucketCol).cast("long")))
+    val bounds = checked.agg(
+      min(col(bucketCol)).as("lo"), max(col(bucketCol)).as("hi")).head()
+    if (bounds.isNullAt(0)) checked // empty input: nothing to fill
+    else {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val grid = spark.range(lo, hi + 1L, step).toDF(bucketCol)
+      grid.join(checked, Seq(bucketCol), "left")
+        .na.fill(0L, zeroCols)
+    }
+  }
+
+  /** Per-key rolling-window statistics: for every row, the count / min /
+    * max of `valueCol` over the key's rows within `[t - rangePreceding,
+    * t]` of `orderCol` — burst detection, rate limiting, trailing
+    * activity. Count/min/max only: they are exact under any evaluation
+    * order, while a rolling double SUM is addition-order-sensitive
+    * between engines (use integer-valued measures and sum downstream if
+    * needed).
+    *
+    * One key-partitioned RANGE-frame window — a single shuffle on the
+    * key, streaming frame evaluation, state bounded by the frame's row
+    * count.
+    */
+  def rollingStats(
+      df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      rangePreceding: Long): DataFrame = {
+    require(rangePreceding >= 0L,
+      s"rangePreceding must be >= 0, got $rangePreceding")
+    Seq(keyCol, orderCol, valueCol).foreach(c =>
+      require(df.columns.contains(c), s"input is missing '$c'"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).cast("long"))
+      .rangeBetween(-rangePreceding, 0L)
+    df.withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("min_window", min(col(valueCol)).over(w))
+      .withColumn("max_window", max(col(valueCol)).over(w))
+  }
+
   /** Top session paths: each entity's events split into sessions on gaps
     * > `gapUnits` of `timeCol` silence, every session rendered as its
     * ordered event-type path ("view>click>buy"), and the `k` most common

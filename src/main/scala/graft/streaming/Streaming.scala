@@ -326,6 +326,9 @@ object Streaming {
       .agg(graft.exec.SpaceSaving.spaceSavingTopK(
         col(keyCol).cast("string"), capacity, k).as("top"))
 
+  final case class FunnelTimes(times: Seq[Long])
+  final case class FunnelReach(entity: String, stage: Int)
+
   final case class SessionEvent(userId: Long, ts: Timestamp)
   final case class SessionSummary(
       userId: Long, start: Timestamp, end: Timestamp, nEvents: Long)
@@ -354,6 +357,66 @@ object Streaming {
       .agg(min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
+  }
+
+  /** Streaming funnel: per-entity ordered-step completion over an
+    * unbounded stream, with FIXED state — one timestamp per funnel step
+    * per entity, never an event buffer. Emits (entity, stage) after each
+    * batch, `stage` = how many steps the entity has completed in order
+    * (earliest-completion semantics, strictly increasing times —
+    * [[graft.pipeline.Relational.funnel]]'s recurrence).
+    *
+    * Correctness contract: the greedy recurrence folds ONLINE only when
+    * events arrive in event-time order ACROSS batches (append-only
+    * time-ordered sources, or a single AvailableNow batch); within a
+    * batch, arrival order is irrelevant — each group's batch slice is
+    * sorted before folding. Out-of-order arrival across batches can only
+    * UNDER-count (a late earlier event cannot retroactively lower a
+    * stage time), the safe failure direction for a conversion metric;
+    * sources that need full out-of-order tolerance should run the batch
+    * funnel over closed windows instead. Null entity ids are dropped
+    * ([[graft.pipeline.Relational.funnel]]'s discipline).
+    */
+  def streamingFunnel(
+      events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"duplicate step types: ${steps.mkString(", ")}")
+    Seq(entityCol, typeCol, timeCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    val stepIdx = steps.zipWithIndex.toMap
+    val nSteps = steps.size
+    implicit val stateEnc = Encoders.product[FunnelTimes]
+    implicit val outEnc = Encoders.product[FunnelReach]
+    implicit val strEnc = Encoders.STRING
+    implicit val rowEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong)
+    events
+      .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+        col(typeCol).isin(steps: _*))
+      .select(col(entityCol).cast("string"), col(typeCol).cast("string"),
+        col(timeCol).cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelTimes, FunnelReach](GroupStateTimeout.NoTimeout) {
+        (entity, it, state) =>
+          val times = state.getOption
+            .map(_.times.toArray)
+            .getOrElse(Array.fill(nSteps)(Long.MinValue))
+          // within-batch arrival order is irrelevant: sort the slice by
+          // (time, step type) and fold the greedy recurrence in order
+          val evs = it.toArray.sortBy(r => (r._3, r._2))
+          for ((_, y, t) <- evs) {
+            val i = stepIdx(y)
+            if (times(i) == Long.MinValue &&
+                (i == 0 || (times(i - 1) != Long.MinValue && t > times(i - 1))))
+              times(i) = t
+          }
+          state.update(FunnelTimes(times.toSeq))
+          FunnelReach(entity, times.takeWhile(_ != Long.MinValue).length)
+      }
+      .toDF()
   }
 
   /** Event-time sessionization: groups each user's events into sessions

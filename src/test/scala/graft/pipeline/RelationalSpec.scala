@@ -383,6 +383,40 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("zeroFillSeries: gaps fill with zeros over [min, max]; off-grid " +
+      "buckets fail loudly; empty input passes through") {
+    val series = Seq((0L, 5L), (1200L, 3L)).toDF("bucket", "n")
+    val out = Relational.zeroFillSeries(series, "bucket", 600L, Seq("n"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((0L, 5L), (600L, 0L), (1200L, 3L)))
+    val offGrid = Seq((0L, 1L), (7L, 1L)).toDF("bucket", "n")
+    val e = intercept[Exception] {
+      Relational.zeroFillSeries(offGrid, "bucket", 600L, Seq("n")).collect()
+    }
+    assert(e.getMessage.contains("not a multiple"))
+    assert(Relational.zeroFillSeries(
+      series.where("bucket < 0"), "bucket", 600L, Seq("n")).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Relational.zeroFillSeries(series, "bucket", 0L, Seq("n"))
+    }
+  }
+
+  test("rollingStats: hand-computed trailing-range frame per key") {
+    val ev = Seq(
+      (1L, 0L, 10.0), (1L, 500L, 2.0), (1L, 700L, 7.0), (1L, 2000L, 1.0),
+      (2L, 100L, 9.0)
+    ).toDF("user", "t", "v")
+    val out = Relational.rollingStats(ev, "user", "t", "v", 600L)
+      .select("user", "t", "n_window", "min_window", "max_window")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(out === Set(
+      (1L, 0L, 1L, 10.0, 10.0),
+      (1L, 500L, 2L, 2.0, 10.0),      // 0 and 500 in range
+      (1L, 700L, 2L, 2.0, 7.0),       // 500 and 700; 0 is out (700-600=100)
+      (1L, 2000L, 1L, 1.0, 1.0),
+      (2L, 100L, 1L, 9.0, 9.0)))
+  }
+
   test("sessionPaths is invariant under input partitioning") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.fill(400)((rnd.nextInt(20).toLong,

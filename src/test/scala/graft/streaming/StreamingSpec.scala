@@ -212,6 +212,46 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("Dedup.contaminatedIds"))
   }
 
+  test("streamingFunnel: fixed-state funnel matches the batch funnel on " +
+      "an in-order stream, folding correctly across batches") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[(Long, String, Long)]
+    val reach = Streaming.streamingFunnel(
+      in.toDF().toDF("user", "etype", "t"), "user", "etype", "t",
+      Seq("a", "b", "c"))
+    val q = reach.writeStream.format("memory").queryName("sfun")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1, deliberately shuffled within the batch: u1 does a@10;
+      // u2 does b@5 then a@8 (wrong order -> stage 1 only)
+      in.addData((2L, "b", 5L), (1L, "a", 10L), (2L, "a", 8L))
+      q.processAllAvailable()
+      // batch 2 (event-time after batch 1): u1 completes b then c;
+      // u2 adds b strictly after its a
+      in.addData((1L, "c", 30L), (1L, "b", 20L), (2L, "b", 12L))
+      q.processAllAvailable()
+      // latest state per entity
+      val latest = spark.table("sfun").groupBy("entity")
+        .agg(org.apache.spark.sql.functions.max("stage").as("stage"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(latest === Map("1" -> 3, "2" -> 2))
+      // the batch funnel on the union of both batches agrees
+      val all = Seq((2L, "b", 5L), (1L, "a", 10L), (2L, "a", 8L),
+        (1L, "c", 30L), (1L, "b", 20L), (2L, "b", 12L))
+        .toDF("user", "etype", "t")
+      val batch = graft.pipeline.Relational.funnel(
+        all, "user", "etype", "t", Seq("a", "b", "c"))
+        .as[(Int, String, Long)].collect().sortBy(_._1).map(_._3).toSeq
+      assert(batch === Seq(2L, 2L, 1L))
+      assert(batch === Seq(
+        latest.values.count(_ >= 1).toLong,
+        latest.values.count(_ >= 2).toLong,
+        latest.values.count(_ >= 3).toLong))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     val sqlCtx = spark.sqlContext
     import sqlCtx.implicits._
