@@ -66,22 +66,29 @@ object Graph {
     // is the integer teleport unit every engine derives identically
     val base = nodes.agg(count(lit(1)).as("__cnt"))
       .select(expr(s"${scale}L div __cnt").as("__base"))
-    var ranks = nodes.crossJoin(broadcast(base))
-      .select(col("__n"), col("__base").as("__r"), col("__base"))
+    // the per-node state table carries the STATIC columns (base, outdeg —
+    // 0 for dangling) alongside the evolving rank, so each iteration is
+    // exactly one edge join + one keyed sum + one left join back, never a
+    // rejoin against a separate degree table
+    var ranks = nodes
+      .join(outdeg, Seq("__n"), "left")
+      .na.fill(0L, Seq("__deg"))
+      .crossJoin(broadcast(base))
+      .select(col("__n"), col("__base").as("__r"), col("__base"), col("__deg"))
       .localCheckpoint(true)
     val teleport = expr(s"((${dampingDen - dampingNum}L * __base) div ${dampingDen}L)")
     for (_ <- 1 to iterations) {
       val contrib = e
-        .join(ranks.join(outdeg, "__n")
+        .join(ranks.where(col("__deg") > 0L)
           .select(col("__n").as("__s"), expr("__r div __deg").as("__c")), "__s")
         .groupBy(col("__d").as("__n")).agg(sum(col("__c")).as("__in"))
-      ranks = ranks.select(col("__n"), col("__base"))
+      ranks = ranks.select(col("__n"), col("__base"), col("__deg"))
         .join(contrib, Seq("__n"), "left")
         .select(col("__n"),
           (teleport +
             expr(s"(${dampingNum}L * coalesce(__in, 0L)) div ${dampingDen}L"))
             .as("__r"),
-          col("__base"))
+          col("__base"), col("__deg"))
         .localCheckpoint(true)
     }
     ranks.select(col("__n").as("node"), col("__r").as("rank_fp"))
@@ -117,27 +124,34 @@ object Graph {
         col(dstCol).cast("string").as("__d"))
       .where(col("__s").isNotNull && col("__d").isNotNull)
       .localCheckpoint(true)
-    var dist = seeds
+    val seed0 = seeds
       .select(col(seedCol).cast("string").as("__n"))
       .where(col("__n").isNotNull).distinct()
       .withColumn("__dist", lit(0L))
       .localCheckpoint(true)
-    var frontier = dist.select("__n")
+    // levels accumulate as a list of CHECKPOINTED frontiers unioned
+    // lazily — the settled set is never re-materialized per round (that
+    // would cost O(V * rounds)); the anti-join reads the checkpointed
+    // level tables directly
+    val levels = scala.collection.mutable.ListBuffer(seed0)
+    var frontier = seed0.select("__n")
     var hop = 0L
     var exhausted = frontier.isEmpty
     while (hop < maxHops && !exhausted) {
       hop += 1
+      val settled = levels.map(_.select("__n")).reduce(_ unionByName _)
       val next = frontier.join(e, frontier("__n") === e("__s"))
         .select(col("__d").as("__n")).distinct()
-        .join(dist, Seq("__n"), "left_anti")
+        .join(settled, Seq("__n"), "left_anti")
         .withColumn("__dist", lit(hop))
         .localCheckpoint(true)
       if (next.isEmpty) exhausted = true
       else {
-        dist = dist.unionByName(next).localCheckpoint(true)
+        levels += next
         frontier = next.select("__n")
       }
     }
-    dist.select(col("__n").as("node"), col("__dist").as("dist"))
+    levels.reduce(_ unionByName _)
+      .select(col("__n").as("node"), col("__dist").as("dist"))
   }
 }
