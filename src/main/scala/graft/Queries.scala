@@ -898,6 +898,41 @@ object Queries {
       // with grouping_level disambiguating rollup NULLs from data NULLs
       graft.pipeline.CorpusStats.corpusMix(
         read(s, d, "documents"), Seq("lang", "source"), "text")),
+    "q146_triangle_count" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // per-node triangles of the co-supplier graph (suppliers sharing
+      // an order), on the deterministic 1/7 supplier subsample that
+      // keeps the dense graph's O(m^1.5) wedge volume test-sized; the
+      // degree-ordered orientation is a pure function of (degree, id),
+      // so the oracle reproduces every wedge in SQL
+      val li = read(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .where(col("l_suppkey") % 7 === 0).distinct()
+      val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(concat(lit("s"), col("x.l_suppkey")).as("u"),
+          concat(lit("s"), col("y.l_suppkey")).as("v"))
+      graft.pipeline.Graph.triangleCounts(edges, "u", "v")
+    }),
+    "q147_snapshot_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // change-data-capture between two deterministic corpus versions:
+      // v2 drops doc_id % 11 == 0, rewrites text for % 7 == 0 (marker
+      // suffix), and adds fresh ids at +10^7 for % 13 == 0 — the diff
+      // classifies every key in ONE full outer join
+      val before = read(s, d, "documents").select(col("doc_id"), col("text"))
+      val after = before
+        .where(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")))
+        .unionByName(before.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            lit("new doc").as("text")))
+      graft.pipeline.Relational.snapshotDiff(
+        before, after, Seq("doc_id"))
+    }),
     "q143_streaming_funnel" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
@@ -2516,6 +2551,41 @@ object Queries {
     // q42's shingling convention (short docs contribute their whole text);
     // true distinct counts < k = 2^15 at every test SF, so the sketch
     // retains every hash and all four released numbers are exact
+    // the oracle counts triangles independently of the engine's
+    // orientation trick: canonical string-ordered 3-way self-join over
+    // the undirected pair set
+    "q146_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey % 7 = 0),
+        |e0 AS (SELECT DISTINCT 's' || CAST(a.l_suppkey AS VARCHAR) AS u,
+        |    's' || CAST(b.l_suppkey AS VARCHAR) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_suppkey < b.l_suppkey),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM e0),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY 1""".stripMargin,
+    // the identical deterministic v2 construction + one full outer join
+    "q147_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id, text FROM documents),
+        |a1 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' [v2]' ELSE text END AS text
+        |  FROM b WHERE doc_id % 11 <> 0),
+        |a2 AS (SELECT doc_id + 10000000 AS doc_id, 'new doc' AS text
+        |  FROM b WHERE doc_id % 13 = 0),
+        |a AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2),
+        |j AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |    CASE WHEN b.doc_id IS NULL THEN 'added'
+        |      WHEN a.doc_id IS NULL THEN 'removed'
+        |      WHEN b.text IS DISTINCT FROM a.text THEN 'changed'
+        |      ELSE 'unchanged' END AS change_type
+        |  FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, change_type FROM j
+        |WHERE change_type <> 'unchanged'""".stripMargin,
     // q130's staged funnel CTEs: the streaming recurrence must land on
     // the identical counts
     "q143_streaming_funnel" ->

@@ -94,6 +94,70 @@ object Graph {
     ranks.select(col("__n").as("node"), col("__r").as("rank_fp"))
   }
 
+  /** Per-node triangle counts on the UNDIRECTED simple graph of `edges`
+    * (direction, duplicates, and self-loops are normalized away) — the
+    * clustering/community signal behind cohesion metrics.
+    *
+    * Degree-ordered compact-forward (Schank & Wagner 2005 / Latapy
+    * 2008, the standard distributed-triangle trick): every edge orients
+    * from its (degree, id)-smaller endpoint, so each node's out-degree
+    * is O(sqrt(m)) and the wedge join generates O(m^1.5) candidates
+    * TOTAL regardless of hub skew — the naive shared-vertex wedge join
+    * is O(sum deg^2), which one celebrity node turns into a full
+    * cross-join. Every triangle appears exactly once as an oriented
+    * wedge (a->b, a->c) closed by the oriented edge (b->c).
+    *
+    * Plan shape: a degree aggregate, two equi-joins to orient, one
+    * wedge self-join keyed on the wedge apex, one closing equi-join on
+    * the (b, c) pair, one explode + keyed count. All shuffles carry
+    * (node, node) string pairs. Deterministic: the orientation is a
+    * pure function of (degree, id), so the oracle reproduces it in SQL
+    * row for row.
+    */
+  def triangleCounts(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    Seq(srcCol, dstCol).foreach(c =>
+      require(edges.columns.contains(c), s"edge list is missing column '$c'"))
+    val und = edges
+      .select(col(srcCol).cast("string").as("__a"),
+        col(dstCol).cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("__u").as("__n"))
+      .unionByName(und.select(col("__v").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__deg"))
+    // orient each edge from its (degree, id)-smaller endpoint
+    val oriented = und
+      .join(deg.select(col("__n").as("__u"), col("__deg").as("__du")), "__u")
+      .join(deg.select(col("__n").as("__v"), col("__deg").as("__dv")), "__v")
+      .select(
+        when(struct(col("__du"), col("__u")) < struct(col("__dv"), col("__v")),
+          struct(col("__u").as("s"), col("__v").as("d")))
+          .otherwise(struct(col("__v").as("s"), col("__u").as("d")))
+          .as("__e"))
+      .select(col("__e.s").as("__s"), col("__e.d").as("__d"))
+      .localCheckpoint(true)
+    // wedges at apex a: out-neighbor pairs (b, c) in orientation order
+    val degOf = deg // (node, deg) — reused to order the wedge pair
+    val out = oriented
+      .join(degOf.select(col("__n").as("__d"), col("__deg").as("__dd")), "__d")
+    val wedges = out.select(col("__s"), col("__d").as("__b"), col("__dd").as("__db"))
+      .join(out.select(col("__s"), col("__d").as("__c"), col("__dd").as("__dc")),
+        "__s")
+      .where(struct(col("__db"), col("__b")) < struct(col("__dc"), col("__c")))
+    val triangles = wedges
+      .join(oriented.select(col("__s").as("__b"), col("__d").as("__c")),
+        Seq("__b", "__c"))
+      .select(col("__s").as("a"), col("__b").as("b"), col("__c").as("c"))
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Multi-source BFS hop distances: every node reachable from `seeds`
     * within `maxHops` directed hops, labeled with its MINIMUM hop count —
     * the blast-radius / contamination-spread primitive ("everything

@@ -118,6 +118,51 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts: hand graph — K4 gives 3 per node; direction, " +
+      "duplicates, and self-loops normalize away") {
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d",
+      // noise: reversed duplicate, exact duplicate, self-loop
+      "b" -> "a", "c" -> "d", "a" -> "a")
+    val out = Graph.triangleCounts(df(k4), "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // a path has no triangles: empty result, not zero rows per node
+    assert(Graph.triangleCounts(
+      df(Seq("a" -> "b", "b" -> "c")), "src", "dst").count() === 0L)
+  }
+
+  test("triangleCounts matches a brute-force model on random graphs " +
+      "(including a hub-skewed one), partition-invariant") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 15 + rnd.nextInt(10)
+      val base = Seq.fill(60 + rnd.nextInt(40))(
+        ("v" + rnd.nextInt(n), "v" + rnd.nextInt(n)))
+      // trial 3 adds a hub touching every node — the degree-ordering
+      // worst case the orientation is there to tame
+      val edges = (if (trial == 3) base ++ (0 until n).map(i => ("hub", s"v$i"))
+        else base).filter(e => e._1 != e._2)
+      val und = edges.map { case (x, y) =>
+        if (x < y) (x, y) else (y, x)
+      }.distinct
+      val undSet = und.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val expected = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        k <- (j + 1) until nodes.size
+        a = nodes(i); b = nodes(j); c = nodes(k)
+        if undSet((a, b)) && undSet((a, c)) && undSet((b, c))
+      } yield Seq(a, b, c)).flatten
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def run(parts: Int) = Graph.triangleCounts(
+        df(edges).repartition(parts), "src", "dst")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(run(1) === expected, s"trial $trial")
+      assert(run(13) === expected, s"trial $trial, 13 partitions")
+    }
+  }
+
   test("null endpoints drop; guards reject bad parameters") {
     val messy = makeDf(schema, Seq(Row("a", "b"), Row(null, "b"), Row("a", null)))
     val out = Graph.pageRank(messy, "src", "dst", iterations = 1)

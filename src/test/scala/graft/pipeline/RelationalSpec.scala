@@ -383,6 +383,32 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("snapshotDiff: added/removed/changed classified null-safely; " +
+      "unchanged excluded by default; duplicate keys refuse") {
+    val before = Seq[(java.lang.Long, String)](
+      (1L, "same"), (2L, "old"), (3L, "gone"), (4L, null))
+      .toDF("id", "payload")
+    val after = Seq[(java.lang.Long, String)](
+      (1L, "same"), (2L, "new"), (5L, "fresh"), (4L, "was-null"))
+      .toDF("id", "payload")
+    val out = Relational.snapshotDiff(before, after, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    // null -> value IS a change (IS DISTINCT FROM semantics)
+    assert(out === Set((2L, "changed"), (3L, "removed"),
+      (5L, "added"), (4L, "changed")))
+    val all = Relational.snapshotDiff(before, after, Seq("id"),
+      keepUnchanged = true).as[(Long, String)].collect().toSet
+    assert(all === out + ((1L, "unchanged")))
+    val dup = before.unionByName(Seq((1L, "twice")).toDF("id", "payload"))
+    val e = intercept[IllegalArgumentException] {
+      Relational.snapshotDiff(dup, after, Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    intercept[IllegalArgumentException] {
+      Relational.snapshotDiff(before, after, Nil)
+    }
+  }
+
   test("zeroFillSeries: gaps fill with zeros over [min, max]; off-grid " +
       "buckets fail loudly; empty input passes through") {
     val series = Seq((0L, 5L), (1200L, 3L)).toDF("bucket", "n")
