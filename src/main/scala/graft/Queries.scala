@@ -898,6 +898,27 @@ object Queries {
       // with grouping_level disambiguating rollup NULLs from data NULLs
       graft.pipeline.CorpusStats.corpusMix(
         read(s, d, "documents"), Seq("lang", "source"), "text")),
+    "q148_personalized_pagerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // graph proximity to the nation-min suppliers: teleport mass lands
+      // only on the seed set, same exact integer recurrence as q139 —
+      // "which customers/suppliers sit closest to this group"
+      val li = read(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = read(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      val sup = read(s, d, "supplier")
+      val minNation = sup.agg(min(col("s_nationkey")).as("__mn"))
+      val seeds = sup.crossJoin(broadcast(minNation))
+        .where(col("s_nationkey") === col("__mn"))
+        .select(concat(lit("s"), col("s_suppkey")).as("seed"))
+      graft.pipeline.Graph.personalizedPageRank(
+        edges, "src", "dst", seeds, "seed", iterations = 2)
+        .orderBy(col("rank_fp").desc, col("node")).limit(20)
+    }),
     "q146_triangle_count" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // per-node triangles of the co-supplier graph (suppliers sharing
@@ -2551,6 +2572,39 @@ object Queries {
     // q42's shingling convention (short docs contribute their whole text);
     // true distinct counts < k = 2^15 at every test SF, so the sketch
     // retains every hash and all four released numbers are exact
+    // q139's unrolled integer recurrence with a per-node base: scale //
+    // |seeds in graph| on seeds, 0 elsewhere
+    "q148_personalized_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT
+        |    'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s, c FROM pairs),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds0 AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        |  FROM supplier
+        |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)),
+        |seeds AS (SELECT node FROM seeds0
+        |  WHERE node IN (SELECT node FROM n)),
+        |bs AS (SELECT 1000000000000 // count(*) AS base FROM seeds),
+        |nb AS (SELECT n.node, CASE WHEN s.node IS NOT NULL
+        |    THEN (SELECT base FROM bs) ELSE 0 END AS base
+        |  FROM n LEFT JOIN seeds s USING (node)),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, base AS r FROM nb),
+        |c1 AS (SELECT e.dst AS node, sum(r0.r // deg.deg) AS s FROM e
+        |  JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r1 AS (SELECT nb.node, (15 * nb.base) // 100
+        |    + (85 * coalesce(c1.s, 0)) // 100 AS r
+        |  FROM nb LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum(r1.r // deg.deg) AS s FROM e
+        |  JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r2 AS (SELECT nb.node, (15 * nb.base) // 100
+        |    + (85 * coalesce(c2.s, 0)) // 100 AS r
+        |  FROM nb LEFT JOIN c2 USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r2
+        |ORDER BY r DESC, node LIMIT 20""".stripMargin,
     // the oracle counts triangles independently of the engine's
     // orientation trick: canonical string-ordered 3-way self-join over
     // the undirected pair set

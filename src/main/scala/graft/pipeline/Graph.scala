@@ -46,7 +46,34 @@ object Graph {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, dampingNum: Long = 85L, dampingDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, dampingNum, dampingDen,
+      scale, seeds = None)
+
+  /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
+    * (restricted to nodes present in the graph) instead of uniformly —
+    * the graph-proximity measure behind "similar to these accounts" /
+    * "related to this cluster" queries. Same exact fixed-point
+    * arithmetic and iteration shape as [[pageRank]]: base(v) =
+    * scale div |seeds| for seed nodes, 0 otherwise, and the oracle
+    * reproduces every rank bit for bit.
+    */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iterations: Int = 5, dampingNum: Long = 85L, dampingDen: Long = 100L,
       scale: Long = 1000000000000L): DataFrame = {
+    require(seeds.columns.contains(seedCol),
+      s"seeds side is missing column '$seedCol'")
+    pageRankImpl(edges, srcCol, dstCol, iterations, dampingNum, dampingDen,
+      scale, seeds = Some(seeds.select(col(seedCol).cast("string").as("__n"))
+        .where(col("__n").isNotNull).distinct()))
+  }
+
+  private def pageRankImpl(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingNum: Long, dampingDen: Long,
+      scale: Long, seeds: Option[DataFrame]): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100], got $iterations")
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
@@ -62,18 +89,31 @@ object Graph {
     val nodes = e.select(col("__s").as("__n"))
       .unionByName(e.select(col("__d").as("__n"))).distinct()
     val outdeg = e.groupBy(col("__s").as("__n")).agg(count(lit(1)).as("__deg"))
-    // one broadcastable row keeps N out of the driver; base = scale div N
-    // is the integer teleport unit every engine derives identically
-    val base = nodes.agg(count(lit(1)).as("__cnt"))
-      .select(expr(s"${scale}L div __cnt").as("__base"))
+    // per-node teleport base: uniform scale div N, or — personalized —
+    // scale div |seeds in graph| on the seed nodes and 0 elsewhere. One
+    // broadcastable count row keeps N out of the driver either way.
+    val withBase = seeds match {
+      case None =>
+        val base = nodes.agg(count(lit(1)).as("__cnt"))
+          .select(expr(s"${scale}L div __cnt").as("__base"))
+        nodes.crossJoin(broadcast(base))
+      case Some(sd) =>
+        val inGraph = sd.join(nodes, Seq("__n"), "left_semi")
+        val base = inGraph.agg(count(lit(1)).as("__cnt"))
+          .select(expr(s"${scale}L div __cnt").as("__base"))
+        nodes
+          .join(inGraph.withColumn("__isSeed", lit(true)), Seq("__n"), "left")
+          .crossJoin(broadcast(base))
+          .select(col("__n"),
+            when(col("__isSeed"), col("__base")).otherwise(0L).as("__base"))
+    }
     // the per-node state table carries the STATIC columns (base, outdeg —
     // 0 for dangling) alongside the evolving rank, so each iteration is
     // exactly one edge join + one keyed sum + one left join back, never a
     // rejoin against a separate degree table
-    var ranks = nodes
+    var ranks = withBase
       .join(outdeg, Seq("__n"), "left")
       .na.fill(0L, Seq("__deg"))
-      .crossJoin(broadcast(base))
       .select(col("__n"), col("__base").as("__r"), col("__base"), col("__deg"))
       .localCheckpoint(true)
     val teleport = expr(s"((${dampingDen - dampingNum}L * __base) div ${dampingDen}L)")

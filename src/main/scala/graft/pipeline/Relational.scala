@@ -316,9 +316,10 @@ object Relational {
       require(before.columns.contains(c), s"before side is missing key '$c'")
       require(after.columns.contains(c), s"after side is missing key '$c'")
     }
-    require(!before.columns.contains("change_type") &&
-      !after.columns.contains("change_type"),
-      "inputs use reserved column name 'change_type'; rename it first")
+    for (reserved <- Seq("change_type", "__in_b", "__in_a"))
+      require(!before.columns.contains(reserved) &&
+        !after.columns.contains(reserved),
+        s"inputs use reserved column name '$reserved'; rename it first")
     val compareCols =
       before.columns.filter(c => !keyCols.contains(c) && after.columns.contains(c))
     for ((side, df) <- Seq("before" -> before, "after" -> after)) {
@@ -407,6 +408,14 @@ object Relational {
       s"rangePreceding must be >= 0, got $rangePreceding")
     Seq(keyCol, orderCol, valueCol).foreach(c =>
       require(df.columns.contains(c), s"input is missing '$c'"))
+    val ot = df.schema(orderCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(ot),
+      s"rollingStats needs an integral order column, got ${ot.simpleString} " +
+        "— a silent cast would truncate fractional times; convert to epoch " +
+        "units first")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(orderCol).cast("long"))
       .rangeBetween(-rangePreceding, 0L)

@@ -118,6 +118,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank: teleport lands only on seeds; matches an " +
+      "integer model; seeds outside the graph are ignored") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+    def seedDf(ids: String*) =
+      makeDf(StructType(Seq(strCol("n"))), ids.map(Row(_)))
+    // model with per-node base: scale div |seeds| on seeds, else 0
+    def model(seedIds: Set[String], iters: Int): Map[String, Long] = {
+      val scale = 1000000000000L
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val base = nodes.map(n =>
+        n -> (if (seedIds(n)) scale / seedIds.size else 0L)).toMap
+      var r = base
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for ((s, d) <- edges) in(d) += r(s) / outdeg(s)
+        r = nodes.map(n => n -> ((15L * base(n)) / 100L + (85L * in(n)) / 100L)).toMap
+      }
+      r
+    }
+    val out = Graph.personalizedPageRank(
+      df(edges), "src", "dst", seedDf("a", "zz-not-in-graph"), "n",
+      iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === model(Set("a"), 4)) // the off-graph seed never counted
+    // mass concentrates near the seed: a and its successor b outrank d
+    assert(out("a") > out("d") && out("b") > out("d"))
+  }
+
   test("triangleCounts: hand graph — K4 gives 3 per node; direction, " +
       "duplicates, and self-loops normalize away") {
     val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",

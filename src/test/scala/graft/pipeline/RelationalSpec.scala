@@ -427,6 +427,19 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("rollingStats rejects fractional order columns; snapshotDiff " +
+      "rejects reserved column names") {
+    val ev = Seq((1L, 0.5, 1.0)).toDF("user", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      Relational.rollingStats(ev, "user", "t", "v", 10L)
+    }
+    assert(e.getMessage.contains("integral order column"))
+    val t = Seq((1L, "x")).toDF("id", "__in_b")
+    intercept[IllegalArgumentException] {
+      Relational.snapshotDiff(t, t, Seq("id"))
+    }
+  }
+
   test("rollingStats: hand-computed trailing-range frame per key") {
     val ev = Seq(
       (1L, 0L, 10.0), (1L, 500L, 2.0), (1L, 700L, 7.0), (1L, 2000L, 1.0),
