@@ -898,6 +898,17 @@ object Queries {
       // with grouping_level disambiguating rollup NULLs from data NULLs
       graft.pipeline.CorpusStats.corpusMix(
         read(s, d, "documents"), Seq("lang", "source"), "text")),
+    "q149_bipartite_projection" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // the weighted co-supplier graph: suppliers projected over shared
+      // orders, pairs kept at support >= 3 — the co-occurrence builder
+      // that feeds the triangle/PageRank family
+      val li = read(s, d, "lineitem")
+        .select(col("l_orderkey").as("order_key"),
+          concat(lit("s"), col("l_suppkey")).as("supp"))
+      graft.pipeline.Graph.bipartiteProject(
+        li, "order_key", "supp", minShared = 3L)
+    }),
     "q148_personalized_pagerank" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // graph proximity to the nation-min suppliers: teleport mass lands
@@ -2572,6 +2583,13 @@ object Queries {
     // q42's shingling convention (short docs contribute their whole text);
     // true distinct counts < k = 2^15 at every test SF, so the sketch
     // retains every hash and all four released numbers are exact
+    // pair counts over the distinct (order, supplier) incidence list
+    "q149_bipartite_projection" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS p FROM lineitem)
+        |SELECT x.p AS u, y.p AS v, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     // q139's unrolled integer recurrence with a per-node base: scale //
     // |seeds in graph| on seeds, 0 elsewhere
     "q148_personalized_pagerank" ->

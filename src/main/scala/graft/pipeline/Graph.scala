@@ -134,6 +134,50 @@ object Graph {
     ranks.select(col("__n").as("node"), col("__r").as("rank_fp"))
   }
 
+  /** Bipartite projection: collapse a two-mode edge list (shared, proj)
+    * into the one-mode co-occurrence graph on `projCol` — (u, v,
+    * n_shared) for every pair of proj-nodes with >= `minShared` common
+    * shared-nodes. The co-purchase / co-authorship / co-occurrence graph
+    * builder that feeds [[triangleCounts]], [[pageRank]], and community
+    * work.
+    *
+    * Scale shape: one distinct, one self-equi-join keyed on the shared
+    * node, one (u, v)-keyed count. The join fans out deg(shared)^2 per
+    * shared node — a single hub ("everyone bought milk") quadratically
+    * floods the projection with edges that carry no signal, so
+    * `maxSharedDegree` DROPS shared nodes above the cap before the join
+    * (the graph analogue of stopword removal; deterministic and mirrored
+    * exactly in SQL). Pass None only when the shared side's degree is
+    * structurally bounded (e.g. suppliers per order).
+    */
+  def bipartiteProject(
+      edges: DataFrame, sharedCol: String, projCol: String,
+      minShared: Long = 1L, maxSharedDegree: Option[Long] = None): DataFrame = {
+    require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
+    maxSharedDegree.foreach(m =>
+      require(m >= 1L, s"maxSharedDegree must be >= 1, got $m"))
+    Seq(sharedCol, projCol).foreach(c =>
+      require(edges.columns.contains(c), s"edge list is missing column '$c'"))
+    val base = edges
+      .select(col(sharedCol).cast("string").as("__sh"),
+        col(projCol).cast("string").as("__p"))
+      .where(col("__sh").isNotNull && col("__p").isNotNull)
+      .distinct()
+    val kept = maxSharedDegree match {
+      case None => base
+      case Some(cap) =>
+        val deg = base.groupBy("__sh").agg(count(lit(1)).as("__deg"))
+          .where(col("__deg") <= cap).select("__sh")
+        base.join(deg, "__sh")
+    }
+    kept.select(col("__sh"), col("__p").as("__u"))
+      .join(kept.select(col("__sh"), col("__p").as("__v")), "__sh")
+      .where(col("__u") < col("__v"))
+      .groupBy(col("__u").as("u"), col("__v").as("v"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Per-node triangle counts on the UNDIRECTED simple graph of `edges`
     * (direction, duplicates, and self-loops are normalized away) — the
     * clustering/community signal behind cohesion metrics.

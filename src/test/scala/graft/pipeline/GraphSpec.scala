@@ -147,6 +147,32 @@ class GraphSpec extends SparkSpec {
     assert(out("a") > out("d") && out("b") > out("d"))
   }
 
+  test("bipartiteProject: hand-computed co-occurrence weights, support " +
+      "floor, and the hub cap") {
+    val schema2 = StructType(Seq(strCol("shared"), strCol("p")))
+    val inc = makeDf(schema2, Seq(
+      // order o1 has suppliers a,b,c; o2 has a,b; o3 has a,b; hub has all
+      Row("o1", "a"), Row("o1", "b"), Row("o1", "c"),
+      Row("o2", "a"), Row("o2", "b"),
+      Row("o3", "a"), Row("o3", "b"), Row("o3", "b"), // dup collapses
+      Row("hub", "a"), Row("hub", "b"), Row("hub", "c"), Row("hub", "d")))
+    val out = Graph.bipartiteProject(inc, "shared", "p")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out === Map(("a", "b") -> 4L, ("a", "c") -> 2L, ("b", "c") -> 2L,
+      ("a", "d") -> 1L, ("b", "d") -> 1L, ("c", "d") -> 1L))
+    val floored = Graph.bipartiteProject(inc, "shared", "p", minShared = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(floored === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // capping shared-degree at 3 drops the hub order entirely
+    val capped = Graph.bipartiteProject(inc, "shared", "p",
+      maxSharedDegree = Some(3L))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(capped === Map(("a", "b") -> 3L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+    intercept[IllegalArgumentException] {
+      Graph.bipartiteProject(inc, "shared", "p", minShared = 0L)
+    }
+  }
+
   test("triangleCounts: hand graph — K4 gives 3 per node; direction, " +
       "duplicates, and self-loops normalize away") {
     val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
