@@ -366,8 +366,9 @@ object Relational {
     */
   def zeroFillSeries(
       df: DataFrame, bucketCol: String, step: Long,
-      zeroCols: Seq[String]): DataFrame = {
+      zeroCols: Seq[String], maxBuckets: Long = 100000000L): DataFrame = {
     require(step > 0L, s"step must be positive, got $step")
+    require(maxBuckets >= 1L, s"maxBuckets must be >= 1, got $maxBuckets")
     require(df.columns.contains(bucketCol), s"input is missing '$bucketCol'")
     zeroCols.foreach(c =>
       require(df.columns.contains(c), s"input is missing zero-fill column '$c'"))
@@ -383,6 +384,13 @@ object Relational {
     if (bounds.isNullAt(0)) checked // empty input: nothing to fill
     else {
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      // one outlier timestamp must not silently explode the grid into
+      // trillions of rows — refuse loudly, naming the knob
+      val nBuckets = (hi - lo) / step + 1L
+      require(nBuckets <= maxBuckets,
+        s"zeroFillSeries: range [$lo, $hi] at step $step needs $nBuckets " +
+          s"buckets > maxBuckets=$maxBuckets — an outlier bucket is " +
+          "usually the cause; filter the series or raise maxBuckets")
       val grid = spark.range(lo, hi + 1L, step).toDF(bucketCol)
       grid.join(checked, Seq(bucketCol), "left")
         .na.fill(0L, zeroCols)

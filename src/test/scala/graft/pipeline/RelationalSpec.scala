@@ -425,6 +425,13 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     intercept[IllegalArgumentException] {
       Relational.zeroFillSeries(series, "bucket", 0L, Seq("n"))
     }
+    // an outlier bucket cannot silently explode the grid
+    val outlier = Seq((0L, 1L), (600000000L, 1L)).toDF("bucket", "n")
+    val eGrid = intercept[IllegalArgumentException] {
+      Relational.zeroFillSeries(outlier, "bucket", 600L, Seq("n"),
+        maxBuckets = 1000L)
+    }
+    assert(eGrid.getMessage.contains("maxBuckets"))
   }
 
   test("rollingStats rejects fractional order columns; snapshotDiff " +
