@@ -67,4 +67,46 @@ class StreamingRestartSpec extends SparkSpec {
       (30L, "late_window_opener", 1L), (30L, "click", 1L)),
       s"accumulated output must match the batch equivalent, got ${after2.toSet}")
   }
+
+  test("streamingFunnel state survives a restart: stage times recovered " +
+      "from the checkpoint, new events fold onto them") {
+    val root = Files.createTempDirectory("funnelrestart").toFile.getAbsolutePath
+    val inDir = s"$root/in"
+    val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val schema = StructType(Seq(
+      StructField("user", LongType), StructField("etype", StringType),
+      StructField("t", LongType)))
+
+    def writeWave(rows: Seq[(Long, String, Long)]): Unit =
+      makeDf(schema, rows.map { case (u, e, t) =>
+        org.apache.spark.sql.Row(u, e, t) })
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val reach = Streaming.streamingFunnel(
+        stream, "user", "etype", "t", Seq("a", "b", "c"))
+      val q = reach.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // wave 1: u1 completes step a only
+    writeWave(Seq((1L, "a", 10L)))
+    runOnce()
+    // wave 2: b and c arrive AFTER the restart — only the recovered
+    // stage-a time at t=10 lets them chain to stage 3
+    writeWave(Seq((1L, "b", 20L), (1L, "c", 30L)))
+    runOnce()
+    val emits = spark.read.parquet(outDir)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    // one emit per run for u1; the second proves the state carried
+    assert(emits.sorted.toSeq === Seq(("1", 1), ("1", 3)),
+      s"expected stage 1 then stage 3, got ${emits.toSeq}")
+  }
 }
