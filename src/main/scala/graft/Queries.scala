@@ -1464,7 +1464,7 @@ object Queries {
         .withColumn("ts", timestamp_seconds(col("doc_id") + 1))
         .withColumn("text", concat_ws(" ",
           transform(sequence(lit(0), lit(19)),
-            i => concat(lit("t"), ((col("doc_id") / 3).cast("long") * 31 + i)
+            i => concat(lit("t"), (expr("CAST(doc_id AS BIGINT) div 3") * 31 + i)
               .cast("string")))))
       val claims = graft.streaming.Streaming.streamingNearDupClaims(
         stream, "ts", "doc_id", "text", watermark = "10 minutes")

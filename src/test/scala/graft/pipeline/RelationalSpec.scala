@@ -463,6 +463,44 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       (2L, 100L, 1L, 9.0, 9.0)))
   }
 
+  test("sessionPaths matches a pure-Scala model across random corpora " +
+      "(gap splits, truncation, top-k tiebreak)") {
+    def model(rows: Seq[(Long, Long, String)], gap: Long, k: Int,
+        maxLen: Int): Seq[(String, Long)] = {
+      val paths = rows.groupBy(_._1).values.flatMap { evs =>
+        val sorted = evs.map(e => (e._2, e._3)).sortBy(identity)
+        // split on gaps > gap
+        val sessions = sorted.foldLeft(List.empty[List[(Long, String)]]) {
+          case (Nil, ev) => List(List(ev))
+          case (cur :: rest, ev) =>
+            if (ev._1 - cur.head._1 > gap) List(ev) :: (cur :: rest)
+            else (ev :: cur) :: rest
+        }.map(_.reverse).reverse
+        sessions.map { s =>
+          val p = s.take(maxLen).map(_._2).mkString(">")
+          if (s.size > maxLen) p + ">..." else p
+        }
+      }
+      paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (p, n) => (-n, p) }.take(k)
+    }
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 5) {
+      val rows = Seq.fill(150 + rnd.nextInt(100))((
+        rnd.nextInt(12).toLong, rnd.nextInt(300).toLong,
+        Seq("a", "b", "c")(rnd.nextInt(3))))
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq // unique (u, t)
+      val gap = 20L + rnd.nextInt(40)
+      val maxLen = 3 + rnd.nextInt(5)
+      val expected = model(rows, gap, 8, maxLen)
+      val got = Relational.sessionPaths(
+        rows.toDF("user", "t", "etype").repartition(1 + rnd.nextInt(9)),
+        "user", "t", "etype", gap, 8, maxLen)
+        .as[(String, Long)].collect().toSeq
+      assert(got === expected, s"trial $trial gap=$gap maxLen=$maxLen")
+    }
+  }
+
   test("sessionPaths is invariant under input partitioning") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.fill(400)((rnd.nextInt(20).toLong,
