@@ -898,6 +898,23 @@ object Queries {
       // with grouping_level disambiguating rollup NULLs from data NULLs
       graft.pipeline.CorpusStats.corpusMix(
         read(s, d, "documents"), Seq("lang", "source"), "text")),
+    "q150_data_quality" -> ((s, d) => {
+      // declarative expectations over lineitem: row-local rules share one
+      // scan, uniqueness rides it as a count-distinct, the FK is one
+      // anti-join; the tightened range rule is there to FAIL so the
+      // report exercises both verdicts
+      val Q = graft.pipeline.Quality
+      import Q.Expect._
+      Q.report(read(s, d, "lineitem"), Seq(
+        NotNull("l_shipdate"),
+        InRange("l_quantity", 1, 50),
+        InRange("l_quantity", 1, 25),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        MatchesRegex("l_linestatus", "[A-Z]"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ForeignKey(Seq("l_orderkey"), read(s, d, "orders"),
+          Seq("o_orderkey"), "orders")))
+    }),
     "q149_bipartite_projection" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // the weighted co-supplier graph: suppliers projected over shared
@@ -2583,6 +2600,56 @@ object Queries {
     // q42's shingling convention (short docs contribute their whole text);
     // true distinct counts < k = 2^15 at every test SF, so the sketch
     // retains every hash and all four released numbers are exact
+    // each rule's count as plain SQL, unioned in rule order; names match
+    // the operator's generated rule strings exactly
+    "q150_data_quality" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+        |SELECT 'not_null(l_shipdate)' AS rule, n.n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_shipdate IS NULL) AS n_violations,
+        |  (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL) = 0 AS pass
+        |FROM n
+        |UNION ALL SELECT 'in_range(l_quantity, 1.0, 50.0)', n.n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) = 0
+        |FROM n
+        |UNION ALL SELECT 'in_range(l_quantity, 1.0, 25.0)', n.n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 25),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 25) = 0
+        |FROM n
+        |UNION ALL SELECT 'in_set(l_returnflag)', n.n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_returnflag IS NULL
+        |     OR l_returnflag NOT IN ('A','N','R')) = 0
+        |FROM n
+        |UNION ALL SELECT 'matches_regex(l_linestatus)', n.n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_linestatus IS NULL
+        |     OR NOT regexp_full_match(l_linestatus, '(?:[A-Z])')),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_linestatus IS NULL
+        |     OR NOT regexp_full_match(l_linestatus, '(?:[A-Z])')) = 0
+        |FROM n
+        |UNION ALL SELECT 'unique(l_orderkey, l_linenumber)', n.n_rows,
+        |  (SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |    AS BIGINT) FROM lineitem),
+        |  (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |    FROM lineitem) = 0
+        |FROM n
+        |UNION ALL SELECT 'foreign_key(l_orderkey -> orders)', n.n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+        |FROM n""".stripMargin,
     // pair counts over the distinct (order, supplier) incidence list
     "q149_bipartite_projection" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS o,

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations: a rule set validated in as few
+  * passes as the rules allow, released as one report row per rule —
+  * (rule, n_rows, n_violations, pass). The contract-checking step every
+  * ingest pipeline runs before promoting a batch (the dbt-test / Deequ
+  * shape), kept deterministic so the report itself is oracle-checkable.
+  *
+  * Plan shape by rule class:
+  *  - ROW-LOCAL rules (not-null, range, set, regex) all fold into ONE
+  *    aggregate over ONE scan — a rule is a `sum(case when violated)`
+  *    column, so 10 row-local rules cost the same scan as 1;
+  *  - [[Expect.Unique]] rides the same pass as
+  *    `n_rows - count(DISTINCT struct(cols))` (extra rows beyond the
+  *    first per key are the violations);
+  *  - [[Expect.ForeignKey]] is one left-anti join per rule against the
+  *    referenced side (broadcast when the dim is small, shuffle
+  *    otherwise — Catalyst's choice).
+  *
+  * Violation SEMANTICS are per ROW (a row with a null in a not-null
+  * column is one violation), so counts add up across batches.
+  */
+object Quality {
+
+  sealed trait Expect { def name: String }
+  object Expect {
+    /** Column must never be null. */
+    final case class NotNull(column: String) extends Expect {
+      def name = s"not_null($column)"
+    }
+    /** Numeric column within [lo, hi] (inclusive); nulls violate. */
+    final case class InRange(column: String, lo: Double, hi: Double)
+        extends Expect {
+      require(lo <= hi, s"range [$lo, $hi] is empty")
+      def name = s"in_range($column, $lo, $hi)"
+    }
+    /** String column within an allowed value set; nulls violate. */
+    final case class InSet(column: String, values: Seq[String]) extends Expect {
+      require(values.nonEmpty, "InSet needs at least one allowed value")
+      def name = s"in_set($column)"
+    }
+    /** String column fully matches the (Java) regex; nulls violate. */
+    final case class MatchesRegex(column: String, pattern: String)
+        extends Expect {
+      def name = s"matches_regex($column)"
+    }
+    /** Key columns identify rows uniquely; the extra rows beyond the
+      * first per key are the violations.
+      */
+    final case class Unique(columns: Seq[String]) extends Expect {
+      require(columns.nonEmpty, "Unique needs at least one column")
+      def name = s"unique(${columns.mkString(", ")})"
+    }
+    /** Every non-null key must exist in `dim` — referential integrity.
+      * Rows with any null key column are skipped (SQL FK semantics);
+      * `dimName` labels the rule.
+      */
+    final case class ForeignKey(
+        columns: Seq[String], dim: DataFrame, dimColumns: Seq[String],
+        dimName: String) extends Expect {
+      require(columns.nonEmpty && columns.size == dimColumns.size,
+        s"ForeignKey needs matching key lists, got $columns vs $dimColumns")
+      def name = s"foreign_key(${columns.mkString(", ")} -> $dimName)"
+    }
+  }
+
+  /** Validate `df` against `rules`; one report row per rule, in rule
+    * order: (rule, n_rows, n_violations, pass).
+    */
+  def report(df: DataFrame, rules: Seq[Expect]): DataFrame = {
+    require(rules.nonEmpty, "at least one expectation required")
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_.name).mkString("; ")}")
+    rules.foreach {
+      case r: Expect.ForeignKey =>
+        r.dimColumns.foreach(c => require(r.dim.columns.contains(c),
+          s"dim '${r.dimName}' is missing column '$c'"))
+        r.columns.foreach(c => require(df.columns.contains(c),
+          s"input is missing column '$c' (rule ${r.name})"))
+      case r: Expect.Unique =>
+        r.columns.foreach(c => require(df.columns.contains(c),
+          s"input is missing column '$c' (rule ${r.name})"))
+      case r: Expect.NotNull => require(df.columns.contains(r.column),
+        s"input is missing column '${r.column}' (rule ${r.name})")
+      case r: Expect.InRange => require(df.columns.contains(r.column),
+        s"input is missing column '${r.column}' (rule ${r.name})")
+      case r: Expect.InSet => require(df.columns.contains(r.column),
+        s"input is missing column '${r.column}' (rule ${r.name})")
+      case r: Expect.MatchesRegex => require(df.columns.contains(r.column),
+        s"input is missing column '${r.column}' (rule ${r.name})")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    def violated(rule: Expect): Option[org.apache.spark.sql.Column] =
+      rule match {
+        case Expect.NotNull(c) => Some(col(c).isNull)
+        case Expect.InRange(c, lo, hi) =>
+          Some(col(c).isNull || col(c).cast("double") < lo ||
+            col(c).cast("double") > hi)
+        case Expect.InSet(c, vs) => Some(col(c).isNull || !col(c).isin(vs: _*))
+        case Expect.MatchesRegex(c, p) =>
+          Some(col(c).isNull || !col(c).rlike("^(?:" + p + ")$"))
+        case _ => None
+      }
+
+    // one scan: every row-local rule is a conditional sum; Unique rides
+    // along as n_rows - distinct keys
+    val singlePass = rules.flatMap {
+      case u: Expect.Unique =>
+        Seq((count(lit(1)) -
+          countDistinct(struct(u.columns.map(col): _*))).as(u.name))
+      case r => violated(r).map(v =>
+        sum(when(v, 1L).otherwise(0L)).as(r.name))
+    }
+    val aggRow = df.agg(count(lit(1)).as("__n"), singlePass: _*).head()
+    val nRows = aggRow.getLong(0)
+
+    val fkCounts: Map[String, Long] = rules.collect {
+      case fk: Expect.ForeignKey =>
+        val keyed = df.select(fk.columns.map(col): _*)
+          .where(fk.columns.map(col(_).isNotNull).reduce(_ && _))
+        val dimKeys = fk.dim
+          .select(fk.dimColumns.zip(fk.columns)
+            .map { case (dc, c) => col(dc).as(c) }: _*)
+        fk.name -> keyed.join(dimKeys, fk.columns, "left_anti").count()
+    }.toMap
+
+    val rows = rules.map { r =>
+      val v = r match {
+        case fk: Expect.ForeignKey => fkCounts(fk.name)
+        case _ => if (aggRow.isNullAt(aggRow.fieldIndex(r.name))) 0L
+          else aggRow.getLong(aggRow.fieldIndex(r.name))
+      }
+      (r.name, nRows, v, v == 0L)
+    }
+    rows.toDF("rule", "n_rows", "n_violations", "pass")
+  }
+}
