@@ -898,6 +898,20 @@ object Queries {
       // with grouping_level disambiguating rollup NULLs from data NULLs
       graft.pipeline.CorpusStats.corpusMix(
         read(s, d, "documents"), Seq("lang", "source"), "text")),
+    "q151_normalize_text" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // canonical normalization released as md5(normalized): every 5th
+      // doc gets a decomposed accent (e + U+0301), a BEL control char,
+      // and a whitespace run appended — NFC must compose, the strip must
+      // remove, the collapse must fold, and the JVM Normalizer and the
+      // oracle's utf8proc must land on identical bytes
+      val messy = concat(col("text"),
+        lit(" caf"), lit("e\u0301"), lit("\u0007"), lit("  x"))
+      val docs = read(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, messy).otherwise(col("text")).as("t"))
+      docs.select(col("doc_id"),
+        md5(graft.pipeline.TextAnalysis.normalizeText(col("t"))).as("norm_md5"))
+    }),
     "q150_data_quality" -> ((s, d) => {
       // declarative expectations over lineitem: row-local rules share one
       // scan, uniqueness rides it as a count-distinct, the FK is one
@@ -2600,6 +2614,17 @@ object Queries {
     // q42's shingling convention (short docs contribute their whole text);
     // true distinct counts < k = 2^15 at every test SF, so the sketch
     // retains every hash and all four released numbers are exact
+    // the identical normalization chain: nfc_normalize -> strip C0/C1/DEL
+    // -> collapse \s+ -> trim; chr(769) is the combining acute, chr(7)
+    // the BEL control
+    "q151_normalize_text" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' caf' || 'e' || chr(769) || chr(7) || '  x'
+        |      ELSE text END),
+        |    '[\x00-\x1F\x7F\x{0080}-\x{009F}]', '', 'g'),
+        |  '\s+', ' ', 'g'))) AS norm_md5
+        |FROM documents""".stripMargin,
     // each rule's count as plain SQL, unioned in rule order; names match
     // the operator's generated rule strings exactly
     "q150_data_quality" ->

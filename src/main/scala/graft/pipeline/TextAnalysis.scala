@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Canonical text normalization — the pre-step that makes exact dedup
+    * and fingerprinting actually EXACT on multilingual corpora: Unicode
+    * NFC (composed forms — "e" + COMBINING ACUTE and precomposed
+    * U+00E9 are the same character and must hash the same), control
+    * characters stripped (C0 + C1 + DEL), whitespace runs collapsed to
+    * one space, ends trimmed. Null stays null.
+    *
+    * NFC is the stable canonical composition defined by Unicode (UAX
+    * #15) — independently implemented engines (JVM Normalizer here,
+    * utf8proc elsewhere) produce identical bytes, so the normalized text
+    * is engine-portable and oracle-checkable. The UDF is the one
+    * non-codegen step (the JVM's Normalizer); the strips and collapse
+    * are codegen'd regexes on top.
+    */
+  def normalizeText(c: Column): Column = {
+    val nfc = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    trim(regexp_replace(
+      regexp_replace(nfc(c), "[\\x00-\\x1F\\x7F\\u0080-\\u009F]", ""),
+      "\\s+", " "))
+  }
+
   /** Whitespace token count; empty/blank text counts 0. */
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0L))
