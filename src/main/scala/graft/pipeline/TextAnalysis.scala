@@ -3,10 +3,14 @@ package graft.pipeline
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Text-analysis operators for large-scale training-data pipelines. All are
-  * pure Catalyst column expressions (codegen'd, no UDFs), so at 100 TB they
-  * run as map-side projections with zero shuffle and full predicate/column
-  * pushdown underneath.
+/** Text-analysis operators for large-scale training-data pipelines. All
+  * run as map-side projections with zero shuffle and full
+  * predicate/column pushdown underneath; nearly all are pure Catalyst
+  * column expressions (codegen'd). The exceptions each wrap a JVM
+  * kernel the expression language cannot reach — [[normalizeText]]
+  * (java.text.Normalizer NFC), [[compressionRatio]] (Deflater), and
+  * [[winnowingFingerprints]] (the rolling window-min loop) — and say so
+  * in their own headers.
   */
 object TextAnalysis {
 
