@@ -218,6 +218,48 @@ class DocExamplesSpec extends SparkSpec {
     assert(cohorts === Set((0L, 0L, 2L), (0L, 1L, 1L))) // u2 returns later
   }
 
+  test("example: the graph family runs in exact integer arithmetic") {
+    import graft.pipeline.Graph
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("id")
+    val pr = Graph.pageRank(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr.size === 4 && pr.values.forall(_ > 0L))
+    val ppr = Graph.personalizedPageRank(edges, "src", "dst", seeds, "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppr("b") > ppr("d")) // proximity to the seed, not global rank
+    val dist = Graph.bfsDistances(edges, "src", "dst", seeds, "id", maxHops = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    val tri = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tri === Map("a" -> 1L, "b" -> 1L, "c" -> 1L)) // the a-b-c triangle
+    val proj = Graph.bipartiteProject(
+      Seq(("o1", "s1"), ("o1", "s2"), ("o2", "s1"), ("o2", "s2"))
+        .toDF("order_id", "supplier"), "order_id", "supplier")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(proj === Map(("s1", "s2") -> 2L))
+  }
+
+  test("example: quality expectations gate a batch; snapshotDiff is the " +
+      "CDC step") {
+    import graft.pipeline.{Quality, Relational}
+    import Quality.Expect._
+    val batch = Seq((1L, 10.0), (2L, 999.0), (2L, 5.0)).toDF("id", "qty")
+    val report = Quality.report(batch, Seq(
+      NotNull("qty"), InRange("qty", 0.0, 100.0), Unique(Seq("id"))))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(report === Map("not_null(qty)" -> true,
+      "in_range(qty, 0.0, 100.0)" -> false, "unique(id)" -> false))
+    val before = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val after = Seq((1L, "x"), (3L, "z")).toDF("id", "v")
+    val diff = Relational.snapshotDiff(before, after, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(diff === Set((2L, "removed"), (3L, "added")))
+  }
+
   test("example: streaming windowed counts finalize when the watermark " +
       "passes the window") {
     import java.sql.Timestamp
