@@ -912,6 +912,96 @@ object Queries {
       docs.select(col("doc_id"),
         md5(graft.pipeline.TextAnalysis.normalizeText(col("t"))).as("norm_md5"))
     }),
+    "q154_kll_exact_regime" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // bounded-state quantile sketch, EXACT regime (the q126/q137
+      // two-regime discipline): per-event-type profile of the continuous
+      // value column on a 1/7 slice, k=4096 >> any group — nothing ever
+      // compacts, err_units pins 0 in the oracle, and every percentile
+      // is the rank-ceil order statistic, hash-matching quantile_disc
+      val ev = readEvents(s, d).where(col("event_id") % 7 === 0)
+      graft.pipeline.CorpusStats.numericProfileSketched(
+        ev, Seq("event_type"), "value", Seq(0.25, 0.5, 0.75), k = 4096)
+    }),
+    "q155_kll_certificate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // the ESTIMATOR regime released as a certificate, not a point
+      // estimate: k=128 against 10k values forces ~78 level-0
+      // compactions, and the sketch's errUnits ledger (one weight-w
+      // charge per compaction) must bound the TRUE rank slack of every
+      // released quantile — checked in-plan against an exact rank pass,
+      // under this run's real partitioning. estimator_regime pins
+      // err > 0 (the anchor is not vacuously exact) and bounded pins
+      // err < n/8 (the ledger stays a useful fraction of n)
+      val ps = Seq(0.1, 0.5, 0.9)
+      val k = 128
+      val ev = readEvents(s, d)
+        .select(col("value").cast("double").as("v"))
+        .where(col("v").isNotNull)
+      val sk = ev.agg(graft.exec.Kll.quantiles(col("v"), k, ps).as("s"))
+        .select(col("s.n").as("n"), col("s.err_units").as("err"),
+          col("s.values").as("vals"))
+      val rankAggs: Seq[org.apache.spark.sql.Column] =
+        Seq(first(col("n")).as("n"), first(col("err")).as("err")) ++
+          ps.indices.flatMap(i => Seq(
+            sum(when(col("v") < col("vals")(i), 1L).otherwise(0L)).as(s"lt$i"),
+            sum(when(col("v") <= col("vals")(i), 1L).otherwise(0L)).as(s"le$i")))
+      val ranked = ev.crossJoin(broadcast(sk))
+        .agg(rankAggs.head, rankAggs.tail: _*)
+      ranked.select(explode(array(ps.zipWithIndex.map { case (q, i) =>
+        struct(lit(q).as("p"), col("n"),
+          ceil(lit(q) * col("n")).cast("long")
+            .between(col(s"lt$i") + 1L - col("err"),
+              col(s"le$i") + col("err")).as("within_bound"),
+          (col("err") > 0L).as("estimator_regime"),
+          (col("err") * 8L < col("n")).as("bounded"))
+      }: _*)).as("c"))
+        .select(col("c.p"), col("c.n"), col("c.within_bound"),
+          col("c.estimator_regime"), col("c.bounded"))
+    }),
+    "q152_quality_quarantine" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // row-level companion to q150: the violating rows themselves, each
+      // tagged with every rule it breaks — quarantine routing. Every rule
+      // class fires: range + set on real data, uniqueness on a
+      // deterministic %97 duplication, FK against a dim with %5 keys
+      // removed; not_null passes (lang has no nulls — a clean rule must
+      // tag nothing)
+      val Q = graft.pipeline.Quality
+      import Q.Expect._
+      val base = read(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val docs = base.unionByName(base.where(col("doc_id") % 97 === 0))
+      val dim = read(s, d, "embeddings").select(col("vec_id"))
+        .where(col("vec_id") % 5 =!= 0)
+      Q.quarantine(docs, Seq(
+        NotNull("lang"),
+        InRange("n_chars", 1, 400),
+        InSet("lang", Seq("en", "de", "fr")),
+        Unique(Seq("doc_id")),
+        ForeignKey(Seq("doc_id"), dim, Seq("vec_id"), "embeddings")))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat_ws(",", col("violated_rules")).as("rules_str"))
+    }),
+    "q153_weighted_pagerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // q139's trade graph with its natural edge weight — the number of
+      // lineitems linking a customer and a supplier — so rank mass splits
+      // by trade volume instead of evenly; same exact integer recurrence,
+      // oracle unrolled with the weighted contribution (r*w) // sum(w)
+      val li = read(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = read(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
+        .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst"),
+          col("w")))
+      graft.pipeline.Graph.pageRankWeighted(edges, "src", "dst", "w",
+        iterations = 3)
+        .orderBy(col("rank_fp").desc, col("node")).limit(20)
+    }),
     "q150_data_quality" -> ((s, d) => {
       // declarative expectations over lineitem: row-local rules share one
       // scan, uniqueness rides it as a count-distinct, the FK is one
@@ -1016,10 +1106,16 @@ object Queries {
       val q = reach.writeStream.format("memory").queryName(name)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val t = s.table(name)
+      // update-mode memory sink appends one row per entity PER BATCH —
+      // reduce to each entity's latest (max) stage before counting, so the
+      // result is invariant to how the input splits into batches
+      // (AvailableNow over one file happens to be a single batch, but
+      // multi-file inputs or maxFilesPerTrigger must not double-count)
+      val latest = s.table(name).groupBy(col("entity"))
+        .agg(max(col("stage")).as("stage"))
       import s.implicits._
       steps.zipWithIndex.map { case (st, i) =>
-        (i + 1, st, t.where(col("stage") >= i + 1).count())
+        (i + 1, st, latest.where(col("stage") >= i + 1).count())
       }.toDF("step", "step_name", "n_entities")
     }),
     "q144_zero_fill_series" -> ((s, d) => {
@@ -2625,6 +2721,85 @@ object Queries {
         |    '[\x00-\x1F\x7F\x{0080}-\x{009F}]', '', 'g'),
         |  '\s+', ' ', 'g'))) AS norm_md5
         |FROM documents""".stripMargin,
+    // the sketch's rank-ceil discrete quantile IS quantile_disc, and the
+    // exact regime (err_units = 0, pinned as a literal) retains every
+    // value — so the oracle is plain SQL over the same slice
+    "q154_kll_exact_regime" ->
+      """SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows,
+        |  min(value) AS vmin, max(value) AS vmax,
+        |  CAST(0 AS BIGINT) AS err_units,
+        |  quantile_disc(value, 0.25) AS p25,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.75) AS p75
+        |FROM events WHERE event_id % 7 = 0 GROUP BY 1""".stripMargin,
+    // the certificate booleans are theorems of the errUnits ledger (one
+    // weight-w charge per compaction bounds the rank slack), so the
+    // oracle pins them TRUE alongside the real n
+    "q155_kll_certificate" ->
+      """WITH n AS (SELECT CAST(count(value) AS BIGINT) AS n FROM events)
+        |SELECT CAST(0.1 AS DOUBLE) AS p, n.n AS n, TRUE AS within_bound,
+        |  TRUE AS estimator_regime, TRUE AS bounded FROM n
+        |UNION ALL SELECT CAST(0.5 AS DOUBLE), n.n, TRUE, TRUE, TRUE FROM n
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE), n.n, TRUE, TRUE, TRUE
+        |FROM n""".stripMargin,
+    // per-row rule tags in rule order (concat_ws skips the NULL CASE
+    // arms in both engines); uniqueness via a key-partitioned count
+    // window, FK via NOT EXISTS — names match the operator's generated
+    // rule strings exactly
+    "q152_quality_quarantine" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 97 = 0
+        |),
+        |tagged AS (
+        |  SELECT doc_id, lang, n_chars, concat_ws(',',
+        |    CASE WHEN lang IS NULL THEN 'not_null(lang)' END,
+        |    CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 400
+        |      THEN 'in_range(n_chars, 1.0, 400.0)' END,
+        |    CASE WHEN lang IS NULL OR lang NOT IN ('en','de','fr')
+        |      THEN 'in_set(lang)' END,
+        |    CASE WHEN count(*) OVER (PARTITION BY doc_id) > 1
+        |      THEN 'unique(doc_id)' END,
+        |    CASE WHEN doc_id IS NOT NULL AND NOT EXISTS
+        |      (SELECT 1 FROM embeddings e
+        |       WHERE e.vec_id % 5 <> 0 AND e.vec_id = doc_id)
+        |      THEN 'foreign_key(doc_id -> embeddings)' END) AS rules_str
+        |  FROM docs
+        |)
+        |SELECT doc_id, lang, n_chars, rules_str FROM tagged
+        |WHERE rules_str <> ''""".stripMargin,
+    // q139's unrolled recurrence with the weighted contribution
+    // (r * w) // sum-of-out-weights; weights are lineitem counts
+    "q153_weighted_pagerank" ->
+      """WITH pairs AS (SELECT
+        |    'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS s,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |e AS (SELECT c AS src, s AS dst, w FROM pairs
+        |  UNION ALL SELECT s, c, w FROM pairs),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY 1),
+        |b AS (SELECT 1000000000000 // count(*) AS base FROM n),
+        |r0 AS (SELECT node, (SELECT base FROM b) AS r FROM n),
+        |c1 AS (SELECT e.dst AS node, sum((r0.r * e.w) // deg.deg) AS s FROM e
+        |  JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r1 AS (SELECT n.node, (15 * (SELECT base FROM b)) // 100
+        |    + (85 * coalesce(c1.s, 0)) // 100 AS r
+        |  FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum((r1.r * e.w) // deg.deg) AS s FROM e
+        |  JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r2 AS (SELECT n.node, (15 * (SELECT base FROM b)) // 100
+        |    + (85 * coalesce(c2.s, 0)) // 100 AS r
+        |  FROM n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum((r2.r * e.w) // deg.deg) AS s FROM e
+        |  JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r3 AS (SELECT n.node, (15 * (SELECT base FROM b)) // 100
+        |    + (85 * coalesce(c3.s, 0)) // 100 AS r
+        |  FROM n LEFT JOIN c3 USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+        |ORDER BY r DESC, node LIMIT 20""".stripMargin,
     // each rule's count as plain SQL, unioned in rule order; names match
     // the operator's generated rule strings exactly
     "q150_data_quality" ->

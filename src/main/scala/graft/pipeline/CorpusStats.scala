@@ -100,7 +100,8 @@ object CorpusStats {
     * fixed 2048-bin histogram; this operator is the exact anchor.
     * Everything released is order-independent: min/max exactly, and the
     * exact percentile is a deterministic function of the group's
-    * multiset.
+    * multiset. For the bounded-state continuous-measure variant see
+    * [[numericProfileSketched]].
     */
   def numericProfile(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
@@ -126,6 +127,48 @@ object CorpusStats {
       .select(groupCols.map(col) ++
         Seq(col("n_rows"), col("vmin"), col("vmax")) ++
         labels.zipWithIndex.map { case (l, i) => col("__ps")(i).as(l) }: _*)
+  }
+
+  /** [[numericProfile]] for CONTINUOUS high-cardinality measures:
+    * per-group count / min / max stay exact, but percentiles come from
+    * the [[graft.exec.Kll]] compactor sketch — O(k·log n) state per group
+    * regardless of how many distinct doubles the group holds, the one
+    * profile that survives a 100 TB column of floats. Each percentile
+    * releases alongside `err_units`, the sketch's accumulated worst-case
+    * rank slack: err_units == 0 certifies the exact regime (group fit the
+    * buffer — values identical to [[numericProfile]]'s discrete
+    * quantiles); past it, |true_rank(p_i) − ceil(q_i·n)| <= err_units
+    * unconditionally, under any partitioning and merge order.
+    *
+    * Quantile definition here is DISCRETE rank-ceil (smallest value with
+    * cumulative weight >= ceil(q*n)) — a retained input value, never an
+    * interpolation, which is what makes the certificate a statement
+    * about ranks of real data.
+    */
+  def numericProfileSketched(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      k: Int = 400): DataFrame = {
+    require(groupCols.nonEmpty, "group by at least one column")
+    require(percentiles.nonEmpty, "profile at least one percentile")
+    def lbl(p: Double): String = {
+      val pct = p * 100
+      if (pct == math.rint(pct)) s"p${pct.toLong}"
+      else "p" + BigDecimal(pct).underlying.stripTrailingZeros.toPlainString
+        .replace('.', '_')
+    }
+    val labels = percentiles.map(lbl)
+    require(labels.distinct.size == labels.size,
+      s"duplicate percentile labels: ${labels.mkString(", ")}")
+    val v = col(valueCol).cast("double")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(v).as("n_rows"), min(v).as("vmin"), max(v).as("vmax"),
+        graft.exec.Kll.quantiles(v, k, percentiles).as("__kll"))
+      .select(groupCols.map(col) ++
+        Seq(col("n_rows"), col("vmin"), col("vmax"),
+          col("__kll.err_units").as("err_units")) ++
+        labels.zipWithIndex.map { case (l, i) =>
+          col("__kll.values")(i).as(l) }: _*)
   }
 
   /** Corpus mix report at EVERY rollup level of `groupCols` in one pass:

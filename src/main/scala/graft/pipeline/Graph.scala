@@ -48,7 +48,31 @@ object Graph {
       iterations: Int = 5, dampingNum: Long = 85L, dampingDen: Long = 100L,
       scale: Long = 1000000000000L): DataFrame =
     pageRankImpl(edges, srcCol, dstCol, iterations, dampingNum, dampingDen,
-      scale, seeds = None)
+      scale, seeds = None, weightCol = None)
+
+  /** Weighted PageRank: each edge u->v carries a positive INTEGER weight
+    * and u's rank mass splits proportionally —
+    * c_t(u->v) = (r_t(u) * w(u->v)) div totalOutWeight(u) — the natural
+    * ranking when edges have magnitudes (trade volume, message counts,
+    * shared-item counts). Same exact fixed-point arithmetic, same
+    * one-join-one-sum iteration shape as [[pageRank]]; with all weights 1
+    * the two are bit-identical. Rows with a NULL weight are dropped like
+    * NULL endpoints; a non-positive weight fails loudly (a zero weight is
+    * a deleted edge and a negative one has no mass semantics). Caller
+    * contract: scale * max(weight) must fit a signed 64-bit long (the
+    * default 1e12 scale leaves ~9.2e6 of weight headroom); weights beyond
+    * that should be pre-divided by a common factor, which leaves the
+    * proportions — and therefore the ranks — unchanged up to remainders.
+    */
+  def pageRankWeighted(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      iterations: Int = 5, dampingNum: Long = 85L, dampingDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(edges.columns.contains(weightCol),
+      s"edge list is missing weight column '$weightCol'")
+    pageRankImpl(edges, srcCol, dstCol, iterations, dampingNum, dampingDen,
+      scale, seeds = None, weightCol = Some(weightCol))
+  }
 
   /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
     * (restricted to nodes present in the graph) instead of uniformly —
@@ -67,13 +91,14 @@ object Graph {
       s"seeds side is missing column '$seedCol'")
     pageRankImpl(edges, srcCol, dstCol, iterations, dampingNum, dampingDen,
       scale, seeds = Some(seeds.select(col(seedCol).cast("string").as("__n"))
-        .where(col("__n").isNotNull).distinct()))
+        .where(col("__n").isNotNull).distinct()), weightCol = None)
   }
 
   private def pageRankImpl(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingNum: Long, dampingDen: Long,
-      scale: Long, seeds: Option[DataFrame]): DataFrame = {
+      scale: Long, seeds: Option[DataFrame],
+      weightCol: Option[String]): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100], got $iterations")
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
@@ -81,14 +106,30 @@ object Graph {
     require(scale >= 1000000L, s"scale too coarse for stable ranks: $scale")
     Seq(srcCol, dstCol).foreach(c =>
       require(edges.columns.contains(c), s"edge list is missing column '$c'"))
+    // __w (weighted only — the unweighted edge table stays two columns,
+    // exactly the r9 plan): NULL weights drop with NULL endpoints;
+    // non-positive weights raise (zero is a deleted edge, negative has
+    // no mass semantics).
+    val wExpr = weightCol.map { w =>
+      when(col(w).cast("long") <= 0L,
+        raise_error(concat(lit(s"pageRankWeighted: non-positive weight in '" +
+          w + "': "), col(w).cast("string"))).cast("long"))
+        .otherwise(col(w).cast("long"))
+    }
     val e = edges
-      .select(col(srcCol).cast("string").as("__s"),
-        col(dstCol).cast("string").as("__d"))
-      .where(col("__s").isNotNull && col("__d").isNotNull)
+      .select(Seq(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d")) ++
+        wExpr.map(_.as("__w")).toSeq: _*)
+      .where(wExpr.map(_ => col("__w").isNotNull).toSeq
+        .foldLeft(col("__s").isNotNull && col("__d").isNotNull)(_ && _))
       .localCheckpoint(true)
     val nodes = e.select(col("__s").as("__n"))
       .unionByName(e.select(col("__d").as("__n"))).distinct()
-    val outdeg = e.groupBy(col("__s").as("__n")).agg(count(lit(1)).as("__deg"))
+    // out-degree: edge count, or — weighted — total out-weight, the
+    // denominator of the proportional split
+    val outdeg = e.groupBy(col("__s").as("__n")).agg(
+      (if (weightCol.isEmpty) count(lit(1)) else sum(col("__w")))
+        .as("__deg"))
     // per-node teleport base: uniform scale div N, or — personalized —
     // scale div |seeds in graph| on the seed nodes and 0 elsewhere. One
     // broadcastable count row keeps N out of the driver either way.
@@ -99,8 +140,15 @@ object Graph {
         nodes.crossJoin(broadcast(base))
       case Some(sd) =>
         val inGraph = sd.join(nodes, Seq("__n"), "left_semi")
+        // fail loud on an empty in-graph seed set: `scale div 0` is NULL in
+        // Spark SQL, which would silently degrade every rank to zero — the
+        // opposite of the repo's fail-loud discipline. The check rides the
+        // same single-row aggregate (no extra job).
         val base = inGraph.agg(count(lit(1)).as("__cnt"))
-          .select(expr(s"${scale}L div __cnt").as("__base"))
+          .select(when(col("__cnt") === 0L,
+            raise_error(lit("personalizedPageRank: no seed node is present " +
+              "in the graph (seeds ∩ edge endpoints is empty)")).cast("long"))
+            .otherwise(expr(s"${scale}L div __cnt")).as("__base"))
         nodes
           .join(inGraph.withColumn("__isSeed", lit(true)), Seq("__n"), "left")
           .crossJoin(broadcast(base))
@@ -118,9 +166,24 @@ object Graph {
       .localCheckpoint(true)
     val teleport = expr(s"((${dampingDen - dampingNum}L * __base) div ${dampingDen}L)")
     for (_ <- 1 to iterations) {
-      val contrib = e
-        .join(ranks.where(col("__deg") > 0L)
-          .select(col("__n").as("__s"), expr("__r div __deg").as("__c")), "__s")
+      // contribution per edge. Unweighted: c = r div deg is CONSTANT per
+      // source, so it is computed once per node (N divisions) and the
+      // edge join carries a single long — the narrowest possible shuffle.
+      // Weighted: c = (r * w) div deg depends on the edge, so the join
+      // carries (r, deg) and divides per edge inside the post-join
+      // codegen stage. With unit weights the two formulations are
+      // arithmetically identical, keeping results bit-stable either way.
+      val perEdge = weightCol match {
+        case None => e
+          .join(ranks.where(col("__deg") > 0L)
+            .select(col("__n").as("__s"), expr("__r div __deg").as("__c")),
+            "__s")
+        case Some(_) => e
+          .join(ranks.where(col("__deg") > 0L)
+            .select(col("__n").as("__s"), col("__r"), col("__deg")), "__s")
+          .select(col("__d"), expr("(__r * __w) div __deg").as("__c"))
+      }
+      val contrib = perEdge
         .groupBy(col("__d").as("__n")).agg(sum(col("__c")).as("__in"))
       ranks = ranks.select(col("__n"), col("__base"), col("__deg"))
         .join(contrib, Seq("__n"), "left")
@@ -277,29 +340,31 @@ object Graph {
       .where(col("__n").isNotNull).distinct()
       .withColumn("__dist", lit(0L))
       .localCheckpoint(true)
-    // levels accumulate as a list of CHECKPOINTED frontiers unioned
-    // lazily — the settled set is never re-materialized per round (that
-    // would cost O(V * rounds)); the anti-join reads the checkpointed
-    // level tables directly
-    val levels = scala.collection.mutable.ListBuffer(seed0)
+    // ONE accumulated settled table, re-checkpointed per round, instead of
+    // a growing list of per-level frontiers: with the list, round k's
+    // anti-join scheduled k separate scans and the final union was k-wide,
+    // so deep traversals paid O(hops) plan width per round; with the
+    // accumulator, every round reads exactly one in-memory table and the
+    // plan stays O(1) wide at any depth. The union write is the frontier
+    // appended to memory-resident blocks — the already-settled partitions
+    // are cached, so the incremental cost per round is the new level, not V.
+    var settled = seed0
     var frontier = seed0.select("__n")
     var hop = 0L
     var exhausted = frontier.isEmpty
     while (hop < maxHops && !exhausted) {
       hop += 1
-      val settled = levels.map(_.select("__n")).reduce(_ unionByName _)
       val next = frontier.join(e, frontier("__n") === e("__s"))
         .select(col("__d").as("__n")).distinct()
-        .join(settled, Seq("__n"), "left_anti")
+        .join(settled.select("__n"), Seq("__n"), "left_anti")
         .withColumn("__dist", lit(hop))
         .localCheckpoint(true)
       if (next.isEmpty) exhausted = true
       else {
-        levels += next
+        settled = settled.unionByName(next).localCheckpoint(true)
         frontier = next.select("__n")
       }
     }
-    levels.reduce(_ unionByName _)
-      .select(col("__n").as("node"), col("__dist").as("dist"))
+    settled.select(col("__n").as("node"), col("__dist").as("dist"))
   }
 }

@@ -67,10 +67,7 @@ object Quality {
     }
   }
 
-  /** Validate `df` against `rules`; one report row per rule, in rule
-    * order: (rule, n_rows, n_violations, pass).
-    */
-  def report(df: DataFrame, rules: Seq[Expect]): DataFrame = {
+  private def validateRules(df: DataFrame, rules: Seq[Expect]): Unit = {
     require(rules.nonEmpty, "at least one expectation required")
     require(rules.map(_.name).distinct.size == rules.size,
       s"duplicate rule names: ${rules.map(_.name).mkString("; ")}")
@@ -92,20 +89,30 @@ object Quality {
       case r: Expect.MatchesRegex => require(df.columns.contains(r.column),
         s"input is missing column '${r.column}' (rule ${r.name})")
     }
+  }
+
+  /** Per-row violation predicate for ROW-LOCAL rules; None for the
+    * relational rules (Unique, ForeignKey), which need other rows.
+    */
+  private def violated(rule: Expect): Option[org.apache.spark.sql.Column] =
+    rule match {
+      case Expect.NotNull(c) => Some(col(c).isNull)
+      case Expect.InRange(c, lo, hi) =>
+        Some(col(c).isNull || col(c).cast("double") < lo ||
+          col(c).cast("double") > hi)
+      case Expect.InSet(c, vs) => Some(col(c).isNull || !col(c).isin(vs: _*))
+      case Expect.MatchesRegex(c, p) =>
+        Some(col(c).isNull || !col(c).rlike("^(?:" + p + ")$"))
+      case _ => None
+    }
+
+  /** Validate `df` against `rules`; one report row per rule, in rule
+    * order: (rule, n_rows, n_violations, pass).
+    */
+  def report(df: DataFrame, rules: Seq[Expect]): DataFrame = {
+    validateRules(df, rules)
     val spark = df.sparkSession
     import spark.implicits._
-
-    def violated(rule: Expect): Option[org.apache.spark.sql.Column] =
-      rule match {
-        case Expect.NotNull(c) => Some(col(c).isNull)
-        case Expect.InRange(c, lo, hi) =>
-          Some(col(c).isNull || col(c).cast("double") < lo ||
-            col(c).cast("double") > hi)
-        case Expect.InSet(c, vs) => Some(col(c).isNull || !col(c).isin(vs: _*))
-        case Expect.MatchesRegex(c, p) =>
-          Some(col(c).isNull || !col(c).rlike("^(?:" + p + ")$"))
-        case _ => None
-      }
 
     // one scan: every row-local rule is a conditional sum; Unique rides
     // along as n_rows - distinct keys
@@ -138,5 +145,72 @@ object Quality {
       (r.name, nRows, v, v == 0L)
     }
     rows.toDF("rule", "n_rows", "n_violations", "pass")
+  }
+
+  /** Row-level companion to [[report]]: the VIOLATING rows themselves,
+    * each tagged with `violated_rules` — the names of every rule the row
+    * breaks, in rule order — ready to route to a quarantine sink while
+    * the clean rows promote. [[report]] says HOW MANY; this says WHICH.
+    *
+    * Semantics per rule class:
+    *  - ROW-LOCAL rules tag exactly the rows [[report]] counts;
+    *  - [[Expect.Unique]] tags EVERY member of a duplicated key group
+    *    (the gate cannot know which copy is the keeper — that is a dedup
+    *    policy decision, not a quality fact), so its tag count is
+    *    n_violations + number of duplicated keys vs the report, which
+    *    counts only the extras beyond the first;
+    *  - [[Expect.ForeignKey]] tags rows whose fully-non-null key is
+    *    absent from the dim (null-keyed rows are skipped, SQL FK
+    *    semantics — matching the report).
+    *
+    * Plan shape: row-local rules are ONE codegen'd projection on the
+    * main scan; Unique adds one key-keyed aggregate joined back
+    * (duplicated keys only — a near-empty broadcast in healthy data);
+    * each ForeignKey adds one left join against the distinct dim keys
+    * (broadcast when small, Catalyst's choice). Rows violating nothing
+    * are filtered before any sink write.
+    */
+  def quarantine(df: DataFrame, rules: Seq[Expect]): DataFrame = {
+    validateRules(df, rules)
+    require(!df.columns.contains("violated_rules"),
+      "input uses reserved column name 'violated_rules'; rename it first")
+    val flags = rules.indices.map(i => s"__q$i")
+    flags.foreach(f => require(!df.columns.contains(f),
+      s"input uses reserved column name '$f'; rename it first"))
+    var cur = df
+    rules.zipWithIndex.foreach { case (r, i) =>
+      val f = flags(i)
+      r match {
+        case u: Expect.Unique =>
+          // keys with count > 1 only — healthy data makes this side tiny
+          val dup = df.groupBy(u.columns.map(col): _*)
+            .agg(count(lit(1)).as("__qc")).where(col("__qc") > 1L)
+            .select(u.columns.map(c => col(c).as(s"__qk_$c")) :+
+              lit(true).as(f): _*)
+          // null-safe equality: a duplicated NULL key is still a duplicate
+          val cond = u.columns.map(c => col(c) <=> col(s"__qk_$c")).reduce(_ && _)
+          cur = cur.join(dup, cond, "left")
+            .drop(u.columns.map(c => s"__qk_$c"): _*)
+            .withColumn(f, coalesce(col(f), lit(false)))
+        case fk: Expect.ForeignKey =>
+          val dimKeys = fk.dim
+            .select(fk.dimColumns.zip(fk.columns)
+              .map { case (dc, c) => col(dc).as(s"__qk_$c") }: _*)
+            .distinct().withColumn(f, lit(true))
+          val cond = fk.columns.map(c => col(c) === col(s"__qk_$c")).reduce(_ && _)
+          cur = cur.join(dimKeys, cond, "left")
+            .drop(fk.columns.map(c => s"__qk_$c"): _*)
+            .withColumn(f,
+              fk.columns.map(col(_).isNotNull).reduce(_ && _) && col(f).isNull)
+        case _ =>
+          cur = cur.withColumn(f, violated(r).get)
+      }
+    }
+    val tags = array(rules.zipWithIndex.map { case (r, i) =>
+      when(col(flags(i)), lit(r.name))
+    }: _*)
+    cur.withColumn("violated_rules", array_compact(tags))
+      .where(size(col("violated_rules")) > 0)
+      .drop(flags: _*)
   }
 }

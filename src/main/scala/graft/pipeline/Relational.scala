@@ -361,8 +361,11 @@ object Relational {
     * Scale shape: bounds are a 2-long aggregate (the only driver-resident
     * state); the grid generates in parallel via `spark.range` (never a
     * one-task `sequence` explode); the join is a bucket-keyed left join.
-    * Buckets must already be multiples of `step` — off-grid rows fail
-    * loudly rather than silently landing between grid points.
+    * Buckets must already be multiples of `step` — off-grid AND NULL
+    * buckets fail loudly rather than silently landing between (or off)
+    * grid points. Only grid-inserted rows are zero-filled: a present row
+    * whose `zeroCols` value is genuinely NULL keeps its NULL — "bucket
+    * missing" and "measurement missing" are different facts.
     */
   def zeroFillSeries(
       df: DataFrame, bucketCol: String, step: Long,
@@ -372,12 +375,20 @@ object Relational {
     require(df.columns.contains(bucketCol), s"input is missing '$bucketCol'")
     zeroCols.foreach(c =>
       require(df.columns.contains(c), s"input is missing zero-fill column '$c'"))
+    require(!df.columns.contains("__present"),
+      "input uses reserved column name '__present'; rename it first")
     val spark = df.sparkSession
+    // a NULL bucket would sail past the pmod guard (null =!= 0 is null →
+    // otherwise branch) and then be dropped silently by the grid left
+    // join — check it explicitly, first
     val checked = df.withColumn(bucketCol,
-      when(pmod(col(bucketCol).cast("long"), lit(step)) =!= 0L,
-        raise_error(concat(lit(s"zeroFillSeries: bucket "),
-          col(bucketCol).cast("string"),
-          lit(s" is not a multiple of step $step"))))
+      when(col(bucketCol).isNull,
+        raise_error(lit("zeroFillSeries: NULL bucket — a null bucket has " +
+          "no place on the grid; filter or impute it first")).cast("long"))
+        .when(pmod(col(bucketCol).cast("long"), lit(step)) =!= 0L,
+          raise_error(concat(lit(s"zeroFillSeries: bucket "),
+            col(bucketCol).cast("string"),
+            lit(s" is not a multiple of step $step"))))
         .otherwise(col(bucketCol).cast("long")))
     val bounds = checked.agg(
       min(col(bucketCol)).as("lo"), max(col(bucketCol)).as("hi")).head()
@@ -392,8 +403,17 @@ object Relational {
           s"buckets > maxBuckets=$maxBuckets — an outlier bucket is " +
           "usually the cause; filter the series or raise maxBuckets")
       val grid = spark.range(lo, hi + 1L, step).toDF(bucketCol)
-      grid.join(checked, Seq(bucketCol), "left")
-        .na.fill(0L, zeroCols)
+      // join-side marker, not na.fill: fill ONLY grid-inserted rows, so a
+      // present row's genuine NULL measurement survives as NULL
+      val joined = grid.join(checked.withColumn("__present", lit(true)),
+        Seq(bucketCol), "left")
+      val outCols = joined.columns.filter(_ != "__present").map { c =>
+        if (zeroCols.contains(c))
+          when(col("__present").isNull,
+            lit(0L).cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+        else col(c)
+      }
+      joined.select(outCols.toIndexedSeq: _*)
     }
   }
 
@@ -460,6 +480,16 @@ object Relational {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
     Seq(entityCol, timeCol, typeCol).foreach(c =>
       require(events.columns.contains(c), s"events side is missing '$c'"))
+    // same guard as rollingStats: a timestamp column fails the gap
+    // subtraction with a confusing analysis error and a double column
+    // silently compares fractional gaps against an integer gapUnits
+    val tt = events.schema(timeCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(tt),
+      s"sessionPaths needs an integral time column, got ${tt.simpleString} " +
+        "— convert to epoch units first")
     val w = Window.partitionBy(entityCol).orderBy(col(timeCol), col(typeCol))
     val prev = lag(col(timeCol), 1).over(w)
     val sess = events

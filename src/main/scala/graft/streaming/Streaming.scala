@@ -376,15 +376,37 @@ object Streaming {
     * sources that need full out-of-order tolerance should run the batch
     * funnel over closed windows instead. Null entity ids are dropped
     * ([[graft.pipeline.Relational.funnel]]'s discipline).
+    *
+    * State lifetime: by default state lives forever, so TOTAL state grows
+    * with the entity universe even though PER-ENTITY state is fixed — on
+    * an unbounded user stream that is still unbounded memory.
+    * `entityTtlMs` arms a processing-time timeout per entity, re-armed on
+    * every batch that touches the entity: an entity idle longer than the
+    * TTL has its state dropped (after one final (entity, stage) emission,
+    * so the last known stage is never lost in update mode). Expiry can
+    * only UNDER-count — an event arriving after its entity expired
+    * restarts the funnel from stage 0 — the same safe direction as the
+    * cross-batch disorder semantics above. Processing-time (not
+    * event-time) is deliberate: the funnel's time column is an arbitrary
+    * ordering integer with no watermark, and "idle for X of wall time" is
+    * the retention contract operators actually configure.
+    *
+    * TTL requires a RECURRING trigger (e.g. ProcessingTime): Spark marks
+    * every batch "should run another" under processing-time timeouts —
+    * that is what fires expirations on an idle stream — so a
+    * run-to-completion trigger (AvailableNow / Once) would never settle.
+    * Leave `entityTtlMs` at None for finite replays.
     */
   def streamingFunnel(
       events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], entityTtlMs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"duplicate step types: ${steps.mkString(", ")}")
     Seq(entityCol, typeCol, timeCol).foreach(c =>
       require(events.columns.contains(c), s"events side is missing '$c'"))
+    entityTtlMs.foreach(t =>
+      require(t > 0L, s"entityTtlMs must be positive, got $t"))
     val stepIdx = steps.zipWithIndex.toMap
     val nSteps = steps.size
     implicit val stateEnc = Encoders.product[FunnelTimes]
@@ -392,6 +414,9 @@ object Streaming {
     implicit val strEnc = Encoders.STRING
     implicit val rowEnc =
       Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong)
+    val timeoutConf =
+      if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
         col(typeCol).isin(steps: _*))
@@ -399,22 +424,33 @@ object Streaming {
         col(timeCol).cast("long"))
       .as[(String, String, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[FunnelTimes, FunnelReach](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[FunnelTimes, FunnelReach](timeoutConf) {
         (entity, it, state) =>
-          val times = state.getOption
-            .map(_.times.toArray)
-            .getOrElse(Array.fill(nSteps)(Long.MinValue))
-          // within-batch arrival order is irrelevant: sort the slice by
-          // (time, step type) and fold the greedy recurrence in order
-          val evs = it.toArray.sortBy(r => (r._3, r._2))
-          for ((_, y, t) <- evs) {
-            val i = stepIdx(y)
-            if (times(i) == Long.MinValue &&
-                (i == 0 || (times(i - 1) != Long.MinValue && t > times(i - 1))))
-              times(i) = t
+          if (state.hasTimedOut) {
+            // idle past the TTL: emit the last known stage once more (a
+            // duplicate is harmless in update mode; consumers reduce by
+            // max stage) and drop the state
+            val stage = state.getOption
+              .map(_.times.takeWhile(_ != Long.MinValue).length).getOrElse(0)
+            state.remove()
+            FunnelReach(entity, stage)
+          } else {
+            val times = state.getOption
+              .map(_.times.toArray)
+              .getOrElse(Array.fill(nSteps)(Long.MinValue))
+            // within-batch arrival order is irrelevant: sort the slice by
+            // (time, step type) and fold the greedy recurrence in order
+            val evs = it.toArray.sortBy(r => (r._3, r._2))
+            for ((_, y, t) <- evs) {
+              val i = stepIdx(y)
+              if (times(i) == Long.MinValue &&
+                  (i == 0 || (times(i - 1) != Long.MinValue && t > times(i - 1))))
+                times(i) = t
+            }
+            state.update(FunnelTimes(times.toSeq))
+            entityTtlMs.foreach(state.setTimeoutDuration)
+            FunnelReach(entity, times.takeWhile(_ != Long.MinValue).length)
           }
-          state.update(FunnelTimes(times.toSeq))
-          FunnelReach(entity, times.takeWhile(_ != Long.MinValue).length)
       }
       .toDF()
   }

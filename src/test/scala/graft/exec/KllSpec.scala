@@ -1,0 +1,133 @@
+package graft.exec
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** KLL-style compactor quantile sketch: exact-regime bit equality with a
+  * rank model, the estimator-regime error certificate, merge/partition
+  * invariance of the certificate, and the bounded-state claim.
+  */
+class KllSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Discrete rank-ceil quantile of a plain multiset (the sketch's
+    * exact-regime definition): smallest value with 1-based rank
+    * >= ceil(q*n).
+    */
+  private def rankQuantile(xs: Seq[Double], q: Double): Double = {
+    val s = xs.sorted
+    s((math.max(1L, math.ceil(q * s.size).toLong) - 1L).toInt)
+  }
+
+  test("exact regime (n < k): err_units = 0 and every percentile equals " +
+      "the rank model bit for bit, under any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(300)(rnd.nextDouble() * 1000 - 500)
+    val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    for (parts <- Seq(1, 7)) {
+      val row = xs.toDF("v").repartition(parts)
+        .agg(Kll.quantiles(col("v"), 400, ps).as("s"))
+        .select("s.n", "s.err_units", "s.values").head()
+      assert(row.getLong(0) === 300L)
+      assert(row.getLong(1) === 0L, "nothing may compact under the buffer")
+      val got = row.getSeq[Double](2)
+      assert(got === ps.map(rankQuantile(xs, _)), s"parts=$parts")
+    }
+  }
+
+  test("estimator regime: the released err_units is a valid rank " +
+      "certificate on random data at several k, any partitioning") {
+    val rnd = new scala.util.Random(23)
+    val n = 20000
+    val xs = Seq.fill(n)(rnd.nextGaussian() * 100)
+    val sorted = xs.sorted
+    val ps = Seq(0.1, 0.5, 0.9)
+    for (k <- Seq(64, 256); parts <- Seq(3, 17)) {
+      val row = xs.toDF("v").repartition(parts)
+        .agg(Kll.quantiles(col("v"), k, ps).as("s"))
+        .select("s.n", "s.err_units", "s.values").head()
+      assert(row.getLong(0) === n.toLong)
+      val err = row.getLong(1)
+      // the certificate must be non-vacuous: well under n
+      assert(err > 0L && err < n / 4, s"k=$k parts=$parts err=$err")
+      val got = row.getSeq[Double](2)
+      for ((q, est) <- ps.zip(got)) {
+        // true rank range of the estimate in the sorted data
+        val lo = sorted.indexWhere(_ >= est) + 1 // first 1-based position
+        val hi = sorted.lastIndexWhere(_ <= est) + 1
+        val target = math.ceil(q * n).toLong
+        assert(target >= lo - err && target <= hi + err,
+          s"k=$k parts=$parts q=$q est=$est rank=[$lo,$hi] " +
+            s"target=$target err=$err")
+        // every estimate is a genuine retained input value
+        assert(xs.contains(est), s"estimate $est is not an input value")
+      }
+    }
+  }
+
+  test("state stays bounded: the serialized sketch of 50k values at " +
+      "k=128 is a few KB, not O(n)") {
+    val st = new KllQuantileAgg.State(128)
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 50000) st.add(rnd.nextDouble())
+    val bytes = st.toBytes.length
+    // ~k doubles per level x log2(50000/128) ~ 9 levels ~ 10KB ceiling
+    assert(bytes < 20000, s"state grew to $bytes bytes")
+    // roundtrip preserves the certificate and the quantiles
+    val back = KllQuantileAgg.State.fromBytes(st.toBytes, 128)
+    assert(back.errUnits === st.errUnits)
+    assert(back.totalWeight === st.totalWeight)
+    assert(back.quantile(0.5) === st.quantile(0.5))
+  }
+
+  test("merge equals a sequential build's certificate discipline: " +
+      "mergeWith never loses weight and keeps err accounting additive") {
+    val a = new KllQuantileAgg.State(64)
+    val b = new KllQuantileAgg.State(64)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 5000) a.add(rnd.nextDouble())
+    for (_ <- 1 to 3000) b.add(rnd.nextDouble() + 0.5)
+    val errBefore = a.errUnits + b.errUnits
+    a.mergeWith(b)
+    assert(a.totalWeight === 8000L)
+    assert(a.errUnits >= errBefore) // merge may compact, never un-compact
+    val med = a.quantile(0.5)
+    assert(med > 0.0 && med < 1.5)
+  }
+
+  test("numericProfileSketched: exact-regime groups match the rank model " +
+      "per group; nulls are skipped; all-null groups release null " +
+      "percentiles") {
+    val schema = StructType(Seq(strCol("g"), dblCol("v")))
+    val rnd = new scala.util.Random(3)
+    val ga = Seq.fill(150)(rnd.nextDouble() * 10)
+    val gb = Seq.fill(90)(rnd.nextDouble() * 10 + 100)
+    val rows = ga.map(v => Row("a", v)) ++ gb.map(v => Row("b", v)) ++
+      Seq(Row("a", null), Row("c", null))
+    val out = graft.pipeline.CorpusStats.numericProfileSketched(
+      makeDf(schema, rows), Seq("g"), "v", Seq(0.5, 0.9), k = 400)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) === 150L) // null skipped from the count
+    assert(out("a").getLong(4) === 0L)   // err_units: exact regime
+    assert(out("a").getDouble(5) === rankQuantile(ga, 0.5))
+    assert(out("a").getDouble(6) === rankQuantile(ga, 0.9))
+    assert(out("b").getDouble(5) === rankQuantile(gb, 0.5))
+    assert(out("c").getLong(1) === 0L)
+    assert(out("c").isNullAt(5) && out("c").isNullAt(6))
+  }
+
+  test("guards: k too small, bad percentiles, non-numeric input") {
+    intercept[IllegalArgumentException] {
+      KllQuantileAgg(null, 4, Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      KllQuantileAgg(null, 64, Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      KllQuantileAgg(null, 64, Nil)
+    }
+  }
+}

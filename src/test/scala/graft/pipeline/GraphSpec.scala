@@ -218,6 +218,99 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("bfsDistances: 20-level path graph settles every level exactly " +
+      "(deep-hop accumulation, early-exit at the end of the path)") {
+    // v0 -> v1 -> ... -> v19: one node per level, the worst case for the
+    // per-round settled-set accumulation
+    val edges = (0 until 19).map(i => s"v$i" -> s"v${i + 1}")
+    val seeds = makeDf(StructType(Seq(strCol("n"))), Seq(Row("v0")))
+    val out = Graph.bfsDistances(df(edges), "src", "dst", seeds, "n", 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = (0 until 20).map(i => s"v$i" -> i.toLong).toMap
+    assert(out === expected)
+  }
+
+  test("personalizedPageRank fails loudly when no seed is in the graph " +
+      "(never silently all-zero ranks)") {
+    val seeds = makeDf(StructType(Seq(strCol("n"))), Seq(Row("zz-absent")))
+    val e = intercept[Exception] {
+      Graph.personalizedPageRank(
+        df(Seq("a" -> "b", "b" -> "a")), "src", "dst", seeds, "n",
+        iterations = 1).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("no seed node"))
+  }
+
+  private val wSchema =
+    StructType(Seq(strCol("src"), strCol("dst"), longCol("w")))
+
+  private def wdf(edges: Seq[(String, String, Long)]) =
+    makeDf(wSchema, edges.map { case (a, b, w) => Row(a, b, w) })
+
+  /** The weighted recurrence, sequentially: c(u->v) = (r*w) / sum_w(u). */
+  private def wModel(edges: Seq[(String, String, Long)], iters: Int,
+      scale: Long = 1000000000000L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = scale / nodes.size
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((s, d, w) <- edges) in(d) += (r(s) * w) / outW(s)
+      r = nodes.map(n => n -> ((15L * base) / 100L + (85L * in(n)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRankWeighted equals the weighted integer model bit for bit; " +
+      "heavier edges carry more mass") {
+    // a splits 9:1 between b and c; both feed back to a
+    val edges = Seq(("a", "b", 9L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L))
+    val out = Graph.pageRankWeighted(wdf(edges), "src", "dst", "w",
+      iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === wModel(edges, 4))
+    assert(out("b") > out("c")) // the 9x edge dominates
+  }
+
+  test("pageRankWeighted with unit weights is bit-identical to pageRank; " +
+      "partition-invariant on random weighted graphs") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 2) {
+      val n = 12 + rnd.nextInt(8)
+      val edges = Seq.fill(40 + rnd.nextInt(30))(
+        ("v" + rnd.nextInt(n), "v" + rnd.nextInt(n))).distinct
+      val unit = edges.map { case (s, d) => (s, d, 1L) }
+      def byNode(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val plain = byNode(Graph.pageRank(df(edges), "src", "dst", iterations = 3))
+      val weighted = byNode(Graph.pageRankWeighted(
+        wdf(unit), "src", "dst", "w", iterations = 3))
+      assert(plain === weighted, s"trial $trial")
+      val rw = edges.map { case (s, d) => (s, d, 1L + rnd.nextInt(7).toLong) }
+      val expect = wModel(rw, 3)
+      assert(byNode(Graph.pageRankWeighted(
+        wdf(rw).repartition(13), "src", "dst", "w", iterations = 3)) === expect,
+        s"trial $trial, 13 partitions")
+    }
+  }
+
+  test("pageRankWeighted: null-weight rows drop; non-positive weights " +
+      "fail loudly") {
+    val out = Graph.pageRankWeighted(
+      wdf(Seq(("a", "b", 1L))).unionByName(
+        makeDf(wSchema, Seq(Row("x", "y", null)))),
+      "src", "dst", "w", iterations = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("a", "b")) // the null-weight edge contributed nothing
+    val e = intercept[Exception] {
+      Graph.pageRankWeighted(wdf(Seq(("a", "b", 0L))), "src", "dst", "w",
+        iterations = 1).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("non-positive weight"))
+  }
+
   test("null endpoints drop; guards reject bad parameters") {
     val messy = makeDf(schema, Seq(Row("a", "b"), Row(null, "b"), Row("a", null)))
     val out = Graph.pageRank(messy, "src", "dst", iterations = 1)

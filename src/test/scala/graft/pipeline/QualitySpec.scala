@@ -75,6 +75,54 @@ class QualitySpec extends SparkSpec {
     assert(empty.forall(r => r._2 == 0L && r._3 == 0L && r._4))
   }
 
+  test("quarantine tags exactly the violating rows with every rule they " +
+      "break, in rule order; clean rows never appear") {
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Quality.quarantine(data, Seq(
+      NotNull("status"),
+      InRange("qty", 0.0, 100.0),
+      Unique(Seq("id")),
+      ForeignKey(Seq("id"), dim, Seq("pk"), "dim")))
+      .select("id", "status", "violated_rules")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getSeq[String](2))
+      .toMap
+    // row 1 is clean — absent
+    assert(!out.contains((1L, "A")))
+    assert(out((2L, "B")) === Seq("in_range(qty, 0.0, 100.0)"))
+    // BOTH members of the duplicated id-3 group are tagged (quarantine
+    // cannot pick a keeper); the null-status copy also breaks not_null
+    assert(out((3L, null)) === Seq("not_null(status)", "unique(id)"))
+    assert(out((3L, "A")) === Seq("unique(id)"))
+    // id 4 breaks the range rule (null qty) and the FK
+    assert(out((4L, "Z")) ===
+      Seq("in_range(qty, 0.0, 100.0)", "foreign_key(id -> dim)"))
+    assert(out.size === 4)
+  }
+
+  test("quarantine FK skips null keys; null-safe uniqueness groups NULL " +
+      "keys together; reserved-name and rule guards apply") {
+    val facts = makeDf(StructType(Seq(longCol("fk"), strCol("x"))), Seq(
+      Row(1L, "a"), Row(99L, "c"), Row(null, "d"), Row(null, "e")))
+    val dim = Seq(1L, 2L).toDF("pk")
+    val out = Quality.quarantine(facts, Seq(
+      ForeignKey(Seq("fk"), dim, Seq("pk"), "dim"),
+      Unique(Seq("fk"))))
+      .collect()
+      .map(r => r.getString(1) -> r.getSeq[String](2)).toMap
+    assert(out("c") === Seq("foreign_key(fk -> dim)")) // 99 misses the dim
+    // the two NULL-keyed rows form one duplicate group but are NOT FK
+    // violations (SQL semantics)
+    assert(out("d") === Seq("unique(fk)"))
+    assert(out("e") === Seq("unique(fk)"))
+    assert(out.size === 3)
+    intercept[IllegalArgumentException] {
+      Quality.quarantine(data.withColumn("violated_rules",
+        org.apache.spark.sql.functions.lit("x")), Seq(NotNull("status")))
+    }
+    intercept[IllegalArgumentException] { Quality.quarantine(data, Nil) }
+  }
+
   test("row-local rules and uniqueness share ONE scan (a single aggregate " +
       "over the input)") {
     val report = Quality.report(data, Seq(

@@ -434,6 +434,42 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(eGrid.getMessage.contains("maxBuckets"))
   }
 
+  test("zeroFillSeries: NULL buckets fail loudly; a present row's genuine " +
+      "NULL measurement survives (only grid-inserted rows are zeroed)") {
+    val withNullBucket = makeDf(
+      StructType(Seq(longCol("bucket"), longCol("n"))),
+      Seq(Row(0L, 1L), Row(null, 2L)))
+    val e = intercept[Exception] {
+      Relational.zeroFillSeries(withNullBucket, "bucket", 600L, Seq("n"))
+        .collect()
+    }
+    assert(e.getMessage.contains("NULL bucket"))
+    // bucket 600 present with a NULL measurement: must stay NULL, while
+    // the absent bucket 1200 zero-fills
+    val withNullMeasure = makeDf(
+      StructType(Seq(longCol("bucket"), longCol("n"))),
+      Seq(Row(0L, 5L), Row(600L, null), Row(1800L, 3L)))
+    val out = Relational.zeroFillSeries(withNullMeasure, "bucket", 600L, Seq("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out === Map(0L -> Some(5L), 600L -> None, 1200L -> Some(0L),
+      1800L -> Some(3L)))
+    intercept[IllegalArgumentException] {
+      Relational.zeroFillSeries(
+        withNullMeasure.withColumn("__present",
+          org.apache.spark.sql.functions.lit(1)), "bucket", 600L, Seq("n"))
+    }
+  }
+
+  test("sessionPaths rejects non-integral time columns (timestamps and " +
+      "doubles need explicit epoch conversion)") {
+    val ev = Seq((1L, 0.5, "a")).toDF("user", "t", "etype")
+    val e = intercept[IllegalArgumentException] {
+      Relational.sessionPaths(ev, "user", "t", "etype", 10L, 5)
+    }
+    assert(e.getMessage.contains("integral time column"))
+  }
+
   test("rollingStats rejects fractional order columns; snapshotDiff " +
       "rejects reserved column names") {
     val ev = Seq((1L, 0.5, 1.0)).toDF("user", "t", "v")

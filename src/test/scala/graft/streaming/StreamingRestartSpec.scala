@@ -109,4 +109,67 @@ class StreamingRestartSpec extends SparkSpec {
     assert(emits.sorted.toSeq === Seq(("1", 1), ("1", 3)),
       s"expected stage 1 then stage 3, got ${emits.toSeq}")
   }
+
+  test("streamingFunnel entityTtlMs expires idle state: one final " +
+      "emission at the last known stage, then the funnel restarts from " +
+      "zero (the documented under-count direction)") {
+    val root = Files.createTempDirectory("funnelttl").toFile.getAbsolutePath
+    val inDir = s"$root/in"
+    val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val schema = StructType(Seq(
+      StructField("user", LongType), StructField("etype", StringType),
+      StructField("t", LongType)))
+
+    def writeWave(rows: Seq[(Long, String, Long)]): Unit =
+      makeDf(schema, rows.map { case (u, e, t) =>
+        org.apache.spark.sql.Row(u, e, t) })
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+    def readEmits(): Seq[(String, Int)] =
+      try spark.read.parquet(outDir)
+        .collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+      catch { case _: Throwable => Nil } // no batch has written yet
+
+    // a RECURRING trigger, per the TTL contract: processing-time
+    // timeouts mark every batch as "should run another", so AvailableNow
+    // would never settle — the empty periodic batches are exactly what
+    // fires expirations
+    writeWave(Seq((1L, "a", 10L)))
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val reach = Streaming.streamingFunnel(
+      stream, "user", "etype", "t", Seq("a", "b", "c"),
+      entityTtlMs = Some(1L))
+    val q = reach.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) batch.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    // poll the sink only: under processing-time timeouts the stream
+    // schedules batches forever, so processAllAvailable/awaitTermination
+    // never settle — progress is observed through emissions
+    def pollUntil(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what; emits=${readEmits()}")
+    }
+    try {
+      // wave 1 folds: (1, 1) emitted, TTL armed; then the 1 ms TTL lapses
+      // and a later empty batch fires the timeout, re-emitting the last
+      // known stage exactly once (state is removed with the emission)
+      pollUntil("the expiry re-emission") {
+        readEmits() == Seq(("1", 1), ("1", 1))
+      }
+      // after expiry the state is GONE: b cannot chain onto the dropped
+      // stage-a time, so u1 restarts from zero — the under-count direction
+      writeWave(Seq((1L, "b", 50L)))
+      // contains, not equals: the re-created stage-0 state can itself
+      // expire and re-emit (1, 0) before this read
+      pollUntil("a from-zero restart emission") {
+        readEmits().contains(("1", 0))
+      }
+    } finally q.stop()
+  }
 }
