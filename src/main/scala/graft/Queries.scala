@@ -912,6 +912,117 @@ object Queries {
       docs.select(col("doc_id"),
         md5(graft.pipeline.TextAnalysis.normalizeText(col("t"))).as("norm_md5"))
     }),
+    "q160_weighted_ppr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // q148's seeded proximity over q153's trade-volume-weighted graph:
+      // teleport mass on the nation-min suppliers, per-edge contribution
+      // (r*w) div sum(w) — "closest to this group, by traded volume";
+      // same exact integer recurrence, oracle unrolled with both twists
+      val li = read(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = read(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("cn"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
+        .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst"),
+          col("w")))
+      val sup = read(s, d, "supplier")
+      val minNation = sup.agg(min(col("s_nationkey")).as("__mn"))
+      val seeds = sup.crossJoin(broadcast(minNation))
+        .where(col("s_nationkey") === col("__mn"))
+        .select(concat(lit("s"), col("s_suppkey")).as("seed"))
+      graft.pipeline.Graph.personalizedPageRankWeighted(
+        edges, "src", "dst", "w", seeds, "seed", iterations = 2)
+        .orderBy(col("rank_fp").desc, col("node")).limit(20)
+    }),
+    "q159_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      // lexical retrieval: top-5 docs per probe query by BM25 over the
+      // inverted-index join (postings shuffle only for queried terms,
+      // never a cross product). k1=1.25 / b=0.75 are binary-exact
+      // literals so both engines see identical constants; every (query,
+      // term, doc) contribution quantizes once to integer micro-units
+      // from exact integer inputs (q107's portability discipline) and
+      // docs sum exact BIGINTs
+      val probes = Seq((1L, "fast hash join"), (2L, "slow table scan"),
+        (3L, "stream window agg")).toDF("query_id", "qtext")
+      graft.pipeline.Retrieval.bm25TopK(
+        read(s, d, "documents"), "doc_id", "text",
+        probes, "query_id", "qtext", k = 5, k1 = 1.25, b = 0.75)
+    }),
+    "q158_equi_depth_bins" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // length-bucketed batching's first step: quartile-depth bins of
+      // document length from ONE bounded-state sketch aggregate (edges
+      // are metadata — a single released row), tagging via a codegen'd
+      // when-chain; exact regime, so the oracle re-derives the same
+      // edges with quantile_disc and re-bins in SQL
+      graft.pipeline.CorpusStats.equiDepthBins(
+        read(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", nBins = 4)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+    "q156_kll_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // sketch once per fine (lang, source) group, roll up per lang by
+      // UNIONING THE SKETCHES — no second read of the data (the KMV
+      // rollup story for quantiles). Certificates compose: all fine
+      // sketches are exact here and the merged buffers stay under k, so
+      // the rollup is itself exact (err_units pinned 0) and the per-lang
+      // quantiles hash-match quantile_disc over the raw column
+      val k = 1024
+      val fine = read(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(graft.exec.Kll.sketch(col("n_chars"), k).as("sk"),
+          count(col("n_chars")).as("n_fine"))
+      fine.groupBy(col("lang"))
+        .agg(sum(col("n_fine")).as("n_rows"),
+          graft.exec.Kll.unionQuantiles(col("sk"), k,
+            Seq(0.25, 0.5, 0.75)).as("__u"))
+        .select(col("lang"), col("n_rows"),
+          col("__u.err_units").as("err_units"),
+          col("__u.values")(0).as("p25"),
+          col("__u.values")(1).as("p50"),
+          col("__u.values")(2).as("p75"))
+    }),
+    "q157_streaming_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // per-event-type quantiles over a STREAM with bounded per-key state
+      // (one serialized sketch per key, O(k log n) bytes): k=4096 keeps
+      // every type in the exact regime at the correctness SF, so the
+      // released values are the rank-ceil order statistics of everything
+      // streamed — batch-equivalent by construction and oracled by
+      // quantile_disc. Update-mode sink emits once per (key, batch);
+      // reduced to each key's latest (max n) release, q143's
+      // batch-count-invariance discipline
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val rel = graft.streaming.Streaming.streamingQuantiles(
+        stream, "event_type", "value", k = 4096, Seq(0.25, 0.5, 0.75))
+      val name = "q157mem"
+      val q = rel.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val t = s.table(name)
+      // rename the aggregate side: a self-join of the memory view against
+      // its own aggregate carries the same attribute ids on both sides
+      val latest = t.groupBy(col("key")).agg(max(col("n")).as("n"))
+        .select(col("key").as("__k"), col("n").as("__n"))
+      t.join(latest, col("key") === col("__k") && col("n") === col("__n"))
+        .select(col("key").as("event_type"), col("n").as("n_rows"),
+          col("errUnits").as("err_units"),
+          col("values")(0).as("p25"), col("values")(1).as("p50"),
+          col("values")(2).as("p75"))
+    }),
     "q154_kll_exact_regime" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // bounded-state quantile sketch, EXACT regime (the q126/q137
@@ -2721,6 +2832,111 @@ object Queries {
         |    '[\x00-\x1F\x7F\x{0080}-\x{009F}]', '', 'g'),
         |  '\s+', ' ', 'g'))) AS norm_md5
         |FROM documents""".stripMargin,
+    // q148's seeded-base recurrence with q153's weighted contribution
+    "q160_weighted_ppr" ->
+      """WITH pairs AS (SELECT
+        |    'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS s,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |e AS (SELECT c AS src, s AS dst, w FROM pairs
+        |  UNION ALL SELECT s, c, w FROM pairs),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds0 AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        |  FROM supplier
+        |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)),
+        |seeds AS (SELECT node FROM seeds0
+        |  WHERE node IN (SELECT node FROM n)),
+        |bs AS (SELECT 1000000000000 // count(*) AS base FROM seeds),
+        |nb AS (SELECT n.node, CASE WHEN s.node IS NOT NULL
+        |    THEN (SELECT base FROM bs) ELSE 0 END AS base
+        |  FROM n LEFT JOIN seeds s USING (node)),
+        |deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, base AS r FROM nb),
+        |c1 AS (SELECT e.dst AS node, sum((r0.r * e.w) // deg.deg) AS s FROM e
+        |  JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r1 AS (SELECT nb.node, (15 * nb.base) // 100
+        |    + (85 * coalesce(c1.s, 0)) // 100 AS r
+        |  FROM nb LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum((r1.r * e.w) // deg.deg) AS s FROM e
+        |  JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r2 AS (SELECT nb.node, (15 * nb.base) // 100
+        |    + (85 * coalesce(c2.s, 0)) // 100 AS r
+        |  FROM nb LEFT JOIN c2 USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r2
+        |ORDER BY r DESC, node LIMIT 20""".stripMargin,
+    // the identical inverted-index BM25 in SQL: same canonical
+    // tokenization, same binary-exact constants, same quantize-then-sum
+    "q159_bm25_topk" ->
+      """WITH dtok AS (
+        |  SELECT doc_id, t.token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents) t WHERE len(t.token) > 0),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM dtok GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM dtok GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dl) AS BIGINT) AS total FROM dlen),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |q(query_id, qtext) AS (VALUES (CAST(1 AS BIGINT), 'fast hash join'),
+        |  (CAST(2 AS BIGINT), 'slow table scan'),
+        |  (CAST(3 AS BIGINT), 'stream window agg')),
+        |qt AS (SELECT DISTINCT query_id, token FROM (
+        |  SELECT query_id,
+        |    unnest(string_split_regex(trim(lower(qtext)), '\s+')) AS token
+        |  FROM q) x WHERE len(token) > 0),
+        |contrib AS (SELECT qt.query_id, tf.doc_id,
+        |  CAST(round(ln(1.0 + (CAST(stats.n AS DOUBLE)
+        |        - CAST(dfreq.df AS DOUBLE) + 0.5)
+        |      / (CAST(dfreq.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * 2.25)
+        |    / (CAST(tf.tf AS DOUBLE) + 1.25 * (0.25
+        |        + 0.75 * CAST(dlen.dl AS DOUBLE)
+        |        * CAST(stats.n AS DOUBLE) / CAST(stats.total AS DOUBLE)))
+        |    * 1e6, 0) AS BIGINT) AS c
+        |  FROM qt JOIN tf USING (token) JOIN dfreq USING (token)
+        |    JOIN dlen ON tf.doc_id = dlen.doc_id, stats),
+        |scored AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT)
+        |  AS score_e6 FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, score_e6,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank FROM scored)
+        |SELECT query_id, doc_id, score_e6, rank FROM ranked
+        |WHERE rank <= 5""".stripMargin,
+    // same edges via quantile_disc (the sketch is exact here), same
+    // first-edge-at-or-above bin rule
+    "q158_equi_depth_bins" ->
+      """WITH e AS (SELECT quantile_disc(n_chars, 0.25) AS e1,
+        |    quantile_disc(n_chars, 0.5) AS e2,
+        |    quantile_disc(n_chars, 0.75) AS e3 FROM documents)
+        |SELECT CAST(CASE WHEN n_chars <= e.e1 THEN 0
+        |    WHEN n_chars <= e.e2 THEN 1
+        |    WHEN n_chars <= e.e3 THEN 2 ELSE 3 END AS INTEGER) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents, e GROUP BY 1""".stripMargin,
+    // the rolled-up sketch is exact here (fine sketches exact, merged
+    // buffers under k), so per-lang quantiles are plain quantile_disc
+    // over the raw column and err_units pins 0
+    "q156_kll_rollup" ->
+      """SELECT lang, CAST(count(n_chars) AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS err_units,
+        |  CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+        |  CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS p50,
+        |  CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75
+        |FROM documents GROUP BY 1""".stripMargin,
+    // the stream's exact regime: every released value is the rank-ceil
+    // order statistic of all values streamed for the key
+    "q157_streaming_quantiles" ->
+      """SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS err_units,
+        |  quantile_disc(value, 0.25) AS p25,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.75) AS p75
+        |FROM events GROUP BY 1""".stripMargin,
     // the sketch's rank-ceil discrete quantile IS quantile_disc, and the
     // exact regime (err_units = 0, pinned as a literal) retains every
     // value — so the oracle is plain SQL over the same slice

@@ -250,7 +250,133 @@ object KllQuantileAgg {
   }
 }
 
-/** Column API over [[KllQuantileAgg]]. */
+/** Aggregate releasing the RAW serialized sketch (binary) instead of
+  * extracted quantiles — the building block for ROLLUPS: sketch once per
+  * fine grouping, then re-aggregate coarser levels with [[KllUnionAgg]]
+  * without re-reading the data (the [[KmvUnionAgg]] story for
+  * quantiles). The wire format is the State's own serialization; the
+  * certificate (totalWeight, errUnits) rides inside.
+  */
+final case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllQuantileAgg.State]
+    with UnaryLike[Expression] {
+
+  require(k >= 8, s"kll_sketch needs k >= 8, got $k")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch aggregates doubles, got ${child.dataType.simpleString}")
+
+  import KllQuantileAgg.State
+
+  override def createAggregationBuffer(): State = new State(k)
+
+  override def update(buffer: State, input: InternalRow): State = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: State, other: State): State = {
+    buffer.mergeWith(other)
+    buffer
+  }
+
+  override def eval(buffer: State): Any = buffer.toBytes
+
+  override def serialize(obj: State): Array[Byte] = obj.toBytes
+  override def deserialize(bytes: Array[Byte]): State = State.fromBytes(bytes, k)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+    copy(child = newChild)
+  override def prettyName: String = "kll_sketch"
+}
+
+/** Grouped union of released [[KllSketchAgg]] sketches: merge per-group,
+  * release the same (n, err_units, values) struct as [[KllQuantileAgg]].
+  * Certificates COMPOSE: merged errUnits = sum of the parts plus any
+  * merge-time compactions, and the rank theorem holds for the union —
+  * so a rollup whose fine sketches were exact and whose merged buffer
+  * still fits k is itself EXACT (err_units 0), the regime the oracle
+  * pins. The caller must pass the SAME k the sketches were built with
+  * (the wire format does not carry it; a larger-k sketch fails
+  * structurally in deserialization only when a level overflows, so keep
+  * k at one call site — the [[Kmv]] discipline).
+  */
+final case class KllUnionAgg(
+    child: Expression,
+    k: Int,
+    percentiles: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllQuantileAgg.State]
+    with UnaryLike[Expression] {
+
+  require(k >= 8, s"kll_union needs k >= 8, got $k")
+  require(percentiles.nonEmpty, "kll_union needs at least one percentile")
+  percentiles.foreach(p =>
+    require(p >= 0.0 && p <= 1.0, s"percentile out of [0, 1]: $p"))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kll_union merges binary sketches, got ${child.dataType.simpleString}")
+
+  import KllQuantileAgg.State
+
+  override def createAggregationBuffer(): State = new State(k)
+
+  override def update(buffer: State, input: InternalRow): State = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.mergeWith(State.fromBytes(v.asInstanceOf[Array[Byte]], k))
+    buffer
+  }
+
+  override def merge(buffer: State, other: State): State = {
+    buffer.mergeWith(other)
+    buffer
+  }
+
+  override def eval(buffer: State): Any = {
+    val n = buffer.totalWeight
+    val qs: Any =
+      if (n == 0L) null
+      else new GenericArrayData(percentiles.map(buffer.quantile).toArray)
+    InternalRow(n, buffer.errUnits, qs)
+  }
+
+  override def serialize(obj: State): Array[Byte] = obj.toBytes
+  override def deserialize(bytes: Array[Byte]): State = State.fromBytes(bytes, k)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("err_units", LongType, nullable = false),
+    StructField("values", ArrayType(DoubleType, containsNull = false))))
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllUnionAgg =
+    copy(child = newChild)
+  override def prettyName: String = "kll_union"
+}
+
+/** Column API over the KLL aggregates. */
 object Kll {
 
   /** Aggregate: struct(n, err_units, values) — `values(i)` estimates the
@@ -262,5 +388,23 @@ object Kll {
     ColumnBridge.column(
       KllQuantileAgg(
         ColumnBridge.resolvedExpression(c.cast("double")), k, percentiles)
+        .toAggregateExpression())
+
+  /** Aggregate: the serialized sketch of `c` (binary) — sketch per fine
+    * group once, roll up with [[unionQuantiles]] without re-reading data.
+    */
+  def sketch(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KllSketchAgg(ColumnBridge.resolvedExpression(c.cast("double")), k)
+        .toAggregateExpression())
+
+  /** Grouped rollup: union [[sketch]] outputs per group and extract
+    * quantiles + certificate, same release shape as [[quantiles]]. Pass
+    * the SAME k the sketches were built with.
+    */
+  def unionQuantiles(sketches: Column, k: Int,
+      percentiles: Seq[Double]): Column =
+    ColumnBridge.column(
+      KllUnionAgg(ColumnBridge.expression(sketches), k, percentiles)
         .toAggregateExpression())
 }

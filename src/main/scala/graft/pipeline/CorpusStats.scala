@@ -171,6 +171,46 @@ object CorpusStats {
           col("__kll.values")(i).as(l) }: _*)
   }
 
+  /** Equi-depth (equal-count) binning: tag every row with the bin index
+    * `0..nBins-1` of `valueCol`'s position among the column's own
+    * quantiles — the length-bucketed-batching primitive (bucket documents
+    * by length so packed batches waste no padding; see
+    * [[Packing]]), and the histogram whose bins adapt to the data
+    * instead of a hand-picked grid.
+    *
+    * Bin edges are the [[graft.exec.Kll]] sketch's rank-ceil quantiles at
+    * i/nBins — ONE bounded-state aggregate, its single released row read
+    * driver-side (edges are metadata, not data) — and the tagging is a
+    * codegen'd when-chain: bin = first i with value <= edge_i, else the
+    * last bin. In the exact regime (n under the sketch buffer) the edges
+    * ARE quantile_disc, so an independent engine reproduces every bin
+    * assignment; past it the bins are approximate-equal-depth with the
+    * sketch's rank certificate on each edge. NULL values get a NULL bin.
+    */
+  def equiDepthBins(
+      df: DataFrame, valueCol: String, nBins: Int, k: Int = 1024,
+      binCol: String = "bin"): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(df.columns.contains(valueCol), s"input is missing '$valueCol'")
+    require(!df.columns.contains(binCol),
+      s"input already has a '$binCol' column; pass binCol to rename")
+    val v = col(valueCol).cast("double")
+    if (nBins == 1) return df.withColumn(binCol,
+      when(col(valueCol).isNotNull, lit(0)).otherwise(lit(null)).cast("int"))
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val row = df.agg(graft.exec.Kll.quantiles(v, k, ps).as("s"))
+      .select(col("s.values")).head()
+    if (row.isNullAt(0)) // empty input: no edges derivable, nothing to tag
+      return df.withColumn(binCol, lit(null).cast("int"))
+    val edges = row.getSeq[Double](0)
+    val chain = edges.zipWithIndex.foldRight(
+      when(col(valueCol).isNotNull, lit(nBins - 1))) {
+      case ((e, i), rest) => when(v <= e, lit(i)).otherwise(rest)
+    }
+    df.withColumn(binCol,
+      when(col(valueCol).isNull, lit(null)).otherwise(chain).cast("int"))
+  }
+
   /** Corpus mix report at EVERY rollup level of `groupCols` in one pass:
     * document and token totals per (lang, source), per lang, and grand
     * total — the mixture table a pretraining run is provisioned from.

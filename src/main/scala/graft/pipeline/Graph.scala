@@ -94,6 +94,26 @@ object Graph {
         .where(col("__n").isNotNull).distinct()), weightCol = None)
   }
 
+  /** [[personalizedPageRank]] with [[pageRankWeighted]]'s proportional
+    * mass split — proximity to a seed set over a weighted graph ("which
+    * accounts sit closest to this cluster, by traffic volume"). Both
+    * parameter contracts apply verbatim.
+    */
+  def personalizedPageRankWeighted(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      seeds: DataFrame, seedCol: String,
+      iterations: Int = 5, dampingNum: Long = 85L, dampingDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(edges.columns.contains(weightCol),
+      s"edge list is missing weight column '$weightCol'")
+    require(seeds.columns.contains(seedCol),
+      s"seeds side is missing column '$seedCol'")
+    pageRankImpl(edges, srcCol, dstCol, iterations, dampingNum, dampingDen,
+      scale, seeds = Some(seeds.select(col(seedCol).cast("string").as("__n"))
+        .where(col("__n").isNotNull).distinct()),
+      weightCol = Some(weightCol))
+  }
+
   private def pageRankImpl(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingNum: Long, dampingDen: Long,

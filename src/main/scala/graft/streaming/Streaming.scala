@@ -501,4 +501,57 @@ object Streaming {
           }
       }
   }
+
+  // not private: the state encoder instantiates it in generated code
+  final case class KllStateBytes(bytes: Array[Byte])
+  final case class QuantileRelease(
+      key: String, n: Long, errUnits: Long, values: Seq[Double])
+
+  /** Streaming per-key quantiles with BOUNDED state: each key's state is
+    * one serialized [[graft.exec.KllQuantileAgg.State]] — O(k·log n)
+    * bytes no matter how many values the key has streamed — updated per
+    * batch and released as (key, n, err_units, values) after every batch
+    * (update mode). The streaming percentile monitor ("p99 latency per
+    * service so far") that an exact percentile cannot provide without
+    * unbounded per-key buffers.
+    *
+    * The errUnits certificate carries over verbatim from the batch
+    * sketch: |true_rank(values(i)) − ceil(p_i·n)| <= err_units over ALL
+    * values streamed so far, under any batch split and any within-batch
+    * order — compaction ORDER may differ between runs past the exact
+    * regime, so released estimator-regime VALUES are run-dependent while
+    * the certificate always holds; while n < k nothing compacts and the
+    * release is the exact rank-ceil quantile (the oracled regime, and
+    * batch-equivalent by construction). Null keys and null values drop.
+    */
+  def streamingQuantiles(
+      events: DataFrame, keyCol: String, valueCol: String,
+      k: Int, percentiles: Seq[Double]): DataFrame = {
+    require(k >= 8, s"streamingQuantiles needs k >= 8, got $k")
+    require(percentiles.nonEmpty, "at least one percentile required")
+    percentiles.foreach(p =>
+      require(p >= 0.0 && p <= 1.0, s"percentile out of [0, 1]: $p"))
+    Seq(keyCol, valueCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    implicit val stateEnc = Encoders.product[KllStateBytes]
+    implicit val outEnc = Encoders.product[QuantileRelease]
+    implicit val strEnc = Encoders.STRING
+    implicit val rowEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
+    events
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KllStateBytes, QuantileRelease](
+        GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        val st = state.getOption
+          .map(s => graft.exec.KllQuantileAgg.State.fromBytes(s.bytes, k))
+          .getOrElse(new graft.exec.KllQuantileAgg.State(k))
+        it.foreach(r => st.add(r._2))
+        state.update(KllStateBytes(st.toBytes))
+        QuantileRelease(key, st.totalWeight, st.errUnits,
+          if (st.totalWeight == 0L) Nil else percentiles.map(st.quantile))
+      }
+      .toDF()
+  }
 }

@@ -293,4 +293,47 @@ class DocExamplesSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(kept === Seq(1L)) // overwhelming weight -> deterministic pick
   }
+
+  test("example: KLL sketch — profile per source, roll up per lang " +
+      "without re-reading; exact regime certifies err_units = 0") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      ("en", "web", 10.0), ("en", "web", 20.0), ("en", "book", 30.0),
+      ("en", "book", 40.0), ("de", "web", 100.0), ("de", "web", 200.0))
+      .toDF("lang", "source", "n_chars")
+    val fine = docs.groupBy($"lang", $"source")
+      .agg(exec.Kll.sketch($"n_chars", 64).as("sk"))
+    val perLang = fine.groupBy($"lang")
+      .agg(exec.Kll.unionQuantiles($"sk", 64, Seq(0.5)).as("u"))
+      .select($"lang", $"u.err_units", $"u.values" (0))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // everything fits the buffer: the rollup is exact, the median is the
+    // rank-ceil order statistic of all the lang's values
+    assert(perLang("en") === ((0L, 20.0)))
+    assert(perLang("de") === ((0L, 100.0)))
+  }
+
+  test("example: quarantine routes violating rows with their rule tags") {
+    import pipeline.Quality, Quality.Expect._
+    val batch = Seq((1L, 10.0), (2L, 500.0), (2L, 500.0))
+      .toDF("id", "qty")
+    val bad = Quality.quarantine(batch, Seq(
+      InRange("qty", 0.0, 100.0), Unique(Seq("id"))))
+      .selectExpr("id", "array_join(violated_rules, ',')")
+      .as[(Long, String)].collect().toSet
+    // both copies of id 2 are tagged, each breaking range AND uniqueness
+    assert(bad === Set(
+      (2L, "in_range(qty, 0.0, 100.0),unique(id)")))
+  }
+
+  test("example: BM25 top-k ranks the doc matching more/rarer terms first") {
+    val corpus = Seq((1L, "fast hash join"), (2L, "slow scan"),
+      (3L, "fast scan")).toDF("id", "text")
+    val probes = Seq((7L, "fast hash")).toDF("qid", "q")
+    val top = pipeline.Retrieval.bm25TopK(
+      corpus, "id", "text", probes, "qid", "q", k = 2)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(top === Seq(1L, 3L)) // doc 1 matches both terms, one rare
+  }
 }

@@ -119,6 +119,92 @@ class KllSpec extends SparkSpec {
     assert(out("c").isNullAt(5) && out("c").isNullAt(6))
   }
 
+  test("rollup: union of exact fine sketches under k is EXACT and equals " +
+      "both the direct sketch and the rank model") {
+    val rnd = new scala.util.Random(13)
+    val schema = StructType(Seq(strCol("g"), strCol("src"), dblCol("v")))
+    val vals = Seq("a", "b").flatMap(g => Seq("x", "y", "z").flatMap(src =>
+      Seq.fill(40)((g, src, rnd.nextDouble() * 100))))
+    val df = makeDf(schema, vals.map { case (g, sc, v) => Row(g, sc, v) })
+    val ps = Seq(0.25, 0.5, 0.75)
+    val rolled = df.groupBy(col("g"), col("src"))
+      .agg(Kll.sketch(col("v"), 400).as("sk"))
+      .groupBy("g").agg(Kll.unionQuantiles(col("sk"), 400, ps).as("u"))
+      .select(col("g"), col("u.n"), col("u.err_units"), col("u.values"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Double](3)))).toMap
+    val direct = df.groupBy("g")
+      .agg(Kll.quantiles(col("v"), 400, ps).as("u"))
+      .select(col("g"), col("u.values"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for (g <- Seq("a", "b")) {
+      val byG = vals.collect { case (`g`, _, v) => v }
+      assert(rolled(g)._1 === 120L)
+      assert(rolled(g)._2 === 0L, "rollup under k must stay exact")
+      assert(rolled(g)._3 === ps.map(rankQuantile(byG, _)))
+      assert(rolled(g)._3 === direct(g), "rollup == direct in exact regime")
+    }
+  }
+
+  test("rollup: estimator-regime certificates compose — merged err covers " +
+      "the true rank slack and is at least the parts' sum") {
+    val rnd = new scala.util.Random(29)
+    val parts = Seq.fill(6)(Seq.fill(3000)(rnd.nextGaussian()))
+    val all = parts.flatten
+    val sorted = all.sorted
+    val k = 64
+    // per-part states (the "fine sketches"), then a merge chain
+    val fine = parts.map { p =>
+      val st = new KllQuantileAgg.State(k)
+      p.foreach(st.add)
+      st
+    }
+    val partErr = fine.map(_.errUnits).sum
+    val merged = KllQuantileAgg.State.fromBytes(fine.head.toBytes, k)
+    fine.tail.foreach(merged.mergeWith)
+    assert(merged.totalWeight === all.size.toLong)
+    assert(merged.errUnits >= partErr)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = merged.quantile(q)
+      val lo = sorted.indexWhere(_ >= est) + 1
+      val hi = sorted.lastIndexWhere(_ <= est) + 1
+      val target = math.ceil(q * all.size).toLong
+      assert(target >= lo - merged.errUnits && target <= hi + merged.errUnits,
+        s"q=$q est=$est rank=[$lo,$hi] target=$target err=${merged.errUnits}")
+    }
+    assert(merged.errUnits < all.size / 4, "certificate must be non-vacuous")
+  }
+
+  test("equiDepthBins: quartile bins by hand — edge values bin DOWN, " +
+      "nulls get null bins, counts are equal-depth; guards") {
+    val C = graft.pipeline.CorpusStats
+    val schema = StructType(Seq(longCol("id"), dblCol("v")))
+    // 8 values: quartile edges (rank-ceil at 2, 4, 6) = 20, 40, 60
+    val rows = (1 to 8).map(i => Row(i.toLong, i * 10.0)) :+ Row(99L, null)
+    val out = C.equiDepthBins(makeDf(schema, rows), "v", 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(out(1L) === Some(0) && out(2L) === Some(0)) // 20 <= edge 20
+    assert(out(3L) === Some(1) && out(4L) === Some(1))
+    assert(out(5L) === Some(2) && out(6L) === Some(2))
+    assert(out(7L) === Some(3) && out(8L) === Some(3))
+    assert(out(99L) === None)
+    // nBins = 1: everything non-null in bin 0
+    val one = C.equiDepthBins(makeDf(schema, rows), "v", 1)
+      .where("v IS NOT NULL").select("bin").distinct().collect()
+    assert(one.map(_.getInt(0)).toSeq === Seq(0))
+    // empty input: bin column present, no rows
+    assert(C.equiDepthBins(
+      makeDf(schema, Nil), "v", 4).columns.contains("bin"))
+    intercept[IllegalArgumentException] {
+      C.equiDepthBins(makeDf(schema, rows), "v", 0)
+    }
+    intercept[IllegalArgumentException] {
+      C.equiDepthBins(makeDf(schema, rows).withColumnRenamed("id", "bin"),
+        "v", 4)
+    }
+  }
+
   test("guards: k too small, bad percentiles, non-numeric input") {
     intercept[IllegalArgumentException] {
       KllQuantileAgg(null, 4, Seq(0.5))

@@ -296,6 +296,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRankWeighted: seeded base + proportional split " +
+      "matches a sequential integer model") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L),
+      ("b", "a", 2L), ("c", "a", 2L), ("b", "c", 2L))
+    val seedIds = Set("a")
+    def model(iters: Int): Map[String, Long] = {
+      val scale = 1000000000000L
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val base = nodes.map(n =>
+        n -> (if (seedIds(n)) scale / seedIds.size else 0L)).toMap
+      var r = base
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for ((s, d, w) <- edges) in(d) += (r(s) * w) / outW(s)
+        r = nodes.map(n =>
+          n -> ((15L * base(n)) / 100L + (85L * in(n)) / 100L)).toMap
+      }
+      r
+    }
+    val seeds = makeDf(StructType(Seq(strCol("n"))), Seq(Row("a")))
+    val out = Graph.personalizedPageRankWeighted(
+      wdf(edges), "src", "dst", "w", seeds, "n", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === model(3))
+    // the 3x-weighted successor out-collects the 1x one
+    assert(out("b") > out("c"))
+  }
+
   test("pageRankWeighted: null-weight rows drop; non-positive weights " +
       "fail loudly") {
     val out = Graph.pageRankWeighted(

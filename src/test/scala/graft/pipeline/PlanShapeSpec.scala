@@ -340,4 +340,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.forall(l => !l.contains("__u#") && !l.contains("__v#")),
       s"gram strings must not cross an exchange:\n$plan")
   }
+
+  test("KLL sketches partially aggregate map-side; equi-depth tagging is " +
+      "a shuffle-free projection over the scan") {
+    val df = makeDf(StructType(Seq(strCol("g"), dblCol("v"))),
+      (1 to 400).map(i => Row("g" + i % 2, (i % 37).toDouble)))
+    val plan = executed(
+      df.groupBy("g").agg(graft.exec.Kll.quantiles(col("v"), 64,
+        Seq(0.5)).as("q")))
+    assert(plan.contains("partial_kll_quantiles"),
+      s"map-side partial sketch expected:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"only sketches may shuffle, once:\n$plan")
+    // tagging: after the one edge-computing aggregate, the bin column is
+    // a codegen'd when-chain on the scan — no join, no shuffle
+    val binned = CorpusStats.equiDepthBins(df, "v", 4, k = 512)
+    val bp = executed(binned)
+    assert(!bp.contains("Exchange") && !bp.contains("Join"),
+      s"equi-depth tagging must be a pure projection:\n$bp")
+  }
+
+  test("bm25 joins stay token/id-keyed — no cartesian, no nested loop; " +
+      "corpus stats broadcast as one row") {
+    val q = makeDf(StructType(Seq(longCol("qid"), strCol("q"))),
+      Seq(Row(1L, "alpha bravo"), Row(2L, "echo doc7")))
+    val plan = executed(Retrieval.bm25TopK(
+      docs(60), "id", "text", q, "qid", "q", k = 3))
+    assert(!plan.contains("CartesianProduct"),
+      s"bm25 must stay equi-joined:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the one-row (N, total) side must broadcast:\n$plan")
+  }
+
+  test("quality quarantine: row-local rules add no shuffle beyond the " +
+      "dup-key and FK joins; never cartesian") {
+    val df = makeDf(StructType(Seq(longCol("id"), strCol("s"))),
+      (1 to 200).map(i => Row((i % 150).toLong, if (i % 7 == 0) null else "x")))
+    val dim = makeDf(StructType(Seq(longCol("pk"))),
+      (1 to 100).map(i => Row(i.toLong)))
+    import Quality.Expect._
+    val plan = executed(Quality.quarantine(df, Seq(
+      NotNull("s"), Unique(Seq("id")),
+      ForeignKey(Seq("id"), dim, Seq("pk"), "dim"))))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"quarantine joins must stay key-equi:\n$plan")
+  }
 }

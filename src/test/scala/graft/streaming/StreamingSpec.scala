@@ -252,6 +252,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingQuantiles: bounded per-key sketch state folds across " +
+      "batches; exact regime equals the rank model of everything streamed") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    def rankQ(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s((math.max(1L, math.ceil(p * s.size).toLong) - 1L).toInt)
+    }
+    val in = MemoryStream[(String, Double)]
+    val rel = Streaming.streamingQuantiles(
+      in.toDF().toDF("k", "v"), "k", "v", k = 64, Seq(0.5, 0.9))
+    val q = rel.writeStream.format("memory").queryName("sq")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val rnd = new scala.util.Random(17)
+      val wave1 = Seq.fill(20)(("a", rnd.nextDouble())) ++
+        Seq.fill(15)(("b", rnd.nextDouble() * 5))
+      in.addData(wave1: _*)
+      q.processAllAvailable()
+      val wave2 = Seq.fill(12)(("a", rnd.nextDouble()))
+      in.addData(wave2: _*)
+      q.processAllAvailable()
+      val rows = spark.table("sq").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getSeq[Double](3)))
+      // one emission per (key, batch it appeared in)
+      assert(rows.count(_._1 == "a") === 2 && rows.count(_._1 == "b") === 1)
+      val latest = rows.groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      val aAll = (wave1 ++ wave2).collect { case ("a", v) => v }
+      val bAll = wave1.collect { case ("b", v) => v }
+      // 32 and 15 values, both under k=64: exact regime across the batch
+      // split — the state carried wave 1's values into wave 2's fold
+      assert(latest("a")._2 === 32L && latest("a")._3 === 0L)
+      assert(latest("a")._4 === Seq(0.5, 0.9).map(rankQ(aAll, _)))
+      assert(latest("b")._2 === 15L && latest("b")._3 === 0L)
+      assert(latest("b")._4 === Seq(0.5, 0.9).map(rankQ(bAll, _)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     val sqlCtx = spark.sqlContext
     import sqlCtx.implicits._
