@@ -936,6 +936,15 @@ object Queries {
         edges, "src", "dst", "w", seeds, "seed", iterations = 2)
         .orderBy(col("rank_fp").desc, col("node")).limit(20)
     }),
+    "q161_edit_distance_pairs" -> ((s, d) => {
+      // dictionary record linkage: every distinct part-name pair within
+      // Levenshtein distance 2, recall exactly 1 (Ed-Join rarest-first
+      // q-gram prefix blocking + complete length-band path for short
+      // strings), so a quadratic DuckDB cross join over the 64-name
+      // dictionary oracles the banded distributed plan
+      graft.pipeline.Dedup.editDistancePairs(
+        read(s, d, "part"), "p_name", maxDistance = 2)
+    }),
     "q159_bm25_topk" -> ((s, d) => {
       import s.implicits._
       // lexical retrieval: top-5 docs per probe query by BM25 over the
@@ -2865,6 +2874,15 @@ object Queries {
         |  FROM nb LEFT JOIN c2 USING (node))
         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r2
         |ORDER BY r DESC, node LIMIT 20""".stripMargin,
+    // brute force over the distinct dictionary: the blocked plan's recall
+    // is exactly 1, so the quadratic oracle reproduces it verbatim
+    "q161_edit_distance_pairs" ->
+      """WITH names AS (SELECT DISTINCT p_name AS s FROM part
+        |  WHERE p_name IS NOT NULL AND len(p_name) > 0)
+        |SELECT a.s AS name_a, b.s AS name_b,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM names a JOIN names b ON a.s < b.s
+        |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin,
     // the identical inverted-index BM25 in SQL: same canonical
     // tokenization, same binary-exact constants, same quantize-then-sum
     "q159_bm25_topk" ->

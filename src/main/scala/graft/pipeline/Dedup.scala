@@ -1113,6 +1113,105 @@ object Dedup {
       .select(col("__a").as("contained_id"), col("__b").as("container_id"))
   }
 
+  /** Exact edit-distance similarity join over a string dictionary: every
+    * unordered pair of DISTINCT values of `strCol` with Levenshtein
+    * distance in [1, `maxDistance`] — the record-linkage / spelling-variant
+    * primitive (merge "Jon Smith"/"John Smith" vendor rows, collapse OCR
+    * variants before counting) — with recall exactly 1, so a quadratic
+    * DuckDB cross join oracles it.
+    *
+    * Blocking is the Ed-Join prefix filter (Xiao, Wang & Lin 2008,
+    * "Ed-Join: an efficient algorithm for similarity joins with edit
+    * distance constraints") on DISTINCT q-grams: an edit rewrites at most
+    * `q` positional grams, so a gram type present in one string and absent
+    * from the other needs all its occurrences destroyed and
+    * |G1 \ G2| <= q*d; ordering grams rarest-first (global document
+    * frequency, then gram) and indexing only each string's first q*d + 1
+    * grams therefore cannot miss a true pair — if the O-smallest shared
+    * gram sat outside a prefix, that prefix's q*d + 1 grams would all be
+    * unshared, contradicting the bound. Rarest-first keeps index buckets
+    * small: a stop-gram shared by the whole corpus lands in (almost) no
+    * prefix, the same discipline as [[ngramJaccardPairs]].
+    *
+    * Strings too short for the gram bound to bite (< q*(d+1) chars, i.e.
+    * fewer than q*d + 1 positional grams) can share zero grams with a true
+    * partner, so they take a separate complete path: a partner differs by
+    * at most `d` chars, so it has < q*(d+1) + d chars; the short side
+    * explodes to its 2d+1 admissible partner lengths and equi-joins the
+    * <= q*(d+1)+d-1-char band on exact length. That join is keyed on
+    * length, so its buckets are the dictionary's per-length populations —
+    * `maxLenBucket` refuses loudly (naming the knob) when a single short
+    * length holds so many distinct strings that the band join degenerates,
+    * rather than silently going quadratic.
+    *
+    * Candidates from both paths are unioned, deduped, and verified with
+    * the banded O(len*d) `levenshtein(a, b, threshold)` kernel — the
+    * released `dist` is exact, never -1. Shuffles: dictionary distinct,
+    * gram-frequency agg, per-string prefix window, prefix self-join (keyed
+    * on rare grams), length-band join (keyed on length), pair distinct —
+    * all keyed on natural keys, near-linear in dictionary size; the
+    * 100-TB row count never enters after the first distinct.
+    */
+  def editDistancePairs(
+      df: DataFrame, strCol: String, maxDistance: Int,
+      q: Int = 2, maxLenBucket: Int = 100000): DataFrame = {
+    require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
+    require(q >= 1, s"gram length q must be >= 1, got $q")
+    require(df.columns.contains(strCol), s"input is missing '$strCol'")
+    val d = maxDistance
+    val longMin = q * (d + 1) // >= q*d + 1 positional grams
+    val dict = spread(df)
+      .select(col(strCol).cast("string").as("__s"))
+      .filter(col("__s").isNotNull && length(col("__s")) > 0)
+      .distinct()
+      .withColumn("__len", length(col("__s")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // --- long path: rarest-first q-gram prefix index
+    val grams = dict.filter(col("__len") >= longMin)
+      .select(col("__s"), col("__len"),
+        explode(array_distinct(transform(
+          sequence(lit(0), col("__len") - q),
+          i => col("__s").substr(i + lit(1), lit(q))))).as("__g"))
+    val freq = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy("__s").orderBy(col("__df"), col("__g"))
+    val prefix = grams.join(freq, "__g")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= q * d + 1)
+      .select(col("__g"), col("__s"), col("__len"))
+    val longCand = prefix.as("a").join(prefix.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__s") < col("b.__s") &&
+          abs(col("a.__len") - col("b.__len")) <= d)
+      .select(col("a.__s").as("__a"), col("b.__s").as("__b"))
+    // --- short path: complete length-band join for sub-gram-bound strings
+    val bandMax = longMin - 1 + d
+    val bandCounts = dict.filter(col("__len") <= bandMax)
+      .groupBy("__len").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxLenBucket).limit(1).collect()
+    require(bandCounts.isEmpty, {
+      val r = bandCounts.head
+      s"editDistancePairs: ${r.getLong(1)} distinct strings of length " +
+        s"${r.getInt(0)} exceed maxLenBucket=$maxLenBucket; the complete " +
+        "short-string band join would degenerate — raise maxLenBucket or " +
+        "pre-filter the dictionary"
+    })
+    val band = dict.filter(col("__len") <= bandMax)
+    val shortCand = dict.filter(col("__len") < longMin)
+      .select(col("__s"), explode(sequence(
+        greatest(col("__len") - d, lit(1)), col("__len") + d)).as("__tl"))
+      .join(band.select(col("__s").as("__t"), col("__len")),
+        col("__tl") === col("__len"))
+      .filter(col("__s") =!= col("__t"))
+      .select(least(col("__s"), col("__t")).as("__a"),
+        greatest(col("__s"), col("__t")).as("__b"))
+    val result = longCand.union(shortCand).distinct()
+      .withColumn("dist", levenshtein(col("__a"), col("__b"), d))
+      .filter(col("dist") =!= -1)
+      .select(col("__a").as("name_a"), col("__b").as("name_b"), col("dist"))
+      .localCheckpoint(true)
+    dict.unpersist(false)
+    result
+  }
+
   /** Memoized +-1 plane matrix for [[hyperplaneSignature]]; entry (p, i) is
     * the low bit of Spark's xxhash64 over the two int columns (i, p) with
     * the default seed 42, i.e. XXH64.hashInt(p, XXH64.hashInt(i, 42)).
