@@ -936,6 +936,19 @@ object Queries {
         edges, "src", "dst", "w", seeds, "seed", iterations = 2)
         .orderBy(col("rank_fp").desc, col("node")).limit(20)
     }),
+    "q162_scd2_history" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // SCD2 build from a change log: each user's event_type timeline
+      // collapsed into effective-dated runs (valid_from inclusive,
+      // valid_to = the replacing version, NULL while the run is open) —
+      // one exchange keyed on user_id shared by both windows, released
+      // raw so every run boundary feeds the hash
+      graft.pipeline.Relational.scd2History(
+        read(s, d, "events").select(col("user_id"), col("event_id"),
+          col("event_type")),
+        keyCols = Seq("user_id"), versionCol = "event_id",
+        attrCols = Seq("event_type"))
+    }),
     "q161_edit_distance_pairs" -> ((s, d) => {
       // dictionary record linkage: every distinct part-name pair within
       // Levenshtein distance 2, recall exactly 1 (Ed-Join rarest-first
@@ -2874,6 +2887,22 @@ object Queries {
         |  FROM nb LEFT JOIN c2 USING (node))
         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r2
         |ORDER BY r DESC, node LIMIT 20""".stripMargin,
+    // the same run collapse in SQL: change flags via lag over the
+    // user timeline, run starts kept, valid_to = next run's first version
+    "q162_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL),
+        |flag AS (SELECT user_id, event_id, event_type,
+        |  (lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |     IS DISTINCT FROM event_type)
+        |  OR lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |     IS NULL AS chg
+        |  FROM e),
+        |starts AS (SELECT user_id, event_id, event_type FROM flag WHERE chg)
+        |SELECT user_id, event_type, event_id AS valid_from,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS valid_to
+        |FROM starts""".stripMargin,
     // brute force over the distinct dictionary: the blocked plan's recall
     // is exactly 1, so the quadratic oracle reproduces it verbatim
     "q161_edit_distance_pairs" ->

@@ -513,4 +513,65 @@ object Relational {
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path")).limit(k)
   }
+
+  /** SCD2 history compaction: collapse a per-key change log (or stacked
+    * snapshot observations) into effective-dated rows — for each key,
+    * maximal runs of consecutive versions with identical `attrCols` become
+    * one row with `valid_from` = the run's first version and `valid_to` =
+    * the version that replaced it (NULL for the key's current, open run).
+    * This is the type-2 slowly-changing-dimension build every warehouse
+    * runs on entity state feeds; downstream point-in-time joins become
+    * [[rangeJoin]]s on (valid_from, valid_to).
+    *
+    * Semantics are observation-based: a version at which a key is simply
+    * absent from the input is not modeled (no close/reopen) — a full-
+    * snapshot feed wanting deletion tracking should first join its
+    * snapshot grid and materialize explicit tombstone attribute values.
+    * Rows with a NULL key are dropped (the [[funnel]] null-entity
+    * discipline); a NULL version among kept rows fails loudly, since the
+    * ordering it feeds would be undefined. Duplicate (key, version)
+    * observations fail loudly the [[snapshotDiff]] way.
+    *
+    * Plan shape: ONE exchange keyed on the key columns, reused by both
+    * windows (the change-flag lag and the run-start lead sort the same
+    * way); attr equality is a codegen'd null-safe projection. The eager
+    * guards are two keyed-aggregate metadata jobs paid before any fan-out.
+    */
+  def scd2History(
+      df: DataFrame, keyCols: Seq[String], versionCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "scd2History needs at least one key column")
+    require(attrCols.nonEmpty, "scd2History needs at least one attr column")
+    (keyCols ++ attrCols :+ versionCol).foreach(c =>
+      require(df.columns.contains(c), s"input is missing '$c'"))
+    require((keyCols ++ attrCols).distinct.size == keyCols.size + attrCols.size
+        && !keyCols.contains(versionCol) && !attrCols.contains(versionCol),
+      "key, version, and attr columns must be disjoint")
+    for (reserved <- Seq("valid_from", "valid_to", "__chg"))
+      require(!df.columns.contains(reserved),
+        s"input uses reserved column name '$reserved'; rename it first")
+    val kept = df
+      .select((keyCols ++ Seq(versionCol) ++ attrCols).map(col): _*)
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val nullVer = kept.where(col(versionCol).isNull).limit(1).collect()
+    require(nullVer.isEmpty,
+      s"scd2History: NULL $versionCol (e.g. ${nullVer.headOption.getOrElse("")}) " +
+        "— the version ordering would be undefined; filter or fill first")
+    val dup = kept.groupBy((keyCols :+ versionCol).map(col): _*)
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1L).limit(1).collect()
+    require(dup.isEmpty,
+      s"scd2History: duplicate (key, $versionCol) observation (e.g. " +
+        s"${dup.headOption.map(_.toString).getOrElse("")}) — at most one " +
+        "row per key and version")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    val changed = attrCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _) || lag(col(versionCol), 1).over(w).isNull
+    kept
+      .withColumn("__chg", changed)
+      .where(col("__chg"))
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .select((keyCols ++ attrCols ++ Seq("valid_from", "valid_to")).map(col): _*)
+  }
 }

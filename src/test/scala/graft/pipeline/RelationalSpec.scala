@@ -555,4 +555,69 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         .as[(Int, String, Long)].collect().toSet
     assert(run(funnelEvents.repartition(1)) === run(funnelEvents.repartition(13)))
   }
+
+  private def scdDf(rows: Seq[(java.lang.Long, java.lang.Long, String)]) = {
+    import org.apache.spark.sql.types._
+    makeDf(StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType), StructField("a", StringType))),
+      rows.map { case (k, v, a) => org.apache.spark.sql.Row(k, v, a) })
+  }
+
+  test("scd2History: runs collapse, valid_to chains, open run NULL, " +
+      "null keys drop, attr nulls compare null-safely") {
+    val rows = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "x"), (1L, 20L, "x"), (1L, 30L, "y"), (1L, 40L, "x"),
+      (2L, 5L, null), (2L, 6L, null), (2L, 7L, "z"),
+      (null, 1L, "dropped"))
+    val got = Relational.scd2History(scdDf(rows), Seq("k"), "v", Seq("a"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, "x", 10L, 30L), (1L, "y", 30L, 40L), (1L, "x", 40L, -1L),
+      (2L, null, 5L, 7L), (2L, "z", 7L, -1L)))
+  }
+
+  test("scd2History guards: duplicate (key, version) and NULL version " +
+      "fail loudly; disjointness and reserved names enforced") {
+    val dup = scdDf(Seq((1L, 10L, "x"), (1L, 10L, "y")))
+    assert(intercept[Exception](
+      Relational.scd2History(dup, Seq("k"), "v", Seq("a"))
+    ).getMessage.contains("duplicate"))
+    val nullV = scdDf(Seq((1L, null.asInstanceOf[java.lang.Long], "x")))
+    assert(intercept[Exception](
+      Relational.scd2History(nullV, Seq("k"), "v", Seq("a"))
+    ).getMessage.contains("NULL v"))
+    val ok = scdDf(Seq((1L, 10L, "x")))
+    intercept[IllegalArgumentException](
+      Relational.scd2History(ok, Seq("k"), "v", Seq("k")))
+    intercept[IllegalArgumentException](
+      Relational.scd2History(ok.withColumnRenamed("a", "valid_from"),
+        Seq("k"), "v", Seq("valid_from")))
+  }
+
+  test("scd2History matches a pure-Scala model on random change logs and " +
+      "is invariant under input partitioning") {
+    val rng = new scala.util.Random(7)
+    val rows = (for {
+      k <- 1L to 20L
+      v <- 1L to (5 + rng.nextInt(30)).toLong
+      if rng.nextBoolean()
+    } yield (java.lang.Long.valueOf(k), java.lang.Long.valueOf(v * 10),
+      rng.nextInt(3) match { case 0 => "a"; case 1 => "b"; case _ => null })
+    ).toSeq
+    val model = rows.groupBy(_._1).flatMap { case (k, obs) =>
+      val sorted = obs.sortBy(_._2.longValue)
+      val starts = sorted.zipWithIndex.filter { case ((_, _, a), i) =>
+        i == 0 || sorted(i - 1)._3 != a }.map(_._1)
+      starts.zipWithIndex.map { case ((_, v, a), i) =>
+        (k.longValue, a, v.longValue,
+          if (i + 1 < starts.size) starts(i + 1)._2.longValue else -1L) }
+    }.toSet
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.scd2History(df, Seq("k"), "v", Seq("a"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(run(scdDf(rows)) === model)
+    assert(run(scdDf(rows).repartition(13)) === model)
+  }
 }
