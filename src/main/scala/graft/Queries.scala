@@ -936,6 +936,20 @@ object Queries {
         edges, "src", "dst", "w", seeds, "seed", iterations = 2)
         .orderBy(col("rank_fp").desc, col("node")).limit(20)
     }),
+    "q163_robust_outliers" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // Tukey-fence quarantine on the heavy-tailed value column, fences
+      // per event_type from ONE KLL sketch aggregate in the exact regime
+      // (k=4096 >> any group, so q1/q3 are rank-ceil order statistics =
+      // quantile_disc); released rows are the quarantined tail only
+      graft.pipeline.Quality.robustOutliers(
+        readEvents(s, d).select(col("event_id"), col("event_type"),
+          col("value")),
+        groupCols = Seq("event_type"), valueCol = "value")
+        .where(col("is_outlier"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("lo_fence"), col("hi_fence"))
+    }),
     "q162_scd2_history" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // SCD2 build from a change log: each user's event_type timeline
@@ -2887,6 +2901,19 @@ object Queries {
         |  FROM nb LEFT JOIN c2 USING (node))
         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r2
         |ORDER BY r DESC, node LIMIT 20""".stripMargin,
+    // identical fences from quantile_disc (the sketch is exact here),
+    // identical double formula with the binary-exact 1.5 factor
+    "q163_robust_outliers" ->
+      """WITH f AS (SELECT event_type,
+        |    quantile_disc(value, 0.25) AS q1,
+        |    quantile_disc(value, 0.75) AS q3
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  f.q1 - 1.5 * (f.q3 - f.q1) AS lo_fence,
+        |  f.q3 + 1.5 * (f.q3 - f.q1) AS hi_fence
+        |FROM events e JOIN f USING (event_type)
+        |WHERE e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+        |   OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)""".stripMargin,
     // the same run collapse in SQL: change flags via lag over the
     // user timeline, run starts kept, valid_to = next run's first version
     "q162_scd2_history" ->

@@ -213,4 +213,60 @@ object Quality {
       .where(size(col("violated_rules")) > 0)
       .drop(flags: _*)
   }
+
+  /** Robust (Tukey-fence) outlier tagging: per group, the IQR fences
+    * [q1 − factor·(q3−q1), q3 + factor·(q3−q1)] from ONE bounded-state
+    * [[graft.exec.Kll]] sketch aggregate, joined back so every row gains
+    * `lo_fence` / `hi_fence` / `is_outlier` — the winsorize-or-quarantine
+    * precursor for continuous measures, robust where mean±k·σ is wrecked
+    * by the very outliers it hunts. Quantiles are the sketch's rank-ceil
+    * order statistics (exact — DuckDB `quantile_disc` — whenever the
+    * per-group count stays under the `k` buffer; the released `err_units`
+    * carries the certificate otherwise, the q154/q155 two-regime
+    * discipline).
+    *
+    * A NULL measure is unjudged: `is_outlier` is NULL, never a silent
+    * false. Groups too small for both fences (no non-null values) release
+    * NULL fences and NULL verdicts.
+    *
+    * Plan shape: one keyed sketch aggregate (fixed O(k·log n) state per
+    * group crossing the exchange), then one equi-join of the row stream
+    * against the group-count-sized fence table — broadcast at any
+    * realistic group count (Catalyst's choice). Ungrouped, the fence side
+    * is a single-row broadcast cross join, the sketch-total precedent.
+    */
+  def robustOutliers(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 4096, factor: Double = 1.5): DataFrame = {
+    require(df.columns.contains(valueCol), s"input is missing '$valueCol'")
+    groupCols.foreach(c =>
+      require(df.columns.contains(c), s"input is missing group column '$c'"))
+    require(!groupCols.contains(valueCol),
+      s"'$valueCol' cannot be both group and measure")
+    require(factor >= 0.0, s"factor must be >= 0, got $factor")
+    for (reserved <- Seq("lo_fence", "hi_fence", "is_outlier", "err_units"))
+      require(!df.columns.contains(reserved),
+        s"input uses reserved column name '$reserved'; rename it first")
+    val v = col(valueCol).cast("double")
+    val sk = graft.exec.Kll.quantiles(v, k, Seq(0.25, 0.75)).as("__kll")
+    val fences0 =
+      (if (groupCols.isEmpty) df.agg(sk)
+       else df.groupBy(groupCols.map(col): _*).agg(sk))
+        .select(groupCols.map(c => col(c).as(s"__g_$c")) ++ Seq(
+          (col("__kll.values")(0) -
+            lit(factor) * (col("__kll.values")(1) - col("__kll.values")(0)))
+            .as("lo_fence"),
+          (col("__kll.values")(1) +
+            lit(factor) * (col("__kll.values")(1) - col("__kll.values")(0)))
+            .as("hi_fence"),
+          col("__kll.err_units").as("err_units")): _*)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(fences0))
+      else df.join(fences0,
+        groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _), "left")
+        .drop(groupCols.map(c => s"__g_$c"): _*)
+    joined.withColumn("is_outlier",
+      when(v.isNull || isnan(v), lit(null).cast("boolean"))
+        .otherwise(v < col("lo_fence") || v > col("hi_fence")))
+  }
 }

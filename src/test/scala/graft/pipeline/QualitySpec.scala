@@ -129,4 +129,57 @@ class QualitySpec extends SparkSpec {
       NotNull("status"), InRange("qty", 0.0, 100.0), Unique(Seq("id"))))
     assert(report.count() === 3L)
   }
+
+  test("robustOutliers: exact-regime fences match the hand model, NULLs " +
+      "are unjudged, grouped fences differ per group") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(strCol("g"), dblCol("v")))
+    // group a: 1..11 plus a 100.0 spike; group b: tight cluster, no spike
+    val rows = (1 to 11).map(i => Row("a", i.toDouble)) ++
+      Seq(Row("a", 100.0), Row("a", null),
+        Row("b", 5.0), Row("b", 5.5), Row("b", 6.0), Row("b", 6.5))
+    val got = Quality.robustOutliers(
+      makeDf(schema, rows), Seq("g"), "v", k = 64)
+    val a = got.where(org.apache.spark.sql.functions.col("g") === "a")
+      .collect().map(r => (r.getAs[Any]("v"),
+        if (r.isNullAt(r.fieldIndex("is_outlier"))) null
+        else r.getBoolean(r.fieldIndex("is_outlier")))).toSet
+    // group a (12 non-null values): rank-ceil q1 = 3.0, q3 = 9.0, IQR 6
+    // -> fences [-6, 18]: only the 100.0 spike is out; NULL unjudged
+    assert(a === ((1 to 11).map(i => (i.toDouble: Any, false: Any)).toSet ++
+      Set((100.0: Any, true: Any), (null: Any, null: Any))))
+    val aRow = got.where(org.apache.spark.sql.functions.col("g") === "a")
+      .select("lo_fence", "hi_fence", "err_units").head
+    assert(aRow.getDouble(0) === -6.0 && aRow.getDouble(1) === 18.0 &&
+      aRow.getLong(2) === 0L)
+    val b = got.where(org.apache.spark.sql.functions.col("g") === "b")
+    assert(b.where(org.apache.spark.sql.functions.col("is_outlier")).count() === 0L)
+    assert(b.select("lo_fence").distinct().head.getDouble(0) !== -6.0)
+  }
+
+  test("robustOutliers: ungrouped single-fence broadcast; estimator regime " +
+      "carries a certificate; guards reject bad inputs") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(dblCol("v")))
+    val big = makeDf(schema, (1 to 2000).map(i => Row(i.toDouble)))
+    val est = Quality.robustOutliers(big, Nil, "v", k = 32)
+    val r = est.head
+    assert(r.getAs[Long]("err_units") > 0L) // compactions happened
+    val exact = Quality.robustOutliers(big, Nil, "v", k = 4096)
+    val e = exact.head
+    // 2000 values: q1 = 500, q3 = 1500 -> fences [-1000, 3000], none out
+    assert(e.getAs[Double]("lo_fence") === -1000.0 &&
+      e.getAs[Double]("hi_fence") === 3000.0 &&
+      e.getAs[Long]("err_units") === 0L)
+    assert(exact.where(org.apache.spark.sql.functions.col("is_outlier")).count() === 0L)
+    intercept[IllegalArgumentException](
+      Quality.robustOutliers(big, Nil, "missing"))
+    intercept[IllegalArgumentException](
+      Quality.robustOutliers(big, Seq("v"), "v"))
+    intercept[IllegalArgumentException](
+      Quality.robustOutliers(big, Nil, "v", factor = -1.0))
+    intercept[IllegalArgumentException](
+      Quality.robustOutliers(big.withColumn("is_outlier",
+        org.apache.spark.sql.functions.lit(true)), Nil, "v"))
+  }
 }
