@@ -936,6 +936,19 @@ object Queries {
         edges, "src", "dst", "w", seeds, "seed", iterations = 2)
         .orderBy(col("rank_fp").desc, col("node")).limit(20)
     }),
+    "q164_touch_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // last-touch conversion credit: each purchase attributed to the
+      // user's most recent click/view/signup within a 500-id lookback —
+      // one entity-keyed window over all events (no touch self-join),
+      // unattributed purchases released with NULL touch columns
+      graft.pipeline.Relational.attribution(
+        readEvents(s, d).select(col("user_id"), col("event_id"),
+          col("event_type")),
+        entityCol = "user_id", timeCol = "event_id", typeCol = "event_type",
+        convType = "purchase",
+        touchTypes = Seq("click", "view", "signup"), lookback = 500L)
+    }),
     "q163_robust_outliers" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // Tukey-fence quarantine on the heavy-tailed value column, fences
@@ -2901,6 +2914,22 @@ object Queries {
         |  FROM nb LEFT JOIN c2 USING (node))
         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r2
         |ORDER BY r DESC, node LIMIT 20""".stripMargin,
+    // same single window over ALL events (filter after, so the frame
+    // sees every touch), same RANGE [-500, -1) frame, ignore-nulls last
+    "q164_touch_attribution" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, event_type,
+        |    last_value(CASE WHEN event_type IN ('click','view','signup')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type IN ('click','view','signup')
+        |        THEN event_id END IGNORE NULLS)
+        |      OVER w AS touch_time
+        |  FROM events WHERE user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    RANGE BETWEEN 500 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, touch_type, touch_time
+        |FROM tagged WHERE event_type = 'purchase'""".stripMargin,
     // identical fences from quantile_disc (the sketch is exact here),
     // identical double formula with the binary-exact 1.5 factor
     "q163_robust_outliers" ->

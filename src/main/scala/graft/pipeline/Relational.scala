@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -573,5 +573,64 @@ object Relational {
       .withColumn("valid_from", col(versionCol))
       .withColumn("valid_to", lead(col(versionCol), 1).over(w))
       .select((keyCols ++ attrCols ++ Seq("valid_from", "valid_to")).map(col): _*)
+  }
+
+  /** Touch attribution: for every conversion event (`typeCol` ==
+    * `convType`), the single touch event (`typeCol` in `touchTypes`) the
+    * conversion is credited to — the LAST touch strictly before it
+    * (`mode = "last"`, the default ad-analytics model) or the FIRST touch
+    * (`mode = "first"`, brand attribution) within the trailing `lookback`
+    * time units. Conversions with no in-window touch release NULL touch
+    * columns (unattributed — truthfully absent, never silently dropped).
+    *
+    * One row per conversion: (entity, conversion time, `touch_type`,
+    * `touch_time`). Rows with a NULL entity or time drop (the [[funnel]]
+    * null-entity discipline). `timeCol` must be integral epoch units —
+    * same guard and hint as [[rollingStats]].
+    *
+    * Plan shape: ONE exchange keyed on the entity + one sort by time;
+    * both touch columns are first/last-ignoreNulls over the same
+    * RANGE [-lookback, -1) frame (one WindowExec, no self-join — the
+    * naive "join conversions to touches and rank" formulation shuffles
+    * the touch stream a second time and explodes on multi-touch
+    * entities). The conversion filter prunes AFTER the window, so the
+    * frame sees every touch.
+    */
+  def attribution(
+      events: DataFrame, entityCol: String, timeCol: String, typeCol: String,
+      convType: String, touchTypes: Seq[String], lookback: Long,
+      mode: String = "last"): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(convType),
+      s"conversion type '$convType' cannot also be a touch type")
+    require(lookback > 0L, s"lookback must be positive, got $lookback")
+    require(mode == "last" || mode == "first",
+      s"mode must be 'last' or 'first', got '$mode'")
+    Seq(entityCol, timeCol, typeCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    for (reserved <- Seq("touch_type", "touch_time"))
+      require(!events.columns.contains(reserved),
+        s"input uses reserved column name '$reserved'; rename it first")
+    val tt = events.schema(timeCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(tt),
+      s"attribution needs an integral time column, got ${tt.simpleString} " +
+        "— convert to epoch units first")
+    val w = Window.partitionBy(entityCol).orderBy(col(timeCol))
+      .rangeBetween(-lookback, -1)
+    val isTouch = col(typeCol).isin(touchTypes.map(x => x: Any): _*)
+    def pick(c: Column): Column =
+      if (mode == "last") last(when(isTouch, c), ignoreNulls = true).over(w)
+      else first(when(isTouch, c), ignoreNulls = true).over(w)
+    events
+      .select(col(entityCol), col(timeCol), col(typeCol))
+      .where(col(entityCol).isNotNull && col(timeCol).isNotNull)
+      .withColumn("touch_type", pick(col(typeCol)))
+      .withColumn("touch_time", pick(col(timeCol)))
+      .where(col(typeCol) === convType)
+      .select(col(entityCol), col(timeCol), col("touch_type"),
+        col("touch_time"))
   }
 }

@@ -595,6 +595,56 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         Seq("k"), "v", Seq("valid_from")))
   }
 
+  private def attrDf(rows: Seq[(java.lang.Long, java.lang.Long, String)]) = {
+    import org.apache.spark.sql.types._
+    makeDf(StructType(Seq(StructField("u", LongType),
+        StructField("t", LongType), StructField("y", StringType))),
+      rows.map { case (u, t, y) => org.apache.spark.sql.Row(u, t, y) })
+  }
+
+  test("attribution: last vs first touch, lookback bound strict-before, " +
+      "unattributed NULLs, null entities drop") {
+    val rows = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "click"), (1L, 20L, "view"), (1L, 25L, "buy"),
+      (1L, 300L, "buy"),              // all touches outside lookback 100
+      (2L, 5L, "buy"),                // no touch at all
+      (2L, 6L, "click"), (2L, 7L, "buy"),
+      (null, 1L, "buy"))
+    def run(mode: String) = Relational.attribution(
+      attrDf(rows), "u", "t", "y", "buy", Seq("click", "view"), 100L, mode)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).orNull,
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(run("last") === Set(
+      (1L, 25L, "view", 20L), (1L, 300L, null, -1L),
+      (2L, 5L, null, -1L), (2L, 7L, "click", 6L)))
+    assert(run("first") === Set(
+      (1L, 25L, "click", 10L), (1L, 300L, null, -1L),
+      (2L, 5L, null, -1L), (2L, 7L, "click", 6L)))
+  }
+
+  test("attribution guards: conv-in-touches, empty touches, bad mode, " +
+      "non-integral time, reserved names") {
+    val df = attrDf(Seq((1L, 1L, "buy")))
+    intercept[IllegalArgumentException](
+      Relational.attribution(df, "u", "t", "y", "buy", Seq("buy"), 10L))
+    intercept[IllegalArgumentException](
+      Relational.attribution(df, "u", "t", "y", "buy", Nil, 10L))
+    intercept[IllegalArgumentException](
+      Relational.attribution(df, "u", "t", "y", "buy", Seq("a"), 10L, "mid"))
+    intercept[IllegalArgumentException](
+      Relational.attribution(df, "u", "t", "y", "buy", Seq("a"), 0L))
+    intercept[IllegalArgumentException](
+      Relational.attribution(
+        df.withColumn("td", org.apache.spark.sql.functions
+          .col("t").cast("double")),
+        "u", "td", "y", "buy", Seq("a"), 10L))
+    intercept[IllegalArgumentException](
+      Relational.attribution(
+        df.withColumn("touch_type", org.apache.spark.sql.functions.lit("x")),
+        "u", "t", "y", "buy", Seq("a"), 10L))
+  }
+
   test("scd2History matches a pure-Scala model on random change logs and " +
       "is invariant under input partitioning") {
     val rng = new scala.util.Random(7)
