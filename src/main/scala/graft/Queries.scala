@@ -936,6 +936,22 @@ object Queries {
         edges, "src", "dst", "w", seeds, "seed", iterations = 2)
         .orderBy(col("rank_fp").desc, col("node")).limit(20)
     }),
+    "q166_frequent_pairs" -> ((s, d) => {
+      // co-purchase mining, A-priori-pruned: part pairs sharing >= 3
+      // distinct orders; the basket self-join runs on the frequent
+      // incidence only, so the one-off tail never hits the quadratic
+      // stage
+      graft.pipeline.CorpusStats.frequentPairs(
+        read(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)
+    }),
+    "q165_entity_resolution" -> ((s, d) => {
+      // full record-linkage loop: edit-distance edges (d<=2) over the
+      // distinct part-name dictionary, transitive closure via the
+      // pointer-jumping component loop, each name released with its
+      // cluster's lexicographically-smallest canonical form
+      graft.pipeline.Dedup.resolveEntities(
+        read(s, d, "part"), "p_name", maxDistance = 2)
+    }),
     "q164_touch_attribution" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // last-touch conversion credit: each purchase attributed to the
@@ -2914,6 +2930,28 @@ object Queries {
         |  FROM nb LEFT JOIN c2 USING (node))
         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r2
         |ORDER BY r DESC, node LIMIT 20""".stripMargin,
+    // same support semantics without the A-priori prune (the prune never
+    // changes the released set, only the join size)
+    "q166_frequent_pairs" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+        |SELECT a.i AS item_a, b2.i AS item_b,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    // transitive closure by recursive CTE over the same levenshtein
+    // edges; canonical = min reachable name (single linkage)
+    "q165_entity_resolution" ->
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part
+        |  WHERE p_name IS NOT NULL AND len(p_name) > 0),
+        |e AS (SELECT a.name AS x, b.name AS y FROM names a JOIN names b
+        |  ON a.name <> b.name AND levenshtein(a.name, b.name) <= 2),
+        |reach(a, b) AS (
+        |  SELECT name, name FROM names
+        |  UNION
+        |  SELECT r.a, e.y FROM reach r JOIN e ON r.b = e.x)
+        |SELECT a AS name, min(b) AS canonical FROM reach GROUP BY a""".stripMargin,
     // same single window over ALL events (filter after, so the frame
     // sees every touch), same RANGE [-500, -1) frame, ignore-nulls last
     "q164_touch_attribution" ->

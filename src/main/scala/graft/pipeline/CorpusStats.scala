@@ -625,4 +625,62 @@ object CorpusStats {
       .withColumn("n_removed", col("__rw._2"))
       .drop("__rw")
   }
+
+  /** Frequent co-occurring pairs (the first two A-priori levels): every
+    * unordered item pair appearing together in at least `minSupport`
+    * distinct baskets, with its support — co-purchase analysis, tag
+    * affinity, "documents sharing rare token pairs". Support counts
+    * BASKETS (a basket with the pair twice counts once); rows with a NULL
+    * basket or item drop.
+    *
+    * A-priori pruning is the scale lever: a pair can reach `minSupport`
+    * only if both items do, so the basket-keyed self-join runs on the
+    * FREQUENT (basket, item) incidence only — the long tail of one-off
+    * items (most of any real catalog) never enters the quadratic stage.
+    * Plan: one (basket, item) distinct, one item-keyed support aggregate,
+    * a semi-join to keep frequent incidence (runtime bloom/broadcast —
+    * Catalyst's choice), one basket-keyed self-join emitting each
+    * basket's frequent-pair wedges, one pair-keyed count. The per-basket
+    * wedge count is quadratic in the basket's FREQUENT-item count, so
+    * `maxBasketItems` refuses loudly (naming the knob and the basket)
+    * when a degenerate basket would explode the join, rather than
+    * silently stalling a 100-TB run.
+    */
+  def frequentPairs(
+      df: DataFrame, basketCol: String, itemCol: String, minSupport: Long,
+      maxBasketItems: Int = 10000): DataFrame = {
+    require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketItems >= 2, s"maxBasketItems must be >= 2, got $maxBasketItems")
+    Seq(basketCol, itemCol).foreach(c =>
+      require(df.columns.contains(c), s"input is missing '$c'"))
+    // bi appears twice below (support agg + semi-join probe) but only
+    // within single jobs — ReuseExchange dedups the distinct's shuffle
+    // inside each plan, so only `kept` (read by the guard job AND the
+    // pair job) earns a persist
+    val bi = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .where(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val freqItems = bi.groupBy("__i").agg(count(lit(1)).as("__s"))
+      .where(col("__s") >= minSupport)
+      .select(col("__i"))
+    val kept = bi.join(freqItems, Seq("__i"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = kept.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBasketItems).limit(1).collect()
+    require(big.isEmpty, {
+      val r = big.head
+      s"frequentPairs: basket ${r.get(0)} holds ${r.getLong(1)} frequent " +
+        s"items (> maxBasketItems=$maxBasketItems); its wedge fan-out " +
+        "would be quadratic — raise maxBasketItems or pre-filter"
+    })
+    val out = kept.as("a").join(kept.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .localCheckpoint(true)
+    kept.unpersist(false)
+    out
+  }
 }

@@ -1212,6 +1212,53 @@ object Dedup {
     result
   }
 
+  /** Entity resolution over a string dictionary: every distinct `strCol`
+    * value mapped to its cluster's canonical form — the lexicographically
+    * smallest string reachable through chains of [[editDistancePairs]]
+    * edges (ed <= `maxDistance`). The full record-linkage loop in one
+    * call: "Jon Smith" -> "John Smith" -> "John  Smith" collapse to one
+    * canonical vendor even when the endpoints are more than `maxDistance`
+    * apart (transitive closure, the standard single-linkage choice;
+    * singletons map to themselves).
+    *
+    * Strings become dense node ids via [[graft.exec.Ranks.globalRowNumber]]
+    * ORDERED BY the string itself, so id order IS name order and the
+    * component's min id (what [[connectedComponents]] propagates) maps
+    * straight back to the min name — no hash ids whose collisions could
+    * silently merge clusters. Plan: the edit-distance join, one ranged
+    * id assignment, the O(log diameter) component loop on (long, long)
+    * edges, and two id->name hash joins back.
+    */
+  def resolveEntities(
+      df: DataFrame, strCol: String, maxDistance: Int,
+      q: Int = 2, maxLenBucket: Int = 100000): DataFrame = {
+    val pairs = editDistancePairs(df, strCol, maxDistance, q, maxLenBucket)
+    val dict = spread(df).select(col(strCol).cast("string").as("name"))
+      .filter(col("name").isNotNull && length(col("name")) > 0)
+      .distinct()
+    val ids = graft.exec.Ranks.globalRowNumber(dict, Seq(col("name")), "__nid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs
+      .join(ids.select(col("name").as("name_a"), col("__nid").as("__ia")),
+        "name_a")
+      .join(ids.select(col("name").as("name_b"), col("__nid").as("__ib")),
+        "name_b")
+      .select(col("__ia"), col("__ib"))
+    val comp = connectedComponents(edges, "__ia", "__ib")
+    val clustered = comp
+      .join(ids.select(col("__nid").as("id"), col("name")), "id")
+      .join(ids.select(col("__nid").as("component"),
+        col("name").as("__canon")), "component")
+      .select(col("name"), col("__canon"))
+    val out = ids.select(col("name"))
+      .join(clustered, Seq("name"), "left")
+      .select(col("name"),
+        coalesce(col("__canon"), col("name")).as("canonical"))
+      .localCheckpoint(true)
+    ids.unpersist(false)
+    out
+  }
+
   /** Memoized +-1 plane matrix for [[hyperplaneSignature]]; entry (p, i) is
     * the low bit of Spark's xxhash64 over the two int columns (i, p) with
     * the default seed 42, i.e. XXH64.hashInt(p, XXH64.hashInt(i, 42)).

@@ -92,6 +92,41 @@ class EditDistanceSpec extends SparkSpec {
     assert(e.getMessage.contains("maxLenBucket"))
   }
 
+  test("resolveEntities: transitive chains collapse to the min name, " +
+      "singletons map to themselves, matches brute-force closure") {
+    // chain: aaaa - aaab - aabb reach each other transitively though
+    // ed(aaaa, aabb) = 2 > d = 1; "zzzz" is a singleton
+    val xs = Seq("aaaa", "aaab", "aabb", "zzzz", "aaaa")
+    val got = Dedup.resolveEntities(df(xs), "s", 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got === Map("aaaa" -> "aaaa", "aaab" -> "aaaa",
+      "aabb" -> "aaaa", "zzzz" -> "zzzz"))
+    // randomized closure check vs a brute-force union-find model
+    val rng = new scala.util.Random(11)
+    val dictXs = Seq.fill(60) {
+      (0 until (1 + rng.nextInt(8))).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+    }
+    val d = 2
+    val dict = dictXs.filter(_.nonEmpty).distinct
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    for (a <- dict; b <- dict if a < b && lev(a, b) <= d) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expect = dict.map { x =>
+      // path-compress to the true min: union-by-min keeps root minimal
+      (x, find(x))
+    }.toMap
+    val gotR = Dedup.resolveEntities(df(dictXs), "s", d)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(gotR === expect)
+  }
+
   test("parameter validation") {
     intercept[IllegalArgumentException](
       Dedup.editDistancePairs(df(Seq("a")), "s", 0))
