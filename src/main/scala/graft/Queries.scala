@@ -936,6 +936,30 @@ object Queries {
         edges, "src", "dst", "w", seeds, "seed", iterations = 2)
         .orderBy(col("rank_fp").desc, col("node")).limit(20)
     }),
+    "q167_streaming_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // q164's last-touch credit on a STREAM with O(1) per-entity state
+      // (the single latest touch); AvailableNow over one file is a single
+      // batch, so the batch oracle pins the streaming recurrence exactly
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val credits = graft.streaming.Streaming.streamingAttribution(
+        stream, "user_id", "event_type", "event_id",
+        convType = "purchase",
+        touchTypes = Seq("click", "view", "signup"), lookback = 500L)
+      val name = "q167mem"
+      val q = credits.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(col("entity").cast("long").as("user_id"),
+        col("conv_time").as("event_id"), col("touch_type"), col("touch_time"))
+    }),
     "q166_frequent_pairs" -> ((s, d) => {
       // co-purchase mining, A-priori-pruned: part pairs sharing >= 3
       // distinct orders; the basket self-join runs on the frequent
@@ -2930,6 +2954,22 @@ object Queries {
         |  FROM nb LEFT JOIN c2 USING (node))
         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r2
         |ORDER BY r DESC, node LIMIT 20""".stripMargin,
+    // q164's batch oracle verbatim: one file -> one AvailableNow batch,
+    // so the streaming state recurrence must reproduce the window form
+    "q167_streaming_attribution" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, event_type,
+        |    last_value(CASE WHEN event_type IN ('click','view','signup')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type IN ('click','view','signup')
+        |        THEN event_id END IGNORE NULLS)
+        |      OVER w AS touch_time
+        |  FROM events WHERE user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    RANGE BETWEEN 500 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, touch_type, touch_time
+        |FROM tagged WHERE event_type = 'purchase'""".stripMargin,
     // same support semantics without the A-priori prune (the prune never
     // changes the released set, only the join size)
     "q166_frequent_pairs" ->

@@ -554,4 +554,89 @@ object Streaming {
       }
       .toDF()
   }
+
+  // not private: the state encoder instantiates it in generated code
+  final case class TouchState(touchType: String, touchTime: Long)
+  final case class TouchCredit(
+      entity: String, conv_time: Long,
+      touch_type: Option[String], touch_time: Option[Long])
+
+  /** Streaming LAST-touch attribution: per entity, O(1) state (the single
+    * most recent touch) credits every conversion to the latest touch
+    * strictly before it and at most `lookback` time units old — the
+    * streaming twin of [[graft.pipeline.Relational.attribution]]'s
+    * `mode = "last"` (first-touch needs the oldest in-window touch, which
+    * no O(1) state can maintain under an advancing window — use the batch
+    * operator). Each conversion is emitted exactly once, in its arrival
+    * batch, with NULL touch columns when unattributed.
+    *
+    * Cross-batch DISORDER under-attributes, never mis-attributes: a touch
+    * arriving in a later batch than its conversion is not retro-credited
+    * (same direction as [[streamingFunnel]]'s disorder contract). Within a
+    * batch, events fold in (time, type) order, so arrival order is
+    * irrelevant. Over a single batch (AvailableNow on one file) the
+    * release is batch-equivalent by construction — the oracled regime.
+    *
+    * `entityTtlMs` bounds total state exactly as in [[streamingFunnel]]
+    * (processing-time timeout; expired entities just lose their pending
+    * touch — requires a recurring trigger to settle).
+    */
+  def streamingAttribution(
+      events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
+      convType: String, touchTypes: Seq[String], lookback: Long,
+      entityTtlMs: Option[Long] = None): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(convType),
+      s"conversion type '$convType' cannot also be a touch type")
+    require(lookback > 0L, s"lookback must be positive, got $lookback")
+    Seq(entityCol, typeCol, timeCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    entityTtlMs.foreach(t =>
+      require(t > 0L, s"entityTtlMs must be positive, got $t"))
+    val touchSet = touchTypes.toSet
+    implicit val stateEnc = Encoders.product[TouchState]
+    implicit val outEnc = Encoders.product[TouchCredit]
+    implicit val strEnc = Encoders.STRING
+    implicit val rowEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong)
+    val timeoutConf =
+      if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+        col(typeCol).isin((convType +: touchTypes): _*))
+      .select(col(entityCol).cast("string"), col(typeCol).cast("string"),
+        col(timeCol).cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TouchState, TouchCredit](
+        OutputMode.Update, timeoutConf) { (entity, it, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var lastTouch = state.getOption.orNull
+          val out = Vector.newBuilder[TouchCredit]
+          for ((_, y, t) <- it.toArray.sortBy(r => (r._3, r._2))) {
+            if (y == convType) {
+              val hit = lastTouch != null && lastTouch.touchTime < t &&
+                t - lastTouch.touchTime <= lookback
+              out += (if (hit)
+                TouchCredit(entity, t,
+                  Some(lastTouch.touchType), Some(lastTouch.touchTime))
+              else TouchCredit(entity, t, None, None))
+            } else if (touchSet(y)) {
+              if (lastTouch == null || t >= lastTouch.touchTime)
+                lastTouch = TouchState(y, t)
+            }
+          }
+          if (lastTouch != null) {
+            state.update(lastTouch)
+            entityTtlMs.foreach(state.setTimeoutDuration)
+          }
+          out.result().iterator
+        }
+      }
+      .toDF()
+  }
 }

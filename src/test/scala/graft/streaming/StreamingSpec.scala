@@ -427,4 +427,53 @@ class StreamingSpec extends SparkSpec {
         "the expired twin must read as novel again")
     } finally q.stop()
   }
+
+  test("streamingAttribution: single-batch release matches the batch " +
+      "attribution; cross-batch state carries the latest touch; " +
+      "late touches under-attribute, never mis-attribute") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[(Long, String, Long)]
+    val credits = Streaming.streamingAttribution(
+      in.toDF().toDF("user", "etype", "t"), "user", "etype", "t",
+      convType = "buy", touchTypes = Seq("click", "view"), lookback = 100L)
+    val q = credits.writeStream.format("memory").queryName("sattr")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1, shuffled within the batch: u1 click@10 view@20 buy@25
+      // (last touch = view@20); u1 buy@300 (touches too old);
+      // u2 buy@5 (no touch yet)
+      in.addData((1L, "buy", 25L), (1L, "view", 20L), (1L, "click", 10L),
+        (1L, "buy", 300L), (2L, "buy", 5L))
+      q.processAllAvailable()
+      // batch 2: u2's click@6 arrives AFTER its buy@5 was released —
+      // no retro-credit; u2 buy@50 credits the carried click@6 from
+      // THIS batch; u1 buy@310 credits the view@20? no — outside 100;
+      // u1 view@305 then buy@310 credits view@305 (state carried)
+      in.addData((2L, "click", 6L), (2L, "buy", 50L),
+        (1L, "view", 305L), (1L, "buy", 310L))
+      q.processAllAvailable()
+      val got = spark.table("sattr").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.getString(2)).orNull,
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(got === Set(
+        ("1", 25L, "view", 20L), ("1", 300L, null, -1L),
+        ("2", 5L, null, -1L),
+        ("2", 50L, "click", 6L), ("1", 310L, "view", 305L)))
+      // the batch operator on batch 1 alone agrees with the single-batch
+      // slice of the stream (the oracled AvailableNow regime)
+      val all = Seq((1L, "buy", 25L), (1L, "view", 20L), (1L, "click", 10L),
+        (1L, "buy", 300L), (2L, "buy", 5L)).toDF("user", "etype", "t")
+      val batch = graft.pipeline.Relational.attribution(
+        all, "user", "t", "etype", "buy", Seq("click", "view"), 100L)
+        .collect().map(r => (r.getLong(0).toString, r.getLong(1),
+          Option(r.getString(2)).orNull,
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(batch === Set(
+        ("1", 25L, "view", 20L), ("1", 300L, null, -1L),
+        ("2", 5L, null, -1L)))
+    } finally q.stop()
+  }
 }
