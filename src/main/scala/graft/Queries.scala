@@ -936,6 +936,16 @@ object Queries {
         edges, "src", "dst", "w", seeds, "seed", iterations = 2)
         .orderBy(col("rank_fp").desc, col("node")).limit(20)
     }),
+    "q168_session_table" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // durable session table: user sessions split at >100-id gaps,
+      // released as (user, 1-based session index, start, end, count) —
+      // one entity-keyed exchange for the gap window, the running index,
+      // and the per-session rollup
+      graft.pipeline.Relational.sessionTable(
+        readEvents(s, d).select(col("user_id"), col("event_id")),
+        entityCol = "user_id", timeCol = "event_id", gapUnits = 100L)
+    }),
     "q167_streaming_attribution" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
@@ -2954,6 +2964,22 @@ object Queries {
         |  FROM nb LEFT JOIN c2 USING (node))
         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r2
         |ORDER BY r DESC, node LIMIT 20""".stripMargin,
+    // same gap flag via lag, same running-sum session index, same
+    // per-session rollup
+    "q168_session_table" ->
+      """WITH e AS (SELECT user_id, event_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |flag AS (SELECT user_id, event_id,
+        |  CASE WHEN lag(event_id) OVER w IS NULL
+        |    OR event_id - lag(event_id) OVER w > 100 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |sess AS (SELECT user_id, event_id,
+        |  CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flag)
+        |SELECT user_id, session_id, min(event_id) AS session_start,
+        |  max(event_id) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY 1, 2""".stripMargin,
     // q164's batch oracle verbatim: one file -> one AvailableNow batch,
     // so the streaming state recurrence must reproduce the window form
     "q167_streaming_attribution" ->

@@ -575,6 +575,53 @@ object Relational {
       .select((keyCols ++ attrCols ++ Seq("valid_from", "valid_to")).map(col): _*)
   }
 
+  /** Batch sessionization released as a first-class session table: one
+    * row per (entity, session) — sessions split where consecutive events
+    * gap by MORE than `gapUnits` — with the session's 1-based per-entity
+    * index, start, end, and event count. The building block
+    * [[sessionPaths]] folds into a census and the streaming
+    * [[graft.streaming.Streaming.sessionize]] emits on close; this is the
+    * durable batch table (session duration histograms, session-grained
+    * joins) both of those sit beside.
+    *
+    * Rows with a NULL entity or time drop (the [[funnel]] discipline);
+    * `timeCol` must be integral epoch units — same guard and hint as
+    * [[rollingStats]]. Plan shape: ONE exchange keyed on the entity (the
+    * gap-flag window, the running session index, and the per-session
+    * aggregate all key on it; the aggregate adds the session index, a
+    * strict refinement Catalyst satisfies without a second exchange).
+    */
+  def sessionTable(
+      events: DataFrame, entityCol: String, timeCol: String,
+      gapUnits: Long): DataFrame = {
+    require(gapUnits > 0L, s"gapUnits must be positive, got $gapUnits")
+    Seq(entityCol, timeCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    for (reserved <- Seq("session_id", "session_start", "session_end",
+        "n_events"))
+      require(!events.columns.contains(reserved),
+        s"input uses reserved column name '$reserved'; rename it first")
+    val tt = events.schema(timeCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(tt),
+      s"sessionTable needs an integral time column, got ${tt.simpleString} " +
+        "— convert to epoch units first")
+    val w = Window.partitionBy(entityCol).orderBy(col(timeCol))
+    val prev = lag(col(timeCol), 1).over(w)
+    events
+      .select(col(entityCol), col(timeCol))
+      .where(col(entityCol).isNotNull && col(timeCol).isNotNull)
+      .withColumn("__new",
+        when(prev.isNull || col(timeCol) - prev > gapUnits, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(w))
+      .groupBy(col(entityCol), col("session_id"))
+      .agg(min(col(timeCol)).as("session_start"),
+        max(col(timeCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Touch attribution: for every conversion event (`typeCol` ==
     * `convType`), the single touch event (`typeCol` in `touchTypes`) the
     * conversion is credited to — the LAST touch strictly before it

@@ -623,6 +623,30 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       (2L, 5L, null, -1L), (2L, 7L, "click", 6L)))
   }
 
+  test("sessionTable: gap splits, 1-based per-entity index, rollup " +
+      "matches sessionPaths' segmentation; guards") {
+    val rows = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "x"), (1L, 15L, "x"), (1L, 200L, "x"),
+      (2L, 7L, "x"), (null, 1L, "x"))
+    val got = Relational.sessionTable(
+      attrDf(rows).select("u", "t"), "u", "t", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, 1L, 10L, 15L, 2L), (1L, 2L, 200L, 200L, 1L),
+      (2L, 1L, 7L, 7L, 1L)))
+    intercept[IllegalArgumentException](
+      Relational.sessionTable(attrDf(rows).select("u", "t"), "u", "t", 0L))
+    intercept[IllegalArgumentException](
+      Relational.sessionTable(attrDf(rows)
+        .withColumn("td", org.apache.spark.sql.functions
+          .col("t").cast("double")).select("u", "td"), "u", "td", 10L))
+    intercept[IllegalArgumentException](
+      Relational.sessionTable(attrDf(rows).select("u", "t")
+        .withColumn("session_id", org.apache.spark.sql.functions.lit(1L)),
+        "u", "t", 10L))
+  }
+
   test("attribution guards: conv-in-touches, empty touches, bad mode, " +
       "non-integral time, reserved names") {
     val df = attrDf(Seq((1L, 1L, "buy")))
