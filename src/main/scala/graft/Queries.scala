@@ -936,6 +936,30 @@ object Queries {
         edges, "src", "dst", "w", seeds, "seed", iterations = 2)
         .orderBy(col("rank_fp").desc, col("node")).limit(20)
     }),
+    "q169_interval_overlap" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // same-part delivery-window conflicts: half-open [ship, ship+q%14+1)
+      // day intervals, grid-cell equi-join keyed on (part, cell) with
+      // reporting-cell dedup — never the per-key cartesian the naive
+      // theta join plans; both orientations collapse via id_a < id_b
+      val li = read(s, d, "lineitem")
+        .withColumn("lo", datediff(col("l_shipdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long"))
+        .select(col("l_partkey"),
+          (col("l_orderkey") * 16 + col("l_linenumber")).as("id"),
+          col("lo"),
+          (col("lo") + col("l_quantity").cast("long") % 14 + 1).as("hi"))
+      val a = li.select(col("l_partkey"), col("id").as("id_a"),
+        col("lo").as("lo_a"), col("hi").as("hi_a"))
+      val b = li.select(col("l_partkey"), col("id").as("id_b"),
+        col("lo").as("lo_b"), col("hi").as("hi_b"))
+      graft.pipeline.Relational.intervalOverlapJoin(
+        a, b, Seq("l_partkey"), "lo_a", "hi_a", "lo_b", "hi_b",
+        cellWidth = 14L)
+        .where(col("id_a") < col("id_b"))
+        .select(col("l_partkey"), col("id_a"), col("id_b"),
+          col("lo_a"), col("lo_b"))
+    }),
     "q168_session_table" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // durable session table: user sessions split at >100-id gaps,
@@ -2964,6 +2988,21 @@ object Queries {
         |  FROM nb LEFT JOIN c2 USING (node))
         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r2
         |ORDER BY r DESC, node LIMIT 20""".stripMargin,
+    // the naive theta join IS the oracle (quadratic per key is fine at
+    // oracle scale); the grid join must release the identical pair set
+    "q169_interval_overlap" ->
+      """WITH li AS (SELECT l_partkey,
+        |    l_orderkey*16 + l_linenumber AS id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      AS BIGINT) AS lo,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      + CAST(l_quantity AS BIGINT) % 14 + 1 AS BIGINT) AS hi
+        |  FROM lineitem)
+        |SELECT a.l_partkey, a.id AS id_a, b.id AS id_b,
+        |  a.lo AS lo_a, b.lo AS lo_b
+        |FROM li a JOIN li b
+        |ON a.l_partkey = b.l_partkey AND a.id < b.id
+        |  AND a.lo < b.hi AND b.lo < a.hi""".stripMargin,
     // same gap flag via lag, same running-sum session index, same
     // per-session rollup
     "q168_session_table" ->

@@ -575,6 +575,98 @@ object Relational {
       .select((keyCols ++ attrCols ++ Seq("valid_from", "valid_to")).map(col): _*)
   }
 
+  /** Keyed interval-overlap join: every (left, right) pair sharing
+    * `keyCols` whose HALF-OPEN integral intervals [lo, hi) intersect —
+    * calendar/resource conflicts, effective-dated reconciliation between
+    * two SCD histories ([[scd2History]] outputs join here), shift overlap.
+    * [[rangeJoin]] is the point-in-interval special case; this is
+    * interval-to-interval.
+    *
+    * The naive `ON a.lo < b.hi AND b.lo < a.hi` theta join is a per-key
+    * cartesian. Instead both sides explode their intervals onto a grid of
+    * `cellWidth`-sized cells and equi-join on (keys, cell) — the classic
+    * spatial-grid partitioning join — then verify the exact overlap. A
+    * pair sharing several cells would duplicate, so only the REPORTING
+    * cell releases it: the cell containing the overlap's start
+    * max(a.lo, b.lo), which both sides provably cover — no distinct
+    * shuffle needed. Empty intervals (hi <= lo) match nothing; NULL
+    * bounds drop with the row.
+    *
+    * Choose `cellWidth` near the typical interval length: fan-out per row
+    * is (hi-lo)/W + 1 (guarded by `maxCellsPerInterval`, loud), per-cell
+    * population is the data's real concurrency. Shuffles: one equi-join
+    * keyed on (keys, cell) — near-linear in exploded size; at 100 TB the
+    * grid key spreads hot keys across their time range instead of one
+    * reducer.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      loL: String, hiL: String, loR: String, hiR: String,
+      cellWidth: Long, maxCellsPerInterval: Long = 4096L): DataFrame = {
+    require(cellWidth > 0L, s"cellWidth must be positive, got $cellWidth")
+    require(maxCellsPerInterval >= 1L,
+      s"maxCellsPerInterval must be >= 1, got $maxCellsPerInterval")
+    Seq(loL, hiL).foreach(c =>
+      require(left.columns.contains(c), s"left side is missing '$c'"))
+    Seq(loR, hiR).foreach(c =>
+      require(right.columns.contains(c), s"right side is missing '$c'"))
+    keyCols.foreach { c =>
+      require(left.columns.contains(c), s"left side is missing key '$c'")
+      require(right.columns.contains(c), s"right side is missing key '$c'")
+    }
+    val clash = right.columns.filterNot(keyCols.contains)
+      .filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"right columns ${clash.mkString(", ")} clash with left; rename first")
+    for ((side, df2) <- Seq("left" -> left, "right" -> right)) {
+      require(!df2.columns.contains("__cell"),
+        s"$side side uses reserved column name '__cell'; rename it first")
+      for (c <- if (side == "left") Seq(loL, hiL) else Seq(loR, hiR)) {
+        val t = df2.schema(c).dataType
+        require(Seq(org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.ByteType).contains(t),
+          s"intervalOverlapJoin needs integral bounds, got ${t.simpleString} " +
+            s"for '$c' — convert to epoch units first")
+      }
+    }
+    // exact floor division for possibly-negative epochs
+    def cellOf(c: Column): Column =
+      ((c - pmod(c, lit(cellWidth))) / lit(cellWidth)).cast("long")
+    def cells(df2: DataFrame, lo: String, hi: String, side: String) = {
+      val fat = df2
+        .where(col(lo).isNotNull && col(hi).isNotNull && col(hi) > col(lo))
+        .where((col(hi) - lit(1L) - col(lo)) / lit(cellWidth) >=
+          lit(maxCellsPerInterval))
+        .limit(1).collect()
+      require(fat.isEmpty,
+        s"intervalOverlapJoin: a $side interval spans > " +
+          s"$maxCellsPerInterval cells of width $cellWidth (e.g. " +
+          s"${fat.headOption.map(_.toString).getOrElse("")}) — raise " +
+          "cellWidth or maxCellsPerInterval")
+      df2
+        .where(col(lo).isNotNull && col(hi).isNotNull && col(hi) > col(lo))
+        .withColumn("__cell",
+          explode(sequence(cellOf(col(lo)), cellOf(col(hi) - lit(1L)))))
+    }
+    val l = cells(left, loL, hiL, "left").as("l")
+    val r = cells(right, loR, hiR, "right").as("r")
+    val overlap = col(s"l.`$loL`") < col(s"r.`$hiR`") &&
+      col(s"r.`$loR`") < col(s"l.`$hiL`")
+    val reporting =
+      col("l.__cell") === cellOf(greatest(col(s"l.`$loL`"), col(s"r.`$loR`")))
+    l.join(r,
+        keyCols.map(c => col(s"l.`$c`") === col(s"r.`$c`"))
+          .foldLeft(col("l.__cell") === col("r.__cell"))(_ && _) &&
+          overlap && reporting)
+      .select(keyCols.map(c => col(s"l.`$c`").as(c)) ++
+        left.columns.filterNot(c => keyCols.contains(c)).toSeq
+          .map(c => col(s"l.`$c`")) ++
+        right.columns.filterNot(c => keyCols.contains(c)).toSeq
+          .map(c => col(s"r.`$c`")): _*)
+  }
+
   /** Batch sessionization released as a first-class session table: one
     * row per (entity, session) — sessions split where consecutive events
     * gap by MORE than `gapUnits` — with the session's 1-based per-entity

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
@@ -621,6 +622,56 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(run("first") === Set(
       (1L, 25L, "click", 10L), (1L, 300L, null, -1L),
       (2L, 5L, null, -1L), (2L, 7L, "click", 6L)))
+  }
+
+  test("intervalOverlapJoin: exact pair set vs brute force across random " +
+      "keyed intervals and cell widths (reporting-cell dedup, half-open " +
+      "bounds, negative epochs)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(longCol("k"), longCol("id"),
+      longCol("lo"), longCol("hi")))
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 150).map { i =>
+      val lo = rng.nextInt(200).toLong - 100L
+      org.apache.spark.sql.Row(rng.nextInt(4).toLong + 1L, i.toLong,
+        lo, lo + rng.nextInt(30).toLong) // some empty (hi == lo)
+    }
+    val model = (for {
+      a <- rows; b <- rows
+      if a.getLong(0) == b.getLong(0) && a.getLong(1) != b.getLong(1)
+      if a.getLong(3) > a.getLong(2) && b.getLong(3) > b.getLong(2)
+      if a.getLong(2) < b.getLong(3) && b.getLong(2) < a.getLong(3)
+    } yield (a.getLong(0), a.getLong(1), b.getLong(1))).toSet
+    val df = makeDf(schema, rows)
+    val a = df.select(col("k"), col("id").as("id_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = df.select(col("k"), col("id").as("id_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    for (w <- Seq(1L, 7L, 64L)) {
+      val got = Relational.intervalOverlapJoin(
+        a, b, Seq("k"), "lo_a", "hi_a", "lo_b", "hi_b", cellWidth = w)
+        .where(col("id_a") =!= col("id_b"))
+        .select("k", "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === model, s"cellWidth=$w")
+    }
+  }
+
+  test("intervalOverlapJoin guards: fat intervals, non-integral bounds, " +
+      "column clashes refuse loudly") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(longCol("k"), longCol("lo"), longCol("hi")))
+    val one = makeDf(schema, Seq(org.apache.spark.sql.Row(1L, 0L, 100000L)))
+    val r = one.select(col("k"), col("lo").as("lo2"), col("hi").as("hi2"))
+    val e = intercept[Exception](Relational.intervalOverlapJoin(
+      one, r, Seq("k"), "lo", "hi", "lo2", "hi2",
+      cellWidth = 1L, maxCellsPerInterval = 10L))
+    assert(e.getMessage.contains("maxCellsPerInterval"))
+    intercept[IllegalArgumentException](Relational.intervalOverlapJoin(
+      one.withColumn("lod", col("lo").cast("double")), r,
+      Seq("k"), "lod", "hi", "lo2", "hi2", cellWidth = 10L))
+    intercept[IllegalArgumentException](Relational.intervalOverlapJoin(
+      one, one, Seq("k"), "lo", "hi", "lo", "hi", cellWidth = 10L))
   }
 
   test("sessionTable: gap splits, 1-based per-entity index, rollup " +
