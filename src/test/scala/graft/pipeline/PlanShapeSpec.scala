@@ -386,4 +386,55 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"quarantine joins must stay key-equi:\n$plan")
   }
+
+  test("edit-distance join: prefix and length-band joins stay gram/length-" +
+      "keyed — no cartesian, no nested loop") {
+    val names = makeDf(StructType(Seq(strCol("s"))),
+      (1 to 80).map(i => Row(s"name_variant_$i" + ("x" * (i % 5)))))
+    val plan = executed(Dedup.editDistancePairs(names, "s", 2))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ed-join must stay key-equi:\n$plan")
+  }
+
+  test("interval overlap join is a (key, cell) hash join, never the " +
+      "per-key cartesian of the naive theta form") {
+    val iv = makeDf(StructType(Seq(longCol("k"), longCol("id"),
+        longCol("lo"), longCol("hi"))),
+      (1 to 100).map(i => Row((i % 5).toLong, i.toLong,
+        (i * 3).toLong, (i * 3 + 10).toLong)))
+    val a = iv.select(col("k"), col("id").as("id_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = iv.select(col("k"), col("id").as("id_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    val plan = executed(Relational.intervalOverlapJoin(
+      a, b, Seq("k"), "lo_a", "hi_a", "lo_b", "hi_b", cellWidth = 8L))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must stay (key, cell)-equi:\n$plan")
+  }
+
+  test("frequent pairs: incidence self-join stays basket-keyed with " +
+      "map-side partial counts; scd2/session/attribution windows share " +
+      "one entity exchange") {
+    val bi = makeDf(StructType(Seq(longCol("b"), longCol("i"))),
+      (1 to 300).map(n => Row((n % 40).toLong, (n % 12).toLong)))
+    val fp = executed(CorpusStats.frequentPairs(bi, "b", "i", 2L))
+    assert(!fp.contains("CartesianProduct") &&
+      !fp.contains("BroadcastNestedLoopJoin"),
+      s"pair join must stay basket-keyed:\n$fp")
+    val ev = makeDf(StructType(Seq(longCol("u"), longCol("t"), strCol("y"))),
+      (1 to 200).map(n => Row((n % 20).toLong, n.toLong,
+        if (n % 5 == 0) "buy" else "click")))
+    for ((name, df) <- Seq(
+        "scd2" -> Relational.scd2History(ev, Seq("u"), "t", Seq("y")),
+        "sessionTable" -> Relational.sessionTable(ev, "u", "t", 10L),
+        "attribution" -> Relational.attribution(
+          ev, "u", "t", "y", "buy", Seq("click"), 50L))) {
+      val plan = executed(df)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"$name must reuse ONE entity-keyed exchange, got $exchanges:\n$plan")
+    }
+  }
 }
