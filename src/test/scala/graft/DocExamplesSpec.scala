@@ -336,4 +336,47 @@ class DocExamplesSpec extends SparkSpec {
       .orderBy("rank").select("id").as[Long].collect().toSeq
     assert(top === Seq(1L, 3L)) // doc 1 matches both terms, one rare
   }
+
+  test("example: vendor names link through edit distance and resolve to " +
+      "a canonical form; SCD2 runs feed the interval conflict join") {
+    val vendors = Seq("Jon Smith", "John Smith", "John  Smith", "Acme Co")
+      .toDF("name")
+    val pairs = Dedup.editDistancePairs(vendors, "name", maxDistance = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("John  Smith", "John Smith"),
+      ("John Smith", "Jon Smith"), ("John  Smith", "Jon Smith")))
+    val canon = Dedup.resolveEntities(vendors, "name", maxDistance = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(canon("Jon Smith") === "John  Smith" &&
+      canon("John Smith") === "John  Smith" &&
+      canon("Acme Co") === "Acme Co")
+    // change log -> effective-dated rows; overlapping histories conflict
+    val obs = Seq((1L, 10L, "gold"), (1L, 20L, "gold"), (1L, 30L, "basic"))
+      .toDF("vendor", "seen_at", "tier")
+    val hist = Relational.scd2History(obs, Seq("vendor"), "seen_at", Seq("tier"))
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(hist === Set(("gold", 10L, 30L), ("basic", 30L, -1L)))
+    val a = Seq((1L, 10L, 30L, "x")).toDF("vendor", "from_a", "to_a", "pa")
+    val b = Seq((1L, 25L, 40L, "y"), (1L, 30L, 40L, "z"))
+      .toDF("vendor", "from_b", "to_b", "pb")
+    val hits = Relational.intervalOverlapJoin(
+      a, b, Seq("vendor"), "from_a", "to_a", "from_b", "to_b",
+      cellWidth = 16L).select("pb").as[String].collect().toSeq
+    assert(hits === Seq("y")) // [10,30) meets [25,40) but not [30,40)
+  }
+
+  test("example: conversions credit their last in-lookback touch; the " +
+      "session table is the durable sessionization release") {
+    val ev = Seq((1L, 10L, "click"), (1L, 20L, "view"), (1L, 25L, "purchase"),
+      (1L, 500L, "purchase")).toDF("user", "t", "etype")
+    val credits = Relational.attribution(
+      ev, "user", "t", "etype", "purchase", Seq("click", "view"), 100L)
+      .collect().map(r => (r.getLong(1), Option(r.getString(2)).orNull)).toSet
+    assert(credits === Set((25L, "view"), (500L, null))) // 500 is too late
+    val sess = Relational.sessionTable(ev, "user", "t", gapUnits = 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(sess === Set((1L, 10L, 25L, 3L), (2L, 500L, 500L, 1L)))
+  }
 }
