@@ -86,7 +86,7 @@ final case class KllQuantileAgg(
     val n = buffer.totalWeight
     val qs: Any =
       if (n == 0L) null
-      else new GenericArrayData(percentiles.map(buffer.quantile).toArray)
+      else new GenericArrayData(buffer.quantilesOf(percentiles))
     InternalRow(n, buffer.errUnits, qs)
   }
 
@@ -182,29 +182,55 @@ object KllQuantileAgg {
       * ceil(q * totalWeight) (>= 1) — in the exact regime, the classic
       * 1-based rank-ceil discrete quantile of the input multiset.
       */
-    def quantile(q: Double): Double = {
-      val target = math.max(1L, math.ceil(q * totalWeight).toLong)
-      val pairs = collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    def quantile(q: Double): Double = quantilesOf(Seq(q))(0)
+
+    /** All requested quantiles off ONE sort of the retained items: the
+      * (value, cumulative-weight) arrays are built once, then each
+      * percentile is a binary search for the first cumulative weight
+      * reaching its target rank — O(S log S + P log S) instead of P
+      * independent sorts (S = retained items, O(k log(n/k))).
+      */
+    def quantilesOf(qs: Seq[Double]): Array[Double] = {
+      var s = 0
       var l = 0
+      while (l < sizes.length) { s += sizes(l); l += 1 }
+      val vals = new Array[Double](s)
+      val wts = new Array[Long](s)
+      var j = 0
+      l = 0
       while (l < sizes.length) {
         var i = 0
-        while (i < sizes(l)) { pairs += ((levels(l)(i), 1L << l)); i += 1 }
+        while (i < sizes(l)) {
+          vals(j) = levels(l)(i); wts(j) = 1L << l; j += 1; i += 1
+        }
         l += 1
       }
-      val sorted = pairs.sortBy(_._1)
-      var cum = 0L
-      var i = 0
-      while (i < sorted.length) {
-        cum += sorted(i)._2
-        if (cum >= target) return sorted(i)._1
-        i += 1
-      }
-      sorted.last._1
+      // sort pairs by value: index sort keeps the weight attached
+      val idx = Array.range(0, s).sortBy(vals)
+      val cum = new Array[Long](s)
+      var acc = 0L
+      j = 0
+      while (j < s) { acc += wts(idx(j)); cum(j) = acc; j += 1 }
+      qs.map { q =>
+        val target = math.max(1L, math.ceil(q * totalWeight).toLong)
+        // first index with cum(i) >= target (cum is strictly increasing)
+        var lo = 0
+        var hi = s - 1
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cum(mid) >= target) hi = mid else lo = mid + 1
+        }
+        vals(idx(lo))
+      }.toArray
     }
 
     def toBytes: Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
+      // k leads the wire format so a union under a DIFFERENT k fails
+      // loudly in fromBytes instead of silently re-compacting under the
+      // caller's k (which would change the reported regime/err_units)
+      out.writeInt(k)
       out.writeLong(errUnits)
       out.writeLong(totalWeight)
       out.writeInt(sizes.length)
@@ -230,6 +256,11 @@ object KllQuantileAgg {
   object State {
     def fromBytes(bytes: Array[Byte], k: Int): State = {
       val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val wireK = in.readInt()
+      require(wireK == k,
+        s"KLL sketch was built with k=$wireK but is being merged under " +
+          s"k=$k — mixed-k unions silently change the error certificate; " +
+          "rebuild the sketches or the union with one k")
       val st = new State(k)
       st.errUnits = in.readLong()
       st.totalWeight = in.readLong()
@@ -310,10 +341,10 @@ final case class KllSketchAgg(
   * merge-time compactions, and the rank theorem holds for the union —
   * so a rollup whose fine sketches were exact and whose merged buffer
   * still fits k is itself EXACT (err_units 0), the regime the oracle
-  * pins. The caller must pass the SAME k the sketches were built with
-  * (the wire format does not carry it; a larger-k sketch fails
-  * structurally in deserialization only when a level overflows, so keep
-  * k at one call site — the [[Kmv]] discipline).
+  * pins. The caller must pass the SAME k the sketches were built with:
+  * k leads the wire format and deserialization `require`s a match, so a
+  * mixed-k union fails loudly instead of silently re-compacting under
+  * the caller's k (which would change the reported regime/err_units).
   */
 final case class KllUnionAgg(
     child: Expression,
@@ -355,7 +386,7 @@ final case class KllUnionAgg(
     val n = buffer.totalWeight
     val qs: Any =
       if (n == 0L) null
-      else new GenericArrayData(percentiles.map(buffer.quantile).toArray)
+      else new GenericArrayData(buffer.quantilesOf(percentiles))
     InternalRow(n, buffer.errUnits, qs)
   }
 

@@ -631,13 +631,18 @@ object Relational {
             s"for '$c' — convert to epoch units first")
       }
     }
-    // exact floor division for possibly-negative epochs
+    // exact floor division for possibly-negative epochs. `div` (SQL
+    // IntegralDivide), NOT `/`: Spark's `/` on longs is double division,
+    // which rounds once the quotient passes 2^53 — nanosecond-scale
+    // epochs would silently land in the wrong cell and drop overlaps.
     def cellOf(c: Column): Column =
-      ((c - pmod(c, lit(cellWidth))) / lit(cellWidth)).cast("long")
+      call_function("div", c - pmod(c, lit(cellWidth)), lit(cellWidth))
     def cells(df2: DataFrame, lo: String, hi: String, side: String) = {
       val fat = df2
         .where(col(lo).isNotNull && col(hi).isNotNull && col(hi) > col(lo))
-        .where((col(hi) - lit(1L) - col(lo)) / lit(cellWidth) >=
+        // spans > maxCellsPerInterval cells <=> cell-index span >= max
+        // (same exact integer arithmetic as the explode below)
+        .where(cellOf(col(hi) - lit(1L)) - cellOf(col(lo)) >=
           lit(maxCellsPerInterval))
         .limit(1).collect()
       require(fat.isEmpty,
@@ -727,13 +732,19 @@ object Relational {
     * null-entity discipline). `timeCol` must be integral epoch units —
     * same guard and hint as [[rollingStats]].
     *
+    * Touches TIED on one timestamp resolve deterministically by the
+    * type: "last" credits the later-sorting type (matching
+    * [[graft.streaming.Streaming.streamingAttribution]]'s
+    * (time, type)-ordered fold), "first" the earlier-sorting one — the
+    * output never depends on partition row order.
+    *
     * Plan shape: ONE exchange keyed on the entity + one sort by time;
-    * both touch columns are first/last-ignoreNulls over the same
-    * RANGE [-lookback, -1) frame (one WindowExec, no self-join — the
-    * naive "join conversions to touches and rank" formulation shuffles
-    * the touch stream a second time and explodes on multi-touch
-    * entities). The conversion filter prunes AFTER the window, so the
-    * frame sees every touch.
+    * both touch columns unpack ONE min/max of struct(time, type) over
+    * the same RANGE [-lookback, -1) frame (one WindowExec, no self-join
+    * — the naive "join conversions to touches and rank" formulation
+    * shuffles the touch stream a second time and explodes on
+    * multi-touch entities). The conversion filter prunes AFTER the
+    * window, so the frame sees every touch.
     */
   def attribution(
       events: DataFrame, entityCol: String, timeCol: String, typeCol: String,
@@ -747,7 +758,7 @@ object Relational {
       s"mode must be 'last' or 'first', got '$mode'")
     Seq(entityCol, timeCol, typeCol).foreach(c =>
       require(events.columns.contains(c), s"events side is missing '$c'"))
-    for (reserved <- Seq("touch_type", "touch_time"))
+    for (reserved <- Seq("touch_type", "touch_time", "__touch"))
       require(!events.columns.contains(reserved),
         s"input uses reserved column name '$reserved'; rename it first")
     val tt = events.schema(timeCol).dataType
@@ -760,16 +771,25 @@ object Relational {
     val w = Window.partitionBy(entityCol).orderBy(col(timeCol))
       .rangeBetween(-lookback, -1)
     val isTouch = col(typeCol).isin(touchTypes.map(x => x: Any): _*)
-    def pick(c: Column): Column =
-      if (mode == "last") last(when(isTouch, c), ignoreNulls = true).over(w)
-      else first(when(isTouch, c), ignoreNulls = true).over(w)
+    // min/max of struct(time, type), not first/last-ignoreNulls: ordering
+    // by time alone leaves touches TIED on one timestamp resolved by
+    // partition row order (run-unstable, and batch could disagree with
+    // the streaming twin). Struct comparison breaks the tie on the type:
+    // "last" prefers the later-sorting type — exactly what
+    // streamingAttribution's (time, type)-ordered fold keeps — and
+    // "first" the earlier-sorting one. min/max skip nulls like
+    // first/last-ignoreNulls did.
+    val touch =
+      when(isTouch, struct(col(timeCol).as("t"), col(typeCol).as("y")))
+    val pick =
+      if (mode == "last") max(touch).over(w) else min(touch).over(w)
     events
       .select(col(entityCol), col(timeCol), col(typeCol))
       .where(col(entityCol).isNotNull && col(timeCol).isNotNull)
-      .withColumn("touch_type", pick(col(typeCol)))
-      .withColumn("touch_time", pick(col(timeCol)))
+      .withColumn("__touch", pick)
       .where(col(typeCol) === convType)
-      .select(col(entityCol), col(timeCol), col("touch_type"),
-        col("touch_time"))
+      .select(col(entityCol), col(timeCol),
+        col("__touch").getField("y").as("touch_type"),
+        col("__touch").getField("t").as("touch_time"))
   }
 }

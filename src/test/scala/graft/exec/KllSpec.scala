@@ -216,4 +216,19 @@ class KllSpec extends SparkSpec {
       KllQuantileAgg(null, 64, Nil)
     }
   }
+
+  test("union under a DIFFERENT k fails loudly (k is in the wire format; " +
+      "a silent re-compaction would change the certificate)") {
+    val schema = StructType(Seq(strCol("g"), dblCol("v")))
+    val df = makeDf(schema, (1 to 50).map(i => Row("a", i.toDouble)))
+    val sk = df.groupBy("g").agg(Kll.sketch(col("v"), 64).as("sk"))
+    val e = intercept[Exception] {
+      sk.agg(Kll.unionQuantiles(col("sk"), 128, Seq(0.5)).as("u"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m =>
+      m.contains("built with k=64") && m.contains("k=128")))
+  }
 }

@@ -624,6 +624,27 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       (2L, 5L, null, -1L), (2L, 7L, "click", 6L)))
   }
 
+  test("attribution: touches tied on one timestamp resolve by type, " +
+      "deterministically across partitionings (last -> later-sorting " +
+      "type, first -> earlier-sorting, matching streamingAttribution)") {
+    val rows = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "view"), (1L, 10L, "click"), (1L, 10L, "ad"),
+      (1L, 20L, "buy"),
+      (2L, 5L, "click"), (2L, 5L, "view"), (2L, 9L, "buy"))
+    def run(mode: String, parts: Int) = Relational.attribution(
+      attrDf(rows).repartition(parts), "u", "t", "y", "buy",
+      Seq("ad", "click", "view"), 100L, mode)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      .toSet
+    for (parts <- Seq(1, 3, 7)) {
+      // among the t=10 tie, "view" sorts last and "ad" first
+      assert(run("last", parts) ===
+        Set((1L, "view", 10L), (2L, "view", 5L)), s"parts=$parts")
+      assert(run("first", parts) ===
+        Set((1L, "ad", 10L), (2L, "click", 5L)), s"parts=$parts")
+    }
+  }
+
   test("intervalOverlapJoin: exact pair set vs brute force across random " +
       "keyed intervals and cell widths (reporting-cell dedup, half-open " +
       "bounds, negative epochs)") {
