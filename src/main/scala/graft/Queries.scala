@@ -1023,6 +1023,44 @@ object Queries {
         convType = "purchase",
         touchTypes = Seq("click", "view", "signup"), lookback = 500L)
     }),
+    "q170_multi_touch_linear" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // multi-touch split of q164's credit: every in-window touch gets
+      // 1/n — same single entity-keyed exchange, touches fold into one
+      // collect_list window and explode AFTER the conversion filter
+      graft.pipeline.Relational.multiTouchAttribution(
+        readEvents(s, d).select(col("user_id"), col("event_id"),
+          col("event_type")),
+        entityCol = "user_id", timeCol = "event_id", typeCol = "event_type",
+        convType = "purchase",
+        touchTypes = Seq("click", "view", "signup"), lookback = 500L,
+        model = "linear")
+    }),
+    "q171_multi_touch_position" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // U-shaped position-based credit: first and last touches take 0.4
+      // each, the middle shares 0.2 (1 touch takes all, 2 split evenly)
+      graft.pipeline.Relational.multiTouchAttribution(
+        readEvents(s, d).select(col("user_id"), col("event_id"),
+          col("event_type")),
+        entityCol = "user_id", timeCol = "event_id", typeCol = "event_type",
+        convType = "purchase",
+        touchTypes = Seq("click", "view", "signup"), lookback = 500L,
+        model = "position")
+    }),
+    "q172_time_decay_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // stepped exponential decay: touch weight halves every 50 id-units
+      // of age; exact integer powers of two normalized per conversion,
+      // so credits are engine-portable correctly-rounded doubles
+      graft.pipeline.Relational.multiTouchAttribution(
+        readEvents(s, d).select(col("user_id"), col("event_id"),
+          col("event_type")),
+        entityCol = "user_id", timeCol = "event_id", typeCol = "event_type",
+        convType = "purchase",
+        touchTypes = Seq("click", "view", "signup"), lookback = 500L,
+        model = "time_decay", halfLife = 50L)
+    }),
     "q163_robust_outliers" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // Tukey-fence quarantine on the heavy-tailed value column, fences
@@ -3073,6 +3111,71 @@ object Queries {
         |    RANGE BETWEEN 500 PRECEDING AND 1 PRECEDING))
         |SELECT user_id, event_id, touch_type, touch_time
         |FROM tagged WHERE event_type = 'purchase'""".stripMargin,
+    // independent formulation: conversions-to-touches range self-join
+    // (fine at oracle scale) vs the engine's one-exchange window fold
+    "q170_multi_touch_linear" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type FROM events
+        |    WHERE user_id IS NOT NULL),
+        |  conv AS (SELECT user_id, event_id FROM ev
+        |    WHERE event_type = 'purchase'),
+        |  tch AS (SELECT user_id, event_id AS t, event_type AS y FROM ev
+        |    WHERE event_type IN ('click','view','signup')),
+        |  j AS (SELECT c.user_id, c.event_id, h.y AS touch_type,
+        |      h.t AS touch_time
+        |    FROM conv c LEFT JOIN tch h ON h.user_id = c.user_id
+        |      AND h.t BETWEEN c.event_id - 500 AND c.event_id - 1)
+        |SELECT user_id, event_id, touch_type, touch_time,
+        |  CASE WHEN touch_time IS NULL THEN NULL
+        |    ELSE CAST(1 AS DOUBLE) /
+        |      COUNT(touch_time) OVER (PARTITION BY user_id, event_id)
+        |  END AS credit
+        |FROM j""".stripMargin,
+    "q171_multi_touch_position" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type FROM events
+        |    WHERE user_id IS NOT NULL),
+        |  conv AS (SELECT user_id, event_id FROM ev
+        |    WHERE event_type = 'purchase'),
+        |  tch AS (SELECT user_id, event_id AS t, event_type AS y FROM ev
+        |    WHERE event_type IN ('click','view','signup')),
+        |  j AS (SELECT c.user_id, c.event_id, h.y AS touch_type,
+        |      h.t AS touch_time
+        |    FROM conv c LEFT JOIN tch h ON h.user_id = c.user_id
+        |      AND h.t BETWEEN c.event_id - 500 AND c.event_id - 1),
+        |  r AS (SELECT user_id, event_id, touch_type, touch_time,
+        |      COUNT(touch_time)
+        |        OVER (PARTITION BY user_id, event_id) AS n,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, event_id
+        |        ORDER BY touch_time, touch_type) AS rk
+        |    FROM j)
+        |SELECT user_id, event_id, touch_type, touch_time,
+        |  CASE WHEN touch_time IS NULL THEN NULL
+        |    WHEN n = 1 THEN CAST(1 AS DOUBLE)
+        |    WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+        |    WHEN rk = 1 OR rk = n THEN CAST(0.4 AS DOUBLE)
+        |    ELSE CAST(0.2 AS DOUBLE) / (n - 2)
+        |  END AS credit
+        |FROM r""".stripMargin,
+    "q172_time_decay_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type FROM events
+        |    WHERE user_id IS NOT NULL),
+        |  conv AS (SELECT user_id, event_id FROM ev
+        |    WHERE event_type = 'purchase'),
+        |  tch AS (SELECT user_id, event_id AS t, event_type AS y FROM ev
+        |    WHERE event_type IN ('click','view','signup')),
+        |  j AS (SELECT c.user_id, c.event_id, h.y AS touch_type,
+        |      h.t AS touch_time
+        |    FROM conv c LEFT JOIN tch h ON h.user_id = c.user_id
+        |      AND h.t BETWEEN c.event_id - 500 AND c.event_id - 1),
+        |  r AS (SELECT user_id, event_id, touch_type, touch_time,
+        |      CASE WHEN touch_time IS NULL THEN NULL
+        |        ELSE (CAST(1 AS BIGINT) << CAST(
+        |          40 - (event_id - touch_time) // 50 AS INTEGER))
+        |      END AS w
+        |    FROM j)
+        |SELECT user_id, event_id, touch_type, touch_time,
+        |  CAST(w AS DOUBLE) / CAST(SUM(w)
+        |    OVER (PARTITION BY user_id, event_id) AS DOUBLE) AS credit
+        |FROM r""".stripMargin,
     // identical fences from quantile_disc (the sketch is exact here),
     // identical double formula with the binary-exact 1.5 factor
     "q163_robust_outliers" ->

@@ -792,4 +792,129 @@ object Relational {
         col("__touch").getField("y").as("touch_type"),
         col("__touch").getField("t").as("touch_time"))
   }
+
+  /** Multi-touch attribution: every conversion's credit SPLIT across all
+    * in-window touches — one row per (conversion, touch) with a `credit`
+    * weight summing to 1 per attributed conversion — instead of
+    * [[attribution]]'s single winner. Models:
+    *
+    *  - `"linear"`: each of the n touches gets 1/n;
+    *  - `"position"` (U-shaped): 1 touch takes all, 2 split evenly, 3+
+    *    give 0.4 to the first, 0.4 to the last, 0.2 shared equally by
+    *    the middle — the standard position-based model;
+    *  - `"time_decay"`: touch i weighs 2^-k_i with k_i = (convTime -
+    *    touchTime) div `halfLife`, normalized per conversion. The decay
+    *    is STEPPED per half-life and the weights are exact integer
+    *    powers of two (`lookback div halfLife` capped at 40), so every
+    *    credit is a correctly-rounded double any engine reproduces
+    *    bit-for-bit — the integer-micro-unit discipline of pageRank/BM25
+    *    applied to decay curves.
+    *
+    * Conversions with no in-window touch release ONE row with NULL touch
+    * columns and NULL credit (truthfully unattributed, the
+    * [[attribution]] contract). Touch order (for `position` and tie
+    * stability) is (time, type) ascending — ties on one timestamp
+    * resolve by type, deterministic under any partitioning.
+    *
+    * Plan shape: the SAME single entity-keyed exchange as
+    * [[attribution]] — in-window touches fold into ONE
+    * collect_list-over-RANGE-frame window (state bounded by
+    * `maxTouchesPerConversion`, breached loudly via raise_error, never
+    * truncated silently), weights are array-local codegen'd
+    * higher-order functions, and the per-touch rows explode AFTER the
+    * conversion filter — no conversions-to-touches self-join, which
+    * would shuffle the touch stream a second time and explode on
+    * multi-touch entities.
+    */
+  def multiTouchAttribution(
+      events: DataFrame, entityCol: String, timeCol: String, typeCol: String,
+      convType: String, touchTypes: Seq[String], lookback: Long,
+      model: String = "linear", halfLife: Long = 0L,
+      maxTouchesPerConversion: Int = 65536): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(convType),
+      s"conversion type '$convType' cannot also be a touch type")
+    require(lookback > 0L, s"lookback must be positive, got $lookback")
+    require(Seq("linear", "position", "time_decay").contains(model),
+      s"model must be linear, position or time_decay, got '$model'")
+    require(maxTouchesPerConversion >= 1,
+      s"maxTouchesPerConversion must be >= 1, got $maxTouchesPerConversion")
+    if (model == "time_decay") {
+      require(halfLife > 0L,
+        s"time_decay needs a positive halfLife, got $halfLife")
+      require(lookback / halfLife <= 40L,
+        s"lookback/halfLife = ${lookback / halfLife} exceeds 40 half-lives " +
+          "— the integer weight 2^(40-k) would overflow exactness; raise " +
+          "halfLife or shorten lookback")
+    } else require(halfLife == 0L,
+      s"halfLife only applies to time_decay, got $halfLife for '$model'")
+    Seq(entityCol, timeCol, typeCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    for (reserved <- Seq("touch_type", "touch_time", "credit", "__touches",
+        "__ws", "__sw", "__n", "__pos", "__t"))
+      require(!events.columns.contains(reserved),
+        s"input uses reserved column name '$reserved'; rename it first")
+    val tt = events.schema(timeCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(tt),
+      s"multiTouchAttribution needs an integral time column, got " +
+        s"${tt.simpleString} — convert to epoch units first")
+    val w = Window.partitionBy(entityCol).orderBy(col(timeCol))
+      .rangeBetween(-lookback, -1)
+    val isTouch = col(typeCol).isin(touchTypes.map(x => x: Any): _*)
+    // collect_list skips the null non-touch entries; array_sort makes the
+    // in-frame order (time, type), not partition row order
+    val touches =
+      array_sort(collect_list(when(isTouch,
+        struct(col(timeCol).cast("long").as("t"), col(typeCol).as("y"))))
+        .over(w))
+    val base = events
+      .select(col(entityCol), col(timeCol), col(typeCol))
+      .where(col(entityCol).isNotNull && col(timeCol).isNotNull)
+      .withColumn("__touches", touches)
+      .where(col(typeCol) === convType)
+      .withColumn("__n", size(col("__touches")))
+      .withColumn("__touches",
+        when(col("__n") > lit(maxTouchesPerConversion), raise_error(concat(
+          lit("multiTouchAttribution: a conversion window holds > " +
+            s"$maxTouchesPerConversion touches (entity "),
+          col(entityCol).cast("string"),
+          lit(") — raise maxTouchesPerConversion or shorten the lookback"))))
+          .otherwise(col("__touches")))
+    // time_decay: integer weights 2^(40-k) per touch plus their sum, both
+    // array-local (codegen'd higher-order functions, no extra exchange)
+    val weighted =
+      if (model != "time_decay") base
+      else base
+        .withColumn("__ws", transform(col("__touches"), x =>
+          call_function("shiftleft", lit(1L),
+            (lit(40L) - call_function("div",
+              col(timeCol).cast("long") - x.getField("t"), lit(halfLife)))
+              .cast("int"))))
+        .withColumn("__sw",
+          aggregate(col("__ws"), lit(0L), (acc, x) => acc + x))
+    val exploded = weighted.select(
+      Seq(col(entityCol), col(timeCol), col("__n")) ++
+        (if (model == "time_decay") Seq(col("__ws"), col("__sw")) else Nil) :+
+        posexplode_outer(col("__touches")).as(Seq("__pos", "__t")): _*)
+    val credit = model match {
+      case "linear" => lit(1.0) / col("__n")
+      case "position" =>
+        when(col("__n") === 1, lit(1.0))
+          .when(col("__n") === 2, lit(0.5))
+          .when(col("__pos") === 0 || col("__pos") === col("__n") - 1,
+            lit(0.4))
+          .otherwise(lit(0.2) / (col("__n") - lit(2)))
+      case _ =>
+        element_at(col("__ws"), col("__pos") + 1).cast("double") /
+          col("__sw").cast("double")
+    }
+    exploded.select(col(entityCol), col(timeCol),
+      col("__t").getField("y").as("touch_type"),
+      col("__t").getField("t").as("touch_time"),
+      when(col("__t").isNull, lit(null).cast("double"))
+        .otherwise(credit).as("credit"))
+  }
 }

@@ -430,11 +430,20 @@ class PlanShapeSpec extends SparkSpec {
         "scd2" -> Relational.scd2History(ev, Seq("u"), "t", Seq("y")),
         "sessionTable" -> Relational.sessionTable(ev, "u", "t", 10L),
         "attribution" -> Relational.attribution(
-          ev, "u", "t", "y", "buy", Seq("click"), 50L))) {
+          ev, "u", "t", "y", "buy", Seq("click"), 50L),
+        "multiTouch:linear" -> Relational.multiTouchAttribution(
+          ev, "u", "t", "y", "buy", Seq("click"), 50L),
+        "multiTouch:position" -> Relational.multiTouchAttribution(
+          ev, "u", "t", "y", "buy", Seq("click"), 50L, "position"),
+        "multiTouch:time_decay" -> Relational.multiTouchAttribution(
+          ev, "u", "t", "y", "buy", Seq("click"), 50L, "time_decay", 5L))) {
       val plan = executed(df)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
       assert(exchanges == 1,
         s"$name must reuse ONE entity-keyed exchange, got $exchanges:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Join"),
+        s"$name must not self-join the touch stream:\n$plan")
     }
   }
 }

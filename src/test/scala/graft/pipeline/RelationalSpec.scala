@@ -645,6 +645,68 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("multiTouchAttribution: linear / position / time_decay splits by " +
+      "hand, NULL row for unattributed, ties resolve by type, credits " +
+      "sum to 1, partitioning-invariant") {
+    val rows = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "click"), (1L, 20L, "view"), (1L, 30L, "ad"),
+      (1L, 40L, "buy"),
+      (1L, 300L, "buy"),                      // nothing within lookback 100
+      (2L, 5L, "click"), (2L, 6L, "buy"),     // single touch
+      (3L, 5L, "view"), (3L, 5L, "click"), (3L, 10L, "buy"), // tied pair
+      (null, 1L, "buy"))
+    def run(model: String, hl: Long, parts: Int) =
+      Relational.multiTouchAttribution(
+        attrDf(rows).repartition(parts), "u", "t", "y", "buy",
+        Seq("ad", "click", "view"), 100L, model, hl)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getString(2)).orNull,
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSet
+    val nul1 = (1L, 300L, null, -1L, -1.0)
+    val one2 = (2L, 6L, "click", 5L, 1.0)
+    for (parts <- Seq(1, 4)) {
+      assert(run("linear", 0L, parts) === Set(
+        (1L, 40L, "click", 10L, 1.0 / 3), (1L, 40L, "view", 20L, 1.0 / 3),
+        (1L, 40L, "ad", 30L, 1.0 / 3), nul1, one2,
+        (3L, 10L, "click", 5L, 0.5), (3L, 10L, "view", 5L, 0.5)),
+        s"linear parts=$parts")
+      // position: first (click@10) and last (ad@30) take 0.4, middle 0.2;
+      // user 3's tie orders (5,click) before (5,view)
+      assert(run("position", 0L, parts) === Set(
+        (1L, 40L, "click", 10L, 0.4), (1L, 40L, "view", 20L, 0.2),
+        (1L, 40L, "ad", 30L, 0.4), nul1, one2,
+        (3L, 10L, "click", 5L, 0.5), (3L, 10L, "view", 5L, 0.5)),
+        s"position parts=$parts")
+      // halfLife 10: k = 3/2/1 for click/view/ad -> weights 1:2:4
+      assert(run("time_decay", 10L, parts) === Set(
+        (1L, 40L, "click", 10L, 1.0 / 7), (1L, 40L, "view", 20L, 2.0 / 7),
+        (1L, 40L, "ad", 30L, 4.0 / 7), nul1, one2,
+        (3L, 10L, "click", 5L, 0.5), (3L, 10L, "view", 5L, 0.5)),
+        s"time_decay parts=$parts")
+    }
+  }
+
+  test("multiTouchAttribution guards: bad model, halfLife misuse, " +
+      "over-cap half-lives, touch-count breach raises loudly") {
+    val df = attrDf(Seq((1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "a"),
+      (1L, 4L, "buy")))
+    intercept[IllegalArgumentException](Relational.multiTouchAttribution(
+      df, "u", "t", "y", "buy", Seq("a"), 10L, "u_shaped"))
+    intercept[IllegalArgumentException](Relational.multiTouchAttribution(
+      df, "u", "t", "y", "buy", Seq("a"), 10L, "time_decay", 0L))
+    intercept[IllegalArgumentException](Relational.multiTouchAttribution(
+      df, "u", "t", "y", "buy", Seq("a"), 10L, "linear", 5L))
+    intercept[IllegalArgumentException](Relational.multiTouchAttribution(
+      df, "u", "t", "y", "buy", Seq("a"), 1000L, "time_decay", 2L))
+    val e = intercept[Exception](Relational.multiTouchAttribution(
+      df, "u", "t", "y", "buy", Seq("a"), 10L, "linear",
+      maxTouchesPerConversion = 2).collect())
+    assert(e.getMessage.contains("maxTouchesPerConversion") ||
+      Option(e.getCause).exists(_.getMessage
+        .contains("maxTouchesPerConversion")))
+  }
+
   test("intervalOverlapJoin: exact pair set vs brute force across random " +
       "keyed intervals and cell widths (reporting-cell dedup, half-open " +
       "bounds, negative epochs)") {
