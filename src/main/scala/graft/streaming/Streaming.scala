@@ -329,6 +329,21 @@ object Streaming {
   final case class FunnelTimes(times: Seq[Long])
   final case class FunnelReach(entity: String, stage: Int)
 
+  /** Event-time state TTL for [[streamingFunnel]] / [[streamingAttribution]]:
+    * an entity whose newest event (by the REAL timestamp column `tsCol`)
+    * is older than `ttlMs` when the watermark reaches it has its state
+    * dropped. Expiry depends only on event times and the watermark —
+    * REPLAY-INVARIANT: a historical backfill (AvailableNow over old
+    * files) expires exactly the entities a live run would have, where a
+    * processing-time TTL fires arbitrarily relative to event time
+    * (entities expire mid-funnel or not at all depending on machine
+    * speed). `tsCol` must be a timestamp column; `watermark` is the
+    * delay threshold handed to `withWatermark` (the [[sessionize]]
+    * discipline). Mutually exclusive with the processing-time
+    * `entityTtlMs` knob.
+    */
+  final case class EventTimeTtl(tsCol: String, watermark: String, ttlMs: Long)
+
   final case class SessionEvent(userId: Long, ts: Timestamp)
   final case class SessionSummary(
       userId: Long, start: Timestamp, end: Timestamp, nEvents: Long)
@@ -391,15 +406,20 @@ object Streaming {
     * ordering integer with no watermark, and "idle for X of wall time" is
     * the retention contract operators actually configure.
     *
-    * TTL requires a RECURRING trigger (e.g. ProcessingTime): Spark marks
-    * every batch "should run another" under processing-time timeouts —
-    * that is what fires expirations on an idle stream — so a
-    * run-to-completion trigger (AvailableNow / Once) would never settle.
-    * Leave `entityTtlMs` at None for finite replays.
+    * Processing-time TTL requires a RECURRING trigger (e.g.
+    * ProcessingTime): Spark marks every batch "should run another" under
+    * processing-time timeouts — that is what fires expirations on an
+    * idle stream — so a run-to-completion trigger (AvailableNow / Once)
+    * would never settle. Leave `entityTtlMs` at None for finite replays
+    * — or pass `eventTimeTtl` instead: an [[EventTimeTtl]] expires an
+    * entity when the WATERMARK passes its newest event's timestamp plus
+    * the TTL, which is replay-invariant (a backfill expires exactly what
+    * a live run would have) and settles fine under AvailableNow.
     */
   def streamingFunnel(
       events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
-      steps: Seq[String], entityTtlMs: Option[Long] = None): DataFrame = {
+      steps: Seq[String], entityTtlMs: Option[Long] = None,
+      eventTimeTtl: Option[EventTimeTtl] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"duplicate step types: ${steps.mkString(", ")}")
@@ -407,22 +427,48 @@ object Streaming {
       require(events.columns.contains(c), s"events side is missing '$c'"))
     entityTtlMs.foreach(t =>
       require(t > 0L, s"entityTtlMs must be positive, got $t"))
+    require(entityTtlMs.isEmpty || eventTimeTtl.isEmpty,
+      "entityTtlMs (processing-time) and eventTimeTtl (watermark) are " +
+        "mutually exclusive — pick one expiry clock")
+    eventTimeTtl.foreach { ttl =>
+      require(ttl.ttlMs > 0L, s"eventTimeTtl.ttlMs must be positive, " +
+        s"got ${ttl.ttlMs}")
+      require(events.columns.contains(ttl.tsCol),
+        s"events side is missing event-time column '${ttl.tsCol}'")
+      require(events.schema(ttl.tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"eventTimeTtl.tsCol must be a timestamp, got " +
+          s"${events.schema(ttl.tsCol).dataType.simpleString}")
+    }
     val stepIdx = steps.zipWithIndex.toMap
     val nSteps = steps.size
     implicit val stateEnc = Encoders.product[FunnelTimes]
     implicit val outEnc = Encoders.product[FunnelReach]
     implicit val strEnc = Encoders.STRING
-    implicit val rowEnc =
-      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong)
+    // the event-time column rides along RAW (an alias keeps the watermark
+    // metadata EventTimeTimeout's analyzer check looks for; a cast would
+    // strip it) — null when the TTL clock is processing-time or absent
+    implicit val rowEnc = Encoders.tuple(
+      Encoders.STRING, Encoders.STRING, Encoders.scalaLong,
+      Encoders.TIMESTAMP)
     val timeoutConf =
-      if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    events
-      .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
-        col(typeCol).isin(steps: _*))
-      .select(col(entityCol).cast("string"), col(typeCol).cast("string"),
-        col(timeCol).cast("long"))
-      .as[(String, String, Long)]
+    val prepared = eventTimeTtl match {
+      case Some(ttl) => events.withWatermark(ttl.tsCol, ttl.watermark)
+        .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+          col(ttl.tsCol).isNotNull && col(typeCol).isin(steps: _*))
+        .select(col(entityCol).cast("string"), col(typeCol).cast("string"),
+          col(timeCol).cast("long"), col(ttl.tsCol))
+      case None => events
+        .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+          col(typeCol).isin(steps: _*))
+        .select(col(entityCol).cast("string"), col(typeCol).cast("string"),
+          col(timeCol).cast("long"), lit(null).cast("timestamp"))
+    }
+    prepared
+      .as[(String, String, Long, Timestamp)]
       .groupByKey(_._1)
       .mapGroupsWithState[FunnelTimes, FunnelReach](timeoutConf) {
         (entity, it, state) =>
@@ -441,7 +487,7 @@ object Streaming {
             // within-batch arrival order is irrelevant: sort the slice by
             // (time, step type) and fold the greedy recurrence in order
             val evs = it.toArray.sortBy(r => (r._3, r._2))
-            for ((_, y, t) <- evs) {
+            for ((_, y, t, _) <- evs) {
               val i = stepIdx(y)
               if (times(i) == Long.MinValue &&
                   (i == 0 || (times(i - 1) != Long.MinValue && t > times(i - 1))))
@@ -449,6 +495,13 @@ object Streaming {
             }
             state.update(FunnelTimes(times.toSeq))
             entityTtlMs.foreach(state.setTimeoutDuration)
+            eventTimeTtl.foreach { ttl =>
+              // expire when the watermark passes newest-event + TTL; the
+              // timeout must sit strictly past the current watermark
+              val maxTs = evs.iterator.map(_._4.getTime).max
+              state.setTimeoutTimestamp(math.max(
+                maxTs + ttl.ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
             FunnelReach(entity, times.takeWhile(_ != Long.MinValue).length)
           }
       }
@@ -579,12 +632,18 @@ object Streaming {
     *
     * `entityTtlMs` bounds total state exactly as in [[streamingFunnel]]
     * (processing-time timeout; expired entities just lose their pending
-    * touch — requires a recurring trigger to settle).
+    * touch — requires a recurring trigger to settle). For
+    * backfill/replay, pass `eventTimeTtl` instead: watermark-based
+    * expiry is replay-invariant and settles under AvailableNow (see
+    * [[EventTimeTtl]]); the two knobs are mutually exclusive. Either
+    * expiry direction is safe: an expired entity's next conversion is
+    * UNattributed, never MISattributed.
     */
   def streamingAttribution(
       events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
       convType: String, touchTypes: Seq[String], lookback: Long,
-      entityTtlMs: Option[Long] = None): DataFrame = {
+      entityTtlMs: Option[Long] = None,
+      eventTimeTtl: Option[EventTimeTtl] = None): DataFrame = {
     require(touchTypes.nonEmpty, "attribution needs at least one touch type")
     require(!touchTypes.contains(convType),
       s"conversion type '$convType' cannot also be a touch type")
@@ -593,21 +652,45 @@ object Streaming {
       require(events.columns.contains(c), s"events side is missing '$c'"))
     entityTtlMs.foreach(t =>
       require(t > 0L, s"entityTtlMs must be positive, got $t"))
+    require(entityTtlMs.isEmpty || eventTimeTtl.isEmpty,
+      "entityTtlMs (processing-time) and eventTimeTtl (watermark) are " +
+        "mutually exclusive — pick one expiry clock")
+    eventTimeTtl.foreach { ttl =>
+      require(ttl.ttlMs > 0L, s"eventTimeTtl.ttlMs must be positive, " +
+        s"got ${ttl.ttlMs}")
+      require(events.columns.contains(ttl.tsCol),
+        s"events side is missing event-time column '${ttl.tsCol}'")
+      require(events.schema(ttl.tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"eventTimeTtl.tsCol must be a timestamp, got " +
+          s"${events.schema(ttl.tsCol).dataType.simpleString}")
+    }
     val touchSet = touchTypes.toSet
     implicit val stateEnc = Encoders.product[TouchState]
     implicit val outEnc = Encoders.product[TouchCredit]
     implicit val strEnc = Encoders.STRING
-    implicit val rowEnc =
-      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong)
+    implicit val rowEnc = Encoders.tuple(
+      Encoders.STRING, Encoders.STRING, Encoders.scalaLong,
+      Encoders.TIMESTAMP)
     val timeoutConf =
-      if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    events
-      .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
-        col(typeCol).isin((convType +: touchTypes): _*))
-      .select(col(entityCol).cast("string"), col(typeCol).cast("string"),
-        col(timeCol).cast("long"))
-      .as[(String, String, Long)]
+    val typeFilter = col(typeCol).isin((convType +: touchTypes): _*)
+    val prepared = eventTimeTtl match {
+      case Some(ttl) => events.withWatermark(ttl.tsCol, ttl.watermark)
+        .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+          col(ttl.tsCol).isNotNull && typeFilter)
+        .select(col(entityCol).cast("string"), col(typeCol).cast("string"),
+          col(timeCol).cast("long"), col(ttl.tsCol))
+      case None => events
+        .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+          typeFilter)
+        .select(col(entityCol).cast("string"), col(typeCol).cast("string"),
+          col(timeCol).cast("long"), lit(null).cast("timestamp"))
+    }
+    prepared
+      .as[(String, String, Long, Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[TouchState, TouchCredit](
         OutputMode.Update, timeoutConf) { (entity, it, state) =>
@@ -617,7 +700,8 @@ object Streaming {
         } else {
           var lastTouch = state.getOption.orNull
           val out = Vector.newBuilder[TouchCredit]
-          for ((_, y, t) <- it.toArray.sortBy(r => (r._3, r._2))) {
+          val evs = it.toArray.sortBy(r => (r._3, r._2))
+          for ((_, y, t, _) <- evs) {
             if (y == convType) {
               val hit = lastTouch != null && lastTouch.touchTime < t &&
                 t - lastTouch.touchTime <= lookback
@@ -633,6 +717,13 @@ object Streaming {
           if (lastTouch != null) {
             state.update(lastTouch)
             entityTtlMs.foreach(state.setTimeoutDuration)
+            eventTimeTtl.foreach { ttl =>
+              // expire when the watermark passes newest-event + TTL; the
+              // timeout must sit strictly past the current watermark
+              val maxTs = evs.iterator.map(_._4.getTime).max
+              state.setTimeoutTimestamp(math.max(
+                maxTs + ttl.ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
           }
           out.result().iterator
         }

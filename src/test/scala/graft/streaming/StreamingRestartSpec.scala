@@ -172,4 +172,111 @@ class StreamingRestartSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streamingFunnel eventTimeTtl expires on the WATERMARK clock: " +
+      "replay-invariant (AvailableNow backfill settles, expiry driven " +
+      "entirely by event times, wall-clock speed irrelevant)") {
+    val root = Files.createTempDirectory("funneletttl").toFile.getAbsolutePath
+    val inDir = s"$root/in"
+    val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val schema = StructType(Seq(
+      StructField("user", LongType), StructField("etype", StringType),
+      StructField("t", LongType), StructField("ts", TimestampType)))
+
+    def writeWave(rows: Seq[(Long, String, Long, Timestamp)]): Unit =
+      makeDf(schema, rows.map { case (u, e, t, w) =>
+        org.apache.spark.sql.Row(u, e, t, w) })
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+    // run-to-completion trigger: exactly what processing-time TTL cannot
+    // support and watermark TTL must — each run settles once the
+    // watermark-driven timeouts have fired
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val reach = Streaming.streamingFunnel(
+        stream, "user", "etype", "t", Seq("a", "b", "c"),
+        eventTimeTtl = Some(Streaming.EventTimeTtl(
+          "ts", "0 seconds", ttlMs = 10 * 60000L)))
+      val q = reach.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emits(): Seq[(String, Int)] =
+      spark.read.parquet(outDir)
+        .collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+
+    // wave 1: u1 reaches stage a at event-time minute 1 -> TTL armed for
+    // minute 11 on the EVENT clock
+    writeWave(Seq((1L, "a", 10L, ts(1))))
+    runOnce()
+    assert(emits() === Seq(("1", 1)))
+    // wave 2 (a later backfill run): an unrelated event at minute 40
+    // advances the watermark past u1's minute-11 deadline; the SAME run
+    // fires the expiry in its follow-up batch (one final (1, 1)
+    // re-emission) and settles — no wall-clock waiting, no recurring
+    // trigger
+    writeWave(Seq((2L, "a", 100L, ts(40))))
+    runOnce()
+    assert(emits() === Seq(("1", 1), ("1", 1), ("2", 1)),
+      "the watermark passing newest-event+TTL must fire exactly one " +
+        "final re-emission within the AvailableNow run")
+    // wave 3: u1's b cannot chain onto the expired stage-a time — the
+    // funnel restarts from zero, the documented under-count direction
+    writeWave(Seq((1L, "b", 200L, ts(41))))
+    runOnce()
+    assert(emits() === Seq(("1", 0), ("1", 1), ("1", 1), ("2", 1)))
+  }
+
+  test("streamingAttribution eventTimeTtl: a touch whose entity expired " +
+      "on the watermark clock is gone — the next conversion is " +
+      "UNattributed (never MISattributed), under AvailableNow backfill") {
+    val root = Files.createTempDirectory("attretttl").toFile.getAbsolutePath
+    val inDir = s"$root/in"
+    val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val schema = StructType(Seq(
+      StructField("user", LongType), StructField("etype", StringType),
+      StructField("t", LongType), StructField("ts", TimestampType)))
+
+    def writeWave(rows: Seq[(Long, String, Long, Timestamp)]): Unit =
+      makeDf(schema, rows.map { case (u, e, t, w) =>
+        org.apache.spark.sql.Row(u, e, t, w) })
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val credits = Streaming.streamingAttribution(
+        stream, "user", "etype", "t", "buy", Seq("click"), lookback = 100L,
+        eventTimeTtl = Some(Streaming.EventTimeTtl(
+          "ts", "0 seconds", ttlMs = 10 * 60000L)))
+      val q = credits.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // touch at event-time minute 1; watermark advanced to minute 40 by an
+    // unrelated entity in a later run -> the pending touch expires
+    writeWave(Seq((1L, "click", 10L, ts(1))))
+    runOnce()
+    writeWave(Seq((2L, "click", 20L, ts(40))))
+    runOnce()
+    // u1 converts within the LOOKBACK (t=50, touch t=10, lookback 100):
+    // only the TTL expiry can explain a missed credit
+    writeWave(Seq((1L, "buy", 50L, ts(41))))
+    runOnce()
+    val rows = spark.read.parquet(outDir)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(rows === Set(("1", 50L, null)),
+      s"the expired touch must yield an unattributed conversion, got $rows")
+  }
 }
