@@ -953,9 +953,10 @@ object Queries {
         col("lo").as("lo_a"), col("hi").as("hi_a"))
       val b = li.select(col("l_partkey"), col("id").as("id_b"),
         col("lo").as("lo_b"), col("hi").as("hi_b"))
+      // cellWidth self-tunes: a KLL pre-pass pins it at the median
+      // interval length (lengths are quantity%14+1, so ~7 days)
       graft.pipeline.Relational.intervalOverlapJoin(
-        a, b, Seq("l_partkey"), "lo_a", "hi_a", "lo_b", "hi_b",
-        cellWidth = 14L)
+        a, b, Seq("l_partkey"), "lo_a", "hi_a", "lo_b", "hi_b")
         .where(col("id_a") < col("id_b"))
         .select(col("l_partkey"), col("id_a"), col("id_b"),
           col("lo_a"), col("lo_b"))

@@ -592,18 +592,28 @@ object Relational {
     * shuffle needed. Empty intervals (hi <= lo) match nothing; NULL
     * bounds drop with the row.
     *
-    * Choose `cellWidth` near the typical interval length: fan-out per row
-    * is (hi-lo)/W + 1 (guarded by `maxCellsPerInterval`, loud), per-cell
-    * population is the data's real concurrency. Shuffles: one equi-join
-    * keyed on (keys, cell) — near-linear in exploded size; at 100 TB the
-    * grid key spreads hot keys across their time range instead of one
+    * `cellWidth` should sit near the typical interval length: fan-out per
+    * row is (hi-lo)/W + 1 (guarded by `maxCellsPerInterval`, loud),
+    * per-cell population is the data's real concurrency. Too small
+    * explodes fan-out; too large recreates the per-key quadratic. The
+    * DEFAULT (`cellWidth = 0`) therefore derives it from the data: one
+    * bounded pre-pass sketches the MEDIAN interval length of both sides
+    * with the KLL aggregate (fixed sketch state, single released row)
+    * and uses that — self-tuning, at the disclosed cost of one extra
+    * scan of the bound columns. Pass an explicit width to skip the
+    * pre-pass (the result SET is cellWidth-invariant either way; only
+    * the plan's fan-out changes). Shuffles: one equi-join keyed on
+    * (keys, cell) — near-linear in exploded size; at 100 TB the grid
+    * key spreads hot keys across their time range instead of one
     * reducer.
     */
   def intervalOverlapJoin(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       loL: String, hiL: String, loR: String, hiR: String,
-      cellWidth: Long, maxCellsPerInterval: Long = 4096L): DataFrame = {
-    require(cellWidth > 0L, s"cellWidth must be positive, got $cellWidth")
+      cellWidth: Long = 0L, maxCellsPerInterval: Long = 4096L): DataFrame = {
+    require(cellWidth >= 0L,
+      s"cellWidth must be positive (or 0 = derive from the median " +
+        s"interval length), got $cellWidth")
     require(maxCellsPerInterval >= 1L,
       s"maxCellsPerInterval must be >= 1, got $maxCellsPerInterval")
     Seq(loL, hiL).foreach(c =>
@@ -631,12 +641,35 @@ object Relational {
             s"for '$c' — convert to epoch units first")
       }
     }
+    val width =
+      if (cellWidth > 0L) cellWidth
+      else {
+        // self-tuning pre-pass: median interval length over both sides,
+        // via the KLL sketch — fixed aggregation state, one released row
+        // to the driver. A certificate-regime estimate is fine here: the
+        // width only shapes fan-out, never the result set.
+        val lens = left
+          .where(col(loL).isNotNull && col(hiL).isNotNull &&
+            col(hiL) > col(loL))
+          .select((col(hiL) - col(loL)).cast("double").as("len"))
+          .unionAll(right
+            .where(col(loR).isNotNull && col(hiR).isNotNull &&
+              col(hiR) > col(loR))
+            .select((col(hiR) - col(loR)).cast("double").as("len")))
+        val med = lens
+          .agg(graft.exec.Kll.quantiles(col("len"), 4096, Seq(0.5)).as("s"))
+          .select(col("s.values").getItem(0)).head()
+        require(!med.isNullAt(0),
+          "intervalOverlapJoin: cannot derive cellWidth — both sides hold " +
+            "only empty or NULL intervals; pass cellWidth explicitly")
+        math.max(1L, med.getDouble(0).toLong)
+      }
     // exact floor division for possibly-negative epochs. `div` (SQL
     // IntegralDivide), NOT `/`: Spark's `/` on longs is double division,
     // which rounds once the quotient passes 2^53 — nanosecond-scale
     // epochs would silently land in the wrong cell and drop overlaps.
     def cellOf(c: Column): Column =
-      call_function("div", c - pmod(c, lit(cellWidth)), lit(cellWidth))
+      call_function("div", c - pmod(c, lit(width)), lit(width))
     def cells(df2: DataFrame, lo: String, hi: String, side: String) = {
       val fat = df2
         .where(col(lo).isNotNull && col(hi).isNotNull && col(hi) > col(lo))
@@ -647,7 +680,7 @@ object Relational {
         .limit(1).collect()
       require(fat.isEmpty,
         s"intervalOverlapJoin: a $side interval spans > " +
-          s"$maxCellsPerInterval cells of width $cellWidth (e.g. " +
+          s"$maxCellsPerInterval cells of width $width (e.g. " +
           s"${fat.headOption.map(_.toString).getOrElse("")}) — raise " +
           "cellWidth or maxCellsPerInterval")
       df2

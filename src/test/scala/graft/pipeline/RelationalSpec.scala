@@ -730,7 +730,7 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       col("lo").as("lo_a"), col("hi").as("hi_a"))
     val b = df.select(col("k"), col("id").as("id_b"),
       col("lo").as("lo_b"), col("hi").as("hi_b"))
-    for (w <- Seq(1L, 7L, 64L)) {
+    for (w <- Seq(0L, 1L, 7L, 64L)) { // 0 = self-tuned from the median
       val got = Relational.intervalOverlapJoin(
         a, b, Seq("k"), "lo_a", "hi_a", "lo_b", "hi_b", cellWidth = w)
         .where(col("id_a") =!= col("id_b"))
@@ -738,6 +738,50 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got === model, s"cellWidth=$w")
     }
+  }
+
+  test("intervalOverlapJoin auto cellWidth: skewed length mix (many tiny, " +
+      "few huge) still matches brute force; all-empty sides refuse loudly") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(longCol("k"), longCol("id"),
+      longCol("lo"), longCol("hi")))
+    val rng = new scala.util.Random(29)
+    // 140 one-to-three-unit intervals plus 10 that span ~1000 units: the
+    // derived median lands near the tiny mode, and the huge tail must
+    // still fit under maxCellsPerInterval
+    val rows = (1 to 150).map { i =>
+      val lo = rng.nextInt(3000).toLong - 1500L
+      val len = if (i % 15 == 0) 900L + rng.nextInt(200)
+                else 1L + rng.nextInt(3)
+      org.apache.spark.sql.Row((i % 3).toLong, i.toLong, lo, lo + len)
+    }
+    val model = (for {
+      a <- rows; b <- rows
+      if a.getLong(0) == b.getLong(0) && a.getLong(1) != b.getLong(1)
+      if a.getLong(2) < b.getLong(3) && b.getLong(2) < a.getLong(3)
+    } yield (a.getLong(0), a.getLong(1), b.getLong(1))).toSet
+    val df = makeDf(schema, rows)
+    val a = df.select(col("k"), col("id").as("id_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = df.select(col("k"), col("id").as("id_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    val got = Relational.intervalOverlapJoin(
+      a, b, Seq("k"), "lo_a", "hi_a", "lo_b", "hi_b")
+      .where(col("id_a") =!= col("id_b"))
+      .select("k", "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === model)
+    // nothing to derive from: every interval empty -> loud refusal
+    val empty = makeDf(schema,
+      Seq(org.apache.spark.sql.Row(1L, 1L, 5L, 5L)))
+    val ea = empty.select(col("k"), col("id").as("id_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val eb = empty.select(col("k"), col("id").as("id_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    val e = intercept[IllegalArgumentException](
+      Relational.intervalOverlapJoin(
+        ea, eb, Seq("k"), "lo_a", "hi_a", "lo_b", "hi_b"))
+    assert(e.getMessage.contains("cannot derive cellWidth"))
   }
 
   test("intervalOverlapJoin guards: fat intervals, non-integral bounds, " +
