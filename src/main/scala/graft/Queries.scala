@@ -1011,6 +1011,14 @@ object Queries {
       graft.pipeline.Dedup.resolveEntities(
         read(s, d, "part"), "p_name", maxDistance = 2)
     }),
+    "q173_entity_resolution_frequent" -> ((s, d) => {
+      // q165's closure with frequency-weighted canonicals: each cluster
+      // canonicalizes to its most frequent ROW variant (tie -> smaller
+      // name) — one extra name-keyed count and component-keyed max
+      graft.pipeline.Dedup.resolveEntities(
+        read(s, d, "part"), "p_name", maxDistance = 2,
+        canonical = "frequent")
+    }),
     "q164_touch_attribution" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // last-touch conversion credit: each purchase attributed to the
@@ -3096,6 +3104,24 @@ object Queries {
         |  UNION
         |  SELECT r.a, e.y FROM reach r JOIN e ON r.b = e.x)
         |SELECT a AS name, min(b) AS canonical FROM reach GROUP BY a""".stripMargin,
+    // same independent recursive-CTE closure, canonicals by row count
+    // (ties to the smaller name) via a per-source rank over the members
+    "q173_entity_resolution_frequent" ->
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part
+        |  WHERE p_name IS NOT NULL AND len(p_name) > 0),
+        |counts AS (SELECT p_name AS name, COUNT(*) AS cnt FROM part
+        |  WHERE p_name IS NOT NULL AND len(p_name) > 0 GROUP BY 1),
+        |e AS (SELECT a.name AS x, b.name AS y FROM names a JOIN names b
+        |  ON a.name <> b.name AND levenshtein(a.name, b.name) <= 2),
+        |reach(a, b) AS (
+        |  SELECT name, name FROM names
+        |  UNION
+        |  SELECT r.a, e.y FROM reach r JOIN e ON r.b = e.x),
+        |ranked AS (SELECT r.a, r.b, ROW_NUMBER() OVER (PARTITION BY r.a
+        |    ORDER BY c.cnt DESC, r.b) AS rk
+        |  FROM reach r JOIN counts c ON c.name = r.b)
+        |SELECT a AS name, b AS canonical FROM ranked
+        |WHERE rk = 1""".stripMargin,
     // same single window over ALL events (filter after, so the frame
     // sees every touch), same RANGE [-500, -1) frame, ignore-nulls last
     "q164_touch_attribution" ->

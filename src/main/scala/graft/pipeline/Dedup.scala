@@ -1213,13 +1213,21 @@ object Dedup {
   }
 
   /** Entity resolution over a string dictionary: every distinct `strCol`
-    * value mapped to its cluster's canonical form — the lexicographically
-    * smallest string reachable through chains of [[editDistancePairs]]
-    * edges (ed <= `maxDistance`). The full record-linkage loop in one
-    * call: "Jon Smith" -> "John Smith" -> "John  Smith" collapse to one
-    * canonical vendor even when the endpoints are more than `maxDistance`
-    * apart (transitive closure, the standard single-linkage choice;
-    * singletons map to themselves).
+    * value mapped to its cluster's canonical form — by default the
+    * lexicographically smallest string reachable through chains of
+    * [[editDistancePairs]] edges (ed <= `maxDistance`). The full
+    * record-linkage loop in one call: "Jon Smith" -> "John Smith" ->
+    * "John  Smith" collapse to one canonical vendor even when the
+    * endpoints are more than `maxDistance` apart (transitive closure, the
+    * standard single-linkage choice; singletons map to themselves).
+    *
+    * `canonical = "frequent"` canonicalizes to the cluster's MOST
+    * FREQUENT variant instead (occurrence count over the input ROWS, not
+    * the distinct dictionary; ties break to the smaller name) — real
+    * record linkage wants "Acme Corp" seen 10,000 times over the
+    * lexicographically-first typo "AAcme Corp" seen once. Costs one
+    * extra name-keyed count aggregate and one component-keyed max;
+    * `"min"` keeps the aggregate-free two-join mapping.
     *
     * Strings become dense node ids via [[graft.exec.Ranks.globalRowNumber]]
     * ORDERED BY the string itself, so id order IS name order and the
@@ -1231,7 +1239,10 @@ object Dedup {
     */
   def resolveEntities(
       df: DataFrame, strCol: String, maxDistance: Int,
-      q: Int = 2, maxLenBucket: Int = 100000): DataFrame = {
+      q: Int = 2, maxLenBucket: Int = 100000,
+      canonical: String = "min"): DataFrame = {
+    require(canonical == "min" || canonical == "frequent",
+      s"canonical must be 'min' or 'frequent', got '$canonical'")
     val pairs = editDistancePairs(df, strCol, maxDistance, q, maxLenBucket)
     val dict = spread(df).select(col(strCol).cast("string").as("name"))
       .filter(col("name").isNotNull && length(col("name")) > 0)
@@ -1245,11 +1256,32 @@ object Dedup {
         "name_b")
       .select(col("__ia"), col("__ib"))
     val comp = connectedComponents(edges, "__ia", "__ib")
-    val clustered = comp
-      .join(ids.select(col("__nid").as("id"), col("name")), "id")
-      .join(ids.select(col("__nid").as("component"),
-        col("name").as("__canon")), "component")
-      .select(col("name"), col("__canon"))
+    val clustered =
+      if (canonical == "min")
+        // the component id IS the min member id = the min name: two joins
+        comp
+          .join(ids.select(col("__nid").as("id"), col("name")), "id")
+          .join(ids.select(col("__nid").as("component"),
+            col("name").as("__canon")), "component")
+          .select(col("name"), col("__canon"))
+      else {
+        // most-frequent variant: row-level occurrence counts per name,
+        // then min of (-count, name) per component — max count, ties to
+        // the smaller name, deterministic under any partitioning
+        val counts = spread(df)
+          .select(col(strCol).cast("string").as("name"))
+          .filter(col("name").isNotNull && length(col("name")) > 0)
+          .groupBy("name").agg(count(lit(1)).as("__cnt"))
+        val members = comp
+          .join(ids.select(col("__nid").as("id"), col("name")), "id")
+          .select(col("component"), col("name"))
+        val best = members.join(counts, "name")
+          .groupBy("component")
+          .agg(min(struct((-col("__cnt")).as("nc"), col("name").as("n")))
+            .as("__b"))
+          .select(col("component"), col("__b").getField("n").as("__canon"))
+        members.join(best, "component").select(col("name"), col("__canon"))
+      }
     val out = ids.select(col("name"))
       .join(clustered, Seq("name"), "left")
       .select(col("name"),

@@ -127,6 +127,26 @@ class EditDistanceSpec extends SparkSpec {
     assert(gotR === expect)
   }
 
+  test("resolveEntities canonical=frequent: the most frequent ROW variant " +
+      "wins (ties to the smaller name), singletons unaffected") {
+    // cluster {acme, acmee, bcme}: "acmee" appears 3x vs 1x others — the
+    // frequent mode must pick it over the lexicographic min "acme"
+    val xs = Seq("acme", "acmee", "acmee", "acmee", "bcme",
+      "zzzz", // singleton
+      "tie1", "tie2") // 1 edit apart, equal counts -> smaller name wins
+    val freq = Dedup.resolveEntities(df(xs), "s", 1, canonical = "frequent")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(freq === Map(
+      "acme" -> "acmee", "acmee" -> "acmee", "bcme" -> "acmee",
+      "zzzz" -> "zzzz", "tie1" -> "tie1", "tie2" -> "tie1"))
+    // default stays the lexicographic min
+    val min = Dedup.resolveEntities(df(xs), "s", 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(min("acmee") === "acme" && min("bcme") === "acme")
+    intercept[IllegalArgumentException](
+      Dedup.resolveEntities(df(xs), "s", 1, canonical = "longest"))
+  }
+
   test("parameter validation") {
     intercept[IllegalArgumentException](
       Dedup.editDistancePairs(df(Seq("a")), "s", 0))
