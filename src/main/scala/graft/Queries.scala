@@ -1158,6 +1158,36 @@ object Queries {
           col("__u.values")(1).as("p50"),
           col("__u.values")(2).as("p75"))
     }),
+    "q174_streaming_quantile_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // windowed KLL sketches on a STREAM (one bounded sketch per
+      // tumbling day; raw values never cross the exchange), then
+      // cumulative to-date quantiles re-derived from the released sketch
+      // BYTES alone — the q156 rollup discipline across time. k=16384 >
+      // total rows keeps every release in the exact regime: each is the
+      // rank-ceil quantile of its day-prefix, certificate 0, oracled by
+      // per-prefix quantile_disc
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val sk = graft.streaming.Streaming.streamingWindowedSketches(
+        stream, "ts", "value", windowDuration = "1 day",
+        watermark = "0 seconds", k = 16384)
+      val name = "q174mem"
+      val q = sk.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // single AvailableNow batch -> exactly one row per window (the
+      // cumulativeQuantiles one-row-per-window contract)
+      graft.streaming.Streaming.cumulativeQuantiles(
+        s.table(name), 16384, Seq(0.25, 0.5, 0.75))
+    }),
     "q157_streaming_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
@@ -3304,6 +3334,21 @@ object Queries {
         |  CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS p50,
         |  CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75
         |FROM documents GROUP BY 1""".stripMargin,
+    // cumulative per-prefix rank-ceil quantiles: for every day window,
+    // the quantiles of everything through that day — independent
+    // formulation (day-prefix join + quantile_disc) vs the engine's
+    // running union of released sketch bytes
+    "q174_streaming_quantile_rollup" ->
+      """WITH vals AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, value
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |days AS (SELECT DISTINCT ws FROM vals),
+        |cum AS (SELECT d.ws, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    quantile_disc(v.value, [0.25, 0.5, 0.75]) AS vs
+        |  FROM days d JOIN vals v ON v.ws <= d.ws GROUP BY d.ws)
+        |SELECT ws AS window_start, ws + INTERVAL 1 DAY AS window_end,
+        |  n_rows, CAST(0 AS BIGINT) AS err_units, vs AS "values"
+        |FROM cum""".stripMargin,
     // the stream's exact regime: every released value is the rank-ceil
     // order statistic of all values streamed for the key
     "q157_streaming_quantiles" ->

@@ -608,6 +608,60 @@ object Streaming {
       .toDF()
   }
 
+  /** Tumbling-window KLL sketches over a stream: one serialized sketch
+    * per window (fixed O(k log n) bytes per OPEN window, the
+    * [[windowedHeavyHitters]] state story applied to quantiles) — the
+    * streaming half of the sketch-rollup pattern q156 proves batch-side.
+    * Partial sketches merge associatively map-side, so raw values never
+    * cross the exchange. Use update/complete output, or append with the
+    * watermark closing windows. Feed the released window table to
+    * [[cumulativeQuantiles]] for running to-date quantiles WITHOUT
+    * reprocessing any raw data.
+    */
+  def streamingWindowedSketches(
+      events: DataFrame, tsCol: String, valueCol: String,
+      windowDuration: String, watermark: String, k: Int): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(graft.exec.Kll.sketch(col(valueCol), k).as("sketch"))
+
+  /** Batch reduction of [[streamingWindowedSketches]] output (e.g. over
+    * the sink table): for every window, the quantiles of EVERYTHING up to
+    * that window's end — a running union of the per-window sketches, the
+    * cumulative dashboard line recomputed from sketch bytes alone. The
+    * release carries the [[graft.exec.KllQuantileAgg]] certificate
+    * (n, err_units): rank error composes through merges, and while the
+    * cumulative n stays under k every release is EXACT (err_units 0).
+    *
+    * Input must hold ONE row per window (update-mode sinks emit one per
+    * (window, batch) — keep the latest). The running union is a global
+    * ordered window (single partition BY DESIGN: one row per closed
+    * window, bounded by the time horizon — thousands of rows for years
+    * of hourly windows — never by data volume; pass the SAME k the
+    * sketches were built with, enforced by the wire format).
+    */
+  def cumulativeQuantiles(
+      windowSketches: DataFrame, k: Int,
+      percentiles: Seq[Double]): DataFrame = {
+    require(windowSketches.columns.contains("window") &&
+      windowSketches.columns.contains("sketch"),
+      "expected the streamingWindowedSketches shape: (window, sketch)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("window.end"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    windowSketches
+      .select(col("window"),
+        graft.exec.Kll.unionQuantiles(col("sketch"), k, percentiles)
+          .over(w).as("u"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("u.n").as("n_rows"), col("u.err_units").as("err_units"),
+        col("u.values").as("values"))
+  }
+
   // not private: the state encoder instantiates it in generated code
   final case class TouchState(touchType: String, touchTime: Long)
   final case class TouchCredit(

@@ -291,6 +291,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingWindowedSketches + cumulativeQuantiles: per-window " +
+      "sketches union into exact running to-date quantiles (certificate " +
+      "0 under k), no raw-data reprocessing") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    def rankQ(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s((math.max(1L, math.ceil(p * s.size).toLong) - 1L).toInt)
+    }
+    val rnd = new scala.util.Random(23)
+    val in = MemoryStream[(Timestamp, Double)]
+    val sk = Streaming.streamingWindowedSketches(
+      in.toDF().toDF("ts", "v"), "ts", "v",
+      windowDuration = "10 minutes", watermark = "0 seconds", k = 256)
+    val q = sk.writeStream.format("memory").queryName("wsk")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // two batches filling two DISJOINT windows: [0,10) then [10,20)
+      val wave1 = Seq.fill(30)((ts(1 + rnd.nextInt(8)), rnd.nextDouble()))
+      val wave2 = Seq.fill(25)((ts(11 + rnd.nextInt(8)), rnd.nextDouble() * 3))
+      in.addData(wave1: _*)
+      q.processAllAvailable()
+      in.addData(wave2: _*)
+      q.processAllAvailable()
+      val ps = Seq(0.5, 0.9)
+      val got = Streaming.cumulativeQuantiles(spark.table("wsk"), 256, ps)
+        .collect().map(r => (r.getTimestamp(1).getTime / 60000,
+          r.getLong(2), r.getLong(3), r.getSeq[Double](4))).sortBy(_._1)
+      // one release per window; each covers everything up to its end
+      assert(got.map(w => (w._1, w._2, w._3)).toSeq ===
+        Seq((10L, 30L, 0L), (20L, 55L, 0L)))
+      val v1 = wave1.map(_._2)
+      val all = (wave1 ++ wave2).map(_._2)
+      assert(got(0)._4 === ps.map(rankQ(v1, _)))
+      assert(got(1)._4 === ps.map(rankQ(all, _)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     val sqlCtx = spark.sqlContext
     import sqlCtx.implicits._
