@@ -1070,6 +1070,19 @@ object Queries {
         touchTypes = Seq("click", "view", "signup"), lookback = 500L,
         model = "time_decay", halfLife = 50L)
     }),
+    "q175_robust_zscore" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // median/MAD robust z-scores per event_type — q163's fences
+      // CLASSIFY, this RANKS severity; two KLL passes (MAD needs the
+      // median first), both exact at k=4096 >> any group, so every score
+      // is (x - quantile_disc median) / (quantile_disc MAD * 1.4826)
+      graft.pipeline.Quality.robustZScores(
+        readEvents(s, d).select(col("event_id"), col("event_type"),
+          col("value")),
+        Seq("event_type"), "value", k = 4096)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("median"), col("mad"), col("robust_z"))
+    }),
     "q163_robust_outliers" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // Tukey-fence quarantine on the heavy-tailed value column, fences
@@ -3233,6 +3246,21 @@ object Queries {
         |  CAST(w AS DOUBLE) / CAST(SUM(w)
         |    OVER (PARTITION BY user_id, event_id) AS DOUBLE) AS credit
         |FROM r""".stripMargin,
+    // identical medians from quantile_disc (both sketch passes exact),
+    // identical double formula; zero MAD scores NULL in both engines
+    "q175_robust_zscore" ->
+      """WITH m AS (SELECT event_type,
+        |    quantile_disc(value, 0.5) AS median FROM events GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.median,
+        |    ABS(e.value - m.median) AS ad
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value, d.median, md.mad,
+        |  CASE WHEN d.value IS NULL OR md.mad = 0 THEN NULL
+        |    ELSE (d.value - d.median) / (md.mad * CAST(1.4826 AS DOUBLE))
+        |  END AS robust_z
+        |FROM d JOIN md USING (event_type)""".stripMargin,
     // identical fences from quantile_disc (the sketch is exact here),
     // identical double formula with the binary-exact 1.5 factor
     "q163_robust_outliers" ->

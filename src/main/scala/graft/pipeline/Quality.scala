@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality expectations: a rule set validated in as few
@@ -268,5 +268,67 @@ object Quality {
     joined.withColumn("is_outlier",
       when(v.isNull || isnan(v), lit(null).cast("boolean"))
         .otherwise(v < col("lo_fence") || v > col("hi_fence")))
+  }
+
+  /** Robust z-scores: per group, z = (x − median) / (MAD · `scaleFactor`)
+    * with MAD = median(|x − median|) — the location/scale pair that
+    * survives the outliers mean±k·σ is wrecked by; `scaleFactor` defaults
+    * to the classic 1.4826 (σ-consistency under normality). The
+    * quantile-based sibling of [[robustOutliers]]: fences CLASSIFY,
+    * robust z-scores RANK severity (winsorizing thresholds, anomaly
+    * ordering, cross-group-comparable scores).
+    *
+    * Both medians are [[graft.exec.Kll]] rank-ceil order statistics —
+    * exact (DuckDB `quantile_disc`) while the per-group count stays under
+    * `k`, certified by `median_err_units` / `mad_err_units` past it (MAD
+    * inherently needs the median first, so the two certificates are
+    * released separately). A NULL or NaN measure gets a NULL score; a
+    * zero MAD (over half the group at one value) also scores NULL —
+    * truthfully unjudgeable, never ±Infinity.
+    *
+    * Plan shape: TWO keyed sketch aggregates by necessity (the deviation
+    * pass cannot start before its group's median exists) + two joins of
+    * the row stream against group-count-sized stats tables (broadcast at
+    * any realistic group count). Ungrouped, both stats are single-row
+    * broadcast cross joins.
+    */
+  def robustZScores(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 4096, scaleFactor: Double = 1.4826): DataFrame = {
+    require(df.columns.contains(valueCol), s"input is missing '$valueCol'")
+    groupCols.foreach(c =>
+      require(df.columns.contains(c), s"input is missing group column '$c'"))
+    require(!groupCols.contains(valueCol),
+      s"'$valueCol' cannot be both group and measure")
+    require(scaleFactor > 0.0, s"scaleFactor must be > 0, got $scaleFactor")
+    for (reserved <- Seq("median", "mad", "robust_z", "median_err_units",
+        "mad_err_units", "__absdev"))
+      require(!df.columns.contains(reserved),
+        s"input uses reserved column name '$reserved'; rename it first")
+    val v = col(valueCol).cast("double")
+    def medTable(src: DataFrame, m: Column, outName: String,
+        errName: String): DataFrame = {
+      val agg = graft.exec.Kll.quantiles(m, k, Seq(0.5)).as("__kll")
+      (if (groupCols.isEmpty) src.agg(agg)
+       else src.groupBy(groupCols.map(col): _*).agg(agg))
+        .select(groupCols.map(c => col(c).as(s"__g_$c")) ++ Seq(
+          col("__kll.values")(0).as(outName),
+          col("__kll.err_units").as(errName)): _*)
+    }
+    def joinStats(rows: DataFrame, stats: DataFrame): DataFrame =
+      if (groupCols.isEmpty) rows.crossJoin(broadcast(stats))
+      else rows.join(stats,
+        groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _), "left")
+        .drop(groupCols.map(c => s"__g_$c"): _*)
+    val withMedian = joinStats(df,
+      medTable(df, v, "median", "median_err_units"))
+    val deviations = withMedian.withColumn("__absdev", abs(v - col("median")))
+    val withMad = joinStats(deviations,
+      medTable(deviations, col("__absdev"), "mad", "mad_err_units"))
+      .drop("__absdev")
+    withMad.withColumn("robust_z",
+      when(v.isNull || isnan(v) || col("mad") === 0.0,
+        lit(null).cast("double"))
+        .otherwise((v - col("median")) / (col("mad") * lit(scaleFactor))))
   }
 }

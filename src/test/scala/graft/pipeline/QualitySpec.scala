@@ -182,4 +182,45 @@ class QualitySpec extends SparkSpec {
       Quality.robustOutliers(big.withColumn("is_outlier",
         org.apache.spark.sql.functions.lit(true)), Nil, "v"))
   }
+
+  test("robustZScores: exact-regime median/MAD match the hand model, " +
+      "zero MAD and NULLs score NULL, grouped stats differ per group") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    val schema = StructType(Seq(strCol("g"), dblCol("v")))
+    // group a: 1..7 (median 4, |x-4| gives MAD 2) plus a spike and a NULL;
+    // group b: constant -> MAD 0 -> NULL scores
+    val rows = (1 to 7).map(i => Row("a", i.toDouble)) ++
+      Seq(Row("a", 100.0), Row("a", null),
+        Row("b", 5.0), Row("b", 5.0), Row("b", 5.0))
+    val got = Quality.robustZScores(
+      makeDf(schema, rows), Seq("g"), "v", k = 64)
+    val a = got.where(col("g") === "a").collect().map { r =>
+      (r.getAs[Any]("v"), r.getDouble(r.fieldIndex("median")),
+        r.getDouble(r.fieldIndex("mad")),
+        if (r.isNullAt(r.fieldIndex("robust_z"))) null
+        else r.getDouble(r.fieldIndex("robust_z")))
+    }.toSet
+    // 8 non-null values 1..7,100: rank-ceil median = 4, deviations
+    // {3,2,1,0,1,2,3,96} -> rank-ceil MAD = 2
+    assert(a === ((1 to 7).map(i =>
+      (i.toDouble: Any, 4.0, 2.0, ((i - 4.0) / (2.0 * 1.4826)): Any)).toSet ++
+      Set((100.0: Any, 4.0, 2.0, (96.0 / (2.0 * 1.4826)): Any),
+        (null: Any, 4.0, 2.0, null: Any))))
+    // constant group: MAD 0 -> truthfully unjudgeable, never Infinity
+    val b = got.where(col("g") === "b")
+      .select("median", "mad", "robust_z").collect()
+    assert(b.forall(r => r.getDouble(0) == 5.0 && r.getDouble(1) == 0.0 &&
+      r.isNullAt(2)))
+    // certificates: both passes exact here
+    assert(got.select("median_err_units", "mad_err_units").collect()
+      .forall(r => r.getLong(0) == 0L && r.getLong(1) == 0L))
+    intercept[IllegalArgumentException](
+      Quality.robustZScores(makeDf(schema, rows), Seq("g"), "v",
+        scaleFactor = 0.0))
+    intercept[IllegalArgumentException](
+      Quality.robustZScores(makeDf(schema, rows)
+        .withColumn("mad", org.apache.spark.sql.functions.lit(1.0)),
+        Seq("g"), "v"))
+  }
 }
