@@ -604,6 +604,16 @@ object Queries {
         emb.filter("vec_id < 10"), "vec_id", "embedding", k = 3)
         .select("query_id", "corpus_id", "rank")
     }),
+    "q176_kmeans" -> ((s, d) => {
+      // corpus clustering: 2 Lloyd rounds over the embeddings in integer
+      // micro-units — deterministic seeds (4 smallest vec_ids),
+      // assignment is a codegen'd literal-centroid argmin projection
+      // (no join), update is one (cluster, dim)-keyed exchange;
+      // bit-identical under any partitioning, which is what lets an
+      // independent engine reproduce every assignment and distance
+      graft.pipeline.Clustering.kMeansMicro(
+        read(s, d, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
+    }),
     "q59_knn_ivf" -> ((s, d) => {
       // approximate by design (no oracle; all-cells twin q62 is oracled):
       // the semantics contract is AnnRecallSpec — recall@3 >= 0.9 vs brute
@@ -3246,6 +3256,42 @@ object Queries {
         |  CAST(w AS DOUBLE) / CAST(SUM(w)
         |    OVER (PARTITION BY user_id, event_id) AS DOUBLE) AS credit
         |FROM r""".stripMargin,
+    // two unrolled Lloyd rounds in pure SQL over the SAME integer
+    // micro-units: quantize, seed from the 4 smallest vec_ids, assign by
+    // (distance, cid) rank, per-dimension truncating integer mean
+    // (DuckDB // == Spark div toward zero), emptied clusters keep their
+    // previous centroid via the COALESCE left join
+    "q176_kmeans" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |  FROM e ORDER BY vec_id LIMIT 4),
+        |d1 AS (SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.v)),
+        |      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d
+        |  FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cid, d FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM d1)
+        |  WHERE rk = 1),
+        |x1 AS (SELECT a1.cid AS cid, unnest(e.v) AS val,
+        |    unnest(generate_series(1, len(e.v))) AS dim
+        |  FROM a1 JOIN e USING (vec_id)),
+        |m1 AS (SELECT cid, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+        |  FROM x1 GROUP BY cid, dim),
+        |c1 AS (SELECT c0.cid, COALESCE(mm.v, c0.v) AS v FROM c0
+        |  LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS v FROM m1
+        |    GROUP BY cid) mm USING (cid)),
+        |d2 AS (SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.v)),
+        |      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d
+        |  FROM e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, cid, d FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM d2)
+        |  WHERE rk = 1)
+        |SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
+        |  CAST(d AS BIGINT) AS dist_sq
+        |FROM a2""".stripMargin,
     // identical medians from quantile_disc (both sketch passes exact),
     // identical double formula; zero MAD scores NULL in both engines
     "q175_robust_zscore" ->
