@@ -1211,6 +1211,31 @@ object Queries {
       graft.streaming.Streaming.cumulativeQuantiles(
         s.table(name), 16384, Seq(0.25, 0.5, 0.75))
     }),
+    "q177_cumulative_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // running unique-users line: one bounded KMV sketch per tumbling
+      // day on the stream, cumulative to-date distinct count re-derived
+      // from the sketch hashes alone — k=1024 > the 150-user universe
+      // keeps every release exact (the retained-hash count), oracled by
+      // per-day-prefix COUNT(DISTINCT)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val sk = graft.streaming.Streaming.streamingWindowedDistinct(
+        stream, "ts", "user_id", windowDuration = "1 day",
+        watermark = "0 seconds", k = 1024)
+      val name = "q177mem"
+      val q = sk.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.Streaming.cumulativeDistinct(s.table(name), 1024)
+    }),
     "q157_streaming_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
@@ -3423,6 +3448,18 @@ object Queries {
         |SELECT ws AS window_start, ws + INTERVAL 1 DAY AS window_end,
         |  n_rows, CAST(0 AS BIGINT) AS err_units, vs AS "values"
         |FROM cum""".stripMargin,
+    // exact-regime KMV: the cumulative estimate IS the distinct count;
+    // independent day-prefix COUNT(DISTINCT) formulation
+    "q177_cumulative_distinct" ->
+      """WITH ev AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, user_id
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT ws FROM ev)
+        |SELECT d.ws AS window_start, d.ws + INTERVAL 1 DAY AS window_end,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY d.ws) AS INTEGER) AS n_windows,
+        |  CAST(COUNT(DISTINCT e.user_id) AS DOUBLE) AS n_distinct
+        |FROM days d JOIN ev e ON e.ws <= d.ws
+        |GROUP BY d.ws""".stripMargin,
     // the stream's exact regime: every released value is the rank-ceil
     // order statistic of all values streamed for the key
     "q157_streaming_quantiles" ->

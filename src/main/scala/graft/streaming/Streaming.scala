@@ -662,6 +662,52 @@ object Streaming {
         col("u.values").as("values"))
   }
 
+  /** Tumbling-window KMV distinct sketches over a stream: one fixed-size
+    * sketch (k smallest hashes) per window — the [[streamingWindowedSketches]]
+    * pattern for COUNT DISTINCT. Feed the released table to
+    * [[cumulativeDistinct]] for the running to-date unique-entity line
+    * (cumulative users, unique documents ingested) without reprocessing
+    * or retaining raw keys.
+    */
+  def streamingWindowedDistinct(
+      events: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, watermark: String, k: Int): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(graft.exec.Kmv.sketch(col(keyCol), k).as("sketch"))
+
+  /** Batch reduction of [[streamingWindowedDistinct]] output: for every
+    * window, the distinct-key estimate over EVERYTHING up to that
+    * window's end — a running [[graft.exec.Kmv]] union re-derived from
+    * sketch hashes alone. EXACT (the retained-hash count) while the
+    * cumulative distinct count stays under `k` — the two-regime KMV
+    * discipline of q126/q137 — and the (k−1)/U_(k) estimator past it.
+    * Same one-row-per-window input contract and deliberately single-
+    * partition running window as [[cumulativeQuantiles]] (bounded by the
+    * time horizon, never data volume).
+    */
+  def cumulativeDistinct(
+      windowSketches: DataFrame, k: Int): DataFrame = {
+    require(windowSketches.columns.contains("window") &&
+      windowSketches.columns.contains("sketch"),
+      "expected the streamingWindowedDistinct shape: (window, sketch)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("window.end"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    windowSketches
+      .select(col("window"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("window.end")))
+          .as("n_windows"),
+        graft.exec.Kmv.unionAgg(col("sketch"), k).over(w).as("__u"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_windows"),
+        graft.exec.Kmv.estimate(col("__u"), k).as("n_distinct"))
+  }
+
   // not private: the state encoder instantiates it in generated code
   final case class TouchState(touchType: String, touchTime: Long)
   final case class TouchCredit(

@@ -330,6 +330,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingWindowedDistinct + cumulativeDistinct: exact running " +
+      "to-date uniques from window sketches alone, overlap across " +
+      "windows deduped by the union") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[(Timestamp, String)]
+    val sk = Streaming.streamingWindowedDistinct(
+      in.toDF().toDF("ts", "k"), "ts", "k",
+      windowDuration = "10 minutes", watermark = "0 seconds", k = 64)
+    val q = sk.writeStream.format("memory").queryName("wdk")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // window 1: keys a..f; window 2: d..h (3 repeats, 2 new)
+      in.addData(Seq("a", "b", "c", "d", "e", "f", "a", "b")
+        .map(k => (ts(2), k)): _*)
+      q.processAllAvailable()
+      in.addData(Seq("d", "e", "f", "g", "h").map(k => (ts(12), k)): _*)
+      q.processAllAvailable()
+      val got = Streaming.cumulativeDistinct(spark.table("wdk"), 64)
+        .collect().map(r => (r.getTimestamp(1).getTime / 60000,
+          r.getInt(2), r.getDouble(3))).sortBy(_._1).toSeq
+      // exact regime: 6 uniques through window 1, 8 through window 2
+      assert(got === Seq((10L, 1, 6.0), (20L, 2, 8.0)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on timeout") {
     val sqlCtx = spark.sqlContext
     import sqlCtx.implicits._
