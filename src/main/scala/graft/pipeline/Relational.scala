@@ -646,16 +646,23 @@ object Relational {
       else {
         // self-tuning pre-pass: median interval length over both sides,
         // via the KLL sketch — fixed aggregation state, one released row
-        // to the driver. A certificate-regime estimate is fine here: the
-        // width only shapes fan-out, never the result set.
+        // to the driver. BOUNDED: only the first 64k non-empty intervals
+        // per side feed the sketch (limit short-circuits the scan), since
+        // the width is a fan-out tuning knob — the RESULT SET is
+        // width-invariant — and a 64k sample pins the median of any
+        // realistic length distribution; a certificate-regime estimate
+        // is equally fine for the same reason.
+        val cap = 65536
         val lens = left
           .where(col(loL).isNotNull && col(hiL).isNotNull &&
             col(hiL) > col(loL))
           .select((col(hiL) - col(loL)).cast("double").as("len"))
+          .limit(cap)
           .unionAll(right
             .where(col(loR).isNotNull && col(hiR).isNotNull &&
               col(hiR) > col(loR))
-            .select((col(hiR) - col(loR)).cast("double").as("len")))
+            .select((col(hiR) - col(loR)).cast("double").as("len"))
+            .limit(cap))
         val med = lens
           .agg(graft.exec.Kll.quantiles(col("len"), 4096, Seq(0.5)).as("s"))
           .select(col("s.values").getItem(0)).head()
