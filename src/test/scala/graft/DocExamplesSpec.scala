@@ -379,4 +379,76 @@ class DocExamplesSpec extends SparkSpec {
         r.getLong(4))).toSet
     assert(sess === Set((1L, 10L, 25L, 3L), (2L, 500L, 500L, 1L)))
   }
+
+  test("example: frequent canonicals beat the first-sorting typo; " +
+      "multi-touch time-decay credits sum to 1; auto cellWidth derives") {
+    val vendors = Seq("Acme Corp", "Acme Corp", "Acme Corp", "AAcme Corp")
+      .toDF("name")
+    val canonF = Dedup.resolveEntities(vendors, "name", maxDistance = 2,
+      canonical = "frequent")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(canonF("AAcme Corp") === "Acme Corp") // 3 rows beat 1
+    val ev = Seq((1L, 10L, "click"), (1L, 20L, "view"), (1L, 25L, "purchase"))
+      .toDF("user", "t", "etype")
+    val split = Relational.multiTouchAttribution(
+      ev, "user", "t", "etype", "purchase", Seq("click", "view"), 100L,
+      model = "time_decay", halfLife = 10L)
+      .collect().map(r => (r.getString(2), r.getDouble(4))).toSet
+    // ages 15 and 5 -> k = 1 and 0 -> weights 1:2
+    assert(split === Set(("click", 1.0 / 3), ("view", 2.0 / 3)))
+    // auto width: one bounded pre-pass, result identical to any width
+    val a = Seq((1L, 10L, 30L, "x")).toDF("vendor", "from_a", "to_a", "pa")
+    val b = Seq((1L, 25L, 40L, "y"), (1L, 30L, 40L, "z"))
+      .toDF("vendor", "from_b", "to_b", "pb")
+    val hits = Relational.intervalOverlapJoin(
+      a, b, Seq("vendor"), "from_a", "to_a", "from_b", "to_b")
+      .select("pb").as[String].collect().toSeq
+    assert(hits === Seq("y"))
+  }
+
+  test("example: integer k-means assigns stable clusters; robust z-scores " +
+      "rank severity with certified medians") {
+    val emb = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.1, 0.0)),
+      (3L, Seq(5.0, 5.0)), (4L, Seq(5.1, 5.0)))
+      .toDF("vec_id", "embedding")
+    val clusters = pipeline.Clustering.kMeansMicro(
+      emb, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(clusters(1L) === clusters(2L) && clusters(3L) === clusters(4L) &&
+      clusters(1L) != clusters(3L))
+    val docs = Seq(("en", 1.0), ("en", 2.0), ("en", 3.0), ("en", 100.0))
+      .toDF("lang", "n_chars")
+    val scored = pipeline.Quality.robustZScores(docs, Seq("lang"), "n_chars")
+    // 4 values {1,2,3,100}: rank-ceil median 2, deviations {1,0,1,98} ->
+    // MAD 1; the spike scores (100-2)/1.4826
+    val z = scored.where($"n_chars" === 100.0)
+      .select("robust_z").head.getDouble(0)
+    assert(math.abs(z - 98.0 / 1.4826) < 1e-12)
+  }
+
+  test("example: windowed sketches roll forward without reprocessing — " +
+      "cumulative quantiles and uniques from released bytes alone") {
+    val sqlCtx = spark.sqlContext
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(java.sql.Timestamp, Double, String)]
+    val df = in.toDF().toDF("ts", "v", "k")
+    val sk = streaming.Streaming.streamingWindowedSketches(
+      df, "ts", "v", "10 minutes", "0 seconds", k = 64)
+    val q = sk.writeStream.format("memory").queryName("docwsk")
+      .outputMode("update").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+      in.addData((ts(1), 1.0, "a"), (ts(2), 2.0, "b"), (ts(3), 3.0, "a"))
+      q.processAllAvailable()
+      in.addData((ts(12), 10.0, "c"))
+      q.processAllAvailable()
+      val cum = streaming.Streaming.cumulativeQuantiles(
+        spark.table("docwsk"), 64, Seq(0.5))
+        .orderBy("window_end")
+        .collect().map(r => (r.getLong(2), r.getSeq[Double](4).head)).toSeq
+      // window 1 alone: median of {1,2,3}; through window 2: of {1,2,3,10}
+      assert(cum === Seq((3L, 2.0), (4L, 2.0)))
+    } finally q.stop()
+  }
 }
