@@ -1080,6 +1080,18 @@ object Queries {
         touchTypes = Seq("click", "view", "signup"), lookback = 500L,
         model = "time_decay", halfLife = 50L)
     }),
+    "q178_winsorize" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // tail-taming: clip value at its own per-type [p01, p99] rank-ceil
+      // quantiles (exact at k=4096 >> any group) — q163 removes, this
+      // RETAINS at the fence; one sketch aggregate + broadcast clip join
+      graft.pipeline.Quality.winsorize(
+        readEvents(s, d).select(col("event_id"), col("event_type"),
+          col("value")),
+        Seq("event_type"), "value", pLo = 0.01, pHi = 0.99, k = 4096)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("lo_clip"), col("hi_clip"), col("winsorized"))
+    }),
     "q175_robust_zscore" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // median/MAD robust z-scores per event_type — q163's fences
@@ -3317,6 +3329,18 @@ object Queries {
         |SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
         |  CAST(d AS BIGINT) AS dist_sq
         |FROM a2""".stripMargin,
+    // identical clips from quantile_disc (exact regime), LEAST/GREATEST
+    // clamp — NULL values pass through in both engines
+    "q178_winsorize" ->
+      """WITH f AS (SELECT event_type,
+        |    quantile_disc(value, 0.01) AS lo_clip,
+        |    quantile_disc(value, 0.99) AS hi_clip
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, f.lo_clip, f.hi_clip,
+        |  CASE WHEN e.value IS NULL THEN NULL
+        |    ELSE LEAST(GREATEST(e.value, f.lo_clip), f.hi_clip)
+        |  END AS winsorized
+        |FROM events e JOIN f USING (event_type)""".stripMargin,
     // identical medians from quantile_disc (both sketch passes exact),
     // identical double formula; zero MAD scores NULL in both engines
     "q175_robust_zscore" ->

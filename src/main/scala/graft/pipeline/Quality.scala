@@ -331,4 +331,46 @@ object Quality {
         lit(null).cast("double"))
         .otherwise((v - col("median")) / (col("mad") * lit(scaleFactor))))
   }
+
+  /** Winsorization: clip `valueCol` at its own per-group [pLo, pHi]
+    * quantiles — the tail-taming transform applied BEFORE means,
+    * variances, or regression targets so a single spike cannot own the
+    * statistic ([[robustOutliers]] removes; this RETAINS at the fence).
+    * Adds `lo_clip` / `hi_clip` (the rank-ceil KLL quantiles, exact
+    * under `k`, certified by `err_units` past it) and `winsorized`
+    * (NULL/NaN pass through unjudged — a clipped NaN would fabricate
+    * data). Same one-sketch-aggregate + broadcast-join plan as
+    * [[robustOutliers]].
+    */
+  def winsorize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99, k: Int = 4096): DataFrame = {
+    require(df.columns.contains(valueCol), s"input is missing '$valueCol'")
+    groupCols.foreach(c =>
+      require(df.columns.contains(c), s"input is missing group column '$c'"))
+    require(!groupCols.contains(valueCol),
+      s"'$valueCol' cannot be both group and measure")
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    for (reserved <- Seq("lo_clip", "hi_clip", "winsorized", "err_units"))
+      require(!df.columns.contains(reserved),
+        s"input uses reserved column name '$reserved'; rename it first")
+    val v = col(valueCol).cast("double")
+    val sk = graft.exec.Kll.quantiles(v, k, Seq(pLo, pHi)).as("__kll")
+    val clips =
+      (if (groupCols.isEmpty) df.agg(sk)
+       else df.groupBy(groupCols.map(col): _*).agg(sk))
+        .select(groupCols.map(c => col(c).as(s"__g_$c")) ++ Seq(
+          col("__kll.values")(0).as("lo_clip"),
+          col("__kll.values")(1).as("hi_clip"),
+          col("__kll.err_units").as("err_units")): _*)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(clips))
+      else df.join(clips,
+        groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _), "left")
+        .drop(groupCols.map(c => s"__g_$c"): _*)
+    joined.withColumn("winsorized",
+      when(v.isNull || isnan(v), lit(null).cast("double"))
+        .otherwise(least(greatest(v, col("lo_clip")), col("hi_clip"))))
+  }
 }

@@ -223,4 +223,25 @@ class QualitySpec extends SparkSpec {
         .withColumn("mad", org.apache.spark.sql.functions.lit(1.0)),
         Seq("g"), "v"))
   }
+
+  test("winsorize: values clip at the per-group rank-ceil quantile " +
+      "fences, NULLs pass through unjudged, guards refuse bad bounds") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    val schema = StructType(Seq(strCol("g"), dblCol("v")))
+    // 1..10: rank-ceil p10 = 1, p90 = 9 -> 10 clips to 9, rest unchanged
+    val rows = (1 to 10).map(i => Row("a", i.toDouble)) :+ Row("a", null)
+    val got = Quality.winsorize(
+      makeDf(schema, rows), Seq("g"), "v", pLo = 0.1, pHi = 0.9, k = 64)
+      .collect().map(r => (r.getAs[Any]("v"),
+        if (r.isNullAt(r.fieldIndex("winsorized"))) null
+        else r.getDouble(r.fieldIndex("winsorized")))).toSet
+    assert(got === ((1 to 9).map(i => (i.toDouble: Any, i.toDouble: Any))
+      .toSet ++ Set((10.0: Any, 9.0: Any), (null: Any, null: Any))))
+    intercept[IllegalArgumentException](Quality.winsorize(
+      makeDf(schema, rows), Seq("g"), "v", pLo = 0.9, pHi = 0.1))
+    intercept[IllegalArgumentException](Quality.winsorize(
+      makeDf(schema, rows).withColumn("winsorized",
+        org.apache.spark.sql.functions.lit(1.0)), Seq("g"), "v"))
+  }
 }
