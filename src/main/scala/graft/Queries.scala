@@ -1559,6 +1559,21 @@ object Queries {
         .unionByName(snippets)
       graft.pipeline.Dedup.containedDocs(corpus, "doc_id", "text")
     }),
+    "q179_label_propagation" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // communities in the supplier co-supply graph (suppliers sharing an
+      // order): synchronous LPA with pinned tie-breaks (most frequent
+      // neighbor label, ties to the smallest), so the oracle unrolls the
+      // identical recurrence in SQL and every label matches exactly
+      val li = read(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"),
+          concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.sn") < col("b.sn"))
+        .select(col("a.sn").as("src"), col("b.sn").as("dst")).distinct()
+      graft.pipeline.Graph.labelPropagation(pairs, "src", "dst",
+        iterations = 2)
+    }),
     "q139_pagerank" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // PageRank over the bipartite customer<->supplier trade graph
@@ -3796,6 +3811,27 @@ object Queries {
     // the identical integer recurrence unrolled: r0 = base = scale//N,
     // contribution = r//deg, r' = (15*base)//100 + (85*sum)//100 — every
     // op is integer division or integer sum, so ranks match bit for bit
+    // the identical synchronous recurrence unrolled: per round, each
+    // node takes its neighbors' most frequent PREVIOUS label, ties to
+    // the smallest label via the (count DESC, label) row_number
+    "q179_label_propagation" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS sn FROM lineitem),
+        |p AS (SELECT DISTINCT a.sn AS x, b.sn AS y FROM li a JOIN li b
+        |  ON a.o = b.o AND a.sn < b.sn),
+        |e AS (SELECT x AS v, y AS nb FROM p UNION SELECT y, x FROM p),
+        |l0 AS (SELECT DISTINCT v, v AS lab FROM e),
+        |c1 AS (SELECT e.v, l.lab, COUNT(*) AS c FROM e
+        |  JOIN l0 l ON l.v = e.nb GROUP BY e.v, l.lab),
+        |l1 AS (SELECT v, lab FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY v ORDER BY c DESC, lab) AS rk FROM c1)
+        |  WHERE rk = 1),
+        |c2 AS (SELECT e.v, l.lab, COUNT(*) AS c FROM e
+        |  JOIN l1 l ON l.v = e.nb GROUP BY e.v, l.lab),
+        |l2 AS (SELECT v, lab FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY v ORDER BY c DESC, lab) AS rk FROM c2)
+        |  WHERE rk = 1)
+        |SELECT v AS node, lab AS label FROM l2""".stripMargin,
     "q139_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT
         |    'c' || CAST(o_custkey AS VARCHAR) AS c,

@@ -223,6 +223,71 @@ object Graph {
     ranks.select(col("__n").as("node"), col("__r").as("rank_fp"))
   }
 
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert & Kumara 2007), made fully deterministic: every node starts
+    * labeled with its own id, and each round SIMULTANEOUSLY relabels
+    * every node with the most frequent label among its neighbors —
+    * frequency ties broken by the SMALLEST label (the classic LPA
+    * randomizes tie-breaks and update order; both choices are pinned
+    * here so any engine reproduces every label, the exact-arithmetic
+    * discipline of [[pageRank]] applied to community structure). The
+    * corpus-curation use: topical communities in co-occurrence /
+    * co-citation graphs built by [[bipartiteProjection]], feeding
+    * diversity sampling and per-community review.
+    *
+    * Edges are treated as UNDIRECTED simple edges (both orientations
+    * added, then distinct — multi-edges do not multiply votes); NULL
+    * endpoints drop; self-loops are ignored (a node voting its own label
+    * freezes it). Isolated nodes cannot appear in an edge list, so every
+    * released node has >= 1 neighbor. Released: (node, label) after
+    * `iterations` rounds — labels are node ids, so |distinct labels| =
+    * community count; synchronous LPA on bipartite-ish regions can
+    * oscillate 2-cycles rather than converge, which bounded `iterations`
+    * (and determinism) makes a defined, reproducible release rather
+    * than a run-dependent one.
+    *
+    * Scale shape per round: the label table joins the (pre-partitioned,
+    * checkpointed) edge list on the neighbor key — the edge table never
+    * re-shuffles, the [[pageRankImpl]] discipline — then one
+    * (node, label)-keyed count with map-side partials and one node-keyed
+    * min-of-(-count, label) argmax, both bounded-width; the label table
+    * re-checkpoints per round so the plan stays O(1) deep.
+    */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    Seq(srcCol, dstCol).foreach(c =>
+      require(edges.columns.contains(c), s"edge list is missing column '$c'"))
+    val directed = edges
+      .select(col(srcCol).cast("string").as("__v"),
+        col(dstCol).cast("string").as("__nb"))
+      .where(col("__v").isNotNull && col("__nb").isNotNull &&
+        col("__v") =!= col("__nb"))
+    val e = directed
+      .unionByName(directed.select(col("__nb").as("__v"),
+        col("__v").as("__nb")))
+      .distinct()
+      .repartition(col("__nb"))
+      .localCheckpoint(true)
+    var labels = e.select(col("__v").as("__n")).distinct()
+      .select(col("__n"), col("__n").as("__lab"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      labels = e
+        .join(labels.select(col("__n").as("__nb"), col("__lab")), "__nb")
+        .groupBy(col("__v"), col("__lab"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__v"))
+        .agg(min(struct((-col("__c")).as("nc"), col("__lab").as("l")))
+          .as("__b"))
+        .select(col("__v").as("__n"), col("__b").getField("l").as("__lab"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("__n").as("node"), col("__lab").as("label"))
+  }
+
   /** Bipartite projection: collapse a two-mode edge list (shared, proj)
     * into the one-mode co-occurrence graph on `projCol` — (u, v,
     * n_shared) for every pair of proj-nodes with >= `minShared` common

@@ -356,4 +356,49 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(df(Seq("a" -> "b")), "nope", "dst")
     }
   }
+
+  /** Synchronous deterministic LPA model: min label among the most
+    * frequent neighbor labels, all nodes updating simultaneously.
+    */
+  private def lpaModel(
+      edges: Seq[(String, String)], iters: Int): Map[String, String] = {
+    val und = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    val adj = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lab = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lab = adj.map { case (v, nbs) =>
+        val freq = nbs.map(lab).groupBy(identity).map {
+          case (l, xs) => l -> xs.size
+        }
+        v -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation: two cliques joined by a bridge separate into " +
+      "two communities; matches the synchronous min-tie model on random " +
+      "graphs under any partitioning; ties break to the smallest label") {
+    // cliques {a1,a2,a3} and {b1,b2,b3} with one bridge a3-b1
+    val cliques = Seq("a1" -> "a2", "a1" -> "a3", "a2" -> "a3",
+      "b1" -> "b2", "b1" -> "b3", "b2" -> "b3", "a3" -> "b1")
+    val got = Graph.labelPropagation(df(cliques), "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === lpaModel(cliques, 3))
+    assert(got("a1") === got("a2"), "clique A must agree")
+    assert(got("b2") === got("b3"), "clique B must agree")
+    // random graphs, several iteration depths and partitionings
+    val rng = new scala.util.Random(41)
+    val rand = Seq.fill(120)(
+      (s"n${rng.nextInt(25)}", s"n${rng.nextInt(25)}"))
+      .filter(e => e._1 != e._2)
+    for (iters <- Seq(1, 2, 4); parts <- Seq(1, 7)) {
+      val g = Graph.labelPropagation(
+        df(rand).repartition(parts), "src", "dst", iters)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(g === lpaModel(rand, iters), s"iters=$iters parts=$parts")
+    }
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(df(cliques), "src", "dst", 0))
+  }
 }
