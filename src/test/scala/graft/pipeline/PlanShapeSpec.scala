@@ -387,6 +387,26 @@ class PlanShapeSpec extends SparkSpec {
       s"quarantine joins must stay key-equi:\n$plan")
   }
 
+  test("robust z-scores / winsorize: exactly the necessary sketch " +
+      "aggregates (two for MAD — the deviation pass needs the median — " +
+      "one for clips); stats joins stay key-equi, never nested-loop") {
+    val df = makeDf(StructType(Seq(strCol("g"), dblCol("v"))),
+      (1 to 500).map(i => Row(s"g${i % 4}", i.toDouble)))
+    val zp = executed(Quality.robustZScores(df, Seq("g"), "v", k = 64))
+    assert(!zp.contains("CartesianProduct") &&
+      !zp.contains("BroadcastNestedLoopJoin"), s"z-scores:\n$zp")
+    // sketch aggregates appear as (partial, final) ObjectHashAggregate
+    // pairs; 2 sketch passes -> at most 4 occurrences (a mis-estimated
+    // stats side may fall back to sort-merge joins — still key-equi)
+    assert("kll_quantiles".r.findAllIn(zp).size <= 8,
+      s"z-scores must run exactly two sketch passes:\n$zp")
+    val wp = executed(Quality.winsorize(df, Seq("g"), "v", k = 64))
+    assert(!wp.contains("CartesianProduct") &&
+      !wp.contains("BroadcastNestedLoopJoin"), s"winsorize:\n$wp")
+    assert("Exchange hashpartitioning".r.findAllIn(wp).size <= 2,
+      s"winsorize is one sketch exchange plus at most the clip join:\n$wp")
+  }
+
   test("edit-distance join: prefix and length-band joins stay gram/length-" +
       "keyed — no cartesian, no nested loop") {
     val names = makeDf(StructType(Seq(strCol("s"))),
