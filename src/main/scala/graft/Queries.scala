@@ -1223,6 +1223,37 @@ object Queries {
       graft.streaming.Streaming.cumulativeQuantiles(
         s.table(name), 16384, Seq(0.25, 0.5, 0.75))
     }),
+    "q180_streaming_interval_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // stream-stream enrichment: every click paired with the same
+      // user's views from the trailing hour — Spark's symmetric hash
+      // join made bounded-state by the watermarks + explicit time-range
+      // condition; single AvailableNow batch = batch-equivalent, oracled
+      // by the corresponding DuckDB range join
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      def stream() = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val clicks = stream().where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+          col("event_id").as("click_id"))
+      val views = stream().where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"),
+          col("event_id").as("view_id"))
+      val joined = graft.streaming.Streaming.streamingIntervalJoin(
+        clicks, views, Seq("user_id"), "cts", "vts",
+        "0 seconds", "0 seconds", within = "1 hour")
+      val name = "q180mem"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(col("user_id"), col("click_id"), col("view_id"))
+    }),
     "q177_cumulative_distinct" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
@@ -3487,6 +3518,13 @@ object Queries {
         |SELECT ws AS window_start, ws + INTERVAL 1 DAY AS window_end,
         |  n_rows, CAST(0 AS BIGINT) AS err_units, vs AS "values"
         |FROM cum""".stripMargin,
+    // the batch-equivalent range join: view in [click - 1h, click],
+    // same user, null users never match
+    "q180_streaming_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+        |FROM events c JOIN events v ON v.user_id = c.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts""".stripMargin,
     // exact-regime KMV: the cumulative estimate IS the distinct count;
     // independent day-prefix COUNT(DISTINCT) formulation
     "q177_cumulative_distinct" ->

@@ -608,6 +608,64 @@ object Streaming {
       .toDF()
   }
 
+  /** Watermarked STREAM-STREAM interval join: every left event paired
+    * with the right events sharing `keyCols` whose time falls in
+    * [leftTime − `within`, leftTime] — the click-to-impression / order-
+    * to-quote enrichment that needs BOTH sides unbounded. Lowered to
+    * Spark's native stream-stream join (StreamingSymmetricHashJoin),
+    * which the watermarks plus the explicit event-time range condition
+    * make BOUNDED-STATE: each side retains only rows newer than its
+    * watermark minus the join window, evicted continuously — without the
+    * time condition Spark would buffer both streams forever, which is
+    * why this wrapper refuses to build the join without it.
+    *
+    * `joinType` "inner" (default) or "left_outer" (unmatched left rows
+    * release NULL right columns once the watermark proves no match can
+    * arrive). Null keys never match (SQL equi-join semantics). Late
+    * rows beyond the watermark drop — the standard watermark contract.
+    * Over a single AvailableNow batch the release is batch-equivalent to
+    * the corresponding range join — the oracled regime.
+    */
+  def streamingIntervalJoin(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsL: String, tsR: String, watermarkL: String, watermarkR: String,
+      within: String, joinType: String = "inner"): DataFrame = {
+    require(keyCols.nonEmpty, "streamingIntervalJoin needs join keys")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer, got '$joinType'")
+    keyCols.foreach { c =>
+      require(left.columns.contains(c), s"left side is missing key '$c'")
+      require(right.columns.contains(c), s"right side is missing key '$c'")
+    }
+    require(left.columns.contains(tsL), s"left side is missing '$tsL'")
+    require(right.columns.contains(tsR), s"right side is missing '$tsR'")
+    require(tsL != tsR,
+      "left and right time columns must be named differently (both are " +
+        "released)")
+    for ((side, df, c) <- Seq(("left", left, tsL), ("right", right, tsR)))
+      require(df.schema(c).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"$side time column '$c' must be a timestamp, got " +
+          s"${df.schema(c).dataType.simpleString}")
+    val clash = right.columns.filterNot(keyCols.contains)
+      .filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"right columns ${clash.mkString(", ")} clash with left; rename first")
+    val l = left.withWatermark(tsL, watermarkL).as("l")
+    val r = right.withWatermark(tsR, watermarkR).as("r")
+    val timeCond =
+      col(s"r.`$tsR`") >= col(s"l.`$tsL`") - expr(s"INTERVAL $within") &&
+        col(s"r.`$tsR`") <= col(s"l.`$tsL`")
+    val cond = keyCols.map(c => col(s"l.`$c`") === col(s"r.`$c`"))
+      .foldLeft(timeCond)(_ && _)
+    l.join(r, cond, joinType)
+      .select(keyCols.map(c => col(s"l.`$c`").as(c)) ++
+        left.columns.filterNot(keyCols.contains).toSeq
+          .map(c => col(s"l.`$c`")) ++
+        right.columns.filterNot(keyCols.contains).toSeq
+          .map(c => col(s"r.`$c`")): _*)
+  }
+
   /** Tumbling-window KLL sketches over a stream: one serialized sketch
     * per window (fixed O(k log n) bytes per OPEN window, the
     * [[windowedHeavyHitters]] state story applied to quantiles) — the

@@ -291,6 +291,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIntervalJoin: clicks enrich with in-window views across " +
+      "batches (bounded state); out-of-window and wrong-key pairs drop; " +
+      "left_outer releases NULLs once the watermark proves no match") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streaming.streamingIntervalJoin(
+      clicks.toDF().toDF("user", "cts", "click_id"),
+      views.toDF().toDF("user", "vts", "view_id"),
+      Seq("user"), "cts", "vts", "1 minute", "1 minute",
+      within = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: views land first (the right side buffers)
+      views.addData((1L, ts(5), "v1"), (1L, ts(20), "v2"), (2L, ts(6), "v3"))
+      q.processAllAvailable()
+      // batch 2: clicks join views within the trailing 10 minutes —
+      // u1@12 matches v1@5 (not v2@20, future); u1@35 matches nothing
+      // (v2@20 is 15 min old); u2@8 matches v3@6
+      clicks.addData((1L, ts(12), "c1"), (1L, ts(35), "c2"), (2L, ts(8), "c3"))
+      q.processAllAvailable()
+      // watermark far past c2's window: the unmatched left row releases
+      views.addData((9L, ts(240), "adv"))
+      clicks.addData((9L, ts(240), "adv"))
+      q.processAllAvailable()
+      views.addData((9L, ts(400), "adv2"))
+      clicks.addData((9L, ts(400), "adv2"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)).orNull)).toSet
+      assert(rows.contains(("c1", "v1")) && rows.contains(("c3", "v3")))
+      assert(!rows.contains(("c1", "v2")), "future view must not match")
+      assert(rows.contains(("c2", null)),
+        s"unmatched click must release NULL after the watermark: $rows")
+    } finally q.stop()
+  }
+
   test("streamingWindowedSketches + cumulativeQuantiles: per-window " +
       "sketches union into exact running to-date quantiles (certificate " +
       "0 under k), no raw-data reprocessing") {
