@@ -103,7 +103,53 @@ object GraftExtensions {
       SpaceSavingTopK(exprs.head,
         intLiteral(exprs(1), "space_saving_topk capacity"),
         intLiteral(exprs(2), "space_saving_topk k")).toAggregateExpression()
+    },
+    "kll_quantiles" -> { exprs =>
+      require(exprs.size >= 3,
+        "kll_quantiles(value, k, p...) takes the value, k, and at least " +
+          "one percentile literal")
+      KllQuantileAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs.head,
+          org.apache.spark.sql.types.DoubleType),
+        intLiteral(exprs(1), "kll_quantiles k"),
+        exprs.drop(2).map(doubleLiteral(_, "kll_quantiles percentile")))
+        .toAggregateExpression()
+    },
+    "kll_sketch" -> { exprs =>
+      require(exprs.size == 2, "kll_sketch(value, k) takes exactly 2 arguments")
+      KllSketchAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs.head,
+          org.apache.spark.sql.types.DoubleType),
+        intLiteral(exprs(1), "kll_sketch k")).toAggregateExpression()
+    },
+    "kll_union" -> { exprs =>
+      require(exprs.size >= 3,
+        "kll_union(sketch, k, p...) takes the sketch, k, and at least " +
+          "one percentile literal")
+      KllUnionAgg(exprs.head, intLiteral(exprs(1), "kll_union k"),
+        exprs.drop(2).map(doubleLiteral(_, "kll_union percentile")))
+        .toAggregateExpression()
+    },
+    "kmv_sketch" -> { exprs =>
+      require(exprs.size == 2, "kmv_sketch(value, k) takes exactly 2 arguments")
+      val k = intLiteral(exprs(1), "kmv_sketch k")
+      ColumnBridge.resolvedExpression(
+        Kmv.sketch(ColumnBridge.column(exprs.head), k))
+    },
+    "kmv_estimate" -> { exprs =>
+      require(exprs.size == 2,
+        "kmv_estimate(sketch, k) takes exactly 2 arguments")
+      val k = intLiteral(exprs(1), "kmv_estimate k")
+      ColumnBridge.resolvedExpression(
+        Kmv.estimate(ColumnBridge.column(exprs.head), k))
     })
+
+  private def doubleLiteral(e: Expression, what: String): Double = e match {
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(n: java.lang.Number, _)                   => n.doubleValue
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
 
   /** Register the functions into an already-running session (for sessions
     * created without `spark.sql.extensions`).

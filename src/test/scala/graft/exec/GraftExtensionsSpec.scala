@@ -98,4 +98,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     """).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.toSet === Set(("0", 30L, 0L), ("1", 30L, 0L), ("2", 30L, 0L)))
   }
+
+  test("kll and kmv sketches work from pure SQL: grouped quantiles, " +
+      "sketch->union rollup, distinct estimate — exact regimes") {
+    import spark.implicits._
+    (1 to 100).map(i => (if (i <= 60) "a" else "b", i.toDouble))
+      .toDF("g", "v").createOrReplaceTempView("kx")
+    // grouped direct quantiles (exact: n < k)
+    val q = spark.sql("""
+      SELECT g, s.n, s.err_units, s.values FROM
+        (SELECT g, kll_quantiles(v, 256, 0.5, 0.9) AS s FROM kx GROUP BY g)
+    """).collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getSeq[Double](3)))).toMap
+    assert(q("a") === ((60L, 0L, Seq(30.0, 54.0))))
+    assert(q("b") === ((40L, 0L, Seq(80.0, 96.0))))
+    // sketch per group then union to the global quantile
+    val u = spark.sql("""
+      SELECT u.n, u.values[0] FROM
+        (SELECT kll_union(sk, 256, 0.5) AS u FROM
+          (SELECT g, kll_sketch(v, 256) AS sk FROM kx GROUP BY g))
+    """).head
+    assert(u.getLong(0) === 100L && u.getDouble(1) === 50.0)
+    // kmv distinct estimate, exact under k
+    val d = spark.sql(
+      "SELECT kmv_estimate(kmv_sketch(g, 32), 32) FROM kx").head.getDouble(0)
+    assert(d === 2.0)
+  }
 }
