@@ -1223,6 +1223,32 @@ object Queries {
       graft.streaming.Streaming.cumulativeQuantiles(
         s.table(name), 16384, Seq(0.25, 0.5, 0.75))
     }),
+    "q181_streaming_multi_touch" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // q172's time-decay split on a STREAM: bounded per-entity touch
+      // buffer (lookback-pruned, cap loud), identical integer-power-of-
+      // two weights — a single AvailableNow batch is bit-identical to
+      // the batch operator, so the q172 oracle applies verbatim
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val credits = graft.streaming.Streaming.streamingMultiTouchAttribution(
+        stream, "user_id", "event_type", "event_id",
+        convType = "purchase", touchTypes = Seq("click", "view", "signup"),
+        lookback = 500L, model = "time_decay", halfLife = 50L)
+      val name = "q181mem"
+      val q = credits.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(col("entity").cast("long").as("user_id"),
+        col("conv_time").as("event_id"), col("touch_type"),
+        col("touch_time"), col("credit"))
+    }),
     "q180_streaming_interval_join" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
@@ -3319,6 +3345,29 @@ object Queries {
         |  END AS credit
         |FROM r""".stripMargin,
     "q172_time_decay_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type FROM events
+        |    WHERE user_id IS NOT NULL),
+        |  conv AS (SELECT user_id, event_id FROM ev
+        |    WHERE event_type = 'purchase'),
+        |  tch AS (SELECT user_id, event_id AS t, event_type AS y FROM ev
+        |    WHERE event_type IN ('click','view','signup')),
+        |  j AS (SELECT c.user_id, c.event_id, h.y AS touch_type,
+        |      h.t AS touch_time
+        |    FROM conv c LEFT JOIN tch h ON h.user_id = c.user_id
+        |      AND h.t BETWEEN c.event_id - 500 AND c.event_id - 1),
+        |  r AS (SELECT user_id, event_id, touch_type, touch_time,
+        |      CASE WHEN touch_time IS NULL THEN NULL
+        |        ELSE (CAST(1 AS BIGINT) << CAST(
+        |          40 - (event_id - touch_time) // 50 AS INTEGER))
+        |      END AS w
+        |    FROM j)
+        |SELECT user_id, event_id, touch_type, touch_time,
+        |  CAST(w AS DOUBLE) / CAST(SUM(w)
+        |    OVER (PARTITION BY user_id, event_id) AS DOUBLE) AS credit
+        |FROM r""".stripMargin,
+    // the streaming twin is bit-identical over one AvailableNow batch:
+    // the q172 formulation applies verbatim
+    "q181_streaming_multi_touch" ->
       """WITH ev AS (SELECT user_id, event_id, event_type FROM events
         |    WHERE user_id IS NOT NULL),
         |  conv AS (SELECT user_id, event_id FROM ev

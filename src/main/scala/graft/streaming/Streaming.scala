@@ -771,6 +771,171 @@ object Streaming {
   final case class TouchCredit(
       entity: String, conv_time: Long,
       touch_type: Option[String], touch_time: Option[Long])
+  final case class TouchBufState(types: Seq[String], times: Seq[Long])
+  final case class MultiTouchCredit(
+      entity: String, conv_time: Long,
+      touch_type: Option[String], touch_time: Option[Long],
+      credit: Option[Double])
+
+  /** Streaming twin of [[graft.pipeline.Relational.multiTouchAttribution]]:
+    * every conversion's credit split across its in-window touches with the
+    * SAME models and the SAME arithmetic (linear 1/n; position 0.4/0.2/0.4;
+    * time_decay over exact integer powers of two) — over a single
+    * AvailableNow batch the two are bit-identical, the oracled regime.
+    *
+    * Per-entity state is the touch buffer itself, BOUNDED two ways: a
+    * touch older than `lookback` relative to the entity's newest event
+    * can never enter a future in-order window and is pruned on every
+    * update, and `maxTouchesPerEntity` caps what one entity may hold —
+    * breached LOUDLY (the batch operator's refusal discipline: a silently
+    * dropped touch would not just lose a row, it would RENORMALIZE every
+    * surviving touch's credit — wrong values, not missing ones).
+    *
+    * Disorder contract (sharper than last-touch's): within a batch,
+    * events fold in (time, type) order, so arrival order is irrelevant;
+    * ACROSS batches, a conversion arriving after later-timed events may
+    * find part of its window already pruned, and its credits renormalize
+    * over the surviving touches. Time-ordered sources and backfills are
+    * exact; heavily disordered sources should run the batch operator
+    * over closed windows. `entityTtlMs` / `eventTimeTtl` bound the
+    * entity universe exactly as in [[streamingAttribution]].
+    */
+  def streamingMultiTouchAttribution(
+      events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
+      convType: String, touchTypes: Seq[String], lookback: Long,
+      model: String = "linear", halfLife: Long = 0L,
+      maxTouchesPerEntity: Int = 4096,
+      entityTtlMs: Option[Long] = None,
+      eventTimeTtl: Option[EventTimeTtl] = None): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(convType),
+      s"conversion type '$convType' cannot also be a touch type")
+    require(lookback > 0L, s"lookback must be positive, got $lookback")
+    require(Seq("linear", "position", "time_decay").contains(model),
+      s"model must be linear, position or time_decay, got '$model'")
+    require(maxTouchesPerEntity >= 1,
+      s"maxTouchesPerEntity must be >= 1, got $maxTouchesPerEntity")
+    if (model == "time_decay") {
+      require(halfLife > 0L,
+        s"time_decay needs a positive halfLife, got $halfLife")
+      require(lookback / halfLife <= 40L,
+        s"lookback/halfLife = ${lookback / halfLife} exceeds 40 half-lives " +
+          "— the integer weight 2^(40-k) would overflow exactness; raise " +
+          "halfLife or shorten lookback")
+    } else require(halfLife == 0L,
+      s"halfLife only applies to time_decay, got $halfLife for '$model'")
+    Seq(entityCol, typeCol, timeCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    entityTtlMs.foreach(t =>
+      require(t > 0L, s"entityTtlMs must be positive, got $t"))
+    require(entityTtlMs.isEmpty || eventTimeTtl.isEmpty,
+      "entityTtlMs (processing-time) and eventTimeTtl (watermark) are " +
+        "mutually exclusive — pick one expiry clock")
+    eventTimeTtl.foreach { ttl =>
+      require(ttl.ttlMs > 0L, s"eventTimeTtl.ttlMs must be positive, " +
+        s"got ${ttl.ttlMs}")
+      require(events.columns.contains(ttl.tsCol),
+        s"events side is missing event-time column '${ttl.tsCol}'")
+      require(events.schema(ttl.tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"eventTimeTtl.tsCol must be a timestamp, got " +
+          s"${events.schema(ttl.tsCol).dataType.simpleString}")
+    }
+    val touchSet = touchTypes.toSet
+    implicit val stateEnc = Encoders.product[TouchBufState]
+    implicit val outEnc = Encoders.product[MultiTouchCredit]
+    implicit val strEnc = Encoders.STRING
+    implicit val rowEnc = Encoders.tuple(
+      Encoders.STRING, Encoders.STRING, Encoders.scalaLong,
+      Encoders.TIMESTAMP)
+    val timeoutConf =
+      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val typeFilter = col(typeCol).isin((convType +: touchTypes): _*)
+    val prepared = eventTimeTtl match {
+      case Some(ttl) => events.withWatermark(ttl.tsCol, ttl.watermark)
+        .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+          col(ttl.tsCol).isNotNull && typeFilter)
+        .select(col(entityCol).cast("string"), col(typeCol).cast("string"),
+          col(timeCol).cast("long"), col(ttl.tsCol))
+      case None => events
+        .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+          typeFilter)
+        .select(col(entityCol).cast("string"), col(typeCol).cast("string"),
+          col(timeCol).cast("long"), lit(null).cast("timestamp"))
+    }
+    prepared
+      .as[(String, String, Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TouchBufState, MultiTouchCredit](
+        OutputMode.Update, timeoutConf) { (entity, it, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          // buffer kept sorted by (time, type) — the batch array_sort order
+          var buf = state.getOption
+            .map(s => s.types.zip(s.times).map { case (y, t) => (t, y) }
+              .toVector)
+            .getOrElse(Vector.empty)
+          var maxSeen =
+            if (buf.isEmpty) Long.MinValue else buf.iterator.map(_._1).max
+          val out = Vector.newBuilder[MultiTouchCredit]
+          val evs = it.toArray.sortBy(r => (r._3, r._2))
+          for ((_, y, t, _) <- evs) {
+            if (y == convType) {
+              val window = buf.filter(p => p._1 >= t - lookback && p._1 < t)
+              if (window.isEmpty)
+                out += MultiTouchCredit(entity, t, None, None, None)
+              else {
+                val n = window.size
+                val credits: Seq[Double] = model match {
+                  case "linear" => Seq.fill(n)(1.0 / n)
+                  case "position" =>
+                    if (n == 1) Seq(1.0)
+                    else if (n == 2) Seq(0.5, 0.5)
+                    else (0 until n).map(i =>
+                      if (i == 0 || i == n - 1) 0.4 else 0.2 / (n - 2))
+                  case _ =>
+                    val ws = window.map(p =>
+                      1L << (40L - (t - p._1) / halfLife).toInt)
+                    val sw = ws.sum
+                    ws.map(w => w.toDouble / sw.toDouble)
+                }
+                window.zip(credits).foreach { case ((tt, ty), c) =>
+                  out += MultiTouchCredit(entity, t, Some(ty), Some(tt),
+                    Some(c))
+                }
+              }
+            } else if (touchSet(y)) {
+              maxSeen = math.max(maxSeen, t)
+              // insert keeping (time, type) order; prune what no in-order
+              // future conversion can ever see
+              buf = (buf :+ ((t, y))).sortBy(identity)
+                .filter(_._1 > maxSeen - lookback)
+              if (buf.size > maxTouchesPerEntity)
+                throw new IllegalStateException(
+                  s"streamingMultiTouchAttribution: entity $entity holds > " +
+                    s"$maxTouchesPerEntity in-window touches — a silent " +
+                    "drop would renormalize every credit; raise " +
+                    "maxTouchesPerEntity or shorten the lookback")
+            }
+          }
+          if (buf.nonEmpty || state.exists) {
+            state.update(TouchBufState(buf.map(_._2), buf.map(_._1)))
+            entityTtlMs.foreach(state.setTimeoutDuration)
+            eventTimeTtl.foreach { ttl =>
+              val maxTs = evs.iterator.map(_._4.getTime).max
+              state.setTimeoutTimestamp(math.max(
+                maxTs + ttl.ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.result().iterator
+        }
+      }
+      .toDF()
+  }
 
   /** Streaming LAST-touch attribution: per entity, O(1) state (the single
     * most recent touch) credits every conversion to the latest touch

@@ -332,6 +332,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingMultiTouchAttribution folds across batches and matches " +
+      "the batch operator on an in-order stream (all three models); " +
+      "over-cap touches refuse loudly") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val all = Seq(
+      (1L, 10L, "click"), (1L, 20L, "view"), (1L, 30L, "ad"),
+      (2L, 5L, "click"),
+      // batch boundary here
+      (1L, 40L, "buy"), (2L, 6L, "buy"), (1L, 300L, "buy"))
+    for ((model, hl) <- Seq(("linear", 0L), ("position", 0L),
+        ("time_decay", 10L))) {
+      val in = MemoryStream[(Long, Long, String)]
+      val out = Streaming.streamingMultiTouchAttribution(
+        in.toDF().toDF("u", "t", "y"), "u", "y", "t", "buy",
+        Seq("ad", "click", "view"), 100L, model, hl)
+      val name = s"smt_$model"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try {
+        in.addData(all.take(4): _*)
+        q.processAllAvailable()
+        in.addData(all.drop(4): _*)
+        q.processAllAvailable()
+        val got = spark.table(name).collect().map(r =>
+          (r.getString(0), r.getLong(1), Option(r.getString(2)).orNull,
+            if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSet
+        val expect = graft.pipeline.Relational.multiTouchAttribution(
+          all.toDF("u", "t", "y"), "u", "t", "y", "buy",
+          Seq("ad", "click", "view"), 100L, model, hl)
+          .collect().map(r =>
+            (r.getLong(0).toString, r.getLong(1),
+              Option(r.getString(2)).orNull,
+              if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSet
+        assert(got === expect, s"model=$model")
+      } finally q.stop()
+    }
+    // cap breach fails the query loudly
+    val in2 = MemoryStream[(Long, Long, String)]
+    val out2 = Streaming.streamingMultiTouchAttribution(
+      in2.toDF().toDF("u", "t", "y"), "u", "y", "t", "buy", Seq("click"),
+      100L, maxTouchesPerEntity = 2)
+    val q2 = out2.writeStream.format("memory").queryName("smt_cap")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in2.addData((1L, 1L, "click"), (1L, 2L, "click"), (1L, 3L, "click"))
+      val e = intercept[Exception](q2.processAllAvailable())
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("maxTouchesPerEntity")))
+    } finally q2.stop()
+  }
+
   test("streamingWindowedSketches + cumulativeQuantiles: per-window " +
       "sketches union into exact running to-date quantiles (certificate " +
       "0 under k), no raw-data reprocessing") {
