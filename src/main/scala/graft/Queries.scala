@@ -604,6 +604,18 @@ object Queries {
         emb.filter("vec_id < 10"), "vec_id", "embedding", k = 3)
         .select("query_id", "corpus_id", "rank")
     }),
+    "q182_distribution_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // drift monitor: English documents are the reference snapshot, the
+      // rest of the corpus the live side — equi-depth n_chars bins from
+      // the reference's own quantiles (exact at k=4096), counts and
+      // truncating integer ppm shares per bin, zero-filled
+      val docs = read(s, d, "documents")
+      graft.pipeline.CorpusStats.distributionDrift(
+        docs.where(col("lang") === "en"),
+        docs.where(col("lang") =!= "en"),
+        "n_chars", nBins = 4, k = 4096)
+    }),
     "q176_kmeans" -> ((s, d) => {
       // corpus clustering: 2 Lloyd rounds over the embeddings in integer
       // micro-units — deterministic seeds (4 smallest vec_ids),
@@ -3388,6 +3400,42 @@ object Queries {
         |  CAST(w AS DOUBLE) / CAST(SUM(w)
         |    OVER (PARTITION BY user_id, event_id) AS DOUBLE) AS credit
         |FROM r""".stripMargin,
+    // identical edges from quantile_disc over the reference, identical
+    // CASE binning, truncating // for the ppm shares, zero-fill via
+    // generate_series
+    "q182_distribution_drift" ->
+      """WITH r AS (SELECT n_chars FROM documents
+        |    WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |c AS (SELECT n_chars FROM documents
+        |    WHERE lang <> 'en' AND n_chars IS NOT NULL),
+        |e AS (SELECT quantile_disc(n_chars, 0.25) AS e1,
+        |    quantile_disc(n_chars, 0.5) AS e2,
+        |    quantile_disc(n_chars, 0.75) AS e3 FROM r),
+        |u AS (SELECT CASE WHEN n_chars <= e.e1 THEN 0
+        |      WHEN n_chars <= e.e2 THEN 1
+        |      WHEN n_chars <= e.e3 THEN 2 ELSE 3 END AS bin, 0 AS side
+        |    FROM r, e
+        |  UNION ALL
+        |  SELECT CASE WHEN n_chars <= e.e1 THEN 0
+        |      WHEN n_chars <= e.e2 THEN 1
+        |      WHEN n_chars <= e.e3 THEN 2 ELSE 3 END AS bin, 1 AS side
+        |    FROM c, e),
+        |cnt AS (SELECT bin,
+        |    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_ref,
+        |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_cur
+        |  FROM u GROUP BY bin),
+        |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM cnt),
+        |bins AS (SELECT unnest(generate_series(0, 3)) AS bin)
+        |SELECT CAST(b.bin AS INTEGER) AS bin,
+        |  CAST(COALESCE(cnt.n_ref, 0) AS BIGINT) AS n_ref,
+        |  CAST(COALESCE(cnt.n_cur, 0) AS BIGINT) AS n_cur,
+        |  CAST(CASE WHEN t.tr = 0 THEN 0
+        |    ELSE COALESCE(cnt.n_ref, 0) * 1000000 // t.tr END
+        |    AS BIGINT) AS ref_ppm,
+        |  CAST(CASE WHEN t.tc = 0 THEN 0
+        |    ELSE COALESCE(cnt.n_cur, 0) * 1000000 // t.tc END
+        |    AS BIGINT) AS cur_ppm
+        |FROM bins b LEFT JOIN cnt ON cnt.bin = b.bin, t""".stripMargin,
     // two unrolled Lloyd rounds in pure SQL over the SAME integer
     // micro-units: quantize, seed from the 4 smallest vec_ids, assign by
     // (distance, cid) rank, per-dimension truncating integer mean

@@ -211,6 +211,68 @@ object CorpusStats {
       when(col(valueCol).isNull, lit(null)).otherwise(chain).cast("int"))
   }
 
+  /** Distribution drift monitor: bin a REFERENCE corpus's `valueCol` into
+    * equi-depth bins by its own quantiles (the [[equiDepthBins]] edges),
+    * then count BOTH corpora per bin and release integer parts-per-million
+    * shares — the input table for PSI / KL / chi-squared drift alarms
+    * between a training snapshot and live data, in engine-portable
+    * integers (the transcendental drift statistic itself is one map over
+    * this table; releasing ppm instead keeps every value
+    * oracle-checkable). One row per bin 0..nBins−1, zero-filled:
+    * (bin, n_ref, n_cur, ref_ppm, cur_ppm), ppm = count·10^6 div total
+    * (truncating — shares may sum to slightly under 10^6; exact in any
+    * engine). NULL/NaN values are uncounted on either side. Under equi-
+    * depth edges ref_ppm ≈ 10^6/nBins by construction — cur_ppm's
+    * deviation from that IS the drift.
+    *
+    * Plan shape: one bounded KLL aggregate on the reference (edges are
+    * driver metadata), one union + (bin)-keyed count with map-side
+    * partials, a single-row totals broadcast, and an nBins-row zero-fill
+    * join — nothing scales with row count but the two scans.
+    */
+  def distributionDrift(
+      ref: DataFrame, cur: DataFrame, valueCol: String, nBins: Int,
+      k: Int = 4096): DataFrame = {
+    require(nBins >= 2 && nBins <= 100000,
+      s"nBins must be in [2, 100000], got $nBins")
+    Seq(ref -> "reference", cur -> "current").foreach { case (df, side) =>
+      require(df.columns.contains(valueCol),
+        s"$side side is missing '$valueCol'")
+    }
+    val v = col(valueCol).cast("double")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val row = ref.agg(graft.exec.Kll.quantiles(v, k, ps).as("s"))
+      .select(col("s.values")).head()
+    require(!row.isNullAt(0),
+      "distributionDrift: the reference side has no non-null values — " +
+        "no edges derivable")
+    val edges = row.getSeq[Double](0)
+    def binned(df: DataFrame): DataFrame = {
+      val chain = edges.zipWithIndex.foldRight(lit(nBins - 1): Column) {
+        case ((e, i), rest) => when(v <= e, lit(i)).otherwise(rest)
+      }
+      df.where(v.isNotNull && !isnan(v)).select(chain.cast("int").as("bin"))
+    }
+    val spark = ref.sparkSession
+    val counts = binned(ref).withColumn("__side", lit(0))
+      .unionByName(binned(cur).withColumn("__side", lit(1)))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val allBins = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    val totals = counts.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    def ppm(n: Column, total: Column): Column =
+      when(total === 0L, 0L)
+        .otherwise(call_function("div", n * lit(1000000L), total))
+    allBins.join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        ppm(col("n_ref"), col("__tr")).as("ref_ppm"),
+        ppm(col("n_cur"), col("__tc")).as("cur_ppm"))
+  }
+
   /** Corpus mix report at EVERY rollup level of `groupCols` in one pass:
     * document and token totals per (lang, source), per lang, and grand
     * total — the mixture table a pretraining run is provisioned from.

@@ -217,6 +217,34 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("distributionDrift: reference bins its own quantiles ~uniformly, " +
+      "a shifted current corpus shows the skew; zero-fill, truncating " +
+      "ppm, NULLs uncounted; empty reference refuses") {
+    import graft.pipeline.{CorpusStats => C}
+    val schema = StructType(Seq(dblCol("v")))
+    // ref 1..100 -> edges 25/50/75; cur all in the top bin plus a NULL
+    val ref = makeDf(schema, (1 to 100).map(i => Row(i.toDouble)))
+    val cur = makeDf(schema,
+      (1 to 30).map(i => Row(80.0 + i % 10)) :+ Row(null))
+    val got = C.distributionDrift(ref, cur, "v", nBins = 4, k = 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0, 25L, 0L, 250000L, 0L),
+      (1, 25L, 0L, 250000L, 0L),
+      (2, 25L, 0L, 250000L, 0L),
+      (3, 25L, 30L, 250000L, 1000000L)))
+    // truncating ppm: 3 bins of 1/3 never sum past 10^6
+    val ref3 = makeDf(schema, (1 to 3).map(i => Row(i.toDouble)))
+    val got3 = C.distributionDrift(ref3, ref3, "v", nBins = 3, k = 64)
+      .collect().map(r => r.getLong(3))
+    assert(got3.forall(_ == 333333L))
+    intercept[IllegalArgumentException](C.distributionDrift(
+      makeDf(schema, Seq(Row(null))), cur, "v", nBins = 4))
+    intercept[IllegalArgumentException](
+      C.distributionDrift(ref, cur, "v", nBins = 1))
+  }
+
   test("union under a DIFFERENT k fails loudly (k is in the wire format; " +
       "a silent re-compaction would change the certificate)") {
     val schema = StructType(Seq(strCol("g"), dblCol("v")))
