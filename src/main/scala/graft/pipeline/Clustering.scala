@@ -119,7 +119,8 @@ object Clustering {
           col("__best.c").as("cluster"), col("__best.d").as("dist_sq"))
     }
     var lastAssign: DataFrame = null
-    for (_ <- 1 to iters) {
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
       lastAssign = assigned()
       // one (cluster, dim)-keyed exchange of (sum, count) partials
       val means = lastAssign
@@ -134,9 +135,15 @@ object Clustering {
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
       // an emptied cluster keeps its previous centroid
-      centroids = centroids.zipWithIndex.map { case (c, i) =>
+      val next = centroids.zipWithIndex.map { case (c, i) =>
         means.getOrElse(i, c)
       }
+      // fixed point: unchanged centroids make every later round identical
+      // (integer arithmetic — no epsilon needed), so exit early; a free
+      // driver-side array compare, no extra job, same released result
+      converged = next.zip(centroids)
+        .forall { case (a, b) => java.util.Arrays.equals(a, b) }
+      centroids = next
     }
     val out = lastAssign.select(col("__id").as(idCol), col("cluster"),
       col("dist_sq")).localCheckpoint(true)

@@ -687,6 +687,86 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("attribution and multiTouchAttribution match a pure-Scala model " +
+      "on random event logs WITH timestamp ties, for every model, under " +
+      "any partitioning") {
+    val rng = new scala.util.Random(37)
+    val types = Vector("ad", "click", "view", "buy")
+    val rows = Seq.fill(400)((rng.nextInt(12).toLong: java.lang.Long,
+      rng.nextInt(60).toLong: java.lang.Long, types(rng.nextInt(4))))
+    val lookback = 20L
+    val touches = Seq("ad", "click", "view")
+    // model: per user, sorted (time, type) events; per buy, the sorted
+    // in-window touch list
+    def windowOf(u: Long, t: Long): Seq[(Long, String)] =
+      rows.collect { case (uu, tt, y)
+        if uu == u && touches.contains(y) &&
+          tt >= t - lookback && tt < t => (tt.toLong, y) }.sorted
+    val buys = rows.collect { case (u, t, "buy") => (u.toLong, t.toLong) }
+      .distinct
+    def creditsOf(model: String, n: Int): Seq[Double] = model match {
+      case "linear" => Seq.fill(n)(1.0 / n)
+      case _ => // position
+        if (n == 1) Seq(1.0) else if (n == 2) Seq(0.5, 0.5)
+        else (0 until n).map(i =>
+          if (i == 0 || i == n - 1) 0.4 else 0.2 / (n - 2))
+    }
+    val df0 = attrDf(rows)
+    for (parts <- Seq(1, 6)) {
+      val df = df0.repartition(parts)
+      // single-touch, both modes: last = max (time, type), first = min
+      val last = Relational.attribution(df, "u", "t", "y", "buy",
+        touches, lookback, "last").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (Option(r.getString(2)).orNull,
+            if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      val first = Relational.attribution(df, "u", "t", "y", "buy",
+        touches, lookback, "first").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (Option(r.getString(2)).orNull,
+            if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      for ((u, t) <- buys) {
+        val w = windowOf(u, t)
+        val expLast =
+          if (w.isEmpty) (null, -1L) else { val m = w.max; (m._2, m._1) }
+        val expFirst =
+          if (w.isEmpty) (null, -1L) else { val m = w.min; (m._2, m._1) }
+        assert(last((u, t)) === expLast, s"last u=$u t=$t parts=$parts")
+        assert(first((u, t)) === expFirst, s"first u=$u t=$t parts=$parts")
+      }
+      // multi-touch, all three models
+      for ((model, hl) <- Seq(("linear", 0L), ("position", 0L),
+          ("time_decay", 5L))) {
+        val got = Relational.multiTouchAttribution(df, "u", "t", "y",
+          "buy", touches, lookback, model, hl).collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            Option(r.getString(2)).orNull,
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+          .groupBy(x => (x._1, x._2))
+        for ((u, t) <- buys) {
+          val w = windowOf(u, t)
+          val exp: Set[(String, Long, Double)] =
+            if (w.isEmpty) Set((null, -1L, -1.0))
+            else {
+              val cs: Seq[Double] = model match {
+                case "time_decay" =>
+                  val ws = w.map { case (tt, _) =>
+                    1L << (40L - (t - tt) / hl).toInt }
+                  val sw = ws.sum
+                  ws.map(x => x.toDouble / sw.toDouble)
+                case m => creditsOf(m, w.size)
+              }
+              w.zip(cs).map { case ((tt, y), c) => (y, tt, c) }.toSet
+            }
+          val g = got((u, t))
+            .map(x => (x._3, x._4, x._5)).toSet
+          assert(g === exp, s"$model u=$u t=$t parts=$parts")
+        }
+      }
+    }
+  }
+
   test("multiTouchAttribution guards: bad model, halfLife misuse, " +
       "over-cap half-lives, touch-count breach raises loudly") {
     val df = attrDf(Seq((1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "a"),
