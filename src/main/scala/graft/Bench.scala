@@ -51,6 +51,17 @@ object Bench {
     // count toward exec and plan respectively — disclosed, not hidden.
     val planTimes = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // hermetic queries: localCheckpoint blocks from a finished query
+    // linger until its DataFrame is GC'd, and with 180+ queries the
+    // accumulated executor-memory pressure measurably slows later
+    // iterative queries (q141 read 3.9 s in a 171-query pass, 5.4 s in a
+    // 184-query pass, same code). Nothing outlives its query here —
+    // every released DataFrame is consumed by count() — so dropping
+    // leftover blocks between queries is pure cleanup.
+    def dropLeftoverBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    dropLeftoverBlocks()
     for (_ <- 1 to repeats; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try {
@@ -62,6 +73,7 @@ object Bench {
         planTimes(name) ::= (t1 - t0) / 1e9
       }
       catch { case e: Throwable => errors += s"$name: ${e.getMessage}" }
+      dropLeftoverBlocks()
     }
     def median(m: collection.Map[String, List[Double]], name: String): Double = {
       val ts = m(name)
@@ -127,7 +139,9 @@ object Bench {
           try {
             val t0 = System.nanoTime()
             queriesByName(name)(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
+            val dt = (System.nanoTime() - t0) / 1e9
+            dropLeftoverBlocks()
+            Some(dt)
           } catch { case _: Throwable => None }
         }
         val fm = if (fresh.size == repeats) fresh.sorted.apply(repeats / 2) else v

@@ -3613,6 +3613,7 @@ object Queries {
         |    quantile_disc(v.value, [0.25, 0.5, 0.75]) AS vs
         |  FROM days d JOIN vals v ON v.ws <= d.ws GROUP BY d.ws)
         |SELECT ws AS window_start, ws + INTERVAL 1 DAY AS window_end,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY ws) AS INTEGER) AS n_windows,
         |  n_rows, CAST(0 AS BIGINT) AS err_units, vs AS "values"
         |FROM cum""".stripMargin,
     // the batch-equivalent range join: view in [click - 1h, click],

@@ -712,10 +712,13 @@ object Streaming {
         org.apache.spark.sql.expressions.Window.currentRow)
     windowSketches
       .select(col("window"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("window.end")))
+          .as("n_windows"),
         graft.exec.Kll.unionQuantiles(col("sketch"), k, percentiles)
           .over(w).as("u"))
       .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"),
+        col("window.end").as("window_end"), col("n_windows"),
         col("u.n").as("n_rows"), col("u.err_units").as("err_units"),
         col("u.values").as("values"))
   }
@@ -911,9 +914,12 @@ object Streaming {
             } else if (touchSet(y)) {
               maxSeen = math.max(maxSeen, t)
               // insert keeping (time, type) order; prune what no in-order
-              // future conversion can ever see
+              // future conversion can ever see. INCLUSIVE bound: a
+              // conversion tied with maxSeen still reaches back to
+              // maxSeen - lookback (the batch RANGE frame's closed lower
+              // edge), so exactly-lookback-old touches must survive
               buf = (buf :+ ((t, y))).sortBy(identity)
-                .filter(_._1 > maxSeen - lookback)
+                .filter(_._1 >= maxSeen - lookback)
               if (buf.size > maxTouchesPerEntity)
                 throw new IllegalStateException(
                   s"streamingMultiTouchAttribution: entity $entity holds > " +

@@ -446,7 +446,7 @@ class DocExamplesSpec extends SparkSpec {
       val cum = streaming.Streaming.cumulativeQuantiles(
         spark.table("docwsk"), 64, Seq(0.5))
         .orderBy("window_end")
-        .collect().map(r => (r.getLong(2), r.getSeq[Double](4).head)).toSeq
+        .collect().map(r => (r.getLong(3), r.getSeq[Double](5).head)).toSeq
       // window 1 alone: median of {1,2,3}; through window 2: of {1,2,3,10}
       assert(cum === Seq((3L, 2.0), (4L, 2.0)))
     } finally q.stop()

@@ -370,6 +370,26 @@ class StreamingSpec extends SparkSpec {
         assert(got === expect, s"model=$model")
       } finally q.stop()
     }
+    // boundary: a touch exactly `lookback` old relative to a tied-time
+    // conversion survives the prune (the batch RANGE frame's closed
+    // lower edge) — batch split placed to force the prune path
+    val inB = MemoryStream[(Long, Long, String)]
+    val outB = Streaming.streamingMultiTouchAttribution(
+      inB.toDF().toDF("u", "t", "y"), "u", "y", "t", "buy", Seq("click"),
+      100L)
+    val qB = outB.writeStream.format("memory").queryName("smt_edge")
+      .outputMode(OutputMode.Update).start()
+    try {
+      inB.addData((1L, 0L, "click"), (1L, 100L, "click"))
+      qB.processAllAvailable()
+      inB.addData((1L, 100L, "buy")) // window [0, 99]: only the t=0 touch
+      qB.processAllAvailable()
+      val got = spark.table("smt_edge").collect().map(r =>
+        (if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSet
+      assert(got === Set((0L, 1.0)),
+        s"the exactly-lookback-old touch must survive the prune: $got")
+    } finally qB.stop()
     // cap breach fails the query loudly
     val in2 = MemoryStream[(Long, Long, String)]
     val out2 = Streaming.streamingMultiTouchAttribution(
@@ -414,14 +434,15 @@ class StreamingSpec extends SparkSpec {
       val ps = Seq(0.5, 0.9)
       val got = Streaming.cumulativeQuantiles(spark.table("wsk"), 256, ps)
         .collect().map(r => (r.getTimestamp(1).getTime / 60000,
-          r.getLong(2), r.getLong(3), r.getSeq[Double](4))).sortBy(_._1)
+          r.getInt(2), r.getLong(3), r.getLong(4), r.getSeq[Double](5)))
+        .sortBy(_._1)
       // one release per window; each covers everything up to its end
-      assert(got.map(w => (w._1, w._2, w._3)).toSeq ===
-        Seq((10L, 30L, 0L), (20L, 55L, 0L)))
+      assert(got.map(w => (w._1, w._2, w._3, w._4)).toSeq ===
+        Seq((10L, 1, 30L, 0L), (20L, 2, 55L, 0L)))
       val v1 = wave1.map(_._2)
       val all = (wave1 ++ wave2).map(_._2)
-      assert(got(0)._4 === ps.map(rankQ(v1, _)))
-      assert(got(1)._4 === ps.map(rankQ(all, _)))
+      assert(got(0)._5 === ps.map(rankQ(v1, _)))
+      assert(got(1)._5 === ps.map(rankQ(all, _)))
     } finally q.stop()
   }
 
