@@ -51,17 +51,12 @@ object Bench {
     // count toward exec and plan respectively — disclosed, not hidden.
     val planTimes = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    // hermetic queries: localCheckpoint blocks from a finished query
-    // linger until its DataFrame is GC'd, and with 180+ queries the
-    // accumulated executor-memory pressure measurably slows later
-    // iterative queries (q141 read 3.9 s in a 171-query pass, 5.4 s in a
-    // 184-query pass, same code). Nothing outlives its query here —
-    // every released DataFrame is consumed by count() — so dropping
-    // leftover blocks between queries is pure cleanup.
-    def dropLeftoverBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    dropLeftoverBlocks()
+    // NOTE a hermetic variant (unpersisting leftover localCheckpoint
+    // blocks between queries) was tried and REVERTED in round 11: two
+    // same-day quiet-machine record runs differed by ±20% on individual
+    // queries with and without it (q141 5.41 s both ways vs the r10
+    // record's 3.93 s on byte-identical code), so the cleanup bought
+    // nothing and the harness stays identical to prior rounds' records.
     for (_ <- 1 to repeats; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try {
@@ -73,7 +68,6 @@ object Bench {
         planTimes(name) ::= (t1 - t0) / 1e9
       }
       catch { case e: Throwable => errors += s"$name: ${e.getMessage}" }
-      dropLeftoverBlocks()
     }
     def median(m: collection.Map[String, List[Double]], name: String): Double = {
       val ts = m(name)
@@ -139,9 +133,7 @@ object Bench {
           try {
             val t0 = System.nanoTime()
             queriesByName(name)(spark, sfDir).count()
-            val dt = (System.nanoTime() - t0) / 1e9
-            dropLeftoverBlocks()
-            Some(dt)
+            Some((System.nanoTime() - t0) / 1e9)
           } catch { case _: Throwable => None }
         }
         val fm = if (fresh.size == repeats) fresh.sorted.apply(repeats / 2) else v
