@@ -616,6 +616,19 @@ object Queries {
         docs.where(col("lang") =!= "en"),
         "n_chars", nBins = 4, k = 4096)
     }),
+    "q183_diverse_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // cluster-balanced diversity sampling — the standard corpus-
+      // curation composition: q176's integer k-means assigns topics,
+      // then each cluster releases its 30 smallest-id-hash members
+      // (q81's deterministic quota discipline), flattening the topical
+      // skew a uniform sample would inherit
+      val assigned = graft.pipeline.Clustering.kMeansMicro(
+        read(s, d, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
+        .select(col("vec_id"), col("cluster"))
+      graft.pipeline.Sampling.stratifiedQuota(
+        assigned, "cluster", "vec_id", quota = 30)
+    }),
     "q176_kmeans" -> ((s, d) => {
       // corpus clustering: 2 Lloyd rounds over the embeddings in integer
       // micro-units — deterministic seeds (4 smallest vec_ids),
@@ -3472,6 +3485,43 @@ object Queries {
         |SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
         |  CAST(d AS BIGINT) AS dist_sq
         |FROM a2""".stripMargin,
+    // the q176 chain composed with q81's md5 quota: 30 smallest
+    // id-hashes per cluster, hash/tie discipline identical
+    "q183_diverse_sample" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |  FROM e ORDER BY vec_id LIMIT 4),
+        |d1 AS (SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.v)),
+        |      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d
+        |  FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cid, d FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM d1)
+        |  WHERE rk = 1),
+        |x1 AS (SELECT a1.cid AS cid, unnest(e.v) AS val,
+        |    unnest(generate_series(1, len(e.v))) AS dim
+        |  FROM a1 JOIN e USING (vec_id)),
+        |m1 AS (SELECT cid, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+        |  FROM x1 GROUP BY cid, dim),
+        |c1 AS (SELECT c0.cid, COALESCE(mm.v, c0.v) AS v FROM c0
+        |  LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS v FROM m1
+        |    GROUP BY cid) mm USING (cid)),
+        |d2 AS (SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.v)),
+        |      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d
+        |  FROM e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, cid, d FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM d2)
+        |  WHERE rk = 1)
+        |SELECT vec_id, cluster FROM (
+        |  SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
+        |    row_number() OVER (PARTITION BY cid ORDER BY
+        |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+        |      vec_id) AS rk
+        |  FROM a2) t
+        |WHERE rk <= 30""".stripMargin,
     // identical clips from quantile_disc (exact regime), LEAST/GREATEST
     // clamp — NULL values pass through in both engines
     "q178_winsorize" ->
