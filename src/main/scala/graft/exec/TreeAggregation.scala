@@ -46,7 +46,7 @@ object TreeAggregation {
     require(sensitivity > 0.0, s"sensitivity must be positive, got $sensitivity")
     // the tree is sized by maxT: an index past it would decompose into
     // nodes that were never built (and never noised) — fail, don't drop
-    val bounds = df.agg(min(col(tCol).cast("long")), max(col(tCol).cast("long"))).head
+    val bounds = df.agg(min(col(tCol).cast("long")), max(col(tCol).cast("long"))).head()
     if (!bounds.isNullAt(1)) require(bounds.getLong(0) >= 0 && bounds.getLong(1) < maxT,
       s"time indexes must sit in [0, $maxT): found [${bounds.getLong(0)}, " +
         s"${bounds.getLong(1)}]")

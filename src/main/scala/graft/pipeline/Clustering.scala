@@ -114,7 +114,7 @@ object Clustering {
           lit(0L), (acc, x) => acc + x)
         struct(dist.as("d"), lit(i).as("c"))
       }
-      cached.withColumn("__best", array_min(array(cands: _*)))
+      cached.withColumn("__best", array_min(array(cands.toIndexedSeq: _*)))
         .select(col("__id"), col("__v"),
           col("__best.c").as("cluster"), col("__best.d").as("dist_sq"))
     }

@@ -278,7 +278,7 @@ object Similarity {
     // no pairs) and reported kept in the output
     val scorable = v.filter(col("__v").isNotNull && col("__cl").isNotNull)
     val biggest = scorable.groupBy(col("__cl")).agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n"))).head
+      .agg(max(col("__n"))).head()
     val biggestN = if (biggest.isNullAt(0)) 0L else biggest.getLong(0)
     require(biggestN <= maxClusterRows,
       s"semanticDedup scores all pairs within each cluster and the largest " +
