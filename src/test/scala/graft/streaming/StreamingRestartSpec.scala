@@ -232,6 +232,105 @@ class StreamingRestartSpec extends SparkSpec {
     assert(emits() === Seq(("1", 0), ("1", 1), ("1", 1), ("2", 1)))
   }
 
+  test("streamingMultiTouchAttribution state survives a restart: the " +
+      "touch buffer recovered from the checkpoint credits a conversion " +
+      "arriving after the restart, identically to the batch operator") {
+    val root = Files.createTempDirectory("mtrestart").toFile.getAbsolutePath
+    val inDir = s"$root/in"
+    val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val schema = StructType(Seq(
+      StructField("user", LongType), StructField("etype", StringType),
+      StructField("t", LongType)))
+
+    def writeWave(rows: Seq[(Long, String, Long)]): Unit =
+      makeDf(schema, rows.map { case (u, e, t) =>
+        org.apache.spark.sql.Row(u, e, t) })
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val credits = Streaming.streamingMultiTouchAttribution(
+        stream, "user", "etype", "t", "buy", Seq("ad", "click", "view"),
+        lookback = 100L, model = "time_decay", halfLife = 10L)
+      val q = credits.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // touches land before the restart, the conversion after it: only the
+    // checkpointed buffer can explain correct multi-touch credits
+    val touches = Seq((1L, "click", 10L), (1L, "view", 20L), (1L, "ad", 30L))
+    writeWave(touches)
+    runOnce()
+    writeWave(Seq((1L, "buy", 40L)))
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    // identical to the batch operator over the union
+    val expect = graft.pipeline.Relational.multiTouchAttribution(
+      makeDf(schema, (touches :+ ((1L, "buy", 40L))).map { case (u, e, t) =>
+        org.apache.spark.sql.Row(u, e, t) }),
+      "user", "t", "etype", "buy", Seq("ad", "click", "view"), 100L,
+      "time_decay", 10L)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got === expect && got.size === 3,
+      s"restart must recover the touch buffer: got $got expected $expect")
+  }
+
+  test("streamingIntervalJoin resumes from checkpoint: buffered right " +
+      "rows survive the restart, matches arrive once, nothing re-emits") {
+    val root = Files.createTempDirectory("ssjrestart").toFile.getAbsolutePath
+    val inL = s"$root/l"
+    val inR = s"$root/r"
+    val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val schema = StructType(Seq(
+      StructField("user", LongType), StructField("ts", TimestampType),
+      StructField("eid", StringType)))
+
+    def write(dir: String, rows: Seq[(Long, Timestamp, String)]): Unit =
+      makeDf(schema, rows.map { case (u, t, e) =>
+        org.apache.spark.sql.Row(u, t, e) })
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    def runOnce(): Unit = {
+      val l = spark.readStream.schema(schema).parquet(inL)
+        .withColumnRenamed("ts", "cts").withColumnRenamed("eid", "click_id")
+      val r = spark.readStream.schema(schema).parquet(inR)
+        .withColumnRenamed("ts", "vts").withColumnRenamed("eid", "view_id")
+      val joined = Streaming.streamingIntervalJoin(
+        l, r, Seq("user"), "cts", "vts", "1 minute", "1 minute",
+        within = "10 minutes")
+      val q = joined.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // run 1: a view buffers with no click yet
+    write(inR, Seq((1L, ts(5), "v1")))
+    write(inL, Seq((2L, ts(5), "c0"))) // unrelated user, no match
+    runOnce()
+    // run 2 (fresh query from the checkpoint): the click arrives and must
+    // find the view buffered in run 1's state
+    write(inL, Seq((1L, ts(12), "c1")))
+    runOnce()
+    // run 3: nothing new — nothing may re-emit
+    runOnce()
+    val rows = spark.read.parquet(outDir)
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(("c1", "v1")),
+      s"exactly one match, surviving the restart, no re-emits: $rows")
+  }
+
   test("streamingAttribution eventTimeTtl: a touch whose entity expired " +
       "on the watermark clock is gone — the next conversion is " +
       "UNattributed (never MISattributed), under AvailableNow backfill") {
