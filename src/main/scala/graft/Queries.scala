@@ -917,6 +917,18 @@ object Queries {
       graft.pipeline.Relational.funnel(
         readEvents(s, d), "user_id", "event_type", "event_id",
         Seq("view", "click", "purchase"))),
+    "q184_session_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // q130's funnel at SESSION granularity: sessions split at >100-id
+      // gaps over the full stream (q168's segmentation), entities are
+      // (user, session) — in-visit conversion, which the per-user funnel
+      // over-counts
+      graft.pipeline.Relational.sessionFunnel(
+        readEvents(s, d).select(col("user_id"), col("event_id"),
+          col("event_type")),
+        entityCol = "user_id", timeCol = "event_id", typeCol = "event_type",
+        gapUnits = 100L, steps = Seq("view", "click", "purchase"))
+    }),
     "q128_weighted_quota" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // A-ES weighted sampling: 20 docs per language, selection pressure
@@ -3140,6 +3152,36 @@ object Queries {
         |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
     // staged min-completion times: s_i = earliest step-i event strictly
     // after the entity's s_{i-1}
+    // q168's gaps-and-islands session ids composed with q130's staged
+    // min-chains, keyed on (user, session)
+    "q184_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL),
+        |flag AS (SELECT user_id, event_id, event_type,
+        |  CASE WHEN lag(event_id) OVER w IS NULL
+        |    OR event_id - lag(event_id) OVER w > 100 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |sess AS (SELECT user_id, event_id, event_type,
+        |  sum(nw) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flag),
+        |s1 AS (SELECT user_id, sid, min(event_id) AS t FROM sess
+        |    WHERE event_type = 'view' GROUP BY 1, 2),
+        |s2 AS (SELECT e2.user_id, e2.sid, min(e2.event_id) AS t
+        |    FROM sess e2 JOIN s1 ON s1.user_id = e2.user_id
+        |      AND s1.sid = e2.sid
+        |    WHERE e2.event_type = 'click' AND e2.event_id > s1.t
+        |    GROUP BY 1, 2),
+        |s3 AS (SELECT e3.user_id, e3.sid, min(e3.event_id) AS t
+        |    FROM sess e3 JOIN s2 ON s2.user_id = e3.user_id
+        |      AND s2.sid = e3.sid
+        |    WHERE e3.event_type = 'purchase' AND e3.event_id > s2.t
+        |    GROUP BY 1, 2)
+        |SELECT 1 AS step, 'view' AS step_name,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_entities
+        |UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase',
+        |  CAST((SELECT count(*) FROM s3) AS BIGINT)""".stripMargin,
     "q130_event_funnel" ->
       """WITH s1 AS (SELECT user_id, min(event_id) AS t FROM events
         |    WHERE event_type = 'view' GROUP BY 1),

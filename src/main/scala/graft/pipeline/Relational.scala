@@ -759,6 +759,51 @@ object Relational {
         count(lit(1)).as("n_events"))
   }
 
+  /** In-session funnel: [[funnel]]'s ordered-step completion counted at
+    * SESSION granularity — the entity is (entity, session index) with
+    * sessions split at >`gapUnits` silences over the FULL event stream
+    * (the [[sessionTable]] segmentation; non-step events still hold a
+    * session together). "Did the view→click→purchase happen within one
+    * visit" is the product-analytics question the per-user funnel
+    * over-counts: a user converting weeks after the view completes the
+    * user-grained funnel but not any session-grained one. Released:
+    * (step, step_name, n_entities) with n_entities = completing
+    * SESSIONS.
+    *
+    * Plan shape: ONE entity-keyed exchange tags session indexes (the
+    * [[sessionTable]] gap window), then [[funnel]]'s per-stage
+    * pushed-filter scans + session-keyed min-agg joins run over the
+    * tagged stream. `timeCol` must be integral epoch units.
+    */
+  def sessionFunnel(
+      events: DataFrame, entityCol: String, timeCol: String, typeCol: String,
+      gapUnits: Long, steps: Seq[String],
+      maxGap: Option[Long] = None): DataFrame = {
+    require(gapUnits > 0L, s"gapUnits must be positive, got $gapUnits")
+    Seq(entityCol, timeCol, typeCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    for (reserved <- Seq("__new", "__sid", "__se"))
+      require(!events.columns.contains(reserved),
+        s"input uses reserved column name '$reserved'; rename it first")
+    val tt = events.schema(timeCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(tt),
+      s"sessionFunnel needs an integral time column, got ${tt.simpleString} " +
+        "— convert to epoch units first")
+    val w = Window.partitionBy(entityCol).orderBy(col(timeCol))
+    val prev = lag(col(timeCol), 1).over(w)
+    val tagged = events
+      .where(col(entityCol).isNotNull && col(timeCol).isNotNull)
+      .withColumn("__new",
+        when(prev.isNull || col(timeCol) - prev > gapUnits, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(w))
+      .withColumn("__se", concat(col(entityCol).cast("string"), lit("#"),
+        col("__sid").cast("string")))
+    funnel(tagged, "__se", typeCol, timeCol, steps, maxGap)
+  }
+
   /** Touch attribution: for every conversion event (`typeCol` ==
     * `convType`), the single touch event (`typeCol` in `touchTypes`) the
     * conversion is credited to — the LAST touch strictly before it

@@ -905,6 +905,37 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         "u", "t", 10L))
   }
 
+  test("sessionFunnel: steps chain only WITHIN a session (the per-user " +
+      "funnel over-counts across visits); non-step events hold sessions " +
+      "together; guards") {
+    val rows = Seq[(java.lang.Long, java.lang.Long, String)](
+      // u1 session 1: full a->b chain
+      (1L, 10L, "a"), (1L, 15L, "b"),
+      // u1 session 2 (gap > 50): a only — its b landed in session 1
+      (1L, 200L, "a"),
+      // u2: a, then a NON-step event keeps the session alive, then b
+      (2L, 10L, "a"), (2L, 50L, "x"), (2L, 90L, "b"),
+      // u3: a and b in DIFFERENT sessions -> session funnel stops at a
+      (3L, 10L, "a"), (3L, 300L, "b"),
+      (null, 1L, "a"))
+    val got = Relational.sessionFunnel(
+      attrDf(rows), "u", "t", "y", gapUnits = 50L, steps = Seq("a", "b"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    // sessions reaching a: u1s1, u1s2, u2s1, u3s1 = 4; completing a->b:
+    // u1s1 and u2s1 = 2 (the per-USER funnel would credit u3 too)
+    assert(got === Set((1, "a", 4L), (2, "b", 2L)))
+    val user = Relational.funnel(
+      attrDf(rows), "u", "y", "t", Seq("a", "b"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(user(2) === 3L, "per-user funnel counts u3's cross-session b")
+    intercept[IllegalArgumentException](Relational.sessionFunnel(
+      attrDf(rows), "u", "t", "y", 0L, Seq("a", "b")))
+    intercept[IllegalArgumentException](Relational.sessionFunnel(
+      attrDf(rows).withColumn("td",
+        org.apache.spark.sql.functions.col("t").cast("double")),
+      "u", "td", "y", 50L, Seq("a", "b")))
+  }
+
   test("attribution guards: conv-in-touches, empty touches, bad mode, " +
       "non-integral time, reserved names") {
     val df = attrDf(Seq((1L, 1L, "buy")))
