@@ -929,6 +929,80 @@ object Queries {
         entityCol = "user_id", timeCol = "event_id", typeCol = "event_type",
         gapUnits = 100L, steps = Seq("view", "click", "purchase"))
     }),
+    "q185_kcore" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // cohesive core of the thin-slice part<->supplier sourcing graph
+      // (low-quantity lineitems only, so degrees sit near the threshold):
+      // 4-core by iterative peeling — at the oracle SF the peel cascades
+      // for three real rounds before the fixed point, and the bounded
+      // SQL unroll reproduces every surviving (node, degree) exactly
+      val e = read(s, d, "lineitem").where(col("l_quantity") <= 3)
+        .select(concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      graft.pipeline.Graph.kCore(e, "src", "dst", k = 4, maxRounds = 4)
+    }),
+    "q186_sssp_weighted" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // weighted shortest paths over the supplier co-supply graph (edge
+      // weight = number of shared orders) from the min-nation suppliers,
+      // bounded at 3 hops: exact integer distances, frontier-limited
+      // Bellman-Ford — the hop-bounded recursive walk mirrors it bit for
+      // bit
+      val li = read(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"),
+          concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
+      val p = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.sn") < col("b.sn"))
+        .groupBy(col("a.sn").as("x"), col("b.sn").as("y"))
+        .agg(count(lit(1)).as("w"))
+      val edges = p.select(col("x").as("src"), col("y").as("dst"), col("w"))
+        .unionByName(p.select(col("y").as("src"), col("x").as("dst"),
+          col("w")))
+      val sup = read(s, d, "supplier")
+      val minNation = sup.agg(min(col("s_nationkey")).as("__mn"))
+      val seeds = sup.crossJoin(broadcast(minNation))
+        .where(col("s_nationkey") === col("__mn"))
+        .select(concat(lit("s"), col("s_suppkey")).as("seed"))
+      graft.pipeline.Graph.ssspWeighted(edges, "src", "dst", "w",
+        seeds, "seed", maxRounds = 3)
+    }),
+    "q187_changelog_apply" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // CDC merge: the customer snapshot as base, the order stream as a
+      // versioned changelog (orderkey = LSN; a deterministic op mix of
+      // upserts, inserts, and deletes) — highest version wins per
+      // customer, deletes drop the key, untouched customers ride through
+      val base = read(s, d, "customer").select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("status"),
+        col("c_name").as("note"))
+      val changes = read(s, d, "orders").select(
+        col("o_custkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("note"), col("o_orderkey").as("v"),
+        when(col("o_orderkey") % 10 === 0, "D")
+          .when(col("o_orderkey") % 3 === 0, "I").otherwise("U").as("op"))
+      graft.pipeline.Relational.applyChangelog(
+        base, changes, Seq("k"), "v", "op")
+    }),
+    "q188_transition_matrix" -> ((s, d) =>
+      // first-order journey model over q142's sessions: per (from, to)
+      // event-type pair the transition count and its truncating ppm share
+      // of all transitions leaving `from` — exact integers end to end
+      graft.pipeline.Relational.transitionMatrix(
+        readEvents(s, d), "user_id", "event_id", "event_type",
+        gapUnits = 600L)),
+    "q189_survivorship" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // near-dup curation end-game: q42's verified minhash clusters, then
+      // keep the best copy per cluster (longest text, ties to the
+      // smallest doc_id) with the cluster's multiplicity for downstream
+      // reweighting
+      val docs = read(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("score"))
+      val clusters = graft.pipeline.Dedup.minhashClusters(
+        read(s, d, "documents"), "doc_id", "text", threshold = 0.5)
+      graft.pipeline.Dedup.survivorship(
+        docs, "doc_id", "score", clusters)
+    }),
     "q128_weighted_quota" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // A-ES weighted sampling: 20 docs per language, selection pressure
@@ -2376,7 +2450,121 @@ object Queries {
   private val clamp = "least(greatest(l_quantity, 0.0), 50.0)"
   private val dev = s"($clamp - 25.0)"
 
+  /** q185's oracle: the identical bounded peel unrolled — round r keeps
+    * nodes whose degree in e_{r-1} is >= k and filters edges to kept
+    * endpoints; the engine's early exit at the fixed point equals running
+    * every remaining round (each is then the identity), so a fixed
+    * `rounds` unroll reproduces the output for ANY convergence point at
+    * or before it.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH b AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS x,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS y
+        |  FROM lineitem WHERE l_quantity <= 3),
+        |e0 AS (SELECT x AS u, y AS v FROM b UNION SELECT y, x FROM b)""".stripMargin
+    val peel = (1 to rounds).map { r =>
+      s""",
+         |k$r AS (SELECT u FROM e${r - 1} GROUP BY u HAVING count(*) >= $k),
+         |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN k$r a ON e.u = a.u JOIN k$r c ON e.v = c.u)""".stripMargin
+    }.mkString
+    head + peel +
+      s"\nSELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg" +
+      s"\nFROM e$rounds GROUP BY u"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q185_kcore" -> kcoreOracleSql(k = 4, rounds = 4),
+    // hop-bounded weighted walk, deduped per (node, dist, hops) by the
+    // recursive UNION; min over <= 3-hop paths equals the engine's
+    // 3-round frontier relaxation by the Bellman-Ford invariant
+    "q186_sssp_weighted" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS o,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS sn FROM lineitem),
+        |p AS (SELECT a.sn AS x, b.sn AS y, count(*) AS w FROM li a
+        |  JOIN li b ON a.o = b.o AND a.sn < b.sn GROUP BY 1, 2),
+        |e AS (SELECT x AS src, y AS dst, w FROM p
+        |  UNION ALL SELECT y, x, w FROM p),
+        |seeds AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        |  FROM supplier
+        |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)),
+        |walk(node, dist, hops) AS (
+        |  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, w2.dist + e.w, w2.hops + 1 FROM walk w2
+        |    JOIN e ON e.src = w2.node WHERE w2.hops < 3)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1""".stripMargin,
+    // base rides as priority-0 under every change; highest (pri, version)
+    // wins per key, deletes drop the key — NULLS LAST on both engines
+    "q187_changelog_apply" ->
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS status,
+        |    c_name AS note FROM customer),
+        |ch AS (SELECT o_custkey AS k, o_orderstatus AS status,
+        |    o_orderpriority AS note, o_orderkey AS v,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |         WHEN o_orderkey % 3 = 0 THEN 'I' ELSE 'U' END AS op
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |u AS (SELECT k, status, note, 0 AS pri, CAST(NULL AS BIGINT) AS v,
+        |    CAST(NULL AS VARCHAR) AS op FROM base WHERE k IS NOT NULL
+        |  UNION ALL SELECT k, status, note, 1, v, op FROM ch),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY pri DESC, v DESC NULLS LAST) AS rn FROM u)
+        |SELECT k, status, note FROM r
+        |WHERE rn = 1 AND (op IS NULL OR op <> 'D')""".stripMargin,
+    // q142's gaps-and-islands sessions, consecutive pairs via lead inside
+    // each session, truncating integer ppm per from_type — engine-exact
+    "q188_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |s AS (SELECT *, CASE WHEN lag(event_id) OVER w IS NULL
+        |      OR event_id - lag(event_id) OVER w > 600 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY event_id, event_type)),
+        |t AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY event_id, event_type ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |pr AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY event_id, event_type) AS to_type FROM t),
+        |c AS (SELECT from_type, to_type,
+        |    CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  (n_transitions * 1000000) // sum(n_transitions)
+        |    OVER (PARTITION BY from_type) AS ppm
+        |FROM c""".stripMargin,
+    // q42's exact-Jaccard transitive closure, then one keep-best row per
+    // cluster: max length, ties to the smallest doc_id, with multiplicity
+    "q189_survivorship" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3
+        |        THEN [array_to_string(toks, ' ')]
+        |        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' '))) END AS sh FROM t),
+        |e AS MATERIALIZED (SELECT a.doc_id AS ia, b.doc_id AS ib
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |            / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
+        |u AS MATERIALIZED (SELECT ia AS a, ib AS b FROM e
+        |                   UNION SELECT ib, ia FROM e),
+        |reach AS (SELECT a, b FROM u
+        |          UNION SELECT r.a, u.b FROM reach r JOIN u ON r.b = u.a
+        |                WHERE r.a <> u.b),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS c FROM reach GROUP BY a),
+        |assign AS (SELECT d.doc_id, coalesce(c.c, d.doc_id) AS cluster_id,
+        |    CAST(length(d.text) AS BIGINT) AS score
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY score DESC NULLS LAST, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS nm
+        |  FROM assign)
+        |SELECT doc_id, score, cluster_id, CAST(nm AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1""".stripMargin,
     "q01_count" -> "SELECT CAST(count(*) AS BIGINT) AS count FROM lineitem",
     "q02_groupby_count" -> countOracle(Seq("A", "N", "R"), "l_returnflag",
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem WHERE l_quantity > 10 GROUP BY 1"),

@@ -317,6 +317,57 @@ object Dedup {
         coalesce(col("__c"), col("__id")).as("cluster_id"))
   }
 
+  /** Survivorship after near-dup clustering: from every cluster keep the
+    * single best row — highest `scoreCol`, ties to the smallest id — and
+    * release it with its cluster id and member count. The curation step
+    * that turns a [[minhashClusters]] assignment into a deduplicated
+    * corpus that keeps the BEST copy (longest, highest-quality, most
+    * recent) instead of an arbitrary one; `n_members` preserves the
+    * duplication multiplicity for mixture reweighting downstream.
+    *
+    * `clusters` is any (idCol, clusterCol) assignment — [[minhashClusters]]
+    * output, [[Graph.labelPropagation]] communities, an exact group key.
+    * A duplicate id in the assignment fails loudly (membership would be
+    * ambiguous); a df row absent from the assignment keeps itself as a
+    * singleton cluster (the [[minhashClusters]] every-doc-maps convention,
+    * extended to partial assignments). NULL scores sort BELOW every
+    * non-null score (explicitly, so an independent engine mirrors it).
+    *
+    * Scale shape: one id-keyed equi-join (the assignment is (id, cluster)
+    * pairs — bounded width), then ONE cluster-keyed exchange serving both
+    * the winner window and the member count. No self-join, nothing
+    * quadratic; the guard probe is a `limit(1)` aggregate.
+    */
+  def survivorship(
+      df: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame, clusterCol: String = "cluster_id"): DataFrame = {
+    Seq(idCol, scoreCol).foreach(c =>
+      require(df.columns.contains(c), s"input is missing column '$c'"))
+    Seq(idCol, clusterCol).foreach(c =>
+      require(clusters.columns.contains(c),
+        s"cluster assignment is missing column '$c'"))
+    for (reserved <- Seq("__clu", "__rn", "n_members"))
+      require(!df.columns.contains(reserved),
+        s"input uses reserved column name '$reserved'; rename it first")
+    val dupId = clusters.groupBy(col(idCol)).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1L).limit(1).collect()
+    require(dupId.isEmpty,
+      s"survivorship: duplicate $idCol in the cluster assignment (e.g. " +
+        s"${dupId.headOption.map(_.toString).getOrElse("")}) — membership " +
+        "would be ambiguous")
+    val assign = clusters.select(col(idCol), col(clusterCol).as("__clu"))
+    val joined = df.join(assign, Seq(idCol), "left")
+      .withColumn("__clu", coalesce(col("__clu"), col(idCol)))
+    val w = Window.partitionBy(col("__clu"))
+    val wr = w.orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    joined
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .where(col("__rn") === 1)
+      .select(df.columns.toIndexedSeq.map(col) ++
+        Seq(col("__clu").as(clusterCol), col("n_members")): _*)
+  }
+
   /** Edge-count cutoff below which connected components run as a
     * driver-side union-find: near-dup graphs are sparse (edges ~ number of
     * duplicates, not corpus size), so even a 100 TB corpus usually lands

@@ -461,4 +461,139 @@ object Graph {
     }
     settled.select(col("__n").as("node"), col("__dist").as("dist"))
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983, "Network
+    * structure and minimum degree"): repeatedly delete every node whose
+    * degree in the SURVIVING graph is below `k` until none remains —
+    * what survives is the k-core, the standard cohesion filter before
+    * community work (LPA seeds, spam-farm pruning, dense-subgraph
+    * mining). Returns (node, core_deg): surviving nodes with their
+    * degree inside the core.
+    *
+    * The graph is undirected simple: edges are symmetrized and
+    * `distinct`-ed, self-loops and NULL endpoints drop. Peeling is
+    * bounded by `maxRounds`; on a graph that has not converged by then
+    * the result is the `maxRounds`-round peel — a documented
+    * overapproximation of the core (every true k-core node is present;
+    * some sub-k stragglers may remain). The loop exits early at the
+    * fixed point, which by construction equals running all `maxRounds`
+    * rounds, so a bounded SQL unroll of the identical recurrence
+    * reproduces the output exactly.
+    *
+    * Scale shape: per round, ONE degree aggregate over the edge table
+    * (bounded-width (node, long) rows) and TWO semi-joins filtering the
+    * edge list to surviving endpoints — all keyed equi-joins, nothing
+    * quadratic, no driver-resident state. The edge table is
+    * localCheckpoint'd per round so the plan stays O(1) deep; the
+    * convergence probe is a `limit(1)` count on the sub-k slice of the
+    * round's degree table, not a full materialization.
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxRounds: Int = 16): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds must be in [1, 64], got $maxRounds")
+    Seq(srcCol, dstCol).foreach(c =>
+      require(edges.columns.contains(c), s"edge list is missing column '$c'"))
+    val directed = edges
+      .select(col(srcCol).cast("string").as("__u"),
+        col(dstCol).cast("string").as("__v"))
+      .where(col("__u").isNotNull && col("__v").isNotNull &&
+        col("__u") =!= col("__v"))
+    var e = directed
+      .unionByName(directed.select(col("__v").as("__u"), col("__u").as("__v")))
+      .distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val deg = e.groupBy("__u").agg(count(lit(1)).as("__deg"))
+        .localCheckpoint(true)
+      if (deg.where(col("__deg") < k).limit(1).isEmpty) converged = true
+      else {
+        val keep = deg.where(col("__deg") >= k).select("__u")
+        e = e.join(keep, Seq("__u"), "left_semi")
+          .join(keep.select(col("__u").as("__v")), Seq("__v"), "left_semi")
+          .localCheckpoint(true)
+      }
+    }
+    e.groupBy("__u").agg(count(lit(1)).as("core_deg"))
+      .select(col("__u").as("node"), col("core_deg"))
+  }
+
+  /** Single-source shortest paths with positive INTEGER edge weights —
+    * frontier-limited Bellman–Ford (relaxations only ever originate from
+    * nodes whose tentative distance improved last round, the classic
+    * delta-optimization; Bellman 1958). After round r the settled table
+    * holds, exactly, the minimum path weight over paths of <= r edges —
+    * so a hop-bounded recursive SQL walk reproduces every distance bit
+    * for bit, and `maxRounds` >= the graph's hop diameter yields true
+    * shortest paths. Distances are exact longs: deterministic under any
+    * partitioning, any addition order, any engine.
+    *
+    * NULL endpoints and NULL weights drop like [[pageRankWeighted]];
+    * non-positive weights raise (a zero-weight cycle would make bounded
+    * relaxation order-sensitive, and negative weights break the
+    * invariant above). Multi-edges are fine — the per-destination `min`
+    * absorbs them.
+    *
+    * Scale shape: the edge table is pre-partitioned by source ONCE
+    * (localCheckpoint preserves the physical partitioning — the
+    * [[pageRank]] discipline), so each round's candidate join moves only
+    * the frontier; per round ONE equi-join + ONE destination-keyed min +
+    * ONE merge aggregate, all bounded-width (node, long) shuffles. Early
+    * exit on an empty improvement frontier. The settled table is
+    * re-checkpointed per round, keeping the plan O(1) deep.
+    */
+  def ssspWeighted(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      seeds: DataFrame, seedCol: String, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds must be in [1, 64], got $maxRounds")
+    Seq(srcCol, dstCol, weightCol).foreach(c =>
+      require(edges.columns.contains(c), s"edge list is missing column '$c'"))
+    require(seeds.columns.contains(seedCol),
+      s"seeds side is missing column '$seedCol'")
+    val wExpr = when(col(weightCol).cast("long") <= 0L,
+      raise_error(concat(lit(s"ssspWeighted: non-positive weight in '" +
+        weightCol + "': "), col(weightCol).cast("string"))).cast("long"))
+      .otherwise(col(weightCol).cast("long"))
+    val e = edges
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"), wExpr.as("__w"))
+      .where(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__w").isNotNull)
+      .repartition(col("__s"))
+      .localCheckpoint(true)
+    val seed0 = seeds
+      .select(col(seedCol).cast("string").as("__n"))
+      .where(col("__n").isNotNull).distinct()
+      .withColumn("__dist", lit(0L))
+      .localCheckpoint(true)
+    var settled = seed0
+    var frontier = seed0
+    var round = 0
+    var exhausted = frontier.isEmpty
+    while (round < maxRounds && !exhausted) {
+      round += 1
+      val cand = frontier.join(e, frontier("__n") === e("__s"))
+        .select(col("__d").as("__n"), (col("__dist") + col("__w")).as("__nd"))
+        .groupBy("__n").agg(min("__nd").as("__nd"))
+      val improved = cand
+        .join(settled, Seq("__n"), "left_outer")
+        .where(col("__dist").isNull || col("__nd") < col("__dist"))
+        .select(col("__n"), col("__nd").as("__dist"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) exhausted = true
+      else {
+        settled = settled.unionByName(improved)
+          .groupBy("__n").agg(min("__dist").as("__dist"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+    }
+    settled.select(col("__n").as("node"), col("__dist").as("dist"))
+  }
 }

@@ -514,6 +514,69 @@ object Relational {
       .orderBy(col("n_sessions").desc, col("path")).limit(k)
   }
 
+  /** First-order Markov transition matrix over session-ordered events:
+    * for every ordered pair of consecutive event types WITHIN one
+    * session (sessions split on `timeCol` gaps > `gapUnits`, the
+    * [[sessionPaths]] gaps-and-islands rule), the transition count and
+    * its integer parts-per-`ppmScale` share of all transitions leaving
+    * `from_type`. The classic next-step model behind journey Sankeys,
+    * "where do users go after X" dashboards, and session-level anomaly
+    * scoring; [[sessionPaths]] renders whole paths, this releases the
+    * edge probabilities.
+    *
+    * Shares are truncating integer division (the q182 ppm discipline):
+    * `ppm = (n * ppmScale) div total_from` — every released value is
+    * engine-exact, and rows sum to <= ppmScale per from_type with the
+    * deficit being the dropped remainders. Rows with a NULL entity,
+    * time, or type drop (a transition needs all three). Cross-session
+    * and cross-entity pairs are NOT transitions — the lead window resets
+    * at both boundaries by construction.
+    *
+    * Scale shape: ONE entity-keyed exchange serves both windows (the
+    * session-id cumulative sum and the next-type lead sort identically);
+    * the pair aggregate shuffles (from, to) rows — at most |types|^2
+    * groups with map-side partials — and the per-from total is a window
+    * over that already-tiny table. Nothing joins, nothing is quadratic
+    * in events.
+    */
+  def transitionMatrix(
+      events: DataFrame, entityCol: String, timeCol: String, typeCol: String,
+      gapUnits: Long, ppmScale: Long = 1000000L): DataFrame = {
+    require(gapUnits > 0L, s"gapUnits must be positive, got $gapUnits")
+    require(ppmScale >= 100L && ppmScale <= 1000000000000L,
+      s"ppmScale must be in [1e2, 1e12], got $ppmScale")
+    Seq(entityCol, timeCol, typeCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    val tt = events.schema(timeCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(tt),
+      s"transitionMatrix needs an integral time column, got " +
+        s"${tt.simpleString} — convert to epoch units first")
+    val w = Window.partitionBy(entityCol).orderBy(col(timeCol), col(typeCol))
+    val prev = lag(col(timeCol), 1).over(w)
+    val sess = events
+      .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__new",
+        when(prev.isNull || col(timeCol) - prev > gapUnits, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(w))
+    val ws = Window.partitionBy(col(entityCol), col("__sid"))
+      .orderBy(col(timeCol), col(typeCol))
+    val pairs = sess
+      .withColumn("__next", lead(col(typeCol), 1).over(ws))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).cast("string").as("from_type"),
+        col("__next").cast("string").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wf = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("__tot", sum(col("n_transitions")).over(wf))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        expr(s"(n_transitions * ${ppmScale}L) div __tot").as("ppm"))
+  }
+
   /** SCD2 history compaction: collapse a per-key change log (or stacked
     * snapshot observations) into effective-dated rows — for each key,
     * maximal runs of consecutive versions with identical `attrCols` become
@@ -1001,5 +1064,89 @@ object Relational {
       col("__t").getField("t").as("touch_time"),
       when(col("__t").isNull, lit(null).cast("double"))
         .otherwise(credit).as("credit"))
+  }
+
+  /** CDC changelog apply — the MERGE half of a warehouse ingest: roll an
+    * out-of-order changelog of upserts and deletes onto a keyed base
+    * snapshot and release the resulting current state. For every key the
+    * HIGHEST-version change wins ('I'/'U' replace the row's payload, 'D'
+    * removes the key); keys with no change keep their base row. The
+    * inverse direction of [[snapshotDiff]] (which derives a changelog
+    * from two snapshots) and the batch materialization step under any
+    * CDC stream ([[scd2History]] keeps the history; this keeps the
+    * present).
+    *
+    * Columns: `base` is keys + payload; `changes` carries the SAME keys
+    * and payload plus `versionCol` (any orderable type — sequence
+    * number, LSN, timestamp) and `opCol` ('I', 'U', or 'D'; delete rows
+    * may carry NULL payload). NULL-keyed rows drop on both sides (a
+    * keyed merge cannot place them). Loud guards, the [[scd2History]]
+    * discipline: duplicate base key, NULL change version, duplicate
+    * (key, version) change, and any op outside {I, U, D} all raise —
+    * each would make "current state" ambiguous or silently wrong.
+    *
+    * Scale shape: base and changes union into ONE key-partitioned
+    * window (row_number over (priority, version) desc) — the base row
+    * rides as priority-0, so no separate base-vs-changes join, no
+    * second exchange, and the 100-TB base table crosses the wire
+    * exactly once. The three guard probes are `limit(1)` jobs on
+    * bounded slices, not materializations.
+    */
+  def applyChangelog(
+      base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      versionCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "applyChangelog needs at least one key column")
+    keyCols.foreach(c => require(base.columns.contains(c),
+      s"base is missing key column '$c'"))
+    (keyCols ++ Seq(versionCol, opCol)).foreach(c =>
+      require(changes.columns.contains(c), s"changes is missing '$c'"))
+    require(!keyCols.contains(versionCol) && !keyCols.contains(opCol),
+      "key, version, and op columns must be disjoint")
+    val payload = base.columns.toSeq.filterNot(keyCols.contains)
+    payload.foreach(c => require(changes.columns.contains(c),
+      s"changes is missing payload column '$c' (base and changes must " +
+        "share the payload schema)"))
+    for (reserved <- Seq("__pri", "__ver", "__op", "__rn"))
+      require(!base.columns.contains(reserved),
+        s"base uses reserved column name '$reserved'; rename it first")
+    val keyedBase = base
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val keyedChanges = changes
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val dupBase = keyedBase.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1L).limit(1).collect()
+    require(dupBase.isEmpty,
+      s"applyChangelog: duplicate base key (e.g. " +
+        s"${dupBase.headOption.map(_.toString).getOrElse("")}) — the base " +
+        "snapshot must hold at most one row per key")
+    val nullVer = keyedChanges.where(col(versionCol).isNull).limit(1).collect()
+    require(nullVer.isEmpty,
+      s"applyChangelog: NULL $versionCol in changes — the winner per key " +
+        "would be undefined; filter or fill first")
+    val dupVer = keyedChanges.groupBy((keyCols :+ versionCol).map(col): _*)
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1L).limit(1).collect()
+    require(dupVer.isEmpty,
+      s"applyChangelog: duplicate (key, $versionCol) change (e.g. " +
+        s"${dupVer.headOption.map(_.toString).getOrElse("")}) — at most " +
+        "one change per key and version")
+    val opChecked = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"applyChangelog: unknown op in '$opCol': "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
+    val unioned = keyedBase
+      .select(keyCols.map(col) ++ payload.map(col) ++ Seq(
+        lit(0).as("__pri"), lit(null).cast("string").as("__op")): _*)
+      .withColumn("__ver", lit(null).cast(
+        changes.schema(versionCol).dataType.sql))
+      .unionByName(keyedChanges.select(
+        keyCols.map(col) ++ payload.map(col) ++ Seq(
+          lit(1).as("__pri"), opChecked.as("__op"),
+          col(versionCol).as("__ver")): _*))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__pri").desc, col("__ver").desc)
+    unioned
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && (col("__op").isNull || col("__op") =!= "D"))
+      .select((keyCols ++ payload).map(col): _*)
   }
 }
