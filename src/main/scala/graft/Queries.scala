@@ -1003,6 +1003,52 @@ object Queries {
       graft.pipeline.Dedup.survivorship(
         docs, "doc_id", "score", clusters)
     }),
+    "q190_point_in_time" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // the SCD2 + as-of composition every warehouse runs: q162's
+      // effective-dated state table (non-purchase event types as the
+      // user's activity state), then each purchase enriched with the
+      // state STRICTLY prior to it — first-purchase users get NULL
+      val e = readEvents(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .where(col("user_id").isNotNull)
+      val hist = graft.pipeline.Relational.scd2History(
+        e.where(col("event_type") =!= "purchase"),
+        keyCols = Seq("user_id"), versionCol = "event_id",
+        attrCols = Seq("event_type"))
+      val facts = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("t"))
+      val dim = hist.select(col("user_id"), col("valid_from").as("t"),
+        col("event_type").as("state_at"))
+      graft.pipeline.Relational.asOfJoin(
+        facts, dim, Seq("user_id"), "t", strict = true)
+    }),
+    "q191_streaming_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // q187's CDC merge on a STREAM with O(1) per-key state (the single
+      // highest-version change); AvailableNow over one file is a single
+      // batch, so the window oracle pins the streaming recurrence exactly
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(d)
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("v"),
+          col("o_orderstatus").as("payload"),
+          when(col("o_orderkey") % 10 === 0, "D")
+            .when(col("o_orderkey") % 3 === 0, "I").otherwise("U").as("op"))
+      val state = graft.streaming.Streaming.streamingUpsert(
+        stream, "k", "v", "op", "payload")
+      val name = "q191mem"
+      val q = state.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(col("entity").cast("long").as("k"),
+        col("version").as("v"), col("op"), col("payload"))
+    }),
     "q128_weighted_quota" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // A-ES weighted sampling: 20 docs per language, selection pressure
@@ -2564,6 +2610,42 @@ object Queries {
         |    count(*) OVER (PARTITION BY cluster_id) AS nm
         |  FROM assign)
         |SELECT doc_id, score, cluster_id, CAST(nm AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1""".stripMargin,
+    // q162's compaction over the non-purchase state feed, then the
+    // point-in-time rule: the run effective at t-1 (valid_from < t,
+    // valid_to >= t or open) — exactly the strict as-of row
+    "q190_point_in_time" ->
+      """WITH e AS (SELECT user_id, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL),
+        |st AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+        |flag AS (SELECT user_id, event_id, event_type,
+        |  (lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |     IS DISTINCT FROM event_type)
+        |  OR lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |     IS NULL AS chg
+        |  FROM st),
+        |starts AS (SELECT user_id, event_id, event_type FROM flag WHERE chg),
+        |runs AS (SELECT user_id, event_type, event_id AS vf,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS vt
+        |  FROM starts),
+        |f AS (SELECT user_id, event_id AS t FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.t, r.event_type AS state_at
+        |FROM f LEFT JOIN runs r ON r.user_id = f.user_id
+        |  AND r.vf < f.t AND (r.vt IS NULL OR r.vt >= f.t)""".stripMargin,
+    // single-batch AvailableNow = the batch recurrence: highest version
+    // per key wins, deletes release a NULL-payload tombstone
+    "q191_streaming_upsert" ->
+      """WITH ch AS (SELECT o_custkey AS k, o_orderkey AS v,
+        |    o_orderstatus AS payload,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |         WHEN o_orderkey % 3 = 0 THEN 'I' ELSE 'U' END AS op
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY v DESC) AS rn FROM ch)
+        |SELECT k, v, op,
+        |  CASE WHEN op = 'D' THEN NULL ELSE payload END AS payload
         |FROM r WHERE rn = 1""".stripMargin,
     "q01_count" -> "SELECT CAST(count(*) AS BIGINT) AS count FROM lineitem",
     "q02_groupby_count" -> countOracle(Seq("A", "N", "R"), "l_returnflag",

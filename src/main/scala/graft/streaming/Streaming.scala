@@ -968,6 +968,114 @@ object Streaming {
     * expiry direction is safe: an expired entity's next conversion is
     * UNattributed, never MISattributed.
     */
+  final case class UpsertState(version: Long, op: String, payload: String)
+  final case class UpsertRow(entity: String, version: Long, op: String,
+      payload: Option[String])
+
+  /** Streaming keep-latest upsert view — the streaming half of
+    * [[graft.pipeline.Relational.applyChangelog]]: over a changelog
+    * stream of (key, version, op, payload) rows, maintain the single
+    * HIGHEST-version change per key and emit the key's new current state
+    * whenever it advances. 'I'/'U' emit the payload, 'D' emits a NULL-
+    * payload tombstone. Per-entity state is ONE (version, op, payload)
+    * triple — the minimum possible upsert memory.
+    *
+    * Ordering contract: within a batch rows sort by version; across
+    * batches a LOWER-version change than the state is stale and ignored
+    * — disorder can never regress the view. Deletes are REMEMBERED (the
+    * state keeps the delete's version rather than clearing), so a stale
+    * pre-delete upsert arriving late cannot resurrect the key; the
+    * tombstone only leaves memory via the TTL knobs. An op outside
+    * {I, U, D} fails the stream loudly. Expiry: `entityTtlMs`
+    * (processing-time) or `eventTimeTtl` (watermark clock, replay-
+    * invariant) — mutually exclusive, the [[streamingFunnel]] contract.
+    *
+    * Scale shape: one hash exchange on the key, then O(1) state and
+    * O(batch) work per entity; emission happens only on actual
+    * advancement, so a quiet key costs nothing downstream.
+    */
+  def streamingUpsert(
+      events: DataFrame, keyCol: String, versionCol: String, opCol: String,
+      payloadCol: String, entityTtlMs: Option[Long] = None,
+      eventTimeTtl: Option[EventTimeTtl] = None): DataFrame = {
+    Seq(keyCol, versionCol, opCol, payloadCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    entityTtlMs.foreach(t =>
+      require(t > 0L, s"entityTtlMs must be positive, got $t"))
+    require(entityTtlMs.isEmpty || eventTimeTtl.isEmpty,
+      "entityTtlMs (processing-time) and eventTimeTtl (watermark) are " +
+        "mutually exclusive — pick one expiry clock")
+    eventTimeTtl.foreach { ttl =>
+      require(ttl.ttlMs > 0L, s"eventTimeTtl.ttlMs must be positive, " +
+        s"got ${ttl.ttlMs}")
+      require(events.columns.contains(ttl.tsCol),
+        s"events side is missing event-time column '${ttl.tsCol}'")
+      require(events.schema(ttl.tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"eventTimeTtl.tsCol must be a timestamp, got " +
+          s"${events.schema(ttl.tsCol).dataType.simpleString}")
+    }
+    implicit val stateEnc = Encoders.product[UpsertState]
+    implicit val outEnc = Encoders.product[UpsertRow]
+    implicit val strEnc = Encoders.STRING
+    implicit val rowEnc = Encoders.tuple(
+      Encoders.STRING, Encoders.scalaLong, Encoders.STRING,
+      Encoders.STRING, Encoders.TIMESTAMP)
+    val timeoutConf =
+      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    // op validated in codegen BEFORE the stateful stage: a bad op fails
+    // the batch, never corrupts state
+    val opChecked = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"streamingUpsert: unknown op in '$opCol': "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
+    val prepared = eventTimeTtl match {
+      case Some(ttl) => events.withWatermark(ttl.tsCol, ttl.watermark)
+        .where(col(keyCol).isNotNull && col(versionCol).isNotNull &&
+          col(ttl.tsCol).isNotNull)
+        .select(col(keyCol).cast("string"), col(versionCol).cast("long"),
+          opChecked, col(payloadCol).cast("string"), col(ttl.tsCol))
+      case None => events
+        .where(col(keyCol).isNotNull && col(versionCol).isNotNull)
+        .select(col(keyCol).cast("string"), col(versionCol).cast("long"),
+          opChecked, col(payloadCol).cast("string"),
+          lit(null).cast("timestamp"))
+    }
+    prepared
+      .as[(String, Long, String, String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UpsertState, UpsertRow](
+        OutputMode.Update, timeoutConf) { (entity, it, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var cur = state.getOption.orNull
+          val evs = it.toArray
+          var advanced = false
+          for ((_, v, o, p, _) <- evs.sortBy(_._2))
+            if (cur == null || v > cur.version) {
+              cur = UpsertState(v, o, p)
+              advanced = true
+            }
+          if (advanced) {
+            state.update(cur)
+            entityTtlMs.foreach(state.setTimeoutDuration)
+            eventTimeTtl.foreach { ttl =>
+              val maxTs = evs.iterator.map(_._5.getTime).max
+              state.setTimeoutTimestamp(math.max(
+                maxTs + ttl.ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.single(UpsertRow(entity, cur.version, cur.op,
+              if (cur.op == "D") None else Option(cur.payload)))
+          } else Iterator.empty
+        }
+      }
+      .toDF()
+  }
+
   def streamingAttribution(
       events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
       convType: String, touchTypes: Seq[String], lookback: Long,
