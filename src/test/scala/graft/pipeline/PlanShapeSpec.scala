@@ -466,4 +466,53 @@ class PlanShapeSpec extends SparkSpec {
         s"$name must not self-join the touch stream:\n$plan")
     }
   }
+
+  test("changelog apply: ONE key exchange over the union, no join; " +
+      "transition matrix joins nothing") {
+    val b = makeDf(StructType(Seq(longCol("k"), strCol("p"))),
+      (1 to 50).map(n => Row(n.toLong, s"base$n")))
+    val c = makeDf(
+      StructType(Seq(longCol("k"), strCol("p"), longCol("v"), strCol("op"))),
+      (1 to 80).map(n => Row((n % 60).toLong, s"chg$n", n.toLong,
+        if (n % 9 == 0) "D" else "U")))
+    val merged = executed(Relational.applyChangelog(b, c, Seq("k"), "v", "op"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(merged).size
+    assert(exchanges == 1,
+      s"merge must be one key-keyed window over the union:\n$merged")
+    assert(!merged.contains("Join"),
+      s"base must ride the union, not a join:\n$merged")
+    val ev = makeDf(StructType(Seq(longCol("u"), longCol("t"), strCol("y"))),
+      (1 to 200).map(n => Row((n % 20).toLong, n.toLong, s"t${n % 4}")))
+    val tm = executed(Relational.transitionMatrix(ev, "u", "t", "y", 10L))
+    assert(!tm.contains("Join"),
+      s"transitions are windows + aggregates, never a join:\n$tm")
+    assert(!tm.contains("CartesianProduct"))
+  }
+
+  test("survivorship: assignment joins by id, winner window stays keyed") {
+    val d = makeDf(StructType(Seq(longCol("id"), longCol("s"))),
+      (1 to 100).map(n => Row(n.toLong, (n % 7).toLong)))
+    val a = makeDf(StructType(Seq(longCol("id"), longCol("cluster_id"))),
+      (1 to 100).map(n => Row(n.toLong, (n % 25).toLong)))
+    val plan = executed(Dedup.survivorship(d, "id", "s", a))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"survivorship must stay key-equi:\n$plan")
+  }
+
+  test("kCore and ssspWeighted rounds stay key-equi, never cartesian") {
+    val e = makeDf(StructType(Seq(strCol("src"), strCol("dst"))),
+      (1 to 120).map(n => Row(s"n${n % 30}", s"n${(n * 7) % 30}")))
+    val kc = executed(Graph.kCore(e, "src", "dst", k = 3, maxRounds = 3))
+    assert(!kc.contains("CartesianProduct") &&
+      !kc.contains("BroadcastNestedLoopJoin"), s"kCore:\n$kc")
+    val w = makeDf(StructType(Seq(strCol("src"), strCol("dst"), longCol("w"))),
+      (1 to 120).map(n => Row(s"n${n % 30}", s"n${(n * 7) % 30}",
+        (n % 5 + 1).toLong)))
+    val seeds = makeDf(StructType(Seq(strCol("seed"))), Seq(Row("n1")))
+    val sp = executed(Graph.ssspWeighted(w, "src", "dst", "w", seeds,
+      "seed", maxRounds = 3))
+    assert(!sp.contains("CartesianProduct") &&
+      !sp.contains("BroadcastNestedLoopJoin"), s"sssp:\n$sp")
+  }
 }
