@@ -1049,6 +1049,25 @@ object Queries {
       s.table(name).select(col("entity").cast("long").as("k"),
         col("version").as("v"), col("op"), col("payload"))
     }),
+    "q192_group_trend" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // is each event type's volume growing? per-period activity counts,
+      // then the exact-rational least-squares trend per type — every
+      // released value an integer, so the hash match is bit-exact
+      val periods = readEvents(s, d)
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          expr("CAST(event_id AS BIGINT) div 600").as("period"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.pipeline.CorpusStats.groupTrend(
+        periods, Seq("event_type"), "period", "n_events")
+    }),
+    "q193_entry_conversion" -> ((s, d) =>
+      // landing-type conversion: q142's sessions keyed by their FIRST
+      // event type, purchase reach released as exact counts + ppm
+      graft.pipeline.Relational.sessionConversion(
+        readEvents(s, d), "user_id", "event_id", "event_type",
+        gapUnits = 600L, convType = "purchase")),
     "q128_weighted_quota" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // A-ES weighted sampling: 20 docs per language, selection pressure
@@ -2647,6 +2666,49 @@ object Queries {
         |SELECT k, v, op,
         |  CASE WHEN op = 'D' THEN NULL ELSE payload END AS payload
         |FROM r WHERE rn = 1""".stripMargin,
+    // the identical normal-equation integers: DuckDB's BIGINT sums go
+    // HUGEINT, so every released combination casts back down — exact,
+    // since the engine's contract bounds them under 2^63
+    "q192_group_trend" ->
+      """WITH p AS (SELECT event_type, event_id // 600 AS period,
+        |    count(*) AS n_events FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sums AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(period) AS BIGINT) AS sx,
+        |    CAST(sum(n_events) AS BIGINT) AS sy,
+        |    CAST(sum(period * period) AS BIGINT) AS sxx,
+        |    CAST(sum(period * n_events) AS BIGINT) AS sxy
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CAST(sy * sxx - sx * sxy AS BIGINT) AS icept_num
+        |FROM sums""".stripMargin,
+    // q142's sessions keyed by the min (time, type) entry event;
+    // conversion = the session reached a purchase; truncating ppm
+    "q193_entry_conversion" ->
+      """WITH e AS (SELECT user_id, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |s AS (SELECT *, CASE WHEN lag(event_id) OVER w IS NULL
+        |      OR event_id - lag(event_id) OVER w > 600 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY event_id, event_type)),
+        |t AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY event_id, event_type ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |g AS (SELECT user_id, sid,
+        |    arg_min(event_type, event_id) AS entry_type,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM t GROUP BY 1, 2),
+        |c AS (SELECT entry_type,
+        |    CAST(count(*) AS BIGINT) AS n_sessions,
+        |    CAST(sum(conv) AS BIGINT) AS n_converted
+        |  FROM g GROUP BY 1)
+        |SELECT entry_type, n_sessions, n_converted,
+        |  (n_converted * 1000000) // n_sessions AS ppm
+        |FROM c""".stripMargin,
     "q01_count" -> "SELECT CAST(count(*) AS BIGINT) AS count FROM lineitem",
     "q02_groupby_count" -> countOracle(Seq("A", "N", "R"), "l_returnflag",
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem WHERE l_quantity > 10 GROUP BY 1"),

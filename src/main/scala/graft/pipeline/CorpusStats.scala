@@ -283,6 +283,58 @@ object CorpusStats {
     * `grouping_id` disambiguates a rolled-up level's NULL from a NULL data
     * value, exactly as in SQL.
     */
+  /** Per-group least-squares trend over INTEGER (x, y) points, released
+    * as EXACT rationals: slope = slope_num / slope_den and intercept =
+    * icept_num / slope_den with
+    *   slope_num = n·Σxy − Σx·Σy
+    *   slope_den = n·Σx² − (Σx)²
+    *   icept_num = Σy·Σx² − Σx·Σxy
+    * (the closed-form normal equations; e.g. Draper & Smith, Applied
+    * Regression Analysis, §1.2). Every released value is an integer, so
+    * the result is addition-order-free, partition-invariant, and
+    * bit-identical on any engine — the [[graft.pipeline.Graph.pageRank]]
+    * exactness discipline applied to regression. The caller divides when
+    * a float is wanted; `slope_den` = 0 flags a degenerate group (all x
+    * equal, n <= 1) instead of a silent NaN.
+    *
+    * Integral x and y are REQUIRED (doubles would reintroduce
+    * order-sensitivity). Overflow contract, documented rather than
+    * silently truncated: the released longs are exact while
+    * n·max|x|²·max|y| stays below 2^63 — epoch-days against daily counts
+    * are fine for centuries; nanosecond epochs are not (pre-scale them).
+    *
+    * Scale shape: ONE partial->final keyed aggregate (five sums ride a
+    * single exchange of bounded-width rows); the quadratic forms combine
+    * the sums afterwards in a codegen'd projection. Nothing joins.
+    */
+  def groupTrend(
+      df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupTrend needs at least one group column")
+    (groupCols ++ Seq(xCol, yCol)).foreach(c =>
+      require(df.columns.contains(c), s"input is missing column '$c'"))
+    import org.apache.spark.sql.types._
+    for (c <- Seq(xCol, yCol))
+      require(Seq(LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(c).dataType),
+        s"groupTrend needs integral columns for exactness, got " +
+          s"${df.schema(c).dataType.simpleString} in '$c'")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.where(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(x * y).as("__sxy"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+          .as("slope_num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+          .as("slope_den"),
+        (col("__sy") * col("__sxx") - col("__sx") * col("__sxy"))
+          .as("icept_num")): _*)
+  }
+
   def corpusMix(
       df: DataFrame, groupCols: Seq[String], textCol: String): DataFrame = {
     require(groupCols.nonEmpty, "roll up over at least one column")

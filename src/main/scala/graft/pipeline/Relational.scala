@@ -577,6 +577,58 @@ object Relational {
         expr(s"(n_transitions * ${ppmScale}L) div __tot").as("ppm"))
   }
 
+  /** Entry-point conversion: sessions (the [[sessionPaths]] gap rule)
+    * grouped by their FIRST event type, each releasing how many sessions
+    * started there and how many of those reached `convType` — the
+    * landing-page conversion table behind every acquisition dashboard,
+    * and the aggregate view of what [[transitionMatrix]] models per step.
+    * `ppm` is the truncating integer share (the q182 discipline), so
+    * every released value is engine-exact.
+    *
+    * The entry event is the session's minimum (time, type) — the
+    * [[transitionMatrix]] tie rule — and a session whose entry event IS
+    * the conversion type counts as converted (it reached it at entry).
+    * NULL entity/time/type rows drop.
+    *
+    * Scale shape: ONE entity-keyed exchange for the session split, one
+    * (entity, session) aggregate riding the same partitioning, then a
+    * |types|-row keyed count — no joins, nothing quadratic.
+    */
+  def sessionConversion(
+      events: DataFrame, entityCol: String, timeCol: String, typeCol: String,
+      gapUnits: Long, convType: String, ppmScale: Long = 1000000L): DataFrame = {
+    require(gapUnits > 0L, s"gapUnits must be positive, got $gapUnits")
+    require(ppmScale >= 100L && ppmScale <= 1000000000000L,
+      s"ppmScale must be in [1e2, 1e12], got $ppmScale")
+    Seq(entityCol, timeCol, typeCol).foreach(c =>
+      require(events.columns.contains(c), s"events side is missing '$c'"))
+    val tt = events.schema(timeCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(tt),
+      s"sessionConversion needs an integral time column, got " +
+        s"${tt.simpleString} — convert to epoch units first")
+    val w = Window.partitionBy(entityCol).orderBy(col(timeCol), col(typeCol))
+    val prev = lag(col(timeCol), 1).over(w)
+    val sess = events
+      .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__new",
+        when(prev.isNull || col(timeCol) - prev > gapUnits, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(w))
+    sess
+      .groupBy(col(entityCol), col("__sid"))
+      .agg(
+        min(struct(col(timeCol).as("t"),
+          col(typeCol).cast("string").as("y"))).as("__first"),
+        max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("__conv"))
+      .groupBy(col("__first").getField("y").as("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("__conv")).as("n_converted"))
+      .select(col("entry_type"), col("n_sessions"), col("n_converted"),
+        expr(s"(n_converted * ${ppmScale}L) div n_sessions").as("ppm"))
+  }
+
   /** SCD2 history compaction: collapse a per-key change log (or stacked
     * snapshot observations) into effective-dated rows — for each key,
     * maximal runs of consecutive versions with identical `attrCols` become
