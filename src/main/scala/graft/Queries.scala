@@ -1068,6 +1068,45 @@ object Queries {
       graft.pipeline.Relational.sessionConversion(
         readEvents(s, d), "user_id", "event_id", "event_type",
         gapUnits = 600L, convType = "purchase")),
+    "q194_funnel_latency" -> ((s, d) =>
+      // q135's conversion gaps as a DISTRIBUTION: per step pair the
+      // median and p90 latency off the KLL sketch — exact regime at the
+      // oracle SF (one gap per converting user, k=4096 >> that), so
+      // every quantile is the rank-ceil order statistic
+      graft.pipeline.Relational.funnelLatency(
+        readEvents(s, d), "user_id", "event_type", "event_id",
+        Seq("view", "click", "purchase"), percentiles = Seq(0.5, 0.9))),
+    "q195_coverage_curve" -> ((s, d) =>
+      // Zipf mass curve: the top-100 tokens with the cumulative ppm of
+      // all corpus occurrences covered through each rank — the
+      // vocab-budget table, exact integers end to end
+      graft.pipeline.CorpusStats.coverageCurve(
+        read(s, d, "documents"), "text", topN = 100)),
+    "q196_fd_violations" -> ((s, d) =>
+      // schema audit: the asserted dependency brand -> type, released as
+      // every brand mapping to more than one part type with its spread
+      graft.pipeline.Quality.fdViolations(
+        read(s, d, "part"), Seq("p_brand"), "p_type")),
+    "q197_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      // hybrid-retrieval merge: per language, a length ranking and a
+      // recency proxy ranking (doc_id asc) fused by reciprocal rank in
+      // integer micro-units — bit-identical on any engine
+      val docs = read(s, d, "documents").select(col("doc_id"),
+        col("lang"), length(col("text")).cast("long").as("len"))
+      val wA = Window.partitionBy(col("lang"))
+        .orderBy(col("len").desc, col("doc_id"))
+      val a = docs.select(col("lang"), col("doc_id"),
+        row_number().over(wA).cast("long").as("rank"))
+        .where(col("rank") <= 20)
+      val wB = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val b = docs.select(col("lang"), col("doc_id"),
+        row_number().over(wB).cast("long").as("rank"))
+        .where(col("rank") <= 20)
+      graft.pipeline.Retrieval.reciprocalRankFusion(
+        a.unionByName(b), "lang", "doc_id", "rank", k = 10)
+    }),
     "q128_weighted_quota" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // A-ES weighted sampling: 20 docs per language, selection pressure
@@ -2709,6 +2748,71 @@ object Queries {
         |SELECT entry_type, n_sessions, n_converted,
         |  (n_converted * 1000000) // n_sessions AS ppm
         |FROM c""".stripMargin,
+    // q135's stage chain; in the exact regime every released quantile is
+    // the rank-ceil order statistic = quantile_disc, err_units pins 0
+    "q194_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, min(event_id) AS t FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.event_id) AS t, s1.t AS pt
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.event_id > s1.t
+        |  GROUP BY e.user_id, s1.t),
+        |s3 AS (SELECT e.user_id, min(e.event_id) AS t, s2.t AS pt
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.event_id > s2.t
+        |  GROUP BY e.user_id, s2.t)
+        |SELECT 2 AS step, 'click' AS step_name,
+        |  CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(min(t - pt) AS DOUBLE) AS min_gap,
+        |  CAST(max(t - pt) AS DOUBLE) AS max_gap,
+        |  CAST(0 AS BIGINT) AS err_units,
+        |  CAST(quantile_disc(t - pt, 0.5) AS DOUBLE) AS p50,
+        |  CAST(quantile_disc(t - pt, 0.9) AS DOUBLE) AS p90 FROM s2
+        |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+        |  CAST(min(t - pt) AS DOUBLE), CAST(max(t - pt) AS DOUBLE),
+        |  CAST(0 AS BIGINT),
+        |  CAST(quantile_disc(t - pt, 0.5) AS DOUBLE),
+        |  CAST(quantile_disc(t - pt, 0.9) AS DOUBLE) FROM s3""".stripMargin,
+    // q78's tokenization, ranked by (count desc, token); the running sum
+    // and the grand total both integer, ppm truncates
+    "q195_coverage_curve" ->
+      """WITH tok AS (SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS token FROM documents)
+        |  WHERE length(token) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM tok),
+        |top AS (SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token) AS rank,
+        |    CAST(sum(n) OVER (ORDER BY n DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM tok ORDER BY n DESC, token LIMIT 100)
+        |SELECT CAST(rank AS BIGINT) AS rank, token,
+        |  CAST(n AS BIGINT) AS n, (cum * 1000000) // tot.t AS cum_ppm
+        |FROM top, tot""".stripMargin,
+    // no NULL p_type in the data, so count(DISTINCT) matches the
+    // engine's null-counting struct wrap
+    "q196_fd_violations" ->
+      """SELECT p_brand, CAST(count(DISTINCT p_type) AS BIGINT)
+        |    AS n_dep_values,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM part WHERE p_brand IS NOT NULL
+        |GROUP BY 1 HAVING count(DISTINCT p_type) > 1""".stripMargin,
+    // both rankings recomputed, fused as exact integer micro-units:
+    // score = sum of 1e12 // (60 + rank); ties break by doc_id
+    "q197_rrf_fusion" ->
+      """WITH d AS (SELECT doc_id, lang, length(text) AS len FROM documents),
+        |a AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY len DESC, doc_id) AS rank FROM d QUALIFY rank <= 20),
+        |b AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY doc_id) AS rank FROM d QUALIFY rank <= 20),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |f AS (SELECT lang, doc_id,
+        |    CAST(sum(1000000000000 // (60 + rank)) AS BIGINT) AS rrf_e12
+        |  FROM u GROUP BY 1, 2)
+        |SELECT lang, doc_id, rrf_e12,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY rrf_e12 DESC, doc_id) AS BIGINT) AS rank
+        |FROM f QUALIFY rank <= 10""".stripMargin,
     "q01_count" -> "SELECT CAST(count(*) AS BIGINT) AS count FROM lineitem",
     "q02_groupby_count" -> countOracle(Seq("A", "N", "R"), "l_returnflag",
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem WHERE l_quantity > 10 GROUP BY 1"),

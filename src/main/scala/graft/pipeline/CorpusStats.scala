@@ -371,6 +371,45 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Vocabulary coverage curve: the top-`topN` tokens by corpus frequency
+    * (count desc, token tiebreak — the [[topKTokens]] rule), each with
+    * its rank and the CUMULATIVE share of all token occurrences covered
+    * through that rank, as truncating integer ppm. The vocab-sizing
+    * question ("how many entries cover 95% of the corpus?") read
+    * straight off the released table; the Zipf tail it exposes drives
+    * BPE merge budgets and OOV policy.
+    *
+    * Scale shape: one token-keyed count aggregate with map-side partials
+    * (the corpus-sized work), then ordering and the running sum over the
+    * BOUNDED `topN`-row result only — the single-partition window is
+    * capped by the knob (require'd <= 100k), never by data volume. The
+    * grand total rides a single-row broadcast.
+    */
+  def coverageCurve(
+      df: DataFrame, textCol: String, topN: Int,
+      ppmScale: Long = 1000000L): DataFrame = {
+    require(topN >= 1 && topN <= 100000,
+      s"topN must be in [1, 1e5] (it bounds a single-partition sort), " +
+        s"got $topN")
+    require(ppmScale >= 100L && ppmScale <= 1000000000000L,
+      s"ppmScale must be in [1e2, 1e12], got $ppmScale")
+    val counts = tokens(df, textCol)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__tot"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .select(col("rank").cast("long").as("rank"), col("token"), col("n"),
+        expr(s"(cum_n * ${ppmScale}L) div __tot").as("cum_ppm"))
+  }
+
   /** Snapshot diff between two corpus versions: one row per document id
     * present in either side, with its status — `added` (new only),
     * `removed` (old only), `changed` (both, canonical fingerprints

@@ -373,4 +373,37 @@ object Quality {
       when(v.isNull || isnan(v), lit(null).cast("double"))
         .otherwise(least(greatest(v, col("lo_clip")), col("hi_clip"))))
   }
+
+  /** Functional-dependency violation report: for the asserted dependency
+    * `detCols -> depCol`, every determinant value that maps to MORE than
+    * one distinct dependent value, with how many distinct dependents and
+    * how many rows it covers. The record-linkage / schema-audit primitive
+    * behind "one customer id, three different names" findings — feed the
+    * violating keys to [[graft.pipeline.Dedup.resolveEntities]] or a
+    * [[expectations]] `unique` rule downstream.
+    *
+    * NULL determinants drop (no identity to violate); a NULL dependent
+    * counts as a distinct value — "sometimes missing" IS a violation of
+    * a functional dependency, and silently ignoring it would pass a
+    * column that's null for half its keys.
+    *
+    * Scale shape: ONE determinant-keyed aggregate (count-distinct over
+    * the dependent via a two-level exact aggregate with map-side
+    * partials), then a row-local filter — output is bounded by the
+    * number of VIOLATING keys, not by data volume. Nothing joins.
+    */
+  def fdViolations(
+      df: DataFrame, detCols: Seq[String], depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "fdViolations needs at least one determinant")
+    (detCols :+ depCol).foreach(c =>
+      require(df.columns.contains(c), s"input is missing column '$c'"))
+    require(!detCols.contains(depCol),
+      s"'$depCol' cannot be both determinant and dependent")
+    df.where(detCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(detCols.map(col): _*)
+      .agg(
+        countDistinct(struct(col(depCol))).as("n_dep_values"),
+        count(lit(1)).as("n_rows"))
+      .where(col("n_dep_values") > 1L)
+  }
 }

@@ -577,6 +577,62 @@ object Relational {
         expr(s"(n_transitions * ${ppmScale}L) div __tot").as("ppm"))
   }
 
+  /** Funnel step-latency distribution: for every adjacent step pair the
+    * per-entity conversion gap's count/min/max PLUS its quantiles off a
+    * bounded-state [[graft.exec.Kll]] aggregate — [[funnelGaps]] answers
+    * "how long does conversion take in aggregate", this answers "what
+    * does the latency DISTRIBUTION look like" (median vs p90 tail), the
+    * number an SLA or campaign review actually wants.
+    *
+    * Quantiles carry the sketch's self-checking certificate: `err_units`
+    * == 0 (entity count under the sketch buffer, the common case — one
+    * row per CONVERTING entity, not per event) means every released
+    * quantile is exactly the rank-ceil order statistic an independent
+    * engine computes; past the buffer the rank slack is bounded and
+    * disclosed, never silent. Gap semantics are [[funnelGaps]]'s
+    * earliest-completion chain, same `maxGap` knob, same NULL-entity
+    * drop.
+    *
+    * Scale shape: the stage chain is [[funnel]]'s (per step one
+    * entity-keyed join + min-agg over that step's pushed-filter scan);
+    * the latency aggregate adds ONE bounded-state partial->final
+    * aggregate per step over (gap) rows already keyed — no extra data
+    * shuffle, no per-entity gather.
+    */
+  def funnelLatency(
+      events: DataFrame, entityCol: String, typeCol: String, timeCol: String,
+      steps: Seq[String], maxGap: Option[Long] = None,
+      percentiles: Seq[Double] = Seq(0.5, 0.9), k: Int = 4096): DataFrame = {
+    require(steps.size >= 2, "latency stats need at least two steps")
+    require(percentiles.nonEmpty, "ask for at least one percentile")
+    val t = events.schema.apply(timeCol).dataType
+    require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"funnelLatency needs a numeric time column, got ${t.simpleString} — " +
+        "convert timestamps to epoch units first")
+    def lbl(p: Double): String = {
+      val pct = p * 100
+      if (pct == math.rint(pct)) s"p${pct.toLong}"
+      else "p" + BigDecimal(pct).underlying.stripTrailingZeros.toPlainString
+        .replace('.', '_')
+    }
+    val labels = percentiles.map(lbl)
+    require(labels.distinct.size == labels.size,
+      s"duplicate percentile labels: ${labels.mkString(", ")}")
+    val stages = funnelStages(events, entityCol, typeCol, timeCol, steps, maxGap)
+    stages.zip(steps).zipWithIndex.drop(1).map { case ((df, step), i) =>
+      val g = (col("__t") - col("__pt")).cast("double")
+      df.select(g.as("__g"))
+        .agg(count(lit(1)).as("n_entities"),
+          min(col("__g")).as("min_gap"), max(col("__g")).as("max_gap"),
+          graft.exec.Kll.quantiles(col("__g"), k, percentiles).as("__kll"))
+        .select(Seq(lit(i + 1).as("step"), lit(step).as("step_name"),
+          col("n_entities"), col("min_gap"), col("max_gap"),
+          col("__kll.err_units").as("err_units")) ++
+          labels.zipWithIndex.map { case (l, j) =>
+            col("__kll.values")(j).as(l) }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Entry-point conversion: sessions (the [[sessionPaths]] gap rule)
     * grouped by their FIRST event type, each releasing how many sessions
     * started there and how many of those reached `convType` — the

@@ -83,4 +83,50 @@ object Retrieval {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
+    * several per-query rankings of the same corpus into one, scoring
+    * each (query, doc) as the sum over rankings of 1/(kConst + rank) —
+    * the standard zero-tuning way to merge BM25 with an embedding
+    * retriever (hybrid search). Scores are integer micro-units
+    * (`scale div (kConst + rank)` summed as longs — the
+    * [[graft.pipeline.Graph.pageRank]] exactness discipline), so the
+    * fused ranking is bit-identical on any engine; ties break by doc id.
+    *
+    * Input is the UNION of the rankings as (query, doc, rank) rows — a
+    * doc absent from one ranking simply contributes nothing from it. A
+    * duplicate (query, doc) within one ranking should have been deduped
+    * upstream; this operator cannot tell two rankings apart from one
+    * ranking with duplicates, so it guards nothing and documents that
+    * the caller owns ranking integrity. Non-positive ranks fail loudly.
+    *
+    * Scale shape: ONE (query, doc)-keyed sum with map-side partials +
+    * one per-query top-`k` window with a rank prefilter — no joins.
+    */
+  def reciprocalRankFusion(
+      rankings: DataFrame, qidCol: String, idCol: String, rankCol: String,
+      k: Int, kConst: Long = 60L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kConst >= 1L, s"kConst must be >= 1, got $kConst")
+    require(scale >= 1000000L, s"scale too coarse for stable scores: $scale")
+    Seq(qidCol, idCol, rankCol).foreach(c =>
+      require(rankings.columns.contains(c),
+        s"rankings side is missing '$c'"))
+    val r = when(col(rankCol).cast("long") <= 0L,
+      raise_error(concat(lit(s"reciprocalRankFusion: non-positive rank " +
+        s"in '$rankCol': "), col(rankCol).cast("string"))).cast("long"))
+      .otherwise(col(rankCol).cast("long"))
+    val scored = rankings
+      .where(col(qidCol).isNotNull && col(idCol).isNotNull && r.isNotNull)
+      .select(col(qidCol), col(idCol), r.as("__r"))
+      .select(col(qidCol), col(idCol),
+        expr(s"${scale}L div (${kConst}L + __r)").as("__s"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__s")).as("rrf_e12"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("rrf_e12").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
 }
