@@ -1087,6 +1087,20 @@ object Queries {
       // every brand mapping to more than one part type with its spread
       graft.pipeline.Quality.fdViolations(
         read(s, d, "part"), Seq("p_brand"), "p_type")),
+    "q198_ktruss" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // edge-level cohesion on the thin co-supply graph: the 4-truss
+      // (every surviving edge closes >= 2 triangles among survivors) —
+      // at the oracle SF the peel cascades 375 -> 78 -> 26 -> 24 edges
+      // before the fixed point
+      val li = read(s, d, "lineitem").where(col("l_quantity") <= 3)
+        .select(col("l_orderkey").as("o"),
+          concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.sn") < col("b.sn"))
+        .select(col("a.sn").as("src"), col("b.sn").as("dst")).distinct()
+      graft.pipeline.Graph.kTruss(pairs, "src", "dst", k = 4, maxRounds = 4)
+    }),
     "q197_rrf_fusion" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -2566,11 +2580,12 @@ object Queries {
       """WITH b AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS x,
         |    's' || CAST(l_suppkey AS VARCHAR) AS y
         |  FROM lineitem WHERE l_quantity <= 3),
-        |e0 AS (SELECT x AS u, y AS v FROM b UNION SELECT y, x FROM b)""".stripMargin
+        |e0 AS MATERIALIZED (SELECT x AS u, y AS v FROM b
+        |  UNION SELECT y, x FROM b)""".stripMargin
     val peel = (1 to rounds).map { r =>
       s""",
-         |k$r AS (SELECT u FROM e${r - 1} GROUP BY u HAVING count(*) >= $k),
-         |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+         |k$r AS MATERIALIZED (SELECT u FROM e${r - 1} GROUP BY u HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
          |  JOIN k$r a ON e.u = a.u JOIN k$r c ON e.v = c.u)""".stripMargin
     }.mkString
     head + peel +
@@ -2578,7 +2593,45 @@ object Queries {
       s"\nFROM e$rounds GROUP BY u"
   }
 
+  /** q198's oracle: the identical bounded edge peel unrolled — round r
+    * computes each surviving edge's triangle support (common-neighbor
+    * count via the two-keyed wedge join) and keeps support >= k-2; the
+    * engine's early exit equals running every remaining round. The final
+    * SELECT re-measures support inside the released subgraph, the
+    * engine's release rule.
+    */
+  private def ktrussOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS sn
+        |  FROM lineitem WHERE l_quantity <= 3),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.sn AS u, b.sn AS v FROM li a
+        |  JOIN li b ON a.o = b.o AND a.sn < b.sn)""".stripMargin
+    // MATERIALIZED is load-bearing: without it DuckDB inlines each CTE at
+    // every reference (three per round), re-evaluating the whole prefix
+    // exponentially across the unroll
+    def wedge(r: Int, src: String): String =
+      s"""a$r AS MATERIALIZED (SELECT u AS s, v AS d FROM $src
+         |  UNION ALL SELECT v, u FROM $src),
+         |s$r AS MATERIALIZED (SELECT e.u, e.v, count(*) AS c FROM $src e
+         |  JOIN a$r x ON x.s = e.u JOIN a$r y ON y.s = e.v AND x.d = y.d
+         |  GROUP BY 1, 2)""".stripMargin
+    val peel = (1 to rounds).map { r =>
+      s""",
+         |${wedge(r, s"e${r - 1}")},
+         |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+         |  LEFT JOIN s$r s ON s.u = e.u AND s.v = e.v
+         |  WHERE coalesce(s.c, 0) >= ${k - 2})""".stripMargin
+    }.mkString
+    head + peel + s""",
+      |${wedge(rounds + 1, s"e$rounds")}
+      |SELECT e.u, e.v, CAST(coalesce(s.c, 0) AS BIGINT) AS support
+      |FROM e$rounds e
+      |LEFT JOIN s${rounds + 1} s ON s.u = e.u AND s.v = e.v""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q198_ktruss" -> ktrussOracleSql(k = 4, rounds = 4),
     "q185_kcore" -> kcoreOracleSql(k = 4, rounds = 4),
     // hop-bounded weighted walk, deduped per (node, dist, hops) by the
     // recursive UNION; min over <= 3-hop paths equals the engine's

@@ -523,6 +523,98 @@ object Graph {
       .select(col("__u").as("node"), col("core_deg"))
   }
 
+  /** k-truss decomposition by iterative edge peeling (Cohen 2008, "Trusses:
+    * cohesive subgraphs for social network analysis"): repeatedly delete
+    * every edge whose SUPPORT — the number of triangles it closes in the
+    * surviving graph — is below k-2, until none remains. The truss is the
+    * edge-level cohesion filter one notch stronger than [[kCore]]: a
+    * k-core node merely has k neighbors, a k-truss edge's endpoints share
+    * k-2 of them. Returns the surviving canonical edges as
+    * (u, v, support) with u < v and support measured inside the truss.
+    *
+    * Same bounded-peel contract as [[kCore]]: undirected simple graph
+    * (canonicalized, deduped, self-loops and NULLs drop), `maxRounds`
+    * caps the peel, early exit at the fixed point equals running every
+    * remaining round, so a bounded SQL unroll reproduces the output
+    * exactly whether or not the peel converged.
+    *
+    * Scale shape: per round ONE wedge join (each edge against both
+    * endpoints' adjacency lists — two keyed equi-joins, fan-out deg(u)
+    * per edge, the O(m·d) truss cost) + one (u, v)-keyed count + one
+    * left-join filter; the support table is checkpointed per round so
+    * the probe and the filter share it and the plan stays O(1) deep.
+    * The wedge fan-out is the real cost at 100 TB, so a mega-hub fails
+    * LOUDLY up front: one bounded degree probe refuses graphs whose max
+    * degree exceeds `maxDegree` instead of silently scheduling a
+    * deg² explosion — pre-truncate hubs (the [[triangleCounts]]
+    * `maxSharedDegree` discipline) and rerun.
+    */
+  def kTruss(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxRounds: Int = 16, maxDegree: Long = 10000L): DataFrame = {
+    require(k >= 3 && k <= 1000000, s"k must be in [3, 1e6], got $k")
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds must be in [1, 64], got $maxRounds")
+    require(maxDegree >= 2L, s"maxDegree must be >= 2, got $maxDegree")
+    Seq(srcCol, dstCol).foreach(c =>
+      require(edges.columns.contains(c), s"edge list is missing column '$c'"))
+    val su = col(srcCol).cast("string")
+    val sv = col(dstCol).cast("string")
+    var e = edges
+      .where(su.isNotNull && sv.isNotNull && su =!= sv)
+      .select(least(su, sv).as("__u"), greatest(su, sv).as("__v"))
+      .distinct()
+      .localCheckpoint(true)
+    def adj(ed: DataFrame) = ed
+      .select(col("__u").as("__s"), col("__v").as("__w"))
+      .unionByName(ed.select(col("__v").as("__s"), col("__u").as("__w")))
+    val hub = adj(e).groupBy("__s").agg(count(lit(1)).as("__deg"))
+      .where(col("__deg") > maxDegree).limit(1).collect()
+    require(hub.isEmpty,
+      s"kTruss: node ${hub.headOption.map(_.getString(0)).getOrElse("")} " +
+        s"exceeds maxDegree=$maxDegree — the wedge join would fan out " +
+        "quadratically on it; truncate hub adjacency first " +
+        "(triangleCounts' maxSharedDegree discipline) or raise the cap")
+    var round = 0
+    var converged = false
+    var withSup: DataFrame = null
+    while (round < maxRounds && !converged) {
+      round += 1
+      val a = adj(e)
+      val sup = e
+        .join(a.withColumnsRenamed(Map("__s" -> "__u", "__w" -> "__w1")),
+          Seq("__u"))
+        .join(a.withColumnsRenamed(Map("__s" -> "__v", "__w" -> "__w1")),
+          Seq("__v", "__w1"))
+        .groupBy(col("__u"), col("__v")).agg(count(lit(1)).as("__c"))
+      withSup = e.join(sup, Seq("__u", "__v"), "left")
+        .select(col("__u"), col("__v"),
+          coalesce(col("__c"), lit(0L)).as("support"))
+        .localCheckpoint(true)
+      if (withSup.where(col("support") < k - 2).limit(1).isEmpty)
+        converged = true
+      else
+        e = withSup.where(col("support") >= k - 2).select("__u", "__v")
+          .localCheckpoint(true)
+    }
+    if (converged)
+      withSup.select(col("__u").as("u"), col("__v").as("v"), col("support"))
+    else {
+      // maxRounds hit mid-peel: release the bounded-peel edges with their
+      // support measured in the released subgraph (the oracle's rule)
+      val a = adj(e)
+      val sup = e
+        .join(a.withColumnsRenamed(Map("__s" -> "__u", "__w" -> "__w1")),
+          Seq("__u"))
+        .join(a.withColumnsRenamed(Map("__s" -> "__v", "__w" -> "__w1")),
+          Seq("__v", "__w1"))
+        .groupBy(col("__u"), col("__v")).agg(count(lit(1)).as("__c"))
+      e.join(sup, Seq("__u", "__v"), "left")
+        .select(col("__u").as("u"), col("__v").as("v"),
+          coalesce(col("__c"), lit(0L)).as("support"))
+    }
+  }
+
   /** Single-source shortest paths with positive INTEGER edge weights —
     * frontier-limited Bellman–Ford (relaxations only ever originate from
     * nodes whose tentative distance improved last round, the classic

@@ -128,6 +128,55 @@ class GraphCoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("non-positive weight"))
   }
 
+  // K4 on {a,b,c,d} plus a triangle {c,d,x} hanging off one edge and a
+  // pendant p: the 4-truss is exactly K4 (x's edges have support 1 and
+  // peel, after which c-d still closes 2 triangles inside K4)
+  private val trussy = Seq(
+    "a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d",
+    "c" -> "x", "d" -> "x", "d" -> "p")
+
+  test("kTruss peels to K4; support is measured inside the truss") {
+    val out = Graph.kTruss(edges(trussy), "src", "dst", k = 4, maxRounds = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(
+      ("a", "b") -> 2L, ("a", "c") -> 2L, ("a", "d") -> 2L,
+      ("b", "c") -> 2L, ("b", "d") -> 2L, ("c", "d") -> 2L))
+  }
+
+  test("kTruss maxRounds bounds the peel; released support is re-measured") {
+    // two triangles sharing edge b-c: supports 2 (b-c) and 1 (the rest);
+    // k=4 round 1 keeps only b-c, whose support in the REMAINING graph
+    // is 0 — one round stops there, a second peels it to empty
+    val tri2 = Seq("a" -> "b", "a" -> "c", "b" -> "c", "b" -> "d", "c" -> "d")
+    val one = Graph.kTruss(edges(tri2), "src", "dst", k = 4, maxRounds = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(one.toSeq === Seq(("b", "c", 0L)))
+    val full = Graph.kTruss(edges(tri2), "src", "dst", k = 4, maxRounds = 8)
+    assert(full.count() === 0L)
+  }
+
+  test("kTruss canonicalizes reversed/duplicate edges and is " +
+      "partition-invariant") {
+    val messy = edges(trussy ++ trussy.map(_.swap))
+    val a = Graph.kTruss(messy, "src", "dst", 4, 8).collect().toSet
+    val b = Graph.kTruss(messy.repartition(7), "src", "dst", 4, 8)
+      .collect().toSet
+    assert(a === b && a.size === 6)
+  }
+
+  test("kTruss guards: k range and the loud hub refusal") {
+    intercept[IllegalArgumentException] {
+      Graph.kTruss(edges(trussy), "src", "dst", k = 2, maxRounds = 4)
+    }
+    val hub = (1 to 30).map(i => "hub" -> s"n$i")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kTruss(edges(hub), "src", "dst", k = 3, maxRounds = 4,
+        maxDegree = 10L)
+    }
+    assert(ex.getMessage.contains("maxDegree"))
+  }
+
   test("ssspWeighted is partition-invariant") {
     val es = Seq(("a", "b", 2L), ("b", "c", 2L), ("a", "c", 3L),
       ("c", "d", 1L), ("b", "d", 9L))
