@@ -8,7 +8,7 @@ import graft.budget.{PureDPBudget, Rat}
 import graft.constraints.MaxRowsPerID
 import graft.ir.{BinningSpec, QueryBuilder}
 import graft.keyset.KeySet
-import graft.pipeline.{Dedup, Ivf, Relational, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Graph, Ivf, Relational, Retrieval, Similarity, TextAnalysis}
 import graft.session.Session
 
 /** Doctest-style runnable examples for the most-used public entry points —
@@ -450,5 +450,87 @@ class DocExamplesSpec extends SparkSpec {
       // window 1 alone: median of {1,2,3}; through window 2: of {1,2,3,10}
       assert(cum === Seq((3L, 2.0), (4L, 2.0)))
     } finally q.stop()
+  }
+
+  test("example: k-core and k-truss peel to the cohesive core; SSSP " +
+      "releases exact integer path costs") {
+    import org.apache.spark.sql.functions.col
+    // K4 plus a pendant chain: the 4-core/4-truss is K4 alone
+    val edges = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "d" -> "e", "e" -> "f").toDF("src", "dst")
+    val core = Graph.kCore(edges, "src", "dst", k = 3)
+      .collect().map(r => r.getString(0)).toSet
+    assert(core === Set("a", "b", "c", "d"))
+    val truss = Graph.kTruss(edges, "src", "dst", k = 4).count()
+    assert(truss === 6L) // the six K4 edges
+    val wEdges = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 9L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("seed")
+    val d = Graph.ssspWeighted(wEdges, "src", "dst", "w", seeds, "seed", 8)
+      .where(col("node") === "c").head.getLong(1)
+    assert(d === 2L) // the two-hop path beats the direct weight-9 edge
+  }
+
+  test("example: changelog apply merges I/U/D by highest version; " +
+      "point-in-time reads the SCD2 row effective at fact time") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq((1L, "bronze"), (2L, "silver")).toDF("k", "tier")
+    val changes = Seq(
+      (2L, "gold", 10L, "U"), (2L, "platinum", 7L, "U"),
+      (3L, "bronze", 11L, "I"), (1L, "-", 12L, "D"))
+      .toDF("k", "tier", "v", "op")
+    val current = Relational.applyChangelog(base, changes, Seq("k"), "v", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 1 deleted, key 2 took v10 (not the stale v7), key 3 inserted
+    assert(current === Map(2L -> "gold", 3L -> "bronze"))
+    val obs = Seq((7L, 1L, "bronze"), (7L, 5L, "gold"))
+      .toDF("vendor", "seen_at", "tier")
+    val hist = Relational.scd2History(obs, Seq("vendor"), "seen_at",
+      Seq("tier"))
+    val facts = Seq((7L, 3L), (7L, 6L)).toDF("vendor", "t")
+    val atTime = Relational.asOfJoin(facts,
+      hist.select(col("vendor"), col("valid_from").as("t"), col("tier")),
+      Seq("vendor"), "t")
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(atTime === Map(3L -> "bronze", 6L -> "gold"))
+  }
+
+  test("example: journeys read three ways — transition edges, entry " +
+      "conversion, and funnel latency quantiles") {
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "view"), (2L, 2L, "click"),
+      (3L, 1L, "view"), (3L, 9L, "purchase"))
+      .toDF("user", "t", "etype")
+    val trans = Relational.transitionMatrix(events, "user", "t", "etype",
+      gapUnits = 100L)
+      .where(col("from_type") === "view")
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    // from view: 2 of 3 go to click, 1 of 3 straight to purchase
+    assert(trans === Map("click" -> 666666L, "purchase" -> 333333L))
+    val entry = Relational.sessionConversion(events, "user", "t", "etype",
+      100L, convType = "purchase")
+      .head
+    assert(entry.getString(0) === "view" && entry.getLong(3) === 666666L)
+    val lat = Relational.funnelLatency(events, "user", "etype", "t",
+      Seq("view", "purchase"), percentiles = Seq(0.5)).head
+    // gaps 2 (user 1) and 8 (user 3): median = rank-ceil 1st of 2 = 2
+    assert(lat.getLong(5) === 0L && lat.getDouble(6) === 2.0)
+  }
+
+  test("example: survivorship keeps the best copy; RRF fuses rankings " +
+      "in exact micro-units") {
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 40L)).toDF("doc_id", "quality")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.survivorship(docs, "doc_id", "quality", clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(kept === Map(2L -> 2L, 3L -> 1L)) // doc 2 wins its pair
+    val ranks = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 2L, 1L))
+      .toDF("query", "doc", "rank")
+    val fused = Retrieval.reciprocalRankFusion(
+      ranks, "query", "doc", "rank", k = 2).head
+    assert(fused.getLong(1) === 2L) // doc 2: rank1 + rank2 beats doc 1
   }
 }
