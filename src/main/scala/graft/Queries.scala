@@ -1101,6 +1101,61 @@ object Queries {
         .select(col("a.sn").as("src"), col("b.sn").as("dst")).distinct()
       graft.pipeline.Graph.kTruss(pairs, "src", "dst", k = 4, maxRounds = 4)
     }),
+    "q199_merge_intervals" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // per-user activity coverage: each event opens a 300-unit window,
+      // overlapping/touching windows collapse into maximal islands in
+      // ONE user-keyed exchange (no interval self-join)
+      val iv = readEvents(s, d)
+        .where(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id"), col("event_id").as("lo"),
+          (col("event_id") + 300L).as("hi"))
+      graft.pipeline.Relational.mergeIntervals(
+        iv, Seq("user_id"), "lo", "hi")
+    }),
+    "q200_period_deltas" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // WoW-style dashboard: per event type the activity of every
+      // observed 600-unit period vs the previous observed period,
+      // growth as exact truncating ppm
+      val p = readEvents(s, d)
+        .where(col("event_type").isNotNull && col("event_id").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(event_id AS BIGINT) div 600").as("period"))
+      graft.pipeline.Relational.periodDeltas(p, Seq("event_type"), "period")
+    }),
+    "q201_rfm_segments" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // supplier value grid: recency = latest order key, frequency =
+      // line count, monetary = total quantity (exact integral units);
+      // 5x5x5 NTILE grid, tile 1 best, id tie-break -> bit-stable
+      val li = read(s, d, "lineitem").select(
+        col("l_suppkey"), col("l_orderkey").cast("long").as("t"),
+        col("l_quantity").cast("long").as("amt"))
+      graft.pipeline.Relational.rfmSegments(li, "l_suppkey", "t", "amt")
+    }),
+    "q202_benford_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // fabrication screen on order totals: leading-digit distribution
+      // of floor(o_totalprice) vs the canonical Benford expectation —
+      // floor() is exact on doubles, so both engines audit identical
+      // integers
+      val v = read(s, d, "orders").select(
+        floor(col("o_totalprice")).cast("long").as("amount"))
+      graft.pipeline.Quality.benfordAudit(v, "amount")
+    }),
+    "q203_categorical_profile" -> ((s, d) =>
+      // schema-review table for the part dimension: per categorical
+      // column its null ledger, cardinality, modal value and exact
+      // integer Gini impurity — C columns in ONE melted scan
+      graft.pipeline.Quality.categoricalProfile(
+        read(s, d, "part"), Seq("p_brand", "p_type", "p_size"))),
+    "q204_pair_affinity" -> ((s, d) =>
+      // q166's co-purchase pairs ranked the way basket analysis ranks:
+      // exact truncating lift and both directional confidences in ppm
+      graft.pipeline.CorpusStats.pairAffinity(
+        read(s, d, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 3L)),
     "q197_rrf_fusion" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -2630,7 +2685,124 @@ object Queries {
       |LEFT JOIN s${rounds + 1} s ON s.u = e.u AND s.v = e.v""".stripMargin
   }
 
+  /** Per-column profile block for the q203 oracle: freq table once, then
+    * the same truncating-recurrence gini the engine releases. */
+  private def catProfileOracleSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""(WITH f AS (SELECT CAST($c AS VARCHAR) AS v,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM $table GROUP BY 1),
+         |  nn AS (SELECT * FROM f WHERE v IS NOT NULL),
+         |  n AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS nv FROM nn),
+         |  top AS (SELECT v, cnt FROM nn ORDER BY cnt DESC, v LIMIT 1),
+         |  g AS (SELECT CAST(sum(((cnt * 1000000) // n.nv) * cnt)
+         |      AS BIGINT) AS selfsum FROM nn, n),
+         |  z AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_nulls
+         |    FROM f WHERE v IS NULL),
+         |  d AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM nn)
+         |  SELECT '$c' AS "column", n.nv AS n_values, z.n_nulls,
+         |    d.nd AS n_distinct, top.v AS top_value,
+         |    CAST(top.cnt AS BIGINT) AS top_count,
+         |    CAST((top.cnt * 1000000) // n.nv AS BIGINT) AS top_share_ppm,
+         |    CAST(1000000 - g.selfsum // n.nv AS BIGINT) AS gini_ppm
+         |  FROM n, z, d, top, g)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val oracles: Map[String, String] = Map(
+    // running max over strictly-earlier intervals = the engine's island
+    // rule; touching half-open windows merge
+    "q199_merge_intervals" ->
+      """WITH iv AS (SELECT user_id, CAST(event_id AS BIGINT) AS lo,
+        |    CAST(event_id + 300 AS BIGINT) AS hi FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+        |m AS (SELECT *, max(hi) OVER (PARTITION BY user_id
+        |      ORDER BY lo, hi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+        |  FROM iv),
+        |fl AS (SELECT *, CASE WHEN mp IS NULL OR lo > mp THEN 1 ELSE 0 END
+        |    AS nw FROM m),
+        |isl AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY lo, hi ROWS UNBOUNDED PRECEDING) AS island FROM fl)
+        |SELECT user_id, CAST(min(lo) AS BIGINT) AS island_lo,
+        |  CAST(max(hi) AS BIGINT) AS island_hi,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM isl GROUP BY user_id, island""".stripMargin,
+    // previous OBSERVED period via lag over the aggregated series;
+    // growth only over positive counts so // truncation agrees
+    "q200_period_deltas" ->
+      """WITH p AS (SELECT event_type, CAST(event_id // 600 AS BIGINT)
+        |    AS period, CAST(count(*) AS BIGINT) AS n FROM events
+        |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, period, n,
+        |  lag(n) OVER w AS prev_n,
+        |  n - lag(n) OVER w AS delta,
+        |  CASE WHEN lag(n) OVER w > 0
+        |    THEN (n * 1000000) // lag(n) OVER w END AS growth_ppm
+        |FROM p WINDOW w AS (PARTITION BY event_type ORDER BY period)""".stripMargin,
+    // SQL NTILE piecewise sizes with the entity id tie-break = the
+    // engine's two-phase global rank, bit for bit
+    "q201_rfm_segments" ->
+      """WITH pr AS (SELECT l_suppkey AS e,
+        |    CAST(max(l_orderkey) AS BIGINT) AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mon
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+        |t AS (SELECT mon,
+        |    CAST(ntile(5) OVER (ORDER BY rec DESC, e) AS BIGINT) AS r_tile,
+        |    CAST(ntile(5) OVER (ORDER BY freq DESC, e) AS BIGINT) AS f_tile,
+        |    CAST(ntile(5) OVER (ORDER BY mon DESC, e) AS BIGINT) AS m_tile
+        |  FROM pr)
+        |SELECT r_tile, f_tile, m_tile,
+        |  CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(mon) AS BIGINT) AS sum_amount
+        |FROM t GROUP BY 1, 2, 3""".stripMargin,
+    // leading digit off the decimal string of floor(o_totalprice);
+    // expected ppm the same literal table the engine hard-codes
+    "q202_benford_audit" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS a
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT CAST(substr(CAST(a AS VARCHAR), 1, 1) AS BIGINT)
+        |      AS digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM v WHERE a > 0 GROUP BY 1),
+        |e AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+        |    (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        |    (9, 45757)) AS t(digit, expected_ppm)),
+        |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM c)
+        |SELECT CAST(e.digit AS BIGINT) AS digit,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |  CAST(CASE WHEN tot.t > 0
+        |    THEN (coalesce(c.n, 0) * 1000000) // tot.t ELSE 0 END
+        |    AS BIGINT) AS observed_ppm,
+        |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |  CAST(CASE WHEN tot.t > 0
+        |      THEN (coalesce(c.n, 0) * 1000000) // tot.t ELSE 0 END
+        |    - e.expected_ppm AS BIGINT) AS delta_ppm
+        |FROM e LEFT JOIN c ON e.digit = c.digit, tot""".stripMargin,
+    "q203_categorical_profile" ->
+      catProfileOracleSql("part", Seq("p_brand", "p_type", "p_size")),
+    // q166's pair table joined back to item supports; every released
+    // ratio a truncating integer division over positive counts
+    "q204_pair_affinity" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |p AS (SELECT a.i AS item_a, b2.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |s AS (SELECT i, CAST(count(*) AS BIGINT) AS sup FROM bi GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets
+        |  FROM bi)
+        |SELECT p.item_a, p.item_b, p.support, sa.sup AS support_a,
+        |  sb.sup AS support_b, nb.n_baskets,
+        |  CAST((p.support * nb.n_baskets * 1000000) // (sa.sup * sb.sup)
+        |    AS BIGINT) AS lift_ppm,
+        |  CAST((p.support * 1000000) // sa.sup AS BIGINT)
+        |    AS conf_a_to_b_ppm,
+        |  CAST((p.support * 1000000) // sb.sup AS BIGINT)
+        |    AS conf_b_to_a_ppm
+        |FROM p JOIN s sa ON sa.i = p.item_a
+        |  JOIN s sb ON sb.i = p.item_b, nb""".stripMargin,
     "q198_ktruss" -> ktrussOracleSql(k = 4, rounds = 4),
     "q185_kcore" -> kcoreOracleSql(k = 4, rounds = 4),
     // hop-bounded weighted walk, deduped per (node, dist, hops) by the

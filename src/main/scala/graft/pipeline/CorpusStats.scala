@@ -836,4 +836,63 @@ object CorpusStats {
     kept.unpersist(false)
     out
   }
+
+  /** [[frequentPairs]] plus the association strength every basket
+    * analysis actually ranks by: per surviving pair its two item
+    * supports, the basket universe size, and the exact truncating lift
+    * `lift_ppm = (support * n_baskets * ppmScale) div (support_a *
+    * support_b)` — ppmScale (1e6) = independence, above it the pair
+    * co-occurs MORE than its items' popularity predicts (the
+    * recommendation signal), below it less (substitutes). Confidence in
+    * both directions rides the same row: `conf_a_to_b_ppm = (support *
+    * ppmScale) div support_a` and the mirror.
+    *
+    * All products run in decimal(38,0) before the truncating division,
+    * so no count magnitude a long can hold overflows the arithmetic —
+    * the released integers are defined by the formula alone and any
+    * exact engine reproduces them bit for bit.
+    *
+    * Scale shape: [[frequentPairs]]'s plan (A-priori semi-join pruning,
+    * loud `maxBasketItems` refusal) plus two keyed joins of the PAIR
+    * table (bounded by surviving pairs, not data) against the item
+    * support table, and one single-row basket-count broadcast. The item
+    * support aggregate it joins is the SAME aggregate A-priori already
+    * computed — re-derived here over the pruned incidence, still one
+    * shuffle of (item) keys.
+    */
+  def pairAffinity(
+      df: DataFrame, basketCol: String, itemCol: String, minSupport: Long,
+      maxBasketItems: Int = 10000, ppmScale: Long = 1000000L): DataFrame = {
+    require(ppmScale >= 100L && ppmScale <= 1000000000000L,
+      s"ppmScale must be in [1e2, 1e12], got $ppmScale")
+    Seq(basketCol, itemCol).foreach(c =>
+      require(df.columns.contains(c), s"input is missing '$c'"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val bi = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .where(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = frequentPairs(bi, "__b", "__i", minSupport, maxBasketItems)
+    val supports = bi.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+    val nBaskets = bi.agg(countDistinct(col("__b")).as("n_baskets"))
+    val out = pairs
+      .join(supports.select(col("__i").as("item_a"),
+        col("__s").as("support_a")), Seq("item_a"))
+      .join(supports.select(col("__i").as("item_b"),
+        col("__s").as("support_b")), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("support_a"), col("support_b"), col("n_baskets"),
+        idiv(dec(col("support")) * dec(col("n_baskets")) * lit(ppmScale),
+          dec(col("support_a")) * dec(col("support_b"))).as("lift_ppm"),
+        idiv(dec(col("support")) * lit(ppmScale), dec(col("support_a")))
+          .as("conf_a_to_b_ppm"),
+        idiv(dec(col("support")) * lit(ppmScale), dec(col("support_b")))
+          .as("conf_b_to_a_ppm"))
+      .localCheckpoint(true)
+    bi.unpersist(false)
+    out
+  }
 }

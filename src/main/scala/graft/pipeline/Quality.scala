@@ -406,4 +406,152 @@ object Quality {
         count(lit(1)).as("n_rows"))
       .where(col("n_dep_values") > 1L)
   }
+
+  /** Benford first-digit ppm table, truncated from log10(1 + 1/d): the
+    * canonical expected distribution, hard-coded as integer literals so
+    * the engine and any independent oracle agree bit for bit (computing
+    * them from a runtime log10 would tie the release to one libm).
+    */
+  private[graft] val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** Benford's-law first-digit audit: the observed leading-digit
+    * distribution of a positive integral column against the canonical
+    * `log10(1 + 1/d)` expectation, released as exact integers — per
+    * digit 1..9 the count, its truncating observed ppm share, the
+    * expected ppm (a fixed literal table, same in any engine), and the
+    * signed gap. The fraud/fabrication screen for naturally-spanning
+    * quantities (amounts, populations, file sizes); a synthetic or
+    * capped column shows up as a gap profile, and the released table
+    * feeds whatever distance (chi-square, MAD) the caller prefers.
+    *
+    * The leading digit is taken from the DECIMAL STRING of the value —
+    * exact for integral inputs at any magnitude, no float log10 edge
+    * cases at powers of ten. Non-positive values drop (zero has no
+    * leading significant digit; negatives audit their magnitude stream
+    * separately if wanted — silently folding them in would double-count
+    * signed ledgers). All nine digits always release, zero-filled, so
+    * the table shape is fixed.
+    *
+    * Scale shape: one codegen'd projection + one 9-group aggregate with
+    * map-side partials; the zero-fill joins against a 9-row literal
+    * table (broadcast); the grand total rides a window over 9 rows.
+    * Nothing shuffles more than 9 groups.
+    */
+  def benfordAudit(
+      df: DataFrame, valueCol: String,
+      ppmScale: Long = 1000000L): DataFrame = {
+    require(df.columns.contains(valueCol),
+      s"input is missing column '$valueCol'")
+    require(ppmScale >= 100L && ppmScale <= 1000000000000L,
+      s"ppmScale must be in [1e2, 1e12], got $ppmScale")
+    val t = df.schema(valueCol).dataType
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(
+      t.simpleString),
+      s"benfordAudit needs an integral column, got ${t.simpleString} — " +
+        "pre-scale decimals to minor units (the leading digit is scale-" +
+        "invariant, so any fixed power-of-ten scaling preserves the audit)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = benfordPpm.toDF("digit", "expected_ppm")
+      .select(col("digit").cast("long").as("digit"), col("expected_ppm"))
+    val counts = df
+      .where(col(valueCol).isNotNull && col(valueCol) > 0L)
+      .groupBy(substring(col(valueCol).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    broadcast(expected)
+      .join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("__tot", sum(col("n")).over(w))
+      .select(col("digit"), col("n"),
+        when(col("__tot") > 0L, expr(s"(n * ${ppmScale}L) div __tot"))
+          .otherwise(lit(0L)).as("observed_ppm"),
+        col("expected_ppm"))
+      .withColumn("delta_ppm", col("observed_ppm") - col("expected_ppm"))
+  }
+
+  /** Per-column categorical profile: for each requested column one row
+    * with its null count, distinct non-null cardinality, modal value and
+    * share, and Gini impurity — the "what does this column look like"
+    * table a schema review or feature audit starts from, released as
+    * exact integers (ppm shares by truncating division, products in
+    * decimal(38,0) so no count magnitude overflows a long).
+    *
+    * Semantics: values compare as their canonical STRING form (the
+    * profile is about identity, not numerics); `n_nulls` counts SQL
+    * nulls only; distinct/top/gini are over NON-null values (the null
+    * share is its own released column). The modal value ties to the
+    * LEAST string among equally-common values, so the row is bit-stable
+    * under any partitioning.
+    *
+    * Impurity formula (chosen so every intermediate fits 128-bit exact
+    * arithmetic at ANY count magnitude — the naive `(n^2 - sum c^2) *
+    * scale` needs ~190 bits at long-sized counts):
+    * `gini_ppm = scale - (sum_i ((c_i * scale div n) * c_i)) div n`, all
+    * divisions truncating — per-value share quantized to 1/scale, then
+    * the self-match probability accumulated exactly. 0 means one value
+    * dominates entirely; uniform-over-k approaches scale*(k-1)/k. Any
+    * independent engine reproduces it bit for bit from the same
+    * recurrence (the released number is defined by the FORMULA, not by a
+    * float limit). `top_share_ppm = (top_count * scale) div n`, widened
+    * the same way.
+    *
+    * Scale shape: the columns MELT into (column, value) pairs in one
+    * codegen'd projection (C columns cost one scan, not C), then ONE
+    * (column, value)-keyed count with map-side partials, then a
+    * |columns|-group aggregate over the already-tiny frequency table.
+    * Nothing joins; nothing is quadratic. The decimal(38,0) widening
+    * applies to the per-value COUNTS, not rows — free at the scan.
+    */
+  def categoricalProfile(
+      df: DataFrame, cols: Seq[String],
+      ppmScale: Long = 1000000L): DataFrame = {
+    require(cols.nonEmpty, "categoricalProfile needs at least one column")
+    require(ppmScale >= 100L && ppmScale <= 1000000000000L,
+      s"ppmScale must be in [1e2, 1e12], got $ppmScale")
+    cols.foreach(c =>
+      require(df.columns.contains(c), s"input is missing column '$c'"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val melted = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*))
+      .as("kv"))
+      .select(col("kv.column").as("column"), col("kv.value").as("value"))
+    val freq = melted.groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val nn = col("value").isNotNull
+    // total non-null count per column rides a column-keyed window over
+    // the frequency table (|values| rows, not data rows) so the
+    // per-value share term (c * scale div n) * c folds into the SAME
+    // aggregate pass — no self-join of freq against its own totals
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("column")
+    val withN = freq.withColumn("__n",
+      sum(when(nn, col("c")).otherwise(0L)).over(wc))
+    val selfTerm = when(nn && col("__n") > 0L,
+      idiv(dec(col("c")) * lit(ppmScale), dec(col("__n"))) * dec(col("c")))
+      .otherwise(dec(lit(0)))
+    withN.groupBy(col("column"))
+      .agg(
+        max(col("__n")).as("n_values"),
+        sum(when(!nn, col("c")).otherwise(0L)).as("n_nulls"),
+        sum(when(nn, 1L).otherwise(0L)).as("n_distinct"),
+        min(when(nn, struct((-col("c")).as("nc"), col("value"))))
+          .as("__top"),
+        sum(selfTerm).as("__selfsum"))
+      .select(col("column"), col("n_values"), col("n_nulls"),
+        col("n_distinct"),
+        col("__top.value").as("top_value"),
+        (-col("__top.nc")).as("top_count"),
+        when(col("n_values") > 0L,
+          idiv(dec(-col("__top.nc")) * lit(ppmScale), dec(col("n_values")))
+            .cast("long")).as("top_share_ppm"),
+        when(col("n_values") > 0L,
+          lit(ppmScale) -
+            idiv(col("__selfsum"), dec(col("n_values"))).cast("long"))
+          .as("gini_ppm"))
+  }
 }

@@ -1257,4 +1257,169 @@ object Relational {
       .where(col("__rn") === 1 && (col("__op").isNull || col("__op") =!= "D"))
       .select((keyCols ++ payload).map(col): _*)
   }
+
+  /** Gaps-and-islands interval union: collapse each key's overlapping or
+    * touching half-open `[lo, hi)` intervals into maximal merged runs,
+    * releasing per island its span and how many raw intervals folded in.
+    * The warehouse classic behind "total covered uptime", contiguous
+    * availability windows, and de-fragmenting validity ranges before an
+    * [[intervalOverlapJoin]]; [[sessionTable]] is the POINT-event analog
+    * (gap rule on instants), this is the interval analog (reachability of
+    * the running max endpoint).
+    *
+    * Merge rule: interval i starts a NEW island iff its `lo` is strictly
+    * greater than the running max `hi` of every earlier interval in the
+    * key (earlier = (lo, hi) ascending). Touching intervals ([1,3) +
+    * [3,5)) therefore MERGE — half-open adjacency has no gap between
+    * them; callers wanting strictly-overlapping-only semantics shift `hi`
+    * down one unit. Duplicate and fully-contained intervals fold into
+    * their container (the running max never moves backward). Rows with a
+    * NULL key, NULL endpoint, or `hi <= lo` (empty/inverted — no extent)
+    * fail loudly rather than silently skewing the union.
+    *
+    * Scale shape: ONE key-keyed exchange serves everything — the
+    * running-max window, the island-id running sum over the SAME sort,
+    * and the final (key, island) aggregate (a sub-grouping of the window
+    * partitioning, no new shuffle). Island state is a single long per
+    * group; nothing joins, nothing is quadratic in intervals — the naive
+    * self-join formulation (`a.lo <= b.hi AND b.lo <= a.hi`) this
+    * replaces is per-key quadratic.
+    */
+  def mergeIntervals(
+      df: DataFrame, keyCols: Seq[String], loCol: String,
+      hiCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mergeIntervals needs at least one key column")
+    (keyCols ++ Seq(loCol, hiCol)).foreach(c =>
+      require(df.columns.contains(c), s"input is missing '$c'"))
+    Seq(loCol, hiCol).foreach { c =>
+      val t = df.schema(c).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"mergeIntervals needs numeric endpoints, got ${t.simpleString} " +
+          s"in '$c' — convert dates/timestamps to epoch units first")
+    }
+    val keyed = df.select(
+      keyCols.map(col) ++ Seq(
+        when(col(loCol).isNull || col(hiCol).isNull,
+          raise_error(lit(s"mergeIntervals: NULL endpoint in [$loCol, " +
+            s"$hiCol) — intervals need both bounds")).cast("long"))
+          .otherwise(col(loCol).cast("long")).as("__lo"),
+        when(col(hiCol).cast("long") <= col(loCol).cast("long"),
+          raise_error(concat(lit(s"mergeIntervals: empty or inverted " +
+            s"interval [$loCol, $hiCol): ["), col(loCol).cast("string"),
+            lit(", "), col(hiCol).cast("string"), lit(")"))).cast("long"))
+          .otherwise(col(hiCol).cast("long")).as("__hi")): _*)
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__lo"), col("__hi"))
+    // running max over STRICTLY earlier rows: NULL on the first row of a
+    // key, so `__lo > coalesce(maxPrev, MIN)` starts island 1 there
+    val maxPrev = max(col("__hi"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    keyed
+      .withColumn("__new",
+        when(maxPrev.isNull || col("__lo") > maxPrev, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy(keyCols.map(col) :+ col("__island"): _*)
+      .agg(min(col("__lo")).as("island_lo"),
+        max(col("__hi")).as("island_hi"),
+        count(lit(1)).as("n_intervals"))
+      .select(keyCols.map(col) ++ Seq(col("island_lo"), col("island_hi"),
+        col("n_intervals")): _*)
+  }
+
+  /** Period-over-period deltas: per key the activity count of every
+    * OBSERVED period alongside the previous observed period's count, the
+    * raw difference, and — both counts being positive integers — the
+    * exact truncating growth ratio `growth_ppm = (n * ppmScale) div
+    * prev_n`. The WoW/MoM dashboard table; [[zeroFillSeries]] composes in
+    * front when "previous" must mean the previous CALENDAR period rather
+    * than the previous period with data (zero-fill first, then a zero
+    * `prev_n` releases a NULL growth ratio instead of dividing by zero).
+    *
+    * First observed period per key releases NULL prev/delta/growth (no
+    * predecessor, not zero growth). `delta` can be negative — plain
+    * integer subtraction, exact in any engine; `growth_ppm` is only ever
+    * computed over positive counts, so truncating division agrees
+    * across engines regardless of their negative-division convention.
+    * Rows with a NULL key or period drop (they belong to no series).
+    *
+    * Scale shape: one (key, period) count with map-side partials, then a
+    * key-keyed lag window over the already-aggregated series — the window
+    * input is |keys| x |periods| rows, not events. AQE plans the second
+    * exchange off the first's statistics; nothing joins.
+    */
+  def periodDeltas(
+      events: DataFrame, keyCols: Seq[String], periodCol: String,
+      ppmScale: Long = 1000000L): DataFrame = {
+    require(keyCols.nonEmpty, "periodDeltas needs at least one key column")
+    require(ppmScale >= 100L && ppmScale <= 1000000000000L,
+      s"ppmScale must be in [1e2, 1e12], got $ppmScale")
+    (keyCols :+ periodCol).foreach(c =>
+      require(events.columns.contains(c), s"input is missing '$c'"))
+    val series = events
+      .where((keyCols :+ periodCol).map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col) :+ col(periodCol).cast("long")
+        .as("period"): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("period"))
+    series
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(keyCols.map(col) ++ Seq(col("period"), col("n"), col("prev_n"),
+        (col("n") - col("prev_n")).as("delta"),
+        when(col("prev_n") > 0L,
+          expr(s"(n * ${ppmScale}L) div prev_n")).as("growth_ppm")): _*)
+  }
+
+  /** RFM segmentation: score every entity 1..`tiles` on Recency (latest
+    * activity), Frequency (activity count), and Monetary (total integer
+    * amount), then release the segment grid — per (r, f, m) cell its
+    * population and total spend. The classic customer-value partition
+    * behind campaign targeting and churn triage; tile 1 is always the
+    * BEST tile (most recent / most frequent / highest spend), matching
+    * the "segment 111 = champions" convention.
+    *
+    * `amountCol` must be integral — exact sums, exact tile boundaries;
+    * callers with decimal currency pre-scale to minor units (cents,
+    * micros). Tiles are SQL NTILE semantics (sizes differ by at most
+    * one, larger tiles first) with the entity id as the universal
+    * tie-break, so the grid is bit-stable under any partitioning. Rows
+    * with a NULL entity, time, or amount drop before scoring.
+    *
+    * Scale shape: ONE entity-keyed aggregate reduces events to the
+    * |entities|-row profile table; each tile column is a two-phase
+    * global rank over that table ([[graft.exec.Ranks.globalNtile]] — a
+    * range exchange + per-partition window, never a single-task global
+    * sort), and the final grid aggregate groups at most `tiles`^3 cells
+    * with map-side partials.
+    */
+  def rfmSegments(
+      events: DataFrame, entityCol: String, timeCol: String,
+      amountCol: String, tiles: Int = 5): DataFrame = {
+    require(tiles >= 2 && tiles <= 100,
+      s"tiles must be in [2, 100], got $tiles")
+    Seq(entityCol, timeCol, amountCol).foreach(c =>
+      require(events.columns.contains(c), s"input is missing '$c'"))
+    Seq(timeCol, amountCol).foreach { c =>
+      val t = events.schema(c).dataType
+      require(Seq("bigint", "int", "smallint", "tinyint").contains(
+        t.simpleString),
+        s"rfmSegments needs integral '$c', got ${t.simpleString} — " +
+          "pre-scale currency to minor units / timestamps to epoch units")
+    }
+    val profile = events
+      .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+        col(amountCol).isNotNull)
+      .groupBy(col(entityCol).as("__e"))
+      .agg(max(col(timeCol).cast("long")).as("__rec"),
+        count(lit(1)).as("__freq"),
+        sum(col(amountCol).cast("long")).as("__mon"))
+    val r = graft.exec.Ranks.globalNtile(
+      profile, Seq(col("__rec").desc, col("__e")), tiles, "r_tile")
+    val f = graft.exec.Ranks.globalNtile(
+      r, Seq(col("__freq").desc, col("__e")), tiles, "f_tile")
+    val m = graft.exec.Ranks.globalNtile(
+      f, Seq(col("__mon").desc, col("__e")), tiles, "m_tile")
+    m.groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("__mon")).as("sum_amount"))
+  }
 }

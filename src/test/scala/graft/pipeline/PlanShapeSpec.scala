@@ -515,4 +515,66 @@ class PlanShapeSpec extends SparkSpec {
     assert(!sp.contains("CartesianProduct") &&
       !sp.contains("BroadcastNestedLoopJoin"), s"sssp:\n$sp")
   }
+
+  test("mergeIntervals runs on ONE key-keyed exchange, no join") {
+    val iv = makeDf(
+      StructType(Seq(strCol("k"), longCol("lo"), longCol("hi"))),
+      (1 to 80).map(i => Row(s"k${i % 9}", (i * 3).toLong, (i * 3 + 5).toLong)))
+    val plan = executed(Relational.mergeIntervals(iv, Seq("k"), "lo", "hi"))
+    assert(!plan.contains("Join"), s"islands never self-join:\n$plan")
+    val exchanges = plan.split('\n').count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"window + island agg must reuse one key exchange:\n$plan")
+  }
+
+  test("periodDeltas: count exchange + series lag exchange, nothing more") {
+    val ev = makeDf(StructType(Seq(strCol("g"), longCol("p"))),
+      (1 to 90).map(i => Row(s"g${i % 4}", (i % 7).toLong)))
+    val plan = executed(Relational.periodDeltas(ev, Seq("g"), "p"))
+    assert(!plan.contains("Join"), s"no join expected:\n$plan")
+    val exchanges = plan.split('\n').count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"(key,period) agg + key window only:\n$plan")
+  }
+
+  test("rfmSegments never global-sorts into a single task") {
+    val ev = makeDf(StructType(Seq(strCol("e"), longCol("t"), longCol("a"))),
+      (1 to 60).map(i => Row(s"e${i % 20}", (i % 11).toLong, (i % 5 + 1).toLong)))
+    val plan = executed(Relational.rfmSegments(ev, "e", "t", "a", tiles = 4))
+    assert(!plan.contains("CartesianProduct"))
+    // the tile ranks are two-phase (range exchange + per-partition
+    // window); a single-partition window would be the 100-TB killer
+    assert(!plan.contains("Window [") ||
+      !plan.contains("Exchange SinglePartition"),
+      s"tile ranks must not funnel into one task:\n$plan")
+  }
+
+  test("benfordAudit shuffles at most 9 digit groups") {
+    val v = makeDf(StructType(Seq(longCol("v"))),
+      (1 to 200).map(i => Row((i * 37 % 997).toLong)))
+    val plan = executed(Quality.benfordAudit(v, "v"))
+    assert(!plan.contains("CartesianProduct"), s"benford:\n$plan")
+    // every hash exchange is post-aggregation: rows are (digit, n) pairs
+    val shuffles = plan.split('\n').filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffles.forall(l => !l.contains(", v#")),
+      s"raw values must never shuffle:\n$plan")
+  }
+
+  test("categoricalProfile melts C columns into one scan, no join") {
+    val df = makeDf(StructType(Seq(strCol("x"), strCol("y"), strCol("z"))),
+      (1 to 70).map(i => Row(s"a${i % 5}", s"b${i % 3}", s"c${i % 7}")))
+    val plan = executed(Quality.categoricalProfile(df, Seq("x", "y", "z")))
+    assert(!plan.contains("Join"), s"profile never joins:\n$plan")
+    assert(!plan.contains("Union"), s"one melted scan, not per-column:\n$plan")
+  }
+
+  test("pairAffinity stays key-equi; only the 1-row stats row broadcasts") {
+    val bi = makeDf(StructType(Seq(strCol("b"), strCol("i"))),
+      (1 to 120).map(n => Row(s"b${n % 30}", s"i${n % 8}")))
+    val plan = executed(
+      CorpusStats.pairAffinity(bi, "b", "i", minSupport = 2L))
+    assert(!plan.contains("CartesianProduct"), s"pairAffinity:\n$plan")
+    val bnlj = plan.split('\n').count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1,
+      s"only the single-row n_baskets broadcast may nest:\n$plan")
+  }
 }
