@@ -533,4 +533,53 @@ class DocExamplesSpec extends SparkSpec {
       ranks, "query", "doc", "rank", k = 2).head
     assert(fused.getLong(1) === 2L) // doc 2: rank1 + rank2 beats doc 1
   }
+
+  test("example: interval union, period deltas, and the RFM grid — the " +
+      "warehouse dashboard trio") {
+    val spans = Seq(("h1", 1L, 3L), ("h1", 3L, 5L), ("h1", 7L, 9L))
+      .toDF("host", "lo", "hi")
+    val islands = Relational.mergeIntervals(spans, Seq("host"), "lo", "hi")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // [1,3)+[3,5) touch -> one island; total covered uptime = 4 + 2
+    assert(islands === Set((1L, 5L, 2L), (7L, 9L, 1L)))
+    val events = Seq(("s", 1L), ("s", 1L), ("s", 2L), ("s", 2L), ("s", 2L))
+      .toDF("source", "week")
+    val wow = Relational.periodDeltas(events, Seq("source"), "week")
+      .where($"period" === 2L).head
+    assert(wow.getLong(4) === 1L)        // delta 2 -> 3
+    assert(wow.getLong(5) === 1500000L)  // growth 3e6 div 2
+    val orders = Seq(("a", 10L, 90L), ("b", 20L, 10L))
+      .toDF("cust", "t", "cents")
+    val grid = Relational.rfmSegments(orders, "cust", "t", "cents",
+      tiles = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(4))
+      .toMap
+    // b is most recent (r=1) but a spends most (m=1)
+    assert(grid === Map((2L, 1L, 1L) -> 90L, (1L, 2L, 2L) -> 10L))
+  }
+
+  test("example: Benford audit, categorical profile, and pair affinity " +
+      "profile a table before anyone trusts it") {
+    import graft.pipeline.{CorpusStats, Quality}
+    val ledger = Seq(1L, 1L, 2L, 19L, 100L).toDF("amount_cents")
+    val digit1 = Quality.benfordAudit(ledger, "amount_cents")
+      .where($"digit" === 1L).head
+    // 4 of 5 values lead with 1 -> 800000 ppm vs expected 301029
+    assert(digit1.getLong(1) === 4L && digit1.getLong(2) === 800000L)
+    assert(digit1.getLong(4) === 800000L - 301029L)
+    val dim = Seq(("x", "b"), ("x", "a"), ("y", "a")).toDF("brand", "size")
+    val prof = Quality.categoricalProfile(dim, Seq("brand", "size"))
+      .collect().map(r => r.getString(0) -> ((r.getString(4), r.getLong(6))))
+      .toMap
+    assert(prof("brand") === (("x", 666666L))) // modal value + top share
+    assert(prof("size") === (("a", 666666L)))
+    val lines = Seq(("o1", "p"), ("o1", "q"), ("o2", "p"), ("o2", "q"))
+      .toDF("order", "part")
+    val aff = CorpusStats.pairAffinity(lines, "order", "part", 2L).head
+    // p and q co-occur in BOTH baskets: support 2, n_baskets 2,
+    // supports 2 and 2 -> lift 2*2*1e6 div 4 = exactly 1e6 (independence
+    // baseline, since each item is in every basket)
+    assert(aff.getAs[Long]("lift_ppm") === 1000000L)
+    assert(aff.getAs[Long]("conf_a_to_b_ppm") === 1000000L)
+  }
 }
