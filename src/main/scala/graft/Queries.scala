@@ -1156,6 +1156,58 @@ object Queries {
       graft.pipeline.CorpusStats.pairAffinity(
         read(s, d, "lineitem"), "l_orderkey", "l_partkey",
         minSupport = 3L)),
+    "q205_link_prediction" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // who should co-supply next: non-edge supplier pairs sharing >= 2
+      // neighbors on q198's thin co-supply graph, ranked by exact
+      // neighborhood Jaccard
+      val li = read(s, d, "lineitem").where(col("l_quantity") <= 3)
+        .select(col("l_orderkey").as("o"),
+          concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.sn") < col("b.sn"))
+        .select(col("a.sn").as("src"), col("b.sn").as("dst"))
+      graft.pipeline.Graph.linkPrediction(pairs, "src", "dst",
+        minCommon = 2L)
+    }),
+    "q206_correlation_sums" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // the Pearson building blocks for the lineitem measures, released
+      // as exact integers — r forms in floats at display time only
+      val t = read(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice")).cast("long").as("price_f"),
+        col("l_linenumber").cast("long").as("line"))
+      graft.pipeline.CorpusStats.correlationSums(
+        t, Seq("qty", "price_f", "line"))
+    }),
+    "q207_pareto_frontier" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // per brand the smallest-cheapest shortlist: parts no other part
+      // of the brand beats on BOTH size and floor(price)
+      val t = read(s, d, "part").select(col("p_brand"),
+        col("p_size").cast("long").as("size"),
+        floor(col("p_retailprice")).cast("long").as("price_f"),
+        col("p_partkey"))
+      graft.pipeline.Relational.paretoFrontier(
+        t, Seq("p_brand"), "size", "price_f")
+    }),
+    "q208_impute_mode" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // repair a synthetically-holed event type with each user cohort's
+      // modal value; observed rows pass through bit-identical
+      val ev = readEvents(s, d).where(col("user_id").isNotNull)
+        .select((col("user_id") % 50).as("grp"), col("event_id"),
+          when(col("event_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("etype"))
+      graft.pipeline.Quality.imputeMode(ev, Seq("grp"), "etype")
+    }),
+    "q209_table_digest" -> ((s, d) =>
+      // Merkle-style reconciliation digest of orders: 64 bucket rows
+      // stand in for the whole table when comparing replicas
+      graft.pipeline.Quality.tableDigest(read(s, d, "orders"),
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority"),
+        buckets = 64)),
     "q197_rrf_fusion" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -2803,6 +2855,88 @@ object Queries {
         |    AS conf_b_to_a_ppm
         |FROM p JOIN s sa ON sa.i = p.item_a
         |  JOIN s sb ON sb.i = p.item_b, nb""".stripMargin,
+    // same wedge-count construction over the deduped undirected edge
+    // set; candidates are the cn pairs minus existing edges
+    "q205_link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS sn FROM lineitem
+        |  WHERE l_quantity <= 3),
+        |e AS (SELECT DISTINCT a.sn AS u, b.sn AS v FROM li a JOIN li b
+        |  ON a.o = b.o AND a.sn < b.sn),
+        |adj AS (SELECT u AS s, v AS w FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT s AS n, CAST(count(*) AS BIGINT) AS dg
+        |  FROM adj GROUP BY 1),
+        |cn AS (SELECT a.w AS x, b.w AS y, CAST(count(*) AS BIGINT) AS c
+        |  FROM adj a JOIN adj b ON a.s = b.s AND a.w < b.w
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |cand AS (SELECT cn.* FROM cn LEFT JOIN e
+        |  ON e.u = cn.x AND e.v = cn.y WHERE e.u IS NULL)
+        |SELECT cand.x AS node_a, cand.y AS node_b,
+        |  cand.c AS common_neighbors, da.dg AS deg_a, db.dg AS deg_b,
+        |  (cand.c * 1000000) // (da.dg + db.dg - cand.c) AS jaccard_ppm
+        |FROM cand JOIN deg da ON da.n = cand.x
+        |  JOIN deg db ON db.n = cand.y""".stripMargin,
+    // one block per pair; sums promote to HUGEINT in DuckDB, cast back
+    // down (the engine's loud-overflow contract bounds them under 2^63)
+    "q206_correlation_sums" -> Seq(
+      ("qty", "price_f"), ("qty", "line"), ("price_f", "line")).map {
+        case (x, y) =>
+          s"""SELECT '$x' AS col_x, '$y' AS col_y,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum($x) AS BIGINT) AS sum_x,
+             |  CAST(sum($y) AS BIGINT) AS sum_y,
+             |  CAST(sum($x * $x) AS BIGINT) AS sum_xx,
+             |  CAST(sum($y * $y) AS BIGINT) AS sum_yy,
+             |  CAST(sum($x * $y) AS BIGINT) AS sum_xy
+             |FROM (SELECT CAST(l_quantity AS BIGINT) AS qty,
+             |    CAST(floor(l_extendedprice) AS BIGINT) AS price_f,
+             |    CAST(l_linenumber AS BIGINT) AS line FROM lineitem)
+             |WHERE $x IS NOT NULL AND $y IS NOT NULL""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+    // the independent quadratic NOT-EXISTS dominance definition — the
+    // engine's sweep-line must agree exactly
+    "q207_pareto_frontier" ->
+      """WITH t AS (SELECT p_brand, CAST(p_size AS BIGINT) AS size,
+        |    CAST(floor(p_retailprice) AS BIGINT) AS price_f, p_partkey
+        |  FROM part WHERE p_brand IS NOT NULL AND p_size IS NOT NULL
+        |    AND p_retailprice IS NOT NULL)
+        |SELECT p_brand, size, price_f, p_partkey FROM t a
+        |WHERE NOT EXISTS (SELECT 1 FROM t b
+        |  WHERE b.p_brand = a.p_brand AND b.size <= a.size
+        |    AND b.price_f <= a.price_f
+        |    AND (b.size < a.size OR b.price_f < a.price_f))""".stripMargin,
+    // mode per group via (count desc, value) row_number = the engine's
+    // min(struct(-c, v)) tie rule
+    "q208_impute_mode" ->
+      """WITH ev AS (SELECT user_id % 50 AS grp, event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END
+        |      AS etype
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT grp, etype, count(*) AS c FROM ev
+        |  WHERE etype IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT grp, etype AS md FROM (SELECT grp, etype,
+        |    row_number() OVER (PARTITION BY grp
+        |      ORDER BY c DESC, etype) AS rn FROM f) WHERE rn = 1)
+        |SELECT ev.grp, ev.event_id,
+        |  coalesce(ev.etype, m.md) AS etype,
+        |  (ev.etype IS NULL AND m.md IS NOT NULL) AS was_imputed
+        |FROM ev LEFT JOIN m ON m.grp = ev.grp""".stripMargin,
+    // identical md5-derived 60-bit integers: '0x'||hex cast in DuckDB
+    // mirrors Spark's conv(hex, 16, 10); chr(1)/chr(0) are the unit and
+    // null sentinels of the engine's canonical string
+    "q209_table_digest" ->
+      """WITH r AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 64 AS bucket,
+        |    CAST(('0x' || substr(md5(
+        |      coalesce(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(1) ||
+        |      coalesce(o_orderstatus, chr(0)) || chr(1) ||
+        |      coalesce(o_orderpriority, chr(0))), 1, 15)) AS BIGINT) AS h
+        |  FROM orders)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+        |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_digest
+        |FROM r GROUP BY 1""".stripMargin,
     "q198_ktruss" -> ktrussOracleSql(k = 4, rounds = 4),
     "q185_kcore" -> kcoreOracleSql(k = 4, rounds = 4),
     // hop-bounded weighted walk, deduped per (node, dist, hops) by the

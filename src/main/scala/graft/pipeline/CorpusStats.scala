@@ -895,4 +895,80 @@ object CorpusStats {
     bi.unpersist(false)
     out
   }
+
+  /** Pairwise correlation building blocks for a set of integral columns:
+    * per unordered pair (col_x < col_y) the joint non-null count and the
+    * five exact sums of the Pearson normal equations — `sum_x, sum_y,
+    * sum_xx, sum_yy, sum_xy` — as EXACT integers, the [[groupTrend]]
+    * discipline widened to every pair. The caller (or dashboard) forms
+    * r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)(n*syy - sy^2)) in floats
+    * at display time; the RELEASE carries no float, so any engine
+    * reproduces it bit for bit and downstream recomputation never
+    * drifts.
+    *
+    * Per-pair semantics: a row contributes to pair (x, y) iff BOTH
+    * values are non-null (pairwise deletion, the standard profiling
+    * convention — listwise deletion would let one always-null column
+    * empty every pair).
+    *
+    * Sums accumulate in decimal(38,0) — no product of longs can
+    * overflow the aggregate — and are released as longs behind a LOUD
+    * overflow check (`raise_error` names the pair) rather than a silent
+    * wrap or null.
+    *
+    * Scale shape: ONE full-scan aggregate computes all C*(C-1)/2 pairs'
+    * sums as map-side-partial columns (C is require-bounded at 16, so
+    * the aggregate row stays narrow); the pair rows then explode from
+    * that SINGLE aggregated row. One exchange of one row — the scan
+    * dominates, as it must.
+    */
+  def correlationSums(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationSums needs at least two columns")
+    require(cols.size <= 16,
+      s"correlationSums is bounded at 16 columns (${cols.size} given) — " +
+        "120 pair columns is the sane aggregate width; split wider " +
+        "profiles into batches")
+    require(cols.distinct.size == cols.size, "duplicate column in cols")
+    import org.apache.spark.sql.types._
+    cols.foreach { c =>
+      require(df.columns.contains(c), s"input is missing column '$c'")
+      require(Seq(LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(c).dataType),
+        s"correlationSums needs integral columns for exactness, got " +
+          s"${df.schema(c).dataType.simpleString} in '$c' — pre-scale " +
+          "decimals to minor units")
+    }
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((cx, cy), k) =>
+      val both = col(cx).isNotNull && col(cy).isNotNull
+      val x = when(both, col(cx).cast("long"))
+      val y = when(both, col(cy).cast("long"))
+      Seq(
+        count(x).as(s"__n$k"),
+        sum(dec(x)).as(s"__sx$k"), sum(dec(y)).as(s"__sy$k"),
+        sum(dec(x) * dec(x)).as(s"__sxx$k"),
+        sum(dec(y) * dec(y)).as(s"__syy$k"),
+        sum(dec(x) * dec(y)).as(s"__sxy$k"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val maxLong = lit(Long.MaxValue).cast("decimal(38,0)")
+    def asLong(c: Column, cx: String, cy: String, what: String): Column =
+      when(abs(coalesce(c, lit(0)).cast("decimal(38,0)")) > maxLong,
+        raise_error(lit(s"correlationSums: $what overflows a long for " +
+          s"pair ($cx, $cy) — pre-scale the columns down")).cast("long"))
+        .otherwise(coalesce(c, lit(0)).cast("long"))
+    val rows = pairs.zipWithIndex.map { case ((cx, cy), k) =>
+      struct(lit(cx).as("col_x"), lit(cy).as("col_y"),
+        col(s"__n$k").as("n"),
+        asLong(col(s"__sx$k"), cx, cy, "sum_x").as("sum_x"),
+        asLong(col(s"__sy$k"), cx, cy, "sum_y").as("sum_y"),
+        asLong(col(s"__sxx$k"), cx, cy, "sum_xx").as("sum_xx"),
+        asLong(col(s"__syy$k"), cx, cy, "sum_yy").as("sum_yy"),
+        asLong(col(s"__sxy$k"), cx, cy, "sum_xy").as("sum_xy"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -554,4 +554,96 @@ object Quality {
             idiv(col("__selfsum"), dec(col("n_values"))).cast("long"))
           .as("gini_ppm"))
   }
+
+  /** Modal-value imputation: fill NULLs in `valueCol` with the GROUP's
+    * most frequent non-null value (ties to the least value, the
+    * [[categoricalProfile]] rule, so the fill is bit-stable under any
+    * partitioning), plus a `was_imputed` flag so downstream analysis can
+    * always separate observed from repaired. Groups with no observed
+    * value at all keep their NULLs (`was_imputed` stays false — there
+    * is nothing defensible to fill with); rows with a NULL group key
+    * likewise pass through unfilled, flagged false.
+    *
+    * Scale shape: one (key, value)-keyed count with map-side partials
+    * reduces the data to the frequency table, one key-keyed min-struct
+    * aggregate picks the mode per group (|keys| rows), and the fill is
+    * a LEFT join of the data against that mode table — broadcast-sized
+    * whenever |keys| is dashboard-sized, key-partitioned otherwise (AQE
+    * decides off real sizes). The data itself is scanned once and
+    * shuffled at most once.
+    */
+  def imputeMode(
+      df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "imputeMode needs at least one key column")
+    (keyCols :+ valueCol).foreach(c =>
+      require(df.columns.contains(c), s"input is missing column '$c'"))
+    require(!df.columns.contains("was_imputed"),
+      "input uses reserved column name 'was_imputed'; rename it first")
+    val freq = df
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col) :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("__c"))
+    val modes = freq
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(struct((-col("__c")).as("nc"), col(valueCol).as("v")))
+        .as("__top"))
+      .select(keyCols.map(col) :+ col("__top.v").as("__mode"): _*)
+    val out = df.join(modes, keyCols, "left")
+    val filled = coalesce(col(valueCol), col("__mode"))
+    out
+      .withColumn("was_imputed",
+        col(valueCol).isNull && col("__mode").isNotNull)
+      .withColumn(valueCol, filled)
+      .drop("__mode")
+  }
+
+  /** Merkle-style table digest for cross-cluster reconciliation: rows
+    * bucket by a hash of their KEY (so a row lands in the same bucket
+    * in every snapshot regardless of payload edits), and each bucket
+    * releases its row count plus two order-independent content digests
+    * — an XOR fold and a modular sum of the per-row md5-derived
+    * integers. Two 100-TB replicas compare by shipping `buckets` rows
+    * each; only mismatched buckets need row-level inspection
+    * ([[snapshotDiff]] scoped to the bucket), the anti-entropy pattern
+    * behind Dynamo-style sync (DeCandia et al. 2007). XOR alone is
+    * blind to duplicated rows (x XOR x = 0); the count and the modular
+    * sum close that hole.
+    *
+    * Hashing is md5 over a canonical string — engine-portable by
+    * construction (any SQL engine has md5; nothing ties the digest to
+    * one JVM hash). NULLs encode as an explicit sentinel before
+    * joining, so ("a", NULL) and (NULL, "a") digest differently; the
+    * unit separators are control characters U+0001/U+0000 — inputs
+    * containing them would need a different canonicalization. Cast
+    * payload columns to strings DELIBERATELY before calling when
+    * float formatting differs between the engines being reconciled.
+    *
+    * Scale shape: one codegen'd projection (md5 + substring + conv)
+    * and ONE bucket-keyed aggregate with map-side partials; the output
+    * is exactly `buckets` rows (observed buckets only — empty buckets
+    * absent on both sides compare equal by absence).
+    */
+  def tableDigest(
+      df: DataFrame, keyCols: Seq[String], payloadCols: Seq[String],
+      buckets: Int = 4096): DataFrame = {
+    require(keyCols.nonEmpty, "tableDigest needs at least one key column")
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20], got $buckets")
+    (keyCols ++ payloadCols).foreach(c =>
+      require(df.columns.contains(c), s"input is missing column '$c'"))
+    def canon(cs: Seq[String]): Column = concat_ws("\u0001",
+      cs.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val mod = 2305843009213693951L // 2^61 - 1: sum stays engine-exact
+    val rows = df.select(
+      pmod(h60(canon(keyCols)), lit(buckets.toLong)).as("bucket"),
+      h60(canon(keyCols ++ payloadCols)).as("__h"))
+    rows.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_digest"),
+        pmod(sum(col("__h").cast("decimal(38,0)")), lit(mod))
+          .cast("long").as("sum_digest"))
+  }
 }

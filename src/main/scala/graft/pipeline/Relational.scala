@@ -1422,4 +1422,55 @@ object Relational {
     m.groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
       .agg(count(lit(1)).as("n_entities"), sum(col("__mon")).as("sum_amount"))
   }
+
+  /** Two-dimensional Pareto frontier (skyline) per key: the rows no
+    * other row in the key DOMINATES, minimizing both dimensions —
+    * dominance meaning <= on both and < on at least one. The
+    * price-vs-size / latency-vs-cost shortlist operator (Börzsönyi,
+    * Kossmann & Stocker, "The Skyline Operator", ICDE 2001). Duplicate
+    * (d1, d2) points dominate nothing and all survive; callers wanting
+    * one representative compose a dedup. Maximizing a dimension =
+    * negate it first. Rows with a NULL key or NULL dimension drop —
+    * they have no position in the dominance order.
+    *
+    * Scale shape: the sweep-line formulation on ONE key-keyed exchange —
+    * sort by (d1, d2), a row survives iff no strictly-earlier row's
+    * (d2, d1) is lexicographically "better or equal with a strict edge";
+    * the strictly-earlier running min over struct(d2, d1) decides in
+    * O(1) state. The naive NOT-EXISTS self-join (the SQL oracle's
+    * independent formulation) is per-key quadratic; this is per-key
+    * sort-linear.
+    */
+  def paretoFrontier(
+      df: DataFrame, keyCols: Seq[String], d1Col: String,
+      d2Col: String): DataFrame = {
+    require(keyCols.nonEmpty, "paretoFrontier needs at least one key column")
+    (keyCols ++ Seq(d1Col, d2Col)).foreach(c =>
+      require(df.columns.contains(c), s"input is missing '$c'"))
+    Seq(d1Col, d2Col).foreach { c =>
+      val t = df.schema(c).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"paretoFrontier needs numeric dimensions, got ${t.simpleString} " +
+          s"in '$c'")
+    }
+    val kept = df
+      .where((keyCols ++ Seq(d1Col, d2Col)).map(col(_).isNotNull)
+        .reduce(_ && _))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(d1Col), col(d2Col))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // mm = lexicographic min of (d2, d1) over strictly-earlier rows in
+    // (d1, d2) order. Earlier rows all have d1 <= this row's d1, so:
+    //   mm.d2 < d2            -> dominated (<= on d1, < on d2)
+    //   mm.d2 = d2, mm.d1 < d1 -> dominated (<  on d1, = on d2)
+    //   mm.d2 = d2, mm.d1 = d1 -> duplicate point, keep
+    //   mm.d2 > d2 or no mm    -> frontier
+    val mm = min(struct(col(d2Col).as("d2"), col(d1Col).as("d1"))).over(w)
+    kept
+      .withColumn("__mm", mm)
+      .where(col("__mm").isNull ||
+        col("__mm.d2") > col(d2Col) ||
+        (col("__mm.d2") === col(d2Col) && col("__mm.d1") === col(d1Col)))
+      .drop("__mm")
+  }
 }

@@ -577,4 +577,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnlj <= 1,
       s"only the single-row n_baskets broadcast may nest:\n$plan")
   }
+
+  test("linkPrediction joins stay apex/pair-keyed, never cartesian") {
+    val e = makeDf(StructType(Seq(strCol("src"), strCol("dst"))),
+      (0 until 30).map(i => Row(s"n$i", s"n${(i + 1) % 30}")))
+    val plan = executed(Graph.linkPrediction(e, "src", "dst"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"linkPrediction:\n$plan")
+  }
+
+  test("paretoFrontier is one key-keyed window, no join") {
+    val df = makeDf(StructType(Seq(strCol("g"), longCol("a"), longCol("b"))),
+      (1 to 80).map(i => Row(s"g${i % 5}", (i % 13).toLong, (i % 11).toLong)))
+    val plan = executed(Relational.paretoFrontier(df, Seq("g"), "a", "b"))
+    assert(!plan.contains("Join"), s"sweep line never self-joins:\n$plan")
+    val exchanges = plan.split('\n').count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"one key exchange expected:\n$plan")
+  }
+
+  test("imputeMode scans the data once; the mode table joins by key") {
+    val df = makeDf(StructType(Seq(strCol("g"), strCol("v"))),
+      (1 to 90).map(i => Row(s"g${i % 6}", if (i % 9 == 0) null else s"v${i % 4}")))
+    val plan = executed(Quality.imputeMode(df, Seq("g"), "v"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"imputeMode:\n$plan")
+  }
+
+  test("tableDigest is one codegen'd projection + one bucket aggregate") {
+    val df = makeDf(StructType(Seq(longCol("id"), strCol("p"))),
+      (1 to 100).map(i => Row(i.toLong, s"p$i")))
+    val plan = executed(Quality.tableDigest(df, Seq("id"), Seq("p"), 16))
+    assert(!plan.contains("Join"), s"digest never joins:\n$plan")
+    val exchanges = plan.split('\n').count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"one bucket exchange expected:\n$plan")
+  }
 }

@@ -119,4 +119,47 @@ class ProfilingSpec extends SparkSpec {
     // items in every basket -> independence baseline exactly)
     assert(r.getAs[Long]("lift_ppm") === 1000000L)
   }
+
+  private val xyzSchema =
+    StructType(Seq(longCol("x"), longCol("y"), longCol("z")))
+
+  test("correlationSums: exact pairwise normal sums, pairwise deletion") {
+    val df = makeDf(xyzSchema, Seq(
+      Row(1L, 2L, null), Row(2L, 4L, 5L), Row(3L, 6L, 1L)))
+    val out = CorpusStats.correlationSums(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    // (x, y): all 3 rows; y = 2x exactly
+    assert(out(("x", "y")) === ((3L, 6L, 12L, 14L, 56L, 28L)))
+    // (x, z): the null-z row drops for THIS pair only
+    assert(out(("x", "z")) === ((2L, 5L, 6L, 13L, 26L, 13L)))
+    assert(out(("y", "z")) === ((2L, 10L, 6L, 52L, 26L, 26L)))
+  }
+
+  test("correlationSums is one exchange of one row (single aggregate)") {
+    val df = makeDf(xyzSchema,
+      (1 to 40).map(i => Row(i.toLong, (i * 2).toLong, (i % 7).toLong)))
+    val out = CorpusStats.correlationSums(df, Seq("x", "y"))
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"))
+    // perfectly linear: r^2 numerator == denominator product
+    val r = out.collect().head
+    val (n, sx, sy, sxx, syy, sxy) = (r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    val num = n * sxy - sx * sy
+    assert(num * num === (n * sxx - sx * sx) * (n * syy - sy * sy))
+  }
+
+  test("correlationSums rejects non-integral and too many columns") {
+    val df = makeDf(xyzSchema, Seq(Row(1L, 2L, 3L)))
+    intercept[IllegalArgumentException] {
+      CorpusStats.correlationSums(
+        df.withColumn("x", col("x").cast("double")), Seq("x", "y"))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStats.correlationSums(df, Seq("x"))
+    }
+  }
 }

@@ -130,4 +130,40 @@ class WarehouseOpsSpec extends SparkSpec {
         df.withColumn("amt", col("amt").cast("double")), "e", "t", "amt")
     }
   }
+
+  private val ptSchema =
+    StructType(Seq(strCol("g"), longCol("d1"), longCol("d2")))
+  private def pts(rows: (String, Long, Long)*) =
+    makeDf(ptSchema, rows.map { case (g, a, b) => Row(g, a, b) })
+
+  test("paretoFrontier keeps exactly the non-dominated rows; duplicates survive") {
+    val df = pts(("g", 1L, 5L), ("g", 2L, 3L), ("g", 2L, 3L),
+      ("g", 2L, 4L), ("g", 3L, 3L), ("g", 4L, 1L), ("g", 4L, 4L))
+    val out = Relational.paretoFrontier(df, Seq("g"), "d1", "d2")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // (2,4) dominated by (2,3); (3,3) by (2,3); (4,4) by (4,1) and (2,3)
+    assert(out.sorted.toSeq === Seq((1L, 5L), (2L, 3L), (2L, 3L), (4L, 1L)))
+  }
+
+  test("paretoFrontier treats keys independently and drops NULL dims") {
+    val df = makeDf(ptSchema, Seq(
+      Row("a", 1L, 1L), Row("a", 2L, 2L),
+      Row("b", 2L, 2L), Row("b", null, 0L), Row(null, 0L, 0L)))
+    val out = Relational.paretoFrontier(df, Seq("g"), "d1", "d2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // b's (2,2) survives in ITS key even though a has a better point
+    assert(out === Set(("a", 1L), ("b", 2L)))
+  }
+
+  test("paretoFrontier matches the quadratic NOT-EXISTS definition") {
+    val rows = (1 to 60).map(i =>
+      ("k", ((i * 17) % 13).toLong, ((i * 29) % 11).toLong))
+    val df = pts(rows: _*)
+    val fast = Relational.paretoFrontier(df, Seq("g"), "d1", "d2")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    val all = rows.map(t => (t._2, t._3))
+    val slow = all.filter(p => !all.exists(q =>
+      q._1 <= p._1 && q._2 <= p._2 && (q._1 < p._1 || q._2 < p._2))).sorted
+    assert(fast.toSeq === slow)
+  }
 }
