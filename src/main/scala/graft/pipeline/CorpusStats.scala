@@ -814,6 +814,16 @@ object CorpusStats {
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .where(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
+    frequentPairsOn(bi, minSupport, maxBasketItems)
+  }
+
+  /** [[frequentPairs]] body over an ALREADY-deduplicated (__b, __i)
+    * incidence — the shared kernel [[pairAffinity]] reuses so its own
+    * deduplicated (and persisted) incidence is not re-distinct'd a
+    * second time (one full shuffle saved).
+    */
+  private def frequentPairsOn(
+      bi: DataFrame, minSupport: Long, maxBasketItems: Int): DataFrame = {
     val freqItems = bi.groupBy("__i").agg(count(lit(1)).as("__s"))
       .where(col("__s") >= minSupport)
       .select(col("__i"))
@@ -874,7 +884,7 @@ object CorpusStats {
       .where(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = frequentPairs(bi, "__b", "__i", minSupport, maxBasketItems)
+    val pairs = frequentPairsOn(bi, minSupport, maxBasketItems)
     val supports = bi.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
     val nBaskets = bi.agg(countDistinct(col("__b")).as("n_baskets"))
     val out = pairs
