@@ -582,4 +582,40 @@ class DocExamplesSpec extends SparkSpec {
     assert(aff.getAs[Long]("lift_ppm") === 1000000L)
     assert(aff.getAs[Long]("conf_a_to_b_ppm") === 1000000L)
   }
+
+  test("example: link prediction shortlists non-edges; the Pareto " +
+      "frontier keeps only undominated rows") {
+    val edges = Seq(("h", "x"), ("h", "y"), ("h", "z"), ("x", "y"))
+      .toDF("src", "dst")
+    val links = Graph.linkPrediction(edges, "src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // x-y is already an edge; the h-mediated pairs with z are the
+    // candidates
+    assert(links === Set(("x", "z"), ("y", "z")))
+    val parts = Seq(("b", 1L, 5L), ("b", 2L, 3L), ("b", 3L, 4L))
+      .toDF("brand", "size", "price")
+    val front = Relational.paretoFrontier(parts, Seq("brand"),
+      "size", "price").collect().map(r => (r.getLong(1), r.getLong(2)))
+      .toSet
+    // (3,4) loses to (2,3) on both dims; the other two trade off
+    assert(front === Set((1L, 5L), (2L, 3L)))
+  }
+
+  test("example: mode imputation repairs holes; table digests catch a " +
+      "one-row divergence between replicas") {
+    import graft.pipeline.Quality
+    val events = Seq(("c1", "view"), ("c1", "view"), ("c1", null))
+      .toDF("cohort", "etype")
+    val fixed = Quality.imputeMode(events, Seq("cohort"), "etype")
+    assert(fixed.where($"was_imputed").count() === 1L)
+    assert(fixed.where($"etype" === "view").count() === 3L)
+    val a = Seq((1L, "OK"), (2L, "OK")).toDF("id", "status")
+    val b = Seq((1L, "OK"), (2L, "LATE")).toDF("id", "status")
+    val da = Quality.tableDigest(a, Seq("id"), Seq("status"), 8)
+    val db = Quality.tableDigest(b, Seq("id"), Seq("status"), 8)
+    // the divergent key's bucket (and only it) disagrees
+    val diff = da.join(db, Seq("bucket"))
+      .where(da("xor_digest") =!= db("xor_digest")).count()
+    assert(diff === 1L)
+  }
 }
