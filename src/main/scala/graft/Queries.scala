@@ -1208,6 +1208,36 @@ object Queries {
       graft.pipeline.Quality.tableDigest(read(s, d, "orders"),
         Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority"),
         buckets = 64)),
+    "q210_reach_profile" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // blast radius of one nation's suppliers on the undirected thin
+      // co-supply graph: per seed the <=3-hop reach count, distance sum
+      // and eccentricity — closeness's exact integer numerators
+      val li = read(s, d, "lineitem").where(col("l_quantity") <= 3)
+        .select(col("l_orderkey").as("o"),
+          concat(lit("s"), col("l_suppkey")).as("sn")).distinct()
+      val p = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.sn") < col("b.sn"))
+        .select(col("a.sn").as("x"), col("b.sn").as("y")).distinct()
+      val e = p.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(p.select(col("y").as("src"), col("x").as("dst")))
+      val sup = read(s, d, "supplier")
+      val minNation = sup.agg(min(col("s_nationkey"))).head.get(0)
+      val seeds = sup.where(col("s_nationkey") === minNation)
+        .select(concat(lit("s"), col("s_suppkey")).as("seed"))
+      graft.pipeline.Graph.reachProfile(e, "src", "dst", seeds, "seed",
+        maxHops = 3, maxSeeds = 256)
+    }),
+    "q211_join_hot_keys" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // pre-flight sizing of the lineitem-by-part self-join: the 20
+      // part keys that would dominate its output, with exact row
+      // products and ppm shares — the salting worklist
+      val side = read(s, d, "lineitem")
+        .select(col("l_partkey").as("k"))
+      graft.pipeline.Relational.joinHotKeys(side, side, Seq("k"),
+        topK = 20)
+    }),
     "q197_rrf_fusion" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -2937,6 +2967,47 @@ object Queries {
         |  CAST(bit_xor(h) AS BIGINT) AS xor_digest,
         |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_digest
         |FROM r GROUP BY 1""".stripMargin,
+    // hop-bounded dedup walk per (seed, node); min distance then the
+    // seed aggregate — unreachable-only seeds keep a zero row
+    "q210_reach_profile" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS o,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS sn FROM lineitem
+        |  WHERE l_quantity <= 3),
+        |p AS (SELECT DISTINCT a.sn AS x, b.sn AS y FROM li a JOIN li b
+        |  ON a.o = b.o AND a.sn < b.sn),
+        |e AS (SELECT x AS src, y AS dst FROM p
+        |  UNION ALL SELECT y, x FROM p),
+        |seeds AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR)
+        |    AS seed FROM supplier
+        |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)),
+        |walk(seed, node, hops) AS (
+        |  SELECT seed, seed, 0 FROM seeds
+        |  UNION
+        |  SELECT w.seed, e.dst, w.hops + 1 FROM walk w
+        |    JOIN e ON e.src = w.node WHERE w.hops < 3),
+        |md AS (SELECT seed, node, CAST(min(hops) AS BIGINT) AS d
+        |  FROM walk GROUP BY 1, 2),
+        |agg AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+        |    CAST(sum(d) AS BIGINT) AS sum_dist,
+        |    CAST(max(d) AS BIGINT) AS max_dist
+        |  FROM md WHERE d > 0 GROUP BY 1)
+        |SELECT s.seed, coalesce(a.n_reached, 0) AS n_reached,
+        |  coalesce(a.sum_dist, 0) AS sum_dist,
+        |  coalesce(a.max_dist, 0) AS max_dist
+        |FROM seeds s LEFT JOIN agg a ON a.seed = s.seed""".stripMargin,
+    // per-key count product and truncating ppm of the join's total
+    // output; (out_rows desc, key) makes the top-20 cut deterministic
+    "q211_join_hot_keys" ->
+      """WITH c AS (SELECT CAST(l_partkey AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |  WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT a.k, a.n AS n_left, b.n AS n_right,
+        |    CAST(a.n * b.n AS BIGINT) AS out_rows
+        |  FROM c a JOIN c b ON a.k = b.k),
+        |t AS (SELECT sum(out_rows) AS tot FROM j)
+        |SELECT k, n_left, n_right, out_rows,
+        |  CAST((out_rows * 1000000) // t.tot AS BIGINT) AS share_ppm
+        |FROM j, t ORDER BY out_rows DESC, k LIMIT 20""".stripMargin,
     "q198_ktruss" -> ktrussOracleSql(k = 4, rounds = 4),
     "q185_kcore" -> kcoreOracleSql(k = 4, rounds = 4),
     // hop-bounded weighted walk, deduped per (node, dist, hops) by the

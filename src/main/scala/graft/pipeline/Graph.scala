@@ -689,6 +689,82 @@ object Graph {
     settled.select(col("__n").as("node"), col("__dist").as("dist"))
   }
 
+  /** Per-seed reach profile: for each seed the number of nodes reachable
+    * within `maxHops` directed hops and the SUM of their hop distances —
+    * the exact-integer building blocks of closeness/harmonic centrality
+    * for a chosen seed set ("how far does each influencer's blast radius
+    * extend?"). Closeness itself divides in floats at display time; the
+    * release carries only (seed, n_reached, sum_dist, max_dist), so any
+    * engine reproduces it bit for bit. The seed does not count itself;
+    * unreachable nodes contribute nothing (the standard hop-bounded
+    * convention — releasing "n" alongside "sum" is what keeps truncated
+    * reach comparable across seeds).
+    *
+    * Unlike [[bfsDistances]] (which collapses seeds into one MIN-hop
+    * field), state here is keyed (seed, node) — |seeds| x reach rows —
+    * so the seed count is require-bounded (`maxSeeds`, loud): a
+    * thousand-seed sweep is a deliberate fan-out the caller opts into.
+    *
+    * Scale shape: level-synchronous frontier expansion carrying (seed,
+    * node) pairs; per round one node-keyed equi-join against the edge
+    * table, one distinct, one anti-join against the settled table, all
+    * bounded-width; accumulated settled table re-checkpointed per round
+    * (plan stays O(1) deep); early exit on an empty frontier. The final
+    * profile is one seed-keyed aggregate of the settled table.
+    */
+  def reachProfile(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int,
+      maxSeeds: Int = 128): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"maxHops must be in [1, 64], got $maxHops")
+    require(maxSeeds >= 1, s"maxSeeds must be >= 1, got $maxSeeds")
+    Seq(srcCol, dstCol).foreach(c =>
+      require(edges.columns.contains(c), s"edge list is missing column '$c'"))
+    require(seeds.columns.contains(seedCol),
+      s"seeds side is missing column '$seedCol'")
+    val e = edges
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__d"))
+      .where(col("__s").isNotNull && col("__d").isNotNull)
+      .localCheckpoint(true)
+    val seed0 = seeds
+      .select(col(seedCol).cast("string").as("__seed"))
+      .where(col("__seed").isNotNull).distinct()
+      .localCheckpoint(true)
+    val nSeeds = seed0.count()
+    require(nSeeds <= maxSeeds,
+      s"reachProfile: $nSeeds seeds exceed maxSeeds=$maxSeeds — settled " +
+        "state is |seeds| x reach; raise the cap only if that product " +
+        "is budgeted")
+    var settled = seed0.select(col("__seed"), col("__seed").as("__n"),
+      lit(0L).as("__dist"))
+      .localCheckpoint(true)
+    var frontier = settled.select("__seed", "__n")
+    var hop = 0L
+    var exhausted = frontier.isEmpty
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val next = frontier.join(e, frontier("__n") === e("__s"))
+        .select(col("__seed"), col("__d").as("__n")).distinct()
+        .join(settled.select("__seed", "__n"), Seq("__seed", "__n"),
+          "left_anti")
+        .withColumn("__dist", lit(hop))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        settled = settled.unionByName(next).localCheckpoint(true)
+        frontier = next.select("__seed", "__n")
+      }
+    }
+    settled.where(col("__dist") > 0L)
+      .groupBy(col("__seed").as("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("__dist")).as("sum_dist"),
+        max(col("__dist")).as("max_dist"))
+      .join(seed0.select(col("__seed").as("seed")), Seq("seed"), "right")
+      .na.fill(0L, Seq("n_reached", "sum_dist", "max_dist"))
+  }
+
   /** Link prediction by shared neighborhood: for every NON-edge pair at
     * distance 2 the common-neighbor count and the exact truncating
     * neighborhood-Jaccard `jaccard_ppm = (cn * ppmScale) div (deg_a +

@@ -1473,4 +1473,63 @@ object Relational {
         (col("__mm.d2") === col(d2Col) && col("__mm.d1") === col(d1Col)))
       .drop("__mm")
   }
+
+  /** Join pre-flight skew doctor: BEFORE running a 100-TB equi-join,
+    * the `topK` keys by exact output contribution — per key the two
+    * side multiplicities, their product `out_rows` (the rows that key
+    * alone will emit), and its truncating ppm share of the whole join's
+    * output. The keys this surfaces are exactly the ones that need
+    * salting, AQE skew splitting, or a pre-aggregate; running it costs
+    * two key-keyed COUNTS (bounded-width shuffles of the key columns
+    * only — never payloads), not the join.
+    *
+    * Exact integers end to end: products and the total accumulate in
+    * decimal(38,0); `out_rows` releases as a long behind a LOUD
+    * overflow error (a key pairing 4B x 4B rows overflows — and is
+    * precisely the finding, so the message names the key). NULL keys
+    * drop on both sides — SQL equi-joins never match them.
+    *
+    * Scale shape: one count aggregate per side (map-side partials), a
+    * key-keyed inner join of the two COUNT tables (|distinct keys|
+    * rows), one single-row total broadcast, and a TakeOrdered top-K
+    * (per-partition heads, never a global single-task sort). Ordering
+    * ties break on the key string, so the released table is bit-stable.
+    */
+  def joinHotKeys(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      topK: Int = 100, ppmScale: Long = 1000000L): DataFrame = {
+    require(keyCols.nonEmpty, "joinHotKeys needs at least one key column")
+    require(topK >= 1 && topK <= 100000,
+      s"topK must be in [1, 1e5], got $topK")
+    require(ppmScale >= 100L && ppmScale <= 1000000000000L,
+      s"ppmScale must be in [1e2, 1e12], got $ppmScale")
+    keyCols.foreach { c =>
+      require(left.columns.contains(c), s"left side is missing '$c'")
+      require(right.columns.contains(c), s"right side is missing '$c'")
+    }
+    def counts(df: DataFrame, out: String) = df
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(c => col(c).cast("string").as(c)): _*)
+      .agg(count(lit(1)).as(out))
+    val joined = counts(left, "n_left")
+      .join(counts(right, "n_right"), keyCols)
+      .withColumn("__out",
+        col("n_left").cast("decimal(38,0)") *
+          col("n_right").cast("decimal(38,0)"))
+    val total = joined.agg(sum(col("__out")).as("__tot"))
+    val keyLabel = concat_ws("|", keyCols.map(col): _*)
+    joined
+      .crossJoin(broadcast(total))
+      .select(keyCols.map(col) ++ Seq(col("n_left"), col("n_right"),
+        when(col("__out") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(lit("joinHotKeys: key "), keyLabel,
+            lit(" alone emits more than 2^63 rows — this IS the skew " +
+              "finding; fix the key before joining"))).cast("long"))
+          .otherwise(col("__out").cast("long")).as("out_rows"),
+        when(col("__tot") > 0,
+          call_function("div", col("__out") * lit(ppmScale),
+            col("__tot"))).otherwise(lit(0L)).as("share_ppm")): _*)
+      .orderBy(col("out_rows").desc, keyLabel)
+      .limit(topK)
+  }
 }

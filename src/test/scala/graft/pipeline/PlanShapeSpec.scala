@@ -603,6 +603,24 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"imputeMode:\n$plan")
   }
 
+  test("reachProfile frontier joins stay node-keyed; joinHotKeys sizes " +
+      "the join from COUNT tables and top-Ks without a global sort") {
+    val e = makeDf(StructType(Seq(strCol("src"), strCol("dst"))),
+      (0 until 25).map(i => Row(s"n$i", s"n${(i + 1) % 25}")))
+    val seeds = makeDf(StructType(Seq(strCol("seed"))),
+      Seq(Row("n0"), Row("n5")))
+    val rp = executed(Graph.reachProfile(e, "src", "dst", seeds, "seed", 3))
+    assert(!rp.contains("CartesianProduct"), s"reachProfile:\n$rp")
+    val l = makeDf(StructType(Seq(strCol("k"))),
+      (1 to 100).map(i => Row(s"k${i % 9}")))
+    val hk = Relational.joinHotKeys(l, l, Seq("k"), topK = 3)
+    hk.count()
+    val plan = hk.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be per-partition heads, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"joinHotKeys:\n$plan")
+  }
+
   test("tableDigest is one codegen'd projection + one bucket aggregate") {
     val df = makeDf(StructType(Seq(longCol("id"), strCol("p"))),
       (1 to 100).map(i => Row(i.toLong, s"p$i")))
