@@ -1238,6 +1238,46 @@ object Queries {
       graft.pipeline.Relational.joinHotKeys(side, side, Seq("k"),
         topK = 20)
     }),
+    "q212_streaming_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // live drift monitor: fixed domain edges, reference ppm derived
+      // once from the full batch, then every 10-minute window's L1
+      // distance and worst bin — all exact integers
+      val edges = Seq(15.0, 35.0, 70.0)
+      val batch = readEvents(s, d)
+        .where(col("value").isNotNull && !isnan(col("value")))
+      val v = col("value")
+      val c = batch.agg(
+        sum(when(v <= 15.0, 1L).otherwise(0L)),
+        sum(when(v > 15.0 && v <= 35.0, 1L).otherwise(0L)),
+        sum(when(v > 35.0 && v <= 70.0, 1L).otherwise(0L)),
+        sum(when(v > 70.0, 1L).otherwise(0L)),
+        count(lit(1))).head
+      val n = c.getLong(4)
+      val refPpm = (0 to 3).map(i =>
+        if (n == 0L) 0L else c.getLong(i) * 1000000L / n)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_seconds(col("event_id")))
+      val drift = graft.streaming.Streaming.streamingDrift(
+        stream, "ts", "value", edges, refPpm,
+        "10 minutes", "0 seconds")
+      val name = "q212mem"
+      val q = drift.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(
+        col("window.start").cast("long").as("window_start"),
+        col("window.end").cast("long").as("window_end"),
+        col("n_rows"), col("bin_counts"), col("l1_ppm"),
+        col("worst_bin"), col("worst_delta_ppm"))
+    }),
     "q197_rrf_fusion" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -2967,6 +3007,54 @@ object Queries {
         |  CAST(bit_xor(h) AS BIGINT) AS xor_digest,
         |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_digest
         |FROM r GROUP BY 1""".stripMargin,
+    // identical bin chain, reference ppm from the same batch, L1 and
+    // worst-bin resolved by the lowest-index tie rule
+    "q212_streaming_drift" ->
+      """WITH v AS (SELECT event_id, value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |ref AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN value <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS b0,
+        |  CAST(sum(CASE WHEN value > 15 AND value <= 35 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN value > 35 AND value <= 70 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b2,
+        |  CAST(sum(CASE WHEN value > 70 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS b3 FROM v),
+        |rp AS (SELECT (b0 * 1000000) // n AS r0, (b1 * 1000000) // n AS r1,
+        |    (b2 * 1000000) // n AS r2, (b3 * 1000000) // n AS r3 FROM ref),
+        |w AS (SELECT event_id // 600 AS p,
+        |    CASE WHEN value <= 15 THEN 0 WHEN value <= 35 THEN 1
+        |      WHEN value <= 70 THEN 2 ELSE 3 END AS bin FROM v),
+        |cw AS (SELECT p, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+        |  FROM w GROUP BY p),
+        |dd AS (SELECT p, n_rows, c0, c1, c2, c3,
+        |    (c0 * 1000000) // n_rows - rp.r0 AS d0,
+        |    (c1 * 1000000) // n_rows - rp.r1 AS d1,
+        |    (c2 * 1000000) // n_rows - rp.r2 AS d2,
+        |    (c3 * 1000000) // n_rows - rp.r3 AS d3
+        |  FROM cw, rp)
+        |SELECT CAST(p * 600 AS BIGINT) AS window_start,
+        |  CAST((p + 1) * 600 AS BIGINT) AS window_end, n_rows,
+        |  list_value(c0, c1, c2, c3) AS bin_counts,
+        |  CAST(abs(d0) + abs(d1) + abs(d2) + abs(d3) AS BIGINT) AS l1_ppm,
+        |  CAST(CASE
+        |    WHEN abs(d0) >= abs(d1) AND abs(d0) >= abs(d2)
+        |      AND abs(d0) >= abs(d3) THEN 0
+        |    WHEN abs(d1) >= abs(d2) AND abs(d1) >= abs(d3) THEN 1
+        |    WHEN abs(d2) >= abs(d3) THEN 2 ELSE 3 END AS BIGINT)
+        |    AS worst_bin,
+        |  CAST(CASE
+        |    WHEN abs(d0) >= abs(d1) AND abs(d0) >= abs(d2)
+        |      AND abs(d0) >= abs(d3) THEN d0
+        |    WHEN abs(d1) >= abs(d2) AND abs(d1) >= abs(d3) THEN d1
+        |    WHEN abs(d2) >= abs(d3) THEN d2 ELSE d3 END AS BIGINT)
+        |    AS worst_delta_ppm
+        |FROM dd""".stripMargin,
     // hop-bounded dedup walk per (seed, node); min distance then the
     // seed aggregate — unreachable-only seeds keep a zero row
     "q210_reach_profile" ->

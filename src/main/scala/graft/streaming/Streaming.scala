@@ -1167,4 +1167,73 @@ object Streaming {
       }
       .toDF()
   }
+
+  /** Streaming distribution-drift monitor — the live twin of
+    * [[graft.pipeline.CorpusStats.distributionDrift]]: per event-time
+    * window the binned distribution of `valueCol` against a FIXED
+    * reference profile, released as exact integers — per-bin counts,
+    * the L1 ppm distance (sum of |cur_ppm - ref_ppm| over bins, the
+    * total-variation alarm line x2), and the worst bin with its signed
+    * gap. `edges`/`refPpm` are dashboard CONFIG (derived once from a
+    * reference snapshot — [[graft.exec.Kll]] quantiles or fixed domain
+    * edges) so the monitor never re-reads the reference at stream time
+    * and an alert is reproducible from the config alone.
+    *
+    * Bin rule matches the batch operator: value lands in the first bin
+    * whose edge is >= it (`v <= edges(i)`), last bin catches the rest;
+    * NULL/NaN rows drop. All released numbers are integers — truncating
+    * ppm via integer division — so any engine replays a window
+    * bit-identically.
+    *
+    * Scale shape: ONE watermarked stateful aggregate; per-window state
+    * is `nBins + 1` longs (the bin counts ride as conditional sums, not
+    * a (window, bin) key — one state row per window, not per bin).
+    * Everything after the agg is a codegen'd projection.
+    */
+  def streamingDrift(
+      events: DataFrame, tsCol: String, valueCol: String,
+      edges: Seq[Double], refPpm: Seq[Long],
+      windowDuration: String, watermark: String,
+      ppmScale: Long = 1000000L): DataFrame = {
+    require(edges.nonEmpty && edges.size <= 999,
+      s"need 1..999 edges, got ${edges.size}")
+    require(edges == edges.sorted && edges.distinct.size == edges.size,
+      "edges must be strictly increasing")
+    require(refPpm.size == edges.size + 1,
+      s"refPpm must have ${edges.size + 1} entries (one per bin), got " +
+        s"${refPpm.size}")
+    require(ppmScale >= 100L && ppmScale <= 1000000000000L,
+      s"ppmScale must be in [1e2, 1e12], got $ppmScale")
+    Seq(tsCol, valueCol).foreach(c =>
+      require(events.columns.contains(c), s"input is missing '$c'"))
+    val nBins = edges.size + 1
+    val v = col(valueCol).cast("double")
+    val bin = edges.zipWithIndex
+      .foldRight(lit(nBins - 1): org.apache.spark.sql.Column) {
+      case ((e, i), rest) => when(v <= e, lit(i)).otherwise(rest)
+    }
+    val binSums = (0 until nBins).map(i =>
+      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__b$i"))
+    val agg = events
+      .withWatermark(tsCol, watermark)
+      .where(col(tsCol).isNotNull && v.isNotNull && !isnan(v))
+      .select(col(tsCol), bin.as("__bin"))
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(count(lit(1)).as("n_rows"), binSums: _*)
+    val curPpm = (0 until nBins).map(i =>
+      when(col("n_rows") > 0,
+        expr(s"(__b$i * ${ppmScale}L) div n_rows")).otherwise(0L))
+    val deltas = curPpm.zip(refPpm).map { case (c, r) => c - lit(r) }
+    val l1 = deltas.map(abs).reduce(_ + _)
+    // worst bin: max |delta|, ties to the LOWEST bin (negated index in
+    // the struct ordering), signed gap carried alongside
+    val worst = greatest(deltas.zipWithIndex.map { case (dl, i) =>
+      struct(abs(dl).as("a"), lit(-i.toLong).as("ni"), dl.as("dl"))
+    }: _*)
+    agg.select(col("window"), col("n_rows"),
+      array((0 until nBins).map(i => col(s"__b$i")): _*).as("bin_counts"),
+      l1.as("l1_ppm"),
+      (-worst.getField("ni")).as("worst_bin"),
+      worst.getField("dl").as("worst_delta_ppm"))
+  }
 }

@@ -618,4 +618,20 @@ class DocExamplesSpec extends SparkSpec {
       .where(da("xor_digest") =!= db("xor_digest")).count()
     assert(diff === 1L)
   }
+
+  test("example: reach profiles rank influencers; joinHotKeys names the " +
+      "keys that would dominate a join") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val seeds = Seq("a", "c").toDF("seed")
+    val reach = Graph.reachProfile(edges, "src", "dst", seeds, "seed", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reach === Map("a" -> 2L, "c" -> 1L)) // a sees b,c; c sees d
+    val facts = Seq("x", "x", "x", "y").toDF("k")
+    val dims = Seq("x", "x", "y", "y", "y").toDF("k")
+    val hot = Relational.joinHotKeys(facts, dims, Seq("k")).head
+    // x emits 3*2 = 6 of the join's 9 rows -> 666666 ppm, the salting
+    // candidate
+    assert(hot.getString(0) === "x" && hot.getLong(3) === 6L &&
+      hot.getLong(4) === 666666L)
+  }
 }

@@ -658,4 +658,59 @@ class StreamingSpec extends SparkSpec {
         ("2", 5L, null, -1L)))
     } finally q.stop()
   }
+
+  test("streaming drift: per-window L1 ppm vs the reference config, " +
+      "windows finalize on watermark") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[(Timestamp, Double)]
+    // reference: uniform thirds over 3 bins (edges 10, 20)
+    val drift = Streaming.streamingDrift(
+      in.toDF().toDF("ts", "v"), "ts", "v",
+      edges = Seq(10.0, 20.0), refPpm = Seq(333333L, 333333L, 333333L),
+      windowDuration = "10 minutes", watermark = "5 minutes")
+    val q = drift.writeStream.format("memory").queryName("sdrift")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0,10): values 5, 15, 15, 25 -> bins 1/2/1, n=4
+      in.addData((ts(1), 5.0), (ts(2), 15.0), (ts(3), 15.0), (ts(4), 25.0))
+      q.processAllAvailable()
+      assert(spark.table("sdrift").count() === 0) // not finalized yet
+      in.addData((ts(30), 5.0)) // watermark passes [0,10)
+      q.processAllAvailable()
+      val r = spark.table("sdrift").collect().head
+      assert(r.getLong(1) === 4L) // n_rows
+      assert(r.getSeq[Long](2) === Seq(1L, 2L, 1L))
+      // cur ppm 250000/500000/250000 vs 333333 each:
+      // |−83333| + |166667| + |−83333| = 333333
+      assert(r.getLong(3) === 333333L)
+      assert(r.getLong(4) === 1L)      // worst bin
+      assert(r.getLong(5) === 166667L) // signed gap
+    } finally q.stop()
+  }
+
+  test("streaming drift: empty-reference bins and a one-sided window") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[(Timestamp, Double)]
+    val drift = Streaming.streamingDrift(
+      in.toDF().toDF("ts", "v"), "ts", "v",
+      edges = Seq(10.0), refPpm = Seq(1000000L, 0L),
+      windowDuration = "10 minutes", watermark = "0 minutes")
+    val q = drift.writeStream.format("memory").queryName("sdrift2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // everything lands in the bin the reference says is EMPTY
+      in.addData((ts(1), 50.0), (ts(2), 60.0))
+      in.addData((ts(30), 5.0))
+      q.processAllAvailable()
+      val r = spark.table("sdrift2").collect()
+        .map(x => x.getLong(1) -> ((x.getLong(3), x.getLong(4),
+          x.getLong(5)))).toMap
+      // full mass displacement: L1 = 2e6, worst bin 0 with -1e6
+      assert(r(2L) === ((2000000L, 0L, -1000000L)))
+    } finally q.stop()
+  }
 }
