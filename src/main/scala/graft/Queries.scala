@@ -1238,6 +1238,35 @@ object Queries {
       graft.pipeline.Relational.joinHotKeys(side, side, Seq("k"),
         topK = 20)
     }),
+    "q215_negative_samples" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // BPR-style training pairs: for every observed (supplier, part)
+      // positive, up to 2 deterministic hash-drawn negatives from the
+      // part universe — the same epoch regenerates bit-identically
+      val pos = read(s, d, "lineitem").select(
+        col("l_suppkey").cast("string").as("supp"),
+        col("l_partkey").cast("string").as("part"))
+      graft.pipeline.Sampling.negativeSamples(pos, "supp", "part", k = 2)
+    }),
+    "q213_scd_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // audit a deliberately messy synthetic SCD (1000-wide validity
+      // from each order, every 97th left open): per customer the
+      // overlap/gap/open ledger a point-in-time join must survive
+      val scd = read(s, d, "orders").where(col("o_custkey").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey").as("vfrom"),
+          when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+            .otherwise(col("o_orderkey") + 1000L).as("vto"))
+      graft.pipeline.Relational.scdAudit(
+        scd, Seq("o_custkey"), "vfrom", "vto")
+    }),
+    "q214_sorted_neighbors" -> ((s, d) =>
+      // merge/purge blocking over the part-name dictionary: every pair
+      // within 3 ranks of the (name, id) total order — the candidate
+      // set a verifier scores, bounded at n*w exactly
+      graft.pipeline.Dedup.sortedNeighborPairs(
+        read(s, d, "part").select("p_partkey", "p_name"),
+        "p_partkey", "p_name", windowSize = 3)),
     "q212_streaming_drift" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.Trigger
@@ -3007,6 +3036,53 @@ object Queries {
         |  CAST(bit_xor(h) AS BIGINT) AS xor_digest,
         |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_digest
         |FROM r GROUP BY 1""".stripMargin,
+    // identical md5-derived candidate indices over the identically
+    // ranked item universe; chr(1) is the engine's unit separator
+    "q215_negative_samples" ->
+      """WITH pos AS (SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS u,
+        |    CAST(l_partkey AS VARCHAR) AS i FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |it AS (SELECT i, row_number() OVER (ORDER BY i) - 1 AS idx
+        |  FROM (SELECT DISTINCT i FROM pos)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM it),
+        |js AS (SELECT unnest(range(0, 2)) AS j),
+        |cand AS (SELECT DISTINCT pos.u, it.i AS neg
+        |  FROM pos, n, js, it
+        |  WHERE it.idx = CAST(('0x' || substr(md5(pos.u || chr(1) ||
+        |    pos.i || chr(1) || CAST(js.j AS VARCHAR) || chr(1) || 'neg'),
+        |    1, 8)) AS BIGINT) % n.n)
+        |SELECT c.u AS supp, c.neg AS neg_item FROM cand c
+        |LEFT JOIN pos p ON p.u = c.u AND p.i = c.neg
+        |WHERE p.u IS NULL""".stripMargin,
+    // the same strictly-earlier running-max sweep; open rows as
+    // max-long sentinels
+    "q213_scd_audit" ->
+      """WITH s AS (SELECT o_custkey AS k, CAST(o_orderkey AS BIGINT) AS f,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |      ELSE CAST(o_orderkey + 1000 AS BIGINT) END AS t
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |x AS (SELECT k, f, coalesce(t, 9223372036854775807) AS t2,
+        |    t IS NULL AS op FROM s),
+        |r AS (SELECT *, max(t2) OVER (PARTITION BY k ORDER BY f, t2
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |  FROM x)
+        |SELECT k AS o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND f < prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND f > prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(sum(CASE WHEN op THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+        |FROM r GROUP BY k""".stripMargin,
+    // independent formulation: a quadratic rank-distance join against
+    // the engine's bucketed equi-join
+    "q214_sorted_neighbors" ->
+      """WITH t AS (SELECT CAST(p_partkey AS VARCHAR) AS id, p_name AS k
+        |  FROM part WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL),
+        |r AS (SELECT id, row_number() OVER (ORDER BY k, id) - 1 AS rn
+        |  FROM t)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3""".stripMargin,
     // identical bin chain, reference ppm from the same batch, L1 and
     // worst-bin resolved by the lowest-index tie rule
     "q212_streaming_drift" ->

@@ -1342,6 +1342,62 @@ object Dedup {
     out
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995, the merge/
+    * purge method): order all records by a sort key and emit every pair
+    * within `windowSize` ranks — the THIRD blocking family next to
+    * Ed-Join's q-gram prefixes and MinHash bands, and the one that
+    * catches near-duplicates q-grams miss when the discriminating
+    * prefix itself is corrupted ("Smith, John" / "Smith,John"). The
+    * release is candidate pairs (id_a, id_b, rank_gap) for a verifier
+    * (banded Levenshtein, exact compare) to score; output size is
+    * exactly bounded by n * windowSize.
+    *
+    * The total order is (sortKey, id) — the id tie-break makes ranks,
+    * and therefore the pair set, bit-stable under any partitioning.
+    * NULL keys/ids drop (they sort nowhere). Duplicate ids raise: two
+    * rows claiming one id would silently double every window they
+    * touch.
+    *
+    * Scale shape: ranks come from the two-phase global row number
+    * ([[graft.exec.Ranks.globalRowNumber]] — range exchange +
+    * per-partition window, never a single-task sort); pairing is ONE
+    * equi-join on `windowSize`-wide rank buckets (each row lands in
+    * its bucket and the next, a bounded 2x fan-out) filtered to
+    * `0 < gap <= windowSize` — never an all-pairs product.
+    */
+  def sortedNeighborPairs(
+      df: DataFrame, idCol: String, sortKeyCol: String,
+      windowSize: Int): DataFrame = {
+    require(windowSize >= 1 && windowSize <= 10000,
+      s"windowSize must be in [1, 1e4], got $windowSize")
+    Seq(idCol, sortKeyCol).foreach(c =>
+      require(df.columns.contains(c), s"input is missing '$c'"))
+    val base = df
+      .select(col(idCol).cast("string").as("__id"),
+        col(sortKeyCol).cast("string").as("__k"))
+      .where(col("__id").isNotNull && col("__k").isNotNull)
+    val dup = base.groupBy("__id").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1L).limit(1).collect()
+    require(dup.isEmpty,
+      s"sortedNeighborPairs: id ${dup.headOption.map(_.getString(0))
+        .getOrElse("")} appears more than once — dedup ids first")
+    val ranked = graft.exec.Ranks.globalRowNumber(
+      base, Seq(col("__k"), col("__id")), "__r")
+      .localCheckpoint(true)
+    val w = windowSize.toLong
+    // each row lands in bucket r div w and the PREVIOUS bucket probe
+    // side: joining (b) x (b, b+1) covers every gap in (0, w]
+    val bucket = expr(s"__r div ${w}L") // integer div — exact at any rank
+    val left = ranked.select(col("__id").as("id_a"), col("__r").as("__ra"),
+      bucket.as("__b"))
+    val right = ranked.select(col("__id").as("id_b"), col("__r").as("__rb"),
+      explode(array(bucket, bucket - 1L)).as("__b"))
+    left.join(right, Seq("__b"))
+      .where(col("__rb") > col("__ra") && col("__rb") - col("__ra") <= w)
+      .select(col("id_a"), col("id_b"),
+        (col("__rb") - col("__ra")).as("rank_gap"))
+  }
+
   /** Memoized +-1 plane matrix for [[hyperplaneSignature]]; entry (p, i) is
     * the low bit of Spark's xxhash64 over the two int columns (i, p) with
     * the default seed 42, i.e. XXH64.hashInt(p, XXH64.hashInt(i, 42)).

@@ -1474,6 +1474,65 @@ object Relational {
       .drop("__mm")
   }
 
+  /** SCD validity auditor: per key, how healthy its half-open
+    * `[from, to)` history is — `n_overlaps` (rows starting before an
+    * earlier row ended), `n_gaps` (rows starting strictly after every
+    * earlier row ended — uncovered time in between), and `n_open`
+    * (rows with NULL `to`, the "current" markers, of which a sane SCD
+    * has at most one). The audit [[scd2History]]'s OUTPUT passes by
+    * construction and hand-maintained dimension tables routinely fail;
+    * run it before trusting a point-in-time join. Perfectly touching
+    * rows ([a,b) then [b,c)) are neither overlap nor gap.
+    *
+    * A NULL `from` or an empty/inverted interval raises loudly (such a
+    * row has no defensible position in the order); a NULL `to` is the
+    * open-ended current row and overlaps EVERYTHING after it — exactly
+    * the double-current defect the n_open column also counts. NULL
+    * keys drop.
+    *
+    * Scale shape: ONE key-keyed exchange — the strictly-earlier
+    * running max of `to` (the [[mergeIntervals]] sweep) classifies
+    * every row in O(1) window state, and the per-key rollup is a
+    * sub-grouping of the same partitioning (no second shuffle).
+    */
+  def scdAudit(
+      df: DataFrame, keyCols: Seq[String], fromCol: String,
+      toCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scdAudit needs at least one key column")
+    (keyCols ++ Seq(fromCol, toCol)).foreach(c =>
+      require(df.columns.contains(c), s"input is missing '$c'"))
+    val openEnd = Long.MaxValue
+    val keyed = df.select(
+      keyCols.map(col) ++ Seq(
+        when(col(fromCol).isNull,
+          raise_error(lit(s"scdAudit: NULL $fromCol — every version " +
+            "needs a start")).cast("long"))
+          .otherwise(col(fromCol).cast("long")).as("__from"),
+        when(col(toCol).isNotNull &&
+            col(toCol).cast("long") <= col(fromCol).cast("long"),
+          raise_error(concat(lit(s"scdAudit: empty or inverted " +
+            s"[$fromCol, $toCol): ["), col(fromCol).cast("string"),
+            lit(", "), col(toCol).cast("string"), lit(")"))).cast("long"))
+          .otherwise(coalesce(col(toCol).cast("long"), lit(openEnd)))
+          .as("__to"),
+        col(toCol).isNull.as("__open")): _*)
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__from"), col("__to"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runMax = max(col("__to")).over(w)
+    keyed
+      .withColumn("__prev", runMax)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__prev").isNotNull &&
+          col("__from") < col("__prev"), 1L).otherwise(0L))
+          .as("n_overlaps"),
+        sum(when(col("__prev").isNotNull &&
+          col("__from") > col("__prev"), 1L).otherwise(0L)).as("n_gaps"),
+        sum(when(col("__open"), 1L).otherwise(0L)).as("n_open"))
+  }
+
   /** Join pre-flight skew doctor: BEFORE running a 100-TB equi-join,
     * the `topK` keys by exact output contribution — per key the two
     * side multiplicities, their product `out_rows` (the rows that key

@@ -148,4 +148,63 @@ object Sampling {
         explode(when(copies >= 1L, sequence(lit(1L), copies))
           .otherwise(array().cast("array<long>"))))
   }
+
+  /** Deterministic negative sampling for training pairs: for every
+    * distinct positive (user, item) draw up to `k` pseudo-random
+    * NEGATIVE items from the observed item universe — the contrastive /
+    * implicit-feedback training staple (BPR, word2vec negative
+    * sampling), kept fully deterministic so the same epoch regenerates
+    * the same pairs on any cluster, any partitioning, any engine: the
+    * j-th candidate for a positive is `items[h32(user, item, j, salt)
+    * mod n_items]` over the md5-backed [[hash32]] and the items ranked
+    * by value.
+    *
+    * "Up to k": candidates that hit a TRUE positive of the same user
+    * are anti-joined out, and hash collisions across j collapse — both
+    * deliberate (re-drawing until k would make sample membership
+    * depend on global iteration order). With n_items >> k the shortfall
+    * is negligible; callers needing exactly-k re-call with a second
+    * salt for the remainder.
+    *
+    * Scale shape: one distinct on (user, item); the item universe
+    * ranks via the two-phase global row number (range exchange, never
+    * a single-task sort); candidates are a bounded k-explode joined to
+    * the rank table on the index (broadcast when the universe is
+    * dashboard-sized — AQE decides) and one anti-join against the
+    * positives. Nothing quadratic; the released pair count is <= k x
+    * |positives| by construction.
+    */
+  def negativeSamples(
+      positives: DataFrame, userCol: String, itemCol: String, k: Int,
+      salt: String = "neg"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(!salt.contains("\u0001"),
+      "salt must not contain the \\u0001 separator")
+    Seq(userCol, itemCol).foreach(c =>
+      require(positives.columns.contains(c), s"input is missing '$c'"))
+    val pos = positives
+      .select(col(userCol).cast("string").as("__u"),
+        col(itemCol).cast("string").as("__i"))
+      .where(col("__u").isNotNull && col("__i").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val items = graft.exec.Ranks.globalRowNumber(
+      pos.select(col("__i")).distinct(), Seq(col("__i")), "__idx")
+      .localCheckpoint(true)
+    val nItems = items.count()
+    require(nItems >= 2L,
+      s"negativeSamples needs >= 2 distinct items, got $nItems")
+    val cand = pos
+      .select(col("__u"), col("__i"),
+        explode(array((0 until k).map(j => lit(j.toLong)): _*)).as("__j"))
+      .select(col("__u"), col("__i"),
+        pmod(hash32(concat_ws("\u0001", col("__u"), col("__i"),
+          col("__j"), lit(salt))), lit(nItems)).as("__idx"))
+    cand
+      .join(items.select(col("__idx"), col("__i").as("__neg")), Seq("__idx"))
+      .select(col("__u"), col("__neg")).distinct()
+      .join(pos.select(col("__u"), col("__i").as("__neg")),
+        Seq("__u", "__neg"), "left_anti")
+      .select(col("__u").as(userCol), col("__neg").as("neg_item"))
+  }
 }

@@ -634,4 +634,36 @@ class DocExamplesSpec extends SparkSpec {
     assert(hot.getString(0) === "x" && hot.getLong(3) === 6L &&
       hot.getLong(4) === 666666L)
   }
+
+  test("example: scdAudit grades a dimension history; sorted neighbors " +
+      "block near-dups whose prefix is corrupted") {
+    val dim = Seq(("c", 1L, 5L), ("c", 4L, 8L), ("c", 10L, 12L))
+      .toDF("cust", "valid_from", "valid_to")
+    val audit = Relational.scdAudit(dim, Seq("cust"),
+      "valid_from", "valid_to").head
+    // [4,8) starts inside [1,5); [10,12) starts after a 2-unit hole
+    assert(audit.getLong(2) === 1L && audit.getLong(3) === 1L)
+    val names = Seq(("1", "smith, john"), ("2", "smith,john"),
+      ("3", "zeta")).toDF("id", "name")
+    val cands = Dedup.sortedNeighborPairs(names, "id", "name", 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the two smith variants are rank neighbors even though their
+    // q-gram prefixes differ at the corrupted comma
+    assert(cands.contains(("2", "1")) || cands.contains(("1", "2")))
+  }
+
+  test("example: negative sampling regenerates the same epoch anywhere") {
+    import graft.pipeline.Sampling
+    val clicks = Seq(("u1", "a"), ("u1", "b"), ("u2", "c"), ("u2", "d"),
+      ("u3", "e"), ("u3", "a")).toDF("user", "item")
+    val e1 = Sampling.negativeSamples(clicks, "user", "item", k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val e1Again = Sampling.negativeSamples(clicks.repartition(5),
+      "user", "item", k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(e1 === e1Again && e1.nonEmpty) // bit-identical epoch replay
+    assert(e1.forall { case (u, n) => // never a true positive
+      !Set(("u1", "a"), ("u1", "b"), ("u2", "c"), ("u2", "d"),
+        ("u3", "e"), ("u3", "a")).contains((u, n)) })
+  }
 }

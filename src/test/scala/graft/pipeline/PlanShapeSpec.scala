@@ -621,6 +621,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"joinHotKeys:\n$plan")
   }
 
+  test("scdAudit shares ONE key exchange; sortedNeighborPairs joins on " +
+      "rank buckets, never all-pairs") {
+    val scd = makeDf(StructType(Seq(strCol("k"), longCol("f"), longCol("t"))),
+      (1 to 60).map(i => Row(s"k${i % 7}", (i * 10).toLong, (i * 10 + 8).toLong)))
+    val ap = executed(Relational.scdAudit(scd, Seq("k"), "f", "t"))
+    assert(!ap.contains("Join"), s"audit never joins:\n$ap")
+    assert(ap.split('\n').count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"window + rollup share one key exchange:\n$ap")
+    val nm = makeDf(StructType(Seq(strCol("id"), strCol("k"))),
+      (1 to 50).map(i => Row(s"id$i", f"k${(i * 13) % 50}%03d")))
+    val sn = executed(Dedup.sortedNeighborPairs(nm, "id", "k", 4))
+    assert(!sn.contains("CartesianProduct") &&
+      !sn.contains("BroadcastNestedLoopJoin"),
+      s"rank pairing must stay bucket-equi:\n$sn")
+  }
+
+  test("negativeSamples: bounded k-explode, index-keyed universe join, " +
+      "never cartesian") {
+    val pos = makeDf(StructType(Seq(strCol("u"), strCol("i"))),
+      (1 to 80).map(x => Row(s"u${x % 8}", s"i${(x * 7) % 15}")))
+    val plan = executed(Sampling.negativeSamples(pos, "u", "i", 2))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"negativeSamples:\n$plan")
+  }
+
   test("tableDigest is one codegen'd projection + one bucket aggregate") {
     val df = makeDf(StructType(Seq(longCol("id"), strCol("p"))),
       (1 to 100).map(i => Row(i.toLong, s"p$i")))

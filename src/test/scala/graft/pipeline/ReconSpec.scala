@@ -90,4 +90,64 @@ class ReconSpec extends SparkSpec {
       Seq("status", "note"), 1).collect().head
     assert(a.getLong(2) !== b.getLong(2))
   }
+
+  private val scdSchema = StructType(
+    Seq(strCol("k"), longCol("from"), longCol("to")))
+
+  test("scdAudit classifies overlaps, gaps, touches, and open rows") {
+    val df = makeDf(scdSchema, Seq(
+      Row("k", 1L, 5L), Row("k", 4L, 8L),    // overlap
+      Row("k", 10L, 12L),                     // gap after 8
+      Row("k", 12L, 14L),                     // touch: neither
+      Row("k", 20L, null)))                   // gap + the open row
+    val r = Relational.scdAudit(df, Seq("k"), "from", "to").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((5L, 1L, 2L, 1L)))
+  }
+
+  test("scdAudit counts double-current rows as overlap AND n_open = 2") {
+    val df = makeDf(scdSchema, Seq(Row("k", 1L, null), Row("k", 5L, null)))
+    val r = Relational.scdAudit(df, Seq("k"), "from", "to").collect().head
+    assert((r.getLong(2), r.getLong(4)) === ((1L, 2L)))
+  }
+
+  test("scdAudit raises on NULL from and inverted intervals") {
+    val e1 = intercept[Exception] {
+      Relational.scdAudit(makeDf(scdSchema, Seq(Row("k", null, 5L))),
+        Seq("k"), "from", "to").collect()
+    }
+    assert(e1.getMessage.contains("NULL from"))
+    val e2 = intercept[Exception] {
+      Relational.scdAudit(makeDf(scdSchema, Seq(Row("k", 5L, 5L))),
+        Seq("k"), "from", "to").collect()
+    }
+    assert(e2.getMessage.contains("empty or inverted"))
+  }
+
+  private val nmSchema = StructType(Seq(strCol("id"), strCol("nm")))
+
+  test("sortedNeighborPairs emits exactly the rank-window candidates") {
+    val df = makeDf(nmSchema, Seq(
+      Row("a", "apple"), Row("b", "apply"), Row("c", "banana"),
+      Row("d", "appla"), Row("e", "zebra")))
+    val out = Dedup.sortedNeighborPairs(df, "id", "nm", windowSize = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // sort order: appla(d) apple(a) apply(b) banana(c) zebra(e)
+    assert(out === Set(("d", "a", 1L), ("d", "b", 2L), ("a", "b", 1L),
+      ("a", "c", 2L), ("b", "c", 1L), ("b", "e", 2L), ("c", "e", 1L)))
+  }
+
+  test("sortedNeighborPairs: n*w bound, partition-invariant, dup ids raise") {
+    val df = makeDf(nmSchema,
+      (1 to 40).map(i => Row(s"id$i", f"k${(i * 7) % 40}%03d")))
+    val a = Dedup.sortedNeighborPairs(df, "id", "nm", 3)
+    assert(a.count() === 40L * 3 - 6) // n*w - w(w+1)/2
+    val b = Dedup.sortedNeighborPairs(df.repartition(7), "id", "nm", 3)
+    assert(a.collect().map(_.toSeq).toSet === b.collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborPairs(
+        makeDf(nmSchema, Seq(Row("x", "a"), Row("x", "b"))), "id", "nm", 2)
+    }
+  }
 }

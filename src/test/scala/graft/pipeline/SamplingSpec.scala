@@ -205,4 +205,46 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashSplit(ids(1), "id", Nil)
     }
   }
+
+  private val pairSchema = StructType(Seq(strCol("u"), strCol("i")))
+  private def pairs(rows: (String, String)*) =
+    makeDf(pairSchema, rows.map { case (u, i) => Row(u, i) })
+
+  test("negativeSamples: negatives come from the universe, never the " +
+      "user's own positives, bounded by k per positive") {
+    val pos = pairs(("u1", "a"), ("u1", "b"), ("u2", "c"),
+      ("u3", "a"), ("u3", "d"), ("u2", "e"))
+    val out = Sampling.negativeSamples(pos, "u", "i", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val universe = Set("a", "b", "c", "d", "e")
+    val positives = Set(("u1", "a"), ("u1", "b"), ("u2", "c"),
+      ("u3", "a"), ("u3", "d"), ("u2", "e"))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, n) => universe.contains(n) })
+    assert(out.forall(p => !positives.contains(p)))
+    val perUser = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perUser.getOrElse("u1", 0) <= 6) // 2 positives x k
+    assert(perUser.getOrElse("u2", 0) <= 6)
+  }
+
+  test("negativeSamples is deterministic and partition-invariant") {
+    val pos = pairs((1 to 40).map(x =>
+      (s"u${x % 8}", s"i${(x * 7) % 15}")): _*)
+    val a = Sampling.negativeSamples(pos, "u", "i", 2)
+      .collect().map(_.toSeq).toSet
+    val b = Sampling.negativeSamples(pos.repartition(9), "u", "i", 2)
+      .collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+    // a different salt draws a different (deterministic) sample
+    val c = Sampling.negativeSamples(pos, "u", "i", 2, salt = "epoch2")
+      .collect().map(_.toSeq).toSet
+    assert(c === Sampling.negativeSamples(pos.repartition(3), "u", "i", 2,
+      salt = "epoch2").collect().map(_.toSeq).toSet)
+  }
+
+  test("negativeSamples refuses a degenerate universe") {
+    intercept[IllegalArgumentException] {
+      Sampling.negativeSamples(pairs(("u1", "a"), ("u2", "a")), "u", "i", 2)
+    }
+  }
 }
