@@ -1301,11 +1301,17 @@ object Queries {
       val q = drift.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // scalar release shape: one row per (window, bin) — the driver's
+      // canonicalizer cannot sort array columns, so bin_counts explodes
       s.table(name).select(
         col("window.start").cast("long").as("window_start"),
         col("window.end").cast("long").as("window_end"),
-        col("n_rows"), col("bin_counts"), col("l1_ppm"),
-        col("worst_bin"), col("worst_delta_ppm"))
+        col("n_rows"), col("l1_ppm"),
+        col("worst_bin"), col("worst_delta_ppm"),
+        posexplode(col("bin_counts")).as(Seq("bin", "bin_count")))
+        .select(col("window_start"), col("window_end"), col("n_rows"),
+          col("bin").cast("long").as("bin"), col("bin_count"),
+          col("l1_ppm"), col("worst_bin"), col("worst_delta_ppm"))
     }),
     "q197_rrf_fusion" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1654,9 +1660,20 @@ object Queries {
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       // single AvailableNow batch -> exactly one row per window (the
-      // cumulativeQuantiles one-row-per-window contract)
+      // cumulativeQuantiles one-row-per-window contract); release shape
+      // is scalar rows — the values array explodes to (percentile, value)
+      // so the driver's canonicalizer never sees a list column
+      val pcts = Seq(0.25, 0.5, 0.75)
       graft.streaming.Streaming.cumulativeQuantiles(
-        s.table(name), 16384, Seq(0.25, 0.5, 0.75))
+        s.table(name), 16384, pcts)
+        .select(col("window_start"), col("window_end"), col("n_windows"),
+          col("n_rows"), col("err_units"),
+          posexplode(col("values")).as(Seq("pi", "value")))
+        .select(col("window_start"), col("window_end"), col("n_windows"),
+          col("n_rows"), col("err_units"),
+          element_at(array(pcts.map(lit): _*), col("pi") + 1)
+            .as("percentile"),
+          col("value"))
     }),
     "q181_streaming_multi_touch" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -3113,10 +3130,10 @@ object Queries {
         |    (c1 * 1000000) // n_rows - rp.r1 AS d1,
         |    (c2 * 1000000) // n_rows - rp.r2 AS d2,
         |    (c3 * 1000000) // n_rows - rp.r3 AS d3
-        |  FROM cw, rp)
-        |SELECT CAST(p * 600 AS BIGINT) AS window_start,
+        |  FROM cw, rp),
+        |f AS (SELECT CAST(p * 600 AS BIGINT) AS window_start,
         |  CAST((p + 1) * 600 AS BIGINT) AS window_end, n_rows,
-        |  list_value(c0, c1, c2, c3) AS bin_counts,
+        |  c0, c1, c2, c3,
         |  CAST(abs(d0) + abs(d1) + abs(d2) + abs(d3) AS BIGINT) AS l1_ppm,
         |  CAST(CASE
         |    WHEN abs(d0) >= abs(d1) AND abs(d0) >= abs(d2)
@@ -3130,7 +3147,13 @@ object Queries {
         |    WHEN abs(d1) >= abs(d2) AND abs(d1) >= abs(d3) THEN d1
         |    WHEN abs(d2) >= abs(d3) THEN d2 ELSE d3 END AS BIGINT)
         |    AS worst_delta_ppm
-        |FROM dd""".stripMargin,
+        |  FROM dd)
+        |SELECT window_start, window_end, n_rows,
+        |  CAST(b.bin AS BIGINT) AS bin,
+        |  CASE b.bin WHEN 0 THEN c0 WHEN 1 THEN c1
+        |    WHEN 2 THEN c2 ELSE c3 END AS bin_count,
+        |  l1_ppm, worst_bin, worst_delta_ppm
+        |FROM f, (VALUES (0), (1), (2), (3)) b(bin)""".stripMargin,
     // hop-bounded dedup walk per (seed, node); min distance then the
     // seed aggregate — unreachable-only seeds keep a zero row
     "q210_reach_profile" ->
@@ -3231,8 +3254,8 @@ object Queries {
         |    CAST(count(*) AS BIGINT) AS n_transitions
         |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n_transitions,
-        |  (n_transitions * 1000000) // sum(n_transitions)
-        |    OVER (PARTITION BY from_type) AS ppm
+        |  CAST((n_transitions * 1000000) // sum(n_transitions)
+        |    OVER (PARTITION BY from_type) AS BIGINT) AS ppm
         |FROM c""".stripMargin,
     // q42's exact-Jaccard transitive closure, then one keep-best row per
     // cluster: max length, ties to the smallest doc_id, with multiplicity
@@ -4732,12 +4755,19 @@ object Queries {
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
         |days AS (SELECT DISTINCT ws FROM vals),
         |cum AS (SELECT d.ws, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |    quantile_disc(v.value, [0.25, 0.5, 0.75]) AS vs
-        |  FROM days d JOIN vals v ON v.ws <= d.ws GROUP BY d.ws)
+        |    quantile_disc(v.value, 0.25) AS v25,
+        |    quantile_disc(v.value, 0.5) AS v50,
+        |    quantile_disc(v.value, 0.75) AS v75
+        |  FROM days d JOIN vals v ON v.ws <= d.ws GROUP BY d.ws),
+        |cn AS (SELECT ws, n_rows, v25, v50, v75,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY ws) AS INTEGER) AS n_windows
+        |  FROM cum)
         |SELECT ws AS window_start, ws + INTERVAL 1 DAY AS window_end,
-        |  CAST(ROW_NUMBER() OVER (ORDER BY ws) AS INTEGER) AS n_windows,
-        |  n_rows, CAST(0 AS BIGINT) AS err_units, vs AS "values"
-        |FROM cum""".stripMargin,
+        |  n_windows, n_rows, CAST(0 AS BIGINT) AS err_units,
+        |  CAST(p.p AS DOUBLE) AS percentile,
+        |  CASE p.p WHEN 0.25 THEN v25 WHEN 0.5 THEN v50 ELSE v75 END
+        |    AS "value"
+        |FROM cn, (VALUES (0.25), (0.5), (0.75)) p(p)""".stripMargin,
     // the batch-equivalent range join: view in [click - 1h, click],
     // same user, null users never match
     "q180_streaming_interval_join" ->

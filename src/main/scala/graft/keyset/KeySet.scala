@@ -407,7 +407,7 @@ object KeySet {
     * normalize_joins, _rules.py:277-283,396).
     */
   private def orderKey(op: KeySetOp): (String, Int) =
-    (op.columns.sorted.mkString(" "), op.hashCode)
+    (op.columns.sorted.mkString("\u0000"), op.hashCode)
 
   /** Canonical cross of a factor list: drop empty-column (total-aggregation)
     * factors, sort the rest, rebuild left-deep (reference merge_cross_joins

@@ -921,10 +921,14 @@ object CorpusStats {
     * convention — listwise deletion would let one always-null column
     * empty every pair).
     *
-    * Sums accumulate in decimal(38,0) — no product of longs can
-    * overflow the aggregate — and are released as longs behind a LOUD
-    * overflow check (`raise_error` names the pair) rather than a silent
-    * wrap or null.
+    * Sums accumulate in decimal(38,0); a single long*long product fits
+    * (≤ ~1.7e37), but the SUM itself can still exceed 38 digits at
+    * extreme row counts × magnitudes, which non-ANSI Spark returns as
+    * NULL. Both failure shapes are LOUD: a NULL sum alongside a
+    * positive count raises (decimal overflow — the pre-r12 code
+    * coalesced it to a silent 0), and a finite sum past Long.MaxValue
+    * raises before the long release (`raise_error` names the pair).
+    * Only a genuinely empty pair (n = 0) releases zeros.
     *
     * Scale shape: ONE full-scan aggregate computes all C*(C-1)/2 pairs'
     * sums as map-side-partial columns (C is require-bounded at 16, so
@@ -965,19 +969,29 @@ object CorpusStats {
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val maxLong = lit(Long.MaxValue).cast("decimal(38,0)")
-    def asLong(c: Column, cx: String, cy: String, what: String): Column =
-      when(abs(coalesce(c, lit(0)).cast("decimal(38,0)")) > maxLong,
-        raise_error(lit(s"correlationSums: $what overflows a long for " +
-          s"pair ($cx, $cy) — pre-scale the columns down")).cast("long"))
+    // Two distinct NULL sources must not conflate: SUM over zero rows is
+    // NULL (release 0 — an empty pair), and a decimal(38,0) OVERFLOW is
+    // also NULL under non-ANSI mode (raise — pre-r12 this coalesced to a
+    // silent 0, defeating the loud-overflow contract below).
+    def asLong(c: Column, n: Column, cx: String, cy: String,
+        what: String): Column =
+      when(c.isNull && n > 0L,
+        raise_error(lit(s"correlationSums: $what overflowed " +
+          s"decimal(38,0) for pair ($cx, $cy) — pre-scale the columns " +
+          "down")).cast("long"))
+        .when(abs(coalesce(c, lit(0)).cast("decimal(38,0)")) > maxLong,
+          raise_error(lit(s"correlationSums: $what overflows a long for " +
+            s"pair ($cx, $cy) — pre-scale the columns down")).cast("long"))
         .otherwise(coalesce(c, lit(0)).cast("long"))
     val rows = pairs.zipWithIndex.map { case ((cx, cy), k) =>
+      val n = col(s"__n$k")
       struct(lit(cx).as("col_x"), lit(cy).as("col_y"),
-        col(s"__n$k").as("n"),
-        asLong(col(s"__sx$k"), cx, cy, "sum_x").as("sum_x"),
-        asLong(col(s"__sy$k"), cx, cy, "sum_y").as("sum_y"),
-        asLong(col(s"__sxx$k"), cx, cy, "sum_xx").as("sum_xx"),
-        asLong(col(s"__syy$k"), cx, cy, "sum_yy").as("sum_yy"),
-        asLong(col(s"__sxy$k"), cx, cy, "sum_xy").as("sum_xy"))
+        n.as("n"),
+        asLong(col(s"__sx$k"), n, cx, cy, "sum_x").as("sum_x"),
+        asLong(col(s"__sy$k"), n, cx, cy, "sum_y").as("sum_y"),
+        asLong(col(s"__sxx$k"), n, cx, cy, "sum_xx").as("sum_xx"),
+        asLong(col(s"__syy$k"), n, cx, cy, "sum_yy").as("sum_yy"),
+        asLong(col(s"__sxy$k"), n, cx, cy, "sum_xy").as("sum_xy"))
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }

@@ -454,8 +454,13 @@ object Quality {
         "invariant, so any fixed power-of-ten scaling preserves the audit)")
     val spark = df.sparkSession
     import spark.implicits._
+    // the literal table is 1e6-scaled; requantize to the caller's scale so
+    // observed_ppm and expected_ppm always share units (truncating div —
+    // max product 301030 * 1e12 < 2^63, so plain long arithmetic is exact)
     val expected = benfordPpm.toDF("digit", "expected_ppm")
-      .select(col("digit").cast("long").as("digit"), col("expected_ppm"))
+      .select(col("digit").cast("long").as("digit"),
+        expr(s"(expected_ppm * ${ppmScale}L) div 1000000L")
+          .as("expected_ppm"))
     val counts = df
       .where(col(valueCol).isNotNull && col(valueCol) > 0L)
       .groupBy(substring(col(valueCol).cast("string"), 1, 1)
@@ -579,6 +584,8 @@ object Quality {
       require(df.columns.contains(c), s"input is missing column '$c'"))
     require(!df.columns.contains("was_imputed"),
       "input uses reserved column name 'was_imputed'; rename it first")
+    require(!df.columns.contains("__mode"),
+      "input uses reserved column name '__mode'; rename it first")
     val freq = df
       .where(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
         col(valueCol).isNotNull)

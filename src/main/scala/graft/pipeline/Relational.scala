@@ -1274,8 +1274,9 @@ object Relational {
     * them; callers wanting strictly-overlapping-only semantics shift `hi`
     * down one unit. Duplicate and fully-contained intervals fold into
     * their container (the running max never moves backward). Rows with a
-    * NULL key, NULL endpoint, or `hi <= lo` (empty/inverted — no extent)
-    * fail loudly rather than silently skewing the union.
+    * NULL endpoint or `hi <= lo` (empty/inverted — no extent) fail
+    * loudly rather than silently skewing the union; rows with a NULL
+    * key DROP (they belong to no series — the [[scdAudit]] convention).
     *
     * Scale shape: ONE key-keyed exchange serves everything — the
     * running-max window, the island-id running sum over the SAME sort,
@@ -1293,9 +1294,14 @@ object Relational {
       require(df.columns.contains(c), s"input is missing '$c'"))
     Seq(loCol, hiCol).foreach { c =>
       val t = df.schema(c).dataType
-      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"mergeIntervals needs numeric endpoints, got ${t.simpleString} " +
-          s"in '$c' — convert dates/timestamps to epoch units first")
+      require(Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(t),
+        s"mergeIntervals needs integral endpoints, got ${t.simpleString} " +
+          s"in '$c' — a silent cast would truncate fractional bounds and " +
+          "change merge results; convert dates/timestamps to epoch units " +
+          "first")
     }
     val keyed = df.select(
       keyCols.map(col) ++ Seq(
@@ -1501,6 +1507,17 @@ object Relational {
     require(keyCols.nonEmpty, "scdAudit needs at least one key column")
     (keyCols ++ Seq(fromCol, toCol)).foreach(c =>
       require(df.columns.contains(c), s"input is missing '$c'"))
+    Seq(fromCol, toCol).foreach { c =>
+      val t = df.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(t),
+        s"scdAudit needs integral validity bounds, got ${t.simpleString} " +
+          s"in '$c' — a silent cast would truncate fractional bounds and " +
+          "change overlap/gap results; convert dates/timestamps to epoch " +
+          "units first")
+    }
     val openEnd = Long.MaxValue
     val keyed = df.select(
       keyCols.map(col) ++ Seq(

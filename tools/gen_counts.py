@@ -91,14 +91,18 @@ def build_block():
         sys.exit("bench_out.json has queries absent from the registry — "
                  f"rerun graft.Bench (bench-only: {extra})")
     pending = sorted(set(names) - set(bench_names))
-    if pending:
-        # registry grew since the last bench run: fine mid-round (the block
-        # states the bench query count separately), noisy so round close
-        # can't miss it
-        print(f"note: {len(pending)} registry queries not yet benched "
-              f"(rerun graft.Bench before round close): {pending}",
-              file=sys.stderr)
     args = parse_args()
+    if pending:
+        # registry grew since the last bench run: tolerable mid-round while
+        # iterating (plain regenerate), but --check is the round-close gate
+        # (DocsCountsSpec runs it inside `sbt test`) — an unbenched registry
+        # query there is a hard failure, the same treatment doc-count drift
+        # gets. Round 11 shipped a 17-query bench gap as a mere note.
+        msg = (f"{len(pending)} registry queries not yet benched "
+               f"(rerun graft.Bench before round close): {pending}")
+        if args.check:
+            sys.exit(f"BENCH GAP: {msg}")
+        print(f"note: {msg}", file=sys.stderr)
     tests, suites = test_counts(args.test_log)
     n_err = len(rec.get("errors", []))
     sf = rec.get("sf", "?")
