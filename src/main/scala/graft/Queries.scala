@@ -1248,6 +1248,17 @@ object Queries {
         col("l_partkey").cast("string").as("part"))
       graft.pipeline.Sampling.negativeSamples(pos, "supp", "part", k = 2)
     }),
+    "q216_negative_samples_exact" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // the exactly-k contract: every positive (supp, part) on the
+      // low-quantity slice releases exactly 3 negatives — first-3
+      // distinct non-positive items of the deterministic hash stream,
+      // stragglers alone scanning the bounded remainder range
+      val pos = read(s, d, "lineitem").where(col("l_quantity") <= 5)
+        .select(col("l_suppkey").cast("string").as("supp"),
+          col("l_partkey").cast("string").as("part"))
+      graft.pipeline.Sampling.negativeSamplesExact(pos, "supp", "part", k = 3)
+    }),
     "q213_scd_audit" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // audit a deliberately messy synthetic SCD (1000-wide validity
@@ -3071,6 +3082,32 @@ object Queries {
         |SELECT c.u AS supp, c.neg AS neg_item FROM cand c
         |LEFT JOIN pos p ON p.u = c.u AND p.i = c.neg
         |WHERE p.u IS NULL""".stripMargin,
+    // first k=3 distinct non-positive items of each positive's hash
+    // stream over the full bounded draw range [0, 10k) — the engine's
+    // two-phase scan (2k for all, the 8k remainder for stragglers only)
+    // releases exactly this set when no positive is terminally short
+    "q216_negative_samples_exact" ->
+      """WITH pos AS (SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS u,
+        |    CAST(l_partkey AS VARCHAR) AS i FROM lineitem
+        |  WHERE l_quantity <= 5
+        |    AND l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |it AS (SELECT i, row_number() OVER (ORDER BY i) - 1 AS idx
+        |  FROM (SELECT DISTINCT i FROM pos)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM it),
+        |ts AS (SELECT unnest(range(0, 30)) AS t),
+        |cand AS (SELECT pos.u, pos.i, ts.t, it.i AS neg
+        |  FROM pos, n, ts, it
+        |  WHERE it.idx = CAST(('0x' || substr(md5(pos.u || chr(1) ||
+        |    pos.i || chr(1) || CAST(ts.t AS VARCHAR) || chr(1) || 'neg'),
+        |    1, 8)) AS BIGINT) % n.n),
+        |ok AS (SELECT c.u, c.i, c.neg, min(c.t) AS t FROM cand c
+        |  LEFT JOIN pos p ON p.u = c.u AND p.i = c.neg
+        |  WHERE p.u IS NULL GROUP BY c.u, c.i, c.neg),
+        |rk AS (SELECT u, i, neg,
+        |    row_number() OVER (PARTITION BY u, i ORDER BY t) AS r
+        |  FROM ok)
+        |SELECT u AS supp, i AS part, neg AS neg_item
+        |FROM rk WHERE r <= 3""".stripMargin,
     // the same strictly-earlier running-max sweep; open rows as
     // max-long sentinels
     "q213_scd_audit" ->

@@ -198,6 +198,61 @@ final class KeySet private (val op: KeySetOp) extends Serializable {
 
   override def toString: String = s"KeySet(${columns.mkString(", ")})"
 
+  /** Factorization diagnostics (reference `KeySet._decompose`,
+    * _keyset.py:576-619, with the per-op rules of _ops/_cross_join.py:132,
+    * _ops/_join.py:121, _ops/_subtract.py:103): express this keyset as
+    * `(factors, subtractedValues)` such that crossing/joining the factors
+    * and then subtracting each subtracted value reproduces the original
+    * key set. Cross products split into their factors; a natural join
+    * splits only when ALL of its join columns are in `splitColumns`
+    * (the caller's promise that factors may share those columns);
+    * a subtraction whose columns are fully contained in one factor is
+    * absorbed into that factor, otherwise it lands in the subtracted
+    * list. Everything else (literal sets, filters, projections, unions)
+    * is atomic. Purely structural — nothing materializes — which makes
+    * this the `describe()`-grade introspection for "why is this keyset
+    * shaped the way it is". A plan keyset ([[KeySet.detect]]) has no
+    * factorization before evaluation and throws.
+    */
+  def decompose(
+      splitColumns: Set[String] = Set.empty): (Seq[KeySet], Seq[KeySet]) = {
+    def rec(o: KeySetOp): (Vector[KeySetOp], Vector[KeySetOp]) = o match {
+      case Detect(_) =>
+        throw new IllegalStateException(
+          "a plan KeySet (detect) cannot be decomposed before evaluation")
+      case Cross(l, r) =>
+        val (lf, ls) = rec(l); val (rf, rs) = rec(r)
+        (lf ++ rf, ls ++ rs)
+      case j @ Join(l, r) =>
+        val joinCols = l.columns.toSet intersect r.columns.toSet
+        if (joinCols.subsetOf(splitColumns)) {
+          val (lf, ls) = rec(l); val (rf, rs) = rec(r)
+          (lf ++ rf, ls ++ rs)
+        } else (Vector(j), Vector.empty)
+      case Subtract(l, r) =>
+        val (lf, ls) = rec(l)
+        val rcols = r.columns.toSet
+        var absorbed = false
+        val nf = lf.map { f =>
+          if (rcols.subsetOf(f.columns.toSet)) {
+            absorbed = true; Subtract(f, r): KeySetOp
+          } else f
+        }
+        if (absorbed) (nf, ls) else (nf, ls :+ r)
+      case other => (Vector(other), Vector.empty)
+    }
+    val (fs, svs) = rec(op)
+    // present each factor's columns in THIS keyset's column order
+    // (reference as_keyset, _keyset.py:612-614)
+    def wrap(o: KeySetOp): KeySet = {
+      val ordered = columns.filter(o.columns.contains) ++
+        o.columns.filterNot(columns.contains)
+      val ks = KeySet(o)
+      if (ks.columns == ordered) ks else ks.project(ordered)
+    }
+    (fs.map(wrap), svs.map(wrap))
+  }
+
   /** Value equality (reference `KeySet.__eq__`, _keyset.py:535-571): two
     * keysets are equal when they hold the same values for the same columns,
     * in any row/column order. Structural equivalence decides cheaply when it

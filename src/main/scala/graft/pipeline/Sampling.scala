@@ -207,4 +207,116 @@ object Sampling {
         Seq("__u", "__neg"), "left_anti")
       .select(col("__u").as(userCol), col("__neg").as("neg_item"))
   }
+
+  /** EXACTLY-k negative sampling: for every distinct positive (user,
+    * item), the first `k` DISTINCT non-positive items along that
+    * positive's deterministic candidate stream — the
+    * [[negativeSamples]] draw `items[h32(user, item, t, salt) mod
+    * n_items]` scanned in draw order t = 0, 1, 2, …. Collisions and
+    * positive hits don't shrink the sample (the scan just keeps
+    * going), so every positive releases exactly `k` rows `(user, item,
+    * neg_item)` — the per-positive contract BPR-style pairwise losses
+    * actually need, vs [[negativeSamples]]'s cheaper up-to-k per-user
+    * pool. Determinism is total: membership AND order depend only on
+    * the positive set, `k`, and `salt` — any engine reproduces the
+    * release bit for bit by ranking the same hash stream.
+    *
+    * The scan is BOUNDED at `2k + 8k` draws per positive (the
+    * documented "second salt for the remainder" loop made the
+    * operator): a first batch of `2k` draws serves every positive in
+    * one pass — with n_items ≥ 2·(k + positives(user)) each draw
+    * misses with probability < ½, so ≥ k successes in 2k draws is the
+    * overwhelmingly common case — and only the stragglers scan the
+    * 8k-draw remainder range. A positive still short after both
+    * ranges (its user holds almost the whole item universe, or k
+    * approaches n_items) raises LOUDLY, naming offending pairs,
+    * rather than silently releasing fewer rows.
+    *
+    * Scale shape: the same distinct + two-phase global item rank as
+    * [[negativeSamples]]; phase 1 is one bounded 2k-explode, an
+    * equi-join on the 8-byte index, one anti-join against positives,
+    * and a per-positive WindowGroupLimit rank; phase 2 repeats that on
+    * the (usually empty) shortfall set only. Two bounded driver
+    * actions (the shortfall probes); nothing quadratic; released rows
+    * = k × |positives| exactly.
+    */
+  def negativeSamplesExact(
+      positives: DataFrame, userCol: String, itemCol: String, k: Int,
+      salt: String = "neg"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(!salt.contains("\u0001"),
+      "salt must not contain the \\u0001 separator")
+    Seq(userCol, itemCol).foreach(c =>
+      require(positives.columns.contains(c), s"input is missing '$c'"))
+    val pos = positives
+      .select(col(userCol).cast("string").as("__u"),
+        col(itemCol).cast("string").as("__i"))
+      .where(col("__u").isNotNull && col("__i").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val items = graft.exec.Ranks.globalRowNumber(
+      pos.select(col("__i")).distinct(), Seq(col("__i")), "__idx")
+      .localCheckpoint(true)
+    val nItems = items.count()
+    require(nItems >= 2L,
+      s"negativeSamplesExact needs >= 2 distinct items, got $nItems")
+    val negs = items.select(col("__idx"), col("__i").as("__neg"))
+    val posAsNeg = pos.select(col("__u"), col("__i").as("__neg"))
+    // candidates over a draw range: dedup per (positive, neg) keeps the
+    // EARLIEST draw, so ranking by __t below realizes "first k distinct
+    // acceptable candidates in stream order" exactly
+    def batch(src: DataFrame, ts: Range): DataFrame = src
+      .select(col("__u"), col("__i"),
+        explode(array(ts.map(t => lit(t.toLong)): _*)).as("__t"))
+      .select(col("__u"), col("__i"), col("__t"),
+        pmod(hash32(concat_ws("\u0001", col("__u"), col("__i"),
+          col("__t"), lit(salt))), lit(nItems)).as("__idx"))
+      .join(negs, Seq("__idx"))
+      .join(posAsNeg, Seq("__u", "__neg"), "left_anti")
+      .groupBy(col("__u"), col("__i"), col("__neg"))
+      .agg(min(col("__t")).as("__t"))
+    val w = Window.partitionBy(col("__u"), col("__i")).orderBy(col("__t"))
+    val acc1 = batch(pos, 0 until 2 * k)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .localCheckpoint(true)
+    val have = acc1.groupBy(col("__u"), col("__i"))
+      .agg(count(lit(1)).as("__have"))
+    val short = pos.join(have, Seq("__u", "__i"), "left")
+      .select(col("__u"), col("__i"),
+        (lit(k.toLong) - coalesce(col("__have"), lit(0L))).as("__need"))
+      .where(col("__need") > 0L)
+    val accepted =
+      if (short.isEmpty) acc1
+      else {
+        // remainder range for the stragglers only; candidates equal to a
+        // phase-1 acceptance drop (already released), so the combined set
+        // is still the global first-k of the full [0, 10k) stream
+        val acc2 = batch(short.select(col("__u"), col("__i")),
+          2 * k until 10 * k)
+          .join(acc1.select(col("__u"), col("__i"), col("__neg")),
+            Seq("__u", "__i", "__neg"), "left_anti")
+          .withColumn("__rk", row_number().over(w))
+          .join(short, Seq("__u", "__i"))
+          .where(col("__rk") <= col("__need"))
+          .select(acc1.columns.map(col): _*)
+        acc1.unionByName(acc2).localCheckpoint(true)
+      }
+    val stillShort = pos
+      .join(accepted.groupBy(col("__u"), col("__i"))
+        .agg(count(lit(1)).as("__n")), Seq("__u", "__i"), "left")
+      .where(coalesce(col("__n"), lit(0L)) < k)
+    val bad = stillShort.limit(5).collect()
+    if (bad.nonEmpty) {
+      val sample = bad.map(r => s"(${r.getString(0)}, ${r.getString(1)})")
+        .mkString(", ")
+      throw new IllegalStateException(
+        s"negativeSamplesExact: positives with fewer than k=$k reachable " +
+          s"negatives after ${10 * k} draws (user holds nearly the whole " +
+          s"item universe, or k is close to n_items=$nItems): $sample — " +
+          "lower k or widen the item universe")
+    }
+    accepted.select(col("__u").as(userCol), col("__i").as(itemCol),
+      col("__neg").as("neg_item"))
+  }
 }

@@ -247,4 +247,51 @@ class SamplingSpec extends SparkSpec {
       Sampling.negativeSamples(pairs(("u1", "a"), ("u2", "a")), "u", "i", 2)
     }
   }
+
+  test("negativeSamplesExact: exactly k rows per positive, never the " +
+      "user's own positives, when n_items >= 2k") {
+    // 12-item universe, k=2: every user holds few positives, so exactly-k
+    // is reachable for all
+    val pos = pairs((1 to 30).map(x =>
+      (s"u${x % 6}", s"i${(x * 5) % 12}")): _*)
+    val positives = pos.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val out = Sampling.negativeSamplesExact(pos, "u", "i", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val perPositive = out.groupBy(t => (t._1, t._2))
+    assert(perPositive.keySet === positives)
+    perPositive.foreach { case (p, negs) =>
+      assert(negs.length === 2, s"positive $p released ${negs.length} != 2")
+      assert(negs.map(_._3).distinct.length === 2,
+        s"positive $p released duplicate negatives")
+    }
+    out.foreach { case (u, _, n) =>
+      assert(!positives.contains((u, n)),
+        s"released a true positive ($u, $n) as a negative")
+    }
+  }
+
+  test("negativeSamplesExact is deterministic, partition-invariant, and " +
+      "salt-sensitive") {
+    val pos = pairs((1 to 40).map(x =>
+      (s"u${x % 8}", s"i${(x * 7) % 15}")): _*)
+    val a = Sampling.negativeSamplesExact(pos, "u", "i", 2)
+      .collect().map(_.toSeq).toSet
+    val b = Sampling.negativeSamplesExact(pos.repartition(9), "u", "i", 2)
+      .collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+    val c = Sampling.negativeSamplesExact(pos, "u", "i", 2, salt = "epoch2")
+      .collect().map(_.toSeq).toSet
+    assert(c !== a)
+  }
+
+  test("negativeSamplesExact raises loudly when a positive cannot reach " +
+      "k negatives") {
+    // u1 holds the entire 2-item universe: zero reachable negatives
+    val pos = pairs(("u1", "a"), ("u1", "b"), ("u2", "a"))
+    val e = intercept[IllegalStateException] {
+      Sampling.negativeSamplesExact(pos, "u", "i", k = 1).collect()
+    }
+    assert(e.getMessage.contains("fewer than k=1"))
+  }
 }

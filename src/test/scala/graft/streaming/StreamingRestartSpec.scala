@@ -378,4 +378,71 @@ class StreamingRestartSpec extends SparkSpec {
     assert(rows === Set(("1", 50L, null)),
       s"the expired touch must yield an unattributed conversion, got $rows")
   }
+
+  test("streamingAttribution eventTimeTtl backfill parity: one " +
+      "AvailableNow replay of a DISORDERED multi-file history, chunked " +
+      "into per-file micro-batches, matches the batch attribution") {
+    // The motivating event-time-TTL scenario: replaying months of
+    // historical files through the stateful operator must credit exactly
+    // what the batch operator credits — expiry rides the WATERMARK clock,
+    // so a backfill (however fast it runs) expires nothing a live run
+    // would have kept. Rows are scrambled WITHIN each file (the operator
+    // sorts each entity's batch slice); files arrive in chronological
+    // order (the realistic daily-file backfill), each as its own
+    // micro-batch via maxFilesPerTrigger=1 so state genuinely carries
+    // across batches.
+    val root = Files.createTempDirectory("attrparity").toFile.getAbsolutePath
+    val inDir = s"$root/in"
+    val schema = StructType(Seq(
+      StructField("user", LongType), StructField("etype", StringType),
+      StructField("t", LongType), StructField("ts", TimestampType)))
+    def writeWave(rows: Seq[(Long, String, Long, Timestamp)]): Unit = {
+      makeDf(schema, rows.map { case (u, e, t, w) =>
+        org.apache.spark.sql.Row(u, e, t, w) })
+        .coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(50) // distinct mtimes keep file order deterministic
+    }
+    // day 1, scrambled: u1 converts after its click; u2's touch waits;
+    // u3 converts with no touch at all
+    val day1 = Seq(
+      (1L, "buy", 20L, ts(2)), (3L, "buy", 50L, ts(5)),
+      (1L, "click", 10L, ts(1)), (2L, "view", 30L, ts(3)))
+    // day 2, scrambled: u2 converts on the touch carried from day 1;
+    // u1 converts on a fresh view (the day-1 click is outside lookback)
+    val day2 = Seq(
+      (1L, "buy", 150L, ts(15)), (2L, "buy", 80L, ts(8)),
+      (1L, "view", 100L, ts(10)))
+    // day 3, scrambled: conversion row written before its own touch row
+    val day3 = Seq(
+      (4L, "buy", 290L, ts(29)), (4L, "click", 200L, ts(20)))
+    writeWave(day1); writeWave(day2); writeWave(day3)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val credits = Streaming.streamingAttribution(
+      stream, "user", "etype", "t", "buy", Seq("click", "view"),
+      lookback = 100L,
+      eventTimeTtl = Some(Streaming.EventTimeTtl(
+        "ts", "0 seconds", ttlMs = 60 * 60000L)))
+    val q = credits.writeStream.format("memory").queryName("attrparity")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("attrparity").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val batch = graft.pipeline.Relational.attribution(
+      makeDf(schema, (day1 ++ day2 ++ day3).map { case (u, e, t, w) =>
+        org.apache.spark.sql.Row(u, e, t, w) }),
+      "user", "t", "etype", "buy", Seq("click", "view"), lookback = 100L)
+      .collect().map(r => (r.getLong(0).toString, r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(streamed === batch,
+      s"replayed credits must equal the batch release:\n" +
+        s"stream: $streamed\nbatch:  $batch")
+    assert(batch === Set(
+      ("1", 20L, "click", 10L), ("3", 50L, null, -1L),
+      ("2", 80L, "view", 30L), ("1", 150L, "view", 100L),
+      ("4", 290L, "click", 200L)))
+  }
 }
