@@ -923,12 +923,14 @@ object CorpusStats {
     *
     * Sums accumulate in decimal(38,0); a single long*long product fits
     * (≤ ~1.7e37), but the SUM itself can still exceed 38 digits at
-    * extreme row counts × magnitudes, which non-ANSI Spark returns as
-    * NULL. Both failure shapes are LOUD: a NULL sum alongside a
-    * positive count raises (decimal overflow — the pre-r12 code
-    * coalesced it to a silent 0), and a finite sum past Long.MaxValue
-    * raises before the long release (`raise_error` names the pair).
-    * Only a genuinely empty pair (n = 0) releases zeros.
+    * extreme row counts × magnitudes. Every failure shape is LOUD:
+    * under ANSI mode (the Spark 4 default) the decimal SUM raises
+    * NUMERIC_VALUE_OUT_OF_RANGE itself; with ANSI off the SUM NULLs
+    * out and a NULL sum alongside a positive count raises here (the
+    * pre-r12 code coalesced it to a silent 0); and a finite sum past
+    * Long.MaxValue raises before the long release (`raise_error`
+    * names the pair). Only a genuinely empty pair (n = 0) releases
+    * zeros.
     *
     * Scale shape: ONE full-scan aggregate computes all C*(C-1)/2 pairs'
     * sums as map-side-partial columns (C is require-bounded at 16, so

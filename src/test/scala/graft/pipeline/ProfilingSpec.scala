@@ -38,6 +38,19 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("benfordAudit requantizes the expected table to ppmScale, so " +
+      "observed and expected share units at any scale") {
+    // ppb scale: every 1e6-scale pin multiplies by 1000 exactly
+    val out = Quality.benfordAudit(
+      vals(1L, 1L, 2L, 19L, 100L, -5L, 0L, null), "v",
+      ppmScale = 1000000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((4L, 800000000L, 301029000L, 498971000L)))
+    assert(out(2L) === ((1L, 200000000L, 176091000L, 23909000L)))
+    assert(out(9L) === ((0L, 0L, 45757000L, -45757000L)))
+  }
+
   private val catSchema = StructType(Seq(strCol("x"), strCol("y")))
 
   test("categoricalProfile: exact shares, gini recurrence, null ledger") {
@@ -150,6 +163,30 @@ class ProfilingSpec extends SparkSpec {
       r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
     val num = n * sxy - sx * sy
     assert(num * num === (n * sxx - sx * sx) * (n * syy - sy * sy))
+  }
+
+  test("correlationSums raises on decimal(38,0) overflow instead of " +
+      "releasing a silent 0 (empty-input NULL still releases zeros)") {
+    // ~40 rows of |x| ~ 3.1e18 push sum(x*x) past 38 digits. Under ANSI
+    // (Spark 4 default) the decimal SUM itself raises
+    // NUMERIC_VALUE_OUT_OF_RANGE; with ANSI off it NULLs out, and the
+    // operator's n>0-with-NULL-sum guard raises instead — BOTH paths are
+    // loud, neither coalesces to a silent 0
+    val big = makeDf(StructType(Seq(longCol("x"), longCol("y"))),
+      (1 to 40).map(_ => Row(3100000000000000000L, 1L)))
+    val e = intercept[Exception] {
+      CorpusStats.correlationSums(big, Seq("x", "y")).collect()
+    }
+    assert(e.getMessage.contains("overflow") ||
+      e.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+      e.getMessage.contains("cannot be represented"),
+      s"expected a loud overflow, got: ${e.getMessage}")
+    // a pair with zero joint rows releases n=0 and all-zero sums
+    val empty = makeDf(StructType(Seq(longCol("x"), longCol("y"))),
+      Seq(Row(1L, null), Row(null, 2L)))
+    val r = CorpusStats.correlationSums(empty, Seq("x", "y"))
+      .collect().head
+    assert(r.getLong(2) === 0L && r.getLong(3) === 0L && r.getLong(7) === 0L)
   }
 
   test("correlationSums rejects non-integral and too many columns") {

@@ -38,6 +38,13 @@ class ReconSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Quality.imputeMode(df, Seq("g"), "v")
     }
+    // the internal working column is reserved too: an input '__mode'
+    // would make the fill join ambiguous / silently vanish
+    val df2 = makeDf(kvSchema, Seq(Row("g", "a")))
+      .withColumn("__mode", lit("x"))
+    intercept[IllegalArgumentException] {
+      Quality.imputeMode(df2, Seq("g"), "v")
+    }
   }
 
   private val rowSchema =

@@ -62,6 +62,22 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("mergeIntervals and scdAudit reject fractional endpoint types " +
+      "(a silent cast would truncate and change merge/overlap results)") {
+    val e1 = intercept[IllegalArgumentException] {
+      Relational.mergeIntervals(
+        iv(("k", 1L, 3L)).withColumn("lo", col("lo").cast("double")),
+        Seq("k"), "lo", "hi")
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      Relational.scdAudit(
+        iv(("k", 1L, 3L)).withColumn("hi", col("hi").cast("decimal(10,2)")),
+        Seq("k"), "lo", "hi")
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
   private val evSchema =
     StructType(Seq(strCol("g"), longCol("p")))
   private def ev(rows: (String, Long)*) =
