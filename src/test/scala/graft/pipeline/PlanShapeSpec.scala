@@ -646,6 +646,20 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"negativeSamples:\n$plan")
   }
 
+  test("negativeSamplesExact keeps the same shape: equi-joins only, " +
+      "never cartesian, rank limited per positive") {
+    // sparse fixture (each user holds 5 of 15 items — the documented
+    // headroom regime); the dense variant rightly raises its shortfall
+    val pos = makeDf(StructType(Seq(strCol("u"), strCol("i"))),
+      (1 to 40).map(x => Row(s"u${x % 8}", s"i${(x * 7) % 15}")))
+    val out = Sampling.negativeSamplesExact(pos, "u", "i", 2)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"negativeSamplesExact:\n$plan")
+  }
+
   test("tableDigest is one codegen'd projection + one bucket aggregate") {
     val df = makeDf(StructType(Seq(longCol("id"), strCol("p"))),
       (1 to 100).map(i => Row(i.toLong, s"p$i")))
