@@ -665,5 +665,28 @@ class DocExamplesSpec extends SparkSpec {
     assert(e1.forall { case (u, n) => // never a true positive
       !Set(("u1", "a"), ("u1", "b"), ("u2", "c"), ("u2", "d"),
         ("u3", "e"), ("u3", "a")).contains((u, n)) })
+    // the exactly-k variant fills each positive's full quota
+    val ex = Sampling.negativeSamplesExact(clicks, "user", "item", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(ex.groupBy(t => (t._1, t._2)).forall(_._2.length == 2))
+  }
+
+  test("example: KeySet.decompose explains a key domain's structure") {
+    import graft.keyset.KeySet
+    val brands = KeySet.fromColumn("brand", Seq("acme", "zeno"))
+    val sizes = KeySet.fromColumn("size", Seq(1, 2, 3))
+    val discontinued = KeySet.fromTuples(Seq(Seq("acme", 3L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("brand",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("size",
+          org.apache.spark.sql.types.LongType))))
+    val (factors, subtracted) = (brands * sizes).subtract(discontinued)
+      .decompose()
+    // the 2-column subtraction spans both factors, so it lands in the
+    // subtracted list; the factors stay pure per-column domains
+    assert(factors.map(_.columns.toSet).toSet ===
+      Set(Set("brand"), Set("size")))
+    assert(subtracted.map(_.columns.toSet) === Seq(Set("brand", "size")))
   }
 }
