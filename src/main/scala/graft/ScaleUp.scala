@@ -39,9 +39,10 @@ object ScaleUp {
       println(s"scaled $table x$copies")
     }
     rep("lineitem", Map("l_orderkey" -> (s => col("l_orderkey") + s)))
-    rep("orders", Map(
-      "o_orderkey" -> (s => col("o_orderkey") + s),
-      "o_custkey" -> (s => col("o_custkey") + s)))
+    // o_custkey deliberately NOT shifted: customer is copied verbatim, so
+    // shifting would orphan 7/8 of orders from any orders-customer join;
+    // instead per-customer fan-in grows `copies`x (hot-dimension regime)
+    rep("orders", Map("o_orderkey" -> (s => col("o_orderkey") + s)))
     rep("events", Map(
       "event_id" -> (s => col("event_id") + s),
       "user_id" -> (s => col("user_id") + s)))

@@ -472,8 +472,13 @@ object Quality {
       .join(counts, Seq("digit"), "left")
       .na.fill(0L, Seq("n"))
       .withColumn("__tot", sum(col("n")).over(w))
+      // observed share widens through decimal(38,0): n * ppmScale at the
+      // 1e12 cap overflows a long past ~9.2M rows per digit, while the
+      // quotient (<= ppmScale) always fits the released long
       .select(col("digit"), col("n"),
-        when(col("__tot") > 0L, expr(s"(n * ${ppmScale}L) div __tot"))
+        when(col("__tot") > 0L,
+          expr(s"(CAST(n AS DECIMAL(38,0)) * ${ppmScale}L) div " +
+            "CAST(__tot AS DECIMAL(38,0))").cast("long"))
           .otherwise(lit(0L)).as("observed_ppm"),
         col("expected_ppm"))
       .withColumn("delta_ppm", col("observed_ppm") - col("expected_ppm"))

@@ -174,9 +174,15 @@ object Sampling {
     * positives. Nothing quadratic; the released pair count is <= k x
     * |positives| by construction.
     */
-  def negativeSamples(
+  /** Shared prep for the negative-sampling pair: the distinct canonical
+    * positive set, the ranked item universe, and its size — the
+    * determinism contract both operators stake (same casts, same
+    * checkpoint policy, same rank order), kept in ONE place so the two
+    * operators can never drift apart.
+    */
+  private def negativePrep(
       positives: DataFrame, userCol: String, itemCol: String, k: Int,
-      salt: String = "neg"): DataFrame = {
+      salt: String, opName: String): (DataFrame, DataFrame, Long) = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
     require(!salt.contains("\u0001"),
       "salt must not contain the \\u0001 separator")
@@ -193,7 +199,15 @@ object Sampling {
       .localCheckpoint(true)
     val nItems = items.count()
     require(nItems >= 2L,
-      s"negativeSamples needs >= 2 distinct items, got $nItems")
+      s"$opName needs >= 2 distinct items, got $nItems")
+    (pos, items, nItems)
+  }
+
+  def negativeSamples(
+      positives: DataFrame, userCol: String, itemCol: String, k: Int,
+      salt: String = "neg"): DataFrame = {
+    val (pos, items, nItems) =
+      negativePrep(positives, userCol, itemCol, k, salt, "negativeSamples")
     val cand = pos
       .select(col("__u"), col("__i"),
         explode(array((0 until k).map(j => lit(j.toLong)): _*)).as("__j"))
@@ -243,23 +257,9 @@ object Sampling {
   def negativeSamplesExact(
       positives: DataFrame, userCol: String, itemCol: String, k: Int,
       salt: String = "neg"): DataFrame = {
-    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
-    require(!salt.contains("\u0001"),
-      "salt must not contain the \\u0001 separator")
-    Seq(userCol, itemCol).foreach(c =>
-      require(positives.columns.contains(c), s"input is missing '$c'"))
-    val pos = positives
-      .select(col(userCol).cast("string").as("__u"),
-        col(itemCol).cast("string").as("__i"))
-      .where(col("__u").isNotNull && col("__i").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
-    val items = graft.exec.Ranks.globalRowNumber(
-      pos.select(col("__i")).distinct(), Seq(col("__i")), "__idx")
-      .localCheckpoint(true)
-    val nItems = items.count()
-    require(nItems >= 2L,
-      s"negativeSamplesExact needs >= 2 distinct items, got $nItems")
+    val (pos, items, nItems) =
+      negativePrep(positives, userCol, itemCol, k, salt,
+        "negativeSamplesExact")
     val negs = items.select(col("__idx"), col("__i").as("__neg"))
     val posAsNeg = pos.select(col("__u"), col("__i").as("__neg"))
     // candidates over a draw range: dedup per (positive, neg) keeps the

@@ -51,6 +51,17 @@ class ProfilingSpec extends SparkSpec {
     assert(out(9L) === ((0L, 0L, 45757000L, -45757000L)))
   }
 
+  test("benfordAudit observed share survives the 1e12 scale cap at " +
+      "10M-row digit counts (decimal widening, no long overflow)") {
+    // 10M rows, all leading digit 1: n * 1e12 = 1e19 > Long.MaxValue —
+    // the pre-widening code overflowed here (ANSI error / wrapped sign)
+    val big = spark.range(10000000L).selectExpr("id + 10000000 AS v")
+    val out = Quality.benfordAudit(big, "v", ppmScale = 1000000000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((10000000L, 1000000000000L))) // all mass on digit 1
+    assert(out(9L)._1 === 0L)
+  }
+
   private val catSchema = StructType(Seq(strCol("x"), strCol("y")))
 
   test("categoricalProfile: exact shares, gini recurrence, null ledger") {

@@ -396,11 +396,22 @@ class StreamingRestartSpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("user", LongType), StructField("etype", StringType),
       StructField("t", LongType), StructField("ts", TimestampType)))
+    var waveNo = 0
+    val seenFiles = scala.collection.mutable.Set.empty[String]
     def writeWave(rows: Seq[(Long, String, Long, Timestamp)]): Unit = {
       makeDf(schema, rows.map { case (u, e, t, w) =>
         org.apache.spark.sql.Row(u, e, t, w) })
         .coalesce(1).write.mode("append").parquet(inDir)
-      Thread.sleep(50) // distinct mtimes keep file order deterministic
+      // pin this wave's file mtimes explicitly: FileStreamSource orders
+      // unread files by modification time, and coarse-granularity
+      // filesystems (1 s overlays) could otherwise tie the waves and
+      // replay them out of order
+      waveNo += 1
+      val base = 1600000000000L + waveNo * 60000L
+      new java.io.File(inDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !seenFiles.contains(f.getName))
+        .foreach { f => seenFiles += f.getName; f.setLastModified(base) }
     }
     // day 1, scrambled: u1 converts after its click; u2's touch waits;
     // u3 converts with no touch at all
