@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
