@@ -48,6 +48,11 @@ final class Rat private (val num: BigInt, val den: BigInt) extends Ordered[Rat]
     if (isInfinite) throw new ArithmeticException("ceil of infinite Rat")
     val q = num /% den // BigInt division truncates toward zero
     val c = if (q._2 != 0 && num > 0) q._1 + 1 else q._1
+    // BigInt.toLong silently truncates to the low 64 bits — for a
+    // privacy-relevant stability bound a wrapped (tiny or negative)
+    // value would be catastrophic, so refuse out-of-range exactly
+    if (!c.isValidLong)
+      throw new ArithmeticException(s"ceil($this) = $c does not fit a Long")
     c.toLong
   }
 
@@ -116,8 +121,15 @@ sealed trait PrivacyBudget extends Serializable {
     case ApproxDPBudget(e, d) => e.isZero && d.isZero
     case RhoZCDPBudget(r)     => r.isZero
   }
-  /** Split this budget into n equal parts (for multi-part aggregations). */
-  def split(n: Int): PrivacyBudget
+  /** Split this budget into n equal parts (for multi-part aggregations).
+    * n must be >= 1: Rat division maps /0 to infinity, so an unguarded
+    * split(0) would silently turn a finite budget into an UNLIMITED one.
+    */
+  final def split(n: Int): PrivacyBudget = {
+    require(n >= 1, s"cannot split a privacy budget into $n parts")
+    splitImpl(n)
+  }
+  protected def splitImpl(n: Int): PrivacyBudget
   /** Subtract a spend of the same (or coercible) type. */
   def -(spend: PrivacyBudget): PrivacyBudget
   def >=(o: PrivacyBudget): Boolean
@@ -169,7 +181,7 @@ sealed trait PrivacyBudget extends Serializable {
 final case class PureDPBudget(epsilon: Rat) extends PrivacyBudget {
   require(epsilon >= Rat.zero, "epsilon must be non-negative")
   def isInfinite: Boolean = epsilon.isInfinite
-  def split(n: Int): PrivacyBudget = PureDPBudget(epsilon / Rat(n))
+  protected def splitImpl(n: Int): PrivacyBudget = PureDPBudget(epsilon / Rat(n))
   protected def scaled(factor: Rat): PrivacyBudget = PureDPBudget(epsilon * factor)
   def -(spend: PrivacyBudget): PrivacyBudget = spend match {
     case PureDPBudget(e) => PureDPBudget(if (isInfinite) Rat.Inf else epsilon - e)
@@ -188,7 +200,7 @@ object PureDPBudget {
 final case class ApproxDPBudget(epsilon: Rat, delta: Rat) extends PrivacyBudget {
   require(epsilon >= Rat.zero && delta >= Rat.zero && delta <= Rat.one)
   def isInfinite: Boolean = epsilon.isInfinite || delta == Rat.one
-  def split(n: Int): PrivacyBudget =
+  protected def splitImpl(n: Int): PrivacyBudget =
     ApproxDPBudget(epsilon / Rat(n), delta / Rat(n))
   protected def scaled(factor: Rat): PrivacyBudget =
     ApproxDPBudget(epsilon * factor, (delta * factor).min(Rat.one))
@@ -231,7 +243,7 @@ object ApproxDPBudget {
 final case class RhoZCDPBudget(rho: Rat) extends PrivacyBudget {
   require(rho >= Rat.zero, "rho must be non-negative")
   def isInfinite: Boolean = rho.isInfinite
-  def split(n: Int): PrivacyBudget = RhoZCDPBudget(rho / Rat(n))
+  protected def splitImpl(n: Int): PrivacyBudget = RhoZCDPBudget(rho / Rat(n))
   protected def scaled(factor: Rat): PrivacyBudget = RhoZCDPBudget(rho * factor)
   def -(spend: PrivacyBudget): PrivacyBudget = spend match {
     case RhoZCDPBudget(r) => RhoZCDPBudget(if (isInfinite) Rat.Inf else rho - r)

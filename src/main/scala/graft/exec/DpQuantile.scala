@@ -108,7 +108,16 @@ object DpQuantile {
   private[graft] def finishIntervals(
       values: Array[Double], q: Double, low: Double, high: Double, eps: Double,
       nextDouble: () => Double): Double = {
-    val v = values.map(x => math.min(math.max(x, low), high)).sorted
+    // NaNs carry no order position: clamping preserves them and sorting
+    // parks them past every real value, which (a) biased n/target while
+    // excluding them from intervals and (b) on an all-NaN group left every
+    // interval width NaN so no pick ever fired (index -1 crash). Exclude
+    // them up front — the planner path already drops NaN pre-aggregation
+    // (prepared(dropSpecial)); this closes the public exec API path. With
+    // NaNs gone and high > low, interval widths sum to high - low > 0, so
+    // a pick always exists.
+    val v = values.filter(x => !x.isNaN)
+      .map(x => math.min(math.max(x, low), high)).sorted
     val n = v.length
     if (high == low) return low
     val target = q * n

@@ -27,12 +27,29 @@ sealed trait NoiseMechanism extends Serializable {
   def inverseCdf(p: Double): Double = NoiseMechanism.inverseCdf(this, p)
 }
 object NoiseMechanism {
-  final case class Geometric(scale: Double) extends NoiseMechanism { val name = "Geometric" }
-  final case class Laplace(scale: Double) extends NoiseMechanism { val name = "Laplace" }
-  final case class Gaussian(scale: Double) extends NoiseMechanism { val name = "Gaussian" }
-  final case class DiscreteGaussian(scale: Double) extends NoiseMechanism { val name = "DiscreteGaussian" }
+  // A negative or NaN scale is ALWAYS a caller bug, and the samplers'
+  // clamping would otherwise turn it into near-zero noise — a release the
+  // caller believes is DP-protected but is essentially exact. Fail at
+  // construction, the only place the mistake is still attributable.
+  private def checkScale(scale: Double, name: String): Unit =
+    require(scale >= 0.0 && !scale.isNaN,
+      s"$name noise scale must be >= 0 (0 = noiseless), got $scale")
+  final case class Geometric(scale: Double) extends NoiseMechanism {
+    NoiseMechanism.checkScale(scale, "Geometric"); val name = "Geometric"
+  }
+  final case class Laplace(scale: Double) extends NoiseMechanism {
+    NoiseMechanism.checkScale(scale, "Laplace"); val name = "Laplace"
+  }
+  final case class Gaussian(scale: Double) extends NoiseMechanism {
+    NoiseMechanism.checkScale(scale, "Gaussian"); val name = "Gaussian"
+  }
+  final case class DiscreteGaussian(scale: Double) extends NoiseMechanism {
+    NoiseMechanism.checkScale(scale, "DiscreteGaussian")
+    val name = "DiscreteGaussian"
+  }
   /** Exponential mechanism (quantile); `scale` = epsilon (inf = noiseless). */
   final case class Exponential(scale: Double) extends NoiseMechanism {
+    NoiseMechanism.checkScale(scale, "Exponential")
     val name = "Exponential"
     override def isNoiseless: Boolean = scale.isInfinity
   }

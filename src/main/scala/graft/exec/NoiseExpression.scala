@@ -24,6 +24,12 @@ final case class AddNoise(child: Expression, mechanism: NoiseMechanism)
     if (!ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"AddNoise requires LongType or DoubleType input, got $dataType")
     else mechanism match {
+      // Exponential is a SELECTION mechanism (quantile), not additive —
+      // reject at analysis time rather than IllegalStateException mid-job
+      case e: NoiseMechanism.Exponential =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"${e.name} is a selection mechanism; AddNoise supports only " +
+            "additive mechanisms")
       case NoiseMechanism.Geometric(_) | NoiseMechanism.DiscreteGaussian(_) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ if dataType == DoubleType =>

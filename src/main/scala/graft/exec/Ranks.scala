@@ -56,6 +56,8 @@ object Ranks {
       df: DataFrame, order: Seq[Column], n: Int,
       out: String = "ntile"): DataFrame = {
     require(n >= 1, s"ntile needs n >= 1, got $n")
+    require(!df.columns.contains("__rk_rn"),
+      "input uses reserved column name '__rk_rn'; rename it first")
     val ranked = globalRowNumber(df, order, "__rk_rn")
       .localCheckpoint(true)
     val total = ranked.count()

@@ -104,28 +104,42 @@ object SpaceSavingTopK {
     * until the first eviction the sketch IS an exact count map.
     */
   final class Sketch(val capacity: Int) {
-    // key -> (count, error); size bounded by capacity
-    val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+    // key -> (count, error); size bounded by capacity. Private: every
+    // mutation must also maintain the byCount index below, so external
+    // writes go through add/remove — readers get the immutable view.
+    private val tbl: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+    def counters: collection.Map[String, (Long, Long)] = tbl
+    // (count, key) ordered index: victim selection and the merge floor are
+    // O(log capacity) head lookups. The full-map minBy scan this replaces
+    // made every saturated-regime update O(capacity) — a capacity-factor
+    // slowdown on exactly the high-cardinality streams the sketch exists
+    // for. Tuple ordering is (count asc, key asc), so the head IS the old
+    // deterministic victim rule.
+    private val byCount = mutable.TreeSet.empty[(Long, String)]
     var evicted: Boolean = false
 
-    private def minEntry(): (String, (Long, Long)) =
-      // deterministic victim: smallest count, ties on the key string
-      counters.minBy { case (key, (c, _)) => (c, key) }
+    private[SpaceSavingTopK] def put(key: String, c: Long, e: Long): Unit = {
+      tbl.get(key).foreach { case (old, _) => byCount.remove((old, key)) }
+      tbl.update(key, (c, e))
+      byCount.add((c, key))
+    }
 
-    def add(key: String, by: Long = 1L): Unit = counters.get(key) match {
-      case Some((c, e)) => counters.update(key, (c + by, e))
-      case None if counters.size < capacity =>
+    def add(key: String, by: Long = 1L): Unit = tbl.get(key) match {
+      case Some((c, e)) => put(key, c + by, e)
+      case None if tbl.size < capacity =>
         // a lossy MERGE can leave the sketch saturated below capacity; an
         // unseen key's true count may then be anything up to the resident
         // minimum, so it inherits that floor or its count would
         // under-estimate — an un-saturated sketch has seen every key and
         // credits a true zero
         val floor = if (evicted) minCount() else 0L
-        counters.update(key, (floor + by, floor))
+        put(key, floor + by, floor)
       case None =>
-        val (victim, (minC, _)) = minEntry()
-        counters.remove(victim)
-        counters.update(key, (minC + by, minC))
+        // deterministic victim: smallest count, ties on the key string
+        val (minC, victim) = byCount.head
+        tbl.remove(victim)
+        byCount.remove((minC, victim))
+        put(key, minC + by, minC)
         evicted = true
     }
 
@@ -133,33 +147,41 @@ object SpaceSavingTopK {
       * no longer (or never) holds.
       */
     private def minCount(): Long =
-      if (counters.isEmpty) 0L else counters.valuesIterator.map(_._1).min
+      if (byCount.isEmpty) 0L else byCount.head._1
+
+    /** Remove a resident key, maintaining the index (used by tests that
+      * force below-capacity saturation; production code never removes
+      * except through eviction).
+      */
+    def remove(key: String): Unit =
+      tbl.remove(key).foreach { case (c, _) => byCount.remove((c, key)) }
 
     def mergeWith(other: Sketch): Unit = {
       val floorSelf = if (evicted) minCount() else 0L
       val floorOther = if (other.evicted) other.minCount() else 0L
-      val keys = counters.keySet ++ other.counters.keySet
+      val keys = tbl.keySet.toSet ++ other.counters.keySet
       val combined = keys.iterator.map { key =>
-        val (c1, e1) = counters.getOrElse(key, (floorSelf, floorSelf))
+        val (c1, e1) = tbl.getOrElse(key, (floorSelf, floorSelf))
         val (c2, e2) = other.counters.getOrElse(key, (floorOther, floorOther))
         (key, (c1 + c2, e1 + e2))
       }.toSeq
-      counters.clear()
+      tbl.clear()
+      byCount.clear()
       if (combined.size <= capacity) {
-        combined.foreach { case (key, ce) => counters.update(key, ce) }
+        combined.foreach { case (key, (c, e)) => put(key, c, e) }
         evicted ||= other.evicted
       } else {
         // keep the top `capacity` by (count desc, key asc) — dropping keys
         // never touches the survivors' overestimate invariant
         combined.sortBy { case (key, (c, _)) => (-c, key) }
           .take(capacity)
-          .foreach { case (key, ce) => counters.update(key, ce) }
+          .foreach { case (key, (c, e)) => put(key, c, e) }
         evicted = true
       }
     }
 
     def top(k: Int): Seq[(String, Long, Long)] =
-      counters.toSeq
+      tbl.toSeq
         .sortBy { case (key, (c, _)) => (-c, key) }
         .take(k)
         .map { case (key, (c, e)) => (key, c, e) }
@@ -168,8 +190,8 @@ object SpaceSavingTopK {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
       out.writeBoolean(evicted)
-      out.writeInt(counters.size)
-      counters.foreach { case (key, (c, e)) =>
+      out.writeInt(tbl.size)
+      tbl.foreach { case (key, (c, e)) =>
         // length-framed UTF-8, not writeUTF: a key past 64 KB (degenerate
         // URLs, whole documents as keys) must round-trip, not crash the
         // shuffle with UTFDataFormatException
@@ -193,7 +215,7 @@ object SpaceSavingTopK {
         val kb = new Array[Byte](in.readInt())
         in.readFully(kb)
         val key = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
-        s.counters.update(key, (in.readLong(), in.readLong()))
+        s.put(key, in.readLong(), in.readLong())
         i += 1
       }
       s

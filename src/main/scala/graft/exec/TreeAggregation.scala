@@ -65,12 +65,15 @@ object TreeAggregation {
     val sums = contributions.groupBy("__l", "__j")
       .agg(sum(col("__c")).as("__raw"))
     // EVERY node of the complete tree draws noise — an un-noised empty
-    // node would reveal absence. The full node set is ~2*maxT rows: a
-    // function of the series length, never of corpus size.
-    val allNodes = df.sparkSession.range(maxT)
-      .select(explode(levels).as("__l"), col("id"))
-      .select(col("__l"), expr("shiftright(id, __l)").as("__j"))
-      .distinct()
+    // node would reveal absence. Level l holds exactly
+    // ceil(maxT / 2^l) nodes, so the ~2*maxT node set is generated
+    // DIRECTLY as a union of per-level ranges — the explode+distinct
+    // formulation this replaces shuffled maxT*height rows to produce it.
+    val allNodes = (0 until height).map { l =>
+      val w = 1L << l
+      df.sparkSession.range((maxT + w - 1) / w)
+        .select(lit(l).as("__l"), col("id").as("__j"))
+    }.reduce(_ unionByName _)
     val nodes = allNodes.join(sums, Seq("__l", "__j"), "left")
       .withColumn("__s", Noise.addLongNoise(
         coalesce(col("__raw"), lit(0L)), NoiseMechanism.Geometric(scale)))

@@ -58,4 +58,21 @@ class BudgetSpec extends AnyFunSuite {
     assert((inf - PureDPBudget(100.0)).isInfinite)
     assert(RhoZCDPBudget(Rat.Inf).isInfinite)
   }
+
+  test("split refuses n < 1 — Rat division would turn /0 into an " +
+      "INFINITE budget") {
+    intercept[IllegalArgumentException] { PureDPBudget(1.0).split(0) }
+    intercept[IllegalArgumentException] {
+      ApproxDPBudget(1.0, 0.5).split(-3)
+    }
+    assert(PureDPBudget(1.0).split(2) === PureDPBudget(0.5))
+  }
+
+  test("Rat.ceilLong refuses values outside Long range instead of " +
+      "silently wrapping") {
+    val big = Rat(BigInt(2).pow(64) + 5, BigInt(1))
+    intercept[ArithmeticException] { big.ceilLong }
+    assert(Rat(BigInt(7), BigInt(2)).ceilLong === 4L)
+    assert(Rat(-7).ceilLong === -7L)
+  }
 }

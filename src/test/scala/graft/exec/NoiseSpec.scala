@@ -109,4 +109,15 @@ class NoiseSpec extends AnyFunSuite {
     assert(NoiseMechanism.Geometric(0.0).isNoiseless)
     assert(NoiseMechanism.Exponential(Double.PositiveInfinity).isNoiseless)
   }
+
+  test("negative or NaN mechanism scales refuse at construction — the " +
+      "samplers would otherwise clamp them to near-zero noise") {
+    for (mk <- Seq[Double => NoiseMechanism](
+        NoiseMechanism.Geometric(_), NoiseMechanism.Laplace(_),
+        NoiseMechanism.Gaussian(_), NoiseMechanism.DiscreteGaussian(_),
+        NoiseMechanism.Exponential(_))) {
+      intercept[IllegalArgumentException] { mk(-1.0) }
+      intercept[IllegalArgumentException] { mk(Double.NaN) }
+    }
+  }
 }

@@ -179,4 +179,22 @@ class QuantileIntervalsSpec extends SparkSpec {
       assert(e.getMessage.contains("spark.graft.quantile.method"))
     } finally spark.conf.unset("spark.graft.quantile.method")
   }
+
+  test("NaN values are excluded: all-NaN groups release from the clamp " +
+      "range instead of crashing, partial NaN does not bias the target") {
+    val rng = new scala.util.Random(7)
+    val allNan = DpQuantile.finishIntervals(
+      Array(Double.NaN, Double.NaN), 0.5, 0.0, 10.0,
+      Double.PositiveInfinity, () => rng.nextDouble())
+    assert(allNan >= 0.0 && allNan <= 10.0 && !allNan.isNaN)
+    // with the NaN dropped, the group is just [5]: the eps=inf release
+    // must match the NaN-free call exactly
+    val withNan = DpQuantile.finishIntervals(
+      Array(5.0, Double.NaN), 0.5, 0.0, 10.0,
+      Double.PositiveInfinity, () => rng.nextDouble())
+    val clean = DpQuantile.finishIntervals(
+      Array(5.0), 0.5, 0.0, 10.0,
+      Double.PositiveInfinity, () => rng.nextDouble())
+    assert(withNan === clean)
+  }
 }

@@ -83,7 +83,7 @@ class SpaceSavingSpec extends SparkSpec {
     Seq("p", "q", "q", "q").foreach(b.add(_))
     a.mergeWith(b)
     // force below-capacity saturation state, then insert an unseen key
-    if (a.counters.size == a.capacity) a.counters.remove(a.counters.keys.head)
+    if (a.counters.size == a.capacity) a.remove(a.counters.keys.head)
     val floor = a.counters.valuesIterator.map(_._1).min
     a.add("fresh")
     val (c, e) = a.counters("fresh")
