@@ -63,6 +63,9 @@ object KeySetOp {
   }
   /** Rows of `left` that do NOT match any row of `right` on right's columns. */
   final case class Subtract(left: KeySetOp, right: KeySetOp) extends KeySetOp {
+    require(right.columns.nonEmpty,
+      "cannot subtract the empty (zero-column) keyset — it matches every " +
+        "row; filter or rebuild the keyset instead")
     require(right.columns.forall(left.columns.contains),
       "subtract columns must be a subset of the left keyset's columns")
     def columns: Seq[String] = left.columns
@@ -179,7 +182,13 @@ final class KeySet private (val op: KeySetOp) extends Serializable {
     */
   def dataframe(spark: SparkSession): DataFrame = synchronized {
     if (cached == null || (cachedSession ne spark)) {
-      if (persisted && cached != null) cached.unpersist() // no leaked persists
+      // best-effort: the previous session may already be STOPPED, in which
+      // case its unpersist RPC throws — swallowing it is exactly right
+      // (a stopped session's blocks are gone anyway), and the whole point
+      // of this branch is to re-materialize in the NEW session
+      if (persisted && cached != null)
+        try cached.unpersist()
+        catch { case _: Exception => () } // no leaked persists
       cached = KeySet.materialize(op, spark)
       cachedSession = spark
       persisted = false
@@ -319,7 +328,10 @@ object KeySet {
   def fromColumn(name: String, values: Seq[Any]): KeySet = {
     val dt = inferType(name, values)
     val rows = values.map(v => Vector(normalize(v))).distinct.toVector
-    new KeySet(FromTuples(rows, StructType(Seq(StructField(name, dt, nullable = true)))))
+    // route through fromTuples for its eager per-value validation: a
+    // mixed-type Seq (e.g. Seq(1, "a")) must fail HERE with a typed
+    // message, not at materialize time with an opaque encoder error
+    fromTuples(rows, StructType(Seq(StructField(name, dt, nullable = true))))
   }
 
   /** Literal tuples with an explicit schema; row arity and runtime value
@@ -422,7 +434,13 @@ object KeySet {
         case _ if c.columns == cols => c
         // collapse nested projections
         case Project(gchild, _) => rewrite(Project(gchild, cols))
-        // push through cross-join: keep only factors contributing columns
+        // push through cross-join: keep only factors contributing columns.
+        // Reference-faithful quirk (project_across_crossjoin,
+        // _rules.py:114-137 drops non-contributing factors the same way):
+        // a ZERO-ROW dropped factor makes the cross empty, but its
+        // projection onto the kept factors is then non-empty — both
+        // engines deliberately trade this degenerate case for the rewrite
+        // that makes AB["A"] * C equivalent to (AB * C)["A", "C"]
         case Cross(_, _) =>
           val fs = factors(c).flatMap { f =>
             val keep = cols.filter(f.columns.contains)

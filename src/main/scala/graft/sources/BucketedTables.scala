@@ -32,10 +32,21 @@ object BucketedTables {
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** True iff the executed plan of `df` contains no shuffle exchange —
-    * the check that a bucketed join actually avoided the shuffle.
+    * the check that a bucketed join actually avoided the shuffle. Walks
+    * the plan tree for ShuffleExchange nodes (including inside AQE
+    * wrappers) rather than string-matching one partitioning flavor:
+    * range-partitioned sorts and single-partition aggregates shuffle too.
     */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  def isShuffleFree(df: DataFrame): Boolean = {
+    def hasShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.nonEmpty ||
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+        }.exists(a => hasShuffle(a.executedPlan))
+    !hasShuffle(df.queryExecution.executedPlan)
+  }
 
   /** Write `df` hive-partitioned on `partitionColumns`: a reader filtering
     * on those columns scans only the matching directories (partition

@@ -247,9 +247,18 @@ object Streaming {
     implicit val stateEnc = Encoders.product[BucketState]
     implicit val outEnc = Encoders.product[BandClaim]
     implicit val keyEnc = Encoders.scalaLong
+    val idType = stream.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"streamingNearDupClaims needs an integral id column, got " +
+        s"${idType.simpleString} in '$idCol' — string/UUID ids would cast " +
+        "to NULL and crash the encoder mid-stream; map them to longs first")
     val sig = Dedup.minhashSignatureText(col(textCol), shingleSize, numHashes)
     val banded = stream
       .withWatermark(tsCol, watermark)
+      .where(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("docId"), col(tsCol).as("ts"),
         posexplode(Dedup.bandHashes(sig, numHashes, bands))
           .as(Seq("bandIdx", "bandHash")))
@@ -342,6 +351,38 @@ object Streaming {
     * discipline). Mutually exclusive with the processing-time
     * `entityTtlMs` knob.
     */
+
+  /** Shared TTL-knob contract for the stateful per-entity operators
+    * (funnel / attribution / multi-touch / upsert): validates the two
+    * expiry clocks (positive, mutually exclusive, event-time column
+    * present and timestamp-typed) and returns the matching
+    * GroupStateTimeout. ONE definition — the four hand-copied versions
+    * this replaces had already drifted once (the upsert copy lost the
+    * unconditional re-arm, letting active-but-stale entities expire).
+    */
+  private def ttlTimeoutConf(
+      events: DataFrame, entityTtlMs: Option[Long],
+      eventTimeTtl: Option[EventTimeTtl]): GroupStateTimeout = {
+    entityTtlMs.foreach(t =>
+      require(t > 0L, s"entityTtlMs must be positive, got $t"))
+    require(entityTtlMs.isEmpty || eventTimeTtl.isEmpty,
+      "entityTtlMs (processing-time) and eventTimeTtl (watermark) are " +
+        "mutually exclusive — pick one expiry clock")
+    eventTimeTtl.foreach { ttl =>
+      require(ttl.ttlMs > 0L, s"eventTimeTtl.ttlMs must be positive, " +
+        s"got ${ttl.ttlMs}")
+      require(events.columns.contains(ttl.tsCol),
+        s"events side is missing event-time column '${ttl.tsCol}'")
+      require(events.schema(ttl.tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"eventTimeTtl.tsCol must be a timestamp, got " +
+          s"${events.schema(ttl.tsCol).dataType.simpleString}")
+    }
+    if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+    else if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+  }
+
   final case class EventTimeTtl(tsCol: String, watermark: String, ttlMs: Long)
 
   final case class SessionEvent(userId: Long, ts: Timestamp)
@@ -425,21 +466,7 @@ object Streaming {
       s"duplicate step types: ${steps.mkString(", ")}")
     Seq(entityCol, typeCol, timeCol).foreach(c =>
       require(events.columns.contains(c), s"events side is missing '$c'"))
-    entityTtlMs.foreach(t =>
-      require(t > 0L, s"entityTtlMs must be positive, got $t"))
-    require(entityTtlMs.isEmpty || eventTimeTtl.isEmpty,
-      "entityTtlMs (processing-time) and eventTimeTtl (watermark) are " +
-        "mutually exclusive — pick one expiry clock")
-    eventTimeTtl.foreach { ttl =>
-      require(ttl.ttlMs > 0L, s"eventTimeTtl.ttlMs must be positive, " +
-        s"got ${ttl.ttlMs}")
-      require(events.columns.contains(ttl.tsCol),
-        s"events side is missing event-time column '${ttl.tsCol}'")
-      require(events.schema(ttl.tsCol).dataType ==
-        org.apache.spark.sql.types.TimestampType,
-        s"eventTimeTtl.tsCol must be a timestamp, got " +
-          s"${events.schema(ttl.tsCol).dataType.simpleString}")
-    }
+    val timeoutConf = ttlTimeoutConf(events, entityTtlMs, eventTimeTtl)
     val stepIdx = steps.zipWithIndex.toMap
     val nSteps = steps.size
     implicit val stateEnc = Encoders.product[FunnelTimes]
@@ -451,10 +478,6 @@ object Streaming {
     implicit val rowEnc = Encoders.tuple(
       Encoders.STRING, Encoders.STRING, Encoders.scalaLong,
       Encoders.TIMESTAMP)
-    val timeoutConf =
-      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
-      else if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
     val prepared = eventTimeTtl match {
       case Some(ttl) => events.withWatermark(ttl.tsCol, ttl.watermark)
         .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
@@ -537,7 +560,11 @@ object Streaming {
             ts.foreach { t =>
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                  // a late but in-watermark event can precede the open
+                  // session's start; batch semantics would have begun the
+                  // session there, so the start must move DOWN too
+                  cur = Some(s.copy(startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t), n = s.n + 1))
                 case Some(s) =>
                   closed :+= SessionSummary(userId,
                     new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
@@ -829,21 +856,7 @@ object Streaming {
       s"halfLife only applies to time_decay, got $halfLife for '$model'")
     Seq(entityCol, typeCol, timeCol).foreach(c =>
       require(events.columns.contains(c), s"events side is missing '$c'"))
-    entityTtlMs.foreach(t =>
-      require(t > 0L, s"entityTtlMs must be positive, got $t"))
-    require(entityTtlMs.isEmpty || eventTimeTtl.isEmpty,
-      "entityTtlMs (processing-time) and eventTimeTtl (watermark) are " +
-        "mutually exclusive — pick one expiry clock")
-    eventTimeTtl.foreach { ttl =>
-      require(ttl.ttlMs > 0L, s"eventTimeTtl.ttlMs must be positive, " +
-        s"got ${ttl.ttlMs}")
-      require(events.columns.contains(ttl.tsCol),
-        s"events side is missing event-time column '${ttl.tsCol}'")
-      require(events.schema(ttl.tsCol).dataType ==
-        org.apache.spark.sql.types.TimestampType,
-        s"eventTimeTtl.tsCol must be a timestamp, got " +
-          s"${events.schema(ttl.tsCol).dataType.simpleString}")
-    }
+    val timeoutConf = ttlTimeoutConf(events, entityTtlMs, eventTimeTtl)
     val touchSet = touchTypes.toSet
     implicit val stateEnc = Encoders.product[TouchBufState]
     implicit val outEnc = Encoders.product[MultiTouchCredit]
@@ -851,10 +864,6 @@ object Streaming {
     implicit val rowEnc = Encoders.tuple(
       Encoders.STRING, Encoders.STRING, Encoders.scalaLong,
       Encoders.TIMESTAMP)
-    val timeoutConf =
-      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
-      else if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
     val typeFilter = col(typeCol).isin((convType +: touchTypes): _*)
     val prepared = eventTimeTtl match {
       case Some(ttl) => events.withWatermark(ttl.tsCol, ttl.watermark)
@@ -968,7 +977,10 @@ object Streaming {
     * expiry direction is safe: an expired entity's next conversion is
     * UNattributed, never MISattributed.
     */
-  final case class UpsertState(version: Long, op: String, payload: String)
+  // lastTsMs: newest event time EVER seen for the entity (event-time TTL
+  // deadlines must only move forward; 0 when no event-time clock is used)
+  final case class UpsertState(
+      version: Long, op: String, payload: String, lastTsMs: Long = 0L)
   final case class UpsertRow(entity: String, version: Long, op: String,
       payload: Option[String])
 
@@ -1000,31 +1012,13 @@ object Streaming {
       eventTimeTtl: Option[EventTimeTtl] = None): DataFrame = {
     Seq(keyCol, versionCol, opCol, payloadCol).foreach(c =>
       require(events.columns.contains(c), s"events side is missing '$c'"))
-    entityTtlMs.foreach(t =>
-      require(t > 0L, s"entityTtlMs must be positive, got $t"))
-    require(entityTtlMs.isEmpty || eventTimeTtl.isEmpty,
-      "entityTtlMs (processing-time) and eventTimeTtl (watermark) are " +
-        "mutually exclusive — pick one expiry clock")
-    eventTimeTtl.foreach { ttl =>
-      require(ttl.ttlMs > 0L, s"eventTimeTtl.ttlMs must be positive, " +
-        s"got ${ttl.ttlMs}")
-      require(events.columns.contains(ttl.tsCol),
-        s"events side is missing event-time column '${ttl.tsCol}'")
-      require(events.schema(ttl.tsCol).dataType ==
-        org.apache.spark.sql.types.TimestampType,
-        s"eventTimeTtl.tsCol must be a timestamp, got " +
-          s"${events.schema(ttl.tsCol).dataType.simpleString}")
-    }
+    val timeoutConf = ttlTimeoutConf(events, entityTtlMs, eventTimeTtl)
     implicit val stateEnc = Encoders.product[UpsertState]
     implicit val outEnc = Encoders.product[UpsertRow]
     implicit val strEnc = Encoders.STRING
     implicit val rowEnc = Encoders.tuple(
       Encoders.STRING, Encoders.scalaLong, Encoders.STRING,
       Encoders.STRING, Encoders.TIMESTAMP)
-    val timeoutConf =
-      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
-      else if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
     // op validated in codegen BEFORE the stateful stage: a bad op fails
     // the batch, never corrupts state
     val opChecked = when(col(opCol).isin("I", "U", "D"), col(opCol))
@@ -1057,20 +1051,36 @@ object Streaming {
           var advanced = false
           for ((_, v, o, p, _) <- evs.sortBy(_._2))
             if (cur == null || v > cur.version) {
-              cur = UpsertState(v, o, p)
+              cur = UpsertState(v, o, p,
+                if (cur == null) 0L else cur.lastTsMs)
               advanced = true
             }
-          if (advanced) {
+          if (cur != null && eventTimeTtl.isDefined) {
+            val batchMax = evs.iterator.map(_._5.getTime).max
+            cur = cur.copy(lastTsMs = math.max(cur.lastTsMs, batchMax))
+          }
+          // re-arm the TTL on EVERY batch that touches the entity, not
+          // only when the version advances: a key receiving nothing but
+          // stale sub-version traffic is still ACTIVE, and letting its
+          // delete tombstone expire mid-traffic would allow exactly the
+          // stale-upsert resurrection the docstring rules out (the
+          // funnel/attribution operators re-arm unconditionally; upsert
+          // had diverged)
+          if (cur != null) {
             state.update(cur)
             entityTtlMs.foreach(state.setTimeoutDuration)
             eventTimeTtl.foreach { ttl =>
-              val maxTs = evs.iterator.map(_._5.getTime).max
+              // deadline from the newest event time EVER seen (carried in
+              // state): a batch of stale-timestamped traffic must never
+              // pull an armed deadline earlier
               state.setTimeoutTimestamp(math.max(
-                maxTs + ttl.ttlMs, state.getCurrentWatermarkMs() + 1))
+                cur.lastTsMs + ttl.ttlMs, state.getCurrentWatermarkMs() + 1))
             }
+          }
+          if (advanced)
             Iterator.single(UpsertRow(entity, cur.version, cur.op,
               if (cur.op == "D") None else Option(cur.payload)))
-          } else Iterator.empty
+          else Iterator.empty
         }
       }
       .toDF()
@@ -1087,21 +1097,7 @@ object Streaming {
     require(lookback > 0L, s"lookback must be positive, got $lookback")
     Seq(entityCol, typeCol, timeCol).foreach(c =>
       require(events.columns.contains(c), s"events side is missing '$c'"))
-    entityTtlMs.foreach(t =>
-      require(t > 0L, s"entityTtlMs must be positive, got $t"))
-    require(entityTtlMs.isEmpty || eventTimeTtl.isEmpty,
-      "entityTtlMs (processing-time) and eventTimeTtl (watermark) are " +
-        "mutually exclusive — pick one expiry clock")
-    eventTimeTtl.foreach { ttl =>
-      require(ttl.ttlMs > 0L, s"eventTimeTtl.ttlMs must be positive, " +
-        s"got ${ttl.ttlMs}")
-      require(events.columns.contains(ttl.tsCol),
-        s"events side is missing event-time column '${ttl.tsCol}'")
-      require(events.schema(ttl.tsCol).dataType ==
-        org.apache.spark.sql.types.TimestampType,
-        s"eventTimeTtl.tsCol must be a timestamp, got " +
-          s"${events.schema(ttl.tsCol).dataType.simpleString}")
-    }
+    val timeoutConf = ttlTimeoutConf(events, entityTtlMs, eventTimeTtl)
     val touchSet = touchTypes.toSet
     implicit val stateEnc = Encoders.product[TouchState]
     implicit val outEnc = Encoders.product[TouchCredit]
@@ -1109,10 +1105,6 @@ object Streaming {
     implicit val rowEnc = Encoders.tuple(
       Encoders.STRING, Encoders.STRING, Encoders.scalaLong,
       Encoders.TIMESTAMP)
-    val timeoutConf =
-      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
-      else if (entityTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
     val typeFilter = col(typeCol).isin((convType +: touchTypes): _*)
     val prepared = eventTimeTtl match {
       case Some(ttl) => events.withWatermark(ttl.tsCol, ttl.watermark)
@@ -1220,9 +1212,13 @@ object Streaming {
       .select(col(tsCol), bin.as("__bin"))
       .groupBy(window(col(tsCol), windowDuration))
       .agg(count(lit(1)).as("n_rows"), binSums: _*)
+    // shares widen through decimal(38,0): a >= ~9.3M-row window at the
+    // 1e12 scale cap would overflow the long product and silently wrap
+    // every released drift number; the quotient (<= ppmScale) fits a long
     val curPpm = (0 until nBins).map(i =>
       when(col("n_rows") > 0,
-        expr(s"(__b$i * ${ppmScale}L) div n_rows")).otherwise(0L))
+        expr(s"(CAST(__b$i AS DECIMAL(38,0)) * ${ppmScale}L) div " +
+          "CAST(n_rows AS DECIMAL(38,0))").cast("long")).otherwise(0L))
     val deltas = curPpm.zip(refPpm).map { case (c, r) => c - lit(r) }
     val l1 = deltas.map(abs).reduce(_ + _)
     // worst bin: max |delta|, ties to the LOWEST bin (negated index in

@@ -190,4 +190,18 @@ class KeySetValidationSpec extends SparkSpec {
     assert((a * b).isEquivalent(b * a) === Some(true))
     assert(a.isEquivalent(KeySet.fromColumn("A", Seq("x", "z"))) === Some(false))
   }
+
+  test("subtracting the empty keyset refuses at construction with a " +
+      "clear message (it matches every row)") {
+    val a = KeySet.fromColumn("A", Seq("x", "y"))
+    val e = intercept[IllegalArgumentException] { a.subtract(KeySet.empty) }
+    assert(e.getMessage.contains("zero-column"))
+  }
+
+  test("fromColumn validates every value eagerly — mixed types fail at " +
+      "construction, not as an opaque materialize-time encoder error") {
+    intercept[IllegalArgumentException] {
+      KeySet.fromColumn("c", Seq(1, "a"))
+    }
+  }
 }

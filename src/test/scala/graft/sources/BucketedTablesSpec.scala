@@ -65,4 +65,18 @@ class BucketedTablesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bt_right")
     }
   }
+
+  test("isShuffleFree sees range and single-partition exchanges too, " +
+      "not only hash partitioning") {
+    val df = spark.range(100).toDF("id")
+    // sort on a derived column: a plain orderBy("id") over range is
+    // removed by EliminateSorts (range is already globally ordered)
+    val sorted = df.selectExpr("id % 7 AS x").orderBy("x") // rangepartitioning
+    sorted.count()
+    assert(!BucketedTables.isShuffleFree(sorted),
+      s"${sorted.queryExecution.executedPlan}")
+    val mapped = df.selectExpr("id * 2 AS x") // pure projection
+    mapped.count()
+    assert(BucketedTables.isShuffleFree(mapped))
+  }
 }

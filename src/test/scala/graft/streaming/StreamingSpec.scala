@@ -498,6 +498,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize lowers the session start for a late in-watermark " +
+      "event that precedes the open session (batch parity)") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[SessionEvent]
+    // generous watermark delay so a 2-minute-earlier event is still live
+    val sessions = Streaming.sessionize(in.toDS(), gapMs = 5 * 60000L,
+      "30 minutes")
+    val name = s"sesslate${System.nanoTime()}"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(SessionEvent(1L, ts(10)))
+      q.processAllAvailable()
+      // a LATE event at minute 8 belongs to the same session (gap 2 < 5)
+      // and precedes its start — batchSessions would start it at 8
+      in.addData(SessionEvent(1L, ts(8)))
+      q.processAllAvailable()
+      in.addData(SessionEvent(2L, ts(120))) // close u1's session
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .selectExpr("userId", "cast(start as long)/60",
+          "cast(end as long)/60", "nEvents").collect()
+        .map(r => (r.getLong(0), r.getDouble(1).toLong,
+          r.getDouble(2).toLong, r.getLong(3))).toSet
+      assert(rows.contains((1L, 8L, 10L, 2L)),
+        s"session must start at the late event's minute 8, got $rows")
+    } finally q.stop()
+  }
+
+  test("streamingNearDupClaims refuses non-integral ids and drops null " +
+      "ids instead of crashing the encoder mid-stream") {
+    val strIds = spark.range(1).selectExpr("'doc-1' AS id",
+      "cast('2020-01-01' as timestamp) AS ts", "'text' AS text")
+    intercept[IllegalArgumentException] {
+      Streaming.streamingNearDupClaims(strIds, "ts", "id", "text",
+        watermark = "1 minute")
+    }
+  }
+
   test("sliding windows place events in window/slide overlapping frames") {
     val sqlCtx = spark.sqlContext
     import sqlCtx.implicits._

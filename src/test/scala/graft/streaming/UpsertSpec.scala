@@ -75,6 +75,46 @@ class UpsertSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("active-but-stale traffic keeps the tombstone alive: the TTL " +
+      "re-arms on every touched batch, so the deadline rides the newest " +
+      "event time ever seen, and a late stale upsert cannot resurrect") {
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    // (key, version, op, payload, ts-minute)
+    val in = MemoryStream[(String, Long, String, String, Long)]
+    def min(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val src = in.toDF().toDF("k", "v", "op", "payload", "m")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_millis(org.apache.spark.sql.functions.col("m") * 60000L))
+      .drop("m")
+    val out = Streaming.streamingUpsert(
+      src, "k", "v", "op", "payload",
+      eventTimeTtl = Some(Streaming.EventTimeTtl("ts", "0 seconds",
+        ttlMs = 10 * 60000L)))
+    val name = s"upsttl${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).start()
+    try {
+      // delete at minute 1 (v10): tombstone deadline = event-minute 11
+      in.addData(("k", 10L, "D", "x", 1L)); q.processAllAvailable()
+      // stale-but-ACTIVE traffic at minute 20: suppressed, but the fix
+      // re-arms the deadline to 20+10=30 (pre-fix: deadline stays 11)
+      in.addData(("k", 3L, "U", "old", 20L)); q.processAllAvailable()
+      // a k-less batch whose watermark (25) sits BETWEEN the never-re-
+      // armed deadline (11) and the re-armed one (30): pre-fix k times
+      // out here and the tombstone is lost; post-fix 25 < 30 keeps it
+      in.addData(("other", 1L, "I", "o", 25L)); q.processAllAvailable()
+      // the stale v5 upsert must still be suppressed by the tombstone
+      in.addData(("k", 5L, "U", "ghost", 26L)); q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .filter(_.getString(0) == "k")
+        .map(r => (r.getLong(1), r.getString(2), Option(r.getString(3))))
+      assert(rows.toSeq === Seq((10L, "D", None)),
+        s"only the delete may ever emit for k, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("TTL knobs are mutually exclusive and positive") {
     val df = spark.range(1).selectExpr("'k' AS k", "1L AS v",
       "'U' AS op", "'p' AS payload")
