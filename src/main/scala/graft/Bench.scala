@@ -136,21 +136,27 @@ object Bench {
     // 3+ of 5 spaced samples to move the recorded number.
     if (movers.nonEmpty) { System.gc(); Thread.sleep(2000) }
     val rerunSamples = math.max(repeats, 5)
+    // Movers whose rerun pass partially failed and fell back to the
+    // contended interleaved measurement — disclosed in the output record so
+    // a fallback value is never mistaken for an adjudicated one. Only
+    // NonFatal throwables are swallowed per-sample: an OutOfMemoryError or
+    // stack overflow must crash the harness, not masquerade as a timing.
+    val fellBack = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = measured.map { case (name, v) =>
       if (!movers(name)) name -> v
       else {
         try queriesByName(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
         val fresh = (1 to rerunSamples).flatMap { _ =>
           try {
             val t0 = System.nanoTime()
             queriesByName(name)(spark, sfDir).count()
             Some((System.nanoTime() - t0) / 1e9)
-          } catch { case _: Throwable => None }
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
         val fm =
           if (fresh.size == rerunSamples) fresh.sorted.apply(rerunSamples / 2)
-          else v
+          else { fellBack += name; v }
         name -> fm
       }
     }
@@ -167,8 +173,10 @@ object Bench {
       "\"").mkString("[", ",", "]")
     val rerunJson = movers.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    val fellBackJson = fellBack.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"reruns":$rerunJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"reruns":$rerunJson,"rerun_fallbacks":$fellBackJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes forked stdout with "[info] ", which can defeat a strict
     // line parser — leave an unprefixed copy on disk as well. The on-disk

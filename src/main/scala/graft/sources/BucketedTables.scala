@@ -38,13 +38,25 @@ object BucketedTables {
     * range-partitioned sorts and single-partition aggregates shuffle too.
     */
   def isShuffleFree(df: DataFrame): Boolean = {
+    // Three disguises a shuffle wears: the exchange itself; an AQE wrapper
+    // whose current plan holds one; and — once a plan has EXECUTED under
+    // AQE — a ShuffleQueryStageExec LEAF that replaced the materialized
+    // exchange (it is a QueryStageExec, not a ShuffleExchangeLike, so the
+    // naive match reports an already-executed frame shuffle-free).
     def hasShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
       p.collectFirst {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
       }.nonEmpty ||
         p.collect {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
-        }.exists(a => hasShuffle(a.executedPlan))
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q
+        }.exists {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            hasShuffle(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            hasShuffle(q.plan)
+        }
     !hasShuffle(df.queryExecution.executedPlan)
   }
 

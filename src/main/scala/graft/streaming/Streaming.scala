@@ -157,9 +157,19 @@ object Streaming {
     * registers as a `StreamingQueryListener`. Listener events are
     * asynchronous, so enforcement is per micro-batch: the batch that
     * crosses the cap is still released, every later one is not.
+    *
+    * RESTART durability: pass `ledgerPath` (conventionally a sibling of the
+    * query's checkpointLocation, e.g. `"$ckpt/../dp_ledger"`) and the spend
+    * survives crashes and deploys — [[register]] restores the exact
+    * rational from the ledger, every charge persists it, and [[observed]]
+    * REFUSES to wire an already-exhausted stream (so a restarted exhausted
+    * query releases nothing, rather than one more batch). Without a
+    * ledgerPath the accountant is in-memory only, the pre-round-13
+    * behavior — fine for tests, a double-spend hole in production.
     */
   final class DpStreamAccountant(
-      val totalEpsilon: Double, val perWindowEpsilon: Double)
+      val totalEpsilon: Double, val perWindowEpsilon: Double,
+      val ledgerPath: Option[String] = None)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     import graft.budget.Rat
@@ -173,6 +183,7 @@ object Streaming {
     private var spentRat: Rat = Rat.zero
     private val lock = new Object
     @volatile private var sparkRef: Option[org.apache.spark.sql.SparkSession] = None
+    @volatile private var hadoopConf: Option[org.apache.hadoop.conf.Configuration] = None
 
     def spentExact: Rat = lock.synchronized(spentRat)
     def spent: Double = spentExact.toDouble
@@ -184,15 +195,81 @@ object Streaming {
       */
     private[streaming] def charge(released: Long): Boolean = lock.synchronized {
       spentRat = spentRat + perWindowRat * Rat(released)
+      persistLocked()
       spentRat >= totalRat
     }
 
-    /** Attach the release-count metric consumed by the listener. */
-    def observed(release: DataFrame): DataFrame =
+    // ---- durable ledger ---------------------------------------------------
+    // The spend is a monotone rational, so the persistence protocol can be
+    // crash-safe without an atomic rename (HDFS rename won't overwrite, and
+    // object stores have no rename at all): each write goes to ONE of two
+    // alternating slot files, and restore reads BOTH and keeps the larger
+    // spend. A crash mid-write corrupts at most the slot being written; the
+    // other slot still holds the previous spend, so a restart can lose at
+    // most the final in-flight charge — the same one-batch slack the
+    // listener's asynchrony already concedes — and can never reset to zero.
+    // Format: one line `num/den` of the exact rational (BigInt decimal).
+    private def slotPaths(base: String) =
+      Seq(new org.apache.hadoop.fs.Path(base + ".0"),
+        new org.apache.hadoop.fs.Path(base + ".1"))
+    private var slotToggle = 0
+
+    private def persistLocked(): Unit = for {
+      base <- ledgerPath
+      conf <- hadoopConf
+    } {
+      val p = slotPaths(base)(slotToggle)
+      slotToggle = 1 - slotToggle
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      try out.write(s"${spentRat.num}/${spentRat.den}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    private def readSlot(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Option[Rat] =
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.trim.split("/") match {
+            case Array(n, d) => Some(Rat(BigInt(n), BigInt(d)))
+            case _ => None
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None } // torn write
+
+    private def restoreLocked(conf: org.apache.hadoop.conf.Configuration): Unit =
+      ledgerPath.foreach { base =>
+        val fs = new org.apache.hadoop.fs.Path(base + ".0").getFileSystem(conf)
+        val restored = slotPaths(base).flatMap(readSlot(fs, _))
+        if (restored.nonEmpty) {
+          val prior = restored.max
+          // monotone merge: a re-register mid-run must never move spend back
+          if (prior > spentRat) spentRat = prior
+        }
+      }
+
+    /** Attach the release-count metric consumed by the listener. Refuses an
+      * already-exhausted budget: wiring a new (or restarted) release stream
+      * onto a spent ledger would release at least one more batch before the
+      * asynchronous listener could stop it.
+      */
+    def observed(release: DataFrame): DataFrame = {
+      require(!exhausted,
+        f"DP stream budget exhausted: spent $spent%.6g of $totalEpsilon%.6g " +
+          "epsilon (restored from the ledger if this is a restart) — " +
+          "this stream must not release again")
       release.observe("graft_dp_release", count(lit(1)).as("released"))
+    }
 
     def register(spark: org.apache.spark.sql.SparkSession): this.type = {
       sparkRef = Some(spark)
+      hadoopConf = Some(spark.sparkContext.hadoopConfiguration)
+      lock.synchronized(restoreLocked(spark.sparkContext.hadoopConfiguration))
       spark.streams.addListener(this)
       this
     }
@@ -978,7 +1055,14 @@ object Streaming {
     * UNattributed, never MISattributed.
     */
   // lastTsMs: newest event time EVER seen for the entity (event-time TTL
-  // deadlines must only move forward; 0 when no event-time clock is used)
+  // deadlines must only move forward; 0 when no event-time clock is used).
+  // STATE-SCHEMA COMPATIBILITY: adding lastTsMs changed the checkpointed
+  // state layout — a streamingUpsert query restarting from a checkpoint
+  // written BEFORE the field existed fails Spark's state-store schema
+  // check (by design: with the check disabled it would misdecode). Restart
+  // such queries from a fresh checkpoint with a backfill replay; the
+  // operator's durability contract covers restarts WITHIN a state-schema
+  // version, which is why this type must not change shape casually.
   final case class UpsertState(
       version: Long, op: String, payload: String, lastTsMs: Long = 0L)
   final case class UpsertRow(entity: String, version: Long, op: String,
@@ -1005,6 +1089,11 @@ object Streaming {
     * Scale shape: one hash exchange on the key, then O(1) state and
     * O(batch) work per entity; emission happens only on actual
     * advancement, so a quiet key costs nothing downstream.
+    *
+    * Durability caveat: restart works across checkpoints written by the
+    * SAME state-schema version of this operator — see the
+    * [[UpsertState]] compatibility note (the event-time-TTL field added
+    * in round 12 breaks checkpoints written before it existed).
     */
   def streamingUpsert(
       events: DataFrame, keyCol: String, versionCol: String, opCol: String,

@@ -79,4 +79,19 @@ class BucketedTablesSpec extends SparkSpec {
     mapped.count()
     assert(BucketedTables.isShuffleFree(mapped))
   }
+
+  test("isShuffleFree still sees the shuffle AFTER the frame's own plan has " +
+      "executed under AQE (stages rewrap exchanges as ShuffleQueryStageExec)") {
+    val df = spark.range(100).selectExpr("id % 7 AS k")
+      .groupBy("k").count()
+    // collect() executes THIS Dataset's QueryExecution, so AQE finalizes
+    // the frame's own executedPlan: the hash exchange is now a materialized
+    // ShuffleQueryStageExec leaf, not a ShuffleExchangeLike node
+    df.collect()
+    assert(!BucketedTables.isShuffleFree(df),
+      s"executed-plan shuffle missed:\n${df.queryExecution.executedPlan}")
+    val flat = spark.range(100).selectExpr("id * 3 AS x")
+    flat.collect()
+    assert(BucketedTables.isShuffleFree(flat))
+  }
 }

@@ -456,4 +456,86 @@ class StreamingRestartSpec extends SparkSpec {
       ("2", 80L, "view", 30L), ("1", 150L, "view", 100L),
       ("4", 290L, "click", 200L)))
   }
+
+  test("DP ledger survives a restart: spend restored exactly, an exhausted " +
+      "stream refuses to release again") {
+    import graft.budget.Rat
+    val root = Files.createTempDirectory("dpledger").toFile.getAbsolutePath
+    val inDir = s"$root/in"
+    val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val ledger = s"$root/dp_ledger"
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("etype", StringType)))
+
+    def writeWave(rows: Seq[(Timestamp, String)]): Unit =
+      makeDf(schema, rows.map { case (t, e) => org.apache.spark.sql.Row(t, e) })
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+    def runOnce(acct: Streaming.DpStreamAccountant): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val counts = acct.observed(Streaming.noisyWindowedCounts(
+        stream, "ts", "etype", "10 minutes", "5 minutes",
+        epsilon = Double.PositiveInfinity))
+        .select(col("window.start").as("wstart"), col("etype"), col("count"))
+      val q = counts.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def awaitSpend(acct: Streaming.DpStreamAccountant, want: Rat): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (acct.spentExact < want && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(acct.spentExact === want)
+    }
+
+    // run 1: one window finalizes ([0,10) x "a") -> spend 1 of 2
+    val acctA = new Streaming.DpStreamAccountant(
+      totalEpsilon = 2.0, perWindowEpsilon = 1.0,
+      ledgerPath = Some(ledger)).register(spark)
+    try {
+      writeWave(Seq(ts(1) -> "a", ts(2) -> "a", ts(30) -> "z"))
+      runOnce(acctA)
+      awaitSpend(acctA, Rat(1))
+    } finally spark.streams.removeListener(acctA) // simulated process death
+
+    // run 2: a FRESH accountant restores spend 1 from the ledger (not 0 —
+    // the double-spend hole this ledger closes), then window [30,40)
+    // finalizes and exhausts the cap
+    val acctB = new Streaming.DpStreamAccountant(
+      totalEpsilon = 2.0, perWindowEpsilon = 1.0,
+      ledgerPath = Some(ledger)).register(spark)
+    try {
+      assert(acctB.spentExact === Rat(1), "restart must restore exact spend")
+      assert(!acctB.exhausted)
+      writeWave(Seq(ts(31) -> "z", ts(70) -> "w"))
+      runOnce(acctB)
+      awaitSpend(acctB, Rat(2))
+      assert(acctB.exhausted)
+    } finally spark.streams.removeListener(acctB)
+
+    // run 3: the restarted-exhausted case — restore says the cap is spent,
+    // and observed() refuses to wire the stream, so NOTHING more releases
+    // (not even the one pre-listener batch the async path would leak)
+    val acctC = new Streaming.DpStreamAccountant(
+      totalEpsilon = 2.0, perWindowEpsilon = 1.0,
+      ledgerPath = Some(ledger)).register(spark)
+    try {
+      assert(acctC.spentExact === Rat(2))
+      assert(acctC.exhausted)
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val ex = intercept[IllegalArgumentException] {
+        acctC.observed(Streaming.noisyWindowedCounts(
+          stream, "ts", "etype", "10 minutes", "5 minutes",
+          epsilon = Double.PositiveInfinity))
+      }
+      assert(ex.getMessage.contains("exhausted"))
+      // and the two released windows were released exactly once in total
+      val released = spark.read.parquet(outDir).collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2))).toSet
+      assert(released === Set((0L, "a", 2L), (30L, "z", 2L)))
+    } finally spark.streams.removeListener(acctC)
+  }
 }
