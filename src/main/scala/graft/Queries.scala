@@ -1259,6 +1259,17 @@ object Queries {
           col("l_partkey").cast("string").as("part"))
       graft.pipeline.Sampling.negativeSamplesExact(pos, "supp", "part", k = 3)
     }),
+    "q217_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      // distributed BPE training over the full document corpus: the word
+      // dictionary never lands on the driver, each merge is one keyed
+      // aggregate + TakeOrdered(1) — release is the learned merge table
+      // itself, fully deterministic (lexicographic tie-break)
+      val m = graft.pipeline.Bpe.trainDistributed(
+        read(s, d, "documents"), "text", numMerges = 4)
+      m.merges.zipWithIndex.map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("step", "lhs", "rhs")
+    }),
     "q213_scd_audit" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // audit a deliberately messy synthetic SCD (1000-wide validity
@@ -2827,6 +2838,45 @@ object Queries {
       s"\nFROM e$rounds GROUP BY u"
   }
 
+  /** q217's oracle: the BPE merge recurrence unrolled. Words are stored as
+    * padded TWO-space-joined symbol strings (`' l  o  w '`), chosen so that
+    * an adjacent symbol pair — and nothing else — appears as the substring
+    * `' a  b '`, and so that the string keeps that invariant after
+    * replacement: DuckDB's left-to-right non-overlapping `replace()` is
+    * then exactly the engine's mergeOnce kernel (`'a a a a' -> 'aa aa'`,
+    * `'a a a' -> 'aa a'`). Each round: lateral-unnest adjacent pairs,
+    * frequency-weighted count, argmax with the lexicographic tie-break,
+    * apply. MATERIALIZED per q198's lesson — inlined CTEs re-evaluate the
+    * whole prefix exponentially across the unroll.
+    */
+  private def bpeOracleSql(numMerges: Int, minPairCount: Long): String = {
+    val head =
+      """WITH dict AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents) WHERE length(w) > 0 GROUP BY 1),
+        |w0 AS MATERIALIZED (
+        |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s, n
+        |  FROM dict WHERE length(w) >= 2)""".stripMargin
+    val steps = (0 until numMerges).map { r =>
+      s""",
+         |p$r AS MATERIALIZED (SELECT ls[u.ord] AS a, ls[u.ord + 1] AS b,
+         |    SUM(n) AS cnt
+         |  FROM (SELECT string_split(trim(s), '  ') AS ls, n FROM w$r) t,
+         |    unnest(range(1, len(ls))) AS u(ord)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT a, b FROM p$r WHERE cnt >= $minPairCount
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (SELECT
+         |    replace(w.s, ' ' || b.a || '  ' || b.b || ' ',
+         |      ' ' || b.a || b.b || ' ') AS s, n
+         |  FROM w$r w, b$r b)""".stripMargin
+    }.mkString
+    val sel = (0 until numMerges).map(r =>
+      s"SELECT CAST(${r + 1} AS BIGINT) AS step, a AS lhs, b AS rhs FROM b$r")
+      .mkString("\n", "\nUNION ALL ", "")
+    head + steps + sel
+  }
+
   /** q198's oracle: the identical bounded edge peel unrolled — round r
     * computes each surviving edge's triangle support (common-neighbor
     * count via the two-keyed wedge join) and keeps support >= k-2; the
@@ -3108,6 +3158,9 @@ object Queries {
         |  FROM ok)
         |SELECT u AS supp, i AS part, neg AS neg_item
         |FROM rk WHERE r <= 3""".stripMargin,
+    // the distributed trainer's merge table, recomputed by the unrolled
+    // SQL recurrence (see bpeOracleSql's replace()-is-mergeOnce argument)
+    "q217_bpe_merges" -> bpeOracleSql(numMerges = 4, minPairCount = 2L),
     // the same strictly-earlier running-max sweep; open rows as
     // max-long sentinels
     "q213_scd_audit" ->

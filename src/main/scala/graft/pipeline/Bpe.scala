@@ -6,14 +6,17 @@ import org.apache.spark.sql.functions._
 /** Byte-pair-encoding vocabulary training and encoding — the tokenizer-
   * construction step of a training-data pipeline (Sennrich et al. 2016).
   *
-  * Scale shape (the standard production split, as in mainstream tokenizer
-  * trainers): the 100 TB corpus is touched ONCE, by a distributed
+  * Scale shape: the 100 TB corpus is touched ONCE, by a distributed
   * word-frequency count whose result is VOCABULARY-sized (distinct words,
-  * not corpus tokens); the merge loop then runs on that bounded dictionary
-  * driver-side. The dictionary residency is enforced with a fetch-cap
-  * `require` (bruteForcePairs' discipline), not assumed. Training is
-  * deterministic: the best pair at each step breaks ties lexicographically,
-  * so the same corpus yields the same merge table on any cluster layout.
+  * not corpus tokens). Two trainers share that dictionary and agree
+  * bit-for-bit on their common regime: [[train]] runs the merge loop
+  * driver-side under an enforced residency bound (fast when the
+  * vocabulary fits — mainstream tokenizer trainers' shape), and
+  * [[trainDistributed]] keeps the dictionary a DataFrame and runs one
+  * keyed aggregate per merge — no residency bound, the web-corpus path.
+  * Training is deterministic: the best pair at each step breaks ties
+  * lexicographically, so the same corpus yields the same merge table on
+  * any cluster layout.
   *
   * [[encode]] applies the learned merge table per word as a column kernel
   * with a per-partition word memo — corpus-side encoding is a pure
@@ -75,6 +78,74 @@ object Bpe {
         }
       }
     }
+    Model(merges.result())
+  }
+
+  /** Learn `numMerges` BPE merges with the merge loop DISTRIBUTED: the
+    * word dictionary stays a DataFrame (never resident on the driver), and
+    * each merge step is one keyed aggregate — explode adjacent symbol
+    * pairs, sum corpus frequency per pair, `TakeOrdered(1)` the best — plus
+    * one map-side projection applying the merge via the SAME
+    * [[mergeOnce]] kernel the driver path uses, so the two trainers agree
+    * bit-for-bit wherever [[train]]'s residency bound admits the corpus.
+    *
+    * Scale shape: per merge, work is dictionary-sized (distinct words),
+    * not corpus-sized — the corpus is touched exactly once by the
+    * word-count. Fully-merged words RETIRE from the working set (a
+    * single-symbol word can never pair again), so the per-step aggregate
+    * shrinks monotonically; lineage is pinned per step with
+    * `localCheckpoint` (the [[Graph]] iteration discipline) so step k
+    * does not replay steps 0..k-1. No residency bound needed: the only
+    * thing the driver ever holds is the current best pair.
+    */
+  def trainDistributed(
+      df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L): Model = {
+    require(numMerges >= 0, "numMerges must be non-negative")
+    // same symbol alphabet as train(): UTF-16 code units via String#map —
+    // a native split("") would disagree on supplementary characters
+    val toSyms = udf((w: String) => w.map(_.toString))
+    var words = df
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(toSyms(col("w")).as("syms"), col("n"))
+      .filter(size(col("syms")) >= 2) // single-symbol words never pair
+      .localCheckpoint()
+    val merges = Vector.newBuilder[(String, String)]
+    var step = 0
+    var continue = true
+    while (step < numMerges && continue) {
+      // adjacent-pair census: native HOFs (codegen'd), one hash aggregate,
+      // TakeOrderedAndProject for the argmax — tie-break (-cnt, a, b)
+      // matches train()'s minBy ordering (Spark string sort = UTF-16
+      // code-unit compare = Scala String#compareTo)
+      val top = words
+        .select(explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"),
+          col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) continue = false
+      else {
+        val best = (top(0).getString(0), top(0).getString(1))
+        merges += best
+        val mergeU = udf((syms: Seq[String]) =>
+          mergeOnce(syms.toArray, best).toSeq)
+        val next = words
+          .select(mergeU(col("syms")).as("syms"), col("n"))
+          .filter(size(col("syms")) >= 2)
+          .localCheckpoint()
+        words.unpersist()
+        words = next
+        step += 1
+      }
+    }
+    words.unpersist()
     Model(merges.result())
   }
 

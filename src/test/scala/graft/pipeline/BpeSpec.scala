@@ -57,6 +57,33 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains("frequency floor"))
   }
 
+  test("distributed training equals the driver trainer bit-for-bit on the " +
+      "bounded regime (merge order, ties, minPairCount stop)") {
+    // mixed corpus: repeats, lexicographic ties, words that fully merge
+    // and retire mid-loop, a word with every character distinct
+    val corpus = (1 to 30).map(i =>
+      i.toLong -> s"low lower lowest aa aaa bb token$i quartz") ++
+      Seq(31L -> "zz zz zz yzyzyz", 32L -> "")
+    for (minPair <- Seq(1L, 2L, 5L)) {
+      val driver = Bpe.train(docs(corpus: _*), "text",
+        numMerges = 12, minPairCount = minPair)
+      val dist = Bpe.trainDistributed(docs(corpus: _*).repartition(7), "text",
+        numMerges = 12, minPairCount = minPair)
+      assert(dist.merges === driver.merges, s"minPairCount=$minPair")
+      assert(driver.merges.nonEmpty)
+    }
+  }
+
+  test("distributed training stops early when no pair reaches minPairCount") {
+    val m = Bpe.trainDistributed(docs(1L -> "low low", 2L -> "lower"),
+      "text", numMerges = 10, minPairCount = 2)
+    assert(m.merges === Seq("l" -> "o", "lo" -> "w"))
+    // a corpus of only single-character words has no pairs at all
+    val none = Bpe.trainDistributed(docs(1L -> "a b c a b"), "text",
+      numMerges = 5, minPairCount = 1)
+    assert(none.merges === Seq.empty)
+  }
+
   test("null text encodes to null; blank to empty") {
     val m = Bpe.Model(Seq("a" -> "b"))
     val df = makeDf(docSchema, Seq(Row(1L, null), Row(2L, "   ")))
