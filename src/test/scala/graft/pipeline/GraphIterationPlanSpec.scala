@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.{PlanCapture, SparkSpec}
+
+/** Iteration-body plan pins for the graph operators — the bench's top
+  * movers (q139/q153/q148/q160/q179/q141) all sit on these loops, and the
+  * returned frame's own plan is just a checkpoint scan, so a shuffle
+  * regression inside the loop is invisible to an ordinary `.explain`
+  * check. Instead, [[PlanCapture]] collects the plan of every
+  * `localCheckpoint` action the operator runs (the per-iteration
+  * materializations), and the EXACT multiset of per-action shuffle counts
+  * is pinned: gaining a shuffle in any round fails here, deterministically,
+  * on fixed input — the adjudication the wall-clock bench cannot do on a
+  * contended box (r12's committed-vs-rerun swings were 2.8x with no code
+  * change).
+  */
+class GraphIterationPlanSpec extends SparkSpec with PlanCapture {
+
+  // fixed 40-node / 300-edge graph: plan shape depends only on the schema
+  // and AQE's size decisions, both deterministic at this fixed input
+  private lazy val edges = {
+    val rnd = new scala.util.Random(42)
+    planDf(
+      StructType(Seq(longCol("src"), longCol("dst"), longCol("w"))),
+      (1 to 300).map(_ => Row(rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+        1L + rnd.nextInt(5))))
+  }
+  private lazy val seeds = planDf(
+    StructType(Seq(longCol("node"))), Seq(Row(1L), Row(2L), Row(3L)))
+
+  private def assertShape(
+      name: String, got: Seq[CapturedPlan], wantSorted: Seq[Int],
+      maxBnljPerAction: Int): Unit = {
+    got.foreach { c =>
+      assert(c.cartesians === 0, s"$name went cartesian:\n${c.text}")
+      assert(c.nestedJoins <= maxBnljPerAction,
+        s"$name: only the 1-row teleport-base broadcast may nest " +
+          s"(${c.nestedJoins}):\n${c.text}")
+    }
+    val counts = got.map(_.shuffles).sorted
+    assert(counts === wantSorted,
+      s"$name per-checkpoint shuffle counts moved (sorted): got $counts, " +
+        s"pinned $wantSorted — a gained shuffle in the iteration body, " +
+        s"or a rescued one; re-pin only after auditing the plans:\n" +
+        got.map(_.text).mkString("\n----\n"))
+  }
+
+  test("pageRank: setup 1+3 shuffles, then exactly 2 per iteration " +
+      "(one edge-keyed join + one destination sum)") {
+    assertShape("pageRank",
+      checkpointPlans(Graph.pageRank(edges, "src", "dst", iterations = 3)),
+      Seq(1, 2, 2, 2, 3), maxBnljPerAction = 1)
+  }
+
+  test("pageRankWeighted keeps the unweighted iteration shape exactly") {
+    assertShape("pageRankWeighted",
+      checkpointPlans(
+        Graph.pageRankWeighted(edges, "src", "dst", "w", iterations = 3)),
+      Seq(1, 2, 2, 2, 3), maxBnljPerAction = 1)
+  }
+
+  test("personalizedPageRank: two extra setup shuffles for the seed " +
+      "restriction, same 2-shuffle iterations") {
+    assertShape("personalizedPageRank",
+      checkpointPlans(Graph.personalizedPageRank(
+        edges, "src", "dst", seeds, "node", iterations = 3)),
+      Seq(1, 2, 2, 2, 5), maxBnljPerAction = 1)
+  }
+
+  test("personalizedPageRankWeighted matches the unweighted PPR shape") {
+    assertShape("personalizedPageRankWeighted",
+      checkpointPlans(Graph.personalizedPageRankWeighted(
+        edges, "src", "dst", "w", seeds, "node", iterations = 3)),
+      Seq(1, 2, 2, 2, 5), maxBnljPerAction = 1)
+  }
+
+  test("labelPropagation: 2 shuffles per round, no broadcast nesting") {
+    assertShape("labelPropagation",
+      checkpointPlans(
+        Graph.labelPropagation(edges, "src", "dst", iterations = 3)),
+      Seq(1, 2, 2, 2, 2), maxBnljPerAction = 0)
+  }
+
+  test("bfsDistances: frontier rounds broadcast against the edge scan — " +
+      "at most 1 shuffle per round, 2 in the final assembly") {
+    assertShape("bfsDistances",
+      checkpointPlans(Graph.bfsDistances(
+        edges, "src", "dst", seeds, "node", maxHops = 3)),
+      Seq(0, 0, 0, 0, 1, 1, 1, 2), maxBnljPerAction = 0)
+  }
+}

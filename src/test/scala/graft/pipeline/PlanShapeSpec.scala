@@ -12,7 +12,7 @@ import graft.SparkSpec
   * that silently reintroduces an all-pairs join or a shuffle fails here,
   * not in production.
   */
-class PlanShapeSpec extends SparkSpec {
+class PlanShapeSpec extends SparkSpec with graft.PlanCapture {
 
   private def executed(df: DataFrame): String = {
     df.count() // force AQE to finalize the plan
@@ -437,12 +437,23 @@ class PlanShapeSpec extends SparkSpec {
   test("frequent pairs: incidence self-join stays basket-keyed with " +
       "map-side partial counts; scd2/session/attribution windows share " +
       "one entity exchange") {
-    val bi = makeDf(StructType(Seq(longCol("b"), longCol("i"))),
+    // frequentPairs localCheckpoints its release, so the RETURNED frame is
+    // a checkpoint scan — assert on the CAPTURED action plans instead
+    val bi = planDf(StructType(Seq(longCol("b"), longCol("i"))),
       (1 to 300).map(n => Row((n % 40).toLong, (n % 12).toLong)))
-    val fp = executed(CorpusStats.frequentPairs(bi, "b", "i", 2L))
-    assert(!fp.contains("CartesianProduct") &&
-      !fp.contains("BroadcastNestedLoopJoin"),
-      s"pair join must stay basket-keyed:\n$fp")
+    val caps = capturedPlans(CorpusStats.frequentPairs(bi, "b", "i", 2L))
+    assert(caps.nonEmpty)
+    caps.foreach { c =>
+      assert(c.cartesians === 0 && c.nestedJoins === 0,
+        s"pair join must stay basket-keyed:\n${c.text}")
+    }
+    // the A-priori prune is load-bearing at scale: the quadratic wedge
+    // stage must only ever see FREQUENT items, which shows up as a
+    // LeftSemi join against the support-filtered item table somewhere in
+    // the materialization (inside the cached `kept` relation's plan)
+    assert(caps.exists(_.text.contains("LeftSemi")),
+      "frequent-item semi-join prune missing before the self-join:\n" +
+        caps.map(_.text).mkString("\n----\n"))
     val ev = makeDf(StructType(Seq(longCol("u"), longCol("t"), strCol("y"))),
       (1 to 200).map(n => Row((n % 20).toLong, n.toLong,
         if (n % 5 == 0) "buy" else "click")))
