@@ -32,6 +32,23 @@ object Queries {
   // still gets its own Catalyst optimization (and thus its own pruning).
   private val readMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  /** Streaming read of one table under `dir`, layout-aware: the streaming
+    * file source needs a DIRECTORY, so a directory-shaped table (the
+    * ScaleUp replicas' multi-part layout, and any real deployment) streams
+    * straight from its path, while the driver testdata's single-file
+    * layout streams from `dir` glob-filtered down to the one file.
+    */
+  private def readStreamTable(
+      spark: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = new java.io.File(s"$dir/$table.parquet")
+    if (path.isDirectory)
+      spark.readStream.schema(schema).parquet(path.getAbsolutePath)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     readMemo.getOrElseUpdate((spark, dir, table),
       if (table == "events") readEvents(spark, dir)
@@ -1034,8 +1051,7 @@ object Queries {
         StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
         StructField("o_orderstatus", StringType),
         StructField("o_totalprice", DoubleType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "orders.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "orders", schema)
         .select(col("o_custkey").as("k"), col("o_orderkey").as("v"),
           col("o_orderstatus").as("payload"),
           when(col("o_orderkey") % 10 === 0, "D")
@@ -1313,8 +1329,7 @@ object Queries {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType),
         StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "events", schema)
         .withColumn("ts", timestamp_seconds(col("event_id")))
       val drift = graft.streaming.Streaming.streamingDrift(
         stream, "ts", "value", edges, refPpm,
@@ -1455,8 +1470,7 @@ object Queries {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType),
         StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "events", schema)
       val credits = graft.streaming.Streaming.streamingAttribution(
         stream, "user_id", "event_type", "event_id",
         convType = "purchase",
@@ -1672,8 +1686,7 @@ object Queries {
         StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "events", schema)
       val sk = graft.streaming.Streaming.streamingWindowedSketches(
         stream, "ts", "value", windowDuration = "1 day",
         watermark = "0 seconds", k = 16384)
@@ -1709,8 +1722,7 @@ object Queries {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "events", schema)
       val credits = graft.streaming.Streaming.streamingMultiTouchAttribution(
         stream, "user_id", "event_type", "event_id",
         convType = "purchase", touchTypes = Seq("click", "view", "signup"),
@@ -1737,8 +1749,7 @@ object Queries {
         StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      def stream() = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      def stream() = readStreamTable(s, d, "events", schema)
       val clicks = stream().where(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("cts"),
           col("event_id").as("click_id"))
@@ -1768,8 +1779,7 @@ object Queries {
         StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "events", schema)
       val sk = graft.streaming.Streaming.streamingWindowedDistinct(
         stream, "ts", "user_id", windowDuration = "1 day",
         watermark = "0 seconds", k = 1024)
@@ -1795,8 +1805,7 @@ object Queries {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType),
         StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "events", schema)
       val rel = graft.streaming.Streaming.streamingQuantiles(
         stream, "event_type", "value", k = 4096, Seq(0.25, 0.5, 0.75))
       val name = "q157mem"
@@ -1999,8 +2008,7 @@ object Queries {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType),
         StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "events", schema)
       val steps = Seq("view", "click", "purchase")
       val reach = graft.streaming.Streaming.streamingFunnel(
         stream, "user_id", "event_type", "event_id", steps)
@@ -2448,8 +2456,7 @@ object Queries {
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "documents", schema)
       val gated = stream
         .filter(graft.pipeline.TextAnalysis.qualityOk(col("text")))
         .groupBy(col("lang"))
@@ -2474,8 +2481,7 @@ object Queries {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType),
         StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "events", schema)
       val hh = graft.streaming.Streaming.streamingHeavyHitters(
         stream, "event_type", capacity = 64, k = 3)
       val name = "q110mem"
@@ -2501,8 +2507,7 @@ object Queries {
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "documents", schema)
         // +1: an event at exactly epoch 0 ties the initial watermark and
         // the stateful operator's late-row filter is strict
         .withColumn("ts", timestamp_seconds(col("doc_id") + 1))
@@ -2684,8 +2689,7 @@ object Queries {
         StructField("event_type", StringType), StructField("value", DoubleType),
         StructField("props", StringType)))
       // streaming file source needs a directory; glob-filter to the one table
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "events", schema)
         .withColumn("ts", timestamp_seconds(col("event_id")))
       val counts = stream
         .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
@@ -2711,8 +2715,7 @@ object Queries {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType),
         StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "events", schema)
         .withColumn("ts", timestamp_seconds(col("event_id")))
       val est = graft.streaming.Streaming.windowedDistinctSketch(
         stream, "ts", "user_id", "10 minutes", "10 minutes")
@@ -2758,8 +2761,7 @@ object Queries {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType),
         StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val stream = readStreamTable(s, d, "events", schema)
         .withColumn("ts", timestamp_seconds(col("event_id")))
       val hh = graft.streaming.Streaming.windowedHeavyHitters(
         stream, "ts", "event_type", "10 minutes", "5 minutes",

@@ -726,6 +726,7 @@ object CorpusStats {
       maxBoilerplateLines: Int = 1 << 22): DataFrame = {
     require(minDocs >= 2,
       "minDocs must be at least 2: every non-blank line appears in its own document")
+    Reserved.free(df, "stripBoilerplateLines", "__rw", "n_removed")
     val spark = df.sparkSession
     val lineHashes = udf((t: String) =>
       if (t == null) Array.empty[Long]

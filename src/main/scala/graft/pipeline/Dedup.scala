@@ -16,6 +16,7 @@ object Dedup {
     * row with the smallest `idCol` (deterministic, order-independent).
     */
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    Reserved.free(df, "exact", "__rn")
     val w = Window.partitionBy(keyCols.map(col).toIndexedSeq: _*)
       .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
@@ -349,6 +350,9 @@ object Dedup {
     for (reserved <- Seq("__clu", "__rn", "n_members"))
       require(!df.columns.contains(reserved),
         s"input uses reserved column name '$reserved'; rename it first")
+    require(!df.columns.contains(clusterCol),
+      s"input already has a column named '$clusterCol' (the output cluster " +
+        "column) — the release would carry the name twice; rename one")
     val dupId = clusters.groupBy(col(idCol)).agg(count(lit(1)).as("__c"))
       .where(col("__c") > 1L).limit(1).collect()
     require(dupId.isEmpty,
@@ -779,6 +783,7 @@ object Dedup {
   def exactAgainst(
       batch: DataFrame, history: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    Reserved.free(batch, "exactAgainst", "__fp")
     val fp = TextAnalysis.fingerprint(col(textCol))
     batch.withColumn("__fp", fp)
       .join(history.select(fp.as("__fp")).distinct(), Seq("__fp"), "left_anti")

@@ -1451,6 +1451,7 @@ object Relational {
       df: DataFrame, keyCols: Seq[String], d1Col: String,
       d2Col: String): DataFrame = {
     require(keyCols.nonEmpty, "paretoFrontier needs at least one key column")
+    Reserved.free(df, "paretoFrontier", "__mm")
     (keyCols ++ Seq(d1Col, d2Col)).foreach(c =>
       require(df.columns.contains(c), s"input is missing '$c'"))
     Seq(d1Col, d2Col).foreach { c =>

@@ -41,6 +41,9 @@ object Sampling {
     */
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
       labelCol: String = "split"): DataFrame = {
+    require(!df.columns.contains(labelCol),
+      s"input already has a column named '$labelCol' — the split label " +
+        "would silently replace it; pass a different labelCol")
     require(splits.nonEmpty, "at least one split required")
     require(splits.forall(_._2 > 0.0), "split fractions must be positive")
     val total = splits.map(_._2).sum
@@ -69,6 +72,7 @@ object Sampling {
   def stratifiedQuota(
       df: DataFrame, groupCol: String, idCol: String, quota: Int): DataFrame = {
     require(quota > 0, s"quota must be positive: $quota")
+    Reserved.free(df, "stratifiedQuota", "__rk")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(hash32(col(idCol)), col(idCol))
     df.withColumn("__rk", row_number().over(w))
@@ -101,6 +105,7 @@ object Sampling {
       df: DataFrame, groupCol: String, idCol: String, weightCol: String,
       quota: Int): DataFrame = {
     require(quota > 0, s"quota must be positive: $quota")
+    Reserved.free(df, "weightedQuota", "__rk")
     val u = (hash32(col(idCol)) + lit(1L)).cast("double") / lit(4294967296.0)
     val key = -log(u) / col(weightCol).cast("double")
     val w = Window.partitionBy(col(groupCol)).orderBy(key, col(idCol))

@@ -413,9 +413,10 @@ final class Session private (
     * (session.py:550): one line per output column with type and
     * nullability.
     */
-  def describe(q: Query): String = describeSchema(q.expr.schema(catalog.schemas))
+  def describe(q: Query): String =
+    describeSchema(q.expr.schema(catalog.schemas)) + keysetNote(q.expr)
   def describe(qb: QueryBuilder): String =
-    describeSchema(qb.expr.schema(catalog.schemas))
+    describeSchema(qb.expr.schema(catalog.schemas)) + keysetNote(qb.expr)
 
   private def describeSchema(schema: TableSchema): String = {
     val header = f"${"Column Name"}%-24s ${"Column Type"}%-12s Nullable"
@@ -423,6 +424,28 @@ final class Session private (
       f"$c%-24s ${d.ctype.toString}%-12s ${d.allowNull}"
     }
     (header +: rows).mkString("\n")
+  }
+
+  /** Factored group-key diagnostics for grouped queries (reference
+    * `KeySet._decompose` surfaced through describe): when the keyset has
+    * structure — a cross product of factors and/or subtracted values —
+    * print it, so "why is this keyset shaped this way" answers without
+    * evaluating anything. Single-factor keysets and plan keysets
+    * ([[graft.keyset.KeySet.detect]], no factorization before evaluation)
+    * print nothing, keeping the long-pinned single-table describes stable.
+    */
+  private def keysetNote(expr: QueryExpr): String = expr match {
+    case s: QueryExpr.SuppressAggregates => keysetNote(s.child)
+    case g: QueryExpr.GroupByAgg =>
+      try {
+        val (factors, subtracted) = g.keys.decompose()
+        if (factors.size <= 1 && subtracted.isEmpty) ""
+        else
+          "\n\nGroup keys (factored): " + factors.mkString(" x ") +
+            (if (subtracted.isEmpty) ""
+             else subtracted.mkString("; subtracted: ", ", ", ""))
+      } catch { case _: IllegalStateException => "" } // plan keyset
+    case _ => ""
   }
 }
 

@@ -61,6 +61,31 @@ class DescribeGoldenSpec extends SparkSpec {
         |""".stripMargin)
   }
 
+  test("golden: describe(query) factors a structured keyset — cross " +
+      "factors and subtracted values print; flat keysets stay untouched") {
+    import graft.keyset.KeySet
+    val s = Session.fromDataFrame(spark, PureDPBudget(2.0), "t", df, AddOneRow())
+    val flags = KeySet.fromColumn("flag", Seq("A", "B"))
+    val qtys = KeySet.fromColumn("qty", Seq(1L, 2L, 3L))
+    val holes = KeySet.fromTuples(
+      Seq(Seq[Any]("A", 1L)),
+      StructType(Seq(strCol("flag"), longCol("qty"))))
+    val q = QueryBuilder("t")
+      .groupby((flags * qtys).subtract(holes)).count()
+    assert(s.describe(q) ===
+      """Column Name              Column Type  Nullable
+        |flag                     VARCHAR      true
+        |qty                      INTEGER      true
+        |count                    INTEGER      false
+        |
+        |Group keys (factored): KeySet(flag) x KeySet(qty); subtracted: KeySet(flag, qty)""".stripMargin)
+    // a single-factor keyset keeps the long-pinned flat rendering
+    assert(s.describe(QueryBuilder("t").groupby(flags).count()) ===
+      """Column Name              Column Type  Nullable
+        |flag                     VARCHAR      true
+        |count                    INTEGER      false""".stripMargin)
+  }
+
   test("golden: a partitioned child shows its effective IDs distance") {
     val s = Session.fromDataFrame(spark, PureDPBudget(2.0), "ids", df,
       AddRowsWithID("uid"))
