@@ -193,7 +193,7 @@ object Streaming {
     /** Record `released` window releases; returns true when the cap is now
       * reached. Exposed for property tests — the listener path calls it.
       */
-    private[streaming] def charge(released: Long): Boolean = lock.synchronized {
+    private[graft] def charge(released: Long): Boolean = lock.synchronized {
       spentRat = spentRat + perWindowRat * Rat(released)
       persistLocked()
       spentRat >= totalRat

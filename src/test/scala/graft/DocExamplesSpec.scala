@@ -689,4 +689,45 @@ class DocExamplesSpec extends SparkSpec {
       Set(Set("brand"), Set("size")))
     assert(subtracted.map(_.columns.toSet) === Seq(Set("brand", "size")))
   }
+
+  test("example: BPE — distributed and driver training agree; encode is " +
+      "a projection") {
+    import graft.pipeline.Bpe
+    import org.apache.spark.sql.functions.col
+    val docs = makeDf(
+      StructType(Seq(longCol("id"), strCol("text"))),
+      (1 to 20).map(i => Row(i.toLong, "low lower lowest")))
+    val model = Bpe.trainDistributed(docs, "text", numMerges = 8)
+    assert(model.merges === Bpe.train(docs, "text", numMerges = 8).merges)
+    val toks = docs.limit(1)
+      .select(Bpe.encode(col("text"), model).as("tokens"))
+      .collect().head.getSeq[String](0)
+    // trained to saturation on its own corpus, BPE reproduces whole words
+    assert(toks === Seq("low", "lower", "lowest"))
+  }
+
+  test("example: the streaming DP ledger persists spend and refuses an " +
+      "exhausted restart") {
+    import graft.streaming.Streaming
+    val ledger = java.nio.file.Files.createTempDirectory("docledger")
+      .toFile.getAbsolutePath + "/dp_ledger"
+    val a = new Streaming.DpStreamAccountant(
+      totalEpsilon = 1.0, perWindowEpsilon = 0.5,
+      ledgerPath = Some(ledger)).register(spark)
+    try {
+      a.charge(2) // two released windows -> exactly the cap, persisted
+      assert(a.exhausted)
+    } finally spark.streams.removeListener(a)
+    // a FRESH accountant (the restarted process) restores the exact spend
+    val b = new Streaming.DpStreamAccountant(
+      totalEpsilon = 1.0, perWindowEpsilon = 0.5,
+      ledgerPath = Some(ledger)).register(spark)
+    try {
+      assert(b.spentExact === Rat(0.5) * Rat(2)) // exactly, from disk
+      val e = intercept[IllegalArgumentException] {
+        b.observed(makeDf(StructType(Seq(longCol("x"))), Seq(Row(1L))))
+      }
+      assert(e.getMessage.contains("exhausted"))
+    } finally spark.streams.removeListener(b)
+  }
 }
