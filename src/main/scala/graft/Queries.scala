@@ -41,12 +41,18 @@ object Queries {
   private def readStreamTable(
       spark: SparkSession, dir: String, table: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val path = new java.io.File(s"$dir/$table.parquet")
-    if (path.isDirectory)
-      spark.readStream.schema(schema).parquet(path.getAbsolutePath)
-    else
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+    // directory detection through the Hadoop FS API, NOT java.io.File: on
+    // HDFS/S3 a java.io probe is always false, which would silently take
+    // the glob branch and stream ZERO rows from a directory-shaped table
+    // (no leaf file is named <table>.parquet) — the exact masked-empty-
+    // input failure this helper exists to prevent on the local replicas.
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isDir = try fs.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    if (isDir) spark.readStream.schema(schema).parquet(p.toString)
+    else spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =

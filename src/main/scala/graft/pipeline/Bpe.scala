@@ -33,7 +33,7 @@ object Bpe {
 
   /** Learn `numMerges` BPE merges from the corpus's word-frequency
     * dictionary. Words are the house tokenization (lowercased, whitespace
-    * split); symbols start as single characters. Pairs occurring fewer
+    * split); symbols start as single Unicode code points. Pairs occurring fewer
     * than `minPairCount` times stop the loop early.
     */
   def train(
@@ -52,7 +52,7 @@ object Bpe {
         "above a frequency floor) before training")
     // words as mutable symbol arrays with their corpus frequency
     var words: Array[(Array[String], Long)] = fetched.map { r =>
-      (r.getString(0).map(_.toString).toArray, r.getLong(1))
+      (toSymbols(r.getString(0)), r.getLong(1))
     }
     val merges = Vector.newBuilder[(String, String)]
     var step = 0
@@ -69,7 +69,7 @@ object Bpe {
       }
       if (pairCounts.isEmpty) continue = false
       else {
-        val (best, cnt) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        val (best, cnt) = bestPair(pairCounts)
         if (cnt < minPairCount) continue = false
         else {
           merges += best
@@ -79,6 +79,63 @@ object Bpe {
       }
     }
     Model(merges.result())
+  }
+
+  /** Symbol alphabet: Unicode CODE POINTS (a supplementary character is ONE
+    * symbol). Splitting on UTF-16 code units would emit lone surrogates,
+    * which Spark's UTF-8 row encoding replaces with '?' — collapsing
+    * distinct symbols and silently diverging the two trainers on any
+    * corpus with emoji or non-BMP CJK.
+    */
+  private[pipeline] def toSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** Code-point string order — identical to UTF-8 byte order, which is
+    * what Spark's UTF8String sort uses. Java's String#compareTo orders by
+    * UTF-16 code UNITS, which ranks supplementary characters (surrogate
+    * range 0xD800+) BELOW BMP characters 0xE000 and up — a tie-break
+    * disagreement between the driver and distributed trainers on exactly
+    * the non-BMP corpora the code-point alphabet exists for.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Argmax by (count desc, a asc, b asc) under [[cpCompare]]. */
+  private def bestPair(
+      counts: scala.collection.mutable.HashMap[(String, String), Long])
+      : ((String, String), Long) = {
+    var best: ((String, String), Long) = null
+    counts.foreach { case (p, c) =>
+      if (best == null) best = (p, c)
+      else {
+        val byCount = java.lang.Long.compare(c, best._2)
+        val wins = byCount > 0 || (byCount == 0 && {
+          val x = cpCompare(p._1, best._1._1)
+          x < 0 || (x == 0 && cpCompare(p._2, best._1._2) < 0)
+        })
+        if (wins) best = (p, c)
+      }
+    }
+    best
   }
 
   /** Learn `numMerges` BPE merges with the merge loop DISTRIBUTED: the
@@ -102,9 +159,9 @@ object Bpe {
       df: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long = 2L): Model = {
     require(numMerges >= 0, "numMerges must be non-negative")
-    // same symbol alphabet as train(): UTF-16 code units via String#map —
-    // a native split("") would disagree on supplementary characters
-    val toSyms = udf((w: String) => w.map(_.toString))
+    // same code-point symbol alphabet as train() (see toSymbols: UTF-16
+    // units would put lone surrogates in rows, which UTF-8 encoding mangles)
+    val toSyms = udf((w: String) => toSymbols(w).toSeq)
     var words = df
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
@@ -118,8 +175,9 @@ object Bpe {
     while (step < numMerges && continue) {
       // adjacent-pair census: native HOFs (codegen'd), one hash aggregate,
       // TakeOrderedAndProject for the argmax — tie-break (-cnt, a, b)
-      // matches train()'s minBy ordering (Spark string sort = UTF-16
-      // code-unit compare = Scala String#compareTo)
+      // matches train()'s bestPair ordering (Spark string sort = UTF-8
+      // byte compare = code-point order = cpCompare; NOT Scala's
+      // String#compareTo, which is UTF-16-unit order)
       val top = words
         .select(explode(expr(
           "transform(sequence(0, size(syms) - 2), " +
@@ -136,16 +194,16 @@ object Bpe {
         merges += best
         val mergeU = udf((syms: Seq[String]) =>
           mergeOnce(syms.toArray, best).toSeq)
-        val next = words
+        // prior steps' checkpoint blocks free when the ContextCleaner GCs
+        // the dropped RDD reference — Dataset.unpersist would be a no-op
+        // here (it only uncaches CacheManager entries, not checkpoint RDDs)
+        words = words
           .select(mergeU(col("syms")).as("syms"), col("n"))
           .filter(size(col("syms")) >= 2)
           .localCheckpoint()
-        words.unpersist()
-        words = next
         step += 1
       }
     }
-    words.unpersist()
     Model(merges.result())
   }
 
@@ -169,7 +227,7 @@ object Bpe {
     * order, which reproduces training segmentation on seen words.
     */
   private[pipeline] def encodeWord(word: String, model: Model): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = toSymbols(word)
     var changed = true
     while (changed && syms.length > 1) {
       var bestRank = Int.MaxValue

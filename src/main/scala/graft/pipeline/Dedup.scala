@@ -347,9 +347,7 @@ object Dedup {
     Seq(idCol, clusterCol).foreach(c =>
       require(clusters.columns.contains(c),
         s"cluster assignment is missing column '$c'"))
-    for (reserved <- Seq("__clu", "__rn", "n_members"))
-      require(!df.columns.contains(reserved),
-        s"input uses reserved column name '$reserved'; rename it first")
+    Reserved.free(df, "survivorship", "__clu", "__rn", "n_members")
     require(!df.columns.contains(clusterCol),
       s"input already has a column named '$clusterCol' (the output cluster " +
         "column) — the release would carry the name twice; rename one")

@@ -195,7 +195,19 @@ object Streaming {
       */
     private[graft] def charge(released: Long): Boolean = lock.synchronized {
       spentRat = spentRat + perWindowRat * Rat(released)
-      persistLocked()
+      // cap enforcement must NOT depend on persistence succeeding: a
+      // transient ledger-FS outage that aborted charge() here would also
+      // abort the caller's stop-the-query decision, releasing past the cap
+      // for as long as the outage lasts. In-memory spend is already
+      // updated; worst case of a swallowed persist failure is the same
+      // one-batch restart slack the slot protocol concedes anyway.
+      try persistLocked()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] DP ledger persist failed (spend is tracked in " +
+              s"memory; a restart may lose this charge): $e")
+      }
       spentRat >= totalRat
     }
 
@@ -245,20 +257,39 @@ object Streaming {
     private def restoreLocked(conf: org.apache.hadoop.conf.Configuration): Unit =
       ledgerPath.foreach { base =>
         val fs = new org.apache.hadoop.fs.Path(base + ".0").getFileSystem(conf)
-        val restored = slotPaths(base).flatMap(readSlot(fs, _))
+        val slots = slotPaths(base).map(readSlot(fs, _))
+        val restored = slots.flatten
         if (restored.nonEmpty) {
           val prior = restored.max
           // monotone merge: a re-register mid-run must never move spend back
           if (prior > spentRat) spentRat = prior
+        }
+        // point the next write at the STALE slot (the one not holding the
+        // max, or the torn/absent one). A reset-to-0 toggle would overwrite
+        // the NEWEST slot first: a crash mid-write then rolls the durable
+        // spend back TWO charges — below a previously persisted value —
+        // breaking the at-most-one-lost-charge invariant.
+        slotToggle = (slots(0), slots(1)) match {
+          case (Some(a), Some(b)) => if (a >= b) 1 else 0
+          case (Some(_), None) => 1
+          case _ => 0
         }
       }
 
     /** Attach the release-count metric consumed by the listener. Refuses an
       * already-exhausted budget: wiring a new (or restarted) release stream
       * onto a spent ledger would release at least one more batch before the
-      * asynchronous listener could stop it.
+      * asynchronous listener could stop it. Restores the ledger FIRST if
+      * this accountant has not registered yet — with the plausible wiring
+      * order observed -> register -> start, a register-only restore would
+      * let an exhausted restart slip the guard on in-memory zero spend.
       */
     def observed(release: DataFrame): DataFrame = {
+      if (hadoopConf.isEmpty) {
+        val conf = release.sparkSession.sparkContext.hadoopConfiguration
+        hadoopConf = Some(conf)
+        lock.synchronized(restoreLocked(conf))
+      }
       require(!exhausted,
         f"DP stream budget exhausted: spent $spent%.6g of $totalEpsilon%.6g " +
           "epsilon (restored from the ledger if this is a restart) — " +

@@ -74,6 +74,32 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("symbols are CODE POINTS: emoji corpora train identically on both " +
+      "trainers and encode losslessly (no lone surrogates in rows)") {
+    // "😀😀ok" x many: the supplementary char must stay ONE symbol — a
+    // UTF-16-unit split would ship lone surrogates to Spark, whose UTF-8
+    // row encoding turns them into '?', collapsing distinct symbols
+    val corpus = (1 to 12).map(i => i.toLong -> "😀😀ok zz") ++
+      // tie-break probe across the surrogate boundary: U+FF01 (BMP, above
+      // the surrogate range) vs U+1F600 — UTF-16-unit compare and
+      // code-point compare ORDER THESE DIFFERENTLY
+      (1 to 6).map(i => (100 + i).toLong -> "！！ 😀😀")
+    val driver = Bpe.train(docs(corpus: _*), "text", numMerges = 6,
+      minPairCount = 1)
+    val dist = Bpe.trainDistributed(docs(corpus: _*).repartition(5), "text",
+      numMerges = 6, minPairCount = 1)
+    assert(dist.merges === driver.merges)
+    assert(driver.merges.exists { case (a, b) =>
+      (a + b).codePointCount(0, (a + b).length) < (a + b).length },
+      s"expected a supplementary-character merge, got ${driver.merges}")
+    // encode is lossless on the trained corpus: concatenating the learned
+    // subwords reproduces the exact input words
+    val enc = docs(1L -> "😀😀ok")
+      .select(Bpe.encode(col("text"), driver).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(enc.mkString === "😀😀ok")
+  }
+
   test("distributed training stops early when no pair reaches minPairCount") {
     val m = Bpe.trainDistributed(docs(1L -> "low low", 2L -> "lower"),
       "text", numMerges = 10, minPairCount = 2)

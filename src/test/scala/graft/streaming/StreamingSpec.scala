@@ -167,6 +167,34 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(acct)
   }
 
+  test("ledger slot protocol: a restart resumes writing at the STALE slot, " +
+      "so a torn post-restart write can lose at most ONE charge") {
+    import graft.budget.Rat
+    val ledger = java.nio.file.Files.createTempDirectory("slotproto")
+      .toFile.getAbsolutePath + "/led"
+    def slotValue(i: Int): Rat = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$ledger.$i")), "UTF-8").trim
+      val Array(n, d) = txt.split("/")
+      Rat(BigInt(n), BigInt(d))
+    }
+    val a = new Streaming.DpStreamAccountant(100.0, 1.0,
+      ledgerPath = Some(ledger)).register(spark)
+    try { a.charge(1); a.charge(1); a.charge(1) } // slots now {3, 2}
+    finally spark.streams.removeListener(a)
+    val b = new Streaming.DpStreamAccountant(100.0, 1.0,
+      ledgerPath = Some(ledger)).register(spark)
+    try {
+      assert(b.spentExact === Rat(3))
+      b.charge(1)
+      // the post-restart write must land on the slot holding 2 (the stale
+      // one) — a reset-to-0 toggle would overwrite the newest slot, and a
+      // torn write there would roll the durable spend back TWO charges
+      assert(Set(slotValue(0), slotValue(1)) === Set(Rat(3), Rat(4)),
+        s"got slots ${slotValue(0)} / ${slotValue(1)}")
+    } finally spark.streams.removeListener(b)
+  }
+
   test("stream accountant tracks spend in EXACT rationals, like the batch session") {
     import graft.budget.Rat
     // 0.1 is not exactly representable: double accumulation of 10 x 0.1
