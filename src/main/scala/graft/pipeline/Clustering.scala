@@ -51,7 +51,21 @@ object Clustering {
     */
   def kMeansMicro(
       df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L): DataFrame =
+    kMeansMicroImpl(df, idCol, vecCol, k, iters, scale,
+      materializeAssignment = true)._1
+
+  /** [[kMeansMicro]] plus the FINAL integer centroids (k·dim driver
+    * longs) — the entry [[Ivf.trainDistributed]] rides for a full-corpus
+    * coarse quantizer. `materializeAssignment = false` skips the release
+    * checkpoint for centroid-only callers (the returned frame is then lazy
+    * and must not be consumed after this method unpersists the working
+    * cache).
+    */
+  private[pipeline] def kMeansMicroImpl(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      scale: Long, materializeAssignment: Boolean)
+      : (DataFrame, Array[Array[Long]]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 1L, s"scale must be >= 1, got $scale")
@@ -145,9 +159,10 @@ object Clustering {
         .forall { case (a, b) => java.util.Arrays.equals(a, b) }
       centroids = next
     }
-    val out = lastAssign.select(col("__id").as(idCol), col("cluster"),
-      col("dist_sq")).localCheckpoint(true)
+    val outRaw = lastAssign.select(col("__id").as(idCol), col("cluster"),
+      col("dist_sq"))
+    val out = if (materializeAssignment) outRaw.localCheckpoint(true) else outRaw
     cached.unpersist(false)
-    out
+    (out, centroids)
   }
 }

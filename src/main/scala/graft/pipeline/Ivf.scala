@@ -81,6 +81,27 @@ object Ivf {
     Model(centroids)
   }
 
+  /** Train the coarse quantizer on the FULL corpus — no sample bound: the
+    * distributed integer Lloyd's of [[Clustering.kMeansMicro]] (per round,
+    * one codegen'd literal-centroid argmin projection + one (cluster, dim)-
+    * keyed exchange; the driver holds k·dim longs, never vectors), with
+    * centroids mapped back to doubles for [[Model]]. The
+    * [[Bpe.trainDistributed]] discipline applied to ANN: [[train]]'s
+    * bounded driver sample is the standard fast recipe, this is the path
+    * with NO residency assumption when the corpus's cluster structure must
+    * be learned from everything. Deterministic and layout-independent
+    * (integer arithmetic, smallest-id seeding), so the same corpus yields
+    * the same quantizer on any cluster.
+    */
+  def trainDistributed(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      iters: Int = 8, scale: Long = 1000000L): Model = {
+    val (_, centroids) = Clustering.kMeansMicroImpl(
+      corpus, idCol, vecCol, nlist, iters, scale,
+      materializeAssignment = false)
+    Model(centroids.map(_.map(_.toDouble / scale)))
+  }
+
   /** Indices of the `probes` nearest centroids by squared L2, nearest first.
     * Partial selection, not a sort: O(nlist * probes) with probes << nlist,
     * vs O(nlist log nlist) — this runs once per row of a 100 TB corpus, so

@@ -72,6 +72,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.9, f"IVF recall@$k fell to $r%.3f — below the 0.9 floor q59 relies on")
   }
 
+  test("distributed-trained IVF (full-corpus integer Lloyd's, no sample " +
+      "bound) holds the same recall floor and is partition-invariant") {
+    val df = corpus()
+    val queries = df.filter(s"id < $nQueries")
+    val model = Ivf.trainDistributed(df, "id", "vec", nlist = 8, iters = 4)
+    val exact = topKSet(Similarity.bruteForceTopK(df, "id", "vec", queries, "id", "vec", k))
+    val approx = topKSet(Ivf.topK(df, "id", "vec", queries, "id", "vec", k, model, nprobe = 3))
+    val r = recallAtK(approx, exact)
+    info(f"distributed-IVF recall@$k = $r%.3f")
+    assert(r >= 0.9, f"distributed-IVF recall@$k fell to $r%.3f")
+    // layout independence: the integer trainer's centroids are exact, so
+    // the MODEL (not just the recall) is bit-identical under repartition
+    val again = Ivf.trainDistributed(df.repartition(13), "id", "vec",
+      nlist = 8, iters = 4)
+    assert(model.centroids.map(_.toSeq).toSeq ===
+      again.centroids.map(_.toSeq).toSeq)
+  }
+
   test("LSH top-k at 1-bit bands (q46b parameters) equals brute force exactly") {
     // with bandBits=1 the query side's single-bit-flip multi-probe covers
     // BOTH buckets of every band, so candidate coverage is structural —
