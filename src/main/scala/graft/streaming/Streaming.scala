@@ -305,6 +305,68 @@ object Streaming {
       this
     }
 
+    /** How many more window releases the remaining budget affords, exactly:
+      * floor((total - spent) / perWindow). 0 once exhausted.
+      */
+    def affordable: Long = lock.synchronized {
+      if (perWindowRat.isZero || perWindowRat.isInfinite) Long.MaxValue
+      else {
+        val rem = totalRat - spentRat
+        if (rem <= Rat.zero) 0L
+        else {
+          // floor of an exact positive rational division, no doubles
+          val q = (rem.num * perWindowRat.den) / (rem.den * perWindowRat.num)
+          if (q.isValidLong) q.toLong else Long.MaxValue
+        }
+      }
+    }
+
+    /** SYNCHRONOUS, never-exceeding enforcement — the strict alternative to
+      * the [[observed]]/listener wiring (whose asynchrony concedes the
+      * cap-crossing batch): wrap the sink in `foreachBatch` with this
+      * function and each micro-batch releases only the AFFORDABLE prefix of
+      * its rows under the remaining budget, in `orderCols` order (pass the
+      * window-start column — the choice of WHICH windows survive a partial
+      * batch must be deterministic). The charge lands — and persists to the
+      * ledger — BEFORE the write, so a crash between the two wastes budget
+      * but can never over-release. Total spend therefore never exceeds
+      * `totalEpsilon`, including across restarts when `ledgerPath` is set.
+      *
+      * Usage:
+      * {{{
+      * release.writeStream.foreachBatch(
+      *   acct.enforcedBatcher(Seq("wstart")) { kept => kept.write... }
+      * ).start()
+      * }}}
+      */
+    def enforcedBatcher(orderCols: Seq[String])(write: DataFrame => Unit)
+        : (DataFrame, Long) => Unit = {
+      require(orderCols.nonEmpty,
+        "enforcedBatcher needs deterministic order columns — which windows " +
+          "survive a partially-affordable batch must not depend on layout")
+      (batch: DataFrame, _: Long) => {
+        val afford = affordable
+        if (afford > 0L) {
+          val kept =
+            batch.orderBy(orderCols.map(col): _*)
+              .limit(graft.Limits.toIntBound(math.min(afford, Int.MaxValue)))
+              .localCheckpoint(true) // pin: charge must match what is written
+          val n = kept.count()
+          if (n > 0L) {
+            charge(n) // charge-then-write: a crash here wastes, never leaks
+            write(kept)
+          }
+        } else {
+          // nothing affordable: the batch still has to be CONSUMED — the
+          // state stores behind it must process and commit (Spark validates
+          // per-batch commits), and its windows are thereby permanently
+          // suppressed rather than re-emitted. That is the semantics of a
+          // spent budget: those releases never happen.
+          batch.foreach(_ => ())
+        }
+      }
+    }
+
     override def onQueryStarted(event: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(event: QueryProgressEvent): Unit = {

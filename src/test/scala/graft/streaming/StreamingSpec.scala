@@ -167,6 +167,46 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(acct)
   }
 
+  test("enforcedBatcher NEVER exceeds the cap: the crossing batch is cut " +
+      "to the affordable prefix, deterministically, and the charge lands " +
+      "before the write") {
+    import graft.budget.Rat
+    import org.apache.spark.sql.functions.col
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    val in = MemoryStream[(Timestamp, String)]
+    // cap 2.5 at eps 1 per window: exactly 2 affordable window releases
+    val acct = new Streaming.DpStreamAccountant(
+      totalEpsilon = 2.5, perWindowEpsilon = 1.0)
+    val written = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
+    val counts = Streaming.noisyWindowedCounts(
+      in.toDF().toDF("ts", "etype"), "ts", "etype", "10 minutes", "5 minutes",
+      epsilon = Double.PositiveInfinity)
+      .select(col("window.start").cast("long").as("wstart"), col("etype"))
+    val q = counts.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(acct.enforcedBatcher(Seq("wstart", "etype")) { kept =>
+        kept.collect().foreach(r => written.add((r.getLong(0), r.getString(1))))
+      })
+      .start()
+    try {
+      // one batch finalizes THREE windows ([0,10) x a, [0,10) x b, [10,20)
+      // x c) against an affordable budget of 2: only the two smallest
+      // (wstart, etype) rows release, and the spend lands exactly at 2
+      in.addData((ts(1), "a"), (ts(2), "b"), (ts(12), "c"), (ts(90), "z"))
+      q.processAllAvailable()
+      in.addData((ts(200), "late")) // would finalize [90,100) — unaffordable
+      q.processAllAvailable()
+    } finally if (q.isActive) q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(written.asScala.toSet === Set((0L, "a"), (0L, "b")),
+      s"got ${written.asScala.toSet}")
+    assert(acct.spentExact === Rat(2)) // 2 charged, 0.5 remaining < 1
+    assert(acct.affordable === 0L)
+    assert(!acct.exhausted) // under the cap, yet nothing more affordable
+  }
+
   test("ledger slot protocol: a restart resumes writing at the STALE slot, " +
       "so a torn post-restart write can lose at most ONE charge") {
     import graft.budget.Rat
