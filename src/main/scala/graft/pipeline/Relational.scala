@@ -62,9 +62,15 @@ object Relational {
     val (leftTag, rightTag) = if (strict) (0, 1) else (1, 0)
     val payloadType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
     val leftRowType = left.select(struct(left.columns.map(col).toSeq: _*)).schema.head.dataType
-    // SQL equi-join semantics: null keys never match. Window.partitionBy
-    // would group null keys together, so drop null-keyed right rows here.
-    val matchableRight = right.where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    // SQL equi-join semantics: null keys never match, and a NULL right
+    // time can satisfy no as-of comparison (`r.t <= l.t` is NULL) — yet
+    // nulls-first ascending would sort such a row ahead of every real one
+    // and CARRY its payload into early left rows. Drop both here.
+    // (A NULL-time LEFT row needs no special case: it sorts before every
+    // matchable right row, the carry is NULL, and it releases unmatched —
+    // exactly the no-match semantics.)
+    val matchableRight = right.where(
+      (keyCols.map(col(_).isNotNull) :+ col(timeCol).isNotNull).reduce(_ && _))
     val taggedRight = matchableRight.select(
       keyCols.map(col) ++ Seq(
         col(timeCol).as("__t"), lit(rightTag).as("__side"),
@@ -279,9 +285,15 @@ object Relational {
 
     val dimCells = dim
       .where(col(hiCol) > col(loCol)) // empty intervals match nothing
+      // half-open [lo, hi): when hi lands EXACTLY on a cell boundary,
+      // floor(hi/W) names a cell the interval cannot touch — ceil(hi/W)-1
+      // is the true last cell (clamped to the first for sub-cell
+      // intervals), halving dim fan-out on grid-aligned data
       .withColumn("__cell", explode(sequence(
         floor(col(loCol).cast("double") / cellWidth).cast("long"),
-        floor(col(hiCol).cast("double") / cellWidth).cast("long"))))
+        greatest(
+          floor(col(loCol).cast("double") / cellWidth).cast("long"),
+          (ceil(col(hiCol).cast("double") / cellWidth) - 1).cast("long")))))
     val factCells = fact.withColumn("__cell",
       floor(col(valueCol).cast("double") / cellWidth).cast("long"))
     factCells.join(dimCells, "__cell")
@@ -447,7 +459,12 @@ object Relational {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(orderCol).cast("long"))
       .rangeBetween(-rangePreceding, 0L)
-    df.withColumn("n_window", count(lit(1)).over(w))
+    // NULL order values drop (the sessionTable/funnel discipline): a RANGE
+    // frame lumps ALL of a key's null-ordered rows into one shared frame
+    // that aggregates only each other — a meaningless "null-time window"
+    // that would flow silently into burst detection downstream
+    df.where(col(orderCol).isNotNull)
+      .withColumn("n_window", count(lit(1)).over(w))
       .withColumn("min_window", min(col(valueCol)).over(w))
       .withColumn("max_window", max(col(valueCol)).over(w))
   }
@@ -492,8 +509,14 @@ object Relational {
         "— convert to epoch units first")
     val w = Window.partitionBy(entityCol).orderBy(col(timeCol), col(typeCol))
     val prev = lag(col(timeCol), 1).over(w)
+    // NULL types drop with NULL entities/times (the transitionMatrix /
+    // sessionConversion discipline): concat_ws silently SKIPS a null path
+    // element, so a kept ('view', NULL, 'buy') session would render the
+    // same "view>buy" string as a genuine 2-event journey — distinct
+    // journeys colliding in the census
     val sess = events
-      .where(col(entityCol).isNotNull && col(timeCol).isNotNull)
+      .where(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+        col(typeCol).isNotNull)
       .withColumn("__new",
         when(prev.isNull || col(timeCol) - prev > gapUnits, 1L).otherwise(0L))
       .withColumn("__sid", sum(col("__new")).over(w))
@@ -574,7 +597,12 @@ object Relational {
     pairs
       .withColumn("__tot", sum(col("n_transitions")).over(wf))
       .select(col("from_type"), col("to_type"), col("n_transitions"),
-        expr(s"(n_transitions * ${ppmScale}L) div __tot").as("ppm"))
+        // decimal(38,0) before the truncating division (the joinHotKeys
+        // defense): n * ppmScale in LONG wraps silently past ~9.2e6
+        // transitions at the permitted ppmScale=1e12; div returns LONG
+        call_function("div",
+          col("n_transitions").cast("decimal(38,0)") * lit(ppmScale),
+          col("__tot").cast("decimal(38,0)")).as("ppm"))
   }
 
   /** Funnel step-latency distribution: for every adjacent step pair the
@@ -682,7 +710,9 @@ object Relational {
       .groupBy(col("__first").getField("y").as("entry_type"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("__conv")).as("n_converted"))
       .select(col("entry_type"), col("n_sessions"), col("n_converted"),
-        expr(s"(n_converted * ${ppmScale}L) div n_sessions").as("ppm"))
+        call_function("div", // decimal-widened: no long wrap at ppmScale=1e12
+          col("n_converted").cast("decimal(38,0)") * lit(ppmScale),
+          col("n_sessions").cast("decimal(38,0)")).as("ppm"))
   }
 
   /** SCD2 history compaction: collapse a per-key change log (or stacked
@@ -1373,7 +1403,9 @@ object Relational {
       .select(keyCols.map(col) ++ Seq(col("period"), col("n"), col("prev_n"),
         (col("n") - col("prev_n")).as("delta"),
         when(col("prev_n") > 0L,
-          expr(s"(n * ${ppmScale}L) div prev_n")).as("growth_ppm")): _*)
+          call_function("div", // decimal-widened: no long wrap at 1e12 scale
+            col("n").cast("decimal(38,0)") * lit(ppmScale),
+            col("prev_n").cast("decimal(38,0)"))).as("growth_ppm")): _*)
   }
 
   /** RFM segmentation: score every entity 1..`tiles` on Recency (latest
@@ -1583,6 +1615,16 @@ object Relational {
     keyCols.foreach { c =>
       require(left.columns.contains(c), s"left side is missing '$c'")
       require(right.columns.contains(c), s"right side is missing '$c'")
+      // the count tables group on STRINGIFIED keys, and stringification
+      // diverges where the real join's numeric widening coincides (double
+      // 1.0 -> "1.0" vs long 1 -> "1") — a mismatch would make the skew
+      // doctor miss exactly the hot key that explodes the join. Refuse
+      // loudly; the caller pre-casts to a common type, as the join should.
+      require(left.schema(c).dataType == right.schema(c).dataType,
+        s"joinHotKeys: key '$c' differs in type between sides " +
+          s"(${left.schema(c).dataType.simpleString} vs " +
+          s"${right.schema(c).dataType.simpleString}) — cast both sides " +
+          "to a common type first, as the join itself would")
     }
     def counts(df: DataFrame, out: String) = df
       .where(keyCols.map(col(_).isNotNull).reduce(_ && _))

@@ -75,7 +75,12 @@ object Sampling {
     Reserved.free(df, "stratifiedQuota", "__rk")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(hash32(col(idCol)), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
+    // NULL ids drop (the deterministicSample convention): their ordering
+    // keys are both NULL, so they'd sort nulls-FIRST — crowding out every
+    // real row AND tie-breaking among themselves by physical row order,
+    // i.e. non-deterministic membership in a determinism-contract sampler
+    df.where(col(idCol).isNotNull)
+      .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= quota).drop("__rk")
   }
 
@@ -109,7 +114,10 @@ object Sampling {
     val u = (hash32(col(idCol)) + lit(1L)).cast("double") / lit(4294967296.0)
     val key = -log(u) / col(weightCol).cast("double")
     val w = Window.partitionBy(col(groupCol)).orderBy(key, col(idCol))
-    df.filter(col(weightCol).isNotNull &&
+    // NULL ids drop for the same reason as stratifiedQuota: a NULL draw
+    // key sorts first and admits rows by physical order, not by the draw
+    df.filter(col(idCol).isNotNull &&
+        col(weightCol).isNotNull &&
         col(weightCol).cast("double") > 0.0 &&
         !isnan(col(weightCol).cast("double")))
       .withColumn("__rk", row_number().over(w))
@@ -139,6 +147,14 @@ object Sampling {
     (weights.map(_._2) :+ defaultWeight).foreach(w =>
       require(w >= 0.0 && !w.isNaN && !w.isInfinite,
         s"weights must be finite and non-negative: $w"))
+    // fan-out bound (the negativePrep k-cap discipline): a fat-fingered
+    // weight (3000000.0 for 3.0) would otherwise silently explode every
+    // row into that many copies — PBs of output with no error anywhere
+    (weights.map(_._2) :+ defaultWeight).foreach(w =>
+      require(w <= 1000.0,
+        s"upsample weight $w exceeds the 1000x fan-out bound — a mixture " +
+          "ratio above 1000 is almost certainly a typo; pre-split the " +
+          "input if it is real"))
     def copiesFor(w: Double): Column = {
       val whole = math.floor(w).toLong
       val frac = w - whole
@@ -193,9 +209,18 @@ object Sampling {
       "salt must not contain the \\u0001 separator")
     Seq(userCol, itemCol).foreach(c =>
       require(positives.columns.contains(c), s"input is missing '$c'"))
+    // the draw hash concatenates (user, item, t, salt) on the \u0001 — a value
+    // CONTAINING the separator lets two different positives collide into
+    // one hash input and share a candidate stream (perfectly correlated
+    // "independent" draws). Same refusal as the salt's, applied per value.
+    def sepChecked(c: Column, what: String): Column =
+      when(c.contains(lit("\u0001")),
+        raise_error(concat(lit(s"$opName: $what value contains the " +
+          "\\u0001 hash separator; sanitize ids first: "), c)))
+        .otherwise(c)
     val pos = positives
-      .select(col(userCol).cast("string").as("__u"),
-        col(itemCol).cast("string").as("__i"))
+      .select(sepChecked(col(userCol).cast("string"), userCol).as("__u"),
+        sepChecked(col(itemCol).cast("string"), itemCol).as("__i"))
       .where(col("__u").isNotNull && col("__i").isNotNull)
       .distinct()
       .localCheckpoint(true)
