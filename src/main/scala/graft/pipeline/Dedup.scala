@@ -101,11 +101,17 @@ object Dedup {
     }.distinct
   }
 
-  /** [[shingleArr]] over lowercased text, null-safe — the shingling kernel
-    * shared with CorpusStats.ngramDocFrequency.
+  /** [[shingleArr]] over lowercased text — the shingling kernel shared
+    * with CorpusStats.ngramDocFrequency. NULL in, NULL out: the Catalyst
+    * twin `shingles(lower(c), k)` is NULL on NULL text (every member of
+    * its expression chain is null-propagating), and the two kernels must
+    * agree on EVERY input or swapping them changes results — the old
+    * `null -> Array("")` mapping minted one empty-string gram per null
+    * document that the declarative path never counted.
     */
   private[pipeline] def lowerShingles(t: String, k: Int): Array[String] =
-    shingleArr(if (t == null) "" else t.toLowerCase(java.util.Locale.ROOT), k)
+    if (t == null) null
+    else shingleArr(t.toLowerCase(java.util.Locale.ROOT), k)
 
   /** [[lowerShingles]] as a Column — the JVM-kernel twin of
     * `shingles(lower(c), k)` for hot paths: the declarative
@@ -202,6 +208,11 @@ object Dedup {
     * contiguous signature slice of length numHashes/bands.
     */
   def bandHashes(signature: Column, numHashes: Int, bands: Int): Column = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): bands > hashes " +
+        "makes every slice empty (one constant bucket per band — silently " +
+        "ZERO pairs after the flood filter), and a non-divisible count " +
+        "silently ignores the trailing hashes")
     val r = numHashes / bands
     array((0 until bands).map { j =>
       xxhash64(slice(signature, j * r + 1, r), lit(j))
@@ -351,13 +362,18 @@ object Dedup {
     require(!df.columns.contains(clusterCol),
       s"input already has a column named '$clusterCol' (the output cluster " +
         "column) — the release would carry the name twice; rename one")
-    val dupId = clusters.groupBy(col(idCol)).agg(count(lit(1)).as("__c"))
+    // persist BEFORE the duplicate probe (the editDistancePairs dict
+    // discipline): the assignment is typically an expensive
+    // candidate+verify pipeline, and an unpersisted probe would run that
+    // whole lineage once for the guard and again for the join below
+    val assign = clusters.select(col(idCol), col(clusterCol).as("__clu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupId = assign.groupBy(col(idCol)).agg(count(lit(1)).as("__c"))
       .where(col("__c") > 1L).limit(1).collect()
     require(dupId.isEmpty,
       s"survivorship: duplicate $idCol in the cluster assignment (e.g. " +
         s"${dupId.headOption.map(_.toString).getOrElse("")}) — membership " +
         "would be ambiguous")
-    val assign = clusters.select(col(idCol), col(clusterCol).as("__clu"))
     val joined = df.join(assign, Seq(idCol), "left")
       .withColumn("__clu", coalesce(col("__clu"), col(idCol)))
     val w = Window.partitionBy(col("__clu"))
@@ -401,7 +417,14 @@ object Dedup {
     // set is small enough for the union-find path.
     val pairs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
     val edgeCount = pairs.count()
-    if (edgeCount <= inMemoryCutoff) {
+    // the small path is only valid when the LARGE path's semantics can be
+    // reproduced exactly: ids must be integral longs (the union-by-MIN
+    // labeling needs an order, and the released schema must not depend on
+    // which path ran — pre-r13 a string-id edge list crashed getLong here
+    // while succeeding above the cutoff)
+    val longIds = Seq(pairs.schema(0).dataType, pairs.schema(1).dataType)
+      .forall(_ == org.apache.spark.sql.types.LongType)
+    if (edgeCount <= inMemoryCutoff && longIds) {
       val sample = pairs.collect() // from cache
       pairs.unpersist(false)
       val spark = edges.sparkSession
@@ -474,10 +497,16 @@ object Dedup {
     * reproducible bit-for-bit outside the JVM.
     */
   def simhash64(c: Column): Column = {
+    // NULL in, NULL out (the minhashSignatureText convention): mapping a
+    // null token set to signature 0L would make EVERY null-text document
+    // an exact hamming-0 twin of every other — a quadratic flood of
+    // semantically wrong pairs through the band survivors
     val u = udf((toks: Seq[String]) => {
+      if (toks == null) null
+      else {
       val md = java.security.MessageDigest.getInstance("MD5")
       val acc = new Array[Int](64)
-      if (toks != null) toks.foreach { t =>
+      toks.foreach { t =>
         val digest = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         md.reset()
         var h = 0L
@@ -492,7 +521,8 @@ object Dedup {
       var out = 0L
       var b = 0
       while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-      out
+      java.lang.Long.valueOf(out)
+      }
     })
     u(split(trim(lower(c)), "\\s+"))
   }
@@ -529,6 +559,7 @@ object Dedup {
     // uncached, the kernel would rerun O(levels * joins) times. Every cache
     // taken here is unpersisted explicitly once the result is pinned below.
     val sh = spread(df).select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
+      .where(col("__sh").isNotNull) // null text: no signature, no pairs
       .persist()
 
     // Disjoint 4-way partitions of the 64 signature bits, one per level:
@@ -757,8 +788,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       blocklist: DataFrame, blockTextCol: String, n: Int = 8): DataFrame = {
     require(n >= 1, "shingle size must be positive")
-    val sh = udf((t: String) =>
-      if (t == null) null else shingleArr(t.toLowerCase(java.util.Locale.ROOT), n))
+    val sh = udf((t: String) => lowerShingles(t, n)) // shared kernel
     val docGrams = spread(docs).select(col(idCol),
       explode(sh(col(textCol))).as("__g"))
     val blockGrams = blocklist.select(explode(sh(col(blockTextCol))).as("__g"))
@@ -900,13 +930,16 @@ object Dedup {
     * never shuffles its text, and the per-document counts aggregate with
     * map-side partial combine on the natural `idCol` key. The fraction is
     * a ratio of two small ints, so the double is engine-portable.
+    *
+    * NULL-text docs are EXCLUDED from the output (no grams, no row — the
+    * [[spanDuplicationFraction]] convention): join the score table back
+    * LEFT if every corpus row must survive scoring.
     */
   def contaminationScores(
       docs: DataFrame, idCol: String, textCol: String,
       blocklist: DataFrame, blockTextCol: String, n: Int = 8): DataFrame = {
     require(n >= 1, "shingle size must be positive")
-    val sh = udf((t: String) =>
-      if (t == null) null else shingleArr(t.toLowerCase(java.util.Locale.ROOT), n))
+    val sh = udf((t: String) => lowerShingles(t, n)) // shared kernel
     val docGrams = spread(docs).select(col(idCol),
       explode(sh(col(textCol))).as("__g"))
     val blockGrams = blocklist.select(explode(sh(col(blockTextCol))).as("__g"))
@@ -1087,6 +1120,11 @@ object Dedup {
     * the dominant cost of every LSH plan.
     */
   def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    require(planes >= 8 && planes <= 64 && planes % 8 == 0,
+      s"planes must be a multiple of 8 in [8, 64], got $planes: the band " +
+        "split is 8-bit (planes < 8 silently returns ZERO pairs; a " +
+        "non-multiple silently drops the top bits) and the signature is " +
+        "one long (a shift past 63 wraps mod 64, corrupting low bits)")
     val u = udf((v: Array[Double]) => {
       if (v == null) null
       else {

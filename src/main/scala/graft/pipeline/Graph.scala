@@ -124,6 +124,15 @@ object Graph {
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       s"damping must be a fraction in [0, 1]: $dampingNum/$dampingDen")
     require(scale >= 1000000L, s"scale too coarse for stable ranks: $scale")
+    // exact-arithmetic headroom: every per-iteration term multiplies a
+    // value bounded by `scale` (rank mass, teleport base) by a damping
+    // component — dampingDen * scale must fit a signed long or the
+    // "bit-identical on any engine" promise silently wraps. 85/100 is the
+    // same fraction as 85e7/1e9; callers must pass the REDUCED form.
+    require(dampingDen <= Long.MaxValue / scale,
+      s"dampingDen ($dampingDen) * scale ($scale) exceeds signed-64-bit " +
+        "headroom and the exact fixed-point arithmetic would overflow — " +
+        "reduce the damping fraction (e.g. 85/100, not 85e10/1e12)")
     Seq(srcCol, dstCol).foreach(c =>
       require(edges.columns.contains(c), s"edge list is missing column '$c'"))
     // __w (weighted only — the unweighted edge table stays two columns,
@@ -575,22 +584,27 @@ object Graph {
         s"exceeds maxDegree=$maxDegree — the wedge join would fan out " +
         "quadratically on it; truncate hub adjacency first " +
         "(triangleCounts' maxSharedDegree discipline) or raise the cap")
-    var round = 0
-    var converged = false
-    var withSup: DataFrame = null
-    while (round < maxRounds && !converged) {
-      round += 1
-      val a = adj(e)
-      val sup = e
+    // triangle support of every edge of `ed`: the two-keyed wedge join,
+    // shared by the peel rounds and both release branches so the support
+    // semantics cannot fork between them
+    def supportOf(ed: DataFrame): DataFrame = {
+      val a = adj(ed)
+      val sup = ed
         .join(a.withColumnsRenamed(Map("__s" -> "__u", "__w" -> "__w1")),
           Seq("__u"))
         .join(a.withColumnsRenamed(Map("__s" -> "__v", "__w" -> "__w1")),
           Seq("__v", "__w1"))
         .groupBy(col("__u"), col("__v")).agg(count(lit(1)).as("__c"))
-      withSup = e.join(sup, Seq("__u", "__v"), "left")
+      ed.join(sup, Seq("__u", "__v"), "left")
         .select(col("__u"), col("__v"),
           coalesce(col("__c"), lit(0L)).as("support"))
-        .localCheckpoint(true)
+    }
+    var round = 0
+    var converged = false
+    var withSup: DataFrame = null
+    while (round < maxRounds && !converged) {
+      round += 1
+      withSup = supportOf(e).localCheckpoint(true)
       if (withSup.where(col("support") < k - 2).limit(1).isEmpty)
         converged = true
       else
@@ -599,20 +613,11 @@ object Graph {
     }
     if (converged)
       withSup.select(col("__u").as("u"), col("__v").as("v"), col("support"))
-    else {
+    else
       // maxRounds hit mid-peel: release the bounded-peel edges with their
       // support measured in the released subgraph (the oracle's rule)
-      val a = adj(e)
-      val sup = e
-        .join(a.withColumnsRenamed(Map("__s" -> "__u", "__w" -> "__w1")),
-          Seq("__u"))
-        .join(a.withColumnsRenamed(Map("__s" -> "__v", "__w" -> "__w1")),
-          Seq("__v", "__w1"))
-        .groupBy(col("__u"), col("__v")).agg(count(lit(1)).as("__c"))
-      e.join(sup, Seq("__u", "__v"), "left")
-        .select(col("__u").as("u"), col("__v").as("v"),
-          coalesce(col("__c"), lit(0L)).as("support"))
-    }
+      supportOf(e).select(col("__u").as("u"), col("__v").as("v"),
+        col("support"))
   }
 
   /** Single-source shortest paths with positive INTEGER edge weights —

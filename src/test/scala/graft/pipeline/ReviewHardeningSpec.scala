@@ -121,6 +121,60 @@ class ReviewHardeningSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("separator")))
   }
 
+  test("simhash: NULL-text docs produce NO pairs (a 0L signature made " +
+      "every null doc a hamming-0 twin of every other — quadratic flood)") {
+    val docs = makeDf(StructType(Seq(longCol("id"), strCol("text"))),
+      (1L to 6L).map(i => Row(i, null)) :+ Row(7L, "real text here") :+
+        Row(8L, "real text here"))
+    val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((7L, 8L)),
+      s"null docs must pair with nothing: $pairs")
+    // and the kernel twins agree on null input (lowerShingles used to
+    // mint one empty-string gram where the Catalyst chain yields NULL)
+    assert(Dedup.lowerShingles(null, 3) === null)
+  }
+
+  test("connectedComponents: non-long ids take the distributed path under " +
+      "the cutoff instead of crashing getLong, with correct labels") {
+    val e = makeDf(StructType(Seq(strCol("a"), strCol("b"))),
+      Seq(Row("x", "y"), Row("y", "z"), Row("p", "q")))
+    val comp = Dedup.connectedComponents(e, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp.values.toSet.size === 2)
+    assert(comp("x") === comp("z") && comp("p") === comp("q"))
+    assert(comp("x") !== comp("p"))
+  }
+
+  test("LSH parameter guards refuse silently-empty configurations loudly") {
+    // bands > numHashes: every slice empty -> one constant bucket -> the
+    // flood filter used to return ZERO pairs with no error
+    val sig = makeDf(StructType(Seq(longCol("id"))), Seq(Row(1L)))
+    intercept[IllegalArgumentException] {
+      Dedup.bandHashes(col("s"), numHashes = 8, bands = 16)
+    }
+    intercept[IllegalArgumentException] { // non-divisible: trailing hashes dropped
+      Dedup.bandHashes(col("s"), numHashes = 100, bands = 16)
+    }
+    // planes < 8: zero bands -> zero rows; planes > 64: shift wraps mod 64
+    for (planes <- Seq(4, 20, 70))
+      intercept[IllegalArgumentException] {
+        Dedup.hyperplaneSignature(col("v"), planes)
+      }
+    assert(sig.count() === 1L) // keep the frame used
+  }
+
+  test("pageRank refuses an unreduced damping fraction whose terms would " +
+      "overflow the exact fixed-point arithmetic") {
+    val e = makeDf(StructType(Seq(longCol("s"), longCol("d"))),
+      Seq(Row(1L, 2L)))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "s", "d", iterations = 1,
+        dampingNum = 850000000L, dampingDen = 1000000000L)
+    }
+    assert(ex.getMessage.contains("headroom"))
+  }
+
   test("rangeJoin: a grid-aligned dim interval explodes to exactly its " +
       "covered cells (no phantom boundary cell), results unchanged") {
     val dim = makeDf(StructType(Seq(longCol("lo"), longCol("hi"))),
