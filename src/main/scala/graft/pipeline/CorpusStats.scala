@@ -198,17 +198,23 @@ object CorpusStats {
     if (nBins == 1) return df.withColumn(binCol,
       when(col(valueCol).isNotNull, lit(0)).otherwise(lit(null)).cast("int"))
     val ps = (1 until nBins).map(_.toDouble / nBins)
-    val row = df.agg(graft.exec.Kll.quantiles(v, k, ps).as("s"))
+    // NaN stays out of BOTH the sketch and the tagging (Kll skips nulls
+    // only, and NaN sorts above every real double — unfiltered it pushed
+    // upper edges to NaN, collapsing the whole upper tail into one bin);
+    // NaN rows tag NULL like nulls: no position in the order, no bin
+    val measurable = v.isNotNull && !isnan(v)
+    val row = df.where(measurable)
+      .agg(graft.exec.Kll.quantiles(v, k, ps).as("s"))
       .select(col("s.values")).head()
     if (row.isNullAt(0)) // empty input: no edges derivable, nothing to tag
       return df.withColumn(binCol, lit(null).cast("int"))
     val edges = row.getSeq[Double](0)
     val chain = edges.zipWithIndex.foldRight(
-      when(col(valueCol).isNotNull, lit(nBins - 1))) {
+      when(measurable, lit(nBins - 1))) {
       case ((e, i), rest) => when(v <= e, lit(i)).otherwise(rest)
     }
     df.withColumn(binCol,
-      when(col(valueCol).isNull, lit(null)).otherwise(chain).cast("int"))
+      when(!measurable, lit(null)).otherwise(chain).cast("int"))
   }
 
   /** Distribution drift monitor: bin a REFERENCE corpus's `valueCol` into
@@ -241,7 +247,12 @@ object CorpusStats {
     }
     val v = col(valueCol).cast("double")
     val ps = (1 until nBins).map(_.toDouble / nBins)
-    val row = ref.agg(graft.exec.Kll.quantiles(v, k, ps).as("s"))
+    // the edge sketch must see the SAME population the bins count: Kll
+    // skips nulls but not NaN, and NaN sorts above every real double —
+    // unfiltered, a NaN-bearing reference pushed upper edges to NaN and
+    // the whole upper tail fell through to the last bin
+    val row = ref.where(v.isNotNull && !isnan(v))
+      .agg(graft.exec.Kll.quantiles(v, k, ps).as("s"))
       .select(col("s.values")).head()
     require(!row.isNullAt(0),
       "distributionDrift: the reference side has no non-null values — " +
@@ -264,7 +275,9 @@ object CorpusStats {
       sum(col("n_cur")).as("__tc"))
     def ppm(n: Column, total: Column): Column =
       when(total === 0L, 0L)
-        .otherwise(call_function("div", n * lit(1000000L), total))
+        .otherwise(call_function("div", // decimal-widened: no long wrap
+          n.cast("decimal(38,0)") * lit(1000000L),
+          total.cast("decimal(38,0)")))
     allBins.join(counts, Seq("bin"), "left")
       .na.fill(0L, Seq("n_ref", "n_cur"))
       .crossJoin(broadcast(totals))
@@ -273,16 +286,6 @@ object CorpusStats {
         ppm(col("n_cur"), col("__tc")).as("cur_ppm"))
   }
 
-  /** Corpus mix report at EVERY rollup level of `groupCols` in one pass:
-    * document and token totals per (lang, source), per lang, and grand
-    * total — the mixture table a pretraining run is provisioned from.
-    * Lowers to Spark's native ROLLUP (one Expand + one keyed aggregation:
-    * each row fans out to its |groupCols|+1 grouping sets map-side and
-    * every level partially aggregates before the single exchange — the
-    * plan beats |levels| separate scans by reading the corpus once).
-    * `grouping_id` disambiguates a rolled-up level's NULL from a NULL data
-    * value, exactly as in SQL.
-    */
   /** Per-group least-squares trend over INTEGER (x, y) points, released
     * as EXACT rationals: slope = slope_num / slope_den and intercept =
     * icept_num / slope_den with
@@ -335,6 +338,16 @@ object CorpusStats {
           .as("icept_num")): _*)
   }
 
+  /** Corpus mix report at EVERY rollup level of `groupCols` in one pass:
+    * document and token totals per (lang, source), per lang, and grand
+    * total — the mixture table a pretraining run is provisioned from.
+    * Lowers to Spark's native ROLLUP (one Expand + one keyed aggregation:
+    * each row fans out to its |groupCols|+1 grouping sets map-side and
+    * every level partially aggregates before the single exchange — the
+    * plan beats |levels| separate scans by reading the corpus once).
+    * `grouping_id` disambiguates a rolled-up level's NULL from a NULL data
+    * value, exactly as in SQL.
+    */
   def corpusMix(
       df: DataFrame, groupCols: Seq[String], textCol: String): DataFrame = {
     require(groupCols.nonEmpty, "roll up over at least one column")
@@ -407,7 +420,9 @@ object CorpusStats {
           .orderBy(col("n").desc, col("token"))))
       .withColumn("cum_n", sum(col("n")).over(w))
       .select(col("rank").cast("long").as("rank"), col("token"), col("n"),
-        expr(s"(cum_n * ${ppmScale}L) div __tot").as("cum_ppm"))
+        call_function("div", // decimal-widened: no long wrap at 100-TB counts
+          col("cum_n").cast("decimal(38,0)") * lit(ppmScale),
+          col("__tot").cast("decimal(38,0)")).as("cum_ppm"))
   }
 
   /** Snapshot diff between two corpus versions: one row per document id
@@ -424,13 +439,20 @@ object CorpusStats {
   def corpusDiff(
       oldDf: DataFrame, newDf: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    def fp(df: DataFrame, name: String) = df.select(
-      col(idCol), TextAnalysis.fingerprint(col(textCol)).as(name))
-    fp(oldDf, "__old").join(fp(newDf, "__new"), Seq(idCol), "full_outer")
+    // presence is tracked by an explicit marker, NOT by fingerprint
+    // nullness: fingerprint(NULL text) is NULL, which used to read as
+    // "absent" — a doc present on both sides with a null text on either
+    // was misclassified added/removed, and incremental reprocessing
+    // driven by added+changed re-ran or missed it
+    def fp(df: DataFrame, name: String, here: String) = df.select(
+      col(idCol), TextAnalysis.fingerprint(col(textCol)).as(name),
+      lit(true).as(here))
+    fp(oldDf, "__old", "__inOld")
+      .join(fp(newDf, "__new", "__inNew"), Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("__old").isNull, lit("added"))
-          .when(col("__new").isNull, lit("removed"))
-          .when(col("__old") === col("__new"), lit("kept"))
+        when(col("__inOld").isNull, lit("added"))
+          .when(col("__inNew").isNull, lit("removed"))
+          .when(col("__old") <=> col("__new"), lit("kept"))
           .otherwise(lit("changed")))
       .select(col(idCol), col("status"))
   }
@@ -803,8 +825,6 @@ object CorpusStats {
   def frequentPairs(
       df: DataFrame, basketCol: String, itemCol: String, minSupport: Long,
       maxBasketItems: Int = 10000): DataFrame = {
-    require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
-    require(maxBasketItems >= 2, s"maxBasketItems must be >= 2, got $maxBasketItems")
     Seq(basketCol, itemCol).foreach(c =>
       require(df.columns.contains(c), s"input is missing '$c'"))
     // bi appears twice below (support agg + semi-join probe) but only
@@ -825,6 +845,12 @@ object CorpusStats {
     */
   private def frequentPairsOn(
       bi: DataFrame, minSupport: Long, maxBasketItems: Int): DataFrame = {
+    // parameter validation lives HERE so both entry points (frequentPairs
+    // and pairAffinity) share it: minSupport = 0 through pairAffinity used
+    // to disable the A-priori prune silently and release every
+    // co-occurring pair — the quadratic tail the prune exists to kill
+    require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketItems >= 2, s"maxBasketItems must be >= 2, got $maxBasketItems")
     val freqItems = bi.groupBy("__i").agg(count(lit(1)).as("__s"))
       .where(col("__s") >= minSupport)
       .select(col("__i"))

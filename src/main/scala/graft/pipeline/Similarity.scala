@@ -25,21 +25,27 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = cosineKernel(a, b)
 
+  // NULL on null inputs, MISMATCHED dimensions, and ZERO-norm vectors.
+  // Dimension truncation used to return a plausible-but-wrong score on a
+  // model-migration dim mix-up; a zero vector used to score 0/0 = NaN,
+  // which Spark's descending sort ranks ABOVE every real cosine — one
+  // junk corpus vector took rank 1 in EVERY query's top-k. NULL sorts
+  // last under desc, so degenerate rows lose instead of winning.
   private val cosineKernel = udf((a: Array[Double], b: Array[Double]) => {
-    if (a == null || b == null) null
+    if (a == null || b == null || a.length != b.length) null
     else {
       var dot = 0.0
       var na = 0.0
       var nb = 0.0
       var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
+      while (i < a.length) {
         dot += a(i) * b(i)
         na += a(i) * a(i)
         nb += b(i) * b(i)
         i += 1
       }
-      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      if (na == 0.0 || nb == 0.0) null
+      else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
   })
 
@@ -109,10 +115,6 @@ object Similarity {
   def dequantizeInt8(qvec: Column, maxAbs: Column): Column =
     transform(qvec, q => q.cast("double") * maxAbs / lit(127.0))
 
-  /** Exact top-k neighbors for each query row: broadcast the (small) query
-    * side across the corpus scan, score, keep k per query by window rank.
-    * Scales to any corpus size; queries must fit in a broadcast.
-    */
   /** Mean-pool vectors per group — the chunk-to-document pooling step
     * that turns per-chunk embeddings into one document vector (and
     * per-cluster centroids, per-source prototypes...). Returns one row per
@@ -157,12 +159,22 @@ object Similarity {
     val m = mean.toDF("__g", "__p", "__m")
     val nVecs = df.where(col(groupCol).isNotNull && col(vecCol).isNotNull)
       .groupBy(col(groupCol).as("__g")).agg(count(lit(1)).as("n_vecs"))
-    m.groupBy("__g")
+    val assembled = m.groupBy("__g")
       .agg(transform(array_sort(collect_list(struct(col("__p"), col("__m")))),
         s => s.getField("__m")).as("embedding"))
-      .join(nVecs, "__g")
+    // LEFT from the count side: a group whose vectors are all EMPTY arrays
+    // explodes to nothing, and an inner join would drop it — breaking the
+    // documented one-row-per-group contract; it releases a NULL embedding
+    nVecs.join(assembled, Seq("__g"), "left")
       .select(col("__g").as(groupCol), col("n_vecs"), col("embedding"))
   }
+
+  /** Exact top-k neighbors for each query row: broadcast the (small) query
+    * side across the corpus scan, score, keep k per query by window rank.
+    * Scales to any corpus size; queries must fit in a broadcast.
+    * Degenerate rows score NULL cosine (zero norm, dim mismatch, null
+    * vector) and are excluded — they must not hold a rank.
+    */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
@@ -174,6 +186,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+      .where(col("cosine").isNotNull) // degenerate vectors hold no rank
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
@@ -212,7 +225,20 @@ object Similarity {
       s"bruteForcePairs collects all $cnt vectors to the driver (bound " +
         s"$maxResidentRows rows); use Dedup.embeddingCosinePairs — the " +
         "sub-quadratic LSH path — for corpora past the bound")
-    val normed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    // NULL ids/vectors drop (siblings' convention: lshTopK and
+    // Ivf.assignCells skip them) — unfiltered, a null vector NPE'd in the
+    // executor after the count scan already ran, and a null id failed the
+    // tuple encoder. Duplicate ids must refuse: binarySearch on a
+    // duplicated ids array picks an arbitrary twin, emitting self-pairs.
+    val clean = df
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val dup = clean.groupBy(col(idCol).cast("long")).count()
+      .where(col("count") > 1L).limit(1).collect()
+    require(dup.isEmpty,
+      s"bruteForcePairs: duplicate id ${dup.headOption.map(_.get(0))
+        .getOrElse("")} — the pair space is defined on DISTINCT ids")
+    val normed = clean
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
         var s = 0.0
@@ -418,6 +444,7 @@ object Similarity {
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("__cv"), col("__qv")).as("cosine"))
+      .where(col("cosine").isNotNull) // degenerate vectors hold no rank
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -175,6 +175,73 @@ class ReviewHardeningSpec extends SparkSpec {
     assert(ex.getMessage.contains("headroom"))
   }
 
+  test("cosine: zero-norm and dimension-mismatched vectors score NULL " +
+      "and hold NO rank (a NaN used to outrank every real neighbor)") {
+    val vecs = makeDf(
+      StructType(Seq(longCol("id"), StructField("v", ArrayType(DoubleType)))),
+      Seq(Row(0L, Seq(1.0, 0.0)), Row(1L, Seq(0.9, 0.1)),
+        Row(2L, Seq(0.0, 0.0)), // zero norm: the old NaN rank-1 poison
+        Row(3L, Seq(0.5, 0.5, 0.5)))) // wrong dims: used to truncate
+    val q = vecs.where(col("id") === 0L)
+    val top = Similarity.bruteForceTopK(vecs, "id", "v", q, "id", "v", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toMap
+    assert(top.keySet === Set(1L), s"only the real neighbor ranks: $top")
+    val lsh = Similarity.lshTopK(vecs, "id", "v", q, "id", "v", k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(!lsh.contains(2L) && !lsh.contains(3L))
+  }
+
+  test("corpusDiff tracks presence with a marker, not fingerprint " +
+      "nullness: NULL-text docs on both sides read kept/changed, not added") {
+    val o = makeDf(StructType(Seq(longCol("doc"), strCol("text"))),
+      Seq(Row(1L, null), Row(2L, null), Row(3L, "gone")))
+    val n = makeDf(StructType(Seq(longCol("doc"), strCol("text"))),
+      Seq(Row(1L, null), Row(2L, "now real"), Row(4L, "fresh")))
+    val st = CorpusStats.corpusDiff(o, n, "doc", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st === Map(1L -> "kept", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("meanPool releases one row per group even when every vector is an " +
+      "empty array (inner join used to drop the group)") {
+    val df = makeDf(
+      StructType(Seq(strCol("g"), StructField("v", ArrayType(DoubleType)))),
+      Seq(Row("full", Seq(1.0, 3.0)), Row("empty", Seq.empty[Double]),
+        Row("empty", Seq.empty[Double])))
+    val out = Similarity.meanPool(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)))).toMap
+    assert(out("full")._1 === 1L && out("full")._2.isDefined)
+    assert(out("empty")._1 === 2L && out("empty")._2.isEmpty)
+  }
+
+  test("bruteForcePairs refuses duplicate ids and skips null rows " +
+      "(binarySearch on a duplicated array emitted self-pairs)") {
+    val dup = makeDf(
+      StructType(Seq(longCol("id"), StructField("v", ArrayType(DoubleType)))),
+      Seq(Row(7L, Seq(1.0, 0.0)), Row(7L, Seq(1.0, 0.0))))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForcePairs(dup, "id", "v", 0.9)
+    }
+    assert(e.getMessage.contains("duplicate id"))
+    val withNull = makeDf(
+      StructType(Seq(longCol("id"), StructField("v", ArrayType(DoubleType)))),
+      Seq(Row(1L, Seq(1.0, 0.0)), Row(2L, null), Row(3L, Seq(1.0, 0.0))))
+    val pairs = Similarity.bruteForcePairs(withNull, "id", "v", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 3L))) // null row skipped, no NPE
+  }
+
+  test("pairAffinity inherits frequentPairs' parameter validation " +
+      "(minSupport = 0 used to disable the A-priori prune silently)") {
+    val bi = makeDf(StructType(Seq(strCol("b"), strCol("i"))),
+      Seq(Row("b1", "x"), Row("b1", "y")))
+    intercept[IllegalArgumentException] {
+      CorpusStats.pairAffinity(bi, "b", "i", minSupport = 0L)
+    }
+  }
+
   test("rangeJoin: a grid-aligned dim interval explodes to exactly its " +
       "covered cells (no phantom boundary cell), results unchanged") {
     val dim = makeDf(StructType(Seq(longCol("lo"), longCol("hi"))),
