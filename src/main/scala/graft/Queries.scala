@@ -4379,7 +4379,7 @@ object Queries {
         |    nfc_normalize(CASE WHEN doc_id % 5 = 0
         |      THEN text || ' caf' || 'e' || chr(769) || chr(7) || '  x'
         |      ELSE text END),
-        |    '[\x00-\x1F\x7F\x{0080}-\x{009F}]', '', 'g'),
+        |    '[\x00-\x1F\x7F\x{0080}-\x{009F}]', ' ', 'g'),
         |  '\s+', ' ', 'g'))) AS norm_md5
         |FROM documents""".stripMargin,
     // q148's seeded-base recurrence with q153's weighted contribution

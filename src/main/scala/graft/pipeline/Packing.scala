@@ -53,8 +53,16 @@ object Packing {
     import spark.implicits._
     val pairs = df
       .select(col(idCol).cast("long").as("_1"), col(tokenCol).cast("long").as("_2"))
-    // pass 1: id range (null when the frame is empty)
-    val Array(minMax) = pairs.agg(min("_1"), max("_1")).collect()
+    // pass 1: id range (null when the frame is empty) + null probe — a
+    // NULL id/token row would crash pass 3's tuple encoder mid-job (and an
+    // all-null id frame used to read as "empty", silently dropping rows)
+    val Array(minMax) = pairs.agg(min("_1"), max("_1"),
+      sum(when(col("_1").isNull || col("_2").isNull, 1L).otherwise(0L)),
+      count(lit(1))).collect()
+    val nullRows = if (minMax.isNullAt(2)) 0L else minMax.getLong(2)
+    require(nullRows == 0L,
+      s"packChunks: $nullRows rows carry a NULL $idCol/$tokenCol — drop " +
+        "or impute them explicitly first")
     if (minMax.isNullAt(0))
       return spark.emptyDataFrame
         .select(lit(0L).as(idCol), lit(0L).as("tokens"),

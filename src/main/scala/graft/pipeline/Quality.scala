@@ -98,8 +98,15 @@ object Quality {
     rule match {
       case Expect.NotNull(c) => Some(col(c).isNull)
       case Expect.InRange(c, lo, hi) =>
-        Some(col(c).isNull || col(c).cast("double") < lo ||
-          col(c).cast("double") > hi)
+        // try_cast, explicitly: a non-null value whose double parse FAILS
+        // (e.g. "N/A") must VIOLATE the rule, deterministically — a plain
+        // cast either THROWS mid-scan (ANSI, the Spark 4 default, killing
+        // the whole validation job on the first bad cell) or yields NULL
+        // (ANSI off), where the raw predicate went NULL and
+        // sum(when(NULL,..)) silently counted the row as PASSING
+        Some(col(c).isNull || expr(s"try_cast(`$c` as double)").isNull ||
+          expr(s"try_cast(`$c` as double)") < lo ||
+          expr(s"try_cast(`$c` as double)") > hi)
       case Expect.InSet(c, vs) => Some(col(c).isNull || !col(c).isin(vs: _*))
       case Expect.MatchesRegex(c, p) =>
         Some(col(c).isNull || !col(c).rlike("^(?:" + p + ")$"))
@@ -585,6 +592,9 @@ object Quality {
   def imputeMode(
       df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
     require(keyCols.nonEmpty, "imputeMode needs at least one key column")
+    require(!keyCols.contains(valueCol),
+      s"'$valueCol' cannot be both key and value (the robustZScores " +
+        "disjointness rule) — the mode table would group on a duplicate")
     (keyCols :+ valueCol).foreach(c =>
       require(df.columns.contains(c), s"input is missing column '$c'"))
     require(!df.columns.contains("was_imputed"),

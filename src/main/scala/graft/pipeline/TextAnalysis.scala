@@ -32,8 +32,13 @@ object TextAnalysis {
     val nfc = udf((s: String) =>
       if (s == null) null
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    // control chars become SPACES before the collapse, never deletions:
+    // stripping \n outright FUSED the words around every line break
+    // ("hello\nworld" -> "helloworld"), corrupting the canonical text the
+    // fingerprint/dedup stack keys on — the contract is "whitespace runs
+    // collapse to one space", and line breaks are whitespace
     trim(regexp_replace(
-      regexp_replace(nfc(c), "[\\x00-\\x1F\\x7F\\u0080-\\u009F]", ""),
+      regexp_replace(nfc(c), "[\\x00-\\x1F\\x7F\\u0080-\\u009F]", " "),
       "\\s+", " "))
   }
 

@@ -242,6 +242,42 @@ class ReviewHardeningSpec extends SparkSpec {
     }
   }
 
+  test("normalizeText collapses line breaks to spaces instead of fusing " +
+      "the words around them (the dedup/fingerprint canonical pre-step)") {
+    val out = makeDf(StructType(Seq(strCol("t"))),
+      Seq(Row("hello\nworld"), Row("hello world"), Row("a\tb\rc")))
+      .select(TextAnalysis.normalizeText(col("t")))
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq("hello world", "hello world", "a b c"))
+  }
+
+  test("InRange treats a failed numeric cast as a VIOLATION (a NULL " +
+      "predicate used to count unparseable values as passing)") {
+    val df = makeDf(StructType(Seq(strCol("qty"))),
+      Seq(Row("5"), Row("N/A"), Row(null), Row("150")))
+    val rep = Quality.report(df, Seq(Quality.Expect.InRange("qty", 0, 100)))
+      .collect().head
+    assert(rep.getLong(2) === 3L, s"N/A + null + 150 all violate: $rep")
+    assert(!rep.getBoolean(3))
+  }
+
+  test("packChunks refuses NULL ids/token counts loudly (an all-null id " +
+      "frame used to read as empty — silent data loss)") {
+    val df = makeDf(StructType(Seq(longCol("id"), longCol("ntok"))),
+      Seq(Row(1L, 5L), Row(null, 3L)))
+    val e = intercept[IllegalArgumentException] {
+      Packing.packChunks(df, "id", "ntok", 50)
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
+  test("imputeMode refuses a column that is both key and value") {
+    val df = makeDf(StructType(Seq(strCol("v"))), Seq(Row("x")))
+    intercept[IllegalArgumentException] {
+      Quality.imputeMode(df, Seq("v"), "v")
+    }
+  }
+
   test("rangeJoin: a grid-aligned dim interval explodes to exactly its " +
       "covered cells (no phantom boundary cell), results unchanged") {
     val dim = makeDf(StructType(Seq(longCol("lo"), longCol("hi"))),

@@ -15,15 +15,18 @@ class TextMetricsSpec extends SparkSpec {
     makeDf(StructType(Seq(strCol("t"))), Seq(Row(text)))
       .select(c).collect().head.get(0)
 
-  test("normalizeText: NFC composes decomposed accents, controls strip, " +
-      "whitespace collapses, null passes through") {
+  test("normalizeText: NFC composes decomposed accents, controls become " +
+      "spaces, whitespace collapses, null passes through") {
     import org.apache.spark.sql.functions.col
     // decomposed e + U+0301 becomes the precomposed U+00E9
     assert(one("cafe\u0301", normalizeText(col("t"))) === "caf\u00e9")
     // already-composed text is untouched (NFC idempotence)
     assert(one("caf\u00e9", normalizeText(col("t"))) === "caf\u00e9")
-    // C0 (BEL), DEL, and C1 (U+0085) strip; whitespace runs collapse
-    assert(one("a\u0007b\u007fc\u0085d", normalizeText(col("t"))) === "abcd")
+    // C0 (BEL), DEL, and C1 (U+0085) become SPACES (deleting them fused
+    // the words around line breaks — "hello\nworld" -> "helloworld");
+    // whitespace runs then collapse
+    assert(one("a\u0007b\u007fc\u0085d", normalizeText(col("t"))) === "a b c d")
+    assert(one("hello\nworld", normalizeText(col("t"))) === "hello world")
     assert(one("  a \t\n b  ", normalizeText(col("t"))) === "a b")
     val nullOut = makeDf(StructType(Seq(strCol("t"))), Seq(Row(null)))
       .select(normalizeText(col("t"))).collect().head
