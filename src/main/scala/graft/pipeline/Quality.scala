@@ -184,6 +184,18 @@ object Quality {
     val flags = rules.indices.map(i => s"__q$i")
     flags.foreach(f => require(!df.columns.contains(f),
       s"input uses reserved column name '$f'; rename it first"))
+    // relational rules join back on __qk_<col> aliases — a colliding input
+    // column makes both join sides carry the name (ambiguous-reference
+    // error deep in planning); refuse with the collision named instead
+    rules.foreach {
+      case u: Expect.Unique => u.columns.foreach(c =>
+        require(!df.columns.contains(s"__qk_$c"),
+          s"input uses reserved column name '__qk_$c'; rename it first"))
+      case fk: Expect.ForeignKey => fk.columns.foreach(c =>
+        require(!df.columns.contains(s"__qk_$c"),
+          s"input uses reserved column name '__qk_$c'; rename it first"))
+      case _ => ()
+    }
     var cur = df
     rules.zipWithIndex.foreach { case (r, i) =>
       val f = flags(i)
@@ -251,7 +263,8 @@ object Quality {
     require(!groupCols.contains(valueCol),
       s"'$valueCol' cannot be both group and measure")
     require(factor >= 0.0, s"factor must be >= 0, got $factor")
-    for (reserved <- Seq("lo_fence", "hi_fence", "is_outlier", "err_units"))
+    for (reserved <- Seq("lo_fence", "hi_fence", "is_outlier", "err_units") ++
+        groupCols.map(c => s"__g_$c"))
       require(!df.columns.contains(reserved),
         s"input uses reserved column name '$reserved'; rename it first")
     val v = col(valueCol).cast("double")
@@ -308,7 +321,8 @@ object Quality {
     require(!groupCols.contains(valueCol),
       s"'$valueCol' cannot be both group and measure")
     require(scaleFactor > 0.0, s"scaleFactor must be > 0, got $scaleFactor")
-    for (reserved <- Seq("median", "mad", "robust_z", "median_err_units",
+    for (reserved <- groupCols.map(c => s"__g_$c") ++
+        Seq("median", "mad", "robust_z", "median_err_units",
         "mad_err_units", "__absdev"))
       require(!df.columns.contains(reserved),
         s"input uses reserved column name '$reserved'; rename it first")
@@ -359,7 +373,8 @@ object Quality {
       s"'$valueCol' cannot be both group and measure")
     require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
-    for (reserved <- Seq("lo_clip", "hi_clip", "winsorized", "err_units"))
+    for (reserved <- Seq("lo_clip", "hi_clip", "winsorized", "err_units") ++
+        groupCols.map(c => s"__g_$c"))
       require(!df.columns.contains(reserved),
         s"input uses reserved column name '$reserved'; rename it first")
     val v = col(valueCol).cast("double")
@@ -475,8 +490,11 @@ object Quality {
       .agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
-    broadcast(expected)
-      .join(counts, Seq("digit"), "left")
+    // the BUILD side of a left-outer broadcast join is the RIGHT side —
+    // a hint on the preserved 9-row literal is dropped by Catalyst with a
+    // warning, leaving the documented plan shape to auto-broadcast luck
+    expected
+      .join(broadcast(counts), Seq("digit"), "left")
       .na.fill(0L, Seq("n"))
       .withColumn("__tot", sum(col("n")).over(w))
       // observed share widens through decimal(38,0): n * ppmScale at the
@@ -551,7 +569,7 @@ object Quality {
     val selfTerm = when(nn && col("__n") > 0L,
       idiv(dec(col("c")) * lit(ppmScale), dec(col("__n"))) * dec(col("c")))
       .otherwise(dec(lit(0)))
-    withN.groupBy(col("column"))
+    val profiled = withN.groupBy(col("column"))
       .agg(
         max(col("__n")).as("n_values"),
         sum(when(!nn, col("c")).otherwise(0L)).as("n_nulls"),
@@ -570,6 +588,17 @@ object Quality {
           lit(ppmScale) -
             idiv(col("__selfsum"), dec(col("n_values"))).cast("long"))
           .as("gini_ppm"))
+    // the contract is one row per REQUESTED column: an empty frame melts
+    // to zero rows, which used to release an empty profile instead of a
+    // zero-filled row per column (a schema-audit consumer then silently
+    // saw no profile at all). The broadcast literal join is row-per-column.
+    val requested = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cols.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("column",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    requested.join(profiled, Seq("column"), "left")
+      .na.fill(0L, Seq("n_values", "n_nulls", "n_distinct"))
   }
 
   /** Modal-value imputation: fill NULLs in `valueCol` with the GROUP's

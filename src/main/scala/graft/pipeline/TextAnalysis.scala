@@ -71,10 +71,18 @@ object TextAnalysis {
 
   /** Fraction of tokens that are common English stopwords. */
   def stopwordRatio(c: Column): Column = {
-    val stop = "(?i)\\b(the|and|of|to|a|in|is|it|that|for|on|with|as|was|at|by)\\b"
+    // counted over TOKENS, not raw-text regex matches: "the,the" is ONE
+    // whitespace token, but two \b-matches used to score ratio 2.0 — a
+    // "fraction" above 1 that skewed every gate treating it as one.
+    // A token counts when it equals a stopword after shedding leading/
+    // trailing punctuation, so numerator <= denominator by construction.
+    val stops = Seq("the", "and", "of", "to", "a", "in", "is", "it",
+      "that", "for", "on", "with", "as", "was", "at", "by")
     val toks = tokenCount(c)
+    val stopToks = size(filter(split(trim(lower(c)), "\\s+"), t =>
+      regexp_replace(t, "^\\p{Punct}+|\\p{Punct}+$", "").isin(stops: _*)))
     when(toks === 0, lit(0.0)).otherwise(
-      size(regexp_extract_all(c, lit(stop), lit(0))).cast("double") / toks.cast("double"))
+      stopToks.cast("double") / toks.cast("double"))
   }
 
   /** Heuristic quality gate in the C4/Gopher style: keep documents with a

@@ -278,6 +278,55 @@ class ReviewHardeningSpec extends SparkSpec {
     }
   }
 
+  test("stopwordRatio is a true fraction: punctuation-joined stopwords " +
+      "cannot push it past 1.0 (raw regex matches once scored 'the,the' " +
+      "at 2.0 over one token)") {
+    val out = makeDf(StructType(Seq(strCol("t"))),
+      Seq(Row("the,the"), Row("the cat"), Row("The end."), Row("zebra")))
+      .select(TextAnalysis.stopwordRatio(col("t")))
+      .collect().map(_.getDouble(0))
+    assert(out.forall(r => r >= 0.0 && r <= 1.0), out.toSeq.toString)
+    assert(out(1) === 0.5) // "the" of ("the","cat")
+    assert(out(2) === 0.5) // "The" case-folds, trailing '.' sheds
+    assert(out(3) === 0.0)
+  }
+
+  test("quarantine and the robust operators reserve their join-key " +
+      "aliases (__qk_/__g_) — a colliding input refused, not an " +
+      "ambiguous-reference crash") {
+    val df = makeDf(StructType(Seq(longCol("id"), strCol("__qk_id"))),
+      Seq(Row(1L, "x")))
+    val e = intercept[IllegalArgumentException] {
+      Quality.quarantine(df, Seq(Quality.Expect.Unique(Seq("id"))))
+    }
+    assert(e.getMessage.contains("__qk_id"))
+    val df2 = makeDf(StructType(Seq(strCol("g"), longCol("v"),
+      strCol("__g_g"))), Seq(Row("a", 1L, "x")))
+    val e2 = intercept[IllegalArgumentException] {
+      Quality.robustZScores(df2, Seq("g"), "v")
+    }
+    assert(e2.getMessage.contains("__g_g"))
+  }
+
+  test("categoricalProfile releases one zero-filled row per requested " +
+      "column even on an EMPTY frame") {
+    val empty = makeDf(StructType(Seq(strCol("a"), strCol("b"))), Seq.empty)
+    val out = Quality.categoricalProfile(empty, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 0L, "b" -> 0L))
+  }
+
+  test("benfordAudit keeps its broadcast on the BUILD side: the digit " +
+      "join stays a broadcast hash join") {
+    val df = makeDf(StructType(Seq(longCol("v"))),
+      (1 to 50).map(i => Row((i * 37L + 1))))
+    val audit = Quality.benfordAudit(df, "v")
+    audit.count()
+    val plan = audit.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), s"hint dropped:\n$plan")
+  }
+
   test("rangeJoin: a grid-aligned dim interval explodes to exactly its " +
       "covered cells (no phantom boundary cell), results unchanged") {
     val dim = makeDf(StructType(Seq(longCol("lo"), longCol("hi"))),
