@@ -590,11 +590,17 @@ class PlanShapeSpec extends SparkSpec with graft.PlanCapture {
       s"raw values must never shuffle:\n$plan")
   }
 
-  test("categoricalProfile melts C columns into one scan, no join") {
+  test("categoricalProfile melts C columns into one scan; the only join " +
+      "is the broadcast row-per-requested-column zero-fill") {
     val df = makeDf(StructType(Seq(strCol("x"), strCol("y"), strCol("z"))),
       (1 to 70).map(i => Row(s"a${i % 5}", s"b${i % 3}", s"c${i % 7}")))
     val plan = executed(Quality.categoricalProfile(df, Seq("x", "y", "z")))
-    assert(!plan.contains("Join"), s"profile never joins:\n$plan")
+    // data never joins data: the r13 empty-frame zero-fill joins the
+    // |cols|-row LITERAL table by broadcast — never a shuffle join
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"profile must not join data-sized sides:\n$plan")
     assert(!plan.contains("Union"), s"one melted scan, not per-column:\n$plan")
   }
 
