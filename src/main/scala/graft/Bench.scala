@@ -121,10 +121,15 @@ object Bench {
         }.toMap
       }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
+    // Names adjudicated EVERY round regardless of movement: queries whose
+    // recorded value swung on contention in a past round and whose plan is
+    // pinned unchanged — the rerun median settles them in the record
+    // (round 13: q201 0.71->1.93 s on byte-identical code).
+    val alwaysRerun = Set("q201_rfm_segments")
     val movers = measured.collect {
       case (n, v) if v > 0 && prior.get(n)
         .exists(p => p > 0 && (v > 1.5 * p || p > 1.5 * v)) => n
-    }.toSet
+    }.toSet ++ alwaysRerun.filter(n => measured.exists(m => m._1 == n && m._2 > 0))
     val queriesByName = SparkEntry.queries
     // The adjudication pass runs single-flight AFTER the interleaved
     // passes; r11's audit found untouched movers still swinging up to 17x
@@ -177,7 +182,6 @@ object Bench {
       .mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"reruns":$rerunJson,"rerun_fallbacks":$fellBackJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    println(json)
     // sbt prefixes forked stdout with "[info] ", which can defeat a strict
     // line parser — leave an unprefixed copy on disk as well. The on-disk
     // copy additionally carries the per-query plan-time split ("plan":
@@ -191,6 +195,29 @@ object Bench {
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(fileJson) finally w.close()
     } catch { case _: Throwable => () }
+    // Tear down Spark COMPLETELY before emitting the record, so the JSON is
+    // the final act on stdout. Round 13's official record was lost to this
+    // ordering: the JSON printed first, then a StateStore maintenance thread
+    // (left running by the streaming queries the bench exercises) dumped an
+    // RpcEnvStoppedException stack during shutdown and pushed the JSON line
+    // out of the driver's log-tail capture window (BENCH_r13.json
+    // parsed:null). Order matters: stop every live stream and await it, stop
+    // the StateStore maintenance pool (it otherwise keeps pinging the
+    // by-then-stopped coordinator RpcEnv), then spark.stop(), flush, and
+    // only then print.
+    try {
+      spark.streams.active.foreach { q =>
+        try { q.stop(); q.awaitTermination(30000) }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
+    // small grace period: any straggler daemon thread that still wants to
+    // log does so now, ahead of the record line
+    Thread.sleep(1000)
+    System.err.flush(); System.out.flush()
+    println(json)
+    System.out.flush()
   }
 }

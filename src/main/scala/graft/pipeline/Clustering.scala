@@ -119,16 +119,19 @@ object Clustering {
       .select(col("__v")).collect()
       .map(_.getSeq[Long](0).toArray)
     def assigned(): DataFrame = {
-      // argmin over k literal centroids: array_min of (dist, cid) structs
-      // is lexicographic — min distance, ties to the smallest cluster id
-      val cands = centroids.zipWithIndex.map { case (c, i) =>
-        val dist = aggregate(
-          zip_with(col("__v"), typedlit(c.toSeq),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-        struct(dist.as("d"), lit(i).as("c"))
-      }
-      cached.withColumn("__best", array_min(array(cands.toIndexedSeq: _*)))
+      // argmin over k literal centroids — ONE codegen'd expression
+      // (graft.exec.NearestCentroid: a tight primitive loop over a
+      // long[][] reference object), ties to the smallest cluster id. The
+      // previous composed form (array_min over k aggregate(zip_with(...))
+      // structs) paid an interpreted CodegenFallback lambda per centroid
+      // per row and broke whole-stage codegen past k in the hundreds —
+      // KMeansCodegenSpec pins that the max-k plan stays codegen'd now.
+      val best = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.exec.NearestCentroid(
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .resolvedExpression(col("__v")),
+          centroids))
+      cached.withColumn("__best", best)
         .select(col("__id"), col("__v"),
           col("__best.c").as("cluster"), col("__best.d").as("dist_sq"))
     }

@@ -166,10 +166,39 @@ object Streaming {
     * query releases nothing, rather than one more batch). Without a
     * ledgerPath the accountant is in-memory only, the pre-round-13
     * behavior — fine for tests, a double-spend hole in production.
+    *
+    * SINGLE WRITER: a durable ledger admits ONE live accountant. A
+    * `.lease` file (renewed on every charge, TTL `leaseTtlMs`) makes a
+    * second accountant on the same ledgerPath refuse at wiring time with
+    * [[LedgerFencedException]], and a holder that loses its lease to a
+    * post-TTL takeover fails its next charge instead of double-spending.
+    * Crash restarts wait out at most one TTL; planned handovers call
+    * [[releaseLedgerLease]] first.
     */
+  /** Thrown when a durable ledger's lease is observed held by ANOTHER
+    * accountant — split-brain. Unlike a transient persist failure (which is
+    * swallowed with the documented one-batch slack), this must propagate:
+    * two accountants interleaving slot writes with independent in-memory
+    * spends double-spend the cap without bound.
+    */
+  final class LedgerFencedException(msg: String)
+    extends IllegalStateException(msg)
+
+  object DpStreamAccountant {
+    /** Default single-writer lease TTL. A live accountant renews its lease
+      * on every charge (per micro-batch); a crashed driver stops renewing,
+      * so a restart waits out at most one TTL. 15 minutes comfortably
+      * exceeds common trigger intervals while bounding crash-restart
+      * downtime; pass a smaller `leaseTtlMs` for fast-failover deployments
+      * (at the cost of a tighter bound on how slow triggers may be).
+      */
+    val DefaultLeaseTtlMs: Long = 15L * 60 * 1000
+  }
+
   final class DpStreamAccountant(
       val totalEpsilon: Double, val perWindowEpsilon: Double,
-      val ledgerPath: Option[String] = None)
+      val ledgerPath: Option[String] = None,
+      val leaseTtlMs: Long = DpStreamAccountant.DefaultLeaseTtlMs)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     import graft.budget.Rat
@@ -201,8 +230,11 @@ object Streaming {
       // for as long as the outage lasts. In-memory spend is already
       // updated; worst case of a swallowed persist failure is the same
       // one-batch restart slack the slot protocol concedes anyway.
+      // EXCEPTION: a fencing violation (another accountant holds the lease)
+      // is not an outage — it is split-brain, and it rethrows.
       try persistLocked()
       catch {
+        case e: LedgerFencedException => throw e
         case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[graft] DP ledger persist failed (spend is tracked in " +
@@ -226,17 +258,120 @@ object Streaming {
         new org.apache.hadoop.fs.Path(base + ".1"))
     private var slotToggle = 0
 
+    // ---- single-writer lease --------------------------------------------
+    // The two-slot protocol is crash-safe for ONE writer; two accountants
+    // on the same ledgerPath (two streams misconfigured to share a ledger,
+    // or a not-fully-dead old driver) would each keep an independent
+    // in-memory spend and interleave slot writes — combined releases
+    // double-spend the cap beyond the documented one-batch slack. The
+    // lease closes it: acquire refuses while another accountant's lease is
+    // fresher than `leaseTtlMs`; every successful persist re-verifies
+    // ownership (fencing) and renews. A crashed holder stops renewing, so
+    // a restart succeeds after at most one TTL; a clean handover calls
+    // [[releaseLedgerLease]]. Lease file format: `token epochMillis host
+    // pid` — token decides, the rest is diagnostics.
+    private val leaseToken = java.util.UUID.randomUUID().toString
+    private def leasePath(base: String) =
+      new org.apache.hadoop.fs.Path(base + ".lease")
+
+    private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Option[(String, Long, String)] =
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.trim.split("\\s+").toSeq match {
+            case tok +: ms +: rest if ms.forall(_.isDigit) && ms.nonEmpty =>
+              Some((tok, ms.toLong, rest.mkString(" ")))
+            case _ => None // torn lease write: treated as absent
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def writeLeaseLocked(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Unit = {
+      val host =
+        try java.net.InetAddress.getLocalHost.getHostName
+        catch { case scala.util.control.NonFatal(_) => "unknown" }
+      val line = s"$leaseToken ${System.currentTimeMillis()} $host " +
+        s"${ProcessHandle.current().pid()}\n"
+      val out = fs.create(p, true)
+      try out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    private def acquireLeaseLocked(
+        conf: org.apache.hadoop.conf.Configuration): Unit =
+      ledgerPath.foreach { base =>
+        val p = leasePath(base)
+        val fs = p.getFileSystem(conf)
+        readLease(fs, p).foreach { case (tok, ms, who) =>
+          val age = System.currentTimeMillis() - ms
+          if (tok != leaseToken && age < leaseTtlMs)
+            throw new LedgerFencedException(
+              s"DP ledger '$base' is held by another accountant " +
+                s"($who, lease renewed ${age} ms ago, TTL $leaseTtlMs ms). " +
+                "Two accountants sharing a ledger double-spend the budget. " +
+                "If the holder crashed, retry after the TTL expires; for a " +
+                "clean handover call releaseLedgerLease() on the old " +
+                s"accountant, or delete '$p' once the holder is dead.")
+        }
+        writeLeaseLocked(fs, p)
+      }
+
+    /** Fencing check before each slot write: throws if another accountant
+      * verifiably took the lease (split-brain — the TTL expired during a
+      * long trigger gap and a second accountant acquired). A lease our
+      * token owns, an absent lease (operator cleanup), or an unreadable
+      * lease is reclaimed — slot restore is monotone, so reclaim can never
+      * move spend backwards.
+      */
+    private def verifyLeaseLocked(fs: org.apache.hadoop.fs.FileSystem,
+        base: String): Unit =
+      readLease(fs, leasePath(base)).foreach { case (tok, _, who) =>
+        if (tok != leaseToken)
+          throw new LedgerFencedException(
+            s"DP ledger '$base' lease was taken over by another " +
+              s"accountant ($who) — this accountant lost ownership and " +
+              "must stop charging (its in-memory spend no longer governs " +
+              "the ledger)")
+      }
+
+    /** Release this accountant's ledger lease for a clean handover (e.g.
+      * planned redeploy). Only deletes a lease this accountant owns; safe
+      * to call when no ledger is configured or nothing was acquired.
+      */
+    def releaseLedgerLease(): Unit = lock.synchronized {
+      for { base <- ledgerPath; conf <- hadoopConf } try {
+        val p = leasePath(base)
+        val fs = p.getFileSystem(conf)
+        if (readLease(fs, p).exists(_._1 == leaseToken)) fs.delete(p, false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
     private def persistLocked(): Unit = for {
       base <- ledgerPath
       conf <- hadoopConf
     } {
       val p = slotPaths(base)(slotToggle)
-      slotToggle = 1 - slotToggle
       val fs = p.getFileSystem(conf)
+      verifyLeaseLocked(fs, base)
       val out = fs.create(p, true)
       try out.write(s"${spentRat.num}/${spentRat.den}\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      // advance the toggle only after the write SUCCEEDS: a failed persist
+      // must retry the same stale slot. Flipping first would point the next
+      // write at the slot holding the newest durable spend, and a crash
+      // mid-that-write could tear BOTH recent values — rolling durable
+      // spend back more than the documented at-most-one-lost-charge slack.
+      slotToggle = 1 - slotToggle
+      // renew the lease (best-effort: a failed renewal risks only an
+      // early-expiry refusal on OUR next verify, never a double spend)
+      try writeLeaseLocked(fs, leasePath(base))
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
     private def readSlot(fs: org.apache.hadoop.fs.FileSystem,
@@ -256,6 +391,9 @@ object Streaming {
 
     private def restoreLocked(conf: org.apache.hadoop.conf.Configuration): Unit =
       ledgerPath.foreach { base =>
+        // single-writer guard FIRST: refuse before reading any state if
+        // another live accountant holds this ledger
+        acquireLeaseLocked(conf)
         val fs = new org.apache.hadoop.fs.Path(base + ".0").getFileSystem(conf)
         val slots = slotPaths(base).map(readSlot(fs, _))
         val restored = slots.flatten
@@ -285,10 +423,12 @@ object Streaming {
       * let an exhausted restart slip the guard on in-memory zero spend.
       */
     def observed(release: DataFrame): DataFrame = {
-      if (hadoopConf.isEmpty) {
-        val conf = release.sparkSession.sparkContext.hadoopConfiguration
-        hadoopConf = Some(conf)
-        lock.synchronized(restoreLocked(conf))
+      lock.synchronized {
+        if (hadoopConf.isEmpty) {
+          val conf = release.sparkSession.sparkContext.hadoopConfiguration
+          hadoopConf = Some(conf)
+          restoreLocked(conf)
+        }
       }
       require(!exhausted,
         f"DP stream budget exhausted: spent $spent%.6g of $totalEpsilon%.6g " +
@@ -313,6 +453,10 @@ object Streaming {
       else {
         val rem = totalRat - spentRat
         if (rem <= Rat.zero) 0L
+        // an unlimited budget (totalEpsilon = +Inf) affords everything —
+        // and must short-circuit BEFORE the exact division, whose
+        // denominator multiplies by rem.den = 0 for the infinite rational
+        else if (rem.isInfinite) Long.MaxValue
         else {
           // floor of an exact positive rational division, no doubles
           val q = (rem.num * perWindowRat.den) / (rem.den * perWindowRat.num)
@@ -345,6 +489,20 @@ object Streaming {
         "enforcedBatcher needs deterministic order columns — which windows " +
           "survive a partially-affordable batch must not depend on layout")
       (batch: DataFrame, _: Long) => {
+        // enforcedBatcher may be this accountant's ONLY wiring (no
+        // register()/observed() call), so the durable ledger must
+        // initialize HERE too: restore the persisted spend (and take the
+        // single-writer lease) before the first affordability decision.
+        // Without this, a ledgerPath accountant used via enforcedBatcher
+        // alone would track spend in memory only — a restart would reset
+        // it to zero and over-release, violating the never-exceed promise.
+        lock.synchronized {
+          if (hadoopConf.isEmpty) {
+            val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+            hadoopConf = Some(conf)
+            restoreLocked(conf)
+          }
+        }
         val afford = affordable
         if (afford > 0L) {
           val kept =

@@ -490,10 +490,12 @@ class StreamingRestartSpec extends SparkSpec {
       assert(acct.spentExact === want)
     }
 
-    // run 1: one window finalizes ([0,10) x "a") -> spend 1 of 2
+    // run 1: one window finalizes ([0,10) x "a") -> spend 1 of 2.
+    // leaseTtlMs = 0: each "restart" below simulates a CRASHED driver (the
+    // lease is never released), so the successor must see it as stale
     val acctA = new Streaming.DpStreamAccountant(
       totalEpsilon = 2.0, perWindowEpsilon = 1.0,
-      ledgerPath = Some(ledger)).register(spark)
+      ledgerPath = Some(ledger), leaseTtlMs = 0L).register(spark)
     try {
       writeWave(Seq(ts(1) -> "a", ts(2) -> "a", ts(30) -> "z"))
       runOnce(acctA)
@@ -505,7 +507,7 @@ class StreamingRestartSpec extends SparkSpec {
     // finalizes and exhausts the cap
     val acctB = new Streaming.DpStreamAccountant(
       totalEpsilon = 2.0, perWindowEpsilon = 1.0,
-      ledgerPath = Some(ledger)).register(spark)
+      ledgerPath = Some(ledger), leaseTtlMs = 0L).register(spark)
     try {
       assert(acctB.spentExact === Rat(1), "restart must restore exact spend")
       assert(!acctB.exhausted)
@@ -520,7 +522,7 @@ class StreamingRestartSpec extends SparkSpec {
     // (not even the one pre-listener batch the async path would leak)
     val acctC = new Streaming.DpStreamAccountant(
       totalEpsilon = 2.0, perWindowEpsilon = 1.0,
-      ledgerPath = Some(ledger)).register(spark)
+      ledgerPath = Some(ledger), leaseTtlMs = 0L).register(spark)
     try {
       assert(acctC.spentExact === Rat(2))
       assert(acctC.exhausted)
@@ -537,5 +539,70 @@ class StreamingRestartSpec extends SparkSpec {
           r.getLong(2))).toSet
       assert(released === Set((0L, "a", 2L), (30L, "z", 2L)))
     } finally spark.streams.removeListener(acctC)
+  }
+
+  test("durable ledger admits ONE live accountant: a second refuses at " +
+      "wiring, releaseLedgerLease hands over, the fenced-out holder fails " +
+      "its next charge") {
+    import graft.budget.Rat
+    val ledger = Files.createTempDirectory("dplease")
+      .toFile.getAbsolutePath + "/led"
+    val a = new Streaming.DpStreamAccountant(10.0, 1.0,
+      ledgerPath = Some(ledger)).register(spark)
+    try {
+      a.charge(1)
+      // a holds a fresh lease (default TTL) -> a second accountant on the
+      // same path must refuse BEFORE reading or writing any ledger state
+      val b = new Streaming.DpStreamAccountant(10.0, 1.0,
+        ledgerPath = Some(ledger))
+      val ex = intercept[Streaming.LedgerFencedException](b.register(spark))
+      assert(ex.getMessage.contains("held by another accountant"))
+      // clean handover: release, then a successor restores the exact spend
+      a.releaseLedgerLease()
+      val c = new Streaming.DpStreamAccountant(10.0, 1.0,
+        ledgerPath = Some(ledger)).register(spark)
+      try {
+        assert(c.spentExact === Rat(1))
+        c.charge(1)
+        // the old holder lost the lease: its next charge must fail loudly
+        // (fencing) instead of interleaving slot writes with c
+        intercept[Streaming.LedgerFencedException](a.charge(1))
+      } finally spark.streams.removeListener(c)
+    } finally spark.streams.removeListener(a)
+  }
+
+  test("enforcedBatcher used ALONE (no register/observed) initializes and " +
+      "restores the durable ledger: a restart can never over-release") {
+    import graft.budget.Rat
+    val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    val ledger = Files.createTempDirectory("dpledgerfb")
+      .toFile.getAbsolutePath + "/led"
+    val batch = Seq(1L, 2L, 3L).toDF("wstart")
+    def run(acct: Streaming.DpStreamAccountant, id: Long): Set[Long] = {
+      val wrote = scala.collection.mutable.ArrayBuffer.empty[Long]
+      acct.enforcedBatcher(Seq("wstart")) { kept =>
+        wrote ++= kept.collect().map(_.getLong(0))
+      }(batch, id)
+      wrote.toSet
+    }
+    // leaseTtlMs = 0: each accountant below simulates a crashed-and-
+    // restarted driver, so the predecessor's unreleased lease is stale
+    val a = new Streaming.DpStreamAccountant(5.0, 1.0,
+      ledgerPath = Some(ledger), leaseTtlMs = 0L)
+    assert(run(a, 0L) === Set(1L, 2L, 3L))
+    assert(a.spentExact === Rat(3))
+    // crash. The successor is wired ONLY through enforcedBatcher — it must
+    // restore spend 3 before its first affordability decision (a reset to
+    // zero would release all 3 rows here and over-spend the cap of 5)
+    val b = new Streaming.DpStreamAccountant(5.0, 1.0,
+      ledgerPath = Some(ledger), leaseTtlMs = 0L)
+    assert(run(b, 1L) === Set(1L, 2L), "only the affordable prefix")
+    assert(b.spentExact === Rat(5))
+    // crash again: the cap is spent — nothing affordable, nothing written
+    val c = new Streaming.DpStreamAccountant(5.0, 1.0,
+      ledgerPath = Some(ledger), leaseTtlMs = 0L)
+    assert(run(c, 2L) === Set.empty[Long])
+    assert(c.spentExact === Rat(5))
   }
 }

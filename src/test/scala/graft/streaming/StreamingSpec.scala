@@ -219,11 +219,11 @@ class StreamingSpec extends SparkSpec {
       Rat(BigInt(n), BigInt(d))
     }
     val a = new Streaming.DpStreamAccountant(100.0, 1.0,
-      ledgerPath = Some(ledger)).register(spark)
+      ledgerPath = Some(ledger), leaseTtlMs = 0L).register(spark)
     try { a.charge(1); a.charge(1); a.charge(1) } // slots now {3, 2}
-    finally spark.streams.removeListener(a)
+    finally spark.streams.removeListener(a) // simulated crash: lease stays
     val b = new Streaming.DpStreamAccountant(100.0, 1.0,
-      ledgerPath = Some(ledger)).register(spark)
+      ledgerPath = Some(ledger), leaseTtlMs = 0L).register(spark)
     try {
       assert(b.spentExact === Rat(3))
       b.charge(1)
@@ -233,6 +233,17 @@ class StreamingSpec extends SparkSpec {
       assert(Set(slotValue(0), slotValue(1)) === Set(Rat(3), Rat(4)),
         s"got slots ${slotValue(0)} / ${slotValue(1)}")
     } finally spark.streams.removeListener(b)
+  }
+
+  test("unlimited budget (totalEpsilon = +Inf): affordable is Long.MaxValue, " +
+      "never an exact division by the infinite rational's zero denominator") {
+    val acct = new Streaming.DpStreamAccountant(
+      totalEpsilon = Double.PositiveInfinity, perWindowEpsilon = 0.5)
+    assert(acct.affordable === Long.MaxValue)
+    acct.charge(3) // spend moves; the remainder stays infinite
+    assert(acct.affordable === Long.MaxValue)
+    assert(!acct.exhausted)
+    assert(acct.remaining === Double.PositiveInfinity)
   }
 
   test("stream accountant tracks spend in EXACT rationals, like the batch session") {
