@@ -1292,6 +1292,79 @@ object Queries {
       m.merges.zipWithIndex.map { case ((a, b), i) => (i + 1L, a, b) }
         .toDF("step", "lhs", "rhs")
     }),
+    "q218_ivf_distributed_train" -> ((s, d) => {
+      import s.implicits._
+      // FULL-CORPUS coarse-quantizer training (no driver sample bound):
+      // Ivf.trainDistributed rides kMeansMicro's integer Lloyd's — per
+      // round one codegen'd NearestCentroid argmin projection + one
+      // (cluster, dim)-keyed exchange; the driver holds k·dim longs only.
+      // Release is the learned centroid table itself (micro-unit integers
+      // divided by the scale — an exact IEEE division both engines round
+      // identically), so the whole distributed trainer is oracled by the
+      // unrolled two-iteration Lloyd recurrence in SQL, q176's discipline
+      // extended one mean-update step (assignments release THERE, the
+      // post-update centroids release HERE)
+      val m = graft.pipeline.Ivf.trainDistributed(
+        read(s, d, "embeddings"), "vec_id", "embedding",
+        nlist = 4, iters = 2)
+      m.centroids.zipWithIndex.flatMap { case (c, ci) =>
+        c.zipWithIndex.map { case (v, di) => (ci, (di + 1).toLong, v) }
+      }.toSeq.toDF("cluster", "dim", "value")
+    }),
+    "q219_streaming_dp_ledger" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      // the durable DP ledger END TO END, across a simulated driver crash:
+      // run 1 streams the first half of events (ts <= 2999 s), its
+      // windowed counts finalize under a 0-second watermark, and the
+      // enforcedBatcher releases ONLY the budget-affordable prefix (3
+      // window rows at eps 1 each of a 3.0 cap) in deterministic
+      // (wstart, etype) order, charging the exact-rational ledger BEFORE
+      // writing. Run 2 is a FRESH accountant (the crashed driver's lease
+      // is stale at ttl=0) on the same ledger + checkpoint with the rest
+      // of the stream: it must restore spend 3/3 from the slot files and
+      // release NOTHING more, even though new windows finalize. The
+      // released table is therefore exactly the 3 smallest finalized
+      // (window, event_type) rows of the first half — plain SQL.
+      val tmp = java.nio.file.Files.createTempDirectory("q219ledger")
+        .toFile.getAbsolutePath
+      val inDir = s"$tmp/in"
+      val outDir = s"$tmp/out"
+      val events = readEvents(s, d)
+        .select(col("event_id"), col("event_type"))
+      events.where(col("event_id") <= 2999L)
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType)))
+      def runOnce(): Unit = {
+        // fresh accountant each run = restart semantics; ttl 0 treats the
+        // previous run's unreleased lease as a crashed holder's
+        val acct = new graft.streaming.Streaming.DpStreamAccountant(
+          totalEpsilon = 3.0, perWindowEpsilon = 1.0,
+          ledgerPath = Some(s"$tmp/dp_ledger"), leaseTtlMs = 0L)
+        val stream = s.readStream.schema(schema).parquet(inDir)
+          .withColumn("ts", timestamp_seconds(col("event_id")))
+        val counts = graft.streaming.Streaming.windowedCounts(
+          stream, "ts", "event_type", "10 minutes", "0 seconds")
+          .select(col("window.start").cast("long").as("wstart"),
+            col("event_type"), col("count"))
+        val q = counts.writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .foreachBatch(acct.enforcedBatcher(Seq("wstart", "event_type")) {
+            kept => kept.write.mode("append").parquet(outDir)
+          })
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce() // releases the 3 affordable rows, ledger at 3/3
+      events.where(col("event_id") > 2999L)
+        .coalesce(1).write.mode("append").parquet(inDir)
+      runOnce() // restored spend: nothing affordable, nothing released
+      s.read.parquet(outDir)
+    }),
     "q213_scd_audit" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // audit a deliberately messy synthetic SCD (1000-wide validity
@@ -3169,6 +3242,66 @@ object Queries {
     // the distributed trainer's merge table, recomputed by the unrolled
     // SQL recurrence (see bpeOracleSql's replace()-is-mergeOnce argument)
     "q217_bpe_merges" -> bpeOracleSql(numMerges = 4, minPairCount = 2L),
+    // q176's unrolled integer-Lloyd recurrence extended one mean-update
+    // step: assignments release there, the POST-update centroids (what
+    // Ivf.trainDistributed returns after iters=2) release here, mapped
+    // micro-long -> double by the same exact IEEE division
+    "q218_ivf_distributed_train" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        |  FROM e ORDER BY vec_id LIMIT 4),
+        |d1 AS (SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.v)),
+        |      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d
+        |  FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cid, d FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM d1)
+        |  WHERE rk = 1),
+        |x1 AS (SELECT a1.cid AS cid, unnest(e.v) AS val,
+        |    unnest(generate_series(1, len(e.v))) AS dim
+        |  FROM a1 JOIN e USING (vec_id)),
+        |m1 AS (SELECT cid, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+        |  FROM x1 GROUP BY cid, dim),
+        |c1 AS (SELECT c0.cid, COALESCE(mm.v, c0.v) AS v FROM c0
+        |  LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS v FROM m1
+        |    GROUP BY cid) mm USING (cid)),
+        |d2 AS (SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.v)),
+        |      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d
+        |  FROM e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, cid, d FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM d2)
+        |  WHERE rk = 1),
+        |x2 AS (SELECT a2.cid AS cid, unnest(e.v) AS val,
+        |    unnest(generate_series(1, len(e.v))) AS dim
+        |  FROM a2 JOIN e USING (vec_id)),
+        |m2 AS (SELECT cid, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+        |  FROM x2 GROUP BY cid, dim),
+        |c2 AS (SELECT c1.cid, COALESCE(mm.v, c1.v) AS v FROM c1
+        |  LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS v FROM m2
+        |    GROUP BY cid) mm USING (cid))
+        |SELECT CAST(cid AS INTEGER) AS cluster,
+        |  CAST(u.ord AS BIGINT) AS dim,
+        |  CAST(v[u.ord] AS DOUBLE) / 1000000 AS value
+        |FROM c2, unnest(range(1, len(v) + 1)) AS u(ord)""".stripMargin,
+    // the never-exceed ledger's released table: of the windows the first
+    // half finalizes (window end <= the first half's watermark = its max
+    // event second), the 3 smallest (wstart, event_type) rows — the
+    // affordable prefix of a 3.0-epsilon cap at 1.0 per window; the
+    // restarted second half restores 3/3 from the ledger and adds nothing
+    "q219_streaming_dp_ledger" ->
+      """WITH wm AS (SELECT max(event_id) AS m FROM events
+        |  WHERE event_id <= 2999),
+        |c AS (SELECT CAST((event_id // 600) * 600 AS BIGINT) AS wstart,
+        |    event_type, CAST(count(*) AS BIGINT) AS count
+        |  FROM events, wm
+        |  WHERE (event_id // 600) * 600 + 600 <= wm.m
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY wstart, event_type)
+        |    AS rk FROM c)
+        |SELECT wstart, event_type, count FROM r WHERE rk <= 3""".stripMargin,
     // the same strictly-earlier running-max sweep; open rows as
     // max-long sentinels
     "q213_scd_audit" ->

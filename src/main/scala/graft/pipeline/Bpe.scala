@@ -141,7 +141,7 @@ object Bpe {
   /** Learn `numMerges` BPE merges with the merge loop DISTRIBUTED: the
     * word dictionary stays a DataFrame (never resident on the driver), and
     * each merge step is one keyed aggregate — explode adjacent symbol
-    * pairs, sum corpus frequency per pair, `TakeOrdered(1)` the best — plus
+    * pairs, sum corpus frequency per pair, `TakeOrdered(k)` the best — plus
     * one map-side projection applying the merge via the SAME
     * [[mergeOnce]] kernel the driver path uses, so the two trainers agree
     * bit-for-bit wherever [[train]]'s residency bound admits the corpus.
@@ -153,12 +153,42 @@ object Bpe {
     * shrinks monotonically; lineage is pinned per step with
     * `localCheckpoint` (the [[Graph]] iteration discipline) so step k
     * does not replay steps 0..k-1. No residency bound needed: the only
-    * thing the driver ever holds is the current best pair.
+    * thing the driver ever holds is the current best pairs.
+    *
+    * `mergeBatch` > 1 amortizes the per-merge census for production-sized
+    * vocabularies (a 30k-merge tokenizer at one census per merge is 30k
+    * Spark jobs): per census round, the trainer accepts the LONGEST
+    * ranked prefix of pairs that is provably order-equivalent to running
+    * them sequentially, so the merge table is bit-identical to
+    * `mergeBatch = 1` (spec-pinned). The acceptance rule and why it is
+    * exact:
+    *  - pairs are taken in census rank order (count desc, then (a, b) in
+    *    code-point order — the sequential tie-break);
+    *  - an accepted pair must be SYMBOL-DISJOINT from every earlier
+    *    accepted pair, so applying earlier merges cannot create or
+    *    destroy its occurrences (creation needs the new merged symbol;
+    *    destruction needs a shared symbol's adjacency);
+    *  - each accepted pair beyond the first must have count STRICTLY
+    *    above the best rejected census row: every pair the sequential
+    *    trainer could newly prefer at an intermediate step — a pair
+    *    involving a just-merged symbol — inherits its count from an old
+    *    pair that shares a symbol with an accepted pair (each new
+    *    occurrence comes from an old triple), and such sharers are not
+    *    in the accepted prefix, so their counts sit at or below that
+    *    rejected row;
+    *  - the concatenated merge strings must not collide with any symbol
+    *    LIVE in the working set (nor each other): a collision would let
+    *    a merge INCREASE an existing pair's count (new adjacencies of
+    *    the merged symbol would alias an old symbol's), voiding the
+    *    bound. Checked with one dictionary-sized probe per round; on a
+    *    clash the round falls back to the plain sequential single merge.
     */
   def trainDistributed(
       df: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L): Model = {
+      minPairCount: Long = 2L, mergeBatch: Int = 1): Model = {
     require(numMerges >= 0, "numMerges must be non-negative")
+    require(mergeBatch >= 1 && mergeBatch <= 4096,
+      s"mergeBatch must be in [1, 4096], got $mergeBatch")
     // same code-point symbol alphabet as train() (see toSymbols: UTF-16
     // units would put lone surrogates in rows, which UTF-8 encoding mangles)
     val toSyms = udf((w: String) => toSymbols(w).toSeq)
@@ -177,7 +207,10 @@ object Bpe {
       // TakeOrderedAndProject for the argmax — tie-break (-cnt, a, b)
       // matches train()'s bestPair ordering (Spark string sort = UTF-8
       // byte compare = code-point order = cpCompare; NOT Scala's
-      // String#compareTo, which is UTF-16-unit order)
+      // String#compareTo, which is UTF-16-unit order). One extra row past
+      // the batch bound = the best REJECTED count the equivalence rule
+      // compares against.
+      val want = math.min(mergeBatch, numMerges - step)
       val top = words
         .select(explode(expr(
           "transform(sequence(0, size(syms) - 2), " +
@@ -186,14 +219,61 @@ object Bpe {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(want + 1)
         .collect()
-      if (top.isEmpty || top(0).getLong(2) < minPairCount) continue = false
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      if (top.isEmpty || top(0)._2 < minPairCount) continue = false
       else {
-        val best = (top(0).getString(0), top(0).getString(1))
-        merges += best
-        val mergeU = udf((syms: Seq[String]) =>
-          mergeOnce(syms.toArray, best).toSeq)
+        // greedy prefix acceptance (rank order, stop at first violation)
+        val accepted = scala.collection.mutable.ArrayBuffer(top(0))
+        var i = 1
+        var stopped = false
+        while (!stopped && i < top.length && accepted.size < want) {
+          val (p, c) = top(i)
+          // rows i+1.. are rejected if row i is accepted; an absent next
+          // row means the prefix is the ENTIRE census, where pairwise
+          // disjointness alone rules out risers (a new pair needs an old
+          // sharer adjacency, which would itself be a census pair)
+          val bestRejected =
+            if (i + 1 < top.length) Some(top(i + 1)) else None
+          val disjoint = accepted.forall { case ((a, b), _) =>
+            p._1 != a && p._1 != b && p._2 != a && p._2 != b
+          }
+          // strict-majority condition: c must beat every census row that
+          // could rise after earlier merges — i.e. the first row NOT in
+          // the accepted prefix. Accepting row i leaves rows i+1.. as
+          // rejected; c > top(i+1).cnt suffices (ties are NOT safe: a
+          // risen new pair at equal count could win the lex tie-break).
+          val strictlyAbove = bestRejected.forall { case (_, rc) => c > rc }
+          if (c >= minPairCount && disjoint && strictlyAbove) {
+            accepted += top(i); i += 1
+          } else stopped = true
+        }
+        // collision probe (only needed when actually batching): a merge
+        // string aliasing a LIVE symbol or another accepted merge string
+        // voids the count bound — fall back to the sequential single merge
+        val batch: Seq[(String, String)] =
+          if (accepted.size <= 1) Seq(accepted(0)._1)
+          else {
+            val strs = accepted.map { case ((a, b), _) => a + b }
+            val pairwiseClash = strs.distinct.size != strs.size ||
+              accepted.exists { case ((a, b), _) =>
+                strs.contains(a) || strs.contains(b) }
+            val liveClash = pairwiseClash || !words
+              .select(explode(col("syms")).as("s"))
+              .where(col("s").isin(strs.toSeq: _*))
+              .limit(1).isEmpty
+            if (liveClash) Seq(accepted(0)._1)
+            else accepted.map(_._1).toSeq
+          }
+        merges ++= batch
+        val batchArr = batch.toArray
+        val mergeU = udf((syms: Seq[String]) => {
+          var s = syms.toArray
+          var j = 0
+          while (j < batchArr.length) { s = mergeOnce(s, batchArr(j)); j += 1 }
+          s.toSeq
+        })
         // prior steps' checkpoint blocks free when the ContextCleaner GCs
         // the dropped RDD reference — Dataset.unpersist would be a no-op
         // here (it only uncaches CacheManager entries, not checkpoint RDDs)
@@ -201,7 +281,7 @@ object Bpe {
           .select(mergeU(col("syms")).as("syms"), col("n"))
           .filter(size(col("syms")) >= 2)
           .localCheckpoint()
-        step += 1
+        step += batch.size
       }
     }
     Model(merges.result())

@@ -348,7 +348,8 @@ object Dedup {
     * Scale shape: one id-keyed equi-join (the assignment is (id, cluster)
     * pairs — bounded width), then ONE cluster-keyed exchange serving both
     * the winner window and the member count. No self-join, nothing
-    * quadratic; the guard probe is a `limit(1)` aggregate.
+    * quadratic; the duplicate-id guard is an inline raise_error window on
+    * the assignment's own id exchange — zero extra actions.
     */
   def survivorship(
       df: DataFrame, idCol: String, scoreCol: String,
@@ -358,22 +359,29 @@ object Dedup {
     Seq(idCol, clusterCol).foreach(c =>
       require(clusters.columns.contains(c),
         s"cluster assignment is missing column '$c'"))
-    Reserved.free(df, "survivorship", "__clu", "__rn", "n_members")
+    Reserved.free(df, "survivorship", "__clu", "__rn", "__dupn", "n_members")
     require(!df.columns.contains(clusterCol),
       s"input already has a column named '$clusterCol' (the output cluster " +
         "column) — the release would carry the name twice; rename one")
-    // persist BEFORE the duplicate probe (the editDistancePairs dict
-    // discipline): the assignment is typically an expensive
-    // candidate+verify pipeline, and an unpersisted probe would run that
-    // whole lineage once for the guard and again for the join below
+    // duplicate-id guard INLINE in the single join pass (the probe-
+    // consolidation discipline): a count window over the bounded-width
+    // assignment keyed on id rides the same id-keyed exchange the join
+    // needs anyway, so the guard costs no extra action — and the
+    // assignment's (typically expensive candidate+verify) lineage is
+    // evaluated exactly ONCE, with no persist to leak (the r13 version
+    // persisted for a separate probe and never unpersisted)
+    val cluType = clusters.schema(clusterCol).dataType
     val assign = clusters.select(col(idCol), col(clusterCol).as("__clu"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupId = assign.groupBy(col(idCol)).agg(count(lit(1)).as("__c"))
-      .where(col("__c") > 1L).limit(1).collect()
-    require(dupId.isEmpty,
-      s"survivorship: duplicate $idCol in the cluster assignment (e.g. " +
-        s"${dupId.headOption.map(_.toString).getOrElse("")}) — membership " +
-        "would be ambiguous")
+      .withColumn("__dupn",
+        count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .select(col(idCol),
+        when(col("__dupn") > 1L,
+          raise_error(concat(
+            lit(s"survivorship: duplicate $idCol in the cluster " +
+              "assignment ("),
+            col(idCol).cast("string"),
+            lit(") — membership would be ambiguous"))).cast(cluType))
+          .otherwise(col("__clu")).as("__clu"))
     val joined = df.join(assign, Seq(idCol), "left")
       .withColumn("__clu", coalesce(col("__clu"), col(idCol)))
     val w = Window.partitionBy(col("__clu"))

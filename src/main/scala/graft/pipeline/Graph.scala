@@ -811,15 +811,20 @@ object Graph {
       .localCheckpoint(true)
     val adj = und.select(col("__u").as("__s"), col("__v").as("__w"))
       .unionByName(und.select(col("__v").as("__s"), col("__u").as("__w")))
+    // the loud hub refusal rides the degree table's own (mandatory, eager)
+    // materialization: raise_error fires during the localCheckpoint job,
+    // so validation costs ZERO extra jobs — the previous limit(1) probe
+    // was a separate scan of the checkpointed degrees
     val deg = adj.groupBy(col("__s").as("__n"))
       .agg(count(lit(1)).as("__deg"))
+      .select(col("__n"),
+        when(col("__deg") > maxDegree,
+          raise_error(concat(lit("linkPrediction: node "), col("__n"),
+            lit(s" exceeds maxDegree=$maxDegree — the apex self-join " +
+              "would fan out quadratically on it; truncate hub adjacency " +
+              "first or raise the cap"))).cast("long"))
+          .otherwise(col("__deg")).as("__deg"))
       .localCheckpoint(true)
-    val hub = deg.where(col("__deg") > maxDegree).limit(1).collect()
-    require(hub.isEmpty,
-      s"linkPrediction: node ${hub.headOption.map(_.getString(0)).getOrElse("")} " +
-        s"exceeds maxDegree=$maxDegree — the apex self-join would fan " +
-        "out quadratically on it; truncate hub adjacency first or raise " +
-        "the cap")
     val cn = adj.select(col("__s"), col("__w").as("__a"))
       .join(adj.select(col("__s"), col("__w").as("__b")), Seq("__s"))
       .where(col("__a") < col("__b"))

@@ -317,8 +317,8 @@ object Relational {
     *
     * Plan shape: ONE key-keyed full outer join; the classification is a
     * codegen'd projection. The uniqueness guard is a count-distinct
-    * aggregate per side (two cheap keyed aggregates), paid before the
-    * join so violations fail before any work fans out.
+    * aggregate per side, both sides sharing ONE validation job, paid
+    * before the join so violations fail before any work fans out.
     */
   def snapshotDiff(
       before: DataFrame, after: DataFrame, keyCols: Seq[String],
@@ -334,14 +334,22 @@ object Relational {
         s"inputs use reserved column name '$reserved'; rename it first")
     val compareCols =
       before.columns.filter(c => !keyCols.contains(c) && after.columns.contains(c))
-    for ((side, df) <- Seq("before" -> before, "after" -> after)) {
-      val dup = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
-        .where(col("__c") > 1L).limit(1).collect()
-      require(dup.isEmpty,
-        s"snapshotDiff: $side side has duplicate keys (e.g. " +
-          s"${dup.headOption.map(_.toString).getOrElse("")}) — keys must be " +
-          "unique per snapshot")
-    }
+    // ONE validation action for both sides: the per-side duplicate-key
+    // summaries union into a single job, so each snapshot is scanned once
+    // for validation instead of probed separately
+    def dupViol(df: DataFrame, side: String) =
+      df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1L)
+        .select(lit(side).as("__side"),
+          concat_ws(",", keyCols.map(c => col(c).cast("string")): _*)
+            .as("__ex"))
+        .limit(1)
+    dupViol(before, "before").unionAll(dupViol(after, "after")).collect()
+      .headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"snapshotDiff: ${r.getString(0)} side has duplicate keys (e.g. " +
+            s"[${r.getString(1)}]) — keys must be unique per snapshot")
+      }
     val b = before.select((keyCols ++ compareCols).map(col): _*)
       .withColumn("__in_b", lit(true))
     val a = after.select((keyCols ++ compareCols).map(col): _*)
@@ -735,8 +743,8 @@ object Relational {
     *
     * Plan shape: ONE exchange keyed on the key columns, reused by both
     * windows (the change-flag lag and the run-start lead sort the same
-    * way); attr equality is a codegen'd null-safe projection. The eager
-    * guards are two keyed-aggregate metadata jobs paid before any fan-out.
+    * way); attr equality is a codegen'd null-safe projection. Both eager
+    * guards share ONE keyed-aggregate metadata job paid before any fan-out.
     */
   def scd2History(
       df: DataFrame, keyCols: Seq[String], versionCol: String,
@@ -754,16 +762,22 @@ object Relational {
     val kept = df
       .select((keyCols ++ Seq(versionCol) ++ attrCols).map(col): _*)
       .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
-    val nullVer = kept.where(col(versionCol).isNull).limit(1).collect()
-    require(nullVer.isEmpty,
-      s"scd2History: NULL $versionCol (e.g. ${nullVer.headOption.getOrElse("")}) " +
-        "— the version ordering would be undefined; filter or fill first")
-    val dup = kept.groupBy((keyCols :+ versionCol).map(col): _*)
-      .agg(count(lit(1)).as("__c")).where(col("__c") > 1L).limit(1).collect()
-    require(dup.isEmpty,
-      s"scd2History: duplicate (key, $versionCol) observation (e.g. " +
-        s"${dup.headOption.map(_.toString).getOrElse("")}) — at most one " +
-        "row per key and version")
+    // ONE validation action for both loud guards: a NULL version and a
+    // duplicate (key, version) observation both surface from the same
+    // keyed aggregate (NULL versions form their own (key, NULL) group), so
+    // validation costs one scan instead of two
+    val bad = kept.groupBy((keyCols :+ versionCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .where(col(versionCol).isNull || col("__c") > 1L)
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      if (r.isNullAt(keyCols.size)) throw new IllegalArgumentException(
+        s"scd2History: NULL $versionCol (e.g. $r) — the version ordering " +
+          "would be undefined; filter or fill first")
+      else throw new IllegalArgumentException(
+        s"scd2History: duplicate (key, $versionCol) observation (e.g. $r) " +
+          "— at most one row per key and version")
+    }
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
     val changed = attrCols
       .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
@@ -879,22 +893,24 @@ object Relational {
     def cellOf(c: Column): Column =
       call_function("div", c - pmod(c, lit(width)), lit(width))
     def cells(df2: DataFrame, lo: String, hi: String, side: String) = {
-      val fat = df2
-        .where(col(lo).isNotNull && col(hi).isNotNull && col(hi) > col(lo))
-        // spans > maxCellsPerInterval cells <=> cell-index span >= max
-        // (same exact integer arithmetic as the explode below)
-        .where(cellOf(col(hi) - lit(1L)) - cellOf(col(lo)) >=
-          lit(maxCellsPerInterval))
-        .limit(1).collect()
-      require(fat.isEmpty,
-        s"intervalOverlapJoin: a $side interval spans > " +
-          s"$maxCellsPerInterval cells of width $width (e.g. " +
-          s"${fat.headOption.map(_.toString).getOrElse("")}) — raise " +
-          "cellWidth or maxCellsPerInterval")
+      // fat-interval guard INLINE in the main pass (the mergeIntervals
+      // raise_error discipline): spans > maxCellsPerInterval cells <=>
+      // cell-index span >= max, same exact integer arithmetic as the
+      // explode bound it gates. The previous limit(1) pre-probe paid a
+      // full extra scan PER SIDE on clean data; this costs zero extra
+      // jobs and still fails before the offending row can fan out.
+      val span = cellOf(col(hi) - lit(1L)) - cellOf(col(lo))
+      val hiCell = when(span >= lit(maxCellsPerInterval),
+        raise_error(concat(
+          lit(s"intervalOverlapJoin: a $side interval spans > " +
+            s"$maxCellsPerInterval cells of width $width (["),
+          col(lo).cast("string"), lit(", "), col(hi).cast("string"),
+          lit(")) — raise cellWidth or maxCellsPerInterval")))
+          .cast("long"))
+        .otherwise(cellOf(col(hi) - lit(1L)))
       df2
         .where(col(lo).isNotNull && col(hi).isNotNull && col(hi) > col(lo))
-        .withColumn("__cell",
-          explode(sequence(cellOf(col(lo)), cellOf(col(hi) - lit(1L)))))
+        .withColumn("__cell", explode(sequence(cellOf(col(lo)), hiCell)))
     }
     val l = cells(left, loL, hiL, "left").as("l")
     val r = cells(right, loR, hiR, "right").as("r")
@@ -1227,8 +1243,9 @@ object Relational {
     * window (row_number over (priority, version) desc) — the base row
     * rides as priority-0, so no separate base-vs-changes join, no
     * second exchange, and the 100-TB base table crosses the wire
-    * exactly once. The three guard probes are `limit(1)` jobs on
-    * bounded slices, not materializations.
+    * exactly once. All three guards share ONE validation job (per-input
+    * violation summaries unioned), so validation costs one scan of each
+    * input, not one per guard.
     */
   def applyChangelog(
       base: DataFrame, changes: DataFrame, keyCols: Seq[String],
@@ -1251,22 +1268,42 @@ object Relational {
       .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
     val keyedChanges = changes
       .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
-    val dupBase = keyedBase.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__c")).where(col("__c") > 1L).limit(1).collect()
-    require(dupBase.isEmpty,
-      s"applyChangelog: duplicate base key (e.g. " +
-        s"${dupBase.headOption.map(_.toString).getOrElse("")}) — the base " +
-        "snapshot must hold at most one row per key")
-    val nullVer = keyedChanges.where(col(versionCol).isNull).limit(1).collect()
-    require(nullVer.isEmpty,
-      s"applyChangelog: NULL $versionCol in changes — the winner per key " +
-        "would be undefined; filter or fill first")
-    val dupVer = keyedChanges.groupBy((keyCols :+ versionCol).map(col): _*)
-      .agg(count(lit(1)).as("__c")).where(col("__c") > 1L).limit(1).collect()
-    require(dupVer.isEmpty,
-      s"applyChangelog: duplicate (key, $versionCol) change (e.g. " +
-        s"${dupVer.headOption.map(_.toString).getOrElse("")}) — at most " +
-        "one change per key and version")
+    // ONE validation action for all three loud guards (duplicate base key,
+    // NULL change version, duplicate (key, version) change): per-input
+    // violation summaries union into a single job, so base and changes are
+    // each scanned ONCE for validation — the previous per-guard limit(1)
+    // probes each paid a full pass on clean data (2-3 extra corpus scans
+    // per call at 100 TB)
+    val baseViol = keyedBase.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1L)
+      .select(lit("dup_base").as("__kind"),
+        concat_ws(",", keyCols.map(c => col(c).cast("string")): _*)
+          .as("__ex"))
+      .limit(1)
+    val changeViol = keyedChanges
+      .groupBy((keyCols :+ versionCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .where(col(versionCol).isNull || col("__c") > 1L)
+      .select(when(col(versionCol).isNull, lit("null_ver"))
+          .otherwise(lit("dup_ver")).as("__kind"),
+        concat_ws(",",
+          (keyCols :+ versionCol).map(c => col(c).cast("string")): _*)
+          .as("__ex"))
+      .limit(1)
+    baseViol.unionAll(changeViol).collect().headOption.foreach { r =>
+      val ex = r.getString(1)
+      r.getString(0) match {
+        case "dup_base" => throw new IllegalArgumentException(
+          s"applyChangelog: duplicate base key (e.g. [$ex]) — the base " +
+            "snapshot must hold at most one row per key")
+        case "null_ver" => throw new IllegalArgumentException(
+          s"applyChangelog: NULL $versionCol in changes — the winner per " +
+            "key would be undefined; filter or fill first")
+        case _ => throw new IllegalArgumentException(
+          s"applyChangelog: duplicate (key, $versionCol) change (e.g. " +
+            s"[$ex]) — at most one change per key and version")
+      }
+    }
     val opChecked = when(col(opCol).isin("I", "U", "D"), col(opCol))
       .otherwise(raise_error(concat(
         lit(s"applyChangelog: unknown op in '$opCol': "),

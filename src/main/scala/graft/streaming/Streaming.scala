@@ -537,9 +537,40 @@ object Streaming {
     }
   }
 
+  /** Graft state-schema versions, one per stateful operator, embedded as
+    * the `gv` field of every checkpointed per-key state and checked on
+    * every read. WHY: a semantic revision of a state class that keeps the
+    * same Spark shape would otherwise misdecode silently across a restart
+    * (and a shape-compatible field reinterpretation is exactly the kind of
+    * edit Spark's state-store schema check cannot catch). With the tag, a
+    * cross-version restart fails with ONE LINE naming the remedy instead.
+    * Shape-INcompatible changes still fail earlier with Spark's own
+    * state-store schema error — that layer is Spark's, not ours. Bump the
+    * operator's constant whenever its state semantics change.
+    */
+  private[streaming] object StateVersions {
+    val Bucket = 1
+    val Funnel = 1
+    val Session = 1
+    val Kll = 1
+    val TouchBuf = 1
+    val Touch = 1
+    val Upsert = 2 // v2 = round-12 lastTsMs event-time-TTL clock
+  }
+
+  private[streaming] def checkStateVersion(
+      op: String, expected: Int, got: Int): Unit =
+    if (got != expected) throw new IllegalStateException(
+      s"graft $op: checkpointed state carries graft state-schema version " +
+        s"$got but this build expects $expected — the operator's state " +
+        "semantics changed between builds. Restart the query from a FRESH " +
+        "checkpoint and backfill-replay the source; resuming would " +
+        "misinterpret the old state.")
+
   final case class BandClaim(docId: Long, survived: Boolean, ts: Timestamp)
   // not private: the state encoder instantiates it in generated code
-  final case class BucketState(claimant: Long)
+  final case class BucketState(claimant: Long,
+    gv: Int = StateVersions.Bucket)
   // not private: the row encoder instantiates it in generated code
   final case class BandRow(bucket: Long, docId: Long, ts: Timestamp)
 
@@ -600,6 +631,8 @@ object Streaming {
       .flatMapGroupsWithState[BucketState, BandClaim](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: Long, rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          state.getOption.foreach(s => checkStateVersion(
+            "streamingNearDupClaims", StateVersions.Bucket, s.gv))
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val batch = rows.toVector
@@ -663,7 +696,8 @@ object Streaming {
       .agg(graft.exec.SpaceSaving.spaceSavingTopK(
         col(keyCol).cast("string"), capacity, k).as("top"))
 
-  final case class FunnelTimes(times: Seq[Long])
+  final case class FunnelTimes(times: Seq[Long],
+    gv: Int = StateVersions.Funnel)
   final case class FunnelReach(entity: String, stage: Int)
 
   /** Event-time state TTL for [[streamingFunnel]] / [[streamingAttribution]]:
@@ -717,7 +751,8 @@ object Streaming {
   final case class SessionSummary(
       userId: Long, start: Timestamp, end: Timestamp, nEvents: Long)
   // not private: the state encoder instantiates it in generated code
-  final case class SessionState(startMs: Long, lastMs: Long, n: Long)
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long,
+    gv: Int = StateVersions.Session)
 
   /** Batch counterpart of [[sessionize]]: gaps-and-islands over a seconds
     * timestamp column. A session starts where the gap to the user's previous
@@ -823,6 +858,8 @@ object Streaming {
       .groupByKey(_._1)
       .mapGroupsWithState[FunnelTimes, FunnelReach](timeoutConf) {
         (entity, it, state) =>
+          state.getOption.foreach(s => checkStateVersion(
+            "streamingFunnel", StateVersions.Funnel, s.gv))
           if (state.hasTimedOut) {
             // idle past the TTL: emit the last known stage once more (a
             // duplicate is harmless in update mode; consumers reduce by
@@ -876,6 +913,8 @@ object Streaming {
       .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          state.getOption.foreach(s => checkStateVersion(
+            "sessionize", StateVersions.Session, s.gv))
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
@@ -911,7 +950,8 @@ object Streaming {
   }
 
   // not private: the state encoder instantiates it in generated code
-  final case class KllStateBytes(bytes: Array[Byte])
+  final case class KllStateBytes(bytes: Array[Byte],
+    gv: Int = StateVersions.Kll)
   final case class QuantileRelease(
       key: String, n: Long, errUnits: Long, values: Seq[Double])
 
@@ -952,6 +992,8 @@ object Streaming {
       .groupByKey(_._1)
       .mapGroupsWithState[KllStateBytes, QuantileRelease](
         GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        state.getOption.foreach(s => checkStateVersion(
+          "streamingWindowedSketches", StateVersions.Kll, s.gv))
         val st = state.getOption
           .map(s => graft.exec.KllQuantileAgg.State.fromBytes(s.bytes, k))
           .getOrElse(new graft.exec.KllQuantileAgg.State(k))
@@ -1125,11 +1167,13 @@ object Streaming {
   }
 
   // not private: the state encoder instantiates it in generated code
-  final case class TouchState(touchType: String, touchTime: Long)
+  final case class TouchState(touchType: String, touchTime: Long,
+    gv: Int = StateVersions.Touch)
   final case class TouchCredit(
       entity: String, conv_time: Long,
       touch_type: Option[String], touch_time: Option[Long])
-  final case class TouchBufState(types: Seq[String], times: Seq[Long])
+  final case class TouchBufState(types: Seq[String], times: Seq[Long],
+    gv: Int = StateVersions.TouchBuf)
   final case class MultiTouchCredit(
       entity: String, conv_time: Long,
       touch_type: Option[String], touch_time: Option[Long],
@@ -1210,6 +1254,8 @@ object Streaming {
       .groupByKey(_._1)
       .flatMapGroupsWithState[TouchBufState, MultiTouchCredit](
         OutputMode.Update, timeoutConf) { (entity, it, state) =>
+        state.getOption.foreach(s => checkStateVersion(
+          "streamingMultiTouchAttribution", StateVersions.TouchBuf, s.gv))
         if (state.hasTimedOut) {
           state.remove()
           Iterator.empty
@@ -1313,9 +1359,14 @@ object Streaming {
   // check (by design: with the check disabled it would misdecode). Restart
   // such queries from a fresh checkpoint with a backfill replay; the
   // operator's durability contract covers restarts WITHIN a state-schema
-  // version, which is why this type must not change shape casually.
+  // version, which is why this type must not change shape casually. The
+  // `gv` tag (StateVersions.Upsert, checked on every state read) covers
+  // the complementary case Spark CANNOT catch: a shape-compatible
+  // semantic revision — a cross-version restart then fails with one graft
+  // error line naming the fresh-checkpoint + backfill remedy.
   final case class UpsertState(
-      version: Long, op: String, payload: String, lastTsMs: Long = 0L)
+      version: Long, op: String, payload: String, lastTsMs: Long = 0L,
+      gv: Int = StateVersions.Upsert)
   final case class UpsertRow(entity: String, version: Long, op: String,
       payload: Option[String])
 
@@ -1382,6 +1433,8 @@ object Streaming {
       .groupByKey(_._1)
       .flatMapGroupsWithState[UpsertState, UpsertRow](
         OutputMode.Update, timeoutConf) { (entity, it, state) =>
+        state.getOption.foreach(s => checkStateVersion(
+          "streamingUpsert", StateVersions.Upsert, s.gv))
         if (state.hasTimedOut) {
           state.remove()
           Iterator.empty
@@ -1463,6 +1516,8 @@ object Streaming {
       .groupByKey(_._1)
       .flatMapGroupsWithState[TouchState, TouchCredit](
         OutputMode.Update, timeoutConf) { (entity, it, state) =>
+        state.getOption.foreach(s => checkStateVersion(
+          "streamingAttribution", StateVersions.Touch, s.gv))
         if (state.hasTimedOut) {
           state.remove()
           Iterator.empty

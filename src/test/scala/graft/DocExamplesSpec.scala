@@ -717,7 +717,13 @@ class DocExamplesSpec extends SparkSpec {
     try {
       a.charge(2) // two released windows -> exactly the cap, persisted
       assert(a.exhausted)
-    } finally spark.streams.removeListener(a)
+    } finally {
+      spark.streams.removeListener(a)
+      // planned handover: release the single-writer lease so the successor
+      // can register immediately (a CRASHED holder instead just stops
+      // renewing, and the successor waits out leaseTtlMs)
+      a.releaseLedgerLease()
+    }
     // a FRESH accountant (the restarted process) restores the exact spend
     val b = new Streaming.DpStreamAccountant(
       totalEpsilon = 1.0, perWindowEpsilon = 0.5,

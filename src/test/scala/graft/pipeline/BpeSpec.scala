@@ -100,6 +100,40 @@ class BpeSpec extends SparkSpec {
     assert(enc.mkString === "😀😀ok")
   }
 
+  test("BATCHED distributed training is bit-identical to sequential: " +
+      "mixed corpus, tie-heavy corpus, and a merge-string collision " +
+      "corpus all yield the same merge table at every batch size") {
+    // 1. the mixed corpus of the equality test above
+    val mixed = (1 to 30).map(i =>
+      i.toLong -> s"low lower lowest aa aaa bb token$i quartz") ++
+      Seq(31L -> "zz zz zz yzyzyz", 32L -> "")
+    // 2. tie-heavy: many equal-count pairs — the strict-above rule must
+    // refuse to batch across the tie and fall back to sequential steps
+    val ties = (1 to 10).map(i => i.toLong -> "ab cd ef gh ij kl")
+    // 3. collision bait: merging (a, b) creates the string "ab" while a
+    // word already contains symbol-adjacent "a b" inside "xaby"-like
+    // contexts AND a literal two-step path where an early merged string
+    // re-enters the census — the live-symbol probe must catch it
+    val collide = (1 to 8).map(i => i.toLong -> "ab ab a b a b cc cc dd") ++
+      (1 to 3).map(i => (50 + i).toLong -> "aab abb")
+    for ((name, corpus) <- Seq("mixed" -> mixed, "ties" -> ties,
+        "collide" -> collide); minPair <- Seq(1L, 2L)) {
+      val seqModel = Bpe.trainDistributed(docs(corpus: _*), "text",
+        numMerges = 10, minPairCount = minPair)
+      for (batch <- Seq(2, 4, 64)) {
+        val batched = Bpe.trainDistributed(
+          docs(corpus: _*).repartition(7), "text",
+          numMerges = 10, minPairCount = minPair, mergeBatch = batch)
+        assert(batched.merges === seqModel.merges,
+          s"corpus=$name minPair=$minPair mergeBatch=$batch")
+      }
+      // and both agree with the driver trainer (transitivity anchor)
+      val driver = Bpe.train(docs(corpus: _*), "text",
+        numMerges = 10, minPairCount = minPair)
+      assert(seqModel.merges === driver.merges, s"corpus=$name")
+    }
+  }
+
   test("distributed training stops early when no pair reaches minPairCount") {
     val m = Bpe.trainDistributed(docs(1L -> "low low", 2L -> "lower"),
       "text", numMerges = 10, minPairCount = 2)

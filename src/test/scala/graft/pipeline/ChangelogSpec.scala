@@ -153,8 +153,13 @@ class ChangelogSpec extends SparkSpec {
   test("survivorship fails loudly on a duplicate cluster assignment") {
     val docs = makeDf(docSchema, Seq(Row(1L, 1L)))
     val clus = makeDf(cluSchema, Seq(Row(1L, 1L), Row(1L, 2L)))
-    intercept[IllegalArgumentException] {
-      Dedup.survivorship(docs, "id", "score", clus)
+    // the guard is inline (raise_error on the assignment's own id window,
+    // zero extra actions), so it fires on consumption of the release
+    val e = intercept[Exception] {
+      Dedup.survivorship(docs, "id", "score", clus).collect()
     }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate id in the cluster assignment")))
   }
 }

@@ -45,10 +45,15 @@ class LinkPredictionSpec extends SparkSpec {
 
   test("hub over maxDegree is refused loudly") {
     val star = (1 to 12).map(i => ("hub", s"n$i"))
-    val e = intercept[IllegalArgumentException] {
+    // the refusal rides the degree table's eager checkpoint (raise_error,
+    // zero extra validation jobs), so it still fires at CONSTRUCTION time
+    // — but surfaces as a task failure, not an IllegalArgumentException
+    val e = intercept[Exception] {
       Graph.linkPrediction(edges(star: _*), "src", "dst", maxDegree = 10L)
     }
-    assert(e.getMessage.contains("maxDegree"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("maxDegree") && m.contains("hub")))
   }
 
   test("partition-invariant") {

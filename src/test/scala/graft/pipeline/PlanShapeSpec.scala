@@ -694,6 +694,68 @@ class PlanShapeSpec extends SparkSpec with graft.PlanCapture {
       s"negativeSamplesExact:\n$plan")
   }
 
+  test("validation probes are consolidated: at most ONE eager job per " +
+      "operator at construction (zero where the guard rides the main pass)") {
+    // counts Dataset ACTIONS fired while constructing the operator's
+    // release frame (QueryExecutionListener fires once per action — AQE
+    // may split one action into several scheduler jobs, which is fine;
+    // the 100-TB cost unit is the extra SCAN an extra action pays). The
+    // r13 audit found applyChangelog paying 3 probe actions and
+    // scd2History/snapshotDiff 2 each on clean inputs.
+    def jobsDuring(name: String)(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = counter.incrementAndGet()
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = counter.incrementAndGet()
+      }
+      spark.listenerManager.register(l)
+      try {
+        body
+        // the listener bus is asynchronous — poll until the count settles
+        var last = -1
+        var spins = 0
+        while (counter.get != last && spins < 100) {
+          last = counter.get; Thread.sleep(50); spins += 1
+        }
+        counter.get
+      } finally spark.listenerManager.unregister(l)
+    }
+    val base = makeDf(StructType(Seq(longCol("k"), strCol("p"))),
+      (1 to 50).map(i => Row(i.toLong, s"p$i")))
+    val changes = makeDf(
+      StructType(Seq(longCol("k"), strCol("p"), longCol("v"), strCol("op"))),
+      (1 to 20).map(i => Row(i.toLong, s"q$i", i.toLong, "U")))
+    assert(jobsDuring("changelog") {
+      Relational.applyChangelog(base, changes, Seq("k"), "v", "op")
+    } === 1, "applyChangelog: all three guards must share one job")
+    val scd = makeDf(StructType(Seq(longCol("k"), longCol("v"), strCol("a"))),
+      (1 to 50).map(i => Row(i.toLong % 5, i.toLong, s"a${i % 3}")))
+    assert(jobsDuring("scd2") {
+      Relational.scd2History(scd, Seq("k"), "v", Seq("a"))
+    } === 1, "scd2History: both guards must share one job")
+    assert(jobsDuring("snapdiff") {
+      Relational.snapshotDiff(base, base, Seq("k"))
+    } === 1, "snapshotDiff: both sides must share one validation job")
+    val iv = makeDf(StructType(Seq(longCol("k"), longCol("lo"), longCol("hi"))),
+      (1 to 30).map(i => Row(i.toLong % 3, i.toLong, i.toLong + 5)))
+    assert(jobsDuring("overlap") {
+      Relational.intervalOverlapJoin(iv,
+        iv.select(col("k"), col("lo").as("lo2"), col("hi").as("hi2")),
+        Seq("k"), "lo", "hi", "lo2", "hi2", cellWidth = 4L)
+    } === 0, "intervalOverlapJoin (explicit cellWidth): inline guard, " +
+      "zero validation jobs")
+    val e = makeDf(StructType(Seq(strCol("src"), strCol("dst"))),
+      (1 to 30).map(i => Row(s"n${i % 10}", s"n${(i * 3) % 10}")))
+    assert(jobsDuring("linkpred") {
+      Graph.linkPrediction(e, "src", "dst")
+    } === 2, "linkPrediction: two checkpoint jobs (und, deg) and NO " +
+      "separate hub-probe job — the refusal rides deg's checkpoint")
+  }
+
   test("tableDigest is one codegen'd projection + one bucket aggregate") {
     val df = makeDf(StructType(Seq(longCol("id"), strCol("p"))),
       (1 to 100).map(i => Row(i.toLong, s"p$i")))

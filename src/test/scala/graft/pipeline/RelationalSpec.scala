@@ -870,10 +870,14 @@ class RelationalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val schema = StructType(Seq(longCol("k"), longCol("lo"), longCol("hi")))
     val one = makeDf(schema, Seq(org.apache.spark.sql.Row(1L, 0L, 100000L)))
     val r = one.select(col("k"), col("lo").as("lo2"), col("hi").as("hi2"))
+    // the fat-interval guard is INLINE (raise_error in the main pass, no
+    // pre-probe scan), so it fires on consumption, not construction
     val e = intercept[Exception](Relational.intervalOverlapJoin(
       one, r, Seq("k"), "lo", "hi", "lo2", "hi2",
-      cellWidth = 1L, maxCellsPerInterval = 10L))
-    assert(e.getMessage.contains("maxCellsPerInterval"))
+      cellWidth = 1L, maxCellsPerInterval = 10L).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxCellsPerInterval")))
     intercept[IllegalArgumentException](Relational.intervalOverlapJoin(
       one.withColumn("lod", col("lo").cast("double")), r,
       Seq("k"), "lod", "hi", "lo2", "hi2", cellWidth = 10L))

@@ -541,6 +541,52 @@ class StreamingRestartSpec extends SparkSpec {
     } finally spark.streams.removeListener(acctC)
   }
 
+  test("stateful operators version their checkpointed state: a cross-" +
+      "version read fails with one graft line naming the remedy, and a " +
+      "SAME-version checkpoint restart round-trips the gv tag") {
+    // the direct check (every stateful operator calls this with its
+    // StateVersions constant on every state read): a decodable but
+    // semantically foreign state must not be interpreted
+    val e = intercept[IllegalStateException](
+      Streaming.checkStateVersion("streamingUpsert", 2, 1))
+    assert(e.getMessage.contains("state-schema version 1"))
+    assert(e.getMessage.contains("expects 2"))
+    assert(e.getMessage.contains("FRESH checkpoint"))
+    // same-version restarts keep working (the tag encodes, persists, and
+    // decodes cleanly): run streamingUpsert across a checkpoint restart
+    val root = Files.createTempDirectory("gvtag").toFile.getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType),
+      StructField("op", StringType), StructField("p", StringType)))
+    def wave(rows: Seq[(String, Long, String, String)]): Unit =
+      makeDf(schema, rows.map { case (k, v, o, p) =>
+        org.apache.spark.sql.Row(k, v, o, p) })
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+    val emitted =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$root/in")
+      val up = Streaming.streamingUpsert(stream, "k", "v", "op", "p")
+      val q = up.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => emitted.add((r.getString(0), r.getLong(1),
+            if (r.isNullAt(3)) null else r.getString(3))))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    wave(Seq(("a", 1L, "I", "x")))
+    runOnce()
+    // restart from the checkpoint: the persisted state (gv tag included)
+    // must decode and the stale v1 change must still lose to it
+    wave(Seq(("a", 2L, "U", "y"), ("a", 1L, "U", "stale")))
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSet === Set(("a", 1L, "x"), ("a", 2L, "y")))
+  }
+
   test("durable ledger admits ONE live accountant: a second refuses at " +
       "wiring, releaseLedgerLease hands over, the fenced-out holder fails " +
       "its next charge") {
