@@ -224,31 +224,29 @@ object Bpe {
         .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
       if (top.isEmpty || top(0)._2 < minPairCount) continue = false
       else {
-        // greedy prefix acceptance (rank order, stop at first violation)
-        val accepted = scala.collection.mutable.ArrayBuffer(top(0))
-        var i = 1
+        // phase 1: longest pairwise-disjoint, above-minPairCount ranked
+        // prefix (stop at the first violating row — skipping would break
+        // the rank-order equivalence)
+        var m = 1
         var stopped = false
-        while (!stopped && i < top.length && accepted.size < want) {
-          val (p, c) = top(i)
-          // rows i+1.. are rejected if row i is accepted; an absent next
-          // row means the prefix is the ENTIRE census, where pairwise
-          // disjointness alone rules out risers (a new pair needs an old
-          // sharer adjacency, which would itself be a census pair)
-          val bestRejected =
-            if (i + 1 < top.length) Some(top(i + 1)) else None
-          val disjoint = accepted.forall { case ((a, b), _) =>
+        while (!stopped && m < top.length && m < want) {
+          val (p, c) = top(m)
+          val disjoint = top.take(m).forall { case ((a, b), _) =>
             p._1 != a && p._1 != b && p._2 != a && p._2 != b
           }
-          // strict-majority condition: c must beat every census row that
-          // could rise after earlier merges — i.e. the first row NOT in
-          // the accepted prefix. Accepting row i leaves rows i+1.. as
-          // rejected; c > top(i+1).cnt suffices (ties are NOT safe: a
-          // risen new pair at equal count could win the lex tie-break).
-          val strictlyAbove = bestRejected.forall { case (_, rc) => c > rc }
-          if (c >= minPairCount && disjoint && strictlyAbove) {
-            accepted += top(i); i += 1
-          } else stopped = true
+          if (c >= minPairCount && disjoint) m += 1 else stopped = true
         }
+        // phase 2: truncate to a STRICT count drop against the first
+        // rejected census row. Every pair the sequential trainer could
+        // newly prefer mid-batch (a riser involving a merged symbol)
+        // inherits its count from a non-accepted census row, so accepted
+        // rows beyond the first must strictly exceed top(m)'s count —
+        // ties are unsafe (a risen pair at equal count could win the lex
+        // tie-break). Counts are census-ordered, so the minimum accepted
+        // count is top(m-1)'s; if the prefix is the ENTIRE census there
+        // are no sharers, hence no risers, and no truncation is needed.
+        while (m > 1 && m < top.length && top(m - 1)._2 <= top(m)._2) m -= 1
+        val accepted = top.take(m).toBuffer
         // collision probe (only needed when actually batching): a merge
         // string aliasing a LIVE symbol or another accepted merge string
         // voids the count bound — fall back to the sequential single merge

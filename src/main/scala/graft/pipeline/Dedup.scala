@@ -881,8 +881,6 @@ object Dedup {
         Seq.empty[CdcChunk]
       else {
         val n = toks.length
-        val M = 2147483647L // 2^31 - 1
-        val B = 131L
         val md = java.security.MessageDigest.getInstance("MD5")
         def hex(d: Array[Byte]): String = {
           val sb = new java.lang.StringBuilder(d.length * 2)
@@ -890,26 +888,16 @@ object Dedup {
           while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
           sb.toString
         }
-        val th = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          md.reset()
-          var h = 0L
-          var b = 0
-          while (b < 4) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-          th(i) = h % M
-          i += 1
-        }
+        // shared kernel (RollingHash): md5-derived token hashes + base-131
+        // gram fold — ONE definition with winnowingFingerprints so the
+        // oracle-load-bearing constants cannot drift between the operators
+        val th = RollingHash.tokenHashes(toks)
         // 1-based token index of each boundary (a gram's last token)
         val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
         if (n >= k) {
           var j = 0
           while (j <= n - k) {
-            var acc = th(j)
-            var x = 1
-            while (x < k) { acc = (acc * B + th(j + x)) % M; x += 1 }
-            if (acc % divisor == 0L) ends += (j + k)
+            if (RollingHash.gramHash(th, j, k) % divisor == 0L) ends += (j + k)
             j += 1
           }
         }

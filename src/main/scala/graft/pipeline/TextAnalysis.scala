@@ -242,30 +242,17 @@ object TextAnalysis {
     val u = udf((toks: Seq[String]) => {
       if (toks == null) null
       else {
-        val M = 2147483647L // 2^31 - 1
-        val B = 131L
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val th = new Array[Long](toks.length)
-        var i = 0
-        while (i < th.length) {
-          val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          md.reset()
-          var h = 0L
-          var b = 0
-          while (b < 4) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-          th(i) = h % M
-          i += 1
-        }
+        // shared kernel (RollingHash): md5-derived token hashes + base-131
+        // gram fold — ONE definition with contentDefinedChunks so the
+        // oracle-load-bearing constants cannot drift between the operators
+        val th = RollingHash.tokenHashes(toks)
         val n = th.length
         if (n < k) Seq.empty[Long]
         else {
           val grams = new Array[Long](n - k + 1)
           var j = 0
           while (j < grams.length) {
-            var acc = th(j)
-            var x = 1
-            while (x < k) { acc = (acc * B + th(j + x)) % M; x += 1 }
-            grams(j) = acc
+            grams(j) = RollingHash.gramHash(th, j, k)
             j += 1
           }
           val mins =
