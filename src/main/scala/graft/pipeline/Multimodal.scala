@@ -610,6 +610,13 @@ object Multimodal {
     * null for payloads with no samples.
     */
   def audioFingerprint(bytes: Array[Byte], windows: Int = 8, bins: Int = 32): java.lang.Long = {
+    // 8 bits of hash per window: more than 8 windows would silently shift
+    // the earliest peaks out of the long (different audio, same hash)
+    require(windows >= 1 && windows <= 8,
+      s"windows must be in [1, 8] (8 hash bits each), got $windows")
+    // the peak argmax excludes DC and must (a) have at least one candidate
+    // bin and (b) fit its 8-bit hash slot
+    require(bins >= 2 && bins <= 256, s"bins must be in [2, 256], got $bins")
     if (bytes == null) return null
     val samples = pcm16(bytes)
     val n = samples.length

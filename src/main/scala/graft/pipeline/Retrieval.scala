@@ -50,6 +50,11 @@ object Retrieval {
       require(docs.columns.contains(c), s"docs side is missing '$c'"))
     Seq(qidCol, qtextCol).foreach(c =>
       require(queries.columns.contains(c), s"queries side is missing '$c'"))
+    require(qidCol != idCol,
+      s"query and doc id columns share the name '$idCol' — the postings " +
+        "join would be ambiguous; rename one side first")
+    require(qidCol != "token" && idCol != "token",
+      "id columns must not be named 'token' (the tokenization scratch name)")
     def toks(df: DataFrame, id: String, text: String) = df
       .select(col(id), explode(split(trim(lower(col(text))), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)

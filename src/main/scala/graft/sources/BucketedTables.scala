@@ -21,13 +21,16 @@ object BucketedTables {
     */
   def writeBucketed(
       df: DataFrame, table: String, bucketColumns: Seq[String],
-      buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+      buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketColumns.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     df.write
       .mode(mode)
       .format("parquet")
       .bucketBy(buckets, bucketColumns.head, bucketColumns.tail: _*)
       .sortBy(bucketColumns.head, bucketColumns.tail: _*)
       .saveAsTable(table)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 

@@ -25,6 +25,14 @@ object Salting {
       skewed: DataFrame, other: DataFrame, keys: Seq[String],
       buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // withColumn silently REPLACES an existing column — a user column named
+    // like the salt would corrupt the join condition (r13's reserved-name
+    // discipline, applied to both sides)
+    Seq("skewed" -> skewed, "other" -> other).foreach { case (side, d) =>
+      require(!d.columns.contains(SaltCol),
+        s"$side side already has a column named '$SaltCol' (the salt " +
+          "scratch name); rename it first")
+    }
     val salted = skewed.withColumn(SaltCol,
       pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)))
     val replicated = other.withColumn(SaltCol,

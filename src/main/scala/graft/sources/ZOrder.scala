@@ -56,6 +56,11 @@ object ZOrder {
   def writeZOrdered(
       df: DataFrame, path: String, zCols: Seq[String], bits: Int = 16,
       partitions: Int = 0, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    // withColumn silently REPLACES an existing column: a user column named
+    // __z would be destroyed AND dropped from the written schema
+    require(!df.columns.contains("__z"),
+      "input already has a column named '__z' (the z-value scratch name); " +
+        "rename it first")
     val withZ = df.withColumn("__z", zValue(zCols.map(col), bits))
     val ranged =
       if (partitions > 0) withZ.repartitionByRange(partitions, col("__z"))

@@ -33,4 +33,19 @@ class SkewReportSpec extends SparkSpec {
     assert(one.getLong(3) === 0L) // ln(T/T) = 0: fully concentrated
     assert(one.getLong(2) === 3L)
   }
+
+  test("saltedJoin refuses an input already carrying the salt scratch " +
+      "column on either side (withColumn would silently replace it)") {
+    import org.apache.spark.sql.functions._
+    val a = keys(Seq("x", "y"))
+    val bad = a.withColumn("__graft_salt", lit(0L))
+    val e1 = intercept[IllegalArgumentException] {
+      Salting.saltedJoin(bad, a, Seq("k"), 4)
+    }
+    assert(e1.getMessage.contains("__graft_salt"))
+    val e2 = intercept[IllegalArgumentException] {
+      Salting.saltedJoin(a, bad, Seq("k"), 4)
+    }
+    assert(e2.getMessage.contains("other side"))
+  }
 }

@@ -90,4 +90,15 @@ class ZOrderSpec extends SparkSpec {
       ZOrder.zValue(Seq(col("x"), col("y")), bits = 32)
     }
   }
+
+  test("a user column named __z refuses loudly instead of being replaced " +
+      "and silently dropped from the written layout") {
+    val df = makeDf(xy, Seq(Row(1L, 2L))).withColumn("__z", col("x"))
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.writeZOrdered(df,
+        java.nio.file.Files.createTempDirectory("zg").toString + "/t",
+        Seq("x", "y"))
+    }
+    assert(e.getMessage.contains("__z"))
+  }
 }
