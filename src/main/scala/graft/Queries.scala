@@ -1292,6 +1292,36 @@ object Queries {
       m.merges.zipWithIndex.map { case ((a, b), i) => (i + 1L, a, b) }
         .toDF("step", "lhs", "rhs")
     }),
+    "q220_bpe_merges_batched" -> ((s, d) => {
+      import s.implicits._
+      // q217's trainer with the BATCHED census (mergeBatch = 8): per
+      // round the longest provably order-equivalent ranked prefix of
+      // merges applies in one pass. Same oracle as q217 — the DuckDB
+      // recurrence replays merges strictly sequentially, so a green row
+      // here is an independent-engine proof that batching changed
+      // NOTHING, on real corpus data (BpeSpec pins the same on random
+      // adversarial corpora)
+      val m = graft.pipeline.Bpe.trainDistributed(
+        read(s, d, "documents"), "text", numMerges = 4, mergeBatch = 8)
+      m.merges.zipWithIndex.map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("step", "lhs", "rhs")
+    }),
+    "q221_salted_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // hot-key salting end to end: lineitem (the skewed fact) salted
+      // over 8 buckets against the supplier dim replicated per bucket,
+      // then re-aggregated — released totals must equal the PLAIN join's
+      // (the "semantically identical" contract), which is exactly what
+      // the SQL oracle computes with no salt anywhere
+      val fact = read(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val dim = read(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.sources.Salting.saltedJoin(fact, dim, Seq("l_suppkey"), 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
     "q218_ivf_distributed_train" -> ((s, d) => {
       import s.implicits._
       // FULL-CORPUS coarse-quantizer training (no driver sample bound):
@@ -3242,6 +3272,16 @@ object Queries {
     // the distributed trainer's merge table, recomputed by the unrolled
     // SQL recurrence (see bpeOracleSql's replace()-is-mergeOnce argument)
     "q217_bpe_merges" -> bpeOracleSql(numMerges = 4, minPairCount = 2L),
+    // the SAME strictly-sequential recurrence oracles the batched trainer:
+    // green = an independent engine agrees batching changed nothing
+    "q220_bpe_merges_batched" -> bpeOracleSql(numMerges = 4, minPairCount = 2L),
+    // no salt anywhere in the oracle — the salted join's released totals
+    // must equal the plain join's
+    "q221_salted_join" ->
+      """SELECT s.s_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1""".stripMargin,
     // q176's unrolled integer-Lloyd recurrence extended one mean-update
     // step: assignments release there, the POST-update centroids (what
     // Ivf.trainDistributed returns after iters=2) release here, mapped

@@ -134,6 +134,33 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched == sequential on RANDOM corpora (property): a 4-letter " +
+      "alphabet maximizes count ties and merge-string collisions — the " +
+      "regimes the acceptance rule must refuse to batch across") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val alphabet = "abcd"
+      val corpus = (1 to 25).map { i =>
+        val words = (0 until (1 + rnd.nextInt(4))).map { _ =>
+          (0 until (1 + rnd.nextInt(6))).map(_ =>
+            alphabet(rnd.nextInt(alphabet.length))).mkString
+        }.mkString(" ")
+        (i.toLong, words)
+      }
+      val minPair = 1L + rnd.nextInt(2)
+      val seqM = Bpe.trainDistributed(docs(corpus: _*), "text",
+        numMerges = 8, minPairCount = minPair)
+      val batM = Bpe.trainDistributed(docs(corpus: _*), "text",
+        numMerges = 8, minPairCount = minPair, mergeBatch = 16)
+      assert(batM.merges === seqM.merges,
+        s"trial $trial minPair=$minPair corpus=${corpus.map(_._2)}")
+      // anchor to the driver trainer too: three implementations, one table
+      val drv = Bpe.train(docs(corpus: _*), "text",
+        numMerges = 8, minPairCount = minPair)
+      assert(seqM.merges === drv.merges, s"trial $trial (driver anchor)")
+    }
+  }
+
   test("distributed training stops early when no pair reaches minPairCount") {
     val m = Bpe.trainDistributed(docs(1L -> "low low", 2L -> "lower"),
       "text", numMerges = 10, minPairCount = 2)
