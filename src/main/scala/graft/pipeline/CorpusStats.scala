@@ -844,14 +844,28 @@ object CorpusStats {
     * second time (one full shuffle saved).
     */
   private def frequentPairsOn(
-      bi: DataFrame, minSupport: Long, maxBasketItems: Int): DataFrame = {
+      bi: DataFrame, minSupport: Long, maxBasketItems: Int): DataFrame =
+    frequentPairsWith(bi, bi.groupBy("__i").agg(count(lit(1)).as("__s")),
+      minSupport, maxBasketItems)
+
+  /** [[frequentPairsOn]] against a CALLER-SUPPLIED per-item support
+    * aggregate (must be exactly `bi.groupBy(__i).count`): pairAffinity
+    * needs the same aggregate again for its lift/confidence joins, and
+    * passing it in lets Catalyst's exchange reuse serve both consumers
+    * from ONE shuffle instead of re-aggregating the incidence twice
+    * (r14, guide §2.4 "two operations keyed the same way share one
+    * exchange").
+    */
+  private def frequentPairsWith(
+      bi: DataFrame, supports: DataFrame, minSupport: Long,
+      maxBasketItems: Int): DataFrame = {
     // parameter validation lives HERE so both entry points (frequentPairs
     // and pairAffinity) share it: minSupport = 0 through pairAffinity used
     // to disable the A-priori prune silently and release every
     // co-occurring pair — the quadratic tail the prune exists to kill
     require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
     require(maxBasketItems >= 2, s"maxBasketItems must be >= 2, got $maxBasketItems")
-    val freqItems = bi.groupBy("__i").agg(count(lit(1)).as("__s"))
+    val freqItems = supports
       .where(col("__s") >= minSupport)
       .select(col("__i"))
     val kept = bi.join(freqItems, Seq("__i"), "left_semi")
@@ -911,8 +925,12 @@ object CorpusStats {
       .where(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = frequentPairsOn(bi, minSupport, maxBasketItems)
+    // ONE per-item support aggregate feeds both the A-priori prune inside
+    // frequentPairsWith and the lift/confidence joins below — Catalyst
+    // reuses the aggregate's exchange wherever the subplan repeats, where
+    // the old shape scheduled the identical groupBy twice
     val supports = bi.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+    val pairs = frequentPairsWith(bi, supports, minSupport, maxBasketItems)
     val nBaskets = bi.agg(countDistinct(col("__b")).as("n_baskets"))
     val out = pairs
       .join(supports.select(col("__i").as("item_a"),

@@ -473,16 +473,22 @@ object Dedup {
       // pointer jump: follow my label to ITS label — chains contract
       // geometrically, so deep components converge in O(log diameter)
       val jump = labels.select(col("id").as("component"), col("component").as("__jp"))
+      // the convergence flag rides the round's own select (newComp is the
+      // same `least`, compared against the incoming component) — the old
+      // probe JOINED next against labels, a full extra join job per round;
+      // now the probe is a limit(1) scan of the just-checkpointed rows
+      // (r14, guide §1.2: the check costs a cached scan, not a join)
+      val newComp = least(col("component"),
+        coalesce(col("__in"), col("component")),
+        coalesce(col("__jp"), col("component")))
       val next = labels
         .join(incoming, Seq("id"), "left")
         .join(jump, Seq("component"), "left")
-        .select(col("id"), least(col("component"),
-          coalesce(col("__in"), col("component")),
-          coalesce(col("__jp"), col("component"))).as("component"))
+        .select(col("id"), newComp.as("__nc"),
+          (newComp =!= col("component")).as("__chg"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnsRenamed(Map("component" -> "__old")),
-        Seq("id")).filter(col("component") =!= col("__old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("__chg")).limit(1).count()
+      labels = next.select(col("id"), col("__nc").as("component"))
       converged = changed == 0
       iter += 1
     }

@@ -158,13 +158,22 @@ object Graph {
         .foldLeft(col("__s").isNotNull && col("__d").isNotNull)(_ && _))
       .repartition(col("__s"))
       .localCheckpoint(true)
-    val nodes = e.select(col("__s").as("__n"))
-      .unionByName(e.select(col("__d").as("__n"))).distinct()
-    // out-degree: edge count, or — weighted — total out-weight, the
-    // denominator of the proportional split
-    val outdeg = e.groupBy(col("__s").as("__n")).agg(
-      (if (weightCol.isEmpty) count(lit(1)) else sum(col("__w")))
-        .as("__deg"))
+    // nodes AND out-degree in ONE keyed aggregate (r14, guide §2.4): the
+    // old shape ran a union-distinct for the node set plus a separate
+    // source-keyed degree aggregate and joined them — two full shuffles of
+    // the endpoint list and one join. Tagging each endpoint occurrence
+    // with its source-side mass (NULL for destination-only rows) makes a
+    // single sum-aggregate produce the distinct node set with its
+    // out-degree: sum() ignores NULLs, so a node that only ever appears
+    // as a destination (dangling) groups to NULL → coalesce 0, exactly
+    // the old left-join + na.fill(0).
+    val nodesDeg = e
+      .select(col("__s").as("__n"),
+        (if (weightCol.isEmpty) lit(1L) else col("__w")).as("__o"))
+      .unionByName(e.select(col("__d").as("__n"),
+        lit(null).cast("long").as("__o")))
+      .groupBy("__n").agg(coalesce(sum(col("__o")), lit(0L)).as("__deg"))
+    val nodes = nodesDeg.select("__n")
     // per-node teleport base: uniform scale div N, or — personalized —
     // scale div |seeds in graph| on the seed nodes and 0 elsewhere. One
     // broadcastable count row keeps N out of the driver either way.
@@ -172,7 +181,7 @@ object Graph {
       case None =>
         val base = nodes.agg(count(lit(1)).as("__cnt"))
           .select(expr(s"${scale}L div __cnt").as("__base"))
-        nodes.crossJoin(broadcast(base))
+        nodesDeg.crossJoin(broadcast(base))
       case Some(sd) =>
         val inGraph = sd.join(nodes, Seq("__n"), "left_semi")
         // fail loud on an empty in-graph seed set: `scale div 0` is NULL in
@@ -184,23 +193,30 @@ object Graph {
             raise_error(lit("personalizedPageRank: no seed node is present " +
               "in the graph (seeds ∩ edge endpoints is empty)")).cast("long"))
             .otherwise(expr(s"${scale}L div __cnt")).as("__base"))
-        nodes
+        nodesDeg
           .join(inGraph.withColumn("__isSeed", lit(true)), Seq("__n"), "left")
           .crossJoin(broadcast(base))
           .select(col("__n"),
-            when(col("__isSeed"), col("__base")).otherwise(0L).as("__base"))
+            when(col("__isSeed"), col("__base")).otherwise(0L).as("__base"),
+            col("__deg"))
     }
-    // the per-node state table carries the STATIC columns (base, outdeg —
-    // 0 for dangling) alongside the evolving rank, so each iteration is
-    // exactly one edge join + one keyed sum + one left join back, never a
-    // rejoin against a separate degree table
-    var ranks = withBase
-      .join(outdeg, Seq("__n"), "left")
-      .na.fill(0L, Seq("__deg"))
-      .select(col("__n"), col("__base").as("__r"), col("__base"), col("__deg"))
+    // STATIC per-node columns (base, outdeg — 0 for dangling) live in
+    // their own checkpointed table; the evolving rank table carries only
+    // (node, rank, deg) — one long narrower per round than the pre-r14
+    // shape, which duplicated __base into every round's materialization.
+    // The per-round checkpoint itself STAYS: an experiment fusing all
+    // rounds into one lazy plan (single-reference recurrence, checkpoint
+    // every 8) was measured SLOWER at bench scale — AQE re-optimizes the
+    // whole accumulated plan at every stage boundary, so per-round driver
+    // overhead grew with the round number instead of staying O(1). Small
+    // per-round plans are what keep AQE's replanning constant-time.
+    val statics = withBase
+      .select(col("__n"), col("__base"), col("__deg"))
       .localCheckpoint(true)
+    var ranks = statics.select(col("__n"), col("__base").as("__r"),
+      col("__deg"))
     val teleport = expr(s"((${dampingDen - dampingNum}L * __base) div ${dampingDen}L)")
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       // contribution per edge. Unweighted: c = r div deg is CONSTANT per
       // source, so it is computed once per node (N divisions) and the
       // edge join carries a single long — the narrowest possible shuffle.
@@ -220,13 +236,13 @@ object Graph {
       }
       val contrib = perEdge
         .groupBy(col("__d").as("__n")).agg(sum(col("__c")).as("__in"))
-      ranks = ranks.select(col("__n"), col("__base"), col("__deg"))
+      ranks = statics
         .join(contrib, Seq("__n"), "left")
         .select(col("__n"),
           (teleport +
             expr(s"(${dampingNum}L * coalesce(__in, 0L)) div ${dampingDen}L"))
             .as("__r"),
-          col("__base"), col("__deg"))
+          col("__deg"))
         .localCheckpoint(true)
     }
     ranks.select(col("__n").as("node"), col("__r").as("rank_fp"))
@@ -283,6 +299,10 @@ object Graph {
     var labels = e.select(col("__v").as("__n")).distinct()
       .select(col("__n"), col("__n").as("__lab"))
       .localCheckpoint(true)
+    // per-round checkpoint kept deliberately: fusing all rounds into one
+    // lazy plan was measured SLOWER at bench scale (the pageRankImpl
+    // note — AQE re-optimizes the accumulated plan at every stage
+    // boundary), so each round stays a small, constant-size plan
     for (_ <- 1 to iterations) {
       labels = e
         .join(labels.select(col("__n").as("__nb"), col("__lab")), "__nb")
@@ -464,7 +484,14 @@ object Graph {
         .localCheckpoint(true)
       if (next.isEmpty) exhausted = true
       else {
-        settled = settled.unionByName(next).localCheckpoint(true)
+        // plain (lazy) union: every child is an already-checkpointed
+        // level, so later references only re-scan cached blocks — the old
+        // per-round localCheckpoint re-MATERIALIZED the whole accumulated
+        // table each round (O(V) writes per round, one driver-synchronized
+        // job each) for no recompute benefit (r14, guide §1.2). The union
+        // tree stays <= maxHops (64) wide, the same bound the plan-width
+        // note above already accepts for the read side.
+        settled = settled.unionByName(next)
         frontier = next.select("__n")
       }
     }
@@ -758,7 +785,8 @@ object Graph {
         .localCheckpoint(true)
       if (next.isEmpty) exhausted = true
       else {
-        settled = settled.unionByName(next).localCheckpoint(true)
+        // lazy union of checkpointed levels — the bfsDistances rationale
+        settled = settled.unionByName(next)
         frontier = next.select("__seed", "__n")
       }
     }

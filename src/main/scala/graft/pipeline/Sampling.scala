@@ -230,7 +230,20 @@ object Sampling {
     val nItems = items.count()
     require(nItems >= 2L,
       s"$opName needs >= 2 distinct items, got $nItems")
-    (pos, items, nItems)
+    // The item-rank table is ALWAYS the smaller-or-equal side of the
+    // candidate equi-join (items = distinct positives' items <= distinct
+    // positives <= k-exploded candidates), and — unlike the planner — we
+    // KNOW its exact row count here. Without the hint, the checkpointed
+    // leaves carry no usable stats and AQE has been observed to broadcast
+    // the CANDIDATE side instead (r14 measurement: the q215 broadcast
+    // build evaluated the md5 draw stream for 1.19M candidates in a single
+    // task, 2.1 s of a 6.9 s query). Hint the known-small side; past the
+    // cutoff (~150 MB framed) leave the strategy to the planner, which
+    // correctly shuffle-joins two at-scale tables (guide §3.1/§8: use what
+    // you know that the optimizer does not).
+    val itemsHinted =
+      if (nItems <= 5000000L) broadcast(items) else items
+    (pos, itemsHinted, nItems)
   }
 
   def negativeSamples(

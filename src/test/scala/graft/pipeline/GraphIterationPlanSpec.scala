@@ -48,6 +48,15 @@ class GraphIterationPlanSpec extends SparkSpec with PlanCapture {
         got.map(_.text).mkString("\n----\n"))
   }
 
+  // r14: setup fuses the node set and the out-degree into ONE keyed
+  // aggregate (the old union-distinct + separate degree aggregate + join
+  // is gone — visible below as personalizedPageRank's setup dropping from
+  // 5 to 4 shuffles), and each round's materialized rank rows dropped the
+  // duplicated __base column. The per-round checkpoint cadence itself is
+  // unchanged: a fused-loop variant (single lazy plan, checkpoint every 8)
+  // was tried and measured SLOWER — AQE re-optimizes the accumulated plan
+  // at every stage boundary, so round cost grew with round number.
+
   test("pageRank: setup 1+3 shuffles, then exactly 2 per iteration " +
       "(one edge-keyed join + one destination sum)") {
     assertShape("pageRank",
@@ -62,19 +71,20 @@ class GraphIterationPlanSpec extends SparkSpec with PlanCapture {
       Seq(1, 2, 2, 2, 3), maxBnljPerAction = 1)
   }
 
-  test("personalizedPageRank: two extra setup shuffles for the seed " +
-      "restriction, same 2-shuffle iterations") {
+  test("personalizedPageRank: ONE extra setup shuffle for the seed " +
+      "restriction (was two before the fused node+degree aggregate), " +
+      "same 2-shuffle iterations") {
     assertShape("personalizedPageRank",
       checkpointPlans(Graph.personalizedPageRank(
         edges, "src", "dst", seeds, "node", iterations = 3)),
-      Seq(1, 2, 2, 2, 5), maxBnljPerAction = 1)
+      Seq(1, 2, 2, 2, 4), maxBnljPerAction = 1)
   }
 
   test("personalizedPageRankWeighted matches the unweighted PPR shape") {
     assertShape("personalizedPageRankWeighted",
       checkpointPlans(Graph.personalizedPageRankWeighted(
         edges, "src", "dst", "w", seeds, "node", iterations = 3)),
-      Seq(1, 2, 2, 2, 5), maxBnljPerAction = 1)
+      Seq(1, 2, 2, 2, 4), maxBnljPerAction = 1)
   }
 
   test("labelPropagation: 2 shuffles per round, no broadcast nesting") {
@@ -85,10 +95,10 @@ class GraphIterationPlanSpec extends SparkSpec with PlanCapture {
   }
 
   test("bfsDistances: frontier rounds broadcast against the edge scan — " +
-      "at most 1 shuffle per round, 2 in the final assembly") {
+      "at most 2 shuffles per round, no per-round settled re-materialization") {
     assertShape("bfsDistances",
       checkpointPlans(Graph.bfsDistances(
         edges, "src", "dst", seeds, "node", maxHops = 3)),
-      Seq(0, 0, 0, 0, 1, 1, 1, 2), maxBnljPerAction = 0)
+      Seq(0, 1, 1, 1, 2), maxBnljPerAction = 0)
   }
 }
