@@ -44,6 +44,15 @@ object JobsQ {
           .filter(_.end < 0L)
         if (open.nonEmpty)
           open.maxBy(_.id).tasks += sc.stageInfo.numTasks
+        val si = sc.stageInfo
+        val run = si.taskMetrics
+        println(f"    stage ${si.stageId}%4d tasks=${si.numTasks}%4d " +
+          f"exec=${run.executorRunTime / 1000.0}%7.3fs " +
+          f"cpu=${run.executorCpuTime / 1e9}%7.3fs " +
+          f"deser=${run.executorDeserializeTime / 1000.0}%6.3fs " +
+          f"gc=${run.jvmGCTime / 1000.0}%6.3fs " +
+          f"shufRead=${run.shuffleReadMetrics.fetchWaitTime / 1000.0}%5.3fs " +
+          f"wall=${(si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0}%7.3fs  ${si.name.take(60)}")
       }
     }
     names.foreach { n =>

@@ -1552,8 +1552,12 @@ object Queries {
         col("lo").as("lo_b"), col("hi").as("hi_b"))
       // cellWidth self-tunes: a KLL pre-pass pins it at the median
       // interval length (lengths are quantity%14+1, so ~7 days)
+      // shuffleJoin: both exploded sides are the SAME fact table — the
+      // planner's post-explode estimate broadcast one of them (a
+      // single-threaded driver build; an OOM at scale)
       graft.pipeline.Relational.intervalOverlapJoin(
-        a, b, Seq("l_partkey"), "lo_a", "hi_a", "lo_b", "hi_b")
+        a, b, Seq("l_partkey"), "lo_a", "hi_a", "lo_b", "hi_b",
+        shuffleJoin = true)
         .where(col("id_a") < col("id_b"))
         .select(col("l_partkey"), col("id_a"), col("id_b"),
           col("lo_a"), col("lo_b"))

@@ -685,8 +685,15 @@ object Quality {
       require(df.columns.contains(c), s"input is missing column '$c'"))
     def canon(cs: Seq[String]): Column = concat_ws("\u0001",
       cs.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    // r14: the codegen'd Md5Prefix kernel — bit-identical to
+    // conv(substring(md5(c), 1, 15), 16, 10) without the per-row
+    // hex-string round trip (Md5PrefixSpec pins the equivalence)
     def h60(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.exec.Md5Prefix(
+          org.apache.spark.sql.graftbridge.ColumnBridge.resolvedExpression(
+            encode(c, "UTF-8")),
+          hexLen = 15))
     val mod = 2305843009213693951L // 2^61 - 1: sum stays engine-exact
     val rows = df.select(
       pmod(h60(canon(keyCols)), lit(buckets.toLong)).as("bucket"),

@@ -825,7 +825,8 @@ object Relational {
   def intervalOverlapJoin(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       loL: String, hiL: String, loR: String, hiR: String,
-      cellWidth: Long = 0L, maxCellsPerInterval: Long = 4096L): DataFrame = {
+      cellWidth: Long = 0L, maxCellsPerInterval: Long = 4096L,
+      shuffleJoin: Boolean = false): DataFrame = {
     require(cellWidth >= 0L,
       s"cellWidth must be positive (or 0 = derive from the median " +
         s"interval length), got $cellWidth")
@@ -913,7 +914,17 @@ object Relational {
         .withColumn("__cell", explode(sequence(cellOf(col(lo)), hiCell)))
     }
     val l = cells(left, loL, hiL, "left").as("l")
-    val r = cells(right, loR, hiR, "right").as("r")
+    // shuffleJoin pins the (key, cell) join to a shuffled hash join — for
+    // FACT-vs-FACT interval joins (self-overlap especially) the caller
+    // knows both exploded sides are the same order of magnitude, where the
+    // planner's post-Generate size estimate routinely under-counts one
+    // side and broadcasts it: a single-threaded driver build of an entire
+    // fact side, and a hard OOM at scale (r14; guide §3.1 — the estimate
+    // is wrong after explode, so pick the strategy deliberately). Default
+    // false: a small dimension interval table SHOULD broadcast, and the
+    // planner gets that case right.
+    val rCells = cells(right, loR, hiR, "right")
+    val r = (if (shuffleJoin) rCells.hint("shuffle_hash") else rCells).as("r")
     val overlap = col(s"l.`$loL`") < col(s"r.`$hiR`") &&
       col(s"r.`$loR`") < col(s"l.`$hiL`")
     val reporting =

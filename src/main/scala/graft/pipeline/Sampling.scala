@@ -21,10 +21,17 @@ object Sampling {
   /** Uniform 32-bit hash of a column: the first 8 hex chars of
     * md5(value as string). Engine-portable: DuckDB spells it
     * `('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 8))::BIGINT`.
+    * Computed by the codegen'd [[graft.exec.Md5Prefix]] kernel — r14:
+    * bit-identical to the previous `conv(substring(md5(...), 1, 8), 16,
+    * 10)` composition (Md5PrefixSpec pins the equivalence) without the
+    * per-row hex-string materialize/substring/re-parse round trip.
     */
   def hash32(c: Column): Column =
-    conv(substring(md5(encode(c.cast("string"), "UTF-8")), 1, 8), 16, 10)
-      .cast("long")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.exec.Md5Prefix(
+        org.apache.spark.sql.graftbridge.ColumnBridge.resolvedExpression(
+          encode(c.cast("string"), "UTF-8")),
+        hexLen = 8))
 
   /** Keep ~`fraction` of rows, chosen deterministically by id hash. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
