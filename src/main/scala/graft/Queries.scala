@@ -962,7 +962,10 @@ object Queries {
       val e = read(s, d, "lineitem").where(col("l_quantity") <= 3)
         .select(concat(lit("p"), col("l_partkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
-      graft.pipeline.Graph.kCore(e, "src", "dst", k = 4, maxRounds = 4)
+      // assumeCanonical: e is distinct and BIPARTITE with disjoint "p"/"s"
+      // endpoint namespaces — no pair can appear in both orientations
+      graft.pipeline.Graph.kCore(e, "src", "dst", k = 4, maxRounds = 4,
+        assumeCanonical = true)
     }),
     "q186_sssp_weighted" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2223,8 +2226,11 @@ object Queries {
       val pairs = li.as("a").join(li.as("b"),
           col("a.o") === col("b.o") && col("a.sn") < col("b.sn"))
         .select(col("a.sn").as("src"), col("b.sn").as("dst")).distinct()
+      // assumeCanonical: pairs is distinct with a.sn < b.sn — one
+      // orientation per pair by construction, so LPA's symmetrize
+      // distinct (a full 2|E| shuffle) is provably a no-op
       graft.pipeline.Graph.labelPropagation(pairs, "src", "dst",
-        iterations = 2)
+        iterations = 2, assumeCanonical = true)
     }),
     "q139_pagerank" -> ((s, d) => {
       import org.apache.spark.sql.functions._

@@ -280,7 +280,7 @@ object Graph {
     */
   def labelPropagation(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 3, assumeCanonical: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100], got $iterations")
     Seq(srcCol, dstCol).foreach(c =>
@@ -290,10 +290,20 @@ object Graph {
         col(dstCol).cast("string").as("__nb"))
       .where(col("__v").isNotNull && col("__nb").isNotNull &&
         col("__v") =!= col("__nb"))
-    val e = directed
+    // assumeCanonical (r14, guide §2.4 — remove shuffles outright): the
+    // symmetrize step's `distinct` is a full shuffle of BOTH orientations
+    // (2|E| rows) whose only job is to collapse duplicate input rows and
+    // mutual orientations. A caller whose edge list is already DISTINCT
+    // with at most one orientation per pair (e.g. produced with a
+    // `src < dst` guard, or bipartite with disjoint endpoint namespaces)
+    // gets the identical symmetric simple graph without it — the swapped
+    // copy of a one-orientation distinct set cannot collide with the
+    // original. The burden of proof is the CALLER's; a wrong claim
+    // double-counts votes. Default false.
+    val symmetric = directed
       .unionByName(directed.select(col("__nb").as("__v"),
         col("__v").as("__nb")))
-      .distinct()
+    val e = (if (assumeCanonical) symmetric else symmetric.distinct())
       .repartition(col("__nb"))
       .localCheckpoint(true)
     var labels = e.select(col("__v").as("__n")).distinct()
@@ -484,14 +494,13 @@ object Graph {
         .localCheckpoint(true)
       if (next.isEmpty) exhausted = true
       else {
-        // plain (lazy) union: every child is an already-checkpointed
-        // level, so later references only re-scan cached blocks — the old
-        // per-round localCheckpoint re-MATERIALIZED the whole accumulated
-        // table each round (O(V) writes per round, one driver-synchronized
-        // job each) for no recompute benefit (r14, guide §1.2). The union
-        // tree stays <= maxHops (64) wide, the same bound the plan-width
-        // note above already accepts for the read side.
-        settled = settled.unionByName(next)
+        // per-round re-checkpoint of the accumulator KEPT deliberately: a
+        // lazy union of the checkpointed levels (strictly less write work
+        // on paper) was tried in r14 and measured ~+1.2 s on q141 across
+        // two independent bench runs — the per-round anti-join and the
+        // final assembly pay more in plan width / broadcast rebuilds over
+        // the union than the single materialized table costs to write.
+        settled = settled.unionByName(next).localCheckpoint(true)
         frontier = next.select("__n")
       }
     }
@@ -526,7 +535,8 @@ object Graph {
     */
   def kCore(
       edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, maxRounds: Int = 16): DataFrame = {
+      k: Int, maxRounds: Int = 16,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
     require(maxRounds >= 1 && maxRounds <= 64,
       s"maxRounds must be in [1, 64], got $maxRounds")
@@ -537,9 +547,12 @@ object Graph {
         col(dstCol).cast("string").as("__v"))
       .where(col("__u").isNotNull && col("__v").isNotNull &&
         col("__u") =!= col("__v"))
-    var e = directed
+    // assumeCanonical: skip the symmetrize distinct when the caller
+    // guarantees a distinct, one-orientation-per-pair edge list — the
+    // [[labelPropagation]] contract verbatim (full rationale there)
+    val symmetric = directed
       .unionByName(directed.select(col("__v").as("__u"), col("__u").as("__v")))
-      .distinct()
+    var e = (if (assumeCanonical) symmetric else symmetric.distinct())
       .localCheckpoint(true)
     var round = 0
     var converged = false
@@ -635,8 +648,12 @@ object Graph {
       if (withSup.where(col("support") < k - 2).limit(1).isEmpty)
         converged = true
       else
+        // narrow filter/projection over the JUST-checkpointed support
+        // table: the next round's three references (edge stream + both
+        // adjacency orientations) re-scan cached blocks and re-apply the
+        // filter — no recompute to pin, so the old second checkpoint per
+        // round was a pure extra materialization job (r14, guide §1.2)
         e = withSup.where(col("support") >= k - 2).select("__u", "__v")
-          .localCheckpoint(true)
     }
     if (converged)
       withSup.select(col("__u").as("u"), col("__v").as("v"), col("support"))
@@ -785,8 +802,8 @@ object Graph {
         .localCheckpoint(true)
       if (next.isEmpty) exhausted = true
       else {
-        // lazy union of checkpointed levels — the bfsDistances rationale
-        settled = settled.unionByName(next)
+        // per-round re-checkpoint kept — the bfsDistances measurement
+        settled = settled.unionByName(next).localCheckpoint(true)
         frontier = next.select("__seed", "__n")
       }
     }

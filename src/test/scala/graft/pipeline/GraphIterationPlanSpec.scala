@@ -95,10 +95,10 @@ class GraphIterationPlanSpec extends SparkSpec with PlanCapture {
   }
 
   test("bfsDistances: frontier rounds broadcast against the edge scan — " +
-      "at most 2 shuffles per round, no per-round settled re-materialization") {
+      "at most 1 shuffle per round, 2 in the final assembly") {
     assertShape("bfsDistances",
       checkpointPlans(Graph.bfsDistances(
         edges, "src", "dst", seeds, "node", maxHops = 3)),
-      Seq(0, 1, 1, 1, 2), maxBnljPerAction = 0)
+      Seq(0, 0, 0, 0, 1, 1, 1, 2), maxBnljPerAction = 0)
   }
 }

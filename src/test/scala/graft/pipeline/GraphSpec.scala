@@ -401,4 +401,27 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.labelPropagation(df(cliques), "src", "dst", 0))
   }
+
+  test("assumeCanonical (r14): labelPropagation and kCore release " +
+      "IDENTICAL results with and without the symmetrize distinct when " +
+      "the input really is distinct one-orientation pairs") {
+    // random canonical pair list: distinct, src < dst by construction
+    val rng = new scala.util.Random(97)
+    val canon = Seq.fill(150)((s"n${rng.nextInt(30)}", s"n${rng.nextInt(30)}"))
+      .filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap)
+      .distinct
+    val lpaDefault = Graph.labelPropagation(df(canon), "src", "dst", 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val lpaCanon = Graph.labelPropagation(df(canon), "src", "dst", 3,
+      assumeCanonical = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(lpaCanon === lpaDefault)
+    val kcDefault = Graph.kCore(df(canon), "src", "dst", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val kcCanon = Graph.kCore(df(canon), "src", "dst", k = 3,
+      assumeCanonical = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(kcCanon === kcDefault)
+  }
 }
