@@ -218,6 +218,17 @@ object Bench {
     Thread.sleep(1000)
     System.err.flush(); System.out.flush()
     println(json)
+    // FINAL stdout line: a compact summary (~150 chars, NO per-query map).
+    // The full record above is ~8 KB for 223 queries; the driver keeps only
+    // a 2000-char log tail, so the full line's head (metric/value) was cut
+    // off and the record went unparsed two rounds running (BENCH_r13/r14
+    // parsed:null). The compact line always fits inside any tail window;
+    // the per-query map still travels on the full line above AND in
+    // bench_out.json. Measurement methodology is unchanged — this is an
+    // emission-only addition (r14 verdict item 1).
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson,"repeats":$repeats,"sf":"$sfDir"}"""
+    println(summary)
     System.out.flush()
   }
 }

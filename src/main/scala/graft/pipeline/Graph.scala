@@ -684,9 +684,16 @@ object Graph {
     * (localCheckpoint preserves the physical partitioning — the
     * [[pageRank]] discipline), so each round's candidate join moves only
     * the frontier; per round ONE equi-join + ONE destination-keyed min +
-    * ONE merge aggregate, all bounded-width (node, long) shuffles. Early
-    * exit on an empty improvement frontier. The settled table is
-    * re-checkpointed per round, keeping the plan O(1) deep.
+    * ONE settled-merge full-outer join, all bounded-width (node, long)
+    * shuffles. The merge carries a `__chg` improved-flag in its own
+    * projection (the connectedComponents discipline, r15/guide §1.2):
+    * ONE checkpointed table per round serves as the new settled set, the
+    * convergence probe (`filter(__chg).limit(1)` over the just-written
+    * rows), and the next frontier (a lazy filter) — where the old shape
+    * materialized `improved` and `settled` separately and re-aggregated
+    * the whole settled table through a union+groupBy each round. Early
+    * exit on an empty improvement frontier. The merged table is
+    * checkpointed per round, keeping the plan O(1) deep.
     */
   def ssspWeighted(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
@@ -722,17 +729,25 @@ object Graph {
       val cand = frontier.join(e, frontier("__n") === e("__s"))
         .select(col("__d").as("__n"), (col("__dist") + col("__w")).as("__nd"))
         .groupBy("__n").agg(min("__nd").as("__nd"))
-      val improved = cand
-        .join(settled, Seq("__n"), "left_outer")
-        .where(col("__dist").isNull || col("__nd") < col("__dist"))
-        .select(col("__n"), col("__nd").as("__dist"))
+      // one full-outer merge replaces the old left_outer improved-filter +
+      // union + re-aggregate of the WHOLE settled table: `least` skips
+      // NULLs, so settled-only rows keep __dist, newly reached rows take
+      // __nd, and both-sides rows take the min — exactly the old
+      // union+groupBy(min). __chg rides the same projection, so the
+      // convergence probe is a limit(1) scan of the just-checkpointed
+      // rows and the next frontier is a lazy filter — one checkpointed
+      // table per round instead of two (r15, guide §1.2/§2.4)
+      val merged = settled.join(cand, Seq("__n"), "full_outer")
+        .select(col("__n"),
+          least(col("__dist"), col("__nd")).as("__dist"),
+          (col("__nd").isNotNull &&
+            (col("__dist").isNull || col("__nd") < col("__dist")))
+            .as("__chg"))
         .localCheckpoint(true)
-      if (improved.isEmpty) exhausted = true
+      if (merged.where(col("__chg")).limit(1).isEmpty) exhausted = true
       else {
-        settled = settled.unionByName(improved)
-          .groupBy("__n").agg(min("__dist").as("__dist"))
-          .localCheckpoint(true)
-        frontier = improved
+        settled = merged.select("__n", "__dist")
+        frontier = merged.where(col("__chg")).select("__n", "__dist")
       }
     }
     settled.select(col("__n").as("node"), col("__dist").as("dist"))

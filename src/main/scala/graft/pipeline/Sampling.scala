@@ -234,9 +234,17 @@ object Sampling {
     val items = graft.exec.Ranks.globalRowNumber(
       pos.select(col("__i")).distinct(), Seq(col("__i")), "__idx")
       .localCheckpoint(true)
-    val nItems = items.count()
+    // one pass over the checkpointed rank table yields BOTH the exact row
+    // count (the determinism contract needs it for the mod) and the mean
+    // id width (the broadcast decision needs it) — same single job as the
+    // old count()
+    val itemStats = items
+      .agg(count(lit(1)).as("__n"), avg(length(col("__i"))).as("__len"))
+      .head()
+    val nItems = itemStats.getLong(0)
     require(nItems >= 2L,
       s"$opName needs >= 2 distinct items, got $nItems")
+    val avgIdLen = if (itemStats.isNullAt(1)) 0.0 else itemStats.getDouble(1)
     // The item-rank table is ALWAYS the smaller-or-equal side of the
     // candidate equi-join (items = distinct positives' items <= distinct
     // positives <= k-exploded candidates), and — unlike the planner — we
@@ -245,11 +253,17 @@ object Sampling {
     // the CANDIDATE side instead (r14 measurement: the q215 broadcast
     // build evaluated the md5 draw stream for 1.19M candidates in a single
     // task, 2.1 s of a 6.9 s query). Hint the known-small side; past the
-    // cutoff (~150 MB framed) leave the strategy to the planner, which
-    // correctly shuffle-joins two at-scale tables (guide §3.1/§8: use what
-    // you know that the optimizer does not).
+    // cutoff leave the strategy to the planner, which correctly
+    // shuffle-joins two at-scale tables (guide §3.1/§8: use what you know
+    // that the optimizer does not). The cutoff is BYTE-based (ADVICE r14:
+    // a row cutoff alone lets arbitrarily wide item ids blow past the
+    // driver/executor build memory): estimated framed bytes per row =
+    // 2 bytes/char (UTF-16) + ~48 B object/offset/idx overhead, capped at
+    // 256 MB — "a few hundred MB is usually fine" (guide §3.1).
+    val estBroadcastBytes = nItems * (2.0 * avgIdLen + 48.0)
     val itemsHinted =
-      if (nItems <= 5000000L) broadcast(items) else items
+      if (estBroadcastBytes <= 256.0 * 1024 * 1024) broadcast(items)
+      else items
     (pos, itemsHinted, nItems)
   }
 

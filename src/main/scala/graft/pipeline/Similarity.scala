@@ -21,9 +21,22 @@ object Similarity {
 
   /** Exact cosine similarity of two array<double> columns: one fused
     * dot-and-norms pass per pair (sequential fold, matching `aggregate`'s
-    * evaluation order bit-for-bit).
+    * evaluation order bit-for-bit). r15: computed by the codegen'd
+    * [[graft.exec.CosineSim]] expression — bit-identical to the closure
+    * kernel below (CosineSimSpec pins the equivalence) without the two
+    * per-call Array[Double] deserializations, which were pure allocation
+    * churn on the million-pair verify paths (guide §4).
     */
-  def cosine(a: Column, b: Column): Column = cosineKernel(a, b)
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.exec.CosineSim(
+        // the cast mirrors the old ScalaUDF's implicit input coercion
+        // (array<float> callers of the SQL-registered cosine_similarity);
+        // it is a no-op for the pipeline callers, which already cast
+        org.apache.spark.sql.graftbridge.ColumnBridge.resolvedExpression(
+          a.cast("array<double>")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.resolvedExpression(
+          b.cast("array<double>"))))
 
   // NULL on null inputs, MISMATCHED dimensions, and ZERO-norm vectors.
   // Dimension truncation used to return a plausible-but-wrong score on a
@@ -31,7 +44,8 @@ object Similarity {
   // which Spark's descending sort ranks ABOVE every real cosine — one
   // junk corpus vector took rank 1 in EVERY query's top-k. NULL sorts
   // last under desc, so degenerate rows lose instead of winning.
-  private val cosineKernel = udf((a: Array[Double], b: Array[Double]) => {
+  // (Kept as CosineSimSpec's ground truth; no longer on any query path.)
+  private[graft] val cosineClosureSpec = udf((a: Array[Double], b: Array[Double]) => {
     if (a == null || b == null || a.length != b.length) null
     else {
       var dot = 0.0

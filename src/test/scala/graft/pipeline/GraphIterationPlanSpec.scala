@@ -101,4 +101,26 @@ class GraphIterationPlanSpec extends SparkSpec with PlanCapture {
         edges, "src", "dst", seeds, "node", maxHops = 3)),
       Seq(0, 0, 0, 0, 1, 1, 1, 2), maxBnljPerAction = 0)
   }
+
+  // r15: one checkpointed table per sssp round — the full-outer merge
+  // carries the settled set, the __chg convergence flag, and the next
+  // frontier in a single materialization (the connectedComponents
+  // discipline); the old shape checkpointed `improved` AND re-aggregated
+  // the whole settled table through a union+groupBy every round.
+  test("ssspWeighted: ONE checkpoint per round (setup edge repartition + " +
+      "seed distinct, then one merged table per round)") {
+    val got = checkpointPlans(Graph.ssspWeighted(
+      edges, "src", "dst", "w", seeds, "node", maxRounds = 3))
+    // 2 setup checkpoints + exactly maxRounds merged checkpoints (the
+    // fixture graph does not converge before round 3)
+    assert(got.size === 5,
+      s"ssspWeighted checkpoint count moved: got ${got.size}, pinned 5 " +
+        s"(2 setup + 3 rounds):\n${got.map(_.text).mkString("\n----\n")}")
+    // per round: frontier exchange into the source-partitioned edge join
+    // + the destination-min groupBy exchange; the full-outer merge reuses
+    // cand's __n partitioning and the checkpoint-preserved partitioning of
+    // the previous round's merged table — no third exchange
+    assertShape("ssspWeighted", got,
+      Seq(1, 1, 2, 2, 2), maxBnljPerAction = 0)
+  }
 }
