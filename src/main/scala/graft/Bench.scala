@@ -124,8 +124,12 @@ object Bench {
     // Names adjudicated EVERY round regardless of movement: queries whose
     // recorded value swung on contention in a past round and whose plan is
     // pinned unchanged — the rerun median settles them in the record
-    // (round 13: q201 0.71->1.93 s on byte-identical code).
-    val alwaysRerun = Set("q201_rfm_segments")
+    // (round 13: q201 0.71->1.93 s on byte-identical code; round 14: the
+    // driver's 32-core q44b sample read 44.7 s against a 1.3–1.8 s history
+    // on identical code — allocation/GC contention in the interleaved
+    // window; r15 also removed the per-pair array allocations behind it,
+    // see graft.exec.CosineSim).
+    val alwaysRerun = Set("q201_rfm_segments", "q44b_embedding_dedup_exact")
     val movers = measured.collect {
       case (n, v) if v > 0 && prior.get(n)
         .exists(p => p > 0 && (v > 1.5 * p || p > 1.5 * v)) => n

@@ -537,8 +537,16 @@ object CorpusStats {
   def topTfidfTerms(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
+    // the (id, token, tf) aggregate feeds BOTH the document-frequency
+    // reduction and the score join; left lazy, the planner duplicated the
+    // whole scan+tokenize+shuffle subtree (verified r15: two identical
+    // concurrent map stages, no AQE stage reuse on this shape), i.e. the
+    // 100-TB corpus would be read and split TWICE. Materialize the
+    // aggregate once — the checkpoint holds the same bytes the exchange
+    // already spilled to local disk (guide §2.4/§5)
     val tf = tokens(df, textCol, col(idCol))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = df.agg(count_distinct(col(idCol)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -926,10 +934,17 @@ object CorpusStats {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE per-item support aggregate feeds both the A-priori prune inside
-    // frequentPairsWith and the lift/confidence joins below — Catalyst
-    // reuses the aggregate's exchange wherever the subplan repeats, where
-    // the old shape scheduled the identical groupBy twice
+    // frequentPairsWith and the lift/confidence joins below. r14 passed the
+    // same LAZY aggregate to both and leaned on Catalyst exchange reuse —
+    // but the consumers run in DIFFERENT JOBS (the guard collect vs the
+    // final checkpoint), and exchange reuse never spans jobs, so the
+    // aggregate re-scanned the persisted incidence once per job (r14
+    // verdict item 5: no ReusedExchange in the plan dump). Materialize it
+    // instead: one item-keyed shuffle total, every consumer scans the
+    // checkpointed rows (guide §2.4 / §5 — it is REUSED and recomputing
+    // costs a full pass over the incidence).
     val supports = bi.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+      .localCheckpoint(true)
     val pairs = frequentPairsWith(bi, supports, minSupport, maxBasketItems)
     val nBaskets = bi.agg(countDistinct(col("__b")).as("n_baskets"))
     val out = pairs
