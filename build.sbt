@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through RAW instead of via sbt's logger:
+// the logger prefixes every line with "[info] ", which defeats strict
+// line parsers reading the bench's JSON record from a log tail (r15 —
+// the r14 verdict's missing-perf-signal item; Bench.scala's compact
+// summary line is only useful if it survives verbatim).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +32,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default (was 8g): local[32] runs 32 concurrent tasks in ONE JVM
+  // that is simultaneously driver, executor, and block-manager for every
+  // accumulated localCheckpoint block — at 8g the bench's heavy pair
+  // queries tipped into GC thrash under full concurrency (the r14
+  // driver-run q44b 44.7 s excursion, ~1.3 s everywhere else). The heap
+  // is lazily committed, so the bigger cap costs nothing when idle;
+  // override with SPARK_DRIVER_MEM on smaller machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
